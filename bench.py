@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line with per-query wall seconds.
+
+Each query is forced to full execution with a cheap count-style action
+(`df.foreach(noop)` would serialize rows to Python; `count()` after a
+`cache`-free plan keeps everything JVM-side, mirroring how the reference's
+dbt models materialize results with a write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from konohadataplatform_spark.queries import all_queries
+from konohadataplatform_spark.session import get_spark
+
+# Headline set: the queries that exercise scan/join/agg/window/dedup/knn
+# at scale. Everything else is covered by the correctness gate.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q_customer_order_summary",
+    "q_daily_order_metrics",
+    "q_events_sessionize",
+    "q_doc_exact_dedup",
+    "q_minhash_dedup",
+    "q_knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="konoha-bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM + parquet footers once so timings measure the queries.
+    qs[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

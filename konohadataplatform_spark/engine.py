@@ -1,0 +1,43 @@
+"""The engine facade — the Kyuubi/Trino surface collapsed in-process.
+
+The reference routes all interactive SQL through Kyuubi's Thrift
+front-end to a shared Spark engine (``docs/components/kyuubi.md:61-67``,
+SERVER share-level ``docs/architecture/compute.md:28-39``) and lets
+Trino read the same tables (``infrastructure/apps/trino/base/
+trino-config-coordinator.yaml:28-35``). One SparkSession replaces both:
+`Engine.sql()` is the S8 entry point; every registered table is visible
+to every caller, which is exactly the "two engines, one catalog"
+property the reference gets from the shared Hive Metastore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from konohadataplatform_spark.session import get_spark
+from konohadataplatform_spark.sources.star_schema import register_views
+
+
+class Engine:
+    """In-process analytics engine: SQL entry point + table registry."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+
+    # ---- S8: JDBC/Thrift SQL entry point analog -------------------------
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # ---- table registry -------------------------------------------------
+    def register(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+
+    def register_star_schema(self, sf_dir: str) -> dict[str, DataFrame]:
+        return register_views(self.spark, sf_dir)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def udf_register(self, name: str, fn, return_type=None):
+        """UDF surface (reference core tenet 4, docs/00-introduction.md:28)."""
+        return self.spark.udf.register(name, fn, return_type)

@@ -1,0 +1,429 @@
+"""Core relational operator coverage (SURVEY §2.2-2.7) on the star schema.
+
+The reference exposes the full Spark SQL surface through Kyuubi
+(S8, ``docs/components/kyuubi.md:61-67``); these queries exercise that
+surface — scan→filter→join→agg→window→sort→limit — as idiomatic
+DataFrame plans so Catalyst does pushdown/pruning/join-selection.
+
+Scale posture (100 TB):
+- dimension joins (`region`/`nation`/`supplier`/`part`) are explicitly
+  `broadcast()` — no shuffle of the fact table for dim joins;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  AQE handles skew;
+- aggregates are partial (map-side) automatically via hash aggregation;
+- all filters are simple column predicates that push into the parquet
+  scan (verified via .explain PushedFilters in tests/test_plans.py).
+
+Money arithmetic goes through DECIMAL (see functions.dec) so results are
+bit-identical to the DuckDB oracle regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from konohadataplatform_spark.functions import dec, dsum
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# q1 — pricing summary: full-scan filter + multi-key hash agg (A1-A4,A6)
+# Reference declares the same agg shapes in dbt marts
+# (daily_order_metrics.sql:20-29); TPC-H Q1 shape over lineitem.
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    price = dec("l_extendedprice")
+    disc = dec("l_discount")
+    tax = dec("l_tax")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
+            (dsum("l_discount") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q3 — shipping priority: 3-way join + agg + deterministic top-k (J1,A1,O1)
+# --------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q5 — local supplier volume: 6-way join incl. broadcast dims (J1/J2)
+# --------------------------------------------------------------------------
+@query(
+    "q5_local_supplier",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q6 — forecast revenue: pure pushdown filter + global agg (P4,A4)
+# --------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — returned items: join + agg + top-k with broadcast dim (J1,J2,O1)
+# --------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-07-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q_count_distinct — COUNT(DISTINCT) per group (A5, daily_order_metrics.sql:29)
+# --------------------------------------------------------------------------
+@query(
+    "q_count_distinct",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_union_all — UNION ALL set op (U1, stg_users.sql:16-23 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_union_all",
+    """
+    WITH u AS (
+      SELECT o_orderkey, 'URGENT' AS bucket, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey, 'LOW' AS bucket, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    SELECT bucket, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total_price
+    FROM u GROUP BY bucket
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("URGENT").alias("bucket"), dec("o_totalprice").alias("price")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_orderkey", F.lit("LOW").alias("bucket"), dec("o_totalprice").alias("price")
+    )
+    return (
+        urgent.unionByName(low)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_semi_anti_join — LEFT SEMI / LEFT ANTI (S6 merge building blocks;
+# SURVEY §2.3 notes the full join surface must be supported at S8)
+# --------------------------------------------------------------------------
+@query(
+    "q_semi_anti_join",
+    """
+    WITH has_big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000)
+    SELECT 'with_big_order' AS cohort, COUNT(*) AS n_customers
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM has_big)
+    UNION ALL
+    SELECT 'without_big_order' AS cohort, COUNT(*) AS n_customers
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM has_big)
+    """,
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    semi = (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("with_big_order").alias("cohort"), "n_customers")
+    )
+    anti = (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("without_big_order").alias("cohort"), "n_customers")
+    )
+    return semi.unionByName(anti)
+
+
+# --------------------------------------------------------------------------
+# q_scalar_subquery — uncorrelated scalar subquery cutoff (P4/P5,
+# daily_order_metrics.sql:32-35 incremental pattern)
+# --------------------------------------------------------------------------
+@query(
+    "q_scalar_subquery",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_recent,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS recent_value
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >=
+          (SELECT MAX(CAST(o_orderdate AS DATE)) - INTERVAL 90 DAY FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_q_ss_orders")
+    # Expressed in SQL so Catalyst plans the scalar subquery (a one-row
+    # broadcast) instead of a driver-side collect.
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_recent,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS recent_value
+        FROM _q_ss_orders
+        WHERE CAST(o_orderdate AS DATE) >=
+              (SELECT MAX(CAST(o_orderdate AS DATE)) - INTERVAL 90 DAY FROM _q_ss_orders)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q_topk_parts — window rank over agg + filter (W2 shape on parts)
+# --------------------------------------------------------------------------
+@query(
+    "q_topk_parts",
+    """
+    WITH b AS (
+      SELECT p_brand, p_type,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_retail,
+             COUNT(*) AS n_parts
+      FROM part GROUP BY p_brand, p_type
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY p_type
+                                   ORDER BY total_retail DESC, p_brand) AS rk
+      FROM b
+    )
+    SELECT p_type, p_brand, total_retail, n_parts, rk FROM r WHERE rk <= 3
+    """,
+)
+def q_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    part = _t(spark, sf_dir, "part")
+    agg = part.groupBy("p_brand", "p_type").agg(
+        dsum("p_retailprice").alias("total_retail"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("total_retail").desc(), F.col("p_brand")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_type", "p_brand", "total_retail", "n_parts", "rk")
+    )

@@ -1,0 +1,52 @@
+"""Test-data star schema loader.
+
+The driver materializes a deterministic TPC-H-ish star schema plus
+``events``/``documents``/``embeddings`` tables (see /root/repo/TESTDATA.md).
+This loader registers them as temp views so the whole §2 operator surface
+(reference exposes arbitrary SQL through Kyuubi,
+``docs/components/kyuubi.md:61-67``) runs against them via ``spark.sql``.
+
+Scale note: views are plain parquet scans — Catalyst pushes filters and
+prunes columns into the scan, so a 100 TB `lineitem` behind the same view
+only reads the columns/row-groups a query touches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
+
+
+def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every parquet table under ``sf_dir`` as a DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view named after the table."""
+    dfs = load_star_schema(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
