@@ -37,7 +37,13 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    if not os.path.isdir(sf_dir):
+        print(json.dumps({"error": f"SF dir not found: {sf_dir}"}))
+        return 1
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
     spark = get_spark(app_name="konoha-bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]

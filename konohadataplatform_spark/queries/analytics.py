@@ -1,2 +1,335 @@
+"""Ports of the reference's declared transformation pipeline (the dbt
+models) onto the star schema — SURVEY §2.2-2.6 end to end.
+
+Shapes mirrored 1:1 from the reference's SQL:
+- ``q_customer_order_summary``  <- ``dbt/analytics/models/marts/user_order_summary.sql``
+  (LEFT JOIN + COALESCE'd conditional aggs + CASE tiers + the three
+  window functions W1-W3: global ROW_NUMBER, per-group ROW_NUMBER,
+  PERCENT_RANK).
+- ``q_daily_order_metrics``     <- ``dbt/analytics/models/marts/daily_order_metrics.sql``
+  (date-grain agg, filtered counts, COUNT(DISTINCT), NULLIF-guarded
+  rates).
+- ``q_stg_orders_enriched``     <- ``dbt/analytics/models/staging/stg_orders.sql``
+  (projection/derivation: TRIM/UPPER/LOWER/SPLIT/CAST/date parts/CASE).
+- ``q_window_analytics``        — the full analytic-window surface the
+  engine must support at the S8 SQL entry point (lag/lead/frames).
+- ``q_rollup_revenue``          — ROLLUP grouping sets (free at S8).
+
+Scale posture: all aggregations are partial-hash (map-side combine);
+the customer⟕orders join shuffles both sides on the key once — at
+100 TB this is the unavoidable co-partitioning shuffle and AQE coalesces
+the result; windows partitioned by customer shuffle once on the same
+key and reuse that partitioning for all three window functions (single
+Window exchange — verified in tests/test_plans.py).
+
+Determinism: all ROW_NUMBER orderings carry a unique tie-breaker key
+(FIXTURES.md §4); money math is DECIMAL-routed; no ROUND on doubles
+(engine rounding semantics differ near shortest-repr boundaries).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from konohadataplatform_spark.sources.star_schema import load_table
+from konohadataplatform_spark.functions import dec, dsum
+
 QUERIES = {}
 ORACLE = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# user_order_summary port (J1, A1-A7, P6, W1-W3, O1)
+# --------------------------------------------------------------------------
+@query(
+    "q_customer_order_summary",
+    """
+    WITH base AS (
+      SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+             COALESCE(COUNT(o.o_orderkey), 0) AS total_orders,
+             COALESCE(COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END), 0) AS completed_orders,
+             COALESCE(COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END), 0) AS open_orders,
+             CAST(COALESCE(SUM(CASE WHEN o.o_orderstatus = 'F'
+                       THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS total_spent,
+             MIN(CAST(o.o_orderdate AS DATE)) AS first_order_date,
+             MAX(CAST(o.o_orderdate AS DATE)) AS last_order_date
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+    ), tiered AS (
+      SELECT *,
+             CAST(total_spent / NULLIF(completed_orders, 0) AS DOUBLE) AS avg_order_value,
+             CASE WHEN total_spent >= 2000000 THEN 'PLATINUM'
+                  WHEN total_spent >= 1000000 THEN 'GOLD'
+                  WHEN total_spent >= 300000  THEN 'SILVER'
+                  WHEN total_spent > 0        THEN 'BRONZE'
+                  ELSE 'PROSPECT' END AS customer_tier
+      FROM base
+    )
+    SELECT *,
+           ROW_NUMBER() OVER (ORDER BY total_spent DESC, c_custkey) AS revenue_rank,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY total_spent DESC, c_custkey) AS segment_rank,
+           PERCENT_RANK() OVER (ORDER BY total_spent) AS spending_percentile
+    FROM tiered
+    """,
+)
+def q_customer_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    completed = F.col("o_orderstatus") == "F"
+    base = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.coalesce(F.count("o_orderkey"), F.lit(0)).alias("total_orders"),
+            F.coalesce(F.count(F.when(completed, 1)), F.lit(0)).alias(
+                "completed_orders"
+            ),
+            F.coalesce(
+                F.count(F.when(F.col("o_orderstatus") == "O", 1)), F.lit(0)
+            ).alias("open_orders"),
+            F.coalesce(F.sum(F.when(completed, dec("o_totalprice"))), F.lit(0))
+            .cast("double")
+            .alias("total_spent"),
+            F.min(F.col("o_orderdate").cast("date")).alias("first_order_date"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
+        )
+    )
+    tiered = base.withColumn(
+        "avg_order_value",
+        (F.col("total_spent") / F.nullif(F.col("completed_orders"), F.lit(0))).cast(
+            "double"
+        ),
+    ).withColumn(
+        "customer_tier",
+        F.when(F.col("total_spent") >= 2000000, "PLATINUM")
+        .when(F.col("total_spent") >= 1000000, "GOLD")
+        .when(F.col("total_spent") >= 300000, "SILVER")
+        .when(F.col("total_spent") > 0, "BRONZE")
+        .otherwise("PROSPECT"),
+    )
+    w_global = Window.orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+    w_segment = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spent").desc(), F.col("c_custkey")
+    )
+    w_pct = Window.orderBy(F.col("total_spent"))
+    return (
+        tiered.withColumn("revenue_rank", F.row_number().over(w_global))
+        .withColumn("segment_rank", F.row_number().over(w_segment))
+        .withColumn("spending_percentile", F.percent_rank().over(w_pct))
+    )
+
+
+# --------------------------------------------------------------------------
+# daily_order_metrics port (A1-A7, F8, P4) — date-grain incremental mart
+# --------------------------------------------------------------------------
+@query(
+    "q_daily_order_metrics",
+    """
+    SELECT CAST(o_orderdate AS DATE) AS metric_date,
+           COUNT(*) AS total_orders,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS completed_orders,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS pending_orders,
+           COUNT(DISTINCT o_custkey) AS unique_customers,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS completed_revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_order_value,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_order_value,
+           CAST(100.0 AS DOUBLE) * COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+               / NULLIF(COUNT(*), 0) AS completion_rate_pct
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE)
+    """,
+)
+def q_daily_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    st = F.col("o_orderstatus")
+    return (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("metric_date"))
+        .agg(
+            F.count(F.lit(1)).alias("total_orders"),
+            F.count(F.when(st == "F", 1)).alias("completed_orders"),
+            F.count(F.when(st == "O", 1)).alias("open_orders"),
+            F.count(F.when(st == "P", 1)).alias("pending_orders"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            F.sum(F.when(st == "F", dec("o_totalprice")).otherwise(dec(F.lit(0))))
+            .cast("double")
+            .alias("completed_revenue"),
+            dsum("o_totalprice").alias("total_value"),
+            (dsum("o_totalprice") / F.count(F.lit(1))).alias("avg_order_value"),
+            F.min(dec("o_totalprice")).cast("double").alias("min_order_value"),
+            F.max(dec("o_totalprice")).cast("double").alias("max_order_value"),
+            (
+                F.lit(100.0)
+                * F.count(F.when(st == "F", 1))
+                / F.nullif(F.count(F.lit(1)), F.lit(0))
+            ).alias("completion_rate_pct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# stg_orders port (P1, P3, P6, F1-F5) — staging projection/derivation
+# --------------------------------------------------------------------------
+@query(
+    "q_stg_orders_enriched",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           UPPER(TRIM(o_orderstatus)) AS order_status,
+           CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS priority_num,
+           LOWER(string_split(o_orderpriority, '-')[2]) AS priority_name,
+           CAST(o_orderdate AS DATE) AS order_date,
+           YEAR(o_orderdate) AS order_year,
+           MONTH(o_orderdate) AS order_month,
+           CAST(date_part('dow', o_orderdate) + 1 AS INTEGER) AS order_dow,
+           CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS value_tier,
+           CASE WHEN date_part('dow', o_orderdate) IN (0, 6)
+                THEN 'weekend' ELSE 'weekday' END AS day_type
+    FROM orders
+    """,
+)
+def q_stg_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    parts = F.split(F.col("o_orderpriority"), "-")
+    dow = F.dayofweek("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.upper(F.trim(F.col("o_orderstatus"))).alias("order_status"),
+        parts.getItem(0).cast("integer").alias("priority_num"),
+        F.lower(parts.getItem(1)).alias("priority_name"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        dow.alias("order_dow"),
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("value_tier"),
+        F.when(dow.isin(1, 7), "weekend").otherwise("weekday").alias("day_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Full analytic-window surface: lag/lead/frames/running aggregates (S8)
+# --------------------------------------------------------------------------
+@query(
+    "q_window_analytics",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           ROW_NUMBER() OVER w AS order_seq,
+           CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_price,
+           CAST(LEAD(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER
+                (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy(od, F.col("o_orderkey"))
+    w3 = w.rowsBetween(-2, 0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    price = dec("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        od.alias("order_date"),
+        price.cast("double").alias("price"),
+        F.row_number().over(w).alias("order_seq"),
+        F.lag(price).over(w).cast("double").alias("prev_price"),
+        F.lead(price).over(w).cast("double").alias("next_price"),
+        F.sum(price).over(wrun).cast("double").alias("running_total"),
+        (F.sum(price).over(w3).cast("double") / F.count(F.lit(1)).over(w3)).alias(
+            "moving_avg_3"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP grouping sets (available at S8; SURVEY §2.4 notes it's free)
+# --------------------------------------------------------------------------
+@query(
+    "q_rollup_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional-agg segment stats (A3, P6 on customer)
+# --------------------------------------------------------------------------
+@query(
+    "q_segment_balance_stats",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_balance,
+           COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_negative,
+           COUNT(CASE WHEN c_acctbal >= 5000 THEN 1 END) AS n_high,
+           CAST(100.0 AS DOUBLE) * COUNT(CASE WHEN c_acctbal < 0 THEN 1 END)
+               / NULLIF(COUNT(*), 0) AS pct_negative
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_segment_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    neg = F.count(F.when(F.col("c_acctbal") < 0, 1))
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("total_balance"),
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("avg_balance"),
+        neg.alias("n_negative"),
+        F.count(F.when(F.col("c_acctbal") >= 5000, 1)).alias("n_high"),
+        (F.lit(100.0) * neg / F.nullif(F.count(F.lit(1)), F.lit(0))).alias(
+            "pct_negative"
+        ),
+    )

@@ -1,2 +1,247 @@
+"""Event-stream semantics (SURVEY §2.9) expressed as batch plans.
+
+The reference's streaming path is CDC upsert-apply (Debezium →
+Kafka Connect → Iceberg, ``infrastructure/apps/kafka/connectors/*``);
+its core semantic — *latest-wins per key, deletes applied* — is
+``q_events_latest_per_user`` / ``q_cdc_apply`` here, and the live
+Structured Streaming implementation of the same logic is
+:mod:`konohadataplatform_spark.streaming.cdc` (tested separately —
+identical `foreachBatch` logic, same dedupe rule).
+
+Also covered: tumbling-window rollup (the `F.window` streaming analog,
+expressed via date_trunc so the DuckDB oracle can run it), gap-based
+sessionization (lag + cumulative flag sum — the batch equivalent of
+`applyInPandasWithState` sessions), and JSON property extraction.
+
+Scale posture: sessionization is two window functions over the same
+(user_id, ts) partitioning — one shuffle, reused; the hourly rollup is
+a partial hash agg; latest-per-key is a window-rank, the standard
+dedupe-before-merge pattern at any scale (C2 semantics,
+``docs/architecture/overview.md:70``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from konohadataplatform_spark.sources.star_schema import load_table
+from konohadataplatform_spark.functions import dec, dsum
+
 QUERIES = {}
 ORACLE = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Tumbling-window rollup (C7/streaming agg analog; date_trunc == F.window
+# with 1-hour tumble for complete data)
+# --------------------------------------------------------------------------
+@query(
+    "q_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Latest-wins per key — the CDC upsert dedupe rule (C2; the same logic the
+# streaming path applies per micro-batch before merging)
+# --------------------------------------------------------------------------
+@query(
+    "q_events_latest_per_user",
+    """
+    WITH ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            dec("value").cast("double").alias("last_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization (30-min inactivity gap): lag → new-session flag
+# → cumulative sum → session agg. Batch equivalent of session windows.
+# --------------------------------------------------------------------------
+@query(
+    "q_events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ), sessioned AS (
+      SELECT *, CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS duration_sec,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    flagged = ev.withColumn(
+        "is_new_session",
+        F.when(
+            prev_ts.isNull()
+            | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessioned = flagged.withColumn("session_id", F.sum("is_new_session").over(wrun))
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000
+        ).alias("duration_sec"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON property extraction (semi-structured props column)
+# --------------------------------------------------------------------------
+@query(
+    "q_events_json_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event funnel: per-user ordered first-touch of each step (lag/min-over +
+# conditional agg composition)
+# --------------------------------------------------------------------------
+@query(
+    "q_events_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(first_view) AS n_viewed,
+           COUNT(CASE WHEN first_click > first_view THEN 1 END) AS n_clicked_after_view,
+           COUNT(CASE WHEN first_purchase > first_click
+                       AND first_click > first_view THEN 1 END) AS n_full_funnel
+    FROM firsts
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("first_view"),
+        first_of("click").alias("first_click"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_viewed"),
+        F.count(
+            F.when(F.col("first_click") > F.col("first_view"), 1)
+        ).alias("n_clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("first_purchase") > F.col("first_click"))
+                & (F.col("first_click") > F.col("first_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )

@@ -25,6 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from konohadataplatform_spark.sources.star_schema import load_table
 from konohadataplatform_spark.functions import dec, dsum
 
 QUERIES = {}
@@ -32,7 +33,7 @@ ORACLE = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return load_table(spark, sf_dir, name)
 
 
 def query(name: str, oracle: str | None = None):

@@ -62,6 +62,9 @@ def get_spark(
         # Parquet scan posture: pushdown + vectorized reader are default
         # on; keep split size default (128MB) — right for 100 TB scans.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver's events table carries TIMESTAMP(NANOS); read as
+        # long and convert in sources.star_schema.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")

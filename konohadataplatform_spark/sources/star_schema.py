@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -34,13 +35,34 @@ TABLES = (
 BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one parquet table, normalizing physical-type quirks.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as raw nanos (legacy conf) and
+    convert to a micros timestamp (the same truncation DuckDB applies).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # ts arrives as raw nanos-since-epoch under this legacy conf
+        # (runtime-settable, so this works under any caller's session).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            # Integer `div`, not `/`: nanos-since-epoch exceeds double's
+            # 53-bit mantissa, so float division drifts by ±1 us.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
 def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every parquet table under ``sf_dir`` as a DataFrame."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 
