@@ -1,0 +1,276 @@
+"""Deduplication operators for LLM training-data pipelines (beyond-
+reference surface, BASELINE.json north star).
+
+Four tiers, all shared-nothing / shuffle-disciplined so they hold at
+100 TB:
+
+- ``exact_dedup``           — md5(text) hash-groupBy. One shuffle on the
+  16-byte digest, never on the document body.
+- ``jaccard_similarity_join`` — EXACT n-gram-shingle set-similarity
+  self-join using prefix filtering (AllPairs/PPJoin family): for
+  threshold t a pair can only match if they share one of each doc's
+  |S|-ceil(t*|S|)+1 *rarest* shingles, so the inverted index only
+  carries short prefixes and hot shingles never blow up the join.
+  Exact results — this is the oracle-checkable scale path.
+- ``minhash_lsh_candidates`` / ``minhash_dedup`` — MinHash signatures
+  (64 xxhash64 permutations) banded into LSH buckets; candidates are
+  verified with exact Jaccard. Sub-quadratic; the standard 100 TB
+  near-dup design (probabilistic recall, so rows-only vs the oracle).
+- ``simhash`` / ``simhash_candidates`` — 64-bit SimHash with banded
+  Hamming lookup.
+
+Everything is built-in column functions (xxhash64, explode, array ops)
+— JVM-side, no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact text; count duplicates.
+
+    Shuffles only (digest, id) pairs — at 100 TB the shuffle payload is
+    ~24 bytes/doc regardless of document size.
+    """
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling
+# --------------------------------------------------------------------------
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles) with distinct word n-gram shingles."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    sh = F.expr(
+        f"array_distinct(transform(sequence(0, size(w) - {n}), i -> "
+        f"concat_ws(' ', {', '.join(f'w[i + {j}]' for j in range(n))})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("sid"), toks.alias("w"))
+        .filter(F.size("w") >= n)
+        .select("sid", sh.alias("shingles"))
+    )
+
+
+# --------------------------------------------------------------------------
+# exact set-similarity join (prefix filtering)
+# --------------------------------------------------------------------------
+def jaccard_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via prefix-filtered inverted index.
+
+    Plan shape (all narrow or key-partitioned):
+      1. shingle sets (per-row, no shuffle)
+      2. global shingle document-frequency (one agg shuffle)
+      3. per-doc rarity-ordered prefix of size |S| - ceil(t*|S|) + 1
+      4. inverted-index self-join on prefix shingles (shuffle on shingle;
+         prefixes are short and rare by construction -> no hot keys)
+      5. exact verify: join candidate pairs back to full sets, Jaccard
+         via array_intersect (JVM-side), filter >= t.
+    """
+    sets = shingle_sets(df, text_col, id_col, n).cache()
+    toks = sets.select(F.col("sid"), F.explode("shingles").alias("sh"))
+
+    # 2. global shingle document-frequency (one agg shuffle). No global
+    # rank is materialized — rarity ordering is only ever needed *per
+    # doc*, so the window below partitions by sid (never a
+    # single-partition global sort).
+    freq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
+
+    # 3. per-doc prefix: the |S| - ceil(t*|S|) + 1 rarest shingles
+    # (ties broken by shingle text for determinism)
+    with_pos = toks.join(freq, "sh").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("sid").orderBy(F.col("df_cnt"), F.col("sh"))
+        ),
+    )
+    sizes = sets.select("sid", F.size("shingles").alias("set_size"))
+    prefixes = (
+        with_pos.join(sizes, "sid")
+        .filter(
+            F.col("pos")
+            <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+        )
+        .select("sid", "sh")
+    )
+
+    # 4. candidate pairs from shared prefix shingles
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cands = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.sid") < F.col("b.sid")))
+        .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
+        .distinct()
+    )
+
+    # 5. exact verification
+    return verify_jaccard(cands, sets, threshold)
+
+
+def verify_jaccard(
+    cands: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate (a_id, b_id) pairs against shingle sets."""
+    sa = sets.select(F.col("sid").alias("a_id"), F.col("shingles").alias("sa"))
+    sb = sets.select(F.col("sid").alias("b_id"), F.col("shingles").alias("sb"))
+    inter = F.array_size(F.array_intersect("sa", "sb"))
+    union = F.array_size("sa") + F.array_size("sb") - inter
+    return (
+        cands.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+def minhash_signatures(
+    sets: DataFrame, num_perm: int = 64
+) -> DataFrame:
+    """(sid, sig[num_perm]) — min over xxhash64(seed_i, shingle)."""
+    tok = sets.select("sid", F.explode("shingles").alias("sh"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    agg = tok.groupBy("sid").agg(*mins)
+    return agg.select(
+        "sid", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, num_perm: int = 64
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates."""
+    rows_per_band = num_perm // bands
+    banded = sigs.select(
+        "sid",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidates -> exact-Jaccard verify. Probabilistic recall
+    (P[detect] = 1-(1-t^r)^b), exact precision after verification."""
+    sets = shingle_sets(df, text_col, id_col, n).cache()
+    sigs = minhash_signatures(sets, num_perm)
+    cands = minhash_lsh_candidates(sigs, bands, num_perm)
+    return verify_jaccard(cands, sets, threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (term-frequency weighted)."""
+    tok = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("sid").agg(*bit_sums)
+    fp: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select("sid", fp.alias("simhash"))
+
+
+def simhash_candidates(hashes: DataFrame, bands: int = 4, bits: int = 64) -> DataFrame:
+    """Near-dup candidates: pairs sharing any of `bands` 16-bit slices
+    (guarantees recall of pairs with Hamming distance < bands)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        "sid",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
+        .distinct()
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (JVM built-in)."""
+    return F.bit_count(a.bitwiseXOR(b))

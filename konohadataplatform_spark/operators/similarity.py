@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (beyond-reference surface).
+
+- ``cosine_topk``  — exact brute-force top-k: broadcast the (small)
+  query set against the (huge) corpus; per-row dot products run
+  JVM-side via ``zip_with``/``aggregate`` higher-order functions (no
+  Python), then a per-query window top-k. At 100 TB the corpus is never
+  shuffled — only the broadcast queries move — and the top-k window
+  shuffles just (query_id, corpus_id, score) triples.
+- ``hyperplane_signatures`` / ``ann_lsh_topk`` — random-hyperplane LSH:
+  sign-bit signatures bucket the corpus; queries only score their own
+  bucket (plus multiprobe neighbors), cutting scored pairs by ~2^bits.
+  Approximate recall — benchmarked against brute force in tests.
+
+Planes are generated from a fixed seed on the driver (tiny: bits x dim
+doubles) and embedded as literals, so results are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential double fold — bit-identical to DuckDB list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, knn_rank), excluding self.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "knn_rank")
+    )
+
+
+def make_planes(dim: int, bits: int = 12, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Pack sign bits of plane dot-products into a long bucket id."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig.bitwiseOR(
+            F.when(_dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def _table_signatures(
+    vec: Column, planes: list[list[float]], n_tables: int, bits_per_table: int
+) -> Column:
+    """Array of per-table bucket ids (table index folded into the id so
+    buckets from different tables never collide)."""
+    sigs = []
+    for t in range(n_tables):
+        sub = planes[t * bits_per_table : (t + 1) * bits_per_table]
+        sig = hyperplane_signature(vec, sub)
+        sigs.append(sig + F.lit(t).cast("long") * F.lit(1 << bits_per_table).cast("long"))
+    return F.array(*sigs)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_tables: int = 16,
+    bits_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    L independent tables of b bits: a neighbor at angular similarity p
+    per bit is retrieved with P = 1-(1-p^b)^L (16x4 => ~0.99 at
+    cos~0.6). The corpus is exploded L times into (bucket, id) — at
+    100 TB that's an O(L)-size *index* of ids, not payloads; vectors are
+    only scored for bucket-matched candidates, cutting the scored pairs
+    to a small fraction of brute force.
+    """
+    planes = make_planes(dim, n_tables * bits_per_table, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn(
+        "sig", F.explode(_table_signatures(F.col("cv"), planes, n_tables, bits_per_table))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn(
+        "sig", F.explode(_table_signatures(F.col("qv"), planes, n_tables, bits_per_table))
+    )
+    cands = (
+        c.join(
+            F.broadcast(q),
+            (c.sig == q.sig) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cands.withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "knn_rank")
+    )

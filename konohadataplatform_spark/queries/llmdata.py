@@ -1,2 +1,327 @@
+"""LLM training-data pipeline queries over documents + embeddings
+(beyond-reference surface; BASELINE.json north star).
+
+Oracle-checkable entries compute the same semantics in portable SQL;
+``q_minhash_dedup`` / ``q_simhash_clusters`` / ``q_ann_lsh`` are
+probabilistic/hash-seeded and therefore rows-only for the driver —
+their quality is asserted in tests/test_llm_ops.py against the exact
+variants (recall/precision bounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from konohadataplatform_spark.operators import dedup as D
+from konohadataplatform_spark.operators import multimodal as M
+from konohadataplatform_spark.operators import similarity as S
+from konohadataplatform_spark.operators import text as TX
+from konohadataplatform_spark.sources.star_schema import load_table
+
 QUERIES = {}
 ORACLE = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+@query(
+    "q_doc_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS kept_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (prefix-filtered similarity join)
+# --------------------------------------------------------------------------
+@query(
+    "q_ngram_jaccard_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS sh
+      FROM t WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_similarity_join(
+        _t(spark, sf_dir, "documents"), threshold=0.8, n=3
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash+LSH near-dup (rows-only: xxhash64-seeded, not SQL-portable)
+# --------------------------------------------------------------------------
+@query("q_minhash_dedup")
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# SimHash clusters (rows-only)
+# --------------------------------------------------------------------------
+@query("q_simhash_clusters")
+def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hashes = D.simhash(docs)
+    cands = D.simhash_candidates(hashes, bands=4)
+    ha = hashes.select(F.col("sid").alias("a_id"), F.col("simhash").alias("h_a"))
+    hb = hashes.select(F.col("sid").alias("b_id"), F.col("simhash").alias("h_b"))
+    return (
+        cands.join(ha, "a_id")
+        .join(hb, "b_id")
+        .withColumn("hamming", D.hamming_distance(F.col("h_a"), F.col("h_b")))
+        .filter(F.col("hamming") <= 8)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token / quality / language stats (all portable column expressions)
+# --------------------------------------------------------------------------
+@query(
+    "q_doc_token_stats",
+    """
+    WITH f AS (
+      SELECT lang,
+             length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS toks,
+             len(list_distinct(string_split(trim(text), ' '))) AS utoks,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(utoks) AS DOUBLE) / SUM(toks) AS overall_uniq_ratio,
+           MIN(toks) AS min_tokens,
+           MAX(toks) AS max_tokens
+    FROM f GROUP BY lang
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    f = docs.select(
+        "lang",
+        TX.token_count(t).alias("toks"),
+        TX.distinct_token_count(t).alias("utoks"),
+        "n_chars",
+    )
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("toks").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        (F.sum("utoks").cast("double") / F.sum("toks")).alias("overall_uniq_ratio"),
+        F.min("toks").alias("min_tokens"),
+        F.max("toks").alias("max_tokens"),
+    )
+
+
+@query(
+    "q_doc_language_id",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')))/4 AS INT) AS s_en,
+             CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' le ', '')))/4
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' la ', '')))/4
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' et ', '')))/4 AS INT) AS s_fr,
+             CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' el ', '')))/4
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' los ', '')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' y ', '')))/3 AS INT) AS s_es,
+             CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' der ', '')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' die ', '')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' und ', '')))/5 AS INT) AS s_de,
+             CAST((length(' '||text||' ') - length(replace(' '||text||' ', '的', '')))
+                + (length(' '||text||' ') - length(replace(' '||text||' ', '是', '')))
+                + (length(' '||text||' ') - length(replace(' '||text||' ', '了', ''))) AS INT) AS s_zh
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE
+               WHEN s_en >= GREATEST(s_fr, s_es, s_de, s_zh) AND s_en > 0 THEN 'en'
+               WHEN s_fr >= GREATEST(s_es, s_de, s_zh) AND s_fr > 0 THEN 'fr'
+               WHEN s_es >= GREATEST(s_de, s_zh) AND s_es > 0 THEN 'es'
+               WHEN s_de >= s_zh AND s_de > 0 THEN 'de'
+               WHEN s_zh > 0 THEN 'zh'
+               ELSE 'und' END AS pred_lang
+      FROM scored
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred_lang", TX.predict_lang(F.col("text")))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS doc_fp,
+           length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS token_cnt,
+           CASE WHEN n_chars < 100 THEN 'xs' WHEN n_chars < 250 THEN 's'
+                WHEN n_chars < 400 THEN 'm' ELSE 'l' END AS size_bucket
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("doc_fp"),
+        TX.token_count(F.col("text")).alias("token_cnt"),
+        F.when(F.col("n_chars") < 100, "xs")
+        .when(F.col("n_chars") < 250, "s")
+        .when(F.col("n_chars") < 400, "m")
+        .otherwise("l")
+        .alias("size_bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k (exact oracle — bit-identical double folds)
+# --------------------------------------------------------------------------
+@query(
+    "q_knn_bruteforce",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id, v FROM e WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos_sim
+      FROM q, e WHERE e.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, knn_rank
+    FROM ranked WHERE knn_rank <= 5
+    """,
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+# --------------------------------------------------------------------------
+# ANN via random-hyperplane LSH (rows-only; recall tested vs brute force)
+# --------------------------------------------------------------------------
+@query("q_ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.ann_lsh_topk(emb, queries, k=5)
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids: exact decimal component means
+# --------------------------------------------------------------------------
+@query(
+    "q_embedding_centroids",
+    """
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ex AS (
+      SELECT label,
+             UNNEST([{'pos': i - 1,
+                      'comp_scaled': CAST(FLOOR(v[i] * 1000000000) AS BIGINT)}
+                     for i in range(1, len(v) + 1)], recursive := true)
+      FROM e
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(SUM(comp_scaled) AS DOUBLE) / COUNT(*) / 1000000000 AS centroid_comp,
+           COUNT(*) AS n_vecs
+    FROM ex GROUP BY label, pos
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exactness across engines: scale each float component by 1e9 and
+    # FLOOR to an integer (both IEEE ops, bit-identical), sum exactly as
+    # longs, divide at the end — no order-dependent float summation.
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("val") * 1_000_000_000).cast("long").alias("comp_scaled"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        (F.sum("comp_scaled").cast("double") / F.count(F.lit(1)) / 1_000_000_000).alias(
+            "centroid_comp"
+        ),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing: binary payloads -> Arrow-batched feature extract
+# (mapInPandas; decode stubbed, metadata/fingerprints real)
+# --------------------------------------------------------------------------
+@query(
+    "q_multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS BIGINT) AS byte_len,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    feats = M.extract_features(media)
+    # feature vector itself is fake (sha-derived) — exclude from the
+    # oracle-checked projection, keep the real metadata columns
+    return feats.select("media_id", "byte_len", "content_sha")

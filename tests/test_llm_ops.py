@@ -1,0 +1,119 @@
+"""Quality gates for the probabilistic LLM-data operators: the driver
+only checks rows for these, so precision/recall is asserted here
+against the exact variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from konohadataplatform_spark.operators import dedup as D
+from konohadataplatform_spark.operators import multimodal as M
+from konohadataplatform_spark.operators import similarity as S
+from konohadataplatform_spark.sources.star_schema import load_table
+from tests.conftest import SF_DIR
+
+
+def _pairs(df):
+    return {(r.a_id, r.b_id) for r in df.select("a_id", "b_id").collect()}
+
+
+def test_minhash_recall_vs_exact(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = _pairs(D.jaccard_similarity_join(docs, threshold=0.8))
+    lsh = _pairs(D.minhash_dedup(docs, threshold=0.8))
+    assert exact, "expected planted near-dup pairs in testdata"
+    # verification step makes precision exact
+    assert lsh <= exact | lsh  # sanity
+    extra = lsh - exact
+    assert not extra, f"LSH+verify produced non-exact pairs: {extra}"
+    # 16 bands x 4 rows at j>=0.8: P[miss] < 0.1% per pair
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"minhash recall too low: {recall}"
+
+
+def test_minhash_verified_jaccard_values(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = D.minhash_dedup(docs, threshold=0.8)
+    bad = out.filter((F.col("jaccard") < 0.8) | (F.col("jaccard") > 1.0)).count()
+    assert bad == 0
+
+
+def test_simhash_detects_neardups(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    hashes = D.simhash(docs)
+    assert hashes.count() == docs.count()
+    cands = D.simhash_candidates(hashes, bands=4)
+    ha = hashes.select(F.col("sid").alias("a_id"), F.col("simhash").alias("h_a"))
+    hb = hashes.select(F.col("sid").alias("b_id"), F.col("simhash").alias("h_b"))
+    close = (
+        cands.join(ha, "a_id")
+        .join(hb, "b_id")
+        .withColumn("ham", D.hamming_distance(F.col("h_a"), F.col("h_b")))
+        .filter(F.col("ham") <= 8)
+    )
+    close_pairs = _pairs(close)
+    exact = _pairs(D.jaccard_similarity_join(docs, threshold=0.8))
+    # simhash at <=8/64 bits should find most of the planted near-dups
+    if exact:
+        recall = len(close_pairs & exact) / len(exact)
+        assert recall >= 0.5, f"simhash recall unexpectedly low: {recall}"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_lsh_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ANN recall vs brute force too low: {recall}"
+
+
+def test_ann_scores_match_bruteforce_for_common_pairs(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.ann_lsh_topk(emb, queries, k=5).collect()
+    }
+    for k in set(bf) & set(ann):
+        assert bf[k] == ann[k], "cosine must be identical for shared pairs"
+
+
+def test_multimodal_pipeline(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    media = M.documents_as_media(docs)
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "content",
+        "media_type",
+        "meta",
+    ]
+    feats = M.extract_features(media, dim=8).collect()
+    assert len(feats) == docs.count()
+    row = feats[0]
+    assert len(row.content_sha) == 64
+    assert len(row.feature) == 8
+    assert all(0 <= x < 1 for x in row.feature)
+    # deterministic: same content -> same feature
+    again = M.extract_features(media, dim=8).collect()
+    assert {r.media_id: r.content_sha for r in feats} == {
+        r.media_id: r.content_sha for r in again
+    }
+
+
+def test_decode_stub_raises(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
