@@ -1,0 +1,240 @@
+"""Snapshot-versioned table catalog — the Iceberg-semantics layer.
+
+The reference gets ACID tables, time travel, snapshot expiry, and
+compaction from Apache Iceberg on MinIO (``docs/architecture/
+lakehouse.md:40-55,73-75``; time travel ``docs/components/iceberg.md:10``).
+This module provides the same *semantics* with plain Parquet plus a tiny
+metadata layer, mirroring Iceberg's commit protocol:
+
+- every write lands in a fresh immutable snapshot directory;
+- the table's "current" pointer is swapped atomically (``os.replace`` —
+  the analog of Iceberg's atomic metadata-pointer swap);
+- readers resolve the pointer first, so concurrent reads always see a
+  complete snapshot (snapshot isolation for single-writer, which is the
+  reference's operating mode too — Airflow serializes runs via
+  ``max_active_runs=1``, ``dag/dbt_analytics_pipeline.py:54``).
+
+Operations map 1:1 to SURVEY §2.10:
+  M1 expire_snapshots / M2 compact / M3 time travel (version + as-of
+  timestamp) / M4 delete_where / M5 schema evolution on merge+overwrite /
+  M6 partitioned writes / M7 auto-create on first write.
+
+Scale note: the metadata layer is O(#snapshots) tiny JSON; data paths
+are plain parquet dirs, so at 100 TB reads keep vectorized scans,
+pushdown and partition pruning — the pointer indirection adds one stat()
+per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Snapshot:
+    version: int
+    path: str
+    operation: str
+    timestamp_ms: int
+    row_count: int | None = None
+
+
+class SnapshotCatalog:
+    """File-backed snapshot catalog with atomic pointer commits."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse = warehouse_dir
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    # ---- paths ----------------------------------------------------------
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _log_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_log.jsonl")
+
+    def _pointer_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_current")
+
+    # ---- metadata -------------------------------------------------------
+    def history(self, name: str) -> list[Snapshot]:
+        path = self._log_path(name)
+        if not os.path.exists(path):
+            return []
+        out = []
+        with open(path) as f:
+            for line in f:
+                d = json.loads(line)
+                out.append(Snapshot(**d))
+        return out
+
+    def current_snapshot(self, name: str) -> Snapshot | None:
+        ptr = self._pointer_path(name)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return Snapshot(**json.load(f))
+
+    def exists(self, name: str) -> bool:
+        return self.current_snapshot(name) is not None
+
+    def tables(self) -> list[str]:
+        if not os.path.isdir(self.warehouse):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.exists(os.path.join(self.warehouse, d, "_current"))
+        )
+
+    # ---- commit protocol ------------------------------------------------
+    def _commit(
+        self, name: str, df: DataFrame, operation: str, partition_by: list[str] | None
+    ) -> Snapshot:
+        prev = self.current_snapshot(name)
+        version = (prev.version + 1) if prev else 1
+        snap_dir = os.path.join(
+            self._tdir(name), "snapshots", f"v{version:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(snap_dir)
+
+        snap = Snapshot(
+            version=version,
+            path=snap_dir,
+            operation=operation,
+            timestamp_ms=int(time.time() * 1000),
+        )
+        # atomic pointer swap: temp file + rename (same protocol shape as
+        # Iceberg's metadata pointer update)
+        ptr = self._pointer_path(name)
+        tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(snap.__dict__, f)
+        os.replace(tmp, ptr)
+        with open(self._log_path(name), "a") as f:
+            f.write(json.dumps(snap.__dict__) + "\n")
+        return snap
+
+    # ---- public write paths --------------------------------------------
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> Snapshot:
+        """S5 full write (CTAS-overwrite) / append; auto-creates (M7)."""
+        if mode == "append" and self.exists(name):
+            existing = self.read(name)
+            df = existing.unionByName(df, allowMissingColumns=True)
+            return self._commit(name, df, "append", partition_by)
+        return self._commit(name, df, "overwrite", partition_by)
+
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        key_cols: list[str],
+        partition_by: list[str] | None = None,
+    ) -> Snapshot:
+        """S6 incremental MERGE (upsert-by-key): pure-Spark fallback for
+        Iceberg's MERGE INTO — anti-join the target, union the source,
+        commit a new snapshot. Schema evolution (M5): new source columns
+        are added, missing ones null-filled (unionByName allowMissing).
+        """
+        if not self.exists(name):
+            return self._commit(name, source, "create-on-merge", partition_by)
+        target = self.read(name)
+        kept = target.join(source.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = kept.unionByName(source, allowMissingColumns=True)
+        return self._commit(name, merged, "merge", partition_by)
+
+    def delete_where(self, name: str, predicate: str) -> Snapshot:
+        """M4 DELETE FROM name WHERE predicate (filtered rewrite)."""
+        df = self.read(name).filter(f"NOT ({predicate})")
+        return self._commit(name, df, f"delete-where: {predicate}", None)
+
+    # ---- read paths -----------------------------------------------------
+    def read(
+        self,
+        name: str,
+        version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        """Current read, or M3 time travel by version / as-of timestamp."""
+        snap = self._resolve(name, version, as_of_timestamp_ms)
+        return self.spark.read.parquet(snap.path)
+
+    def _resolve(
+        self, name: str, version: int | None, as_of_timestamp_ms: int | None
+    ) -> Snapshot:
+        if version is None and as_of_timestamp_ms is None:
+            snap = self.current_snapshot(name)
+            if snap is None:
+                raise ValueError(f"table not found: {name}")
+            return snap
+        hist = self.history(name)
+        if version is not None:
+            for s in hist:
+                if s.version == version:
+                    return s
+            raise ValueError(f"{name}: no snapshot v{version}")
+        eligible = [s for s in hist if s.timestamp_ms <= as_of_timestamp_ms]
+        if not eligible:
+            raise ValueError(f"{name}: no snapshot at or before {as_of_timestamp_ms}")
+        return eligible[-1]
+
+    # ---- maintenance ----------------------------------------------------
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> int:
+        """M1: drop all but the newest `keep_last` snapshots' data dirs."""
+        hist = self.history(name)
+        current = self.current_snapshot(name)
+        keep = {s.version for s in hist[-keep_last:]}
+        if current:
+            keep.add(current.version)
+        removed = 0
+        kept_hist = []
+        for s in hist:
+            if s.version not in keep and os.path.isdir(s.path):
+                shutil.rmtree(s.path, ignore_errors=True)
+                removed += 1
+            elif s.version in keep:
+                kept_hist.append(s)
+        with open(self._log_path(name), "w") as f:
+            for s in kept_hist:
+                f.write(json.dumps(s.__dict__) + "\n")
+        return removed
+
+    def compact(self, name: str, target_files: int = 8) -> Snapshot:
+        """M2: rewrite the current snapshot into `target_files` files
+        (the OPTIMIZE / rewrite_data_files analog)."""
+        df = self.read(name).repartition(target_files)
+        return self._commit(name, df, f"compact({target_files})", None)
+
+    def add_column(self, name: str, col_name: str, col_expr) -> Snapshot:
+        """M5 ALTER TABLE ADD COLUMN (materialized as a new snapshot)."""
+        df = self.read(name).withColumn(col_name, col_expr)
+        return self._commit(name, df, f"add-column({col_name})", None)
+
+    def register_views(self, prefix: str = "") -> None:
+        """Expose every catalog table to Engine.sql (S8/S9 surface)."""
+        for t in self.tables():
+            self.read(t).createOrReplaceTempView(f"{prefix}{t}")
+
+
+def incremental_cutoff(df: DataFrame, watermark_col: str):
+    """The dbt incremental pattern (P5): MAX(watermark) of the existing
+    table, to filter the source (daily_order_metrics.sql:32-35)."""
+    return df.agg(F.max(watermark_col)).first()[0]

@@ -173,6 +173,48 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CDC upsert/delete apply (C2) as a declared query: treat events as a
+# change stream keyed by user_id (signup=c, error=d, else u); the final
+# table state is latest-wins with deletes dropped — the same code path
+# the streaming engine runs per micro-batch (streaming/cdc.py).
+# --------------------------------------------------------------------------
+@query(
+    "q_cdc_apply_events",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS last_change_id,
+           event_type AS last_op,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS current_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from konohadataplatform_spark.streaming.cdc import latest_per_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.unix_micros("ts").alias("ts_ms"),
+        F.col("ts"),
+        F.col("event_type").alias("op_type"),
+        "value",
+    )
+    latest = latest_per_key(ev, ["user_id"])
+    return latest.filter(F.col("op_type") != "error").select(
+        "user_id",
+        F.col("lsn").alias("last_change_id"),
+        F.col("op_type").alias("last_op"),
+        dec("value").cast("double").alias("current_value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # JSON property extraction (semi-structured props column)
 # --------------------------------------------------------------------------
 @query(

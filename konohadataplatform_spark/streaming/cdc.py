@@ -1,0 +1,158 @@
+"""CDC ingestion engine — the Debezium->Kafka->Iceberg path rebuilt on
+Structured Streaming.
+
+Reference semantics being reproduced (SURVEY §2.9, C1-C7):
+- Debezium change envelopes {op: c|u|r|d, before, after, ts_ms, lsn}
+  with tombstone suppression (op='d' in the envelope, no null-value
+  tombstones) — ``infrastructure/apps/kafka/connectors/
+  debezium-postgres-connector.json``.
+- Initial snapshot then continuous tail (C1, snapshot.mode=initial).
+- Upsert-apply with exactly-once *effect* under at-least-once delivery
+  (C2): per-PK latest-wins by (ts_ms, lsn), deletes drop the key —
+  ``docs/architecture/overview.md:65,70``.
+- Topic routing / per-table fan-out (C4) and `_topic` metadata column
+  (C5) — ``iceberg-sink-connector.json`` route-regex + InsertField SMT.
+
+Scale posture: each micro-batch dedupes with one window over the PK
+(shuffle on key), then merges via the catalog's anti-join+union commit.
+State lives in the target table, not executor memory — no unbounded
+streaming state, which is exactly why the reference's design needs no
+watermarks. Idempotent under redelivery because applying the same
+change twice converges to the same row version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from konohadataplatform_spark.catalog import SnapshotCatalog
+
+# Debezium-style change envelope carried as JSON text (the Avro schema's
+# JSON projection): op, before/after row images, source metadata.
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType(), False),  # c|u|r|d
+        T.StructField("before", T.StringType(), True),  # JSON row image
+        T.StructField("after", T.StringType(), True),  # JSON row image
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("table", T.StringType(), False),
+    ]
+)
+
+
+def parse_envelopes(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
+    """Decode JSON row images into typed columns + metadata.
+
+    Keeps the envelope columns (op/ts_ms/lsn) and adds `_topic` (C5)
+    so downstream routing matches the reference's InsertField SMT.
+    """
+    img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    return raw.withColumn("_row", F.from_json(img, row_schema)).select(
+        F.col("table").alias("_topic"),
+        "op",
+        "ts_ms",
+        "lsn",
+        "_row.*",
+    )
+
+
+def latest_per_key(changes: DataFrame, key_cols: list[str]) -> DataFrame:
+    """C2 dedupe rule: keep the newest change per PK by (ts_ms, lsn)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("ts_ms").desc(), F.col("lsn").desc()
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_cdc_batch(
+    catalog: SnapshotCatalog,
+    table: str,
+    changes: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Apply one micro-batch of typed changes to a catalog table.
+
+    latest-wins dedupe -> split deletes/upserts -> single merge commit.
+    Auto-creates the table from the stream schema on first batch (M7,
+    `auto-create-enabled` analog).
+    """
+    deduped = latest_per_key(changes, key_cols).cache()
+    upserts = deduped.filter(F.col("op") != "d").drop("op", "ts_ms", "lsn", "_topic")
+    deletes = deduped.filter(F.col("op") == "d").select(*key_cols)
+
+    if not catalog.exists(table):
+        catalog.write(table, upserts)
+        d = deletes.count()
+        if d:
+            _apply_deletes(catalog, table, deletes, key_cols)
+        return
+
+    target = catalog.read(table)
+    touched = deduped.select(*key_cols).distinct()
+    kept = target.join(touched, key_cols, "left_anti")
+    merged = kept.unionByName(upserts, allowMissingColumns=True)
+    catalog._commit(table, merged, "cdc-apply", None)
+
+
+def _apply_deletes(
+    catalog: SnapshotCatalog, table: str, deletes: DataFrame, key_cols: list[str]
+) -> None:
+    target = catalog.read(table)
+    remaining = target.join(deletes, key_cols, "left_anti")
+    catalog._commit(table, remaining, "cdc-delete", None)
+
+
+class CdcPipeline:
+    """End-to-end CDC apply: bootstrap + stream (C1..C7).
+
+    ``tables`` maps table name -> (row_schema, key_cols). A single
+    envelope stream fans out per `_topic` inside each micro-batch (C4),
+    mirroring the sink connector's route-regex.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: SnapshotCatalog,
+        tables: dict[str, tuple[T.StructType, list[str]]],
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.tables = tables
+
+    # ---- C1: initial snapshot bootstrap ---------------------------------
+    def bootstrap(self, name: str, snapshot_df: DataFrame) -> None:
+        self.catalog.write(name, snapshot_df)
+
+    # ---- batch apply (used by both batch replays and foreachBatch) ------
+    def apply_envelopes(self, raw: DataFrame) -> None:
+        for name, (row_schema, key_cols) in self.tables.items():
+            subset = raw.filter(F.col("table") == name)
+            typed = parse_envelopes(subset, row_schema)
+            if typed.isEmpty():
+                continue
+            apply_cdc_batch(self.catalog, name, typed, key_cols)
+
+    # ---- streaming entry point ------------------------------------------
+    def start_stream(self, envelope_dir: str, checkpoint_dir: str):
+        """Tail a directory of JSON envelope files (the test stand-in for
+        the Kafka topic; swap `format("json")` for `format("kafka")` +
+        value parsing in production) and apply each micro-batch."""
+        raw = (
+            self.spark.readStream.schema(ENVELOPE_SCHEMA)
+            .json(envelope_dir)
+        )
+        return (
+            raw.writeStream.foreachBatch(lambda df, _id: self.apply_envelopes(df))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -1,0 +1,185 @@
+"""CDC apply engine tests — replays the reference's manual end-to-end
+test (``infrastructure/apps/kafka/README.md:99-110``: update a customer,
+insert a product, delete an order) as scripted Debezium-style envelopes,
+plus ordering/idempotency properties and a real Structured Streaming run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from konohadataplatform_spark.catalog import SnapshotCatalog
+from konohadataplatform_spark.streaming.cdc import (
+    ENVELOPE_SCHEMA,
+    CdcPipeline,
+    apply_cdc_batch,
+    latest_per_key,
+    parse_envelopes,
+)
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.StringType(), False),
+        T.StructField("company_name", T.StringType(), True),
+        T.StructField("contact_name", T.StringType(), True),
+    ]
+)
+
+ORDER_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.IntegerType(), False),
+        T.StructField("customer_id", T.StringType(), True),
+        T.StructField("freight", T.DoubleType(), True),
+    ]
+)
+
+
+def env(op, table, after=None, before=None, ts_ms=0, lsn=0):
+    return Row(
+        op=op,
+        before=json.dumps(before) if before else None,
+        after=json.dumps(after) if after else None,
+        ts_ms=ts_ms,
+        lsn=lsn,
+        table=table,
+    )
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return SnapshotCatalog(spark, str(tmp_path / "wh"))
+
+
+def test_snapshot_then_changes(spark, catalog):
+    """C1/C2: bootstrap snapshot, then insert+update+delete envelopes."""
+    pipe = CdcPipeline(
+        spark,
+        catalog,
+        {"customers": (CUSTOMER_SCHEMA, ["customer_id"])},
+    )
+    pipe.bootstrap(
+        "customers",
+        spark.createDataFrame(
+            [
+                Row(customer_id="ALFKI", company_name="Alfreds", contact_name="Maria"),
+                Row(customer_id="ANATR", company_name="Ana Trujillo", contact_name="Ana"),
+            ]
+        ),
+    )
+    raw = spark.createDataFrame(
+        [
+            env("u", "customers", {"customer_id": "ALFKI", "company_name": "Alfreds", "contact_name": "UPDATED"}, ts_ms=10, lsn=1),
+            env("c", "customers", {"customer_id": "BERGS", "company_name": "Berglunds", "contact_name": "Christina"}, ts_ms=11, lsn=2),
+            env("d", "customers", before={"customer_id": "ANATR", "company_name": "Ana Trujillo", "contact_name": "Ana"}, ts_ms=12, lsn=3),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    pipe.apply_envelopes(raw)
+    out = {r.customer_id: r.contact_name for r in catalog.read("customers").collect()}
+    assert out == {"ALFKI": "UPDATED", "BERGS": "Christina"}
+
+
+def test_latest_wins_within_batch(spark, catalog):
+    """C2: out-of-order delivery inside one batch — ts/lsn order wins."""
+    raw = spark.createDataFrame(
+        [
+            env("u", "customers", {"customer_id": "X", "company_name": "v2", "contact_name": "b"}, ts_ms=20, lsn=5),
+            env("c", "customers", {"customer_id": "X", "company_name": "v1", "contact_name": "a"}, ts_ms=10, lsn=1),
+            env("u", "customers", {"customer_id": "X", "company_name": "v3", "contact_name": "c"}, ts_ms=20, lsn=6),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    typed = parse_envelopes(raw, CUSTOMER_SCHEMA)
+    apply_cdc_batch(catalog, "customers", typed, ["customer_id"])
+    out = catalog.read("customers").collect()
+    assert len(out) == 1
+    assert out[0].company_name == "v3"
+
+
+def test_idempotent_redelivery(spark, catalog):
+    """At-least-once delivery: applying the same batch twice converges."""
+    raw = spark.createDataFrame(
+        [
+            env("c", "customers", {"customer_id": "A", "company_name": "co", "contact_name": "x"}, ts_ms=1, lsn=1),
+            env("u", "customers", {"customer_id": "A", "company_name": "co2", "contact_name": "x"}, ts_ms=2, lsn=2),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    typed = parse_envelopes(raw, CUSTOMER_SCHEMA)
+    apply_cdc_batch(catalog, "customers", typed, ["customer_id"])
+    v1 = {r.customer_id: r.company_name for r in catalog.read("customers").collect()}
+    apply_cdc_batch(catalog, "customers", typed, ["customer_id"])
+    v2 = {r.customer_id: r.company_name for r in catalog.read("customers").collect()}
+    assert v1 == v2 == {"A": "co2"}
+
+
+def test_multi_table_routing(spark, catalog):
+    """C4: one envelope stream fans out to per-table targets."""
+    pipe = CdcPipeline(
+        spark,
+        catalog,
+        {
+            "customers": (CUSTOMER_SCHEMA, ["customer_id"]),
+            "orders": (ORDER_SCHEMA, ["order_id"]),
+        },
+    )
+    raw = spark.createDataFrame(
+        [
+            env("c", "customers", {"customer_id": "A", "company_name": "co", "contact_name": "x"}, ts_ms=1, lsn=1),
+            env("c", "orders", {"order_id": 1, "customer_id": "A", "freight": 12.5}, ts_ms=1, lsn=2),
+            env("c", "orders", {"order_id": 2, "customer_id": "A", "freight": 3.25}, ts_ms=2, lsn=3),
+            env("d", "orders", before={"order_id": 1, "customer_id": "A", "freight": 12.5}, ts_ms=3, lsn=4),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    pipe.apply_envelopes(raw)
+    assert catalog.read("customers").count() == 1
+    orders = catalog.read("orders").collect()
+    assert [r.order_id for r in orders] == [2]
+
+
+def test_streaming_end_to_end(spark, catalog, tmp_path):
+    """A real Structured Streaming run over JSON envelope files."""
+    src = tmp_path / "stream_src"
+    ckpt = tmp_path / "ckpt"
+    os.makedirs(src)
+    events = [
+        {"op": "c", "before": None, "after": json.dumps({"customer_id": "A", "company_name": "co", "contact_name": "x"}), "ts_ms": 1, "lsn": 1, "table": "customers"},
+        {"op": "u", "before": None, "after": json.dumps({"customer_id": "A", "company_name": "co9", "contact_name": "x"}), "ts_ms": 2, "lsn": 2, "table": "customers"},
+        {"op": "c", "before": None, "after": json.dumps({"customer_id": "B", "company_name": "bee", "contact_name": "y"}), "ts_ms": 3, "lsn": 3, "table": "customers"},
+    ]
+    with open(src / "batch1.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    pipe = CdcPipeline(spark, catalog, {"customers": (CUSTOMER_SCHEMA, ["customer_id"])})
+    q = pipe.start_stream(str(src), str(ckpt))
+    q.awaitTermination(60)
+    out = {r.customer_id: r.company_name for r in catalog.read("customers").collect()}
+    assert out == {"A": "co9", "B": "bee"}
+
+    # second file -> restart stream (availableNow) -> incremental apply
+    with open(src / "batch2.json", "w") as f:
+        f.write(json.dumps({"op": "d", "before": json.dumps({"customer_id": "B", "company_name": "bee", "contact_name": "y"}), "after": None, "ts_ms": 4, "lsn": 4, "table": "customers"}) + "\n")
+    q2 = pipe.start_stream(str(src), str(ckpt))
+    q2.awaitTermination(60)
+    out2 = {r.customer_id: r.company_name for r in catalog.read("customers").collect()}
+    assert out2 == {"A": "co9"}
+
+
+def test_latest_per_key_unit(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, ts_ms=1, lsn=1, v="old"),
+            Row(k=1, ts_ms=2, lsn=2, v="new"),
+            Row(k=2, ts_ms=1, lsn=1, v="only"),
+        ]
+    )
+    out = {r.k: r.v for r in latest_per_key(df, ["k"]).collect()}
+    assert out == {1: "new", 2: "only"}

@@ -1,0 +1,132 @@
+"""Physical-plan assertions — the 100 TB design gates.
+
+Correctness says what a query returns; these tests pin down *how*:
+filters reach the parquet scan (PushedFilters), column pruning holds
+(ReadSchema), small dims broadcast instead of shuffling the fact table,
+and whole-stage codegen covers the hot path. A regression here is a
+scale regression even when results stay right.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from konohadataplatform_spark.queries import all_queries
+from konohadataplatform_spark.sources.star_schema import load_table
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def tree_of(df) -> str:
+    """Just the operator tree (the part before the node details)."""
+    return plan_of(df).split("\n\n(")[0]
+
+
+def codegen_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["q6_forecast_revenue"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    # discount/quantity predicates must reach the parquet reader
+    assert "l_discount" in plan.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(li)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, "scan reads unneeded columns"
+
+
+def test_dim_joins_broadcast(spark):
+    """q5's nation/region/supplier joins must be broadcasts, not
+    shuffled sort-merge joins of the fact table."""
+    df = QUERIES["q5_local_supplier"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_wholestage_codegen_on_hot_path(spark):
+    # AQE defers codegen planning, so inspect with AQE off — the
+    # subtrees it reports are exactly what AQE generates at runtime.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+        plan = codegen_plan(df)
+        assert "WholeStageCodegen subtrees" in plan
+        assert "Found 0 WholeStageCodegen" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q1_is_two_stage_hash_agg(spark):
+    """q1 must be scan -> partial agg -> exchange -> final agg: exactly
+    one shuffle, map-side combine before it."""
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    tree = tree_of(df)
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+    assert "partial_sum" in plan_of(df)
+
+
+def test_no_python_udfs_in_relational_queries(spark):
+    """The §2 relational surface must stay fully JVM-side."""
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "q_customer_order_summary",
+        "q_events_sessionize",
+        "q_doc_token_stats",
+        "q_knn_bruteforce",
+    ]:
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name} fell back to Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} uses pandas UDF needlessly"
+
+
+def test_sessionize_single_shuffle_for_windows(spark):
+    """Both window functions partition by user_id — Catalyst must reuse
+    one exchange, and the final agg on (user_id, session_id) must not
+    introduce an extra shuffle either (it's a superset key)."""
+    df = QUERIES["q_events_sessionize"](spark, SF_DIR)
+    plan = plan_of(df)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"sessionize shuffles {n_exchanges}x, expected <=2"
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    df = QUERIES["q_knn_bruteforce"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_shuffles_digest_only(spark):
+    df = QUERIES["q_doc_exact_dedup"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "md5" in plan
+    # the Exchange node's Input column list must not carry the text body
+    exch = [
+        s for s in plan.split("\n\n") if s.startswith("(") and ") Exchange" in s
+    ]
+    assert exch, "expected an Exchange node"
+    assert "text#" not in exch[0], "document bodies cross the shuffle"
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
