@@ -49,6 +49,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row stages use the full cluster.
+
+    A small input (one parquet file locally; a handful of splits after
+    heavy filtering on a cluster) would otherwise pin the interpreted
+    higher-order-function work (shingling, minhash lambdas) to a few
+    tasks. One round-robin shuffle of (id, shingles) pairs is cheap
+    relative to the compute it parallelizes.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 # --------------------------------------------------------------------------
 # shingling
 # --------------------------------------------------------------------------
@@ -89,7 +102,8 @@ def jaccard_similarity_join(
       5. exact verify: join candidate pairs back to full sets, Jaccard
          via array_intersect (JVM-side), filter >= t.
     """
-    sets = shingle_sets(df, text_col, id_col, n).cache()
+    sets = _spread(shingle_sets(df, text_col, id_col, n)).cache()
+    sets.count()  # materialize: 3 consumers below (index, sizes, verify)
     toks = sets.select(F.col("sid"), F.explode("shingles").alias("sh"))
 
     # 2. global shingle document-frequency (one agg shuffle). No global
@@ -107,6 +121,8 @@ def jaccard_similarity_join(
         ),
     )
     sizes = sets.select("sid", F.size("shingles").alias("set_size"))
+    # cached: the self-join below consumes the prefix index twice, and
+    # recomputing it would double every upstream stage
     prefixes = (
         with_pos.join(sizes, "sid")
         .filter(
@@ -114,7 +130,8 @@ def jaccard_similarity_join(
             <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
         )
         .select("sid", "sh")
-    )
+    ).cache()
+    prefixes.count()
 
     # 4. candidate pairs from shared prefix shingles
     a = prefixes.alias("a")
@@ -152,16 +169,17 @@ def verify_jaccard(
 def minhash_signatures(
     sets: DataFrame, num_perm: int = 64
 ) -> DataFrame:
-    """(sid, sig[num_perm]) — min over xxhash64(seed_i, shingle)."""
-    tok = sets.select("sid", F.explode("shingles").alias("sh"))
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    agg = tok.groupBy("sid").agg(*mins)
-    return agg.select(
-        "sid", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
+    """(sid, sig[num_perm]) — min over xxhash64(seed_i, shingle).
+
+    Computed as one nested higher-order expression per row (no explode,
+    no shuffle): at 100 TB the signature stage is embarrassingly
+    parallel map work inside whole-stage codegen.
+    """
+    sig = F.expr(
+        f"transform(sequence(0L, {num_perm - 1}L), "
+        "i -> array_min(transform(shingles, s -> xxhash64(i, s))))"
     )
+    return sets.select("sid", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -172,13 +190,9 @@ def minhash_lsh_candidates(
     banded = sigs.select(
         "sid",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
             )
         ).alias("band", "bucket"),
     )
@@ -207,7 +221,8 @@ def minhash_dedup(
 ) -> DataFrame:
     """LSH candidates -> exact-Jaccard verify. Probabilistic recall
     (P[detect] = 1-(1-t^r)^b), exact precision after verification."""
-    sets = shingle_sets(df, text_col, id_col, n).cache()
+    sets = _spread(shingle_sets(df, text_col, id_col, n)).cache()
+    sets.count()  # materialize before the self-join consumes it twice
     sigs = minhash_signatures(sets, num_perm)
     cands = minhash_lsh_candidates(sigs, bands, num_perm)
     return verify_jaccard(cands, sets, threshold)

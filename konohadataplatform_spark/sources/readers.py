@@ -1,0 +1,94 @@
+"""Source/sink surface beyond parquet (SURVEY §2.1).
+
+- S7 CSV seed          -> ``read_csv`` (dbt seed analog; also wired into
+  Pipeline.seed_csv).
+- S2 JDBC bootstrap    -> ``read_jdbc`` (the Debezium initial-snapshot
+  analog: ``spark.read.jdbc`` of the source table; no database ships in
+  this container, so it is exercised by construction tests only).
+- S4 raw-zone archive  -> ``archive_stream`` (the S3-sink analog: append
+  micro-batches of raw change events to an immutable landing zone,
+  partitioned by arrival date — C6/C7 semantics). The reference uses
+  Avro files; the spark-avro datasource jar is not bundled with this
+  PySpark build, so the archive format is negotiated at runtime
+  (``avro_available``) with JSON/parquet fallback.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    """S7: header+schema-inferred CSV (dbt seed semantics)."""
+    opts = {"header": "true", "inferSchema": "true", **options}
+    return spark.read.options(**opts).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    predicates: list[str] | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+    **properties,
+) -> DataFrame:
+    """S2/C1: initial-snapshot bootstrap read of an OLTP table.
+
+    For large source tables, pass partition_column/bounds/num_partitions
+    so the snapshot is pulled with parallel range queries (the scalable
+    analog of Debezium's table snapshot).
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """spark-avro is an external datasource jar; probe for it."""
+    try:
+        spark.read.format("avro").load("/nonexistent-probe")
+        return True  # pragma: no cover
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        return "Failed to find" not in msg and "data source" not in msg.lower()
+
+
+def archive_stream(
+    raw: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str | None = None,
+    partition_cols: list[str] | None = None,
+):
+    """S4 raw-zone sink: append-only archive of the raw change stream,
+    partitioned by arrival date (C6). `fmt` falls back to json when the
+    avro datasource is absent."""
+    fmt = fmt or ("avro" if avro_available(raw.sparkSession) else "json")
+    stamped = raw.withColumn("_arrival_date", F.current_date())
+    return (
+        stamped.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*(partition_cols or ["_arrival_date"]))
+        .trigger(availableNow=True)
+        .start()
+    )

