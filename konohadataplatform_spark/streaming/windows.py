@@ -1,0 +1,95 @@
+"""Event-time windowed streaming aggregations.
+
+The reference keeps its streaming path stateless (upsert-by-key absorbs
+late data — SURVEY §2.9 note), but an idiomatic Structured Streaming
+engine must still expose the native windowed surface; these helpers are
+that surface, and the batch analogs in queries/events.py share their
+semantics:
+
+- ``tumbling_agg``  — fixed windows + watermark-bounded state
+- ``sliding_agg``   — overlapping windows
+- ``session_agg``   — native session windows (gap-based), the streaming
+  twin of q_events_sessionize
+
+State posture at scale: watermarks bound state size (old windows are
+evicted once the watermark passes), aggregation state is partitioned by
+(window, keys) across executors, and checkpointing makes recovery
+exactly-once — this is precisely the part of the design the reference
+delegates to Kafka Connect and we get natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    aggs = aggs or [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    ]
+    keys = keys or ["event_type"]
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), *keys)
+        .agg(*aggs)
+    )
+    value_cols = [c for c in out.columns if c != "win" and c not in keys]
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *keys,
+        *value_cols,
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    keys = keys or ["event_type"]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Native session windows — the streaming twin of the batch
+    q_events_sessionize (same 30-min inactivity-gap semantics)."""
+    keys = keys or ["user_id"]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(*keys, "n_events", "session_start", "session_end")
+    )

@@ -1,0 +1,134 @@
+"""Windowed streaming aggregations: run as real Structured Streaming
+jobs over a file source (availableNow) and cross-check the tumbling agg
+against its batch equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from konohadataplatform_spark.sources.star_schema import load_table
+from konohadataplatform_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+from tests.conftest import SF_DIR
+
+
+SENTINEL = "__sentinel__"
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    """Materialize the events table as parquet the stream can tail.
+
+    A single far-future sentinel event is appended so the watermark
+    passes every real window and append mode flushes them all (the
+    sentinel's own windows stay in state and are never emitted).
+    """
+    d = str(tmp_path_factory.mktemp("events_stream") / "src")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.write.parquet(d)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts, -1, SENTINEL, 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    sentinel.write.mode("append").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def run_stream(spark, stream_df, tmp_path, name):
+    out = str(tmp_path / f"{name}_out")
+    ck = str(tmp_path / f"{name}_ck")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def _stream_events(spark, event_stream_dir):
+    schema = spark.read.parquet(event_stream_dir).schema
+    return spark.readStream.schema(schema).parquet(event_stream_dir)
+
+
+def test_tumbling_agg_matches_batch(spark, event_stream_dir, tmp_path):
+    stream = _stream_events(spark, event_stream_dir)
+    windowed = tumbling_agg(stream, window="1 hour", watermark="0 seconds")
+    got = run_stream(spark, windowed, tmp_path, "tumble")
+
+    batch = (
+        spark.read.parquet(event_stream_dir)
+        .filter(F.col("event_type") != SENTINEL)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    g = {
+        (r.window_start, r.event_type): r.n_events
+        for r in got.select("window_start", "event_type", "n_events").collect()
+    }
+    b = {
+        (r.window_start, r.event_type): r.n_events
+        for r in batch.collect()
+    }
+    # watermark 0 + availableNow flushes every window except none are
+    # held back at end-of-stream, so the maps must match exactly
+    assert g == b
+
+
+def test_sliding_agg_runs(spark, event_stream_dir, tmp_path):
+    stream = _stream_events(spark, event_stream_dir)
+    got = run_stream(
+        spark,
+        sliding_agg(stream, window="2 hours", slide="1 hour", watermark="0 seconds"),
+        tmp_path,
+        "slide",
+    )
+    assert got.count() > 0
+    # each event lands in exactly 2 overlapping windows
+    total_events = (
+        spark.read.parquet(event_stream_dir)
+        .filter(F.col("event_type") != SENTINEL)
+        .count()
+    )
+    assert got.agg(F.sum("n_events")).first()[0] == 2 * total_events
+
+
+def test_session_agg_runs(spark, event_stream_dir, tmp_path):
+    stream = _stream_events(spark, event_stream_dir)
+    got = run_stream(
+        spark,
+        session_agg(stream, gap="30 minutes", watermark="0 seconds"),
+        tmp_path,
+        "sess",
+    )
+    assert got.count() > 0
+    assert {f.name for f in got.schema.fields} == {
+        "user_id",
+        "n_events",
+        "session_start",
+        "session_end",
+    }
+    # sessions per user must cover all that user's events
+    per_user = {r.user_id: r.total for r in got.groupBy("user_id").agg(F.sum("n_events").alias("total")).collect()}
+    batch_counts = {
+        r.user_id: r.c
+        for r in spark.read.parquet(event_stream_dir)
+        .filter(F.col("event_type") != SENTINEL)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert per_user == batch_counts
