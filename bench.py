@@ -48,8 +48,10 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warm the JVM + parquet footers once so timings measure the queries.
-    qs[names[0]](spark, sf_dir).count()
+    # Steady-state measurement: one untimed warmup pass (JVM JIT,
+    # codegen compilation, parquet footers), then the timed pass.
+    for name in names:
+        qs[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition before interpreted higher-order-function compute so a
+    single input split can't serialize the scoring work (same rationale
+    as operators.dedup._spread)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential double fold — bit-identical to DuckDB list_dot_product."""
     return F.aggregate(
@@ -45,9 +52,11 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, cos_sim, knn_rank), excluding self.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -119,9 +128,11 @@ def ann_lsh_topk(
     to a small fraction of brute force.
     """
     planes = make_planes(dim, n_tables * bits_per_table, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
     ).withColumn(
         "sig", F.explode(_table_signatures(F.col("cv"), planes, n_tables, bits_per_table))
     )
