@@ -1,0 +1,146 @@
+"""Property-based tests (hypothesis): the CDC apply engine and catalog
+merge must agree with trivially-correct in-memory reference models for
+arbitrary operation sequences — this is the test strategy SURVEY §5
+says the reference lacks and we must create.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from konohadataplatform_spark.catalog import SnapshotCatalog
+from konohadataplatform_spark.streaming.cdc import (
+    ENVELOPE_SCHEMA,
+    apply_cdc_batch,
+    parse_envelopes,
+)
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("v", T.IntegerType(), True),
+    ]
+)
+
+# A change op: (op, key, value); keys from a small pool to force
+# collisions, values small ints.
+ops_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["c", "u", "d"]),
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=99),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def reference_apply(state: dict, ops):
+    """The obviously-correct model: ordered upsert/delete by key."""
+    for op, k, v in ops:
+        if op == "d":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    return state
+
+
+def batch_df(spark, ops, start_lsn=0):
+    rows = []
+    for i, (op, k, v) in enumerate(ops):
+        img = json.dumps({"k": k, "v": v})
+        rows.append(
+            Row(
+                op=op,
+                before=img if op == "d" else None,
+                after=None if op == "d" else img,
+                ts_ms=start_lsn + i,
+                lsn=start_lsn + i,
+                table="t",
+            )
+        )
+    return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=ops_strategy)
+def test_cdc_apply_matches_reference_model(spark, tmp_path_factory, ops):
+    cat = SnapshotCatalog(spark, str(tmp_path_factory.mktemp("wh")))
+    typed = parse_envelopes(batch_df(spark, ops), ROW_SCHEMA)
+    apply_cdc_batch(cat, "t", typed, ["k"])
+    got = (
+        {r.k: r.v for r in cat.read("t").collect()} if cat.exists("t") else {}
+    )
+    expected = reference_apply({}, ops)
+    assert got == expected
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=ops_strategy)
+def test_cdc_two_batch_split_matches_reference(spark, tmp_path_factory, ops):
+    """Any split of the op sequence into two micro-batches converges to
+    the same state as one batch (micro-batch boundary invariance)."""
+    cut = len(ops) // 2
+    cat = SnapshotCatalog(spark, str(tmp_path_factory.mktemp("wh")))
+    if ops[:cut]:
+        apply_cdc_batch(
+            cat, "t", parse_envelopes(batch_df(spark, ops[:cut]), ROW_SCHEMA), ["k"]
+        )
+    if ops[cut:]:
+        apply_cdc_batch(
+            cat,
+            "t",
+            parse_envelopes(batch_df(spark, ops[cut:], start_lsn=100), ROW_SCHEMA),
+            ["k"],
+        )
+    got = (
+        {r.k: r.v for r in cat.read("t").collect()} if cat.exists("t") else {}
+    )
+    assert got == reference_apply({}, ops)
+
+
+merge_batches = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 99)), min_size=1, max_size=5
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=merge_batches)
+def test_catalog_merge_matches_dict_upsert(spark, tmp_path_factory, batches):
+    cat = SnapshotCatalog(spark, str(tmp_path_factory.mktemp("wh")))
+    model: dict[int, int] = {}
+    for batch in batches:
+        # within one merge batch, last write per key wins in the model;
+        # dedupe the batch the same way before merging
+        dedup = {}
+        for k, v in batch:
+            dedup[k] = v
+        df = spark.createDataFrame(
+            [Row(k=k, v=v) for k, v in dedup.items()],
+            "k int, v int",
+        )
+        cat.merge("t", df, ["k"])
+        model.update(dedup)
+    got = {r.k: r.v for r in cat.read("t").collect()}
+    assert got == model
