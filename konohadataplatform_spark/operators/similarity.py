@@ -159,3 +159,101 @@ def ann_lsh_topk(
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "knn_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: KMeans-partitioned index
+# --------------------------------------------------------------------------
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train cell centroids with Spark ML KMeans (seeded, deterministic).
+
+    The centroid set is tiny (n_cells x dim) and lives on the driver;
+    at 100 TB you train on a sample — KMeans over a .sample(fraction)
+    is statistically sufficient for cell assignment.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def _sq_l2(vec: Column, centroid: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(x)) for x in centroid]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Indices of the n nearest centroids by squared L2 (one array expr:
+    build (dist, idx) structs, array_sort, project idx, slice)."""
+    pairs = F.array(
+        *[
+            F.struct(_sq_l2(vec, c).alias("d"), F.lit(i).alias("idx"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.array_sort(pairs)
+    return F.slice(F.transform(ranked, lambda p: p.getField("idx")), 1, n)
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus rows live in their nearest
+    centroid's cell; each query scores only its `nprobe` nearest cells.
+
+    Scale shape: the corpus is scanned once to tag cell ids (narrow),
+    the probe join is an equi-join on cell id (broadcast queries), and
+    scored pairs shrink by ~n_cells/nprobe versus brute force.
+    """
+    centroids = ivf_centroids(corpus, n_cells, vec_col, seed)
+
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    ).withColumn("cell", F.element_at(_nearest_cells(F.col("cv"), centroids, 1), 1))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe)))
+
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (c.cell == q.cell) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "knn_rank")
+    )

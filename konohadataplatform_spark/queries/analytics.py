@@ -333,3 +333,131 @@ def q_segment_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_negative"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar-function breadth (S8 surface): strings, dates, math — every
+# expression engine-portable and deterministic
+# --------------------------------------------------------------------------
+@query(
+    "q_scalar_functions",
+    """
+    SELECT o_orderkey,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_priority,
+           substring(o_orderpriority, 1, 1) AS priority_digit,
+           length(o_orderpriority) AS priority_len,
+           replace(o_orderpriority, '-', '_') AS priority_snake,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           abs(o_totalprice - 200000) AS dist_from_200k,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_k_ceil,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k_floor,
+           sqrt(CAST(o_orderkey AS DOUBLE)) AS key_sqrt,
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
+           greatest(o_totalprice, 100000.0) AS at_least_100k,
+           least(o_totalprice, 100000.0) AS at_most_100k
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    od = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias(
+            "status_priority"
+        ),
+        F.substring("o_orderpriority", 1, 1).alias("priority_digit"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias(
+            "priority_snake"
+        ),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_add(od, 30).cast("timestamp").alias("due_date"),
+        F.abs(F.col("o_totalprice") - 200000).alias("dist_from_200k"),
+        F.ceil(F.col("o_totalprice") / 1000).alias("price_k_ceil"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_k_floor"),
+        F.sqrt(F.col("o_orderkey").cast("double")).alias("key_sqrt"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("at_least_100k"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("at_most_100k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery (per-segment comparison against segment avg)
+# Spark plans the correlation as a join under the hood; declared in SQL
+# to exercise the S8 parser path.
+# --------------------------------------------------------------------------
+@query(
+    "q_correlated_subquery",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+    FROM customer c1
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(*) * 1.5
+                       FROM customer c2
+                       WHERE c2.c_mktsegment = c1.c_mktsegment)
+    """,
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("_q_corr_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        FROM _q_corr_customer c1
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                  / COUNT(*) * 1.5
+                           FROM _q_corr_customer c2
+                           WHERE c2.c_mktsegment = c1.c_mktsegment)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# NULL semantics: null-safe equality, null-skipping aggs, grouping nulls
+# --------------------------------------------------------------------------
+@query(
+    "q_null_semantics",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS etype,
+             CASE WHEN value < 10 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT etype,
+           COUNT(*) AS n_rows,
+           COUNT(v) AS n_nonnull_v,
+           COUNT(*) - COUNT(v) AS n_null_v,
+           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(CASE WHEN etype IS NOT DISTINCT FROM NULL THEN 1 END) AS nullsafe_hits
+    FROM e GROUP BY etype
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+        F.when(F.col("value") < 10, None).otherwise(F.col("value")).alias("v"),
+    )
+    return e.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull_v"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null_v"),
+        F.sum(dec("v")).cast("double").alias("sum_v"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.when(F.col("etype").eqNullSafe(F.lit(None)), 1)).alias(
+            "nullsafe_hits"
+        ),
+    )

@@ -325,3 +325,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feature vector itself is fake (sha-derived) — exclude from the
     # oracle-checked projection, keep the real metadata columns
     return feats.select("media_id", "byte_len", "content_sha")
+
+
+# --------------------------------------------------------------------------
+# ANN via IVF (KMeans cells; rows-only — centroid training is ML-seeded)
+# --------------------------------------------------------------------------
+@query("q_ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.ann_ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4)

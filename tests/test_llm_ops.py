@@ -117,3 +117,25 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall vs brute force too low: {recall}"
+
+
+def test_ivf_deterministic(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    c1 = S.ivf_centroids(emb, n_cells=4)
+    c2 = S.ivf_centroids(emb, n_cells=4)
+    assert c1 == c2
