@@ -126,3 +126,139 @@ class Pipeline:
                 self.catalog.write(name, df, partition_by=spec.partition_by)
             executed.append(name)
         return executed
+
+
+# ---------------------------------------------------------------------------
+# The remaining dbt-operator analogs (SURVEY §2.12: the reference exports
+# ten DbtSpark*Operator wrappers, dag/operators/__init__.py:5-16).
+# Run/Seed live on Pipeline above; these cover Compile/Docs/Debug/
+# Freshness/Snapshot/Test.
+# ---------------------------------------------------------------------------
+import time as _time
+
+from pyspark.sql import functions as _F
+
+
+class PipelineOps:
+    """Mixin-style helpers operating on a Pipeline instance."""
+
+    def __init__(self, pipeline: Pipeline):
+        self.p = pipeline
+
+    # dbt compile: build every model's DataFrame (logical plan) without
+    # materializing — schema/resolution errors surface here.
+    def compile(self, select: list[str] | None = None) -> dict[str, list[str]]:
+        ctx = RunContext(self.p)
+        out = {}
+        for name in self.p._topo_order(list(select or self.p.models)):
+            df = self.p.models[name].fn(self.p.spark, ctx)
+            out[name] = [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields]
+        return out
+
+    # dbt docs generate: model metadata + schemas + dependency edges
+    def docs(self) -> dict:
+        doc = {"models": {}, "edges": []}
+        for name, spec in self.p.models.items():
+            doc["models"][name] = {
+                "materialization": spec.materialization,
+                "unique_key": spec.unique_key,
+                "tags": spec.tags,
+                "doc": (spec.fn.__doc__ or "").strip(),
+            }
+            for dep in spec.depends_on:
+                doc["edges"].append((dep, name))
+        return doc
+
+    # dbt debug: validate sources resolve and the session is alive
+    def debug(self) -> dict:
+        status = {"spark": self.p.spark.version, "sources": {}, "models": len(self.p.models)}
+        for name, df in self.p.sources.items():
+            try:
+                n_cols = len(df.schema.fields)
+                status["sources"][name] = f"ok ({n_cols} cols)"
+            except Exception as e:  # noqa: BLE001
+                status["sources"][name] = f"error: {e}"
+        return status
+
+    # dbt source freshness: age of the newest row per source watermark
+    def freshness(self, watermarks: dict[str, str]) -> dict[str, float]:
+        out = {}
+        now = _time.time()
+        for name, col in watermarks.items():
+            df = self.p.sources.get(name)
+            if df is None:
+                df = self.p.catalog.read(name)
+            newest = df.agg(_F.max(col)).first()[0]
+            age = now - newest.timestamp() if newest is not None else float("inf")
+            out[name] = age
+        return out
+
+    # dbt snapshot: SCD type-2 history table keyed on unique_key.
+    # New key -> insert open row; changed row -> close the current row
+    # (valid_to = now) and insert a new open row; unchanged -> no-op.
+    def snapshot(
+        self,
+        name: str,
+        source,
+        unique_key: str,
+        updated_at: str,
+    ):
+        cat = self.p.catalog
+        src = source.withColumn("_valid_from", _F.col(updated_at)).withColumn(
+            "_valid_to", _F.lit(None).cast("timestamp")
+        ).withColumn("_is_current", _F.lit(True))
+        if not cat.exists(name):
+            return cat.write(name, src)
+
+        hist = cat.read(name)
+        cur = hist.filter(_F.col("_is_current"))
+        closed = hist.filter(~_F.col("_is_current"))
+
+        data_cols = [
+            c for c in source.columns if c not in (unique_key, updated_at)
+        ]
+        joined = cur.alias("c").join(
+            source.alias("s"), _F.col(f"c.{unique_key}") == _F.col(f"s.{unique_key}"), "full"
+        )
+        changed_pred = _F.lit(False)
+        for c in data_cols:
+            changed_pred = changed_pred | ~_F.col(f"c.{c}").eqNullSafe(_F.col(f"s.{c}"))
+
+        # rows to close: current rows whose source version changed
+        # (pull the source's updated_at across before dropping s.*)
+        to_close = (
+            joined.filter(
+                _F.col(f"s.{unique_key}").isNotNull()
+                & _F.col(f"c.{unique_key}").isNotNull()
+                & changed_pred
+            )
+            .select(_F.col(f"s.{updated_at}").alias("_close_ts"), "c.*")
+            .withColumn("_valid_to", _F.col("_close_ts"))
+            .drop("_close_ts")
+            .withColumn("_is_current", _F.lit(False))
+        )
+
+        # unchanged current rows stay open
+        unchanged = joined.filter(
+            _F.col(f"c.{unique_key}").isNotNull()
+            & (_F.col(f"s.{unique_key}").isNull() | ~changed_pred)
+        ).select("c.*")
+
+        # new versions (changed or brand-new keys) become open rows
+        new_rows = (
+            joined.filter(
+                _F.col(f"s.{unique_key}").isNotNull()
+                & (_F.col(f"c.{unique_key}").isNull() | changed_pred)
+            )
+            .select("s.*")
+            .withColumn("_valid_from", _F.col(updated_at))
+            .withColumn("_valid_to", _F.lit(None).cast("timestamp"))
+            .withColumn("_is_current", _F.lit(True))
+        )
+
+        merged = (
+            closed.unionByName(to_close)
+            .unionByName(unchanged)
+            .unionByName(new_rows)
+        )
+        return cat._commit(name, merged, "snapshot", None)
