@@ -238,3 +238,34 @@ def incremental_cutoff(df: DataFrame, watermark_col: str):
     """The dbt incremental pattern (P5): MAX(watermark) of the existing
     table, to filter the source (daily_order_metrics.sql:32-35)."""
     return df.agg(F.max(watermark_col)).first()[0]
+
+
+def write_bucketed(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """M6's bucket(x,N) analog: a bucketed managed table so repeated
+    joins/aggs on the bucket key skip their shuffle entirely (both
+    sides pre-partitioned on disk, reference docs/architecture/
+    lakehouse.md:97-99).
+
+    Uses the session catalog (saveAsTable is required for bucketing
+    metadata); readers via spark.table(name).
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # an in-memory metastore can forget a table whose warehouse dir
+    # still exists on disk — clear the stale location too
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    stale = os.path.join(warehouse, name)
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
