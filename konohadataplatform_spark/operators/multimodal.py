@@ -111,3 +111,74 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+        T.StructField("frame_sha", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 64, stride: int = 2) -> DataFrame:
+    """Frame-sampling plumbing for video/audio payloads.
+
+    Real decoders would emit decoded frames; without media libs the
+    "frames" are fixed-size byte windows taken every ``stride`` windows
+    — the Spark-side shape (binary in, many typed rows out, Arrow
+    batches, no shuffle of payloads) is exactly the production plan.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_bytes": [], "frame_sha": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                n = len(content)
+                for idx, off in enumerate(range(0, n, frame_size * stride)):
+                    frame = bytes(content[off : off + frame_size])
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(frame)
+                    out["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_image(content: bytes, width: int, height: int):  # pragma: no cover
+    """STUB: real implementation would use PIL (not installed here)."""
+    raise DecodeNotAvailable(
+        "image resize requires PIL/opencv, not available in this environment"
+    )
+
+
+def thumbnail_features(media: DataFrame, dim: int = 4) -> DataFrame:
+    """Resize-then-embed pipeline shape with the resize stubbed to a
+    deterministic byte-decimation (every k-th byte), then the fake
+    encoder. The operator chain (binary -> smaller binary -> feature)
+    matches a production thumbnail pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf["content"].map(
+                lambda b: bytes(b[::8]) if b is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": thumbs.map(lambda b: len(b) if b is not None else 0),
+                    "content_sha": thumbs.map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                    ),
+                    "feature": thumbs.map(
+                        lambda b: _fake_feature(b, dim) if b is not None else None
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)

@@ -139,3 +139,37 @@ def test_ivf_deterministic(spark):
     c1 = S.ivf_centroids(emb, n_cells=4)
     c2 = S.ivf_centroids(emb, n_cells=4)
     assert c1 == c2
+
+
+def test_frame_sampling(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    media = M.documents_as_media(docs.limit(20))
+    frames = M.sample_frames(media, frame_size=64, stride=2)
+    rows = frames.collect()
+    assert rows, "no frames produced"
+    # every media row with >=1 byte yields at least one frame
+    assert frames.select("media_id").distinct().count() == 20
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, fr in by_media.items():
+        idxs = sorted(f.frame_idx for f in fr)
+        assert idxs == list(range(len(idxs))), "frame indices not dense"
+        assert all(len(f.frame_bytes) <= 64 for f in fr)
+        assert all(len(f.frame_sha) == 64 for f in fr)
+
+
+def test_thumbnail_pipeline_deterministic(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    media = M.documents_as_media(docs.limit(10))
+    a = {r.media_id: (r.content_sha, tuple(r.feature)) for r in M.thumbnail_features(media).collect()}
+    b = {r.media_id: (r.content_sha, tuple(r.feature)) for r in M.thumbnail_features(media).collect()}
+    assert a == b
+    assert all(len(v[1]) == 4 for v in a.values())
+
+
+def test_resize_stub_raises(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        M.resize_image(b"\xff\xd8", 64, 64)
