@@ -69,8 +69,8 @@ def query(name: str, oracle: str | None = None):
              COALESCE(COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END), 0) AS open_orders,
              CAST(COALESCE(SUM(CASE WHEN o.o_orderstatus = 'F'
                        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS total_spent,
-             MIN(CAST(o.o_orderdate AS DATE)) AS first_order_date,
-             MAX(CAST(o.o_orderdate AS DATE)) AS last_order_date
+             CAST(MIN(CAST(o.o_orderdate AS DATE)) AS TIMESTAMP) AS first_order_date,
+             CAST(MAX(CAST(o.o_orderdate AS DATE)) AS TIMESTAMP) AS last_order_date
       FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
       GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
     ), tiered AS (
@@ -109,8 +109,12 @@ def q_customer_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.when(completed, dec("o_totalprice"))), F.lit(0))
             .cast("double")
             .alias("total_spent"),
-            F.min(F.col("o_orderdate").cast("date")).alias("first_order_date"),
-            F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
+            F.min(F.col("o_orderdate").cast("date"))
+            .cast("timestamp")
+            .alias("first_order_date"),
+            F.max(F.col("o_orderdate").cast("date"))
+            .cast("timestamp")
+            .alias("last_order_date"),
         )
     )
     tiered = base.withColumn(
@@ -144,7 +148,7 @@ def q_customer_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_daily_order_metrics",
     """
-    SELECT CAST(o_orderdate AS DATE) AS metric_date,
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS metric_date,
            COUNT(*) AS total_orders,
            COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS completed_orders,
            COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
@@ -166,7 +170,9 @@ def q_daily_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     st = F.col("o_orderstatus")
     return (
-        orders.groupBy(F.col("o_orderdate").cast("date").alias("metric_date"))
+        orders.groupBy(
+            F.col("o_orderdate").cast("date").cast("timestamp").alias("metric_date")
+        )
         .agg(
             F.count(F.lit(1)).alias("total_orders"),
             F.count(F.when(st == "F", 1)).alias("completed_orders"),
@@ -200,7 +206,7 @@ def q_daily_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            UPPER(TRIM(o_orderstatus)) AS order_status,
            CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS priority_num,
            LOWER(string_split(o_orderpriority, '-')[2]) AS priority_name,
-           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
            YEAR(o_orderdate) AS order_year,
            MONTH(o_orderdate) AS order_month,
            CAST(date_part('dow', o_orderdate) + 1 AS INTEGER) AS order_dow,
@@ -222,7 +228,7 @@ def q_stg_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.trim(F.col("o_orderstatus"))).alias("order_status"),
         parts.getItem(0).cast("integer").alias("priority_num"),
         F.lower(parts.getItem(1)).alias("priority_name"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("order_date"),
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
         dow.alias("order_dow"),
@@ -241,7 +247,7 @@ def q_stg_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_analytics",
     """
     SELECT o_orderkey, o_custkey,
-           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
            ROW_NUMBER() OVER w AS order_seq,
            CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_price,
@@ -269,7 +275,7 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        od.alias("order_date"),
+        od.cast("timestamp").alias("order_date"),
         price.cast("double").alias("price"),
         F.row_number().over(w).alias("order_seq"),
         F.lag(price).over(w).cast("double").alias("prev_price"),

@@ -335,3 +335,109 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return S.ann_ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4)
+
+
+# --------------------------------------------------------------------------
+# Composite quality score (length band + lexical diversity + stopword
+# presence) — the text.quality_score operator, oracle-matched
+# --------------------------------------------------------------------------
+@query(
+    "q_doc_quality",
+    """
+    WITH f AS (
+      SELECT doc_id, lang, n_chars,
+             length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS toks,
+             len(list_distinct(string_split(trim(text), ' '))) AS utoks,
+             CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', '')))/3
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')))/4
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', '')))/4
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' in ', '')))/4
+                + (length(' '||text||' ') - length(replace(' '||text||' ', ' is ', '')))/4 AS INT) AS sw_hits
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, n_chars, toks,
+             CAST(utoks AS DOUBLE) / toks AS uniq_ratio,
+             CAST(sw_hits AS DOUBLE) / toks AS sw_ratio,
+             CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0 ELSE 0.5 END AS len_ok
+      FROM f
+    )
+    SELECT doc_id, lang,
+           (len_ok + uniq_ratio
+            + CASE WHEN sw_ratio > 0.0 AND sw_ratio < 0.6 THEN 1.0 ELSE 0.5 END)
+             / CAST(3.0 AS DOUBLE) AS quality,
+           CASE WHEN (len_ok + uniq_ratio
+                + CASE WHEN sw_ratio > 0.0 AND sw_ratio < 0.6 THEN 1.0 ELSE 0.5 END)
+                / CAST(3.0 AS DOUBLE) >= 0.6 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM scored
+    """,
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text"), F.col("n_chars"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        q.alias("quality"),
+        F.when(q >= 0.6, "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus curation: documents joined with their embeddings,
+# filtered by quality + dedup-representative + embedding-norm sanity.
+# The one-query version of the full LLM-data path.
+# --------------------------------------------------------------------------
+@query(
+    "q_corpus_curation",
+    """
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS l2_norm
+      FROM embeddings
+    ), stats AS (
+      SELECT doc_id, lang, n_chars, md5(text) AS doc_fp,
+             length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS toks
+      FROM documents
+    ), reps AS (
+      SELECT md5(text) AS fp, MIN(doc_id) AS rep_id FROM documents GROUP BY md5(text)
+    )
+    SELECT s.doc_id, s.lang, s.toks, n.l2_norm
+    FROM stats s
+      JOIN reps r ON s.doc_fp = r.fp AND s.doc_id = r.rep_id
+      JOIN norms n ON n.vec_id = s.doc_id
+    WHERE s.toks >= 20 AND n.l2_norm > 0
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norms = emb.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+            )
+        ).alias("l2_norm"),
+    )
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        TX.fingerprint(F.col("text")).alias("doc_fp"),
+        TX.token_count(F.col("text")).alias("toks"),
+    )
+    reps = D.exact_dedup(docs).select(
+        F.col("text_hash").alias("doc_fp"), F.col("kept_doc_id")
+    )
+    return (
+        stats.join(
+            reps,
+            (stats.doc_fp == reps.doc_fp) & (stats.doc_id == reps.kept_doc_id),
+        )
+        .join(norms, norms.vec_id == stats.doc_id)
+        .filter((F.col("toks") >= 20) & (F.col("l2_norm") > 0))
+        .select("doc_id", "lang", "toks", "l2_norm")
+    )

@@ -101,7 +101,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS orderdate,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -126,7 +126,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderdate").cast("date").cast("timestamp").alias("orderdate"),
             "o_orderpriority",
         )
         .agg(
@@ -542,7 +542,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     """
     SELECT c_custkey, c_name, o_orderkey,
-           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS orderdate,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -571,7 +571,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderdate").cast("date").cast("timestamp").alias("orderdate"),
             "o_totalprice",
         )
         .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
