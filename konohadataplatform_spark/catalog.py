@@ -38,6 +38,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Recreate ``src`` under ``dst`` with hardlinks (fallback: copy).
+    Data files are immutable once committed, so links are safe."""
+    os.makedirs(dst, exist_ok=True)
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        target_root = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(target_root, exist_ok=True)
+        for f in files:
+            s = os.path.join(root, f)
+            d = os.path.join(target_root, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -97,27 +114,22 @@ class SnapshotCatalog:
         )
 
     # ---- commit protocol ------------------------------------------------
-    def _commit(
-        self, name: str, df: DataFrame, operation: str, partition_by: list[str] | None
-    ) -> Snapshot:
+    def _new_snapshot_dir(self, name: str) -> tuple[int, str]:
         prev = self.current_snapshot(name)
         version = (prev.version + 1) if prev else 1
-        snap_dir = os.path.join(
+        return version, os.path.join(
             self._tdir(name), "snapshots", f"v{version:06d}-{uuid.uuid4().hex[:8]}"
         )
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(snap_dir)
 
+    def _register_snapshot(self, name: str, version: int, snap_dir: str, operation: str) -> Snapshot:
+        """Atomic pointer swap: temp file + rename (same protocol shape
+        as Iceberg's metadata pointer update)."""
         snap = Snapshot(
             version=version,
             path=snap_dir,
             operation=operation,
             timestamp_ms=int(time.time() * 1000),
         )
-        # atomic pointer swap: temp file + rename (same protocol shape as
-        # Iceberg's metadata pointer update)
         ptr = self._pointer_path(name)
         tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -126,6 +138,16 @@ class SnapshotCatalog:
         with open(self._log_path(name), "a") as f:
             f.write(json.dumps(snap.__dict__) + "\n")
         return snap
+
+    def _commit(
+        self, name: str, df: DataFrame, operation: str, partition_by: list[str] | None
+    ) -> Snapshot:
+        version, snap_dir = self._new_snapshot_dir(name)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(snap_dir)
+        return self._register_snapshot(name, version, snap_dir, operation)
 
     # ---- public write paths --------------------------------------------
     def write(
@@ -160,6 +182,75 @@ class SnapshotCatalog:
         kept = target.join(source.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = kept.unionByName(source, allowMissingColumns=True)
         return self._commit(name, merged, "merge", partition_by)
+
+    def merge_partitioned(
+        self,
+        name: str,
+        source: DataFrame,
+        key_cols: list[str],
+        partition_col: str,
+        delete_keys: DataFrame | None = None,
+    ) -> Snapshot:
+        """Partition-scoped MERGE: only partitions containing changed
+        keys are rewritten; every untouched partition's data files are
+        carried into the new snapshot by hardlink (the filesystem analog
+        of an Iceberg manifest referencing existing files).
+
+        At 100 TB with date-partitioned targets a CDC batch touching one
+        day rewrites one day, not the table — commit cost is
+        O(touched partitions), metadata cost O(#partitions).
+        ``delete_keys`` (key_cols + partition_col) removes rows without
+        re-inserting them.
+        """
+        import urllib.parse
+
+        if not self.exists(name):
+            snap = self._commit(name, source, "create-on-merge", [partition_col])
+            return snap
+
+        changed = source.select(*key_cols, partition_col)
+        if delete_keys is not None:
+            changed = changed.unionByName(delete_keys.select(*key_cols, partition_col))
+        vals = [r[0] for r in changed.select(partition_col).distinct().collect()]
+
+        prev = self.current_snapshot(name)
+        part_prefix = f"{partition_col}="
+        prev_part_dirs = [
+            e for e in os.listdir(prev.path) if e.startswith(part_prefix)
+        ]
+        if not prev_part_dirs:
+            # target isn't partitioned on this column — full merge
+            merged = (
+                self.read(name)
+                .join(changed.select(*key_cols).distinct(), key_cols, "left_anti")
+                .unionByName(source, allowMissingColumns=True)
+            )
+            return self._commit(name, merged, "merge", None)
+
+        target = self.read(name)
+        touched_target = target.filter(F.col(partition_col).isin(vals))
+        keys_only = changed.select(*key_cols).distinct()
+        merged = touched_target.join(keys_only, key_cols, "left_anti").unionByName(
+            source, allowMissingColumns=True
+        )
+
+        version, snap_dir = self._new_snapshot_dir(name)
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(snap_dir)
+
+        touched_strs = {str(v) for v in vals}
+        linked = 0
+        for entry in prev_part_dirs:
+            val = urllib.parse.unquote(entry[len(part_prefix):])
+            if val in touched_strs:
+                continue
+            _link_tree(os.path.join(prev.path, entry), os.path.join(snap_dir, entry))
+            linked += 1
+        return self._register_snapshot(
+            name,
+            version,
+            snap_dir,
+            f"merge-partitioned(rewrote={len(touched_strs)},linked={linked})",
+        )
 
     def delete_where(self, name: str, predicate: str) -> Snapshot:
         """M4 DELETE FROM name WHERE predicate (filtered rewrite)."""

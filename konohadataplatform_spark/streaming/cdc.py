@@ -77,22 +77,41 @@ def apply_cdc_batch(
     table: str,
     changes: DataFrame,
     key_cols: list[str],
+    partition_col: str | None = None,
 ) -> None:
     """Apply one micro-batch of typed changes to a catalog table.
 
     latest-wins dedupe -> split deletes/upserts -> single merge commit.
     Auto-creates the table from the stream schema on first batch (M7,
     `auto-create-enabled` analog).
+
+    With ``partition_col`` set (the C6 pattern: target partitioned by a
+    stable key-derived column), the commit is partition-scoped — only
+    partitions containing changed keys are rewritten; the rest of the
+    table is carried forward by reference. This is the 100 TB path.
     """
     deduped = latest_per_key(changes, key_cols).cache()
     upserts = deduped.filter(F.col("op") != "d").drop("op", "ts_ms", "lsn", "_topic")
-    deletes = deduped.filter(F.col("op") == "d").select(*key_cols)
+    deletes = deduped.filter(F.col("op") == "d")
 
     if not catalog.exists(table):
-        catalog.write(table, upserts)
-        d = deletes.count()
-        if d:
-            _apply_deletes(catalog, table, deletes, key_cols)
+        catalog.write(
+            table,
+            upserts,
+            partition_by=[partition_col] if partition_col else None,
+        )
+        if deletes.take(1):
+            _apply_deletes(catalog, table, deletes.select(*key_cols), key_cols)
+        return
+
+    if partition_col is not None:
+        catalog.merge_partitioned(
+            table,
+            upserts,
+            key_cols,
+            partition_col,
+            delete_keys=deletes.select(*key_cols, partition_col),
+        )
         return
 
     target = catalog.read(table)

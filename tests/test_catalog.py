@@ -111,3 +111,109 @@ def test_add_column_and_register_views(spark, catalog):
     assert catalog.read("t").first().flag is True
     catalog.register_views()
     assert spark.sql("SELECT flag FROM t").first().flag is True
+
+
+def _inode_map(d):
+    out = {}
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, d)] = os.stat(p).st_ino
+    return out
+
+
+def test_merge_partitioned_rewrites_only_touched_partitions(spark, catalog):
+    base = spark.createDataFrame(
+        [Row(id=i, d=f"2024-01-0{1 + i % 5}", v=i) for i in range(50)]
+    )
+    catalog.write("t", base, partition_by=["d"])
+    prev = catalog.current_snapshot("t")
+    prev_inodes = _inode_map(prev.path)
+
+    # touch only partition 2024-01-03: update id=2, insert id=100
+    src = spark.createDataFrame(
+        [Row(id=2, d="2024-01-03", v=999), Row(id=100, d="2024-01-03", v=100)]
+    )
+    snap = catalog.merge_partitioned("t", src, ["id"], "d")
+    # partition dirs round-trip through Spark's partition-type inference
+    # ("2024-01-03" -> date), so compare on str()
+    got = {r.id: (str(r.d), r.v) for r in catalog.read("t").collect()}
+    assert got[2] == ("2024-01-03", 999)
+    assert got[100] == ("2024-01-03", 100)
+    assert len(got) == 51
+    assert "rewrote=1" in snap.operation
+
+    new_inodes = _inode_map(snap.path)
+    for rel, ino in new_inodes.items():
+        if rel.startswith("d=2024-01-03"):
+            assert rel not in prev_inodes or prev_inodes[rel] != ino
+        else:
+            # untouched partitions: same inode == hardlinked, no rewrite
+            assert prev_inodes.get(rel) == ino, f"{rel} was rewritten"
+
+
+def test_merge_partitioned_with_deletes(spark, catalog):
+    base = spark.createDataFrame(
+        [Row(id=i, d=f"p{i % 3}", v=i) for i in range(9)]
+    )
+    catalog.write("t", base, partition_by=["d"])
+    deletes = spark.createDataFrame([Row(id=4, d="p1")])
+    src = spark.createDataFrame([Row(id=1, d="p1", v=111)])
+    catalog.merge_partitioned("t", src, ["id"], "d", delete_keys=deletes)
+    got = {r.id: r.v for r in catalog.read("t").collect()}
+    assert 4 not in got
+    assert got[1] == 111
+    assert len(got) == 8
+
+
+def test_merge_partitioned_time_travel_preserved(spark, catalog):
+    base = spark.createDataFrame([Row(id=1, d="a", v=1), Row(id=2, d="b", v=2)])
+    catalog.write("t", base, partition_by=["d"])
+    catalog.merge_partitioned(
+        "t", spark.createDataFrame([Row(id=1, d="a", v=99)]), ["id"], "d"
+    )
+    assert {r.v for r in catalog.read("t", version=1).collect()} == {1, 2}
+    assert {r.v for r in catalog.read("t").collect()} == {99, 2}
+
+
+def test_cdc_apply_partition_scoped(spark, catalog):
+    import json as _json
+    from pyspark.sql import types as T
+    from konohadataplatform_spark.streaming.cdc import (
+        ENVELOPE_SCHEMA,
+        apply_cdc_batch,
+        parse_envelopes,
+    )
+
+    row_schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("region", T.StringType(), True),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+
+    def env_row(op, k, region, v, ts):
+        img = _json.dumps({"k": k, "region": region, "v": v})
+        return Row(
+            op=op,
+            before=img if op == "d" else None,
+            after=None if op == "d" else img,
+            ts_ms=ts,
+            lsn=ts,
+            table="t",
+        )
+
+    b1 = spark.createDataFrame(
+        [env_row("c", i, f"r{i % 2}", i, i) for i in range(6)], ENVELOPE_SCHEMA
+    )
+    apply_cdc_batch(catalog, "t", parse_envelopes(b1, row_schema), ["k"], "region")
+    b2 = spark.createDataFrame(
+        [env_row("u", 0, "r0", 999, 100), env_row("d", 1, "r1", None, 101)],
+        ENVELOPE_SCHEMA,
+    )
+    apply_cdc_batch(catalog, "t", parse_envelopes(b2, row_schema), ["k"], "region")
+    got = {r.k: r.v for r in catalog.read("t").collect()}
+    assert got[0] == 999 and 1 not in got and len(got) == 5
+    assert "merge-partitioned" in catalog.current_snapshot("t").operation
