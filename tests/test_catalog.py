@@ -217,3 +217,17 @@ def test_cdc_apply_partition_scoped(spark, catalog):
     got = {r.k: r.v for r in catalog.read("t").collect()}
     assert got[0] == 999 and 1 not in got and len(got) == 5
     assert "merge-partitioned" in catalog.current_snapshot("t").operation
+
+
+def test_expire_after_partitioned_merge_keeps_linked_data(spark, catalog):
+    """Hardlinked files survive expiry of the snapshot they came from
+    (link count semantics — the data block lives until the last ref)."""
+    base = spark.createDataFrame([Row(id=i, d=f"p{i % 4}", v=i) for i in range(20)])
+    catalog.write("t", base, partition_by=["d"])
+    catalog.merge_partitioned(
+        "t", spark.createDataFrame([Row(id=0, d="p0", v=100)]), ["id"], "d"
+    )
+    removed = catalog.expire_snapshots("t", keep_last=1)
+    assert removed == 1
+    got = {r.id: r.v for r in catalog.read("t").collect()}
+    assert got[0] == 100 and len(got) == 20  # untouched partitions intact
