@@ -441,3 +441,66 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("toks") >= 20) & (F.col("l2_norm") > 0))
         .select("doc_id", "lang", "toks", "l2_norm")
     )
+
+
+# --------------------------------------------------------------------------
+# Polynomial rolling-hash fingerprint (char-level Rabin-Karp style fold)
+# — the north-star "document fingerprinting (rolling hash)" operator,
+# kept inside bounded BIGINT arithmetic so both engines fold identically
+# --------------------------------------------------------------------------
+@query(
+    "q_doc_rolling_hash",
+    """
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             [CAST(ascii(text[i]) AS BIGINT) for i in range(1, len(text)+1)]),
+             (acc, x) -> (acc * 31 + x) % 2147483648) AS rolling_hash,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    rh = F.expr(
+        "aggregate(sequence(1, length(text)), 0L, "
+        "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 2147483648)"
+    )
+    return docs.select(
+        "doc_id",
+        rh.alias("rolling_hash"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Global token frequencies per language (explode + two-level agg) —
+# the vocabulary-statistics side of token counting
+# --------------------------------------------------------------------------
+@query(
+    "q_token_frequencies",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY lang, tok
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+      FROM freq
+    )
+    SELECT lang, tok, n, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "tok", "n", "rk")
+    )
