@@ -103,8 +103,14 @@ def jaccard_similarity_join(
          via array_intersect (JVM-side), filter >= t.
     """
     sets = _spread(shingle_sets(df, text_col, id_col, n)).cache()
-    sets.count()  # materialize: 3 consumers below (index, sizes, verify)
-    toks = sets.select(F.col("sid"), F.explode("shingles").alias("sh"))
+    sets.count()  # materialize: consumed by index build and verify
+    # carry each doc's set size through the explode — avoids a separate
+    # sizes join later
+    toks = sets.select(
+        F.col("sid"),
+        F.size("shingles").alias("set_size"),
+        F.explode("shingles").alias("sh"),
+    )
 
     # 2. global shingle document-frequency (one agg shuffle). No global
     # rank is materialized — rarity ordering is only ever needed *per
@@ -120,12 +126,10 @@ def jaccard_similarity_join(
             Window.partitionBy("sid").orderBy(F.col("df_cnt"), F.col("sh"))
         ),
     )
-    sizes = sets.select("sid", F.size("shingles").alias("set_size"))
     # cached: the self-join below consumes the prefix index twice, and
     # recomputing it would double every upstream stage
     prefixes = (
-        with_pos.join(sizes, "sid")
-        .filter(
+        with_pos.filter(
             F.col("pos")
             <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
         )

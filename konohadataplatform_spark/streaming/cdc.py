@@ -132,7 +132,9 @@ def _apply_deletes(
 class CdcPipeline:
     """End-to-end CDC apply: bootstrap + stream (C1..C7).
 
-    ``tables`` maps table name -> (row_schema, key_cols). A single
+    ``tables`` maps table name -> (row_schema, key_cols) or
+    (row_schema, key_cols, partition_col); with a partition column the
+    apply path is partition-scoped (see apply_cdc_batch). A single
     envelope stream fans out per `_topic` inside each micro-batch (C4),
     mirroring the sink connector's route-regex.
     """
@@ -141,11 +143,14 @@ class CdcPipeline:
         self,
         spark: SparkSession,
         catalog: SnapshotCatalog,
-        tables: dict[str, tuple[T.StructType, list[str]]],
+        tables: dict[str, tuple],
     ):
         self.spark = spark
         self.catalog = catalog
-        self.tables = tables
+        self.tables = {
+            name: (spec if len(spec) == 3 else (*spec, None))
+            for name, spec in tables.items()
+        }
 
     # ---- C1: initial snapshot bootstrap ---------------------------------
     def bootstrap(self, name: str, snapshot_df: DataFrame) -> None:
@@ -153,12 +158,12 @@ class CdcPipeline:
 
     # ---- batch apply (used by both batch replays and foreachBatch) ------
     def apply_envelopes(self, raw: DataFrame) -> None:
-        for name, (row_schema, key_cols) in self.tables.items():
+        for name, (row_schema, key_cols, partition_col) in self.tables.items():
             subset = raw.filter(F.col("table") == name)
             typed = parse_envelopes(subset, row_schema)
             if typed.isEmpty():
                 continue
-            apply_cdc_batch(self.catalog, name, typed, key_cols)
+            apply_cdc_batch(self.catalog, name, typed, key_cols, partition_col)
 
     # ---- streaming entry point ------------------------------------------
     def start_stream(self, envelope_dir: str, checkpoint_dir: str):
