@@ -1,0 +1,86 @@
+"""End-to-end tour of the engine. Run: python examples/quickstart.py
+
+Walks the full capability surface on the sf0.001 testdata:
+SQL entry point -> model pipeline -> time travel -> CDC apply ->
+dedup/similarity/text operators -> data-quality checks.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+from konohadataplatform_spark import Engine, get_spark
+from konohadataplatform_spark.catalog import SnapshotCatalog
+from konohadataplatform_spark.operators import dedup, similarity, text
+from konohadataplatform_spark.plans.models import register_reference_models
+from konohadataplatform_spark.plans.pipeline import Pipeline, PipelineOps
+from konohadataplatform_spark.plans.quality import ModelChecks, run_checks
+from konohadataplatform_spark.sources.star_schema import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark(app_name="quickstart")
+    engine = Engine(spark)
+
+    # --- 1. ad-hoc SQL over the star schema (the Kyuubi surface) ------
+    engine.register_star_schema(SF_DIR)
+    print("== Top segments by revenue ==")
+    engine.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY revenue DESC
+        """
+    ).show(5)
+
+    # --- 2. model pipeline (the dbt DAG analog) -----------------------
+    warehouse = tempfile.mkdtemp(prefix="kdp_wh_")
+    catalog = SnapshotCatalog(spark, warehouse)
+    pipe = Pipeline(spark, catalog)
+    register_reference_models(pipe)
+    print("== Pipeline run ==", pipe.run())
+    catalog.read("user_order_summary").orderBy("revenue_rank").show(3)
+
+    # --- 3. time travel -----------------------------------------------
+    pipe.run(select=["daily_order_metrics"])  # incremental merge
+    print(
+        "daily_order_metrics versions:",
+        [s.version for s in catalog.history("daily_order_metrics")],
+    )
+
+    # --- 4. data quality (the dbt-test analog) ------------------------
+    results = run_checks(
+        pipe,
+        [ModelChecks(model="stg_orders", not_null_cols=["order_id"], unique_cols=["order_id"])],
+    )
+    print("quality:", [(r.check, r.violations) for r in results])
+
+    # --- 5. LLM-data operators ----------------------------------------
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pairs = dedup.minhash_dedup(docs, threshold=0.8)
+    print("near-dup pairs (MinHash+LSH, verified):", pairs.count())
+    knn = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 2), k=3)
+    print("== kNN ==")
+    knn.show()
+    feats = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("tokens"),
+        text.predict_lang(F.col("text")).alias("pred_lang"),
+    )
+    feats.show(3)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

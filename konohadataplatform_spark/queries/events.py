@@ -321,3 +321,71 @@ def q_events_tumbling_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention: first-seen week per user, then per-cohort
+# activity in subsequent weeks (self-join of user activity on cohorts)
+# --------------------------------------------------------------------------
+@query(
+    "q_events_retention",
+    """
+    WITH weeks AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / CAST(604800000000 AS BIGINT)) AS BIGINT) AS week_n
+      FROM events GROUP BY user_id, week_n
+    ), cohorts AS (
+      SELECT user_id, MIN(week_n) AS cohort_week FROM weeks GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           w.week_n - c.cohort_week AS weeks_since,
+           COUNT(DISTINCT w.user_id) AS active_users
+    FROM cohorts c JOIN weeks w ON c.user_id = w.user_id
+    GROUP BY c.cohort_week, weeks_since
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    weeks = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / (7 * 86400 * 1_000_000)).alias("week_n"),
+        )
+        .distinct()
+    )
+    cohorts = weeks.groupBy("user_id").agg(F.min("week_n").alias("cohort_week"))
+    return (
+        cohorts.join(weeks, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_n") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Value histogram: fixed-width bucketing via floor division (the
+# width_bucket pattern, engine-portable)
+# --------------------------------------------------------------------------
+@query(
+    "q_events_value_histogram",
+    """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           CAST(floor(value / 25.0) * 25.0 AS DOUBLE) AS bucket_low,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
+    FROM events
+    GROUP BY bucket, bucket_low
+    """,
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25.0)
+    return ev.groupBy(
+        bucket.alias("bucket"),
+        (bucket * 25.0).cast("double").alias("bucket_low"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("bucket_sum"),
+    )
