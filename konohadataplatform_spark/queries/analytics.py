@@ -467,3 +467,112 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nullsafe_hits"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly flags: mean/std from exact decimal moments (sum and
+# sum-of-squares), so the statistics are order-independent and
+# engine-identical — no builtin STDDEV (different algorithms/ordering)
+# --------------------------------------------------------------------------
+@query(
+    "q_events_anomaly",
+    """
+    WITH moments AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ), stats AS (
+      SELECT event_type, n, s1 / n AS mean_v,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_v
+      FROM moments
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN abs((e.value - s.mean_v) / s.std_v) > 3 THEN 1 END) AS n_anomalies,
+           CAST(MAX(abs((e.value - s.mean_v) / s.std_v)) AS DOUBLE) AS max_zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = dec("value")
+    moments = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    stats = moments.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mean_v"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std_v"),
+    )
+    z = F.abs((F.col("value") - F.col("mean_v")) / F.col("std_v"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(z > 3, 1)).alias("n_anomalies"),
+            F.max(z).cast("double").alias("max_zscore"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto / cumulative revenue share: running decimal sum over ranked
+# customers (the "top x% of customers drive y% of revenue" curve)
+# --------------------------------------------------------------------------
+@query(
+    "q_customer_pareto",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, r,
+             ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS rk,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_r,
+             SUM(r) OVER () AS tot_r,
+             COUNT(*) OVER () AS n_cust
+      FROM rev
+    )
+    SELECT rk, o_custkey,
+           CAST(r AS DOUBLE) AS revenue,
+           CAST(run_r AS DOUBLE) / CAST(tot_r AS DOUBLE) AS cum_share,
+           CAST(rk AS DOUBLE) / n_cust AS cust_share
+    FROM ranked WHERE rk <= 100
+    """,
+)
+def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("r"))
+    w = Window.orderBy(F.col("r").desc(), F.col("o_custkey"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "o_custkey",
+        "r",
+        F.row_number().over(w).alias("rk"),
+        F.sum("r").over(wrun).alias("run_r"),
+        F.sum("r").over(wall).alias("tot_r"),
+        F.count(F.lit(1)).over(wall).alias("n_cust"),
+    )
+    return ranked.filter(F.col("rk") <= 100).select(
+        "rk",
+        "o_custkey",
+        F.col("r").cast("double").alias("revenue"),
+        (F.col("run_r").cast("double") / F.col("tot_r").cast("double")).alias(
+            "cum_share"
+        ),
+        (F.col("rk").cast("double") / F.col("n_cust")).alias("cust_share"),
+    )
