@@ -62,6 +62,9 @@ class Snapshot:
     operation: str
     timestamp_ms: int
     row_count: int | None = None
+    # merge-on-read: pending delete-key file applied at read time
+    delete_path: str | None = None
+    delete_key_cols: list | None = None
 
 
 class SnapshotCatalog:
@@ -121,7 +124,15 @@ class SnapshotCatalog:
             self._tdir(name), "snapshots", f"v{version:06d}-{uuid.uuid4().hex[:8]}"
         )
 
-    def _register_snapshot(self, name: str, version: int, snap_dir: str, operation: str) -> Snapshot:
+    def _register_snapshot(
+        self,
+        name: str,
+        version: int,
+        snap_dir: str,
+        operation: str,
+        delete_path: str | None = None,
+        delete_key_cols: list[str] | None = None,
+    ) -> Snapshot:
         """Atomic pointer swap: temp file + rename (same protocol shape
         as Iceberg's metadata pointer update)."""
         snap = Snapshot(
@@ -129,6 +140,8 @@ class SnapshotCatalog:
             path=snap_dir,
             operation=operation,
             timestamp_ms=int(time.time() * 1000),
+            delete_path=delete_path,
+            delete_key_cols=delete_key_cols,
         )
         ptr = self._pointer_path(name)
         tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -252,6 +265,47 @@ class SnapshotCatalog:
             f"merge-partitioned(rewrote={len(touched_strs)},linked={linked})",
         )
 
+    def delete_by_keys(
+        self, name: str, keys_df: DataFrame, key_cols: list[str]
+    ) -> Snapshot:
+        """Merge-on-read DELETE: commit a delete-key file instead of
+        rewriting data (Iceberg equality-delete analog).
+
+        The new snapshot's data files are the previous snapshot's files
+        carried forward by hardlink; the only new bytes written are the
+        (accumulated) delete keys — commit cost O(|delete set|), not
+        O(|table|). `compact()` (or any merge/overwrite) materializes
+        the deletes and clears the file. At 100 TB this is the delete
+        path: a GDPR erase of k rows writes k keys.
+        """
+        prev = self.current_snapshot(name)
+        if prev is None:
+            raise ValueError(f"table not found: {name}")
+        if prev.delete_key_cols and prev.delete_key_cols != key_cols:
+            raise ValueError(
+                f"{name}: pending deletes keyed on {prev.delete_key_cols}; "
+                "compact() before deleting on different keys"
+            )
+        new_deletes = keys_df.select(*key_cols)
+        if prev.delete_path and os.path.isdir(prev.delete_path):
+            prev_dels = self.spark.read.parquet(prev.delete_path).select(*key_cols)
+            new_deletes = prev_dels.unionByName(new_deletes).distinct()
+
+        version, snap_dir = self._new_snapshot_dir(name)
+        _link_tree(prev.path, snap_dir)
+        del_dir = os.path.join(snap_dir, "_deletes")
+        # plan the merged delete set BEFORE overwriting (reads from the
+        # previous snapshot's own _deletes, untouched by the overwrite)
+        new_deletes.write.mode("overwrite").parquet(del_dir)
+        return self._register_snapshot(
+            name,
+            version,
+            snap_dir,
+            "delete-by-keys(mor)",
+            delete_path=del_dir,
+            delete_key_cols=key_cols,
+        )
+
     def delete_where(self, name: str, predicate: str) -> Snapshot:
         """M4 DELETE FROM name WHERE predicate (filtered rewrite)."""
         df = self.read(name).filter(f"NOT ({predicate})")
@@ -264,9 +318,17 @@ class SnapshotCatalog:
         version: int | None = None,
         as_of_timestamp_ms: int | None = None,
     ) -> DataFrame:
-        """Current read, or M3 time travel by version / as-of timestamp."""
+        """Current read, or M3 time travel by version / as-of timestamp.
+
+        Merge-on-read: if the snapshot carries a delete file, deleted
+        keys are filtered with an anti-join at read time.
+        """
         snap = self._resolve(name, version, as_of_timestamp_ms)
-        return self.spark.read.parquet(snap.path)
+        df = self.spark.read.parquet(snap.path)
+        if snap.delete_path and os.path.isdir(snap.delete_path):
+            dels = self.spark.read.parquet(snap.delete_path)
+            df = df.join(dels, snap.delete_key_cols, "left_anti")
+        return df
 
     def _resolve(
         self, name: str, version: int | None, as_of_timestamp_ms: int | None

@@ -231,3 +231,55 @@ def test_expire_after_partitioned_merge_keeps_linked_data(spark, catalog):
     assert removed == 1
     got = {r.id: r.v for r in catalog.read("t").collect()}
     assert got[0] == 100 and len(got) == 20  # untouched partitions intact
+
+
+def test_mor_delete_by_keys(spark, catalog):
+    """Merge-on-read deletes: no data rewrite, reads apply the filter."""
+    catalog.write("t", df_of(spark, [Row(id=i, v=str(i)) for i in range(10)]))
+    prev = catalog.current_snapshot("t")
+    prev_inodes = _inode_map(prev.path)
+
+    snap = catalog.delete_by_keys(
+        "t", spark.createDataFrame([Row(id=3), Row(id=7)]), ["id"]
+    )
+    assert sorted(r.id for r in catalog.read("t").collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+    # data files carried forward by hardlink — nothing rewritten
+    new_inodes = {
+        k: v for k, v in _inode_map(snap.path).items() if not k.startswith("_deletes")
+    }
+    assert new_inodes == prev_inodes
+
+    # chained delete accumulates
+    catalog.delete_by_keys("t", spark.createDataFrame([Row(id=0)]), ["id"])
+    assert sorted(r.id for r in catalog.read("t").collect()) == [1, 2, 4, 5, 6, 8, 9]
+
+    # time travel to the pre-delete version still sees everything
+    assert catalog.read("t", version=1).count() == 10
+
+
+def test_mor_delete_then_compact_materializes(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=i) for i in range(6)]))
+    catalog.delete_by_keys("t", spark.createDataFrame([Row(id=2)]), ["id"])
+    snap = catalog.compact("t", target_files=1)
+    assert snap.delete_path is None
+    assert not os.path.isdir(os.path.join(snap.path, "_deletes"))
+    assert sorted(r.id for r in catalog.read("t").collect()) == [0, 1, 3, 4, 5]
+
+
+def test_mor_delete_then_merge_does_not_resurrect(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, v="a"), Row(id=2, v="b")]))
+    catalog.delete_by_keys("t", spark.createDataFrame([Row(id=2)]), ["id"])
+    catalog.merge("t", df_of(spark, [Row(id=3, v="c")]), ["id"])
+    got = {r.id: r.v for r in catalog.read("t").collect()}
+    assert got == {1: "a", 3: "c"}
+    # but an explicit re-insert of a deleted key comes back
+    catalog.merge("t", df_of(spark, [Row(id=2, v="B")]), ["id"])
+    got2 = {r.id: r.v for r in catalog.read("t").collect()}
+    assert got2 == {1: "a", 2: "B", 3: "c"}
+
+
+def test_mor_delete_key_mismatch_rejected(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, other=9)]))
+    catalog.delete_by_keys("t", spark.createDataFrame([Row(id=1)]), ["id"])
+    with pytest.raises(ValueError):
+        catalog.delete_by_keys("t", spark.createDataFrame([Row(other=9)]), ["other"])
