@@ -38,6 +38,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _footer_row_count(snap_dir: str) -> int:
+    """Sum parquet-footer row counts — no data read, no Spark job."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(snap_dir):
+        if "_deletes" in root:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Recreate ``src`` under ``dst`` with hardlinks (fallback: copy).
     Data files are immutable once committed, so links are safe."""
@@ -160,7 +174,9 @@ class SnapshotCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(snap_dir)
-        return self._register_snapshot(name, version, snap_dir, operation)
+        snap = self._register_snapshot(name, version, snap_dir, operation)
+        snap.row_count = _footer_row_count(snap_dir)
+        return snap
 
     # ---- public write paths --------------------------------------------
     def write(
@@ -380,6 +396,18 @@ class SnapshotCatalog:
         """M5 ALTER TABLE ADD COLUMN (materialized as a new snapshot)."""
         df = self.read(name).withColumn(col_name, col_expr)
         return self._commit(name, df, f"add-column({col_name})", None)
+
+    def count(self, name: str, version: int | None = None) -> int:
+        """Metadata-only row count from parquet footers (the reference's
+        "milliseconds on TB-scale tables" Iceberg claim,
+        docs/architecture/lakehouse.md:65) — no table scan. Falls back
+        to a counting read when a merge-on-read delete set is pending
+        (footers can't see deletes).
+        """
+        snap = self._resolve(name, version, None)
+        if snap.delete_path and os.path.isdir(snap.delete_path):
+            return self.read(name, version).count()
+        return _footer_row_count(snap.path)
 
     def register_views(self, prefix: str = "") -> None:
         """Expose every catalog table to Engine.sql (S8/S9 surface)."""

@@ -283,3 +283,14 @@ def test_mor_delete_key_mismatch_rejected(spark, catalog):
     catalog.delete_by_keys("t", spark.createDataFrame([Row(id=1)]), ["id"])
     with pytest.raises(ValueError):
         catalog.delete_by_keys("t", spark.createDataFrame([Row(other=9)]), ["other"])
+
+
+def test_metadata_only_count(spark, catalog):
+    catalog.write("t", spark.range(12345).toDF("id"))
+    assert catalog.count("t") == 12345
+    catalog.write("t", spark.range(7).toDF("id"))
+    assert catalog.count("t") == 7
+    assert catalog.count("t", version=1) == 12345
+    # pending MOR deletes force the slow path but stay correct
+    catalog.delete_by_keys("t", spark.createDataFrame([(0,)], "id long"), ["id"])
+    assert catalog.count("t") == 6
