@@ -811,3 +811,87 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         dsum("c_acctbal").alias("totacctbal"),
     )
+
+
+# --------------------------------------------------------------------------
+# q15 — top supplier(s) by revenue: agg view + max scalar subquery
+# --------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    li.createOrReplaceTempView("_q15_lineitem")
+    supp.createOrReplaceTempView("_q15_supplier")
+    # SQL form so Catalyst plans the MAX as a reusable subquery
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+          FROM _q15_lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM _q15_supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — small-quantity-order revenue: per-part correlated avg threshold
+# --------------------------------------------------------------------------
+@query(
+    "q17_small_quantity",
+    """
+    WITH part_avg AS (
+      SELECT l_partkey,
+             0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN part_avg ON part_avg.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < threshold
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (
+            F.lit(0.5)
+            * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("pa_key"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
