@@ -293,3 +293,83 @@ def simhash_candidates(hashes: DataFrame, bands: int = 4, bits: int = 64) -> Dat
 def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of XOR via bit_count (JVM built-in)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering: connected components over the pair graph
+# --------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) where component = min node id reachable.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup clusters are near-cliques,
+    so 2-3). Each round is one join + one groupBy — at 100 TB the
+    edge list is pairs-sized (tiny relative to the corpus) and labels
+    are (node, long) rows.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Cluster near-duplicate documents and pick a canonical keeper.
+
+    Exact pair discovery (prefix-filtered Jaccard join) -> connected
+    components -> every clustered doc mapped to its component's min id.
+    Documents with no near-dup stay their own representative.
+    """
+    pairs = jaccard_similarity_join(df, text_col, id_col, threshold, n)
+    comp = connected_components(pairs)
+    all_docs = df.select(F.col(id_col).alias("node"))
+    return (
+        all_docs.join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("component"), F.col("node")).alias("cluster_rep"),
+        )
+    )

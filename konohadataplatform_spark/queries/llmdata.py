@@ -504,3 +504,44 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("lang", "tok", "n", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster map: connected components over exact Jaccard pairs;
+# oracle via recursive CTE reachability (min-id per component)
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_clusters",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS sh
+      FROM t WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ), reach AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.dst AS node, r.label
+      FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_rep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.8)
