@@ -576,3 +576,29 @@ def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("rk").cast("double") / F.col("n_cust")).alias("cust_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact interpolated percentiles (median/p90/p99) — Spark percentile()
+# and DuckDB quantile_cont share the interpolation formula, so values
+# match bit-exact on identical sorted inputs
+# --------------------------------------------------------------------------
+@query(
+    "q_price_percentiles",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
