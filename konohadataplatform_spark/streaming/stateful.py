@@ -84,3 +84,110 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API): cross-batch
+# exactly-once event dedupe — drops event_ids already applied, the
+# belt-and-braces guard for at-least-once CDC delivery.
+# --------------------------------------------------------------------------
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+class SeenEventsProcessor(StatefulProcessor):
+    """Per-key set of already-emitted event ids (list state)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.seen = handle.getListState(
+            "seen_ids", StructType([StructField("id", LongType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        seen = {r[0] for r in self.seen.get()} if self.seen.exists() else set()
+        out = []
+        for pdf in rows:
+            for _, row in pdf.iterrows():
+                eid = int(row["event_id"])
+                if eid in seen:
+                    continue
+                seen.add(eid)
+                out.append((key[0], eid, float(row["value"])))
+        if out:
+            self.seen.appendList([(e,) for _, e, _ in out])
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "value"])
+
+    def close(self) -> None:
+        pass
+
+
+def dedupe_events_stream(events: DataFrame) -> DataFrame:
+    """Emit each (user_id, event_id) exactly once across all batches.
+
+    transformWithState requires the RocksDB state store (bundled with
+    Spark 4); set per-session here since it's read at query start.
+    NOTE: the Python worker side of this API needs a functional
+    google.protobuf, which this container lacks — the operator is
+    correct Spark 4 API usage and its test auto-skips where protobuf
+    is unavailable (applyInPandasWithState above covers the arbitrary
+    stateful surface in-container).
+    """
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        SeenEventsProcessor(),
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+# --------------------------------------------------------------------------
+# Same exactly-once dedupe on the applyInPandasWithState API (works in
+# this container): per-key seen-id set kept as array-typed state.
+# --------------------------------------------------------------------------
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+SEEN_STATE_SCHEMA = StructType([StructField("ids", ArrayType(LongType()))])
+
+
+def _dedupe_update(key, pdfs, state):
+    (user_id,) = key
+    seen = set(state.get[0]) if state.exists else set()
+    fresh = []
+    for pdf in pdfs:
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            eid = int(eid)
+            if eid in seen:
+                continue
+            seen.add(eid)
+            fresh.append((user_id, eid, float(val)))
+    state.update((list(seen),))
+    if fresh:
+        yield pd.DataFrame(fresh, columns=["user_id", "event_id", "value"])
+
+
+def dedupe_events_stream_gs(events: DataFrame) -> DataFrame:
+    """Exactly-once (user_id, event_id) emission across batches via
+    GroupState. State is O(#events-per-key ids) — bound it in
+    production by scoping keys to a time bucket (e.g. key =
+    (user_id, day)) with a state timeout evicting closed buckets."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _dedupe_update,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=SEEN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -78,3 +78,121 @@ def test_state_accumulates_across_restarts(spark, tmp_path):
     assert latest[1] == (3, 17.5)  # 2 + 1 events, 15.0 + 2.5
     assert latest[3] == (1, 7.0)
     assert latest[2] == (1, 1.0)  # untouched key, from batch 1 output
+
+
+def _protobuf_ok():
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _protobuf_ok(),
+    reason="transformWithState's Python worker needs google.protobuf, "
+    "which is not functional in this container (ImportError on "
+    "google.protobuf.descriptor); the operator is exercised wherever "
+    "protobuf is available",
+)
+def test_transform_with_state_dedupes_across_batches(spark, tmp_path):
+    from konohadataplatform_spark.streaming.stateful import dedupe_events_stream
+
+    src, ck, out = str(tmp_path / "s2"), str(tmp_path / "ck2"), str(tmp_path / "out2")
+    os.makedirs(src)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(src)
+        q = (
+            dedupe_events_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _i: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0},
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 1, "value": 2.0},
+        ],
+    )
+    first = run()
+    assert sorted((r.user_id, r.event_id) for r in first.collect()) == [(1, 1), (1, 2)]
+
+    # redelivery of event 1 + one new event in a later batch
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0},
+            {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 1, "value": 3.0},
+        ],
+    )
+    second = run()
+    assert sorted((r.user_id, r.event_id) for r in second.collect()) == [
+        (1, 1),
+        (1, 2),
+        (1, 3),
+    ]
+
+
+def test_groupstate_dedupe_across_batches(spark, tmp_path):
+    from konohadataplatform_spark.streaming.stateful import dedupe_events_stream_gs
+
+    src, ck, out = str(tmp_path / "s3"), str(tmp_path / "ck3"), str(tmp_path / "out3")
+    os.makedirs(src)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(src)
+        q = (
+            dedupe_events_stream_gs(stream)
+            .writeStream.foreachBatch(
+                lambda df, _i: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0},
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 1, "value": 2.0},
+        ],
+    )
+    first = run()
+    assert sorted((r.user_id, r.event_id) for r in first.collect()) == [(1, 1), (1, 2)]
+
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0},
+            {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 2, "value": 3.0},
+        ],
+    )
+    second = run()
+    assert sorted((r.user_id, r.event_id) for r in second.collect()) == [
+        (1, 1),
+        (1, 2),
+        (2, 3),
+    ]
