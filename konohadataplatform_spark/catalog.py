@@ -81,6 +81,12 @@ class Snapshot:
     delete_key_cols: list | None = None
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed since this operation began (optimistic
+    concurrency, the Iceberg commit model): retry on top of the new
+    current snapshot."""
+
+
 class SnapshotCatalog:
     """File-backed snapshot catalog with atomic pointer commits."""
 
@@ -157,6 +163,16 @@ class SnapshotCatalog:
             delete_path=delete_path,
             delete_key_cols=delete_key_cols,
         )
+        # optimistic concurrency: the version we computed must still be
+        # next-in-line; a concurrent committer makes this a conflict,
+        # not a silent clobber (Iceberg's retry contract)
+        cur = self.current_snapshot(name)
+        cur_version = cur.version if cur else 0
+        if cur_version != version - 1:
+            raise CommitConflictError(
+                f"{name}: expected to commit v{version} on top of "
+                f"v{version - 1}, but current is v{cur_version}"
+            )
         ptr = self._pointer_path(name)
         tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:

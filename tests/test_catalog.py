@@ -294,3 +294,23 @@ def test_metadata_only_count(spark, catalog):
     # pending MOR deletes force the slow path but stay correct
     catalog.delete_by_keys("t", spark.createDataFrame([(0,)], "id long"), ["id"])
     assert catalog.count("t") == 6
+
+
+def test_concurrent_commit_conflict_detected(spark, catalog, tmp_path):
+    """Two writers racing on the same table: the slower one gets a
+    CommitConflictError instead of silently clobbering (optimistic
+    concurrency, the Iceberg contract)."""
+    from konohadataplatform_spark.catalog import CommitConflictError, SnapshotCatalog
+
+    catalog.write("t", df_of(spark, [Row(id=1)]))
+    other = SnapshotCatalog(spark, catalog.warehouse)
+
+    # writer A computes its snapshot dir (v2), then writer B commits v2
+    version, snap_dir = catalog._new_snapshot_dir("t")
+    df_of(spark, [Row(id=99)]).write.mode("overwrite").parquet(snap_dir)
+    other.write("t", df_of(spark, [Row(id=2)]))
+
+    with pytest.raises(CommitConflictError):
+        catalog._register_snapshot("t", version, snap_dir, "late-write")
+    # winner's data intact
+    assert [r.id for r in catalog.read("t").collect()] == [2]
