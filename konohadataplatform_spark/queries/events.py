@@ -389,3 +389,101 @@ def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("value").alias("bucket_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join (custom operator Spark lacks; DuckDB ASOF JOIN is the
+# oracle): each purchase matched to the user's latest prior-or-equal
+# view, with the view->purchase gap
+# --------------------------------------------------------------------------
+@query(
+    "q_asof_purchase_view",
+    """
+    WITH purchases AS (
+      SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, ts AS view_ts, event_id AS view_event_id
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.user_id, p.event_id, p.ts,
+           CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value,
+           v.view_ts, v.view_event_id,
+           CAST((epoch_us(p.ts) - epoch_us(v.view_ts)) // 1000000 AS BIGINT) AS gap_sec
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    """,
+)
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from konohadataplatform_spark.operators.temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    joined = as_of_join(
+        purchases,
+        views,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        right_value_cols=["view_ts", "view_event_id"],
+        suffix="",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        dec("value").cast("double").alias("purchase_value"),
+        "view_ts",
+        "view_event_id",
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros("view_ts")) / 1_000_000
+        ).alias("gap_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join: facts matched to irregular value bands (broadcast interval
+# table; the non-equi-join custom-operator case)
+# --------------------------------------------------------------------------
+@query(
+    "q_range_join_bands",
+    """
+    WITH bands AS (
+      SELECT * FROM (VALUES
+        ('micro',  0.0,   10.0),
+        ('small',  10.0,  50.0),
+        ('mid',    50.0,  120.0),
+        ('large',  120.0, 1e9)
+      ) AS t(band, low, high)
+    )
+    SELECT b.band,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS band_value
+    FROM events e JOIN bands b ON e.value >= b.low AND e.value < b.high
+    GROUP BY b.band
+    """,
+)
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from konohadataplatform_spark.operators.temporal import range_join_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [
+            ("micro", 0.0, 10.0),
+            ("small", 10.0, 50.0),
+            ("mid", 50.0, 120.0),
+            ("large", 120.0, 1e9),
+        ],
+        "band string, low double, high double",
+    )
+    joined = range_join_buckets(ev, bands, "value").filter(F.col("band").isNotNull())
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("band_value"),
+    )

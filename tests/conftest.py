@@ -39,11 +39,9 @@ def duck():
 
 def canon(v):
     """Canonicalize a value the way an order-insensitive hash would."""
-    if v is None:
+    if v is None or v != v:  # None / NaN / NaT (NaT != NaT)
         return "NULL"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
         return repr(v)  # exact double repr — must match bit-for-bit
     if isinstance(v, Decimal):
         return repr(float(v))

@@ -24,10 +24,10 @@ TABLES = [
 
 
 def canon(v):
-    if v is None:
+    if v is None or v != v:  # None / NaN / NaT (NaT != NaT)
         return "NULL"
     if isinstance(v, float):
-        return "NaN" if v != v else repr(v)
+        return repr(v)
     if isinstance(v, Decimal):
         return repr(float(v))
     if isinstance(v, datetime):
