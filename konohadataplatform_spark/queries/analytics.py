@@ -602,3 +602,32 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
         F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy matching via edit distance (levenshtein is identical in both
+# engines): near-matches of a target customer name
+# --------------------------------------------------------------------------
+@query(
+    "q_fuzzy_name_match",
+    """
+    SELECT levenshtein(c_name, 'Customer#000000042') AS edit_dist,
+           COUNT(*) AS n_customers,
+           MIN(c_name) AS sample_name
+    FROM customer
+    WHERE levenshtein(c_name, 'Customer#000000042') <= 3
+    GROUP BY edit_dist
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    dist = F.levenshtein(F.col("c_name"), F.lit("Customer#000000042"))
+    return (
+        cust.withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") <= 3)
+        .groupBy("edit_dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_name").alias("sample_name"),
+        )
+    )

@@ -144,3 +144,53 @@ def test_catalog_merge_matches_dict_upsert(spark, tmp_path_factory, batches):
         model.update(dedup)
     got = {r.k: r.v for r in cat.read("t").collect()}
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# as_of_join vs a brute-force in-memory reference
+# ---------------------------------------------------------------------------
+asof_events = st.tuples(
+    st.lists(  # probes: (key, ts)
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=8
+    ),
+    st.lists(  # references: (key, ts, val) with unique (key, ts)
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 999)),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=asof_events)
+def test_as_of_join_matches_bruteforce(spark, data):
+    from konohadataplatform_spark.operators.temporal import as_of_join
+
+    probes, refs = data
+    left = spark.createDataFrame(
+        [Row(k=k, lts=t, pid=i) for i, (k, t) in enumerate(probes)]
+    )
+    if refs:
+        right = spark.createDataFrame(
+            [Row(k=k, rts=t, val=v) for k, t, v in refs]
+        )
+    else:
+        right = spark.createDataFrame([], "k int, rts int, val int")
+    out = as_of_join(
+        left, right, ["k"], "lts", "rts", ["rts", "val"], suffix="_m"
+    ).collect()
+    got = {r.pid: (r.rts_m, r.val_m) for r in out}
+
+    expected = {}
+    for i, (k, t) in enumerate(probes):
+        best = None
+        for rk, rt, rv in refs:
+            if rk == k and rt <= t and (best is None or rt > best[0]):
+                best = (rt, rv)
+        expected[i] = best if best else (None, None)
+    assert got == expected
