@@ -545,3 +545,34 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# Multimodal frame sampling exposed as a declared query: byte-window
+# "frames" (64B every 128B) with per-frame SHA fingerprints via the
+# Arrow-batched mapInPandas operator. Oracle uses VARCHAR slicing,
+# valid because this corpus is pure ASCII (octet_length == length,
+# asserted by the driver data; the operator itself is byte-exact).
+# --------------------------------------------------------------------------
+@query(
+    "q_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           UNNEST([{'frame_idx': i,
+                    'frame_sha': sha256(substring(text, i * 128 + 1, 64)),
+                    'frame_len': length(substring(text, i * 128 + 1, 64))}
+                   for i in range(0, CAST(ceil(length(text) / 128.0) AS INT))],
+                  recursive := true)
+    FROM documents
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    frames = M.sample_frames(media, frame_size=64, stride=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_sha",
+        F.length("frame_bytes").alias("frame_len"),
+    )
