@@ -631,3 +631,50 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_name").alias("sample_name"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# first_value / last_value / nth_value over full-partition frames — the
+# remaining analytic window functions not covered elsewhere
+# --------------------------------------------------------------------------
+@query(
+    "q_window_first_last",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+             first_value(o_orderkey) OVER win AS first_order,
+             last_value(o_orderkey) OVER win AS last_order,
+             nth_value(o_orderkey, 2) OVER win AS second_order,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+      FROM orders
+      WINDOW win AS (PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_custkey, o_orderkey, price,
+           first_order, last_order, second_order, n_orders
+    FROM w WHERE o_custkey <= 200
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            dec("o_totalprice").cast("double").alias("price"),
+            F.first("o_orderkey").over(win).alias("first_order"),
+            F.last("o_orderkey").over(win).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(win).alias("second_order"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("o_custkey"))
+            .alias("n_orders"),
+        )
+        .filter(F.col("o_custkey") <= 200)
+    )
