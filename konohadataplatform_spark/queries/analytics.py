@@ -678,3 +678,52 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("o_custkey") <= 200)
     )
+
+
+# --------------------------------------------------------------------------
+# Nested types at the SQL surface (SURVEY §1.2 notes the reference
+# exercises no nested types — the engine still must serve them):
+# deterministic array aggregation + struct construction/field access
+# --------------------------------------------------------------------------
+@query(
+    "q_nested_types",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             list_sort(list(o_orderkey)) AS order_keys,
+             COUNT(*) AS n_orders,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           array_to_string(order_keys, ',') AS order_keys_csv,
+           order_keys[1] AS first_key,
+           len(order_keys) AS n_keys,
+           CAST({'n': n_orders, 'max_price': max_price}.n AS BIGINT) AS stats_n,
+           {'n': n_orders, 'max_price': max_price}.max_price AS stats_max_price
+    FROM per_cust
+    WHERE o_custkey <= 300
+    """,
+)
+def q_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(dec("o_totalprice")).cast("double").alias("max_price"),
+    )
+    stats = F.struct(
+        F.col("n_orders").alias("n"), F.col("max_price").alias("max_price")
+    )
+    # nested values are exercised (array agg, struct build, field
+    # access) but surfaced as scalars — nested Python representations
+    # differ across engines/Arrow modes and would make the driver's
+    # value-hash fragile
+    return per_cust.filter(F.col("o_custkey") <= 300).select(
+        "o_custkey",
+        F.array_join("order_keys", ",").alias("order_keys_csv"),
+        F.col("order_keys").getItem(0).alias("first_key"),
+        F.size("order_keys").alias("n_keys"),
+        stats.getField("n").alias("stats_n"),
+        stats.getField("max_price").alias("stats_max_price"),
+    )

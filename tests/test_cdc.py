@@ -183,3 +183,37 @@ def test_latest_per_key_unit(spark):
     )
     out = {r.k: r.v for r in latest_per_key(df, ["k"]).collect()}
     assert out == {1: "new", 2: "only"}
+
+
+def test_schema_evolution_mid_stream(spark, catalog):
+    """The reference's evolve-schema-enabled: a new column appearing in
+    later change batches widens the target; old rows read NULL."""
+    v1_schema = CUSTOMER_SCHEMA
+    raw1 = spark.createDataFrame(
+        [env("c", "customers", {"customer_id": "A", "company_name": "co", "contact_name": "x"}, ts_ms=1, lsn=1)],
+        ENVELOPE_SCHEMA,
+    )
+    apply_cdc_batch(catalog, "customers", parse_envelopes(raw1, v1_schema), ["customer_id"])
+
+    v2_schema = T.StructType(
+        list(CUSTOMER_SCHEMA.fields) + [T.StructField("country", T.StringType(), True)]
+    )
+    raw2 = spark.createDataFrame(
+        [
+            env("c", "customers", {"customer_id": "B", "company_name": "bee", "contact_name": "y", "country": "DE"}, ts_ms=2, lsn=2),
+            env("u", "customers", {"customer_id": "A", "company_name": "co2", "contact_name": "x", "country": "VN"}, ts_ms=3, lsn=3),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    apply_cdc_batch(catalog, "customers", parse_envelopes(raw2, v2_schema), ["customer_id"])
+    out = {r.customer_id: (r.company_name, r.country) for r in catalog.read("customers").collect()}
+    assert out == {"A": ("co2", "VN"), "B": ("bee", "DE")}
+
+    # and a batch with the OLD schema still applies (missing col -> NULL)
+    raw3 = spark.createDataFrame(
+        [env("c", "customers", {"customer_id": "C", "company_name": "sea", "contact_name": "z"}, ts_ms=4, lsn=4)],
+        ENVELOPE_SCHEMA,
+    )
+    apply_cdc_batch(catalog, "customers", parse_envelopes(raw3, v1_schema), ["customer_id"])
+    out2 = {r.customer_id: r.country for r in catalog.read("customers").collect()}
+    assert out2 == {"A": "VN", "B": "DE", "C": None}

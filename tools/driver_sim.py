@@ -24,6 +24,10 @@ TABLES = [
 
 
 def canon(v):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
     if v is None or v != v:  # None / NaN / NaT (NaT != NaT)
         return "NULL"
     if isinstance(v, float):
