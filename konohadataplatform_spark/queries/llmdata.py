@@ -576,3 +576,90 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_sha",
         F.length("frame_bytes").alias("frame_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: multiplicative-hash mod bucketing
+# (reproducible train/eval splits at any scale — same rows every run,
+# no RNG state, engine-portable)
+# --------------------------------------------------------------------------
+@query(
+    "q_stratified_sample",
+    """
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             (doc_id * 2654435761) % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN bucket < 30 THEN 1 END) AS n_sampled,
+           CAST(MIN(CASE WHEN bucket < 30 THEN doc_id END) AS BIGINT) AS first_sampled_id
+    FROM tagged
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    tagged = docs.select("doc_id", "lang", bucket.alias("bucket"))
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("bucket") < 30, 1)).alias("n_sampled"),
+        F.min(F.when(F.col("bucket") < 30, F.col("doc_id"))).alias(
+            "first_sampled_id"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF-family term scoring: term frequency x corpus rarity, kept in
+# exact integer/rational arithmetic (no ln() - libm last-ulp behavior
+# differs across engines); top-3 distinctive terms per document
+# --------------------------------------------------------------------------
+@query(
+    "q_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS rarity_score
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY rarity_score DESC, tok) AS rk
+      FROM scored
+    )
+    SELECT doc_id, tok, tf, df, rarity_score, rk
+    FROM ranked WHERE rk <= 3 AND doc_id < 100
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(dfreq, "tok").withColumn(
+        "rarity_score", F.col("tf").cast("double") * n_docs / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("rarity_score").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "tok", "tf", "df", "rarity_score", "rk")
+    )
