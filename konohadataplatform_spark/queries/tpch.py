@@ -895,3 +895,94 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Supplier scorecard: multi-table KPI rollup (revenue, breadth, return
+# rate) — the operational-report join shape
+# --------------------------------------------------------------------------
+@query(
+    "q_supplier_scorecard",
+    """
+    SELECT s_suppkey, s_name, n_name,
+           COUNT(*) AS n_lines,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(100.0 AS DOUBLE) * COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)
+               / NULLIF(COUNT(*), 0) AS return_rate_pct
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY s_suppkey, s_name, n_name
+    """,
+)
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            (
+                F.lit(100.0)
+                * F.count(F.when(F.col("l_returnflag") == "R", 1))
+                / F.nullif(F.count(F.lit(1)), F.lit(0))
+            ).alias("return_rate_pct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue growth: time-series lag over a monthly grain
+# --------------------------------------------------------------------------
+@query(
+    "q_monthly_growth",
+    """
+    WITH monthly AS (
+      SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY y, m
+    ), seq AS (
+      SELECT y, m, CAST(rev AS DOUBLE) AS revenue,
+             CAST(LAG(rev) OVER (ORDER BY y, m) AS DOUBLE) AS prev_revenue
+      FROM monthly
+    )
+    SELECT y, m, revenue, prev_revenue,
+           CAST(100.0 AS DOUBLE) * (revenue - prev_revenue)
+             / NULLIF(prev_revenue, 0) AS growth_pct
+    FROM seq
+    """,
+)
+def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
+    w = Window.orderBy("y", "m")
+    seq = monthly.select(
+        "y",
+        "m",
+        F.col("rev").cast("double").alias("revenue"),
+        F.lag("rev").over(w).cast("double").alias("prev_revenue"),
+    )
+    return seq.select(
+        "y",
+        "m",
+        "revenue",
+        "prev_revenue",
+        (
+            F.lit(100.0)
+            * (F.col("revenue") - F.col("prev_revenue"))
+            / F.nullif(F.col("prev_revenue"), F.lit(0.0))
+        ).alias("growth_pct"),
+    )
