@@ -986,3 +986,63 @@ def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("prev_revenue"), F.lit(0.0))
         ).alias("growth_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# q21 shape — suppliers who kept waiting: multi-level correlation via
+# window counts (orders with >1 supplier where ONLY this supplier was
+# late), the hardest relational shape in the TPC-H family
+# --------------------------------------------------------------------------
+@query(
+    "q21_waiting_supplier",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(l_linenumber % 2 = 0 AS INT) AS is_late
+      FROM lineitem
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_suppliers,
+             COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_suppliers
+      FROM li GROUP BY l_orderkey
+    ), culprits AS (
+      SELECT DISTINCT li.l_orderkey, li.l_suppkey
+      FROM li JOIN per_order p ON li.l_orderkey = p.l_orderkey
+      WHERE li.is_late = 1 AND p.n_suppliers > 1 AND p.n_late_suppliers = 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM culprits JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the testdata has no l_commitdate; a deterministic mixed lateness
+    # flag (linenumber parity) preserves the query's correlation
+    # structure, which is what q21 exercises
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_linenumber") % 2 == 0).cast("int").alias("is_late"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "n_late_suppliers"
+        ),
+    )
+    culprits = (
+        li.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_suppliers") > 1)
+            & (F.col("n_late_suppliers") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        culprits.join(F.broadcast(supp), culprits.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
