@@ -1,0 +1,70 @@
+"""Degenerate-input hardening for the dedup/similarity operators:
+empty corpora, single documents, texts shorter than the shingle width."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from konohadataplatform_spark.operators import dedup as D
+from konohadataplatform_spark.operators import similarity as S
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_join_empty_corpus(spark):
+    empty = docs_df(spark, [])
+    assert D.jaccard_similarity_join(empty).count() == 0
+
+
+def test_jaccard_join_single_doc(spark):
+    one = docs_df(spark, [(1, "a b c d e")])
+    assert D.jaccard_similarity_join(one).count() == 0
+
+
+def test_short_texts_excluded_but_kept_in_clusters(spark):
+    docs = docs_df(
+        spark,
+        [
+            (1, "xy"),                      # < 3 tokens: no shingles
+            (2, "one two"),                 # < 3 tokens
+            (3, "a b c d e f g h"),
+            (4, "a b c d e f g h"),         # exact near-dup of 3
+        ],
+    )
+    pairs = D.jaccard_similarity_join(docs, threshold=0.8)
+    assert {(r.a_id, r.b_id) for r in pairs.collect()} == {(3, 4)}
+    clusters = {r.doc_id: r.cluster_rep for r in D.dedup_clusters(docs).collect()}
+    assert clusters == {1: 1, 2: 2, 3: 3, 4: 3}
+
+
+def test_minhash_single_and_short(spark):
+    docs = docs_df(spark, [(1, "only"), (2, "a b c d e")])
+    assert D.minhash_dedup(docs).count() == 0
+
+
+def test_exact_dedup_duplicate_and_null_text(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="same"), Row(doc_id=2, text="same"), Row(doc_id=3, text=None)],
+        "doc_id long, text string",
+    )
+    out = {r.kept_doc_id: r.n_copies for r in D.exact_dedup(docs).collect()}
+    assert out[1] == 2  # duplicates collapse to min id
+    assert out[3] == 1  # null text forms its own (null-hash) group
+
+
+def test_cosine_topk_fewer_neighbors_than_k(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.cosine_topk(emb, emb.filter("vec_id = 0"), k=5).collect()
+    assert len(out) == 1 and out[0].neighbor_id == 1
+
+
+def test_simhash_empty_text(spark):
+    docs = docs_df(spark, [(1, ""), (2, "hello world")])
+    hashes = D.simhash(docs)
+    # empty text still yields a row (single empty token)
+    assert hashes.count() == 2
