@@ -19,10 +19,16 @@ from konohadataplatform_spark.sources.star_schema import register_views
 
 
 class Engine:
-    """In-process analytics engine: SQL entry point + table registry."""
+    """In-process analytics engine: SQL entry point + table registry.
 
-    def __init__(self, spark: SparkSession | None = None):
+    Attach a :class:`SnapshotCatalog` to get the lakehouse surface
+    (time travel, history, maintenance) on the same facade — the
+    reference's "Kyuubi + Iceberg" pairing in one object.
+    """
+
+    def __init__(self, spark: SparkSession | None = None, catalog=None):
         self.spark = spark or get_spark()
+        self.catalog = catalog
 
     # ---- S8: JDBC/Thrift SQL entry point analog -------------------------
     def sql(self, query: str) -> DataFrame:
@@ -41,3 +47,29 @@ class Engine:
     def udf_register(self, name: str, fn, return_type=None):
         """UDF surface (reference core tenet 4, docs/00-introduction.md:28)."""
         return self.spark.udf.register(name, fn, return_type)
+
+    # ---- EXPLAIN surface -------------------------------------------------
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        df = self.spark.sql(query)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
+    # ---- lakehouse surface (requires an attached catalog) ---------------
+    def _require_catalog(self):
+        if self.catalog is None:
+            raise ValueError("no catalog attached to this Engine")
+        return self.catalog
+
+    def save_table(self, name: str, df: DataFrame, **kwargs):
+        snap = self._require_catalog().write(name, df, **kwargs)
+        self.register(name, self.catalog.read(name))
+        return snap
+
+    def table_at(self, name: str, version: int | None = None,
+                 as_of_timestamp_ms: int | None = None) -> DataFrame:
+        """M3 time travel through the facade."""
+        return self._require_catalog().read(name, version, as_of_timestamp_ms)
+
+    def history(self, name: str):
+        return self._require_catalog().history(name)

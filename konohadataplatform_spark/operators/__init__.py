@@ -1,0 +1,26 @@
+"""Operator namespace: dedup / similarity / text / multimodal / skew /
+ranking / temporal. Import submodules directly for the full surface;
+the most-used entry points are re-exported here."""
+
+from konohadataplatform_spark.operators.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    jaccard_similarity_join,
+    minhash_dedup,
+    simhash,
+)
+from konohadataplatform_spark.operators.ranking import scalable_row_number
+from konohadataplatform_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk,
+)
+from konohadataplatform_spark.operators.skew import key_skew_profile, salted_join
+from konohadataplatform_spark.operators.temporal import as_of_join, range_join_buckets
+
+__all__ = [
+    "exact_dedup", "jaccard_similarity_join", "minhash_dedup", "simhash",
+    "dedup_clusters", "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "salted_join", "key_skew_profile", "scalable_row_number",
+    "as_of_join", "range_join_buckets",
+]

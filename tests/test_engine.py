@@ -184,3 +184,38 @@ def test_archive_stream_raw_zone(spark, tmp_path):
     back = spark.read.json(str(tmp_path / "zone"))
     assert back.count() == 10
     assert "_arrival_date" in [f.name for f in back.schema.fields] or True
+
+
+def test_explain_surface(engine):
+    plan = engine.explain(
+        "SELECT c_mktsegment, COUNT(*) FROM customer "
+        "WHERE c_acctbal > 0 GROUP BY c_mktsegment"
+    )
+    assert "HashAggregate" in plan
+    assert "PushedFilters" in plan and "c_acctbal" in plan
+
+
+def test_engine_catalog_facade(spark, tmp_path):
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.engine import Engine
+
+    eng = Engine(spark, catalog=SnapshotCatalog(spark, str(tmp_path / "wh")))
+    eng.save_table("facade_t", spark.range(5).toDF("id"))
+    eng.save_table("facade_t", spark.range(50).toDF("id"))
+    assert eng.sql("SELECT COUNT(*) n FROM facade_t").first().n == 50
+    assert eng.table_at("facade_t", version=1).count() == 5
+    assert [s.version for s in eng.history("facade_t")] == [1, 2]
+
+
+def test_engine_without_catalog_raises(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.table_at("anything")
+
+
+def test_operator_namespace_exports():
+    import konohadataplatform_spark.operators as ops
+
+    for name in ops.__all__:
+        assert callable(getattr(ops, name)), name
