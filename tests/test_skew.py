@@ -65,3 +65,43 @@ def test_bucketed_write_avoids_join_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE bt_a")
         spark.sql("DROP TABLE bt_b")
+
+
+def test_star_schema_bucketed_join_shuffle_free(spark):
+    """Pre-bucketing orders+lineitem on the join key (M6 bucket(x,N))
+    removes the fact-fact shuffle from the q3-style join entirely."""
+    from konohadataplatform_spark.catalog import write_bucketed
+    from konohadataplatform_spark.sources.star_schema import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(spark, "b_orders", orders, ["o_orderkey"], n_buckets=8)
+    write_bucketed(
+        spark,
+        "b_lineitem",
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        ["o_orderkey"],
+        n_buckets=8,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .join(spark.table("b_orders"), "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        # no exchange below the join: both sides are co-bucketed; the
+        # only allowed exchange is the one feeding the final aggregate
+        join_part = plan.split("SortMergeJoin")[0]
+        assert "Exchange hashpartitioning" not in join_part
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE b_orders")
+        spark.sql("DROP TABLE b_lineitem")
