@@ -217,3 +217,64 @@ def test_schema_evolution_mid_stream(spark, catalog):
     apply_cdc_batch(catalog, "customers", parse_envelopes(raw3, v1_schema), ["customer_id"])
     out2 = {r.customer_id: r.country for r in catalog.read("customers").collect()}
     assert out2 == {"A": "VN", "B": "DE", "C": None}
+
+
+def test_northwind_priority_tables_replay(spark, catalog):
+    """FIXTURES.md §2: the three reference CDC tables (customers,
+    orders, products) with their Northwind schemas, replaying the
+    reference's manual test sequence (kafka/README.md:99-110):
+    UPDATE a customer's contact, INSERT a product, DELETE an order."""
+    nw_customers = T.StructType([
+        T.StructField("customer_id", T.StringType(), False),   # VARCHAR(5) PK
+        T.StructField("company_name", T.StringType(), False),
+        T.StructField("contact_name", T.StringType(), True),
+        T.StructField("country", T.StringType(), True),
+    ])
+    nw_orders = T.StructType([
+        T.StructField("order_id", T.IntegerType(), False),     # SMALLINT PK
+        T.StructField("customer_id", T.StringType(), True),
+        T.StructField("order_date", T.StringType(), True),
+        T.StructField("freight", T.DoubleType(), True),        # REAL
+    ])
+    nw_products = T.StructType([
+        T.StructField("product_id", T.IntegerType(), False),   # SMALLINT PK
+        T.StructField("product_name", T.StringType(), False),
+        T.StructField("unit_price", T.DoubleType(), True),
+        T.StructField("discontinued", T.IntegerType(), False),
+    ])
+    pipe = CdcPipeline(spark, catalog, {
+        "customers": (nw_customers, ["customer_id"]),
+        "orders": (nw_orders, ["order_id"]),
+        "products": (nw_products, ["product_id"]),
+    })
+    # C1: initial snapshots
+    pipe.bootstrap("customers", spark.createDataFrame(
+        [("ALFKI", "Alfreds Futterkiste", "Maria Anders", "Germany"),
+         ("ANATR", "Ana Trujillo", "Ana Trujillo", "Mexico")], nw_customers))
+    pipe.bootstrap("orders", spark.createDataFrame(
+        [(10248, "ALFKI", "1996-07-04", 32.38),
+         (10249, "ANATR", "1996-07-05", 11.61)], nw_orders))
+    pipe.bootstrap("products", spark.createDataFrame(
+        [(1, "Chai", 18.0, 0)], nw_products))
+
+    # the reference's manual sequence as one change stream
+    raw = spark.createDataFrame([
+        env("u", "customers",
+            {"customer_id": "ALFKI", "company_name": "Alfreds Futterkiste",
+             "contact_name": "Maria Anders-Updated", "country": "Germany"},
+            ts_ms=1, lsn=1),
+        env("c", "products",
+            {"product_id": 78, "product_name": "Test Product",
+             "unit_price": 9.99, "discontinued": 0}, ts_ms=2, lsn=2),
+        env("d", "orders",
+            before={"order_id": 10249, "customer_id": "ANATR",
+                    "order_date": "1996-07-05", "freight": 11.61},
+            ts_ms=3, lsn=3),
+    ], ENVELOPE_SCHEMA)
+    pipe.apply_envelopes(raw)
+
+    cust = {r.customer_id: r.contact_name for r in catalog.read("customers").collect()}
+    assert cust["ALFKI"] == "Maria Anders-Updated"
+    assert [r.order_id for r in catalog.read("orders").collect()] == [10248]
+    prods = {r.product_id: r.product_name for r in catalog.read("products").collect()}
+    assert prods == {1: "Chai", 78: "Test Product"}
