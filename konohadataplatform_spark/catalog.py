@@ -44,12 +44,24 @@ def _footer_row_count(snap_dir: str) -> int:
 
     total = 0
     for root, _dirs, files in os.walk(snap_dir):
-        if "_deletes" in root:
+        rel = os.path.relpath(root, snap_dir)
+        # metadata side-dirs (_deletes, _upserts, ...) are not base data
+        if rel != "." and any(p.startswith("_") for p in rel.split(os.sep)):
             continue
         for f in files:
             if f.endswith(".parquet"):
                 total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
     return total
+
+
+def _partition_dir_value(v) -> str:
+    """Render a partition value exactly as Spark names the partition
+    directory (before URL-encoding): NULL becomes the Hive default
+    partition token, everything else uses its string form (Spark writes
+    dates/timestamps in the same ISO shapes ``str()`` produces)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return str(v)
 
 
 def _link_tree(src: str, dst: str) -> None:
@@ -79,6 +91,14 @@ class Snapshot:
     # merge-on-read: pending delete-key file applied at read time
     delete_path: str | None = None
     delete_key_cols: list | None = None
+    # partition-scoped merges can carry old-schema files (hardlinked)
+    # alongside rewritten ones; readers must merge footers
+    mixed_schema: bool = False
+    # merge-on-read UPSERT layers: ordered dirs under _upserts/, each a
+    # small parquet file set; read() folds them newest-last (anti-join
+    # older data on the layer's keys, then union the layer)
+    upsert_layers: list | None = None
+    upsert_key_cols: list | None = None
 
 
 class CommitConflictError(RuntimeError):
@@ -152,16 +172,25 @@ class SnapshotCatalog:
         operation: str,
         delete_path: str | None = None,
         delete_key_cols: list[str] | None = None,
+        row_count: int | None = None,
+        mixed_schema: bool = False,
+        upsert_layers: list[str] | None = None,
+        upsert_key_cols: list[str] | None = None,
     ) -> Snapshot:
         """Atomic pointer swap: temp file + rename (same protocol shape
-        as Iceberg's metadata pointer update)."""
+        as Iceberg's metadata pointer update). On conflict the caller's
+        snapshot directory is removed — no orphan data dirs."""
         snap = Snapshot(
             version=version,
             path=snap_dir,
             operation=operation,
             timestamp_ms=int(time.time() * 1000),
+            row_count=row_count,
             delete_path=delete_path,
             delete_key_cols=delete_key_cols,
+            mixed_schema=mixed_schema,
+            upsert_layers=upsert_layers,
+            upsert_key_cols=upsert_key_cols,
         )
         # optimistic concurrency: the version we computed must still be
         # next-in-line; a concurrent committer makes this a conflict,
@@ -169,6 +198,7 @@ class SnapshotCatalog:
         cur = self.current_snapshot(name)
         cur_version = cur.version if cur else 0
         if cur_version != version - 1:
+            shutil.rmtree(snap_dir, ignore_errors=True)
             raise CommitConflictError(
                 f"{name}: expected to commit v{version} on top of "
                 f"v{version - 1}, but current is v{cur_version}"
@@ -190,9 +220,12 @@ class SnapshotCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(snap_dir)
-        snap = self._register_snapshot(name, version, snap_dir, operation)
-        snap.row_count = _footer_row_count(snap_dir)
-        return snap
+        # row count comes from footers BEFORE the pointer swap so the
+        # persisted snapshot/log record carries it
+        row_count = _footer_row_count(snap_dir)
+        return self._register_snapshot(
+            name, version, snap_dir, operation, row_count=row_count
+        )
 
     # ---- public write paths --------------------------------------------
     def write(
@@ -259,6 +292,13 @@ class SnapshotCatalog:
         vals = [r[0] for r in changed.select(partition_col).distinct().collect()]
 
         prev = self.current_snapshot(name)
+        if prev.delete_path or prev.upsert_layers:
+            # pending merge-on-read state lives at snapshot scope, not
+            # partition scope — hardlinking untouched partitions raw
+            # would resurrect deleted rows / drop layered upserts.
+            # Materialize first (one full rewrite), then merge scoped.
+            self._commit(name, self.read(name), "materialize-mor", [partition_col])
+            prev = self.current_snapshot(name)
         part_prefix = f"{partition_col}="
         prev_part_dirs = [
             e for e in os.listdir(prev.path) if e.startswith(part_prefix)
@@ -282,19 +322,31 @@ class SnapshotCatalog:
         version, snap_dir = self._new_snapshot_dir(name)
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(snap_dir)
 
-        touched_strs = {str(v) for v in vals}
+        # directory-name match must use Spark's own rendering: a NULL
+        # partition value lands in __HIVE_DEFAULT_PARTITION__, not "None"
+        # — getting this wrong would hardlink the stale null partition
+        # in beside the rewritten one and silently duplicate rows
+        touched_strs = {_partition_dir_value(v) for v in vals}
         linked = 0
+        new_cols = set(merged.columns)
+        prev_cols = set(self.spark.read.parquet(prev.path).columns)
         for entry in prev_part_dirs:
             val = urllib.parse.unquote(entry[len(part_prefix):])
             if val in touched_strs:
                 continue
             _link_tree(os.path.join(prev.path, entry), os.path.join(snap_dir, entry))
             linked += 1
+        # carried-forward files keep the previous schema; if the rewrite
+        # evolved it (or the prev snapshot was already mixed), flag the
+        # snapshot so read() merges footers instead of sampling one
+        mixed = linked > 0 and (new_cols != prev_cols or prev.mixed_schema)
         return self._register_snapshot(
             name,
             version,
             snap_dir,
             f"merge-partitioned(rewrote={len(touched_strs)},linked={linked})",
+            row_count=_footer_row_count(snap_dir),
+            mixed_schema=mixed,
         )
 
     def delete_by_keys(
@@ -318,6 +370,12 @@ class SnapshotCatalog:
                 f"{name}: pending deletes keyed on {prev.delete_key_cols}; "
                 "compact() before deleting on different keys"
             )
+        if prev.upsert_key_cols and prev.upsert_key_cols != key_cols:
+            raise ValueError(
+                f"{name}: pending upsert layers keyed on "
+                f"{prev.upsert_key_cols}; compact() before deleting on "
+                "different keys"
+            )
         new_deletes = keys_df.select(*key_cols)
         if prev.delete_path and os.path.isdir(prev.delete_path):
             prev_dels = self.spark.read.parquet(prev.delete_path).select(*key_cols)
@@ -336,6 +394,79 @@ class SnapshotCatalog:
             "delete-by-keys(mor)",
             delete_path=del_dir,
             delete_key_cols=key_cols,
+            mixed_schema=prev.mixed_schema,
+            # upsert layers ride along untouched (hardlinked above);
+            # the delete set applies after them at read time
+            upsert_layers=prev.upsert_layers,
+            upsert_key_cols=prev.upsert_key_cols,
+        )
+
+    def upsert_by_keys(
+        self, name: str, source: DataFrame, key_cols: list[str]
+    ) -> Snapshot:
+        """Merge-on-read UPSERT: commit only the changed rows as a new
+        layer file set (Iceberg equality-delete + data-file commit in
+        one). Nothing in the base table is rewritten — commit cost is
+        O(|source|), not O(|table|).
+
+        Layout: the previous snapshot's files are carried forward by
+        hardlink; the source rows land under ``_upserts/seq-NNNNNN``
+        (underscore-prefixed, so plain parquet reads skip them).
+        ``read()`` folds layers oldest-to-newest: rows in older data
+        matching a layer's keys are shadowed (anti-join), then the
+        layer's rows are unioned — latest wins, identical to a COW
+        MERGE. ``compact()`` materializes everything back to a flat
+        base (read amplification is O(#layers); compact when deep).
+
+        At 100 TB this is the streaming-upsert path: a CDC batch of k
+        rows commits k rows + one pointer swap, and the read-side
+        anti-joins are broadcast joins as long as layers stay small.
+        """
+        prev = self.current_snapshot(name)
+        if prev is None:
+            return self._commit(name, source, "create-on-upsert", None)
+        if prev.upsert_key_cols and prev.upsert_key_cols != key_cols:
+            raise ValueError(
+                f"{name}: pending upsert layers keyed on "
+                f"{prev.upsert_key_cols}; compact() before upserting on "
+                "different keys"
+            )
+        if prev.delete_key_cols and prev.delete_key_cols != key_cols:
+            raise ValueError(
+                f"{name}: pending deletes keyed on {prev.delete_key_cols}; "
+                "compact() before upserting on different keys"
+            )
+
+        version, snap_dir = self._new_snapshot_dir(name)
+        _link_tree(prev.path, snap_dir)
+        layers = list(prev.upsert_layers or [])
+        layer_rel = os.path.join("_upserts", f"seq-{len(layers) + 1:06d}")
+        source.write.mode("overwrite").parquet(os.path.join(snap_dir, layer_rel))
+        layers.append(layer_rel)
+
+        # an upserted key must come back to life even if a pending
+        # delete shadowed it: rewrite the (small) delete set minus the
+        # source keys
+        delete_path = None
+        delete_key_cols = prev.delete_key_cols
+        if prev.delete_path and os.path.isdir(prev.delete_path):
+            remaining = (
+                self.spark.read.parquet(prev.delete_path)
+                .join(source.select(*key_cols).distinct(), key_cols, "left_anti")
+            )
+            del_dir = os.path.join(snap_dir, "_deletes")
+            remaining.write.mode("overwrite").parquet(del_dir)
+            delete_path = del_dir
+        return self._register_snapshot(
+            name,
+            version,
+            snap_dir,
+            f"upsert-by-keys(mor,layers={len(layers)})",
+            delete_path=delete_path,
+            delete_key_cols=delete_key_cols if delete_path else None,
+            mixed_schema=prev.mixed_schema,
+            upsert_layers=layers,
+            upsert_key_cols=key_cols,
         )
 
     def delete_where(self, name: str, predicate: str) -> Snapshot:
@@ -356,7 +487,22 @@ class SnapshotCatalog:
         keys are filtered with an anti-join at read time.
         """
         snap = self._resolve(name, version, as_of_timestamp_ms)
-        df = self.spark.read.parquet(snap.path)
+        reader = self.spark.read
+        if snap.mixed_schema:
+            # footer-merge only when the snapshot is known to carry two
+            # schema generations — the common single-schema path keeps
+            # the cheap sample-one-footer resolution
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(snap.path)
+        # merge-on-read upsert layers, oldest first: shadow older rows
+        # on the layer's keys, then union the layer (latest wins)
+        for layer_rel in snap.upsert_layers or []:
+            layer = self.spark.read.parquet(os.path.join(snap.path, layer_rel))
+            df = df.join(
+                layer.select(*snap.upsert_key_cols).distinct(),
+                snap.upsert_key_cols,
+                "left_anti",
+            ).unionByName(layer, allowMissingColumns=True)
         if snap.delete_path and os.path.isdir(snap.delete_path):
             dels = self.spark.read.parquet(snap.delete_path)
             df = df.join(dels, snap.delete_key_cols, "left_anti")
@@ -402,11 +548,52 @@ class SnapshotCatalog:
                 f.write(json.dumps(s.__dict__) + "\n")
         return removed
 
-    def compact(self, name: str, target_files: int = 8) -> Snapshot:
-        """M2: rewrite the current snapshot into `target_files` files
-        (the OPTIMIZE / rewrite_data_files analog)."""
-        df = self.read(name).repartition(target_files)
-        return self._commit(name, df, f"compact({target_files})", None)
+    def data_bytes(self, name: str, version: int | None = None) -> int:
+        """On-disk bytes of the snapshot's base data files (metadata
+        only — file stats, no scan)."""
+        snap = self._resolve(name, version, None)
+        total = 0
+        for root, _dirs, files in os.walk(snap.path):
+            rel = os.path.relpath(root, snap.path)
+            if rel != "." and any(p.startswith("_") for p in rel.split(os.sep)):
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    def compact(
+        self,
+        name: str,
+        target_files: int | None = None,
+        target_file_bytes: int | None = None,
+        partition_by: list[str] | None = None,
+    ) -> Snapshot:
+        """M2: rewrite the current snapshot into right-sized files (the
+        OPTIMIZE / rewrite_data_files analog), folding any pending
+        merge-on-read deletes/upsert layers back into flat base files.
+
+        ``target_file_bytes`` sizes the output from the snapshot's
+        actual on-disk bytes (Iceberg's ``target-file-size-bytes``):
+        file count = ceil(bytes / target). At 100 TB this is the
+        small-files compactor — run it with 128-512 MiB targets so
+        scans get full-size row groups and the driver's file listing
+        stays O(bytes/128 MiB) instead of O(#commits).
+        """
+        if target_files is None:
+            if target_file_bytes:
+                total = self.data_bytes(name)
+                target_files = max(1, -(-total // target_file_bytes))
+            else:
+                target_files = 8
+        if partition_by:
+            # hash on the partition columns so each partition value's
+            # rows coalesce into one task -> one file per partition,
+            # instead of every task touching every partition
+            df = self.read(name).repartition(target_files, *[F.col(c) for c in partition_by])
+        else:
+            df = self.read(name).repartition(target_files)
+        return self._commit(name, df, f"compact({target_files})", partition_by)
 
     def add_column(self, name: str, col_name: str, col_expr) -> Snapshot:
         """M5 ALTER TABLE ADD COLUMN (materialized as a new snapshot)."""
@@ -422,6 +609,10 @@ class SnapshotCatalog:
         """
         snap = self._resolve(name, version, None)
         if snap.delete_path and os.path.isdir(snap.delete_path):
+            return self.read(name, version).count()
+        if snap.upsert_layers:
+            # layer rows shadow base rows, so footers over-count unless
+            # every upserted key is new — take the counting read
             return self.read(name, version).count()
         return _footer_row_count(snap.path)
 

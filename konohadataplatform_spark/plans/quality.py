@@ -49,7 +49,11 @@ def unique(df: DataFrame, column: str) -> int:
 
 
 def accepted_values(df: DataFrame, column: str, values: list) -> int:
-    return df.filter(~F.col(column).isin(values) | F.col(column).isNull()).count()
+    """dbt semantics: NULLs are not violations here — they belong to
+    not_null. Only non-null values outside the accepted set count."""
+    return df.filter(
+        ~F.col(column).isin(values) & F.col(column).isNotNull()
+    ).count()
 
 
 def relationships(df: DataFrame, column: str, to: DataFrame, to_col: str) -> int:

@@ -78,6 +78,7 @@ def apply_cdc_batch(
     changes: DataFrame,
     key_cols: list[str],
     partition_col: str | None = None,
+    merge_on_read: bool = False,
 ) -> None:
     """Apply one micro-batch of typed changes to a catalog table.
 
@@ -88,37 +89,63 @@ def apply_cdc_batch(
     With ``partition_col`` set (the C6 pattern: target partitioned by a
     stable key-derived column), the commit is partition-scoped — only
     partitions containing changed keys are rewritten; the rest of the
-    table is carried forward by reference. This is the 100 TB path.
+    table is carried forward by reference.
+
+    With ``merge_on_read=True`` the commit writes ONLY the batch rows:
+    upserts land as an equality-shadowed layer file, deletes as delete
+    keys (catalog.upsert_by_keys / delete_by_keys). Commit cost is
+    O(|batch|) regardless of table size — the 100 TB streaming path;
+    schedule catalog.compact() to bound read amplification.
     """
+    # cache is released in the finally: a long-running stream applies
+    # thousands of micro-batches — leaked cached batches would pile up
+    # in executor storage memory
     deduped = latest_per_key(changes, key_cols).cache()
-    upserts = deduped.filter(F.col("op") != "d").drop("op", "ts_ms", "lsn", "_topic")
-    deletes = deduped.filter(F.col("op") == "d")
-
-    if not catalog.exists(table):
-        catalog.write(
-            table,
-            upserts,
-            partition_by=[partition_col] if partition_col else None,
+    try:
+        upserts = deduped.filter(F.col("op") != "d").drop(
+            "op", "ts_ms", "lsn", "_topic"
         )
-        if deletes.take(1):
-            _apply_deletes(catalog, table, deletes.select(*key_cols), key_cols)
-        return
+        deletes = deduped.filter(F.col("op") == "d")
 
-    if partition_col is not None:
-        catalog.merge_partitioned(
-            table,
-            upserts,
-            key_cols,
-            partition_col,
-            delete_keys=deletes.select(*key_cols, partition_col),
-        )
-        return
+        if not catalog.exists(table):
+            catalog.write(
+                table,
+                upserts,
+                partition_by=[partition_col] if partition_col else None,
+            )
+            if deletes.take(1):
+                _apply_deletes(catalog, table, deletes.select(*key_cols), key_cols)
+            return
 
-    target = catalog.read(table)
-    touched = deduped.select(*key_cols).distinct()
-    kept = target.join(touched, key_cols, "left_anti")
-    merged = kept.unionByName(upserts, allowMissingColumns=True)
-    catalog._commit(table, merged, "cdc-apply", None)
+        if merge_on_read:
+            # order matters: upsert first (it also clears pending
+            # deletes for re-inserted keys), then delete this batch's
+            # tombstoned keys
+            if upserts.take(1):
+                catalog.upsert_by_keys(table, upserts, key_cols)
+            if deletes.take(1):
+                catalog.delete_by_keys(
+                    table, deletes.select(*key_cols), key_cols
+                )
+            return
+
+        if partition_col is not None:
+            catalog.merge_partitioned(
+                table,
+                upserts,
+                key_cols,
+                partition_col,
+                delete_keys=deletes.select(*key_cols, partition_col),
+            )
+            return
+
+        target = catalog.read(table)
+        touched = deduped.select(*key_cols).distinct()
+        kept = target.join(touched, key_cols, "left_anti")
+        merged = kept.unionByName(upserts, allowMissingColumns=True)
+        catalog._commit(table, merged, "cdc-apply", None)
+    finally:
+        deduped.unpersist()
 
 
 def _apply_deletes(
@@ -144,9 +171,13 @@ class CdcPipeline:
         spark: SparkSession,
         catalog: SnapshotCatalog,
         tables: dict[str, tuple],
+        merge_on_read: bool = False,
     ):
         self.spark = spark
         self.catalog = catalog
+        # merge_on_read: O(|batch|) layer/delete-file commits instead of
+        # partition or table rewrites (pair with periodic compact())
+        self.merge_on_read = merge_on_read
         self.tables = {
             name: (spec if len(spec) == 3 else (*spec, None))
             for name, spec in tables.items()
@@ -163,7 +194,14 @@ class CdcPipeline:
             typed = parse_envelopes(subset, row_schema)
             if typed.isEmpty():
                 continue
-            apply_cdc_batch(self.catalog, name, typed, key_cols, partition_col)
+            apply_cdc_batch(
+                self.catalog,
+                name,
+                typed,
+                key_cols,
+                partition_col,
+                merge_on_read=self.merge_on_read,
+            )
 
     # ---- streaming entry point ------------------------------------------
     def start_stream(self, envelope_dir: str, checkpoint_dir: str):

@@ -314,3 +314,183 @@ def test_concurrent_commit_conflict_detected(spark, catalog, tmp_path):
         catalog._register_snapshot("t", version, snap_dir, "late-write")
     # winner's data intact
     assert [r.id for r in catalog.read("t").collect()] == [2]
+
+
+def test_concurrent_conflict_leaves_no_orphan_dir(spark, catalog):
+    """A losing commit must clean up its snapshot directory — orphan
+    data dirs would accumulate under snapshots/ forever."""
+    from konohadataplatform_spark.catalog import CommitConflictError, SnapshotCatalog
+
+    catalog.write("t", df_of(spark, [Row(id=1)]))
+    other = SnapshotCatalog(spark, catalog.warehouse)
+    version, snap_dir = catalog._new_snapshot_dir("t")
+    df_of(spark, [Row(id=99)]).write.mode("overwrite").parquet(snap_dir)
+    other.write("t", df_of(spark, [Row(id=2)]))
+    with pytest.raises(CommitConflictError):
+        catalog._register_snapshot("t", version, snap_dir, "late-write")
+    assert not os.path.isdir(snap_dir)
+
+
+def test_row_count_persisted_in_pointer_and_log(spark, catalog):
+    """row_count is computed before the pointer swap, so the persisted
+    pointer and every log line carry it (not null)."""
+    catalog.write("t", df_of(spark, [Row(id=i) for i in range(5)]))
+    catalog.write("t", df_of(spark, [Row(id=i) for i in range(3)]))
+    assert catalog.current_snapshot("t").row_count == 3
+    assert [s.row_count for s in catalog.history("t")] == [5, 3]
+
+
+def test_merge_partitioned_null_partition_value(spark, catalog):
+    """NULL partition values live in __HIVE_DEFAULT_PARTITION__; a
+    rewrite touching them must NOT also hardlink the old null
+    partition back in (silent row duplication)."""
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, None, "b"), (3, "2024-01-02", "c")],
+        "id long, d string, v string",
+    )
+    catalog.write("t", base, partition_by=["d"])
+    # upsert the null-partition row
+    src = spark.createDataFrame([(2, None, "B2")], "id long, d string, v string")
+    catalog.merge_partitioned("t", src, ["id"], "d")
+    rows = {r.id: r.v for r in catalog.read("t").collect()}
+    assert rows == {1: "a", 2: "B2", 3: "c"}
+    assert catalog.read("t").count() == 3  # no duplicated null partition
+
+
+def test_merge_partitioned_schema_evolution_reads_merged_schema(spark, catalog):
+    """After a partition-scoped merge that adds a column, linked old
+    partitions lack it; read() must resolve the union schema (new
+    column present, null-filled for old files) regardless of which
+    footer Spark would sample."""
+    base = spark.createDataFrame(
+        [Row(id=1, d="a", v="x"), Row(id=2, d="b", v="y")]
+    )
+    catalog.write("t", base, partition_by=["d"])
+    src = spark.createDataFrame([Row(id=1, d="a", v="x2", extra=42)])
+    snap = catalog.merge_partitioned("t", src, ["id"], "d")
+    assert snap.mixed_schema
+    out = catalog.read("t")
+    assert "extra" in out.columns
+    got = {r.id: (r.v, r.extra) for r in out.collect()}
+    assert got == {1: ("x2", 42), 2: ("y", None)}
+
+
+# ---- merge-on-read UPSERTS (round 2) -----------------------------------
+
+def test_upsert_by_keys_latest_wins(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, v="a"), Row(id=2, v="b")]))
+    snap = catalog.upsert_by_keys(
+        "t", df_of(spark, [Row(id=2, v="B2"), Row(id=3, v="c")]), ["id"]
+    )
+    assert snap.upsert_layers == ["_upserts/seq-000001"]
+    out = {r.id: r.v for r in catalog.read("t").collect()}
+    assert out == {1: "a", 2: "B2", 3: "c"}
+    # commit wrote only the 2 source rows — base files untouched
+    assert snap.operation.startswith("upsert-by-keys")
+
+
+def test_upsert_layers_stack_and_fold_in_order(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, v="a")]))
+    catalog.upsert_by_keys("t", df_of(spark, [Row(id=1, v="v2")]), ["id"])
+    catalog.upsert_by_keys("t", df_of(spark, [Row(id=1, v="v3"), Row(id=2, v="n")]), ["id"])
+    out = {r.id: r.v for r in catalog.read("t").collect()}
+    assert out == {1: "v3", 2: "n"}
+    assert catalog.count("t") == 2
+    # time travel still sees each layer state
+    assert {r.id: r.v for r in catalog.read("t", version=2).collect()} == {1: "v2"}
+
+
+def test_upsert_resurrects_deleted_key(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, v="a"), Row(id=2, v="b")]))
+    catalog.delete_by_keys("t", df_of(spark, [Row(id=1)]), ["id"])
+    assert {r.id for r in catalog.read("t").collect()} == {2}
+    catalog.upsert_by_keys("t", df_of(spark, [Row(id=1, v="BACK")]), ["id"])
+    out = {r.id: r.v for r in catalog.read("t").collect()}
+    assert out == {1: "BACK", 2: "b"}
+    # and the other pending delete still applies
+    catalog.delete_by_keys("t", df_of(spark, [Row(id=2)]), ["id"])
+    assert {r.id: r.v for r in catalog.read("t").collect()} == {1: "BACK"}
+
+
+def test_delete_after_upsert_applies_to_layers(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, v="a")]))
+    catalog.upsert_by_keys("t", df_of(spark, [Row(id=2, v="new")]), ["id"])
+    catalog.delete_by_keys("t", df_of(spark, [Row(id=2)]), ["id"])
+    assert {r.id for r in catalog.read("t").collect()} == {1}
+
+
+def test_compact_materializes_upsert_layers(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=i, v="x") for i in range(10)]))
+    catalog.upsert_by_keys("t", df_of(spark, [Row(id=3, v="u")]), ["id"])
+    snap = catalog.compact("t", target_files=2)
+    assert not snap.upsert_layers and not snap.delete_path
+    out = {r.id: r.v for r in catalog.read("t").collect()}
+    assert out[3] == "u" and len(out) == 10
+    assert snap.row_count == 10  # footer count valid again post-compact
+
+
+def test_upsert_key_mismatch_rejected(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, k="x", v="a")]))
+    catalog.upsert_by_keys("t", df_of(spark, [Row(id=1, k="x", v="b")]), ["id"])
+    with pytest.raises(ValueError, match="different keys"):
+        catalog.upsert_by_keys("t", df_of(spark, [Row(id=1, k="x", v="c")]), ["k"])
+    with pytest.raises(ValueError, match="different keys"):
+        catalog.delete_by_keys("t", df_of(spark, [Row(k="x")]), ["k"])
+
+
+def test_merge_partitioned_materializes_pending_mor_state(spark, catalog):
+    """Partition-scoped merge on a table with pending MOR deletes used
+    to hardlink untouched partitions WITHOUT the delete set —
+    resurrecting deleted rows. Now it materializes first."""
+    base = spark.createDataFrame(
+        [(1, "p1", "a"), (2, "p1", "b"), (3, "p2", "c"), (4, "p3", "d")],
+        "id long, p string, v string",
+    )
+    catalog.write("t", base, partition_by=["p"])
+    # MOR-delete a row in p1 (a partition the merge below won't touch)
+    catalog.delete_by_keys("t", df_of(spark, [Row(id=2)]), ["id"])
+    # merge touches only p2
+    catalog.merge_partitioned(
+        "t",
+        spark.createDataFrame([(3, "p2", "C2")], "id long, p string, v string"),
+        ["id"],
+        "p",
+    )
+    out = {r.id: r.v for r in catalog.read("t").collect()}
+    assert out == {1: "a", 3: "C2", 4: "d"}  # id=2 stays deleted
+
+
+def test_upsert_layers_survive_mor_delete_commit(spark, catalog):
+    """A MOR delete on top of MOR upserts must carry the layers in its
+    snapshot metadata (not silently drop them)."""
+    catalog.write("t", df_of(spark, [Row(id=1, v="a")]))
+    catalog.upsert_by_keys("t", df_of(spark, [Row(id=2, v="n")]), ["id"])
+    snap = catalog.delete_by_keys("t", df_of(spark, [Row(id=1)]), ["id"])
+    assert snap.upsert_layers == ["_upserts/seq-000001"]
+    assert {r.id: r.v for r in catalog.read("t").collect()} == {2: "n"}
+
+
+def test_compact_by_target_bytes(spark, catalog):
+    """Size-aware compaction: file count derives from actual on-disk
+    bytes / target_file_bytes."""
+    catalog.write("t", spark.range(20000).withColumn("v", F.rand(seed=1)).repartition(32))
+    total = catalog.data_bytes("t")
+    assert total > 0
+    target = total // 3  # expect ceil(total/target) == 3..4 files
+    snap = catalog.compact("t", target_file_bytes=target)
+    files = [f for f in os.listdir(snap.path) if f.endswith(".parquet")]
+    assert len(files) == -(-total // target)
+    assert catalog.read("t").count() == 20000
+
+
+def test_compact_partition_preserving(spark, catalog):
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}") for i in range(300)], "id long, p string"
+    ).repartition(16)
+    catalog.write("t", df, partition_by=["p"])
+    snap = catalog.compact("t", target_files=8, partition_by=["p"])
+    for part in ("p=p0", "p=p1", "p=p2"):
+        pdir = os.path.join(snap.path, part)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{part}: {len(files)} files"
+    assert catalog.read("t").count() == 300

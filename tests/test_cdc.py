@@ -278,3 +278,53 @@ def test_northwind_priority_tables_replay(spark, catalog):
     assert [r.order_id for r in catalog.read("orders").collect()] == [10248]
     prods = {r.product_id: r.product_name for r in catalog.read("products").collect()}
     assert prods == {1: "Chai", 78: "Test Product"}
+
+
+def test_apply_cdc_batch_unpersists_cache(spark, catalog):
+    """Long-running streams apply thousands of batches; each must
+    release its micro-batch cache (no storage-memory leak)."""
+    from konohadataplatform_spark.streaming.cdc import apply_cdc_batch
+
+    changes = spark.createDataFrame(
+        [Row(id=1, v="a", op="c", ts_ms=1, lsn=1, _topic="t")]
+    )
+    apply_cdc_batch(catalog, "t_leak", changes, ["id"])
+    jsc = spark.sparkContext._jsc.sc()
+    assert len(jsc.getRDDStorageInfo()) == 0
+
+
+def test_apply_cdc_batch_merge_on_read(spark, catalog):
+    """MOR apply: a CDC batch commits only its own rows (layer +
+    delete files); the fold at read time matches the COW result."""
+    from konohadataplatform_spark.streaming.cdc import apply_cdc_batch
+
+    b1 = spark.createDataFrame(
+        [
+            Row(id=1, v="a", op="c", ts_ms=1, lsn=1, _topic="t"),
+            Row(id=2, v="b", op="c", ts_ms=1, lsn=2, _topic="t"),
+        ]
+    )
+    apply_cdc_batch(catalog, "t_mor", b1, ["id"], merge_on_read=True)
+    b2 = spark.createDataFrame(
+        [
+            Row(id=2, v="B2", op="u", ts_ms=2, lsn=3, _topic="t"),
+            Row(id=1, v=None, op="d", ts_ms=2, lsn=4, _topic="t"),
+            Row(id=3, v="c", op="c", ts_ms=2, lsn=5, _topic="t"),
+        ]
+    )
+    apply_cdc_batch(catalog, "t_mor", b2, ["id"], merge_on_read=True)
+    out = {r.id: r.v for r in catalog.read("t_mor").collect()}
+    assert out == {2: "B2", 3: "c"}
+    snap = catalog.current_snapshot("t_mor")
+    assert snap.upsert_layers and snap.delete_path
+    # re-insert a deleted key in a later batch -> resurrects
+    b3 = spark.createDataFrame(
+        [Row(id=1, v="BACK", op="c", ts_ms=3, lsn=6, _topic="t")]
+    )
+    apply_cdc_batch(catalog, "t_mor", b3, ["id"], merge_on_read=True)
+    out = {r.id: r.v for r in catalog.read("t_mor").collect()}
+    assert out == {1: "BACK", 2: "B2", 3: "c"}
+    # compaction flattens and preserves the fold
+    catalog.compact("t_mor", target_files=1)
+    out2 = {r.id: r.v for r in catalog.read("t_mor").collect()}
+    assert out2 == out

@@ -130,4 +130,6 @@ def test_quality_checks_catch_violations(pipeline, spark):
     by_check = {r.check: r.violations for r in results}
     assert by_check["not_null"] == 1
     assert by_check["unique"] == 2
-    assert by_check["accepted_values"] == 2  # None + 'zz'
+    # dbt semantics: NULL is not an accepted_values violation (not_null
+    # owns it) — only the out-of-set 'zz' counts
+    assert by_check["accepted_values"] == 1
