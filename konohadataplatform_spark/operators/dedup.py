@@ -81,6 +81,34 @@ def shingle_sets(
     )
 
 
+def hashed_shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles) with distinct word n-gram shingles as 64-bit
+    hashes — no n-gram strings are ever materialized.
+
+    Each token is hashed once, then each n-gram is one xxhash64 over
+    the n token hashes: versus concat_ws-then-hash this skips building
+    |doc| short-lived strings per document, which dominates shingling
+    cost. Distinct n-grams map to distinct hashes modulo 64-bit
+    collisions (negligible below ~2^32 distinct shingles).
+    """
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    gram = f"xxhash64({', '.join(f'wh[i + {j}]' for j in range(n))})"
+    return (
+        df.select(F.col(id_col).alias("sid"), toks.alias("w"))
+        .filter(F.size("w") >= n)
+        .select("sid", F.expr("transform(w, t -> xxhash64(t))").alias("wh"))
+        .select(
+            "sid",
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(wh) - {n}), "
+                f"i -> {gram}))"
+            ).alias("shingles"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # exact set-similarity join (prefix filtering)
 # --------------------------------------------------------------------------
@@ -94,15 +122,25 @@ def jaccard_similarity_join(
     """Exact Jaccard >= threshold pairs via prefix-filtered inverted index.
 
     Plan shape (all narrow or key-partitioned):
-      1. shingle sets (per-row, no shuffle)
+      1. shingle sets (per-row, no shuffle), then xxhash64 each shingle
+         — every downstream shuffle/join/intersect moves 8-byte longs,
+         not document n-gram strings (~3-4x less shuffle payload; a
+         64-bit collision between distinct shingles of one compared
+         pair needs ~2^32 distinct shingles per doc, so results stay
+         exact in practice)
       2. global shingle document-frequency (one agg shuffle)
       3. per-doc rarity-ordered prefix of size |S| - ceil(t*|S|) + 1
       4. inverted-index self-join on prefix shingles (shuffle on shingle;
-         prefixes are short and rare by construction -> no hot keys)
+         prefixes are short and rare by construction -> no hot keys),
+         with the size-ratio filter t*max(|A|,|B|) <= min(|A|,|B|)
+         pruning pairs that cannot reach the threshold
       5. exact verify: join candidate pairs back to full sets, Jaccard
          via array_intersect (JVM-side), filter >= t.
     """
-    sets = _spread(shingle_sets(df, text_col, id_col, n)).cache()
+    # spread BEFORE shingling: the shuffle moves raw text rows, and the
+    # CPU-heavy higher-order-function shingling runs on every core —
+    # spreading after would leave it on however few tasks the scan has
+    sets = hashed_shingle_sets(_spread(df), text_col, id_col, n).cache()
     sets.count()  # materialize: consumed by index build and verify
     # carry each doc's set size through the explode — avoids a separate
     # sizes join later
@@ -133,15 +171,27 @@ def jaccard_similarity_join(
             F.col("pos")
             <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
         )
-        .select("sid", "sh")
+        .select("sid", "set_size", "sh")
     ).cache()
     prefixes.count()
 
-    # 4. candidate pairs from shared prefix shingles
+    # 4. candidate pairs from shared prefix shingles; the size-ratio
+    # bound kills impossible pairs before the (expensive) verify join
     a = prefixes.alias("a")
     b = prefixes.alias("b")
     cands = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.sid") < F.col("b.sid")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.sid") < F.col("b.sid"))
+            & (
+                F.least(F.col("a.set_size"), F.col("b.set_size"))
+                >= F.ceil(
+                    F.lit(threshold)
+                    * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
+                )
+            ),
+        )
         .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
         .distinct()
     )
@@ -224,8 +274,12 @@ def minhash_dedup(
     bands: int = 16,
 ) -> DataFrame:
     """LSH candidates -> exact-Jaccard verify. Probabilistic recall
-    (P[detect] = 1-(1-t^r)^b), exact precision after verification."""
-    sets = _spread(shingle_sets(df, text_col, id_col, n)).cache()
+    (P[detect] = 1-(1-t^r)^b), exact precision after verification.
+
+    Shingles are 64-bit token-window hashes (hashed_shingle_sets), so
+    the permutation hashing inside minhash_signatures runs over longs
+    and the verify intersections never touch n-gram strings."""
+    sets = hashed_shingle_sets(_spread(df), text_col, id_col, n).cache()
     sets.count()  # materialize before the self-join consumes it twice
     sigs = minhash_signatures(sets, num_perm)
     cands = minhash_lsh_candidates(sigs, bands, num_perm)
