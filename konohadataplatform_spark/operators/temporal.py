@@ -32,13 +32,18 @@ def as_of_join(
     right_ts: str,
     right_value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left rows + the latest right values at-or-before their timestamp.
+    """Left rows + the nearest right values at-or-before their timestamp
+    (``direction="backward"``, the default ASOF semantics) or at-or-after
+    (``direction="forward"`` — "next event" joins).
 
     Right rows should be unique per (key, ts); if not, the later row in
     (ts, natural input order of value cols) wins deterministically only
     when callers pre-dedupe — dedupe with latest_per_key first.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_tag = left.select(
         *key_cols,
         F.col(left_ts).alias("_ts"),
@@ -56,10 +61,13 @@ def as_of_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
     )
     unioned = l_tag.unionByName(r_tag)
-    # reference rows sort before probe rows at equal ts => inclusive <=
+    # reference rows sort before probe rows at equal ts => inclusive
+    # bound in either direction; forward just walks time descending so
+    # "most recently seen reference" = smallest ts >= probe ts
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("_ts"), F.col("_is_probe"))
+        .orderBy(ts_order, F.col("_is_probe"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

@@ -727,3 +727,246 @@ def q_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.getField("n").alias("stats_n"),
         stats.getField("max_price").alias("stats_max_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2 coverage: pivot, gap-fill spine, sorted string_agg, deciles,
+# interval range frames, CUBE + GROUPING, set operations
+# --------------------------------------------------------------------------
+@query(
+    "q_pivot_status_year",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS status,
+             EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS yr,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders
+    )
+    SELECT status,
+           CAST(SUM(CASE WHEN yr = 1992 THEN p END) AS DOUBLE) AS y1992,
+           CAST(SUM(CASE WHEN yr = 1993 THEN p END) AS DOUBLE) AS y1993,
+           CAST(SUM(CASE WHEN yr = 1994 THEN p END) AS DOUBLE) AS y1994,
+           CAST(SUM(CASE WHEN yr = 1995 THEN p END) AS DOUBLE) AS y1995,
+           CAST(SUM(CASE WHEN yr = 1996 THEN p END) AS DOUBLE) AS y1996,
+           CAST(SUM(CASE WHEN yr = 1997 THEN p END) AS DOUBLE) AS y1997,
+           CAST(SUM(CASE WHEN yr = 1998 THEN p END) AS DOUBLE) AS y1998
+    FROM base GROUP BY status
+    """,
+)
+def q_pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): revenue by order status across years.
+
+    Spark's groupBy().pivot() with explicit values — explicit so the
+    plan is a single pass (no values-discovery job) and the output
+    schema is stable; at 100 TB pivot with discovered values would
+    scan twice."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+        dec("o_totalprice").alias("p"),
+    )
+    years = list(range(1992, 1999))
+    wide = base.groupBy("status").pivot("yr", years).agg(F.sum("p"))
+    return wide.select(
+        "status",
+        *[F.col(str(y)).cast("double").alias(f"y{y}") for y in years],
+    )
+
+
+@query(
+    "q_date_spine_gapfill",
+    """
+    WITH li AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, CAST(l_quantity AS DECIMAL(18,2)) AS q
+      FROM lineitem WHERE l_suppkey = 1
+    ), agg AS (
+      SELECT d, SUM(q) AS qd, COUNT(*) AS n FROM li GROUP BY d
+    ), rng AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi FROM li
+    ), spine AS (
+      SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM rng
+    )
+    SELECT CAST(s.d AS TIMESTAMP) AS ship_day,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_items,
+           CAST(COALESCE(CAST(a.qd AS DOUBLE), 0.0) AS DOUBLE) AS qty
+    FROM spine s LEFT JOIN agg a ON s.d = a.d
+    """,
+)
+def q_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series: a calendar spine (sequence/explode) LEFT
+    JOINed to sparse daily facts, zeros filled in.
+
+    The spine is generated from the data's own min/max (one tiny agg),
+    then exploded — no driver-side date loop; at 100 TB the spine is
+    still only O(days) rows and the join broadcasts it."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") == 1)
+        .select(
+            F.col("l_shipdate").cast("date").alias("d"),
+            dec("l_quantity").alias("q"),
+        )
+    )
+    agg = li.groupBy("d").agg(
+        F.sum("q").alias("qd"), F.count(F.lit(1)).alias("n")
+    )
+    spine = (
+        li.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    return spine.join(agg, "d", "left").select(
+        F.col("d").cast("timestamp").alias("ship_day"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_items"),
+        F.coalesce(F.col("qd").cast("double"), F.lit(0.0)).alias("qty"),
+    )
+
+
+@query(
+    "q_string_agg_types",
+    """
+    WITH d AS (SELECT DISTINCT p_brand, p_type FROM part)
+    SELECT p_brand,
+           string_agg(p_type, ',' ORDER BY p_type) AS type_list,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM d GROUP BY p_brand
+    """,
+)
+def q_string_agg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted string aggregation (LISTAGG/string_agg analog):
+    array_sort(collect_set()) + array_join is deterministic regardless
+    of partition arrival order — the only safe way to string_agg in a
+    distributed engine."""
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.array_join(F.array_sort(F.collect_set("p_type")), ",").alias("type_list"),
+        F.size(F.collect_set("p_type")).cast("bigint").alias("n_types"),
+    )
+
+
+@query(
+    "q_balance_deciles",
+    """
+    WITH ranked AS (
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+             NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(bal) AS DOUBLE) AS min_bal,
+           CAST(MAX(bal) AS DOUBLE) AS max_bal,
+           CAST(CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_bal
+    FROM ranked GROUP BY decile
+    """,
+)
+def q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing into deciles + per-decile stats. The global
+    NTILE needs a total order (single-partition window) — acceptable
+    because the windowed payload is just (custkey, bal); at 100 TB
+    use ranking.global_row_numbers' two-phase pattern instead."""
+    cust = _t(spark, sf_dir, "customer")
+    ranked = cust.select(
+        "c_custkey",
+        dec("c_acctbal").alias("bal"),
+        F.ntile(10)
+        .over(Window.orderBy(F.col("c_acctbal"), F.col("c_custkey")))
+        .alias("decile"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("bal").cast("double").alias("min_bal"),
+        F.max("bal").cast("double").alias("max_bal"),
+        (F.sum("bal").cast("double") / F.count(F.lit(1))).alias("avg_bal"),
+    )
+
+
+@query(
+    "q_rolling_90d_orders",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS cnt_90d,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS DOUBLE) AS sum_90d
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY epoch(CAST(o_orderdate AS DATE))
+      RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_rolling_90d_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding value-range frame: per customer, order count and spend
+    over the trailing 90 days (RANGE frame over epoch seconds —
+    value-based, so same-day orders always share a frame, unlike a
+    ROWS frame). One shuffle on the partition key."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    ts = F.col("o_orderdate").cast("date").cast("timestamp")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_seconds(ts))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        ts.alias("order_ts"),
+        F.count(F.lit(1)).over(w).alias("cnt_90d"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("sum_90d"),
+    )
+
+
+@query(
+    "q_cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets + GROUPING id (which dims are rolled up).
+    Catalyst expands the cube into an Expand node feeding one partial
+    agg — still a single shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        dsum("l_extendedprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "revenue", "n")
+
+
+@query(
+    "q_set_ops_customers",
+    """
+    SELECT CAST(c AS BIGINT) AS c_custkey FROM (
+      (SELECT DISTINCT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT composition over key sets (distinct set
+    semantics). Catalyst plans these as aggregate+join — no driver
+    collection."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def keys(status):
+        return (
+            orders.filter(F.col("o_orderstatus") == status)
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+        )
+
+    return keys("F").intersect(keys("P")).exceptAll(keys("O")).distinct()

@@ -487,3 +487,57 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("band_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join: each purchase matched to the NEXT view at-or-after
+# it (direction="forward" — the "what did they do next" join)
+# --------------------------------------------------------------------------
+@query(
+    "q_asof_next_view",
+    """
+    WITH purchases AS (
+      SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, ts AS view_ts, event_id AS view_event_id
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.user_id, p.event_id, p.ts,
+           v.view_ts AS next_view_ts, v.view_event_id AS next_view_event_id,
+           CAST((epoch_us(v.view_ts) - epoch_us(p.ts)) // 1000000 AS BIGINT) AS gap_sec
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts <= v.view_ts
+    """,
+)
+def q_asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from konohadataplatform_spark.operators.temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    joined = as_of_join(
+        purchases,
+        views,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        right_value_cols=["view_ts", "view_event_id"],
+        suffix="",
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("view_ts").alias("next_view_ts"),
+        F.col("view_event_id").alias("next_view_event_id"),
+        F.floor(
+            (F.unix_micros("view_ts") - F.unix_micros("ts")) / 1_000_000
+        ).alias("gap_sec"),
+    )

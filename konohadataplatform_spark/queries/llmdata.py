@@ -663,3 +663,43 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rk") <= 3) & (F.col("doc_id") < 100))
         .select("doc_id", "tok", "tf", "df", "rarity_score", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Vector normalization: L2 norms + normalized leading component (the
+# pre-processing step before any cosine ANN index build)
+# --------------------------------------------------------------------------
+@query(
+    "q_vector_normalize",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(len(e) AS BIGINT) AS dim,
+           sqrt(list_dot_product(e, e)) AS l2_norm,
+           e[1] / NULLIF(sqrt(list_dot_product(e, e)), 0.0) AS first_unit
+    FROM v
+    """,
+)
+def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row vector math entirely in JVM higher-order functions —
+    embarrassingly parallel, no shuffle at all. sqrt is IEEE-exact in
+    both engines; the dot product is the same sequential fold DuckDB's
+    list_dot_product performs (bit-identical, see q_knn_bruteforce)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    dot = "aggregate(zip_with(e, e, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    return base.select(
+        "vec_id",
+        "label",
+        F.expr("CAST(size(e) AS BIGINT)").alias("dim"),
+        F.expr(f"sqrt({dot})").alias("l2_norm"),
+        F.expr(f"e[0] / nullif(sqrt({dot}), CAST(0 AS DOUBLE))").alias("first_unit"),
+    )
