@@ -257,3 +257,100 @@ def ann_ivf_topk(
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "knn_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (the vector-space analog of the
+# n-gram near-dup dedup tiers in operators.dedup)
+# --------------------------------------------------------------------------
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a_id < b_id) pairs with cosine >= threshold, exact.
+
+    O(n^2) scoring — this is the correctness baseline / verify kernel;
+    at corpus scale use cosine_neardup_lsh. Norms are computed once per
+    row and reused across all pairs; cosine = dot/(|a||b|) with the
+    same sequential fold DuckDB evaluates, so results hash-match an
+    exact SQL oracle."""
+    base = _spread(
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = base.select(
+        F.col("vid").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vid").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos_sim", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id", "cos_sim")
+    )
+
+
+def cosine_neardup_lsh(
+    df: DataFrame,
+    threshold: float,
+    n_tables: int = 16,
+    bits_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via multi-table hyperplane LSH + exact verify.
+
+    Candidates are id pairs sharing any LSH bucket (the index holds
+    only (bucket, id) rows — L small longs per vector); only bucket
+    collisions are scored. Probabilistic recall, exact precision: every
+    returned pair's cosine is exactly >= threshold."""
+    planes = make_planes(dim, n_tables * bits_per_table, seed)
+    base = _spread(
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).cache()
+    base.count()  # consumed by index build and the two verify joins
+    sigs = base.select(
+        "vid",
+        F.explode(
+            _table_signatures(F.col("v"), planes, n_tables, bits_per_table)
+        ).alias("sig"),
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cands = (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("a_id"), F.col("b.vid").alias("b_id"))
+        .distinct()
+    )
+    va = base.select(
+        F.col("vid").alias("a_id"),
+        F.col("v").alias("va"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("na"),
+    )
+    vb = base.select(
+        F.col("vid").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nb"),
+    )
+    return (
+        cands.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn(
+            "cos_sim", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id", "cos_sim")
+    )

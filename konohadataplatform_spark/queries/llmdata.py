@@ -703,3 +703,26 @@ def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sqrt({dot})").alias("l2_norm"),
         F.expr(f"e[0] / nullif(sqrt({dot}), CAST(0 AS DOUBLE))").alias("first_unit"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (exact oracle; the LSH-bucketed
+# variant is recall-tested against this in tests/test_llm_ops.py)
+# --------------------------------------------------------------------------
+@query(
+    "q_embedding_neardup",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_pairs_exact(_t(spark, sf_dir, "embeddings"), threshold=0.4)

@@ -173,3 +173,19 @@ def test_resize_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         M.resize_image(b"\xff\xd8", 64, 64)
+
+
+def test_cosine_neardup_lsh_recall(spark):
+    """LSH-bucketed near-dup pairs: exact precision (every returned
+    cosine really >= t) and high recall vs the exact all-pairs kernel."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.a_id, r.b_id) for r in S.cosine_pairs_exact(emb, 0.4).collect()
+    }
+    got = S.cosine_neardup_lsh(emb, 0.4).collect()
+    got_pairs = {(r.a_id, r.b_id) for r in got}
+    assert all(r.cos_sim >= 0.4 for r in got)          # exact precision
+    assert got_pairs <= exact                           # no false pairs
+    if exact:
+        recall = len(got_pairs & exact) / len(exact)
+        assert recall >= 0.6, f"recall {recall:.2f}"
