@@ -427,3 +427,81 @@ def dedup_clusters(
             F.coalesce(F.col("component"), F.col("node")).alias("cluster_rep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental corpus dedup: dedupe a new batch against a persisted index
+# --------------------------------------------------------------------------
+def _band_buckets(index: DataFrame, bands: int, num_perm: int) -> DataFrame:
+    """(sid, band, bucket) rows from a (sid, shingles, sig) index."""
+    rows_per_band = num_perm // bands
+    return index.select(
+        "sid",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Build the persistable dedup index for a document batch:
+    (sid, shingles: array<long>, sig: array<long>).
+
+    The index is what a 100 TB ingest pipeline stores in a catalog
+    table instead of re-shingling the corpus per batch: signatures
+    drive LSH candidate generation, the hashed shingle sets drive
+    exact verification. Both are O(tokens) longs — the raw text never
+    needs to be re-read for dedup.
+    """
+    sets = hashed_shingle_sets(_spread(df), text_col, id_col, n)
+    sigs = minhash_signatures(sets, num_perm)
+    return sets.join(sigs, "sid")
+
+
+def incremental_minhash_dedup(
+    corpus_index: DataFrame,
+    new_index: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs involving the NEW batch: new-vs-corpus and
+    new-vs-new, without touching corpus documents that collide with
+    nothing.
+
+    Candidate generation joins the new batch's band buckets against
+    (corpus ∪ new) buckets — the shuffle is keyed on (band, bucket),
+    and only bucket-colliding corpus rows flow into verification. With
+    the corpus index stored bucketed on the band hash (write_bucketed),
+    the big side of this join never reshuffles between batches. Commit
+    the accepted new rows' index entries back to the catalog to make
+    the pipeline incremental end to end.
+
+    Returns (a_id, b_id, jaccard), exact precision after verification.
+    """
+    all_index = corpus_index.unionByName(new_index)
+    nb = _band_buckets(new_index, bands, num_perm).alias("n")
+    ab = _band_buckets(all_index, bands, num_perm).alias("c")
+    cands = (
+        nb.join(
+            ab,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket"))
+            & (F.col("n.sid") != F.col("c.sid")),
+        )
+        .select(
+            F.least(F.col("n.sid"), F.col("c.sid")).alias("a_id"),
+            F.greatest(F.col("n.sid"), F.col("c.sid")).alias("b_id"),
+        )
+        .distinct()
+    )
+    return verify_jaccard(cands, all_index.select("sid", "shingles"), threshold)

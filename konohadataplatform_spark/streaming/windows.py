@@ -93,3 +93,25 @@ def session_agg(
         )
         .select(*keys, "n_events", "session_start", "session_end")
     )
+
+
+def watermarked_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once event dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps each key's state only until the
+    watermark passes it, so duplicate deliveries inside the lateness
+    bound are suppressed and state is O(keys in flight), not O(all keys
+    ever) — the correct streaming-dedup primitive at 100 TB/day (the
+    plain dropDuplicates variant grows state forever).
+
+    Works on batch DataFrames too (falls back to plain dropDuplicates
+    semantics), so batch/stream parity is testable.
+    """
+    wm = events.withWatermark(ts_col, watermark)
+    if events.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(key_cols)
+    return events.dropDuplicates(key_cols)

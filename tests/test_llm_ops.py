@@ -189,3 +189,28 @@ def test_cosine_neardup_lsh_recall(spark):
     if exact:
         recall = len(got_pairs & exact) / len(exact)
         assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_incremental_minhash_dedup_matches_full_rebuild(spark):
+    """Index batch 1, then dedupe batch 2 incrementally: every pair the
+    full-corpus run finds that involves a batch-2 doc is found, with
+    identical jaccard values (exact verification)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    batch1 = docs.filter(F.col("doc_id") <= cut)
+    batch2 = docs.filter(F.col("doc_id") > cut)
+
+    idx1 = D.minhash_index(batch1).cache()
+    idx2 = D.minhash_index(batch2).cache()
+    inc = D.incremental_minhash_dedup(idx1, idx2, threshold=0.8)
+    inc_pairs = {(r.a_id, r.b_id, round(r.jaccard, 12)) for r in inc.collect()}
+
+    full = D.minhash_dedup(docs, threshold=0.8)
+    b2_ids = {r.sid for r in idx2.select("sid").collect()}
+    full_pairs = {
+        (r.a_id, r.b_id, round(r.jaccard, 12))
+        for r in full.collect()
+        if r.a_id in b2_ids or r.b_id in b2_ids
+    }
+    assert inc_pairs == full_pairs
+    assert inc_pairs, "expected planted near-dup pairs spanning the batches"

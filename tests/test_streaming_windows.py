@@ -132,3 +132,48 @@ def test_session_agg_runs(spark, event_stream_dir, tmp_path):
         .collect()
     }
     assert per_user == batch_counts
+
+
+def test_watermarked_dedup_stream(spark, tmp_path):
+    """Duplicate deliveries within the watermark are suppressed; state
+    stays bounded (dropDuplicatesWithinWatermark)."""
+    import datetime as dt
+    from konohadataplatform_spark.streaming.windows import watermarked_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # event 1 delivered three times, event 2 twice, event 3 once
+        (1, base, "a"),
+        (1, base, "a"),
+        (2, base + dt.timedelta(seconds=30), "b"),
+        (1, base, "a"),
+        (2, base + dt.timedelta(seconds=30), "b"),
+        (3, base + dt.timedelta(minutes=2), "c"),
+        # far-future sentinel so availableNow flushes everything
+        (99, base + dt.timedelta(days=365), "z"),
+    ]
+    import json
+    with open(src / "events.json", "w") as f:
+        for eid, ts, v in rows:
+            f.write(json.dumps({"event_id": eid, "ts": ts.isoformat(), "v": v}) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, v string")
+        .json(str(src))
+    )
+    deduped = watermarked_dedup(stream, ["event_id"], "ts", "10 minutes")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1, 2, 3, 99}
+    n = spark.read.parquet(out_dir).count()
+    assert n == 4  # each event exactly once
