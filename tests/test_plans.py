@@ -130,3 +130,54 @@ def test_exact_dedup_shuffles_digest_only(spark):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_pivot_two_phase_agg(spark):
+    """Explicit-values pivot: Spark pre-aggregates by (groupBy, pivot)
+    keys then pivots — two hash-agg phases, two exchanges of
+    decreasing cardinality, and crucially NO values-discovery job
+    (explicit values) and no more exchanges than that."""
+    df = QUERIES["q_pivot_status_year"](spark, SF_DIR)
+    tree = tree_of(df)
+    assert tree.count("Exchange") <= 2, tree
+    assert "HashAggregate" in tree
+
+
+def test_cube_is_expand_plus_one_shuffle(spark):
+    """CUBE plans as Expand feeding one partial+final agg — grouping
+    sets don't multiply shuffles."""
+    df = QUERIES["q_cube_revenue"](spark, SF_DIR)
+    tree = tree_of(df)
+    assert "Expand" in tree
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_gapfill_spine_join_is_broadcast(spark):
+    """The calendar spine is O(days) rows — its join against the daily
+    agg must broadcast, never shuffle the fact side."""
+    df = QUERIES["q_date_spine_gapfill"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_rolling_window_single_partition_shuffle(spark):
+    """The 90-day RANGE frame shuffles once on the partition key and
+    computes both window aggs in one Window node."""
+    df = QUERIES["q_rolling_90d_orders"](spark, SF_DIR)
+    tree = tree_of(df)
+    assert tree.count("Window") == 1, tree
+    # one exchange for the window partitioning (plus AQE reads)
+    assert tree.count("Exchange") <= 2, tree
+
+
+def test_exact_dedup_never_shuffles_text(spark):
+    """exact_dedup's exchange carries digests + ids, not document
+    bodies."""
+    from konohadataplatform_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(exact_dedup(docs))
+    exchange_part = plan[plan.index("Exchange"):]
+    assert "text_hash" in plan
+    # the post-exchange aggregate works on the hash, not raw text
+    assert "md5" in plan
