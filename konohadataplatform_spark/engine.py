@@ -73,3 +73,23 @@ class Engine:
 
     def history(self, name: str):
         return self._require_catalog().history(name)
+
+    def upsert(self, name: str, source: DataFrame, key_cols: list[str]):
+        """Merge-on-read upsert: O(|source|) commit (see
+        catalog.upsert_by_keys); refreshes the SQL view."""
+        snap = self._require_catalog().upsert_by_keys(name, source, key_cols)
+        self.register(name, self.catalog.read(name))
+        return snap
+
+    def delete_keys(self, name: str, keys: DataFrame, key_cols: list[str]):
+        """Merge-on-read delete: O(|keys|) commit."""
+        snap = self._require_catalog().delete_by_keys(name, keys, key_cols)
+        self.register(name, self.catalog.read(name))
+        return snap
+
+    def optimize(self, name: str, **kwargs):
+        """Compaction (OPTIMIZE analog): folds pending merge-on-read
+        layers/deletes into right-sized base files."""
+        snap = self._require_catalog().compact(name, **kwargs)
+        self.register(name, self.catalog.read(name))
+        return snap

@@ -726,3 +726,49 @@ def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs_exact(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# BPE-ish regex tokenization stats (subword-style counting: letter runs,
+# digit runs, and individual punctuation marks as separate tokens)
+# --------------------------------------------------------------------------
+@query(
+    "q_regex_token_stats",
+    """
+    WITH f AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS toks,
+             len(regexp_extract_all(text, '[0-9]+')) AS num_toks,
+             len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS other_toks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(num_toks) AS BIGINT) AS numeric_tokens,
+           CAST(SUM(other_toks) AS BIGINT) AS other_tokens,
+           CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM f GROUP BY lang
+    """,
+)
+def q_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style counting beyond whitespace: the regex splits
+    letter runs, digit runs, and punctuation/other marks the way a BPE
+    pre-tokenizer does. Pure regexp_extract_all column expressions —
+    codegen, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    def n(pat):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+    f = docs.select(
+        "lang",
+        n("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]").alias("toks"),
+        n("[0-9]+").alias("num_toks"),
+        n("[^A-Za-z0-9 ]").alias("other_toks"),
+    )
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum("num_toks").alias("numeric_tokens"),
+        F.sum("other_toks").alias("other_tokens"),
+        (F.sum("toks").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )

@@ -115,3 +115,18 @@ def watermarked_dedup(
     if events.isStreaming:
         return wm.dropDuplicatesWithinWatermark(key_cols)
     return events.dropDuplicates(key_cols)
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the (batch) dimension table — the static side re-resolves per
+    batch, so a catalog-backed dim picks up slowly-changing updates
+    without restarting the stream. Spark plans this as a broadcast
+    per micro-batch when the dim is small; no streaming state is
+    created (unlike stream-stream joins)."""
+    return events.join(dim, on, how)

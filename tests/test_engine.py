@@ -219,3 +219,22 @@ def test_operator_namespace_exports():
 
     for name in ops.__all__:
         assert callable(getattr(ops, name)), name
+
+
+def test_engine_mor_surface(spark, tmp_path):
+    """upsert/delete_keys/optimize through the facade keep the SQL view
+    fresh at every step."""
+    from pyspark.sql import Row
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.engine import Engine
+
+    eng = Engine(spark, catalog=SnapshotCatalog(spark, str(tmp_path / "wh")))
+    eng.save_table("acc", spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]))
+    eng.upsert("acc", spark.createDataFrame([Row(id=2, v="B2"), Row(id=3, v="c")]), ["id"])
+    got = {r.id: r.v for r in eng.sql("SELECT * FROM acc").collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}
+    eng.delete_keys("acc", spark.createDataFrame([Row(id=1)]), ["id"])
+    assert {r.id for r in eng.sql("SELECT * FROM acc").collect()} == {2, 3}
+    snap = eng.optimize("acc", target_files=1)
+    assert not snap.upsert_layers and not snap.delete_path
+    assert {r.id for r in eng.sql("SELECT * FROM acc").collect()} == {2, 3}

@@ -194,3 +194,33 @@ def test_as_of_join_matches_bruteforce(spark, data):
                 best = (rt, rv)
         expected[i] = best if best else (None, None)
     assert got == expected
+
+
+def test_as_of_join_forward_matches_bruteforce(spark):
+    """Forward as-of: for every probe, the matched right row is exactly
+    the min right_ts >= probe ts for that key (brute-force check over
+    a deterministic synthetic set)."""
+    import itertools
+    from konohadataplatform_spark.operators.temporal import as_of_join
+
+    # keys x timestamps grid with gaps; right has sparse irregular ts
+    left = [(k, 100 * t + k) for k, t in itertools.product(range(5), range(20))]
+    right = [(k, v * 37 % 1900 + k) for k, v in itertools.product(range(5), range(11))]
+    l_df = spark.createDataFrame(left, "k int, ts long")
+    r_df = spark.createDataFrame(
+        [(k, ts, f"r{k}:{ts}") for k, ts in right], "k int, rts long, payload string"
+    )
+    got = {
+        (r.k, r.ts): r.payload
+        for r in as_of_join(
+            l_df, r_df, ["k"], "ts", "rts", ["payload"],
+            suffix="", direction="forward",
+        ).collect()
+    }
+    rmap = {}
+    for k, ts in right:
+        rmap.setdefault(k, []).append(ts)
+    for k, ts in left:
+        nxt = min((t for t in rmap[k] if t >= ts), default=None)
+        want = f"r{k}:{nxt}" if nxt is not None else None
+        assert got[(k, ts)] == want, (k, ts, got[(k, ts)], want)

@@ -177,3 +177,31 @@ def test_watermarked_dedup_stream(spark, tmp_path):
     assert got == {1, 2, 3, 99}
     n = spark.read.parquet(out_dir).count()
     assert n == 4  # each event exactly once
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    import json
+    from konohadataplatform_spark.streaming.windows import enrich_stream
+
+    src = tmp_path / "in"; src.mkdir()
+    with open(src / "e.json", "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"event_id": i, "user_id": i % 3}) + "\n")
+    dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema("event_id long, user_id long").json(str(src))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        enrich_stream(stream, dim, ["user_id"])
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 6
+    assert got.filter(F.col("tier").isNull()).count() == 0
+    assert {r.tier for r in got.collect()} == {"bronze", "silver", "gold"}
