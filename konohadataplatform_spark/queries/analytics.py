@@ -970,3 +970,125 @@ def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return keys("F").intersect(keys("P")).exceptAll(keys("O")).distinct()
+
+
+@query(
+    "q_rank_functions",
+    """
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CUME_DIST() OVER w AS cdist,
+           PERCENT_RANK() OVER w AS prank
+    FROM customer
+    WHERE c_custkey <= 500
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one partitioned window —
+    rank/dense_rank/cume_dist/percent_rank share a single Window node
+    (one shuffle on the partition key)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.percent_rank().over(w).alias("prank"),
+    )
+
+
+@query(
+    "q_date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_start,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS quarter_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(EXTRACT(quarter FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+           CAST(EXTRACT(doy FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS day_of_year,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function breadth: truncation, month boundaries,
+    quarter/day-of-year parts, interval arithmetic — all codegen
+    column expressions."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_trunc("quarter", d).alias("quarter_start"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.dayofyear(d).cast("bigint").alias("day_of_year"),
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+    )
+
+
+@query(
+    "q_corr_stats",
+    """
+    WITH m AS (
+      SELECT l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_discount AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sxy
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, n,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_disc,
+           sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             / n AS stddev_pop_qty
+    FROM m
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population stddev from EXACT decimal
+    moments: the five sums are order-independent decimal aggregates,
+    converted to DOUBLE only in the closed-form formulas — bit-stable
+    across engines and partitionings, unlike streaming double
+    accumulation (builtin corr/stddev). Column magnitudes are chosen so
+    every moment's decimal-unit integer stays below 2^53: the
+    decimal->double casts are then EXACT in both engines (large
+    decimals round differently — DuckDB converts int128/10^s in two
+    roundings, Spark's BigDecimal rounds once)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = dec("l_quantity")
+    y = dec("l_discount")
+    m = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        "l_linestatus",
+        "n",
+        ((n * sxy - sx * sy)
+         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_disc"),
+        (F.sqrt(n * sxx - sx * sx) / n).alias("stddev_pop_qty"),
+    )
