@@ -23,6 +23,8 @@ change twice converges to the same row version.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -72,6 +74,23 @@ def latest_per_key(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
+def last_applied_batch(catalog: SnapshotCatalog, table: str) -> int | None:
+    """Highest micro-batch id applied to ``table``, or None."""
+    path = os.path.join(catalog._tdir(table), "_last_batch")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(f.read().strip())
+
+
+def _mark_applied_batch(catalog: SnapshotCatalog, table: str, batch_id: int) -> None:
+    path = os.path.join(catalog._tdir(table), "_last_batch")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, path)
+
+
 def apply_cdc_batch(
     catalog: SnapshotCatalog,
     table: str,
@@ -79,6 +98,7 @@ def apply_cdc_batch(
     key_cols: list[str],
     partition_col: str | None = None,
     merge_on_read: bool = False,
+    batch_id: int | None = None,
 ) -> None:
     """Apply one micro-batch of typed changes to a catalog table.
 
@@ -96,7 +116,19 @@ def apply_cdc_batch(
     keys (catalog.upsert_by_keys / delete_by_keys). Commit cost is
     O(|batch|) regardless of table size — the 100 TB streaming path;
     schedule catalog.compact() to bound read amplification.
+
+    ``batch_id`` (Structured Streaming's epoch id) makes the apply
+    transactionally idempotent: a batch at or below the recorded
+    high-water mark is skipped outright, so checkpoint-replay after a
+    crash never re-commits. (The apply itself is ALSO semantically
+    idempotent — latest-wins / layer-shadowing — so the crash window
+    between commit and marker write only costs a redundant commit,
+    never wrong data.)
     """
+    if batch_id is not None:
+        last = last_applied_batch(catalog, table)
+        if last is not None and batch_id <= last:
+            return
     # cache is released in the finally: a long-running stream applies
     # thousands of micro-batches — leaked cached batches would pile up
     # in executor storage memory
@@ -115,9 +147,7 @@ def apply_cdc_batch(
             )
             if deletes.take(1):
                 _apply_deletes(catalog, table, deletes.select(*key_cols), key_cols)
-            return
-
-        if merge_on_read:
+        elif merge_on_read:
             # order matters: upsert first (it also clears pending
             # deletes for re-inserted keys), then delete this batch's
             # tombstoned keys
@@ -127,9 +157,7 @@ def apply_cdc_batch(
                 catalog.delete_by_keys(
                     table, deletes.select(*key_cols), key_cols
                 )
-            return
-
-        if partition_col is not None:
+        elif partition_col is not None:
             catalog.merge_partitioned(
                 table,
                 upserts,
@@ -137,13 +165,14 @@ def apply_cdc_batch(
                 partition_col,
                 delete_keys=deletes.select(*key_cols, partition_col),
             )
-            return
-
-        target = catalog.read(table)
-        touched = deduped.select(*key_cols).distinct()
-        kept = target.join(touched, key_cols, "left_anti")
-        merged = kept.unionByName(upserts, allowMissingColumns=True)
-        catalog._commit(table, merged, "cdc-apply", None)
+        else:
+            target = catalog.read(table)
+            touched = deduped.select(*key_cols).distinct()
+            kept = target.join(touched, key_cols, "left_anti")
+            merged = kept.unionByName(upserts, allowMissingColumns=True)
+            catalog._commit(table, merged, "cdc-apply", None)
+        if batch_id is not None:
+            _mark_applied_batch(catalog, table, batch_id)
     finally:
         deduped.unpersist()
 
@@ -188,7 +217,7 @@ class CdcPipeline:
         self.catalog.write(name, snapshot_df)
 
     # ---- batch apply (used by both batch replays and foreachBatch) ------
-    def apply_envelopes(self, raw: DataFrame) -> None:
+    def apply_envelopes(self, raw: DataFrame, batch_id: int | None = None) -> None:
         for name, (row_schema, key_cols, partition_col) in self.tables.items():
             subset = raw.filter(F.col("table") == name)
             typed = parse_envelopes(subset, row_schema)
@@ -201,6 +230,7 @@ class CdcPipeline:
                 key_cols,
                 partition_col,
                 merge_on_read=self.merge_on_read,
+                batch_id=batch_id,
             )
 
     # ---- streaming entry point ------------------------------------------
@@ -213,7 +243,9 @@ class CdcPipeline:
             .json(envelope_dir)
         )
         return (
-            raw.writeStream.foreachBatch(lambda df, _id: self.apply_envelopes(df))
+            raw.writeStream.foreachBatch(
+                lambda df, bid: self.apply_envelopes(df, batch_id=bid)
+            )
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()

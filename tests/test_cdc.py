@@ -328,3 +328,32 @@ def test_apply_cdc_batch_merge_on_read(spark, catalog):
     catalog.compact("t_mor", target_files=1)
     out2 = {r.id: r.v for r in catalog.read("t_mor").collect()}
     assert out2 == out
+
+
+def test_batch_id_high_water_mark_skips_replay(spark, catalog):
+    """Checkpoint replay after a crash re-delivers committed batch ids;
+    the apply skips them without touching the table."""
+    from konohadataplatform_spark.streaming.cdc import (
+        apply_cdc_batch,
+        last_applied_batch,
+    )
+
+    b1 = spark.createDataFrame(
+        [Row(id=1, v="a", op="c", ts_ms=1, lsn=1, _topic="t")]
+    )
+    apply_cdc_batch(catalog, "t_hwm", b1, ["id"], batch_id=0)
+    v1 = catalog.current_snapshot("t_hwm").version
+    assert last_applied_batch(catalog, "t_hwm") == 0
+
+    # replayed batch 0 (same id, possibly same content) -> no-op
+    apply_cdc_batch(catalog, "t_hwm", b1, ["id"], batch_id=0)
+    assert catalog.current_snapshot("t_hwm").version == v1
+
+    # next batch applies normally
+    b2 = spark.createDataFrame(
+        [Row(id=2, v="b", op="c", ts_ms=2, lsn=2, _topic="t")]
+    )
+    apply_cdc_batch(catalog, "t_hwm", b2, ["id"], batch_id=1)
+    assert catalog.current_snapshot("t_hwm").version > v1
+    assert last_applied_batch(catalog, "t_hwm") == 1
+    assert {r.id for r in catalog.read("t_hwm").collect()} == {1, 2}
