@@ -1092,3 +1092,89 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_qty_disc"),
         (F.sqrt(n * sxx - sx * sx) / n).alias("stddev_pop_qty"),
     )
+
+
+@query(
+    "q_unpivot_measures",
+    """
+    WITH w AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
+      FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, 'qty' AS measure, qty AS value FROM w
+    UNION ALL
+    SELECT l_orderkey, 'price' AS measure, price AS value FROM w
+    UNION ALL
+    SELECT l_orderkey, 'discount' AS measure, discount AS value FROM w
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide->long, pivot's inverse): Spark's native unpivot —
+    planned as Expand, one pass, no join or union of self-scans (the
+    portable-SQL oracle unions three scans; ours reads once)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    wide = li.groupBy("l_orderkey").agg(
+        dsum("l_quantity").alias("qty"),
+        dsum("l_extendedprice").alias("price"),
+        dsum("l_discount").alias("discount"),
+    )
+    return wide.unpivot(
+        ids=["l_orderkey"],
+        values=["qty", "price", "discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "q_array_functions",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             list_sort(list(DISTINCT o_orderpriority)) AS prios,
+             list_sort(list(o_orderkey)) AS keys
+      FROM orders
+      WHERE o_custkey <= 300
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(len(prios) AS INT) AS n_prios,
+           prios[1] AS first_prio,
+           prios[len(prios)] AS last_prio,
+           CAST(list_contains(prios, '1-URGENT') AS BOOLEAN) AS has_urgent,
+           CAST(COALESCE(NULLIF(list_position(prios, '5-LOW'), 0), 0) AS INT) AS low_pos,
+           array_to_string(list_transform(prios, p -> p[1]), '') AS prio_codes,
+           CAST(keys[1] AS BIGINT) AS min_key,
+           CAST(len(list_filter(keys, k -> k % 2 = 0)) AS INT) AS n_even_keys
+    FROM per_cust
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth: sort/size/index/contains/position/
+    transform/filter/join — all JVM higher-order expressions over
+    collected arrays; the only shuffle is the groupBy."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("prios"),
+        F.array_sort(F.collect_list("o_orderkey")).alias("keys"),
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.size("prios").alias("n_prios"),
+        F.col("prios").getItem(0).alias("first_prio"),
+        F.element_at("prios", -1).alias("last_prio"),
+        F.array_contains("prios", "1-URGENT").alias("has_urgent"),
+        # engines disagree on "not found" (Spark 0, DuckDB NULL) —
+        # normalize both to 0
+        F.coalesce(
+            F.nullif(F.array_position("prios", "5-LOW"), F.lit(0)), F.lit(0)
+        ).cast("int").alias("low_pos"),
+        F.array_join(F.expr("transform(prios, p -> substring(p, 1, 1))"), "").alias(
+            "prio_codes"
+        ),
+        F.col("keys").getItem(0).cast("bigint").alias("min_key"),
+        F.size(F.expr("filter(keys, k -> k % 2 = 0)")).alias("n_even_keys"),
+    )
