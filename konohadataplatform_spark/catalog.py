@@ -469,6 +469,90 @@ class SnapshotCatalog:
             upsert_key_cols=key_cols,
         )
 
+    # ---- write-audit-publish (staged commits) ---------------------------
+    def stage(
+        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> Snapshot:
+        """WAP step 1: write a full candidate snapshot WITHOUT moving
+        the table pointer. Readers keep seeing the current version;
+        audits run against ``read_staged``. ``publish`` promotes it
+        atomically, ``discard_staged`` drops it.
+
+        This is the write-audit-publish pattern (Iceberg WAP): quality
+        gates (plans/quality.run_checks) run between stage and publish,
+        so a bad batch never becomes visible — at 100 TB the audit
+        reads the staged files once and the publish itself is just a
+        pointer swap.
+        """
+        sdir = os.path.join(self._tdir(name), "staged", uuid.uuid4().hex[:8])
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(sdir)
+        return Snapshot(
+            version=-1,
+            path=sdir,
+            operation="staged",
+            timestamp_ms=int(time.time() * 1000),
+            row_count=_footer_row_count(sdir),
+        )
+
+    def read_staged(self, staged: Snapshot) -> DataFrame:
+        return self.spark.read.parquet(staged.path)
+
+    def publish(self, name: str, staged: Snapshot) -> Snapshot:
+        """WAP step 3: promote the staged snapshot — one rename into
+        snapshots/ plus the usual conflict-checked pointer swap. On a
+        commit conflict the staged data is dropped (re-stage to retry,
+        the same contract as any losing writer)."""
+        version, snap_dir = self._new_snapshot_dir(name)
+        os.makedirs(os.path.dirname(snap_dir), exist_ok=True)
+        os.rename(staged.path, snap_dir)
+        return self._register_snapshot(
+            name, version, snap_dir, "publish", row_count=staged.row_count
+        )
+
+    def discard_staged(self, staged: Snapshot) -> None:
+        shutil.rmtree(staged.path, ignore_errors=True)
+
+    def rollback(self, name: str, version: int) -> Snapshot:
+        """Roll the table back to an old version AS A NEW COMMIT
+        (Iceberg rollback semantics): history is preserved, the new
+        snapshot's files are the old version's files hardlinked — no
+        data rewrite, O(#files) metadata."""
+        old = self._resolve(name, version, None)
+        new_version, snap_dir = self._new_snapshot_dir(name)
+        _link_tree(old.path, snap_dir)
+        delete_path = None
+        if old.delete_path and os.path.isdir(old.delete_path):
+            delete_path = os.path.join(snap_dir, "_deletes")
+        return self._register_snapshot(
+            name,
+            new_version,
+            snap_dir,
+            f"rollback(to=v{version})",
+            row_count=old.row_count,
+            delete_path=delete_path,
+            delete_key_cols=old.delete_key_cols if delete_path else None,
+            mixed_schema=old.mixed_schema,
+            upsert_layers=old.upsert_layers,
+            upsert_key_cols=old.upsert_key_cols,
+        )
+
+    def diff(
+        self, name: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change query between two snapshots (the Iceberg
+        incremental-read / CDC-read analog): inserts and deletes, an
+        update appearing as delete+insert. Computed as two exceptAlls —
+        one shuffle each on the full row; fine for audit/debug grain,
+        use the CDC envelope stream for continuous consumption."""
+        older = self.read(name, from_version)
+        newer = self.read(name, to_version)
+        ins = newer.exceptAll(older).withColumn("_change_type", F.lit("insert"))
+        dels = older.exceptAll(newer).withColumn("_change_type", F.lit("delete"))
+        return ins.unionByName(dels)
+
     def delete_where(self, name: str, predicate: str) -> Snapshot:
         """M4 DELETE FROM name WHERE predicate (filtered rewrite)."""
         df = self.read(name).filter(f"NOT ({predicate})")

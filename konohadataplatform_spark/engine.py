@@ -93,3 +93,21 @@ class Engine:
         snap = self._require_catalog().compact(name, **kwargs)
         self.register(name, self.catalog.read(name))
         return snap
+
+    def stage(self, name: str, df: DataFrame, **kwargs):
+        """WAP step 1 through the facade (audit with read_staged /
+        quality checks, then publish)."""
+        return self._require_catalog().stage(name, df, **kwargs)
+
+    def publish(self, name: str, staged):
+        snap = self._require_catalog().publish(name, staged)
+        self.register(name, self.catalog.read(name))
+        return snap
+
+    def rollback(self, name: str, version: int):
+        snap = self._require_catalog().rollback(name, version)
+        self.register(name, self.catalog.read(name))
+        return snap
+
+    def diff(self, name: str, from_version: int, to_version: int | None = None):
+        return self._require_catalog().diff(name, from_version, to_version)

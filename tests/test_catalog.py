@@ -494,3 +494,64 @@ def test_compact_partition_preserving(spark, catalog):
         files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
         assert len(files) == 1, f"{part}: {len(files)} files"
     assert catalog.read("t").count() == 300
+
+
+# ---- write-audit-publish / rollback / diff (round 2) -------------------
+
+def test_wap_stage_audit_publish(spark, catalog):
+    """Staged data is invisible until published; quality gate between
+    stage and publish blocks bad batches."""
+    from konohadataplatform_spark.plans.quality import not_null
+
+    catalog.write("t", df_of(spark, [Row(id=1, v="a")]))
+    staged = catalog.stage("t", df_of(spark, [Row(id=1, v="a"), Row(id=2, v="b")]))
+    # not yet visible
+    assert catalog.read("t").count() == 1
+    # audit the staged snapshot
+    assert not_null(catalog.read_staged(staged), "v") == 0
+    snap = catalog.publish("t", staged)
+    assert snap.version == 2 and snap.operation == "publish"
+    assert catalog.read("t").count() == 2
+    assert snap.row_count == 2
+
+
+def test_wap_discard(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1)]))
+    staged = catalog.stage("t", spark.createDataFrame([(None,)], "id long"))
+    catalog.discard_staged(staged)
+    assert not os.path.isdir(staged.path)
+    assert catalog.read("t").count() == 1
+    assert catalog.current_snapshot("t").version == 1
+
+
+def test_rollback_preserves_history(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, v="good")]))
+    catalog.write("t", df_of(spark, [Row(id=1, v="BAD")]))
+    snap = catalog.rollback("t", 1)
+    assert snap.version == 3
+    assert catalog.read("t").first().v == "good"
+    # bad version still reachable (history preserved, Iceberg-style)
+    assert catalog.read("t", version=2).first().v == "BAD"
+    # rollback is metadata-only: files are hardlinks of v1 (same inode)
+    v1 = catalog.history("t")[0]
+    assert _inode_map(v1.path) == _inode_map(snap.path)
+
+
+def test_rollback_carries_mor_state(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, v="a"), Row(id=2, v="b")]))
+    catalog.delete_by_keys("t", df_of(spark, [Row(id=1)]), ["id"])  # v2
+    catalog.write("t", df_of(spark, [Row(id=9, v="z")]))  # v3
+    catalog.rollback("t", 2)
+    assert {r.id for r in catalog.read("t").collect()} == {2}
+
+
+def test_diff_between_versions(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, v="a"), Row(id=2, v="b")]))
+    catalog.merge("t", df_of(spark, [Row(id=2, v="B2"), Row(id=3, v="c")]), ["id"])
+    d = catalog.diff("t", 1, 2)
+    got = {(r.id, r.v, r._change_type) for r in d.collect()}
+    assert got == {
+        (2, "b", "delete"),
+        (2, "B2", "insert"),
+        (3, "c", "insert"),
+    }
