@@ -79,6 +79,29 @@ def main() -> None:
     )
     feats.show(3)
 
+    # --- 6. lakehouse round 2: WAP, MOR upserts, rollback -------------
+    from pyspark.sql import Row
+
+    catalog.write("accounts", spark.createDataFrame(
+        [Row(id=1, tier="bronze"), Row(id=2, tier="silver")]))
+    # write-audit-publish: stage -> audit -> publish (bad data never visible)
+    staged = catalog.stage("accounts", spark.createDataFrame(
+        [Row(id=1, tier="bronze"), Row(id=2, tier="gold"), Row(id=3, tier="silver")]))
+    assert catalog.read_staged(staged).filter(F.col("tier").isNull()).count() == 0
+    catalog.publish("accounts", staged)
+    # merge-on-read upsert: O(batch) commit, latest-wins fold at read
+    catalog.upsert_by_keys("accounts", spark.createDataFrame(
+        [Row(id=3, tier="gold")]), ["id"])
+    print("accounts after MOR upsert:",
+          sorted((r.id, r.tier) for r in catalog.read("accounts").collect()))
+    # compact folds layers; rollback restores v1 as a new commit
+    catalog.compact("accounts", target_files=1)
+    catalog.rollback("accounts", 1)
+    print("accounts after rollback:",
+          sorted((r.id, r.tier) for r in catalog.read("accounts").collect()))
+    print("diff v1->v2:",
+          catalog.diff("accounts", 1, 2).count(), "changed rows")
+
     spark.stop()
 
 
