@@ -54,6 +54,57 @@ def _footer_row_count(snap_dir: str) -> int:
     return total
 
 
+def partition_transform(spec: str):
+    """Iceberg-style hidden-partitioning transforms as (derived column
+    name, Column expression) — apply before writing, partition on the
+    derived column, and queries filtering the source column still prune
+    (the derived value is functionally dependent and co-written).
+
+    Supported specs: ``days(col)``, ``months(col)``, ``years(col)``,
+    ``hours(col)``, ``bucket(N, col)``, ``truncate(N, col)``,
+    ``identity(col)``.
+    """
+    import re
+
+    m = re.fullmatch(r"(\w+)\(\s*([^,()]+?)\s*(?:,\s*([^()]+?)\s*)?\)", spec.strip())
+    if not m:
+        raise ValueError(f"bad partition transform: {spec!r}")
+    fn = m.group(1)
+    if fn in ("bucket", "truncate"):
+        n, col = int(m.group(2)), m.group(3)
+    else:
+        col, n = m.group(2), None
+    c = F.col(col)
+    if fn == "identity":
+        return col, c
+    if fn == "days":
+        return f"{col}_day", F.date_trunc("day", c).cast("date")
+    if fn == "months":
+        return f"{col}_month", F.date_trunc("month", c).cast("date")
+    if fn == "years":
+        return f"{col}_year", F.year(c)
+    if fn == "hours":
+        return f"{col}_hour", F.date_format(c, "yyyy-MM-dd-HH")
+    if fn == "bucket":
+        return f"{col}_bucket", F.pmod(F.xxhash64(c), F.lit(n)).cast("int")
+    if fn == "truncate":
+        return f"{col}_trunc", F.substring(c.cast("string"), 1, n)
+    raise ValueError(f"unknown partition transform: {fn}")
+
+
+def apply_partition_transforms(
+    df: DataFrame, specs: list[str]
+) -> tuple[DataFrame, list[str]]:
+    """Add derived partition columns for each transform spec; returns
+    (df with columns, partition column names) ready for write()."""
+    cols = []
+    for spec in specs:
+        name, expr = partition_transform(spec)
+        df = df.withColumn(name, expr)
+        cols.append(name)
+    return df, cols
+
+
 def _partition_dir_value(v) -> str:
     """Render a partition value exactly as Spark names the partition
     directory (before URL-encoding): NULL becomes the Hive default
@@ -514,6 +565,33 @@ class SnapshotCatalog:
 
     def discard_staged(self, staged: Snapshot) -> None:
         shutil.rmtree(staged.path, ignore_errors=True)
+
+    def cleanup_staged(self, name: str, older_than_ms: int = 24 * 3600 * 1000) -> int:
+        """Drop abandoned staged snapshots older than the cutoff
+        (orphan-file cleanup — staged dirs are the only data that can
+        leak, since losing commits and expire_snapshots already clean
+        snapshot dirs)."""
+        sroot = os.path.join(self._tdir(name), "staged")
+        if not os.path.isdir(sroot):
+            return 0
+        cutoff = time.time() - older_than_ms / 1000
+        removed = 0
+        for d in os.listdir(sroot):
+            p = os.path.join(sroot, d)
+            if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        return removed
+
+    def write_transformed(
+        self, name: str, df: DataFrame, partition_transforms: list[str]
+    ) -> Snapshot:
+        """Write with Iceberg-style hidden partitioning: derived
+        partition columns (days/months/years/hours/bucket/truncate) are
+        added and partitioned on, so writers declare intent once and
+        readers prune on the derived dirs."""
+        out, cols = apply_partition_transforms(df, partition_transforms)
+        return self.write(name, out, partition_by=cols)
 
     def rollback(self, name: str, version: int) -> Snapshot:
         """Roll the table back to an old version AS A NEW COMMIT

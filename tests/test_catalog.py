@@ -555,3 +555,54 @@ def test_diff_between_versions(spark, catalog):
         (2, "B2", "insert"),
         (3, "c", "insert"),
     }
+
+
+# ---- hidden partitioning + staged cleanup (round 2) --------------------
+
+def test_partition_transforms(spark, catalog):
+    from konohadataplatform_spark.catalog import partition_transform
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-15 10:30:00", "abcdef"), (2, "2024-07-01 22:00:00", "abzzzz")],
+        "id long, ts string, s string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    snap = catalog.write_transformed("t", df, ["days(ts)"])
+    assert os.path.isdir(os.path.join(snap.path, "ts_day=2024-03-15"))
+    assert catalog.read("t").count() == 2
+
+    snap2 = catalog.write_transformed("tb", df, ["bucket(4, id)"])
+    entries = [e for e in os.listdir(snap2.path) if e.startswith("id_bucket=")]
+    assert entries, "bucket partition dirs missing"
+
+    snap3 = catalog.write_transformed("tt", df, ["truncate(2, s)"])
+    assert os.path.isdir(os.path.join(snap3.path, "s_trunc=ab"))
+
+    name, expr = partition_transform("months(ts)")
+    assert name == "ts_month"
+
+
+def test_partition_transform_pruning(spark, catalog):
+    """Filtering on the DERIVED column prunes partitions at scan time
+    (PartitionFilters in the plan)."""
+    df = spark.createDataFrame(
+        [(i, f"2024-{1 + i % 3:02d}-10 00:00:00") for i in range(30)],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    catalog.write_transformed("t", df, ["months(ts)"])
+    q = catalog.read("t").filter(F.col("ts_month") == "2024-02-01")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "ts_month" in plan
+    assert q.count() == 10
+
+
+def test_cleanup_staged(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1)]))
+    staged = catalog.stage("t", df_of(spark, [Row(id=2)]))
+    # too fresh: kept
+    assert catalog.cleanup_staged("t", older_than_ms=3600 * 1000) == 0
+    # cutoff in the future relative to mtime: removed
+    assert catalog.cleanup_staged("t", older_than_ms=-1000) == 1
+    assert not os.path.isdir(staged.path)
