@@ -150,6 +150,9 @@ class Snapshot:
     # older data on the layer's keys, then union the layer)
     upsert_layers: list | None = None
     upsert_key_cols: list | None = None
+    # WAP: table version observed when this snapshot was staged —
+    # publish() refuses if the table moved since (optimistic check)
+    base_version: int | None = None
 
 
 class CommitConflictError(RuntimeError):
@@ -540,12 +543,14 @@ class SnapshotCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(sdir)
+        cur = self.current_snapshot(name)
         return Snapshot(
             version=-1,
             path=sdir,
             operation="staged",
             timestamp_ms=int(time.time() * 1000),
             row_count=_footer_row_count(sdir),
+            base_version=cur.version if cur else 0,
         )
 
     def read_staged(self, staged: Snapshot) -> DataFrame:
@@ -556,6 +561,16 @@ class SnapshotCatalog:
         snapshots/ plus the usual conflict-checked pointer swap. On a
         commit conflict the staged data is dropped (re-stage to retry,
         the same contract as any losing writer)."""
+        # optimistic check against the version observed at stage time —
+        # BEFORE moving the staged dir, so a conflicting publish leaves
+        # the staged snapshot intact for audit/re-stage
+        cur = self.current_snapshot(name)
+        cur_version = cur.version if cur else 0
+        if staged.base_version is not None and cur_version != staged.base_version:
+            raise CommitConflictError(
+                f"{name}: staged against v{staged.base_version} but current "
+                f"is v{cur_version}; re-stage to publish"
+            )
         version, snap_dir = self._new_snapshot_dir(name)
         os.makedirs(os.path.dirname(snap_dir), exist_ok=True)
         os.rename(staged.path, snap_dir)
@@ -592,6 +607,30 @@ class SnapshotCatalog:
         readers prune on the derived dirs."""
         out, cols = apply_partition_transforms(df, partition_transforms)
         return self.write(name, out, partition_by=cols)
+
+    def publish_all(self, staged: dict) -> dict:
+        """All-or-nothing multi-table publish: promote every staged
+        snapshot in one pass; if any commit conflicts, roll back the
+        tables already published in this call and re-raise.
+
+        This is compensation, not a true cross-table transaction (each
+        pointer swap is individually atomic; a reader racing the batch
+        can observe a prefix) — the same contract Iceberg gives without
+        a REST-catalog transaction. Stage everything first so the
+        publish window is pointer swaps only, microseconds per table.
+        """
+        done: list[str] = []
+        try:
+            out = {}
+            for name, s in staged.items():
+                out[name] = self.publish(name, s)
+                done.append(name)
+            return out
+        except CommitConflictError:
+            for name in done:
+                cur = self.current_snapshot(name)
+                self.rollback(name, cur.version - 1)
+            raise
 
     def rollback(self, name: str, version: int) -> Snapshot:
         """Roll the table back to an old version AS A NEW COMMIT
@@ -730,6 +769,7 @@ class SnapshotCatalog:
         target_files: int | None = None,
         target_file_bytes: int | None = None,
         partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
     ) -> Snapshot:
         """M2: rewrite the current snapshot into right-sized files (the
         OPTIMIZE / rewrite_data_files analog), folding any pending
@@ -753,9 +793,23 @@ class SnapshotCatalog:
             # rows coalesce into one task -> one file per partition,
             # instead of every task touching every partition
             df = self.read(name).repartition(target_files, *[F.col(c) for c in partition_by])
+        elif sort_by:
+            # RANGE-partition on the sort key so each output file owns
+            # a disjoint key range (round-robin + local sort would give
+            # every file the full keyspace and useless min/max stats)
+            df = self.read(name).repartitionByRange(
+                target_files, *[F.col(c) for c in sort_by]
+            )
         else:
             df = self.read(name).repartition(target_files)
-        return self._commit(name, df, f"compact({target_files})", partition_by)
+        if sort_by:
+            # cluster within each output file so parquet row-group
+            # min/max stats become selective — scans filtering on the
+            # sort key skip whole row groups (the Z-order-lite that
+            # matters most at 100 TB: sort on the dominant filter col)
+            df = df.sortWithinPartitions(*sort_by)
+        op = f"compact({target_files}" + (f",sort={sort_by}" if sort_by else "") + ")"
+        return self._commit(name, df, op, partition_by)
 
     def add_column(self, name: str, col_name: str, col_expr) -> Snapshot:
         """M5 ALTER TABLE ADD COLUMN (materialized as a new snapshot)."""

@@ -58,3 +58,29 @@ def salted_join(
     )
     out = big_s.join(small_s, on + ["_salt"], how)
     return out.drop("_salt")
+
+
+def salted_distinct_count(
+    df: DataFrame, group_cols: list[str], distinct_col: str, buckets: int = 16
+) -> DataFrame:
+    """Exact COUNT(DISTINCT distinct_col) per group for skewed groups.
+
+    Two-phase: (group, salt) partial distinct-count, then sum — a hot
+    group's distinct set is split across `buckets` reducers instead of
+    landing on one. The salt is a hash of the distinct value itself, so
+    equal values share a salt and the per-salt counts are disjoint
+    (summing them is exact, not an estimate).
+
+    Spark's built-in count_distinct plans an Expand+two-phase agg that
+    handles moderate skew; use this when one group holds billions of
+    rows and even its first-phase partition overflows.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(buckets)).cast("int")
+    )
+    partial = salted.groupBy(*group_cols, "_salt").agg(
+        F.countDistinct(distinct_col).alias("_part")
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.sum("_part").alias(f"n_distinct_{distinct_col}")
+    )

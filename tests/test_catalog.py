@@ -606,3 +606,51 @@ def test_cleanup_staged(spark, catalog):
     # cutoff in the future relative to mtime: removed
     assert catalog.cleanup_staged("t", older_than_ms=-1000) == 1
     assert not os.path.isdir(staged.path)
+
+
+def test_compact_sort_by_improves_rowgroup_stats(spark, catalog):
+    """Sorted compaction: each output file's min/max on the sort key is
+    a tight range (checked via parquet footer stats)."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(100000).withColumn("k", F.pmod(F.xxhash64("id"), F.lit(1000)))
+    catalog.write("t", df.repartition(8))
+    snap = catalog.compact("t", target_files=4, sort_by=["k"])
+    ranges = []
+    for f in os.listdir(snap.path):
+        if f.endswith(".parquet"):
+            md = pq.ParquetFile(os.path.join(snap.path, f)).metadata
+            ki = [i for i in range(md.num_columns) if md.schema.column(i).name == "k"][0]
+            st = md.row_group(0).column(ki).statistics
+            ranges.append((st.min, st.max))
+    ranges.sort()
+    # sorted files cover disjoint-ish key ranges (each file spans ~1/4
+    # of the keyspace, not all of it)
+    spans = [hi - lo for lo, hi in ranges]
+    assert max(spans) < 1000 * 0.6, f"file key spans too wide: {ranges}"
+
+
+def test_publish_all_compensates_on_conflict(spark, catalog):
+    from konohadataplatform_spark.catalog import CommitConflictError, SnapshotCatalog
+
+    catalog.write("a", df_of(spark, [Row(id=1)]))
+    catalog.write("b", df_of(spark, [Row(id=1)]))
+    sa = catalog.stage("a", df_of(spark, [Row(id=2)]))
+    sb = catalog.stage("b", df_of(spark, [Row(id=2)]))
+    # concurrent writer bumps b AFTER staging -> publish of b conflicts
+    other = SnapshotCatalog(spark, catalog.warehouse)
+    other.write("b", df_of(spark, [Row(id=99)]))
+    with pytest.raises(CommitConflictError):
+        catalog.publish_all({"a": sa, "b": sb})
+    # a was rolled back to its pre-publish content; b kept the winner
+    assert [r.id for r in catalog.read("a").collect()] == [1]
+    assert [r.id for r in catalog.read("b").collect()] == [99]
+
+
+def test_publish_all_success(spark, catalog):
+    catalog.write("a", df_of(spark, [Row(id=1)]))
+    sa = catalog.stage("a", df_of(spark, [Row(id=2)]))
+    sb = catalog.stage("b", df_of(spark, [Row(id=7)]))
+    out = catalog.publish_all({"a": sa, "b": sb})
+    assert out["a"].operation == "publish" and out["b"].version == 1
+    assert [r.id for r in catalog.read("b").collect()] == [7]

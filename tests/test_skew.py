@@ -105,3 +105,19 @@ def test_star_schema_bucketed_join_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE b_orders")
         spark.sql("DROP TABLE b_lineitem")
+
+
+def test_salted_distinct_count_exact(spark):
+    from konohadataplatform_spark.operators.skew import salted_distinct_count
+
+    rows = [(("hot" if i % 10 else "cold"), i % 137) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {
+        r.k: r.n_distinct_v
+        for r in salted_distinct_count(df, ["k"], "v", buckets=8).collect()
+    }
+    want = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want
