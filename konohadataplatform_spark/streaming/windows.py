@@ -130,3 +130,32 @@ def enrich_stream(
     per micro-batch when the dim is small; no streaming state is
     created (unlike stream-stream joins)."""
     return events.join(dim, on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: left rows match right rows
+    with the same key whose timestamp falls in
+    [left_ts - within, left_ts]. Both sides are watermarked, and the
+    time-interval condition is what lets Spark BOUND the join state —
+    buffered rows are evicted once the watermark passes their interval,
+    so state is O(events within the lateness+interval window) at any
+    throughput. Without the interval bounds a stream-stream join must
+    keep every row forever.
+    """
+    iv = f"INTERVAL {within}"
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - {iv}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))

@@ -205,3 +205,59 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert got.count() == 6
     assert got.filter(F.col("tier").isNull()).count() == 0
     assert {r.tier for r in got.collect()} == {"bronze", "silver", "gold"}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchases joined to views of the same user within the preceding
+    10 minutes — both sides real file streams."""
+    import datetime as dt
+    import json
+    from konohadataplatform_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    vdir.mkdir(); pdir.mkdir()
+    views = [
+        (1, base),                                 # in window for p1
+        (1, base - dt.timedelta(minutes=30)),      # too old
+        (2, base + dt.timedelta(minutes=2)),       # in window for p2
+        # sentinel far future to flush watermark
+        (9, base + dt.timedelta(days=400)),
+    ]
+    purchases = [
+        (1, base + dt.timedelta(minutes=5)),       # matches view@12:00
+        (2, base + dt.timedelta(minutes=3)),       # matches view@12:02
+        (3, base + dt.timedelta(minutes=1)),       # no view -> no row
+        (9, base + dt.timedelta(days=400, minutes=1)),
+    ]
+    with open(vdir / "v.json", "w") as f:
+        for uid, ts in views:
+            f.write(json.dumps({"user_id": uid, "ts": ts.isoformat()}) + "\n")
+    with open(pdir / "p.json", "w") as f:
+        for uid, ts in purchases:
+            f.write(json.dumps({"user_id": uid, "ts": ts.isoformat()}) + "\n")
+
+    vs = (
+        spark.readStream.schema("user_id long, ts timestamp").json(str(vdir))
+        .withColumnRenamed("ts", "view_ts")
+    )
+    ps = spark.readStream.schema("user_id long, ts timestamp").json(str(pdir))
+    joined = stream_stream_interval_join(
+        ps, vs, key="user_id", left_ts="ts", right_ts="view_ts"
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out_dir).collect()
+    got = {(r[0]) for r in rows}
+    matched_users = {r.user_id for r in rows}
+    assert 1 in matched_users and 2 in matched_users
+    assert 3 not in matched_users
