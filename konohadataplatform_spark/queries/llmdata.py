@@ -772,3 +772,42 @@ def q_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("other_toks").alias("other_tokens"),
         (F.sum("toks").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group reservoir sample: k docs per language, chosen
+# by a hash ordering both engines compute identically (md5)
+# --------------------------------------------------------------------------
+@query(
+    "q_reservoir_per_lang",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def q_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'random' sample of 10 docs per language: rank by
+    md5(doc_id) — a stable uniform-ish permutation any engine
+    reproduces bit-for-bit (unlike rand(seed), whose streams are
+    engine-specific, or reservoir sampling, which is partition-order
+    dependent). The pattern scales: one shuffle on the group key,
+    per-group sort of (hash, id) pairs only."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 10)
+    )

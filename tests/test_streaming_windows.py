@@ -261,3 +261,46 @@ def test_stream_stream_interval_join(spark, tmp_path):
     matched_users = {r.user_id for r in rows}
     assert 1 in matched_users and 2 in matched_users
     assert 3 not in matched_users
+
+
+def test_metrics_listener_captures_progress(spark, tmp_path):
+    """Micro-batch progress (rows, durations, state size) lands in the
+    metrics buffer and round-trips through a catalog table."""
+    import json, time as _time
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.streaming.monitor import (
+        attach_metrics_listener,
+        save_metrics,
+        snapshot_metrics,
+    )
+
+    src = tmp_path / "in"; src.mkdir()
+    with open(src / "e.json", "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"id": i}) + "\n")
+    listener = attach_metrics_listener(spark)
+    try:
+        q = (
+            spark.readStream.schema("id long").json(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .queryName("metrics-probe")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener bus is async — give it a moment to drain
+        deadline = _time.time() + 30
+        while not listener.records and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert listener.records, "no progress events captured"
+        df = snapshot_metrics(spark, listener)
+        rows = df.collect()
+        assert sum(r.num_input_rows or 0 for r in rows) == 20
+        assert any(r.name == "metrics-probe" for r in rows)
+        cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+        save_metrics(spark, cat, listener)
+        assert cat.read("_stream_metrics").count() == len(rows)
+    finally:
+        spark.streams.removeListener(listener)
