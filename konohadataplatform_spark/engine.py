@@ -44,6 +44,12 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
+    def udtf_register(self, name: str, udtf_cls) -> None:
+        """Register a Python UDTF (table function) — the §2.11
+        extensibility surface's table-valued half: usable directly in
+        FROM and in LATERAL joins against real tables."""
+        self.spark.udtf.register(name, udtf_cls)
+
     def udf_register(self, name: str, fn, return_type=None):
         """UDF surface (reference core tenet 4, docs/00-introduction.md:28)."""
         return self.spark.udf.register(name, fn, return_type)

@@ -238,3 +238,38 @@ def test_engine_mor_surface(spark, tmp_path):
     snap = eng.optimize("acc", target_files=1)
     assert not snap.upsert_layers and not snap.delete_path
     assert {r.id for r in eng.sql("SELECT * FROM acc").collect()} == {2, 3}
+
+
+def test_python_udtf_registration(spark):
+    """Spark 4 Python UDTF through the Engine facade: direct FROM call
+    and a LATERAL join exploding each row of a real table."""
+    from pyspark.sql.functions import udtf
+    from konohadataplatform_spark.engine import Engine
+
+    eng = Engine(spark)
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    eng.udtf_register("split_words", SplitWords)
+    assert [r.word for r in eng.sql(
+        "SELECT * FROM split_words('a b c')"
+    ).collect()] == ["a", "b", "c"]
+
+    eng.register(
+        "docs_mini",
+        spark.createDataFrame([(1, "x y"), (2, "z")], "id long, text string"),
+    )
+    out = eng.sql(
+        """
+        SELECT d.id, w.word, w.pos
+        FROM docs_mini d, LATERAL split_words(d.text) w
+        ORDER BY d.id, w.pos
+        """
+    ).collect()
+    assert [(r.id, r.word, r.pos) for r in out] == [
+        (1, "x", 0), (1, "y", 1), (2, "z", 0)
+    ]
