@@ -1178,3 +1178,64 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keys").getItem(0).cast("bigint").alias("min_key"),
         F.size(F.expr("filter(keys, k -> k % 2 = 0)")).alias("n_even_keys"),
     )
+
+
+@query(
+    "q_lateral_top2",
+    """
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) c
+    """,
+)
+def q_lateral_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT (top-2 customers
+    per nation). Catalyst de-correlates this into a window+filter —
+    same plan as the explicit ROW_NUMBER form, so there's no per-row
+    re-execution at scale."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM _lat_nation n, LATERAL (
+          SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal
+          FROM _lat_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) c
+        """
+    )
+
+
+@query(
+    "q_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (a chosen subset, not full CUBE): one
+    Expand + one shuffle regardless of set count."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
