@@ -811,6 +811,46 @@ class SnapshotCatalog:
         op = f"compact({target_files}" + (f",sort={sort_by}" if sort_by else "") + ")"
         return self._commit(name, df, op, partition_by)
 
+    def file_count(self, name: str, version: int | None = None) -> int:
+        """Number of base data files in the snapshot (metadata only)."""
+        snap = self._resolve(name, version, None)
+        n = 0
+        for root, _dirs, files in os.walk(snap.path):
+            rel = os.path.relpath(root, snap.path)
+            if rel != "." and any(p.startswith("_") for p in rel.split(os.sep)):
+                continue
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    def maintain(
+        self,
+        name: str,
+        max_layers: int = 8,
+        max_files: int = 64,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_by: list[str] | None = None,
+    ) -> Snapshot | None:
+        """Maintenance policy for streaming targets: compact when
+        merge-on-read depth or small-file count crosses the thresholds,
+        otherwise do nothing (no wasted rewrites). Call it after every
+        N CDC batches — the check itself is metadata-only.
+
+        This is the knob that closes the MOR loop at 100 TB: upsert
+        commits stay O(batch) because this bounds how deep the
+        read-side fold can get.
+        """
+        snap = self.current_snapshot(name)
+        if snap is None:
+            return None
+        # a pending delete set alone is cheap (one anti-join) — only
+        # layer depth and small-file count trigger a rewrite
+        layers = len(snap.upsert_layers or [])
+        if layers > max_layers or self.file_count(name) > max_files:
+            return self.compact(
+                name, target_file_bytes=target_file_bytes, sort_by=sort_by
+            )
+        return None
+
     def add_column(self, name: str, col_name: str, col_expr) -> Snapshot:
         """M5 ALTER TABLE ADD COLUMN (materialized as a new snapshot)."""
         df = self.read(name).withColumn(col_name, col_expr)

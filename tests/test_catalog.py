@@ -654,3 +654,18 @@ def test_publish_all_success(spark, catalog):
     out = catalog.publish_all({"a": sa, "b": sb})
     assert out["a"].operation == "publish" and out["b"].version == 1
     assert [r.id for r in catalog.read("b").collect()] == [7]
+
+
+def test_maintain_compacts_only_past_thresholds(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, v="a")]))
+    for i in range(3):
+        catalog.upsert_by_keys("t", df_of(spark, [Row(id=10 + i, v="x")]), ["id"])
+    # below thresholds: no-op
+    assert catalog.maintain("t", max_layers=8, max_files=64) is None
+    assert len(catalog.current_snapshot("t").upsert_layers) == 3
+    # layer threshold crossed: compacts and clears MOR state
+    snap = catalog.maintain("t", max_layers=2, max_files=64)
+    assert snap is not None and not snap.upsert_layers
+    assert catalog.read("t").count() == 4
+    # immediately after compaction: no-op again
+    assert catalog.maintain("t", max_layers=2, max_files=64) is None
