@@ -140,16 +140,23 @@ def stream_stream_interval_join(
     right_ts: str = "ts",
     within: str = "10 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: left rows match right rows
-    with the same key whose timestamp falls in
-    [left_ts - within, left_ts]. Both sides are watermarked, and the
-    time-interval condition is what lets Spark BOUND the join state —
-    buffered rows are evicted once the watermark passes their interval,
-    so state is O(events within the lateness+interval window) at any
-    throughput. Without the interval bounds a stream-stream join must
-    keep every row forever.
+    """Watermarked stream-stream join: left rows match right rows with
+    the same key whose timestamp falls in [left_ts - within, left_ts].
+    Both sides are watermarked, and the time-interval condition is what
+    lets Spark BOUND the join state — buffered rows are evicted once
+    the watermark passes their interval, so state is O(events within
+    the lateness+interval window) at any throughput. Without the
+    interval bounds a stream-stream join must keep every row forever.
+
+    ``how="leftOuter"`` additionally emits unmatched left rows (right
+    columns null) once the watermark closes their interval — the
+    "purchase with no preceding view" shape; outer results are
+    inherently delayed by the watermark.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError("stream-stream interval join supports inner/leftOuter")
     iv = f"INTERVAL {within}"
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -158,4 +165,4 @@ def stream_stream_interval_join(
         & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - {iv}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
     )
-    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
+    return l.join(r, cond, how).drop(F.col(f"r.{key}"))

@@ -304,3 +304,41 @@ def test_metrics_listener_captures_progress(spark, tmp_path):
         assert cat.read("_stream_metrics").count() == len(rows)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """leftOuter: unmatched purchases emit with null view columns once
+    the watermark closes their interval."""
+    import datetime as dt
+    import json
+    from konohadataplatform_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    vdir.mkdir(); pdir.mkdir()
+    with open(vdir / "v.json", "w") as f:
+        for uid, ts in [(1, base), (9, base + dt.timedelta(days=400))]:
+            f.write(json.dumps({"user_id": uid, "view_ts": ts.isoformat()}) + "\n")
+    with open(pdir / "p.json", "w") as f:
+        for uid, ts in [
+            (1, base + dt.timedelta(minutes=5)),   # matched
+            (3, base + dt.timedelta(minutes=1)),   # unmatched
+            (9, base + dt.timedelta(days=400, minutes=1)),
+        ]:
+            f.write(json.dumps({"user_id": uid, "ts": ts.isoformat()}) + "\n")
+    vs = spark.readStream.schema("user_id long, view_ts timestamp").json(str(vdir))
+    ps = spark.readStream.schema("user_id long, ts timestamp").json(str(pdir))
+    j = stream_stream_interval_join(
+        ps, vs, key="user_id", left_ts="ts", right_ts="view_ts", how="leftOuter"
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        j.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    m = {r.user_id: r.view_ts for r in spark.read.parquet(out).collect()}
+    assert m.get(1) is not None
+    assert 3 in m and m[3] is None
