@@ -728,6 +728,86 @@ class SnapshotCatalog:
             raise ValueError(f"{name}: no snapshot at or before {as_of_timestamp_ms}")
         return eligible[-1]
 
+    # ---- tags (named immutable refs, Iceberg tag analog) ----------------
+    def _tags_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_tags.json")
+
+    def tags(self, name: str) -> dict:
+        path = self._tags_path(name)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def create_tag(self, name: str, tag: str, version: int | None = None) -> int:
+        """Name a snapshot version (e.g. 'audit-2024Q1'); tags pin
+        versions against expire_snapshots-by-count workflows and give
+        humans stable refs for time travel."""
+        snap = self._resolve(name, version, None)
+        t = self.tags(name)
+        t[tag] = snap.version
+        tmp = self._tags_path(name) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(t, f)
+        os.replace(tmp, self._tags_path(name))
+        return snap.version
+
+    def drop_tag(self, name: str, tag: str) -> None:
+        t = self.tags(name)
+        t.pop(tag, None)
+        tmp = self._tags_path(name) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(t, f)
+        os.replace(tmp, self._tags_path(name))
+
+    def read_tag(self, name: str, tag: str) -> DataFrame:
+        t = self.tags(name)
+        if tag not in t:
+            raise ValueError(f"{name}: no tag {tag!r} (have {sorted(t)})")
+        return self.read(name, version=t[tag])
+
+    # ---- column statistics (ANALYZE TABLE analog) -----------------------
+    def analyze(self, name: str, columns: list[str] | None = None) -> dict:
+        """Compute per-column min/max/null_count/approx ndv for the
+        current snapshot and persist beside it (one aggregate job; at
+        100 TB run after compaction). Retrieve with ``stats``."""
+        df = self.read(name)
+        columns = columns or df.columns
+        aggs = []
+        for c in columns:
+            aggs += [
+                F.min(c).alias(f"{c}__min"),
+                F.max(c).alias(f"{c}__max"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.approx_count_distinct(c).alias(f"{c}__ndv"),
+            ]
+        row = df.agg(*aggs).first().asDict()
+        snap = self.current_snapshot(name)
+        stats = {
+            "version": snap.version,
+            "row_count": snap.row_count,
+            "columns": {
+                c: {
+                    "min": str(row[f"{c}__min"]),
+                    "max": str(row[f"{c}__max"]),
+                    "null_count": int(row[f"{c}__nulls"] or 0),
+                    "approx_ndv": int(row[f"{c}__ndv"] or 0),
+                }
+                for c in columns
+            },
+        }
+        with open(os.path.join(snap.path, "_stats.json"), "w") as f:
+            json.dump(stats, f)
+        return stats
+
+    def stats(self, name: str, version: int | None = None) -> dict | None:
+        snap = self._resolve(name, version, None)
+        path = os.path.join(snap.path, "_stats.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     # ---- maintenance ----------------------------------------------------
     def expire_snapshots(self, name: str, keep_last: int = 2) -> int:
         """M1: drop all but the newest `keep_last` snapshots' data dirs."""
@@ -876,6 +956,23 @@ class SnapshotCatalog:
         """Expose every catalog table to Engine.sql (S8/S9 surface)."""
         for t in self.tables():
             self.read(t).createOrReplaceTempView(f"{prefix}{t}")
+
+
+def commit_with_retry(op, retries: int = 3):
+    """Optimistic-concurrency retry loop (the Iceberg commit contract's
+    client half): ``op()`` performs a catalog commit built against the
+    CURRENT snapshot; on CommitConflictError it is re-invoked, so it
+    re-reads the new current state and re-applies. Use for cheap
+    commits (merge-on-read upserts/deletes, small merges) where
+    recomputing against the fresh base is inexpensive.
+    """
+    last = None
+    for _ in range(retries + 1):
+        try:
+            return op()
+        except CommitConflictError as e:
+            last = e
+    raise last
 
 
 def incremental_cutoff(df: DataFrame, watermark_col: str):

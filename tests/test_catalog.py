@@ -669,3 +669,60 @@ def test_maintain_compacts_only_past_thresholds(spark, catalog):
     assert catalog.read("t").count() == 4
     # immediately after compaction: no-op again
     assert catalog.maintain("t", max_layers=2, max_files=64) is None
+
+
+def test_tags_roundtrip(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, v="v1")]))
+    catalog.write("t", df_of(spark, [Row(id=1, v="v2")]))
+    catalog.create_tag("t", "golden", version=1)
+    catalog.create_tag("t", "latest")  # defaults to current
+    assert catalog.tags("t") == {"golden": 1, "latest": 2}
+    assert catalog.read_tag("t", "golden").first().v == "v1"
+    assert catalog.read_tag("t", "latest").first().v == "v2"
+    catalog.drop_tag("t", "golden")
+    with pytest.raises(ValueError, match="no tag"):
+        catalog.read_tag("t", "golden")
+
+
+def test_analyze_stats(spark, catalog):
+    catalog.write(
+        "t",
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c")], "id long, v string"
+        ),
+    )
+    stats = catalog.analyze("t")
+    assert stats["row_count"] == 3
+    cs = stats["columns"]
+    assert cs["id"]["min"] == "1" and cs["id"]["max"] == "3"
+    assert cs["v"]["null_count"] == 1
+    assert cs["id"]["approx_ndv"] == 3
+    # persisted beside the snapshot, readable later
+    assert catalog.stats("t")["columns"]["v"]["null_count"] == 1
+
+
+def test_commit_with_retry(spark, catalog):
+    """A conflicting upsert retries against the new current snapshot
+    and lands (the Iceberg optimistic-retry contract)."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog, commit_with_retry
+
+    catalog.write("t", df_of(spark, [Row(id=1, v="a")]))
+    other = SnapshotCatalog(spark, catalog.warehouse)
+    raced = {"done": False}
+
+    def op():
+        # simulate a racing writer that wins exactly once, AFTER this
+        # writer has computed its version
+        version, snap_dir = catalog._new_snapshot_dir("t")
+        df_of(spark, [Row(id=2, v="mine")]).write.mode("overwrite").parquet(snap_dir)
+        if not raced["done"]:
+            raced["done"] = True
+            other.write("t", df_of(spark, [Row(id=9, v="racer")]))
+        return catalog._register_snapshot("t", version, snap_dir, "retry-write")
+
+    snap = commit_with_retry(op)
+    assert snap.operation == "retry-write"
+    # the racer's commit is v2, ours is v3 — nothing clobbered
+    assert [s.operation for s in catalog.history("t")][-2:] == [
+        "overwrite", "retry-write"
+    ]
