@@ -810,12 +810,14 @@ class SnapshotCatalog:
 
     # ---- maintenance ----------------------------------------------------
     def expire_snapshots(self, name: str, keep_last: int = 2) -> int:
-        """M1: drop all but the newest `keep_last` snapshots' data dirs."""
+        """M1: drop all but the newest `keep_last` snapshots' data dirs.
+        Tagged versions are always kept — a tag is a pin."""
         hist = self.history(name)
         current = self.current_snapshot(name)
         keep = {s.version for s in hist[-keep_last:]}
         if current:
             keep.add(current.version)
+        keep.update(self.tags(name).values())
         removed = 0
         kept_hist = []
         for s in hist:

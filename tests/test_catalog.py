@@ -726,3 +726,16 @@ def test_commit_with_retry(spark, catalog):
     assert [s.operation for s in catalog.history("t")][-2:] == [
         "overwrite", "retry-write"
     ]
+
+
+def test_expire_keeps_tagged_versions(spark, catalog):
+    """A tag pins its version against expiry — expire_snapshots must
+    never delete a tagged snapshot's data."""
+    for i in range(5):
+        catalog.write("t", df_of(spark, [Row(id=i)]))
+    catalog.create_tag("t", "pinned", version=1)
+    removed = catalog.expire_snapshots("t", keep_last=2)
+    assert removed == 2  # v2, v3 dropped; v1 pinned, v4+v5 kept
+    assert catalog.read_tag("t", "pinned").first().id == 0
+    with pytest.raises(ValueError):
+        catalog.read("t", version=2)
