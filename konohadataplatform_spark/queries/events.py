@@ -541,3 +541,96 @@ def q_asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("view_ts") - F.unix_micros("ts")) / 1_000_000
         ).alias("gap_sec"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window distinct users: COUNT(DISTINCT) over a 3-hour window
+# sliding by 1 hour, computed exactly WITHOUT a window-distinct (which
+# can't partial-aggregate): dedup to (user, hour), explode each pair to
+# the 3 windows it belongs to, then one count-distinct per window.
+# Explode factor = window/slide — at 100 TB this stays a linear-cost
+# plan with map-side combine, vs an unboundable distinct-over-range.
+# --------------------------------------------------------------------------
+@query(
+    "q_events_sliding_distinct",
+    """
+    WITH uh AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+    ), expanded AS (
+      SELECT user_id, h + INTERVAL (o) HOUR AS w_end
+      FROM uh, (SELECT UNNEST([0, 1, 2]) AS o)
+    ), bounds AS (
+      SELECT MIN(date_trunc('hour', ts)) AS lo, MAX(date_trunc('hour', ts)) AS hi
+      FROM events
+    )
+    SELECT w_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM expanded, bounds
+    WHERE w_end BETWEEN lo AND hi
+    GROUP BY w_end
+    """,
+)
+def q_events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    uh = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    expanded = uh.select(
+        "user_id",
+        F.explode(
+            F.array(*[F.col("h") + F.expr(f"INTERVAL {o} HOURS") for o in (0, 1, 2)])
+        ).alias("w_end"),
+    )
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    return (
+        expanded.join(F.broadcast(bounds))
+        .filter(F.col("w_end").between(F.col("lo"), F.col("hi")))
+        .groupBy("w_end")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence pattern mining: per-user ordered event strings, count
+# view->purchase transitions via regex — deterministic because the
+# ordering key (ts, event_id) is unique and both engines sort it
+# identically
+# --------------------------------------------------------------------------
+@query(
+    "q_events_sequence_patterns",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(string_split(seq, ',')) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'view,purchase')) AS BIGINT)
+             AS view_then_purchase,
+           CAST(len(regexp_extract_all(seq, 'purchase')) AS BIGINT) AS purchases
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, 'purchase')) > 0
+    """,
+)
+def q_events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ordered = F.expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, event_type))), "
+        "x -> x.event_type)"
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(ordered, ",").alias("seq")
+    )
+    n = lambda pat: F.size(F.regexp_extract_all(F.col("seq"), F.lit(pat), F.lit(0)))
+    return (
+        seqs.select(
+            "user_id",
+            F.size(F.split("seq", ",")).alias("n_events"),
+            n("view,purchase").cast("bigint").alias("view_then_purchase"),
+            n("purchase").cast("bigint").alias("purchases"),
+        )
+        .filter(F.col("purchases") > 0)
+    )
