@@ -117,3 +117,9 @@ class Engine:
 
     def diff(self, name: str, from_version: int, to_version: int | None = None):
         return self._require_catalog().diff(name, from_version, to_version)
+
+    def create_tag(self, name: str, tag: str, version: int | None = None) -> int:
+        return self._require_catalog().create_tag(name, tag, version)
+
+    def table_at_tag(self, name: str, tag: str) -> DataFrame:
+        return self._require_catalog().read_tag(name, tag)
