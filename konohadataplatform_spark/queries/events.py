@@ -634,3 +634,49 @@ def q_events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("purchases") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing per user: an inherently SEQUENTIAL fold (each step
+# depends on the previous), expressed as an ordered-array aggregate —
+# the pattern for any per-key recurrence (EWMA, compound interest,
+# stateful scores) without a Python UDF. Bit-exact across engines
+# because both fold the identical (ts, event_id)-ordered list with the
+# same IEEE ops in the same order.
+# --------------------------------------------------------------------------
+@query(
+    "q_events_ewma",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list(struct_pack(e := epoch_us(ts), i := event_id, v := value))),
+               s -> s.v
+             ) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS INT) AS n_events,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), vals),
+                       (acc, x) -> acc * 0.5 + x * 0.5) AS ewma_value
+    FROM seq
+    """,
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ordered_vals = F.expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, value))), "
+        "x -> x.value)"
+    )
+    ewma = F.expr(
+        "aggregate(vals, CAST(0 AS DOUBLE), (acc, x) -> acc * 0.5 + x * 0.5)"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(ordered_vals.alias("vals"))
+        .select(
+            "user_id",
+            F.size("vals").alias("n_events"),
+            ewma.alias("ewma_value"),
+        )
+    )
