@@ -1239,3 +1239,94 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         """
     )
+
+
+@query(
+    "q_bitwise_aggs",
+    """
+    SELECT o_orderstatus,
+           CAST(bit_or(o_orderkey % 256) AS BIGINT) AS flags_or,
+           CAST(bit_and(o_orderkey % 256) AS BIGINT) AS flags_and,
+           CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS flags_xor
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (flag-set folding) — order-independent,
+    partial-agg friendly."""
+    orders = _t(spark, sf_dir, "orders")
+    b = F.col("o_orderkey") % 256
+    return orders.groupBy("o_orderstatus").agg(
+        F.bit_or(b).cast("bigint").alias("flags_or"),
+        F.bit_and(b).cast("bigint").alias("flags_and"),
+        F.bit_xor(b).cast("bigint").alias("flags_xor"),
+    )
+
+
+@query(
+    "q_conditional_distinct",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS BIGINT)
+             AS custs_finished,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END) AS BIGINT)
+             AS custs_open
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT CASE ...): multiple filtered distincts in one agg
+    (Catalyst expands to a single Expand + two-phase agg)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("custs_finished"),
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
+        ).alias("custs_open"),
+    )
+
+
+@query(
+    "q_regexp_replace_stats",
+    """
+    SELECT lang,
+           CAST(SUM(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT)
+             AS chars_no_vowels,
+           CAST(SUM(length(text)) AS BIGINT) AS chars_total
+    FROM documents GROUP BY lang
+    """,
+)
+def q_regexp_replace_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_replace parity (no backreferences — those differ across
+    engines: $1 vs \\1)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(
+            F.length(F.regexp_replace(F.col("text"), "[aeiou]", ""))
+        ).alias("chars_no_vowels"),
+        F.sum(F.length("text")).alias("chars_total"),
+    )
+
+
+@query(
+    "q_except_all",
+    """
+    SELECT c AS o_custkey FROM (
+      SELECT o_custkey AS c FROM orders WHERE o_orderstatus <> 'P'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL multiset semantics: each left occurrence cancels at
+    most one right occurrence — duplicates preserved, unlike EXCEPT
+    (set) which q_set_ops_customers covers."""
+    orders = _t(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderstatus") != "P").select(
+        F.col("o_custkey")
+    )
+    right = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return left.exceptAll(right)
