@@ -1330,3 +1330,73 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     right = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return left.exceptAll(right)
+
+
+@query(
+    "q_order_gaps",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS d,
+             LAG(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ) AS prev_d
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(d - prev_d) AS BIGINT) AS min_gap_days,
+           CAST(MAX(d - prev_d) AS BIGINT) AS max_gap_days,
+           CAST(CAST(SUM(d - prev_d) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_gap_days
+    FROM gaps
+    WHERE prev_d IS NOT NULL AND o_custkey <= 500
+    GROUP BY o_custkey
+    """,
+)
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap analysis: LAG over each customer's order
+    sequence, then gap statistics — one shuffle on the partition key
+    feeding both the window and the aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy(d, F.col("o_orderkey"))
+    gaps = orders.select(
+        "o_custkey",
+        d.alias("d"),
+        F.lag(d).over(w).alias("prev_d"),
+    ).filter(F.col("prev_d").isNotNull() & (F.col("o_custkey") <= 500))
+    gap = F.datediff("d", "prev_d")
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min(gap).cast("bigint").alias("min_gap_days"),
+        F.max(gap).cast("bigint").alias("max_gap_days"),
+        (F.sum(gap).cast("double") / F.count(F.lit(1))).alias("avg_gap_days"),
+    )
+
+
+@query(
+    "q_string_breadth",
+    """
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_id,
+           left(c_name, 8) AS name_prefix,
+           right(c_name, 3) AS name_suffix,
+           reverse(c_mktsegment) AS seg_rev,
+           repeat('-', 2 + CAST(c_custkey % 3 AS INT)) AS dashes,
+           CAST(strpos(c_name, '1') AS INT) AS first_one_pos
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def q_string_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth: lpad/left/right/reverse/repeat/
+    position — all codegen expressions."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    return cust.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_id"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.expr("right(c_name, 3)").alias("name_suffix"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.lit("-"), (F.lit(2) + (F.col("c_custkey") % 3)).cast("int")).alias("dashes"),
+        F.instr("c_name", "1").cast("int").alias("first_one_pos"),
+    )
