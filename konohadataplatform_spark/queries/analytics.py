@@ -1400,3 +1400,81 @@ def q_string_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("-"), (F.lit(2) + (F.col("c_custkey") % 3)).cast("int")).alias("dashes"),
         F.instr("c_name", "1").cast("int").alias("first_one_pos"),
     )
+
+
+@query(
+    "q_cross_join_matrix",
+    """
+    SELECT r.r_name, s.o_orderstatus,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    LEFT JOIN (
+      SELECT n.n_regionkey, o.o_orderstatus, COUNT(*) AS n
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, o.o_orderstatus
+    ) c ON c.n_regionkey = r.r_regionkey AND c.o_orderstatus = s.o_orderstatus
+    """,
+)
+def q_cross_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense matrix scaffold: CROSS JOIN of two small dimension sets,
+    LEFT JOINed to sparse facts with zero-fill — every (region,
+    status) cell present even when empty. The cross product is
+    dims-only (tiny, broadcast); facts aggregate before joining."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    statuses = orders.select("o_orderstatus").distinct()
+    cells = region.crossJoin(statuses)
+    counts = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cells.join(
+            counts,
+            (cells.r_regionkey == counts.n_regionkey)
+            & (cells.o_orderstatus == counts.o_orderstatus),
+            "left",
+        )
+        .select(
+            "r_name",
+            cells.o_orderstatus.alias("o_orderstatus"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_try_cast_parsing",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(TRY_CAST(left(o_orderpriority, 1) AS INTEGER)) AS BIGINT)
+             AS priority_sum,
+           CAST(SUM(CASE WHEN TRY_CAST(o_orderstatus AS INTEGER) IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS unparseable_status
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_try_cast_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe parsing with TRY_CAST: malformed values become NULL
+    instead of failing the job — the posture every 100 TB ingest needs
+    (one bad row must not kill a stage)."""
+    orders = _t(spark, sf_dir, "orders")
+    prio_num = F.try_to_number(
+        F.substring("o_orderpriority", 1, 1), F.lit("9")
+    ).cast("int")
+    status_num = F.expr("TRY_CAST(o_orderstatus AS INT)")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(prio_num).cast("bigint").alias("priority_sum"),
+        F.sum(F.when(status_num.isNull(), 1).otherwise(0)).cast("bigint").alias(
+            "unparseable_status"
+        ),
+    )
