@@ -298,6 +298,37 @@ def cosine_pairs_exact(
     )
 
 
+def table_signatures_arrow(
+    planes: list[list[float]], n_tables: int, bits_per_table: int
+):
+    """Arrow-batched signature kernel: one numpy matmul per batch
+    computes every plane dot product at once (~100x the per-element
+    interpreted fold for wide plane sets). Signatures only build the
+    index — every candidate is exactly verified afterwards — so BLAS
+    association-order differences (which could flip a sign only when a
+    dot is within float-epsilon of 0) cost at most a candidate, never
+    correctness."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(planes, dtype=np.float64).T  # (dim, bits)
+    Series = pd.Series
+    weights = np.array([1 << b for b in range(bits_per_table)], dtype=np.int64)
+    offsets = np.array(
+        [t << bits_per_table for t in range(n_tables)], dtype=np.int64
+    )
+
+    def _kernel(vecs):
+        m = np.vstack(vecs.to_numpy())  # (n, dim)
+        bits = (m @ mat) >= 0  # (n, bits)
+        per_table = bits.reshape(len(m), n_tables, bits_per_table)
+        ids = (per_table * weights).sum(axis=2) + offsets  # (n, n_tables)
+        return pd.Series(list(ids))
+
+    _kernel.__annotations__ = {"vecs": Series, "return": Series}
+    return pandas_udf(_kernel, "array<long>")
+
+
 def cosine_neardup_lsh(
     df: DataFrame,
     threshold: float,
@@ -313,7 +344,12 @@ def cosine_neardup_lsh(
     Candidates are id pairs sharing any LSH bucket (the index holds
     only (bucket, id) rows — L small longs per vector); only bucket
     collisions are scored. Probabilistic recall, exact precision: every
-    returned pair's cosine is exactly >= threshold."""
+    returned pair's cosine is exactly >= threshold.
+
+    Calibration: multi-table LSH pays off at real near-dup thresholds
+    (cos >= 0.8-0.95, where buckets are selective). At low thresholds
+    over near-random vectors bucket collisions approach all-pairs and
+    brute force (cosine_pairs_exact) is the honest choice."""
     planes = make_planes(dim, n_tables * bits_per_table, seed)
     base = _spread(
         df.select(
@@ -322,11 +358,9 @@ def cosine_neardup_lsh(
         )
     ).cache()
     base.count()  # consumed by index build and the two verify joins
+    sig_udf = table_signatures_arrow(planes, n_tables, bits_per_table)
     sigs = base.select(
-        "vid",
-        F.explode(
-            _table_signatures(F.col("v"), planes, n_tables, bits_per_table)
-        ).alias("sig"),
+        "vid", F.explode(sig_udf(F.col("v"))).alias("sig")
     )
     a = sigs.alias("a")
     b = sigs.alias("b")
