@@ -128,20 +128,17 @@ def ann_lsh_topk(
     to a small fraction of brute force.
     """
     planes = make_planes(dim, n_tables * bits_per_table, seed)
+    sig_udf = table_signatures_arrow(planes, n_tables, bits_per_table)
     c = _spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
-    ).withColumn(
-        "sig", F.explode(_table_signatures(F.col("cv"), planes, n_tables, bits_per_table))
-    )
+    ).withColumn("sig", F.explode(sig_udf(F.col("cv"))))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn(
-        "sig", F.explode(_table_signatures(F.col("qv"), planes, n_tables, bits_per_table))
-    )
+    ).withColumn("sig", F.explode(sig_udf(F.col("qv"))))
     cands = (
         c.join(
             F.broadcast(q),
