@@ -1478,3 +1478,61 @@ def q_try_cast_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unparseable_status"
         ),
     )
+
+
+@query(
+    "q_join_on_expression",
+    """
+    SELECT y.yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM (SELECT DISTINCT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS yr
+          FROM orders) y
+    JOIN orders o
+      ON EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) = y.yr
+    GROUP BY y.yr
+    """,
+)
+def q_join_on_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on a COMPUTED key (year expression on both sides) —
+    Catalyst still hash-partitions on the derived value, no theta-join
+    fallback."""
+    orders = _t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    years = orders.select(yr.alias("yr")).distinct()
+    o = orders.withColumn("o_yr", yr)
+    return (
+        o.join(years, o.o_yr == years.yr)
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_tuple_in_subquery",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders o
+    WHERE o_orderstatus = 'F' AND EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000
+    )
+    """,
+)
+def q_tuple_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-value (multi-column) IN subquery — planned as a left-semi
+    join on the composite key."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_tin_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_tin_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM _tin_orders
+        WHERE (o_custkey, o_orderstatus) IN (
+          SELECT c_custkey, 'F' FROM _tin_customer WHERE c_acctbal > 9000
+        )
+        """
+    )
