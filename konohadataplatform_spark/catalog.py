@@ -112,6 +112,11 @@ def _partition_dir_value(v) -> str:
     dates/timestamps in the same ISO shapes ``str()`` produces)."""
     if v is None:
         return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        # Spark renders boolean partition dirs lowercase (flag=true);
+        # str(True) is 'True' and would miss the touched-dir match,
+        # hardlinking the stale dir in beside the rewrite (dup rows)
+        return str(v).lower()
     return str(v)
 
 
@@ -367,7 +372,20 @@ class SnapshotCatalog:
             return self._commit(name, merged, "merge", None)
 
         target = self.read(name)
-        touched_target = target.filter(F.col(partition_col).isin(vals))
+        # isin() with a None in the list is NULL for every row (SQL
+        # three-valued logic), which would silently drop *all* base rows
+        # of the null partition from the rewrite while touched_strs
+        # still excludes that dir from hardlinking — data loss. Select
+        # the null partition explicitly.
+        non_null_vals = [v for v in vals if v is not None]
+        touched_cond = (
+            F.col(partition_col).isin(non_null_vals)
+            if non_null_vals
+            else F.lit(False)
+        )
+        if len(non_null_vals) != len(vals):
+            touched_cond = touched_cond | F.col(partition_col).isNull()
+        touched_target = target.filter(touched_cond)
         keys_only = changed.select(*key_cols).distinct()
         merged = touched_target.join(keys_only, key_cols, "left_anti").unionByName(
             source, allowMissingColumns=True
