@@ -54,7 +54,7 @@ def _footer_row_count(snap_dir: str) -> int:
     return total
 
 
-def partition_transform(spec: str):
+def partition_transform(spec: str, dtype: str | None = None):
     """Iceberg-style hidden-partitioning transforms as (derived column
     name, Column expression) — apply before writing, partition on the
     derived column, and queries filtering the source column still prune
@@ -88,6 +88,16 @@ def partition_transform(spec: str):
     if fn == "bucket":
         return f"{col}_bucket", F.pmod(F.xxhash64(c), F.lit(n)).cast("int")
     if fn == "truncate":
+        # Iceberg truncate semantics depend on the source type
+        # (iceberg spec §Partition Transforms): numeric truncate is
+        # width-based — v - (v mod W) with a non-negative mod, so
+        # truncate(2, -123) = -124 — while string truncate is a prefix.
+        # Callers that know the column type (apply_partition_transforms)
+        # pass dtype; a bare call without dtype gets prefix semantics,
+        # which is only Iceberg-equivalent for strings.
+        numeric_prefixes = ("tinyint", "smallint", "int", "bigint", "decimal")
+        if dtype is not None and dtype.startswith(numeric_prefixes):
+            return f"{col}_trunc", (F.floor(c / F.lit(n)) * F.lit(n)).cast(dtype)
         return f"{col}_trunc", F.substring(c.cast("string"), 1, n)
     raise ValueError(f"unknown partition transform: {fn}")
 
@@ -97,9 +107,11 @@ def apply_partition_transforms(
 ) -> tuple[DataFrame, list[str]]:
     """Add derived partition columns for each transform spec; returns
     (df with columns, partition column names) ready for write()."""
+    dtypes = dict(df.dtypes)
     cols = []
     for spec in specs:
-        name, expr = partition_transform(spec)
+        src = spec.strip().rstrip(")").split(",")[-1].split("(")[-1].strip()
+        name, expr = partition_transform(spec, dtype=dtypes.get(src))
         df = df.withColumn(name, expr)
         cols.append(name)
     return df, cols
@@ -421,6 +433,25 @@ class SnapshotCatalog:
             mixed_schema=mixed,
         )
 
+    def _reject_null_keys(
+        self, df: DataFrame, key_cols: list[str], op: str
+    ) -> None:
+        """MOR layers shadow base rows via anti-joins, and SQL equality
+        never matches NULL = NULL — a NULL key value would silently
+        fail to shadow/delete (duplicate rows on read). Reject at
+        commit time, the same contract as Iceberg identifier fields
+        (required non-null). Cost: one job over the (small by
+        construction) batch."""
+        null_any = None
+        for k in key_cols:
+            c = F.col(k).isNull()
+            null_any = c if null_any is None else (null_any | c)
+        if df.filter(null_any).limit(1).count() > 0:
+            raise ValueError(
+                f"{op}: NULL in key column(s) {key_cols}; merge-on-read "
+                "keys must be non-null (Iceberg identifier-field contract)"
+            )
+
     def delete_by_keys(
         self, name: str, keys_df: DataFrame, key_cols: list[str]
     ) -> Snapshot:
@@ -437,6 +468,7 @@ class SnapshotCatalog:
         prev = self.current_snapshot(name)
         if prev is None:
             raise ValueError(f"table not found: {name}")
+        self._reject_null_keys(keys_df, key_cols, "delete_by_keys")
         if prev.delete_key_cols and prev.delete_key_cols != key_cols:
             raise ValueError(
                 f"{name}: pending deletes keyed on {prev.delete_key_cols}; "
@@ -497,6 +529,7 @@ class SnapshotCatalog:
         prev = self.current_snapshot(name)
         if prev is None:
             return self._commit(name, source, "create-on-upsert", None)
+        self._reject_null_keys(source, key_cols, "upsert_by_keys")
         if prev.upsert_key_cols and prev.upsert_key_cols != key_cols:
             raise ValueError(
                 f"{name}: pending upsert layers keyed on "
@@ -637,18 +670,36 @@ class SnapshotCatalog:
         a REST-catalog transaction. Stage everything first so the
         publish window is pointer swaps only, microseconds per table.
         """
-        done: list[str] = []
+        # record each table's pre-publish version so compensation can
+        # handle tables that did not exist before this call (published
+        # as v1 — rollback to v0 is impossible, the table is dropped)
+        done: list[tuple[str, int]] = []
         try:
             out = {}
             for name, s in staged.items():
+                cur = self.current_snapshot(name)
+                prior = cur.version if cur else 0
                 out[name] = self.publish(name, s)
-                done.append(name)
+                done.append((name, prior))
             return out
         except CommitConflictError:
-            for name in done:
-                cur = self.current_snapshot(name)
-                self.rollback(name, cur.version - 1)
+            # best-effort: every compensation runs even if one fails,
+            # then the original conflict propagates
+            for name, prior in reversed(done):
+                try:
+                    if prior == 0:
+                        self.drop_table(name)
+                    else:
+                        self.rollback(name, prior)
+                except Exception:
+                    pass
             raise
+
+    def drop_table(self, name: str) -> None:
+        """Remove the table: pointer, history, snapshots, tags. Used by
+        DROP TABLE and by publish_all compensation for tables that did
+        not exist before a failed multi-table publish."""
+        shutil.rmtree(self._tdir(name), ignore_errors=True)
 
     def rollback(self, name: str, version: int) -> Snapshot:
         """Roll the table back to an old version AS A NEW COMMIT
