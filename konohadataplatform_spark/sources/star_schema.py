@@ -38,9 +38,11 @@ BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one parquet table, normalizing physical-type quirks.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as raw nanos (legacy conf) and
-    convert to a micros timestamp (the same truncation DuckDB applies).
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (rejected by
+    Spark's vectorized reader) and as un-adjusted ``timestamp[us]`` (read
+    as TIMESTAMP_NTZ, which ``unix_micros``/``withWatermark`` reject).
+    Normalize both to a plain session-TZ TIMESTAMP; the session TZ is
+    pinned UTC everywhere, so values match what DuckDB reads.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -48,10 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (runtime-settable, so this works under any caller's session).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if df.schema["ts"].dataType.simpleString() == "bigint":
+        dtype = df.schema["ts"].dataType.simpleString()
+        if dtype == "bigint":
             # Integer `div`, not `/`: nanos-since-epoch exceeds double's
             # 53-bit mantissa, so float division drifts by ±1 us.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            # NTZ micros reinterpreted as UTC instants — a no-op on the
+            # stored values under the pinned-UTC session.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
