@@ -27,11 +27,13 @@ per query.
 
 from __future__ import annotations
 
+import decimal
 import json
 import os
 import shutil
 import time
 import uuid
+import warnings
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,9 +97,18 @@ def partition_transform(spec: str, dtype: str | None = None):
         # Callers that know the column type (apply_partition_transforms)
         # pass dtype; a bare call without dtype gets prefix semantics,
         # which is only Iceberg-equivalent for strings.
-        numeric_prefixes = ("tinyint", "smallint", "int", "bigint", "decimal")
-        if dtype is not None and dtype.startswith(numeric_prefixes):
-            return f"{col}_trunc", (F.floor(c / F.lit(n)) * F.lit(n)).cast(dtype)
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            # Exact integer arithmetic: v - (v pmod W). Never `/` —
+            # double division loses precision above 2^53 for bigints.
+            return f"{col}_trunc", (c - F.pmod(c, F.lit(n))).cast(dtype)
+        if dtype is not None and re.fullmatch(r"decimal\(\d+,\s*\d+\)", dtype):
+            # Iceberg applies W to the UNSCALED value: the effective
+            # width is W * 10^-scale in the value's own scale, so
+            # truncate(50, 10.65) = 10.65 - (10.65 pmod 0.50) = 10.50.
+            scale = int(dtype.rstrip(")").split(",")[1])
+            width = decimal.Decimal(n).scaleb(-scale)
+            w = F.lit(width).cast(dtype)
+            return f"{col}_trunc", (c - F.pmod(c, w)).cast(dtype)
         return f"{col}_trunc", F.substring(c.cast("string"), 1, n)
     raise ValueError(f"unknown partition transform: {fn}")
 
@@ -527,9 +538,12 @@ class SnapshotCatalog:
         anti-joins are broadcast joins as long as layers stay small.
         """
         prev = self.current_snapshot(name)
+        # Validate BEFORE the create-on-upsert early return: a NULL-key
+        # base row committed by the first batch could never be shadowed
+        # or deleted by any later key-based operation.
+        self._reject_null_keys(source, key_cols, "upsert_by_keys")
         if prev is None:
             return self._commit(name, source, "create-on-upsert", None)
-        self._reject_null_keys(source, key_cols, "upsert_by_keys")
         if prev.upsert_key_cols and prev.upsert_key_cols != key_cols:
             raise ValueError(
                 f"{name}: pending upsert layers keyed on "
@@ -682,17 +696,25 @@ class SnapshotCatalog:
                 out[name] = self.publish(name, s)
                 done.append((name, prior))
             return out
-        except CommitConflictError:
-            # best-effort: every compensation runs even if one fails,
-            # then the original conflict propagates
+        except CommitConflictError as conflict:
+            # best-effort: every compensation runs even if one fails;
+            # failures are attached to the re-raised conflict (and
+            # warned) rather than swallowed, so a partially-rolled-back
+            # state is never silent
+            failures: list[str] = []
             for name, prior in reversed(done):
                 try:
                     if prior == 0:
                         self.drop_table(name)
                     else:
                         self.rollback(name, prior)
-                except Exception:
-                    pass
+                except Exception as exc:  # noqa: BLE001 — report, don't mask
+                    msg = f"compensation failed for {name!r} (restore to v{prior}): {exc}"
+                    failures.append(msg)
+                    warnings.warn(msg, stacklevel=2)
+            if failures:
+                for msg in failures:
+                    conflict.add_note(msg)
             raise
 
     def drop_table(self, name: str) -> None:

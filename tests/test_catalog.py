@@ -582,6 +582,34 @@ def test_partition_transforms(spark, catalog):
     assert name == "ts_month"
 
 
+def test_truncate_transform_iceberg_semantics(spark):
+    """Numeric truncate follows the Iceberg spec: v - (v pmod W) with
+    exact arithmetic — negative values round toward -inf, bigints above
+    2^53 stay exact (no double division), and decimal widths apply to
+    the UNSCALED value (truncate(50, 10.65) = 10.50)."""
+    from decimal import Decimal
+
+    from konohadataplatform_spark.catalog import partition_transform
+
+    big = (1 << 60) + 7  # above double's 53-bit mantissa
+    df = spark.createDataFrame(
+        [(-123, big, Decimal("10.65")), (1, big + 90, Decimal("-0.05"))],
+        "i int, b bigint, d decimal(9,2)",
+    )
+    for spec, dtype, expect in [
+        ("truncate(10, i)", "int", [-130, 0]),
+        ("truncate(100, b)", "bigint", [(big // 100) * 100, ((big + 90) // 100) * 100]),
+        ("truncate(50, d)", "decimal(9,2)", [Decimal("10.50"), Decimal("-0.50")]),
+    ]:
+        name, expr = partition_transform(spec, dtype=dtype)
+        src = spec.split(",")[1].strip(" )")
+        got = [r[0] for r in df.select(expr).orderBy(F.col(src).cast("double")).collect()]
+        want = sorted(expect) if src != "d" else [Decimal("-0.50"), Decimal("10.50")]
+        assert got == want, (spec, got, want)
+        # Result keeps the source dtype (partition values stay typed).
+        assert df.select(expr.alias("x")).schema["x"].dataType.simpleString() == dtype
+
+
 def test_partition_transform_pruning(spark, catalog):
     """Filtering on the DERIVED column prunes partitions at scan time
     (PartitionFilters in the plan)."""
@@ -645,6 +673,38 @@ def test_publish_all_compensates_on_conflict(spark, catalog):
     # a was rolled back to its pre-publish content; b kept the winner
     assert [r.id for r in catalog.read("a").collect()] == [1]
     assert [r.id for r in catalog.read("b").collect()] == [99]
+
+
+def test_publish_all_reports_failed_compensation(spark, catalog, monkeypatch):
+    """A compensation failure must surface on the re-raised conflict
+    (exception notes + warning), never be silently swallowed."""
+    from konohadataplatform_spark.catalog import CommitConflictError, SnapshotCatalog
+
+    catalog.write("a", df_of(spark, [Row(id=1)]))
+    catalog.write("b", df_of(spark, [Row(id=1)]))
+    sa = catalog.stage("a", df_of(spark, [Row(id=2)]))
+    sb = catalog.stage("b", df_of(spark, [Row(id=2)]))
+    other = SnapshotCatalog(spark, catalog.warehouse)
+    other.write("b", df_of(spark, [Row(id=99)]))
+
+    def boom(name, version):
+        raise OSError("disk gone")
+
+    monkeypatch.setattr(catalog, "rollback", boom)
+    with pytest.warns(UserWarning, match="compensation failed for 'a'"):
+        with pytest.raises(CommitConflictError) as ei:
+            catalog.publish_all({"a": sa, "b": sb})
+    notes = getattr(ei.value, "__notes__", [])
+    assert any("compensation failed for 'a'" in n for n in notes)
+
+
+def test_upsert_rejects_null_keys_on_first_batch(spark, catalog):
+    """The create-on-upsert path validates too: a NULL-key base row
+    could never be shadowed or deleted later."""
+    df = spark.createDataFrame([(None, "x"), (1, "y")], "id long, v string")
+    with pytest.raises(ValueError, match="NULL in key column"):
+        catalog.upsert_by_keys("fresh", df, ["id"])
+    assert catalog.current_snapshot("fresh") is None
 
 
 def test_publish_all_success(spark, catalog):
