@@ -316,13 +316,16 @@ class SnapshotCatalog:
         df: DataFrame,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        operation: str | None = None,
     ) -> Snapshot:
-        """S5 full write (CTAS-overwrite) / append; auto-creates (M7)."""
+        """S5 full write (CTAS-overwrite) / append; auto-creates (M7).
+        ``operation`` overrides the history label (SQL DML dispatch
+        records e.g. ``merge(sql)`` instead of ``overwrite``)."""
         if mode == "append" and self.exists(name):
             existing = self.read(name)
             df = existing.unionByName(df, allowMissingColumns=True)
-            return self._commit(name, df, "append", partition_by)
-        return self._commit(name, df, "overwrite", partition_by)
+            return self._commit(name, df, operation or "append", partition_by)
+        return self._commit(name, df, operation or "overwrite", partition_by)
 
     def merge(
         self,

@@ -32,6 +32,18 @@ class Engine:
 
     # ---- S8: JDBC/Thrift SQL entry point analog -------------------------
     def sql(self, query: str) -> DataFrame:
+        """SQL entry point. With a catalog attached, DML statements
+        (``MERGE INTO`` / ``DELETE FROM`` / ``UPDATE`` — the forms the
+        reference's dbt models and GDPR docs emit) route onto the
+        catalog API, and ``FOR TIMESTAMP|VERSION AS OF`` table clauses
+        rewrite onto :meth:`table_at` time travel. Everything else is
+        handed to Spark SQL unchanged."""
+        if self.catalog is not None:
+            from konohadataplatform_spark import sqldml
+
+            if sqldml.is_dml(query):
+                return sqldml.dispatch(self, query)
+            query = sqldml.rewrite_time_travel(self, query)
         return self.spark.sql(query)
 
     # ---- table registry -------------------------------------------------

@@ -1536,3 +1536,62 @@ def q_tuple_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# --------------------------------------------------------------------------
+# SQL-declared incremental MERGE (S6 via S8): the reference's dbt models
+# declare merges in SQL (dbt/analytics/models/marts/daily_order_metrics.sql:9,
+# incremental_strategy='merge'); this exercises Engine.sql("MERGE INTO ...")
+# end to end — build a base aggregate, merge an increment additively, read
+# the catalog table back. Final state equals one aggregate over all rows.
+# --------------------------------------------------------------------------
+@query(
+    "q_merge_sql_nation_balances",
+    """
+    SELECT n.n_name AS n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_merge_sql_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental merge declared in SQL: target holds even-custkey
+    aggregates, the odd-custkey increment arrives via MERGE INTO with
+    additive UPDATE SET and INSERT — so the merged table must equal a
+    one-shot aggregate over all customers (the oracle). Scale: the merge
+    plans one anti-join + union commit; the increment side broadcasts
+    when small."""
+    import tempfile
+
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.engine import Engine
+
+    eng = Engine(spark, SnapshotCatalog(spark, tempfile.mkdtemp(prefix="mergesql_")))
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("n_name").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec("c_acctbal")).alias("bal"),
+        )
+
+    eng.save_table("nation_balances_t", agg(joined.filter(F.col("c_custkey") % 2 == 0)))
+    eng.register("nation_balances_inc", agg(joined.filter(F.col("c_custkey") % 2 == 1)))
+    eng.sql(
+        """
+        MERGE INTO nation_balances_t t USING nation_balances_inc s
+        ON t.n_name = s.n_name
+        WHEN MATCHED THEN UPDATE SET
+            n_customers = t.n_customers + s.n_customers,
+            bal = t.bal + s.bal
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    return eng.table("nation_balances_t").select(
+        "n_name",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("bal").cast("double").alias("total_acctbal"),
+    )

@@ -1,0 +1,163 @@
+"""SQL DML dispatch (S8): MERGE INTO / DELETE FROM / UPDATE strings
+route onto the catalog API, and FOR TIMESTAMP|VERSION AS OF rewrites
+onto time travel — the SQL forms the reference's dbt incremental models
+(``daily_order_metrics.sql:9``, ``incremental_strategy='merge'``) and
+GDPR docs (``docs/architecture/lakehouse.md:108``) rely on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from konohadataplatform_spark.catalog import SnapshotCatalog
+from konohadataplatform_spark.engine import Engine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, SnapshotCatalog(spark, str(tmp_path / "wh")))
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def seed(engine):
+    engine.save_table(
+        "metrics",
+        engine.spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, tag string, v double",
+        ),
+    )
+
+
+def src_df(engine):
+    return engine.spark.createDataFrame(
+        [(2, "B", 200.0), (4, "d", 40.0)], "id long, tag string, v double"
+    )
+
+
+def test_merge_sql_matches_api(engine, spark, tmp_path):
+    """The SQL MERGE upsert form produces byte-identical table state to
+    the catalog.merge API call."""
+    seed(engine)
+    src_df(engine).createOrReplaceTempView("src")
+    engine.sql(
+        """
+        MERGE INTO metrics t USING src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    via_sql = rows(engine.table("metrics"))
+
+    api = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "wh2")))
+    seed(api)
+    api.catalog.merge("metrics", src_df(api), ["id"])
+    assert via_sql == rows(api.catalog.read("metrics"))
+    assert via_sql == [
+        (1, "a", 10.0),
+        (2, "B", 200.0),
+        (3, "c", 30.0),
+        (4, "d", 40.0),
+    ]
+    # history records the SQL route distinctly
+    assert engine.history("metrics")[-1].operation == "merge(sql)"
+
+
+def test_merge_explicit_assignments_and_guards(engine):
+    seed(engine)
+    src_df(engine).createOrReplaceTempView("src")
+    engine.sql(
+        """
+        MERGE INTO metrics t USING src s ON t.id = s.id
+        WHEN MATCHED AND s.v > 1000 THEN UPDATE SET v = s.v, tag = upper(s.tag)
+        WHEN NOT MATCHED AND s.id < 100 THEN INSERT (id, tag) VALUES (s.id, s.tag)
+        """
+    )
+    # guard fails for id=2 (200 < 1000): row untouched; id=4 inserted
+    # with only (id, tag), v NULL-filled
+    assert rows(engine.table("metrics")) == [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+        (3, "c", 30.0),
+        (4, "d", None),
+    ]
+
+
+def test_merge_matched_delete(engine):
+    seed(engine)
+    src_df(engine).createOrReplaceTempView("src")
+    engine.sql("MERGE INTO metrics t USING src s ON t.id = s.id "
+               "WHEN MATCHED THEN DELETE")
+    assert rows(engine.table("metrics")) == [(1, "a", 10.0), (3, "c", 30.0)]
+
+
+def test_merge_subquery_source(engine):
+    seed(engine)
+    engine.register(
+        "raw", engine.spark.createDataFrame([(2, 99.0), (2, 1.0)], "id long, v double")
+    )
+    engine.sql(
+        """
+        MERGE INTO metrics USING (SELECT id, max(v) AS v FROM raw GROUP BY id) s
+        ON metrics.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        """
+    )
+    assert rows(engine.table("metrics")) == [
+        (1, "a", 10.0),
+        (2, "b", 99.0),
+        (3, "c", 30.0),
+    ]
+
+
+def test_delete_from_matches_api(engine, spark, tmp_path):
+    seed(engine)
+    engine.sql("DELETE FROM metrics WHERE v >= 20.0")
+    via_sql = rows(engine.table("metrics"))
+    api = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "wh2")))
+    seed(api)
+    api.catalog.delete_where("metrics", "v >= 20.0")
+    assert via_sql == rows(api.catalog.read("metrics"))
+    assert via_sql == [(1, "a", 10.0)]
+
+
+def test_update_where(engine):
+    seed(engine)
+    engine.sql("UPDATE metrics SET v = v * 2, tag = concat(tag, '!') WHERE id <= 2")
+    assert rows(engine.table("metrics")) == [
+        (1, "a!", 20.0),
+        (2, "b!", 40.0),
+        (3, "c", 30.0),
+    ]
+
+
+def test_update_unknown_column_rejected(engine):
+    seed(engine)
+    with pytest.raises(ValueError, match="unknown column"):
+        engine.sql("UPDATE metrics SET nope = 1")
+
+
+def test_time_travel_sql_matches_table_at(engine):
+    seed(engine)  # v1
+    engine.sql("DELETE FROM metrics WHERE id = 1")  # v2
+    v1_sql = engine.sql("SELECT * FROM metrics FOR VERSION AS OF 1 ORDER BY id")
+    assert rows(v1_sql) == rows(engine.table_at("metrics", version=1))
+    assert len(rows(v1_sql)) == 3
+    # qualified references keep resolving (view is aliased to the table)
+    out = engine.sql(
+        "SELECT metrics.id FROM metrics FOR VERSION AS OF 2 WHERE metrics.id > 1"
+    )
+    assert rows(out) == [(2,), (3,)]
+    # timestamp form: as-of the v2 commit time sees v2
+    ts = engine.history("metrics")[-1].timestamp_ms
+    got = engine.sql(f"SELECT count(*) AS n FROM metrics FOR TIMESTAMP AS OF {ts}")
+    assert got.collect()[0].n == 2
+
+
+def test_dml_without_catalog_rejected(spark):
+    eng = Engine(spark, None)
+    with pytest.raises(Exception):
+        eng.sql("DELETE FROM metrics WHERE id = 1")
