@@ -181,6 +181,14 @@ class Snapshot:
     # WAP: table version observed when this snapshot was staged —
     # publish() refuses if the table moved since (optimistic check)
     base_version: int | None = None
+    # M5 metadata-only schema evolution (Iceberg rename/drop are
+    # metadata operations — no data rewrite at any scale): physical
+    # parquet column name -> current name, and physical names hidden
+    # from reads. Applied to base files, upsert layers, and delete
+    # files uniformly at read time; any full rewrite (write/merge/
+    # compact) materializes the current schema and clears these.
+    renames: dict | None = None
+    dropped: list | None = None
 
 
 class CommitConflictError(RuntimeError):
@@ -258,6 +266,8 @@ class SnapshotCatalog:
         mixed_schema: bool = False,
         upsert_layers: list[str] | None = None,
         upsert_key_cols: list[str] | None = None,
+        renames: dict | None = None,
+        dropped: list | None = None,
     ) -> Snapshot:
         """Atomic pointer swap: temp file + rename (same protocol shape
         as Iceberg's metadata pointer update). On conflict the caller's
@@ -273,6 +283,8 @@ class SnapshotCatalog:
             mixed_schema=mixed_schema,
             upsert_layers=upsert_layers,
             upsert_key_cols=upsert_key_cols,
+            renames=renames or None,
+            dropped=dropped or None,
         )
         # optimistic concurrency: the version we computed must still be
         # next-in-line; a concurrent committer makes this a conflict,
@@ -377,11 +389,13 @@ class SnapshotCatalog:
         vals = [r[0] for r in changed.select(partition_col).distinct().collect()]
 
         prev = self.current_snapshot(name)
-        if prev.delete_path or prev.upsert_layers:
-            # pending merge-on-read state lives at snapshot scope, not
-            # partition scope — hardlinking untouched partitions raw
-            # would resurrect deleted rows / drop layered upserts.
-            # Materialize first (one full rewrite), then merge scoped.
+        if prev.delete_path or prev.upsert_layers or prev.renames or prev.dropped:
+            # pending merge-on-read state and metadata-only schema
+            # changes live at snapshot scope, not partition scope —
+            # hardlinking untouched partitions raw would resurrect
+            # deleted rows / drop layered upserts / mix physical
+            # schemas across partition dirs. Materialize first (one
+            # full rewrite), then merge scoped.
             self._commit(name, self.read(name), "materialize-mor", [partition_col])
             prev = self.current_snapshot(name)
         part_prefix = f"{partition_col}="
@@ -517,6 +531,8 @@ class SnapshotCatalog:
             # the delete set applies after them at read time
             upsert_layers=prev.upsert_layers,
             upsert_key_cols=prev.upsert_key_cols,
+            renames=prev.renames,
+            dropped=prev.dropped,
         )
 
     def upsert_by_keys(
@@ -589,6 +605,8 @@ class SnapshotCatalog:
             mixed_schema=prev.mixed_schema,
             upsert_layers=layers,
             upsert_key_cols=key_cols,
+            renames=prev.renames,
+            dropped=prev.dropped,
         )
 
     # ---- write-audit-publish (staged commits) ---------------------------
@@ -748,6 +766,8 @@ class SnapshotCatalog:
             mixed_schema=old.mixed_schema,
             upsert_layers=old.upsert_layers,
             upsert_key_cols=old.upsert_key_cols,
+            renames=old.renames,
+            dropped=old.dropped,
         )
 
     def diff(
@@ -788,19 +808,39 @@ class SnapshotCatalog:
             # schema generations — the common single-schema path keeps
             # the cheap sample-one-footer resolution
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(snap.path)
+        df = self._apply_schema_meta(reader.parquet(snap.path), snap)
         # merge-on-read upsert layers, oldest first: shadow older rows
         # on the layer's keys, then union the layer (latest wins)
         for layer_rel in snap.upsert_layers or []:
-            layer = self.spark.read.parquet(os.path.join(snap.path, layer_rel))
+            layer = self._apply_schema_meta(
+                self.spark.read.parquet(os.path.join(snap.path, layer_rel)), snap
+            )
             df = df.join(
                 layer.select(*snap.upsert_key_cols).distinct(),
                 snap.upsert_key_cols,
                 "left_anti",
             ).unionByName(layer, allowMissingColumns=True)
         if snap.delete_path and os.path.isdir(snap.delete_path):
-            dels = self.spark.read.parquet(snap.delete_path)
+            dels = self._apply_schema_meta(
+                self.spark.read.parquet(snap.delete_path), snap
+            )
             df = df.join(dels, snap.delete_key_cols, "left_anti")
+        return df
+
+    @staticmethod
+    def _apply_schema_meta(df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Metadata-only rename/drop, applied at read time (M5). Files
+        written before a rename carry the physical name, files written
+        after carry the current name — withColumnRenamed no-ops when
+        the physical name is absent, so both generations resolve to
+        one current-name schema. Column pruning still pushes through a
+        rename into the parquet scan (it's a Project over the scan)."""
+        for phys, cur in (snap.renames or {}).items():
+            df = df.withColumnRenamed(phys, cur)
+        if snap.dropped:
+            present = [c for c in snap.dropped if c in df.columns]
+            if present:
+                df = df.drop(*present)
         return df
 
     def _resolve(
@@ -1031,6 +1071,111 @@ class SnapshotCatalog:
         """M5 ALTER TABLE ADD COLUMN (materialized as a new snapshot)."""
         df = self.read(name).withColumn(col_name, col_expr)
         return self._commit(name, df, f"add-column({col_name})", None)
+
+    def _physical_name(self, snap: Snapshot, current: str) -> str:
+        """Resolve a current column name to its on-disk parquet name."""
+        for phys, cur in (snap.renames or {}).items():
+            if cur == current:
+                return phys
+        return current
+
+    def _schema_meta_commit(
+        self, name: str, operation: str, renames: dict, dropped: list
+    ) -> Snapshot:
+        """Commit a metadata-only schema change: data files hardlinked,
+        only the rename/drop maps change — O(#files) at any scale."""
+        prev = self.current_snapshot(name)
+        version, snap_dir = self._new_snapshot_dir(name)
+        _link_tree(prev.path, snap_dir)
+        delete_path = None
+        if prev.delete_path and os.path.isdir(prev.delete_path):
+            delete_path = os.path.join(snap_dir, "_deletes")
+        return self._register_snapshot(
+            name,
+            version,
+            snap_dir,
+            operation,
+            row_count=prev.row_count,
+            delete_path=delete_path,
+            delete_key_cols=prev.delete_key_cols if delete_path else None,
+            mixed_schema=prev.mixed_schema,
+            upsert_layers=prev.upsert_layers,
+            upsert_key_cols=prev.upsert_key_cols,
+            renames=renames,
+            dropped=dropped,
+        )
+
+    def rename_column(self, name: str, old: str, new: str) -> Snapshot:
+        """M5 ALTER TABLE RENAME COLUMN — metadata-only, like Iceberg:
+        no data rewrite; reads resolve the physical name to the new one
+        (docs/architecture/lakehouse.md:83-91 evolution matrix)."""
+        prev = self.current_snapshot(name)
+        if prev is None:
+            raise ValueError(f"table not found: {name}")
+        cols = self.read(name).columns
+        if old not in cols:
+            raise ValueError(f"{name}: no such column {old!r}")
+        if new in cols:
+            raise ValueError(f"{name}: column {new!r} already exists")
+        renames = dict(prev.renames or {})
+        phys = self._physical_name(prev, old)
+        if phys == new:
+            renames.pop(phys, None)  # renamed back to the physical name
+        else:
+            renames[phys] = new
+        # MOR key metadata tracks current names
+        snap = self._schema_meta_commit(
+            name, f"rename-column({old}->{new})", renames, list(prev.dropped or [])
+        )
+        return self._rewrite_key_cols(name, snap, old, new)
+
+    def _rewrite_key_cols(
+        self, name: str, snap: Snapshot, old: str, new: str
+    ) -> Snapshot:
+        """Key-column lists in the pointer/log track CURRENT names; fix
+        them up after a rename (read() renames the delete/layer files'
+        physical columns, so the join keys must follow)."""
+        changed = False
+        for attr in ("delete_key_cols", "upsert_key_cols"):
+            ks = getattr(snap, attr)
+            if ks and old in ks:
+                setattr(snap, attr, [new if k == old else k for k in ks])
+                changed = True
+        if changed:
+            ptr = self._pointer_path(name)
+            tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(snap.__dict__, f)
+            os.replace(tmp, ptr)
+        return snap
+
+    def drop_column(self, name: str, col: str) -> Snapshot:
+        """M5 ALTER TABLE DROP COLUMN — metadata-only: the physical
+        column stays in the files (and in time-travel reads of older
+        versions) but is hidden from current reads. Column pruning
+        means it is never scanned."""
+        prev = self.current_snapshot(name)
+        if prev is None:
+            raise ValueError(f"table not found: {name}")
+        cols = self.read(name).columns
+        if col not in cols:
+            raise ValueError(f"{name}: no such column {col!r}")
+        for attr in ("delete_key_cols", "upsert_key_cols"):
+            ks = getattr(prev, attr)
+            if ks and col in ks:
+                raise ValueError(
+                    f"{name}: {col!r} is a pending merge-on-read key "
+                    "column; compact() before dropping it"
+                )
+        renames = dict(prev.renames or {})
+        phys = self._physical_name(prev, col)
+        renames.pop(phys, None)
+        dropped = list(prev.dropped or [])
+        if phys not in dropped:
+            dropped.append(phys)
+        return self._schema_meta_commit(
+            name, f"drop-column({col})", renames, dropped
+        )
 
     def count(self, name: str, version: int | None = None) -> int:
         """Metadata-only row count from parquet footers (the reference's

@@ -105,6 +105,18 @@ class Engine:
         self.register(name, self.catalog.read(name))
         return snap
 
+    def rename_column(self, name: str, old: str, new: str):
+        """M5 schema evolution: metadata-only rename (no data rewrite)."""
+        snap = self._require_catalog().rename_column(name, old, new)
+        self.register(name, self.catalog.read(name))
+        return snap
+
+    def drop_column(self, name: str, col: str):
+        """M5 schema evolution: metadata-only drop (no data rewrite)."""
+        snap = self._require_catalog().drop_column(name, col)
+        self.register(name, self.catalog.read(name))
+        return snap
+
     def optimize(self, name: str, **kwargs):
         """Compaction (OPTIMIZE analog): folds pending merge-on-read
         layers/deletes into right-sized base files."""

@@ -34,7 +34,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
 
-_DML_RE = re.compile(r"^\s*(MERGE|DELETE|UPDATE)\b", re.IGNORECASE)
+_DML_RE = re.compile(r"^\s*(MERGE|DELETE|UPDATE|ALTER)\b", re.IGNORECASE)
 
 # Keywords that can follow a table reference (so a time-travel rewrite
 # knows whether the next token is an alias or the next clause).
@@ -166,6 +166,48 @@ def _dispatch_update(engine, query: str) -> DataFrame:
     )
     snap = cat.write(name, updated, operation=f"update-where: {pred}")
     return _refresh_and_summarize(engine, name, snap)
+
+
+# --------------------------------------------------------------------------
+# ALTER TABLE (M5 schema evolution: add / rename / drop)
+# --------------------------------------------------------------------------
+
+_ALTER_RENAME_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>[\w`]+)\s+TO\s+(?P<new>[\w`]+)$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+DROP\s+COLUMN\s+(?P<col>[\w`]+)$",
+    re.IGNORECASE,
+)
+_ALTER_ADD_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+ADD\s+COLUMN\s+"
+    r"(?P<col>[\w`]+)\s+(?P<type>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _dispatch_alter(engine, query: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    cat = engine.catalog
+    if m := _ALTER_RENAME_RE.match(query):
+        snap = cat.rename_column(
+            m.group("name").strip("`"), m.group("old").strip("`"),
+            m.group("new").strip("`"),
+        )
+    elif m := _ALTER_DROP_RE.match(query):
+        snap = cat.drop_column(m.group("name").strip("`"), m.group("col").strip("`"))
+    elif m := _ALTER_ADD_RE.match(query):
+        snap = cat.add_column(
+            m.group("name").strip("`"),
+            m.group("col").strip("`"),
+            F.lit(None).cast(m.group("type").strip()),
+        )
+    else:
+        raise ValueError(f"unsupported ALTER TABLE syntax: {query!r}")
+    return _refresh_and_summarize(engine, m.group("name").strip("`"), snap)
 
 
 # --------------------------------------------------------------------------
@@ -420,6 +462,8 @@ def dispatch(engine, query: str) -> DataFrame:
         return _dispatch_delete(engine, q)
     if head == "UPDATE":
         return _dispatch_update(engine, q)
+    if head == "ALTER":
+        return _dispatch_alter(engine, q)
     return _dispatch_merge(engine, q)
 
 

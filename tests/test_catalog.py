@@ -716,6 +716,121 @@ def test_publish_all_success(spark, catalog):
     assert [r.id for r in catalog.read("b").collect()] == [7]
 
 
+# ---- M5 schema evolution: the full add/rename/drop/widen matrix -------
+
+def test_rename_column_metadata_only(spark, catalog):
+    """Rename is a metadata operation: data files are carried by
+    hardlink (no rewrite), reads resolve the new name, time travel
+    still shows the old one."""
+    catalog.write("t", df_of(spark, [Row(id=1, val="a"), Row(id=2, val="b")]))
+    v1_files = {
+        f for _, _, fs in os.walk(catalog.current_snapshot("t").path) for f in fs
+    }
+    snap = catalog.rename_column("t", "val", "value")
+    assert snap.renames == {"val": "value"}
+    got = catalog.read("t")
+    assert got.columns == ["id", "value"]
+    assert {(r.id, r.value) for r in got.collect()} == {(1, "a"), (2, "b")}
+    # no data rewrite: same file names hardlinked into the new snapshot
+    v2_files = {f for _, _, fs in os.walk(snap.path) for f in fs}
+    assert v1_files <= v2_files
+    # time travel to v1 sees the old name
+    assert catalog.read("t", version=1).columns == ["id", "val"]
+
+
+def test_rename_then_rename_and_back(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, a=10)]))
+    catalog.rename_column("t", "a", "b")
+    snap = catalog.rename_column("t", "b", "c")
+    assert snap.renames == {"a": "c"}  # chain collapses to physical->current
+    snap = catalog.rename_column("t", "c", "a")
+    assert not snap.renames  # renamed back: no mapping needed
+    assert catalog.read("t").columns == ["id", "a"]
+
+
+def test_rename_mixed_schema_across_snapshots(spark, catalog):
+    """Files written before the rename (physical old name) and after it
+    (physical new name) resolve to ONE current-name column."""
+    catalog.write("t", df_of(spark, [Row(id=1, val="old")]))
+    catalog.rename_column("t", "val", "value")
+    # merge-on-read upsert writes a post-rename layer file
+    catalog.upsert_by_keys(
+        "t", spark.createDataFrame([(2, "new")], "id long, value string"), ["id"]
+    )
+    got = {(r.id, r.value) for r in catalog.read("t").collect()}
+    assert got == {(1, "old"), (2, "new")}
+    # materializing (compact) clears the metadata
+    catalog.compact("t")
+    assert not catalog.current_snapshot("t").renames
+    assert catalog.read("t").columns == ["id", "value"]
+
+
+def test_rename_key_column_with_pending_mor(spark, catalog):
+    """Renaming a merge-on-read key column keeps the delete/upsert keys
+    working (key metadata follows the rename)."""
+    catalog.write("t", df_of(spark, [Row(k=1, v="a"), Row(k=2, v="b")]))
+    catalog.delete_by_keys("t", spark.createDataFrame([(1,)], "k long"), ["k"])
+    snap = catalog.rename_column("t", "k", "key")
+    assert snap.delete_key_cols == ["key"]
+    assert {(r.key, r.v) for r in catalog.read("t").collect()} == {(2, "b")}
+
+
+def test_drop_column_metadata_only(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(id=1, secret="x", keep="y")]))
+    snap = catalog.drop_column("t", "secret")
+    assert snap.dropped == ["secret"]
+    assert catalog.read("t").columns == ["id", "keep"]
+    # time travel still exposes the column (Iceberg drop semantics)
+    assert "secret" in catalog.read("t", version=1).columns
+    # dropping a renamed column hides the physical name
+    catalog.rename_column("t", "keep", "kept")
+    snap = catalog.drop_column("t", "kept")
+    assert snap.dropped == ["secret", "keep"] and not snap.renames
+    assert catalog.read("t").columns == ["id"]
+
+
+def test_drop_mor_key_column_refused(spark, catalog):
+    catalog.write("t", df_of(spark, [Row(k=1, v="a")]))
+    catalog.delete_by_keys("t", spark.createDataFrame([(9,)], "k long"), ["k"])
+    with pytest.raises(ValueError, match="compact"):
+        catalog.drop_column("t", "k")
+
+
+def test_evolution_full_matrix_roundtrip(spark, catalog):
+    """add -> widen -> rename -> drop, reads green at every step
+    (docs/architecture/lakehouse.md:83-91 evolution matrix)."""
+    catalog.write("t", spark.createDataFrame([(1, 10)], "id long, n int"))
+    catalog.add_column("t", "flag", F.lit(True))                     # add
+    catalog.write("t", catalog.read("t").withColumn(                 # widen
+        "n", F.col("n").cast("bigint")))
+    catalog.rename_column("t", "n", "amount")                        # rename
+    catalog.drop_column("t", "flag")                                 # drop
+    got = catalog.read("t")
+    assert got.columns == ["id", "amount"]
+    assert got.schema["amount"].dataType.simpleString() == "bigint"
+    assert [tuple(r) for r in got.collect()] == [(1, 10)]
+    ops = [s.operation for s in catalog.history("t")]
+    assert ops == [
+        "overwrite", "add-column(flag)", "overwrite",
+        "rename-column(n->amount)", "drop-column(flag)",
+    ]
+
+
+def test_alter_table_sql_forms(spark, tmp_path):
+    """ALTER TABLE RENAME/DROP/ADD COLUMN through Engine.sql match the
+    catalog API."""
+    from konohadataplatform_spark.engine import Engine
+
+    eng = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "wh")))
+    eng.save_table("t", spark.createDataFrame([(1, "a")], "id long, val string"))
+    eng.sql("ALTER TABLE t RENAME COLUMN val TO value")
+    assert eng.table("t").columns == ["id", "value"]
+    eng.sql("ALTER TABLE t ADD COLUMN score double")
+    assert eng.table("t").schema["score"].dataType.simpleString() == "double"
+    eng.sql("ALTER TABLE t DROP COLUMN score")
+    assert eng.table("t").columns == ["id", "value"]
+
+
 def test_maintain_compacts_only_past_thresholds(spark, catalog):
     catalog.write("t", df_of(spark, [Row(id=1, v="a")]))
     for i in range(3):
