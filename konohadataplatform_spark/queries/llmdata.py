@@ -2,10 +2,13 @@
 (beyond-reference surface; BASELINE.json north star).
 
 Oracle-checkable entries compute the same semantics in portable SQL;
-``q_minhash_dedup`` / ``q_simhash_clusters`` / ``q_ann_lsh`` are
+``q_simhash_clusters`` / ``q_ann_lsh`` / ``q_ann_ivf`` are
 probabilistic/hash-seeded and therefore rows-only for the driver —
 their quality is asserted in tests/test_llm_ops.py against the exact
-variants (recall/precision bounds).
+variants (recall/precision bounds). ``q_minhash_dedup`` IS
+oracle-checked: its LSH candidates are verified with exact Jaccard and
+fixture recall is exactly 1.0 (guarded in pytest), so it hash-matches
+the exact-join SQL.
 """
 
 from __future__ import annotations
@@ -84,9 +87,34 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# MinHash+LSH near-dup (rows-only: xxhash64-seeded, not SQL-portable)
+# MinHash+LSH near-dup — oracle-checked against the EXACT Jaccard join:
+# the LSH stage is probabilistic in general, but at 16 bands x 4 rows a
+# true pair at j>=0.8 is missed with P < 0.1%, and the testdata's planted
+# near-dups sit far from the threshold boundary — pytest
+# test_minhash_recall_vs_exact asserts recall is EXACTLY 1.0 on the
+# fixtures, so the hash-match is stable. The verify step makes precision
+# exact, so on the fixture the output is identical to the exact join.
 # --------------------------------------------------------------------------
-@query("q_minhash_dedup")
+@query(
+    "q_minhash_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS sh
+      FROM t WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    """,
+)
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
 
@@ -96,6 +124,10 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query("q_simhash_clusters")
 def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only by design: SimHash pairs at Hamming<=8 have no exact
+    set-similarity equivalent (the bit-sampling projection is lossy in
+    both directions), so no SQL oracle reproduces the row set. Recall
+    vs the exact Jaccard join is bounded in tests/test_llm_ops.py."""
     docs = _t(spark, sf_dir, "documents")
     hashes = D.simhash(docs)
     cands = D.simhash_candidates(hashes, bands=4)
@@ -258,6 +290,11 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query("q_ann_lsh")
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only by design: hyperplane-LSH top-k is approximate — which
+    neighbors land in probed buckets depends on the random-but-seeded
+    hyperplanes, so no SQL oracle can reproduce the exact rows. Recall
+    vs brute force is asserted in tests/test_llm_ops.py (>=0.8 on the
+    fixture); the exact baseline q_knn_bruteforce IS oracle-checked."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return S.ann_lsh_topk(emb, queries, k=5)
@@ -332,6 +369,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query("q_ann_ivf")
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only by design: IVF probes only the nprobe nearest KMeans
+    cells, so results depend on the (seeded) clustering — not
+    SQL-expressible. Recall and determinism are asserted in
+    tests/test_llm_ops.py; q_knn_bruteforce is the oracle-checked
+    exact baseline."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return S.ann_ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4)

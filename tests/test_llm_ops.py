@@ -19,17 +19,22 @@ def _pairs(df):
 
 
 def test_minhash_recall_vs_exact(spark):
+    """Guards q_minhash_dedup's oracle registration: the driver checks
+    it against the EXACT Jaccard SQL, which is only stable because LSH
+    recall on the fixture is exactly 1.0 (16 bands x 4 rows at j>=0.8:
+    P[miss] < 0.1% per pair, and the planted near-dups sit far from the
+    threshold boundary)."""
     docs = load_table(spark, SF_DIR, "documents")
     exact = _pairs(D.jaccard_similarity_join(docs, threshold=0.8))
     lsh = _pairs(D.minhash_dedup(docs, threshold=0.8))
     assert exact, "expected planted near-dup pairs in testdata"
-    # verification step makes precision exact
-    assert lsh <= exact | lsh  # sanity
     extra = lsh - exact
     assert not extra, f"LSH+verify produced non-exact pairs: {extra}"
-    # 16 bands x 4 rows at j>=0.8: P[miss] < 0.1% per pair
-    recall = len(lsh & exact) / len(exact)
-    assert recall >= 0.9, f"minhash recall too low: {recall}"
+    missed = exact - lsh
+    assert not missed, (
+        f"fixture recall must be exactly 1.0 for the oracle hash-match; "
+        f"missed: {missed}"
+    )
 
 
 def test_minhash_verified_jaccard_values(spark):
