@@ -55,10 +55,15 @@ def _spread(df: DataFrame) -> DataFrame:
     A small input (one parquet file locally; a handful of splits after
     heavy filtering on a cluster) would otherwise pin the interpreted
     higher-order-function work (shingling, minhash lambdas) to a few
-    tasks. One round-robin shuffle of (id, shingles) pairs is cheap
-    relative to the compute it parallelizes.
+    tasks. One round-robin shuffle of raw rows is cheap relative to the
+    compute it parallelizes — but ONLY when the input is actually
+    under-split: a 100 TB corpus already has thousands of scan splits,
+    and a blanket repartition would round-robin the full corpus for
+    nothing, so the shuffle is gated on the input's partition count.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 

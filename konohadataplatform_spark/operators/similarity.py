@@ -26,8 +26,13 @@ from pyspark.sql.window import Window
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition before interpreted higher-order-function compute so a
     single input split can't serialize the scoring work (same rationale
-    as operators.dedup._spread)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    as operators.dedup._spread). Gated on the input's partition count:
+    an already-parallel input (thousands of scan splits at 100 TB)
+    passes through with no extra round-robin shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def _dot(a: Column, b: Column) -> Column:

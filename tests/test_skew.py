@@ -121,3 +121,21 @@ def test_salted_distinct_count_exact(spark):
         for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
     }
     assert got == want
+
+
+def test_spread_gated_on_partition_count(spark):
+    """_spread must not round-robin an already-parallel input (at 100 TB
+    that would reshuffle the full corpus for nothing); an under-split
+    input still gets spread to the full cluster."""
+    from konohadataplatform_spark.operators.dedup import _spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target + 4)
+    assert _spread(wide) is wide  # pass-through: no extra Exchange at all
+    narrow = spark.range(1000).coalesce(1)
+    spread = _spread(narrow)
+    assert spread.rdd.getNumPartitions() == target
+    plan = spread._sc._jvm.PythonSQLUtils.explainString(
+        spread._jdf.queryExecution(), "formatted"
+    )
+    assert "RoundRobinPartitioning" in plan
