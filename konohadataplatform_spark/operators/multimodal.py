@@ -15,6 +15,7 @@ downstream joins/groupBys use only the extracted scalar features.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -56,11 +57,114 @@ class DecodeNotAvailable(NotImplementedError):
     """Raised when a real media decoder is requested in this container."""
 
 
-def decode_image(content: bytes):  # pragma: no cover - real decoder absent
-    """STUB: real implementation would use PIL/opencv (not installed)."""
-    raise DecodeNotAvailable(
-        "image decode requires PIL/opencv, not available in this environment"
+# --------------------------------------------------------------------------
+# Real stdlib codecs: uncompressed 24-bit BMP and PCM-16 WAV. These are
+# genuine byte-level decoders (struct-based, no media libraries); PNG/
+# JPEG/compressed formats still raise DecodeNotAvailable for PIL/opencv.
+# --------------------------------------------------------------------------
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Build an uncompressed 24-bit BMP. ``pixels`` is top-down rows of
+    BGR triplets (len == width*height*3); rows are written bottom-up
+    with 4-byte padding per the format."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes of BGR")
+    row_len = width * 3
+    pad = (-row_len) % 4
+    body = b"".join(
+        pixels[r * row_len : (r + 1) * row_len] + b"\x00" * pad
+        for r in range(height - 1, -1, -1)
     )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return head + info + body
+
+
+def decode_image(content: bytes) -> dict:
+    """Decode an uncompressed 24-bit BMP (stdlib struct; cites the
+    Windows BITMAPINFOHEADER layout). Returns width/height/bpp and the
+    pixel bytes as top-down BGR rows (padding stripped). Other formats
+    (PNG/JPEG/compressed BMP) need PIL/opencv -> DecodeNotAvailable."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise DecodeNotAvailable(
+            "only uncompressed 24-bit BMP decodes natively; other image "
+            "formats require PIL/opencv, not available in this environment"
+        )
+    offset = struct.unpack_from("<I", content, 10)[0]
+    _, width, height, _, bpp, compression = struct.unpack_from(
+        "<IiiHHI", content, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise DecodeNotAvailable(
+            f"BMP bpp={bpp} compression={compression} requires PIL/opencv"
+        )
+    top_down = height < 0
+    height = abs(height)
+    row_len = width * 3
+    stride = row_len + ((-row_len) % 4)
+    rows = [
+        content[offset + r * stride : offset + r * stride + row_len]
+        for r in range(height)
+    ]
+    if not top_down:
+        rows.reverse()
+    return {
+        "width": width,
+        "height": height,
+        "bpp": bpp,
+        "pixels": b"".join(rows),
+    }
+
+
+def encode_wav(samples: list[int], sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Build a PCM-16 mono/stereo WAV from signed 16-bit samples."""
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    block = channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
+        sample_rate * block, block, 16,
+    )
+    data = struct.pack("<4sI", b"data", len(body)) + body
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def decode_audio(content: bytes) -> dict:
+    """Decode a PCM-16 RIFF/WAV (stdlib struct, chunk-walking).
+    Returns channels / sample_rate / n_samples / duration_ms / samples.
+    Non-PCM or non-WAV audio requires a codec library."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise DecodeNotAvailable(
+            "only PCM WAV decodes natively; other audio formats require "
+            "a codec library, not available in this environment"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise DecodeNotAvailable("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise DecodeNotAvailable(
+            f"WAV format={audio_format} bits={bits} requires a codec library"
+        )
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "n_samples": n // channels,
+        "duration_ms": (n // channels) * 1000 // sample_rate,
+        "samples": samples,
+    }
 
 
 def _fake_feature(content: bytes, dim: int = 8) -> list[float]:
@@ -148,6 +252,109 @@ def sample_frames(media: DataFrame, frame_size: int = 64, stride: int = 2) -> Da
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), True),       # bmp|wav|opaque
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("mean_val", T.DoubleType(), True),  # pixel or sample mean
+    ]
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """REAL decode over binary payloads (Arrow batches, no payload
+    shuffle): BMP -> width/height/mean pixel, WAV -> sample count/
+    duration/mean amplitude, anything else -> opaque row with nulls.
+    The Spark plan is identical to a production decode stage — only the
+    codec set is container-limited (stdlib BMP/WAV; PIL formats raise
+    DecodeNotAvailable inside decode_image/decode_audio)."""
+
+    def one(mid, content):
+        if content is None:
+            return (mid, None, None, None, None, None, None)
+        b = bytes(content)
+        if b[:2] == b"BM":
+            img = decode_image(b)
+            px = img["pixels"]
+            mean = sum(px) / len(px) if px else None
+            return (mid, "bmp", img["width"], img["height"], None, None, mean)
+        if b[:4] == b"RIFF":
+            au = decode_audio(b)
+            ss = au["samples"]
+            mean = sum(ss) / len(ss) if ss else None
+            return (
+                mid, "wav", None, None, au["n_samples"], au["duration_ms"], mean,
+            )
+        return (mid, "opaque", None, None, None, None, None)
+
+    cols = [f.name for f in DECODED_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(m, c) for m, c in zip(pdf["media_id"], pdf["content"])]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
+
+
+def documents_as_bmp(docs: DataFrame, width: int = 8, height: int = 4) -> DataFrame:
+    """Deterministic REAL image payloads: each document becomes a
+    width x height 24-bit BMP whose pixel bytes are the md5 digest of
+    its text cycled to fill the image — so decoded features are exactly
+    reproducible from the text (the SQL oracle recomputes them from
+    md5 hex)."""
+    npix = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_bmp(
+                    width, height,
+                    (hashlib.md5(t.encode()).digest() * ((npix // 16) + 1))[:npix],
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
+def documents_as_wav(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Deterministic REAL audio payloads: 8 signed 16-bit samples from
+    the md5 digest (little-endian pairs), PCM mono WAV."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for t in pdf["text"]:
+                d = hashlib.md5(t.encode()).digest()
+                samples = list(struct.unpack("<8h", d))
+                content.append(encode_wav(samples, sample_rate))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        ),
+    )
 
 
 def resize_image(content: bytes, width: int, height: int):  # pragma: no cover

@@ -365,6 +365,81 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# REAL media decode (stdlib BMP/WAV codecs): each document becomes a
+# genuine 8x4 24-bit BMP / 8-sample PCM WAV whose bytes derive from
+# md5(text), decode_features parses the actual file bytes back out, and
+# the oracle recomputes the decoded dimensions from md5 hex arithmetic —
+# a full binary round-trip the driver can hash-check.
+# --------------------------------------------------------------------------
+_HEX = "'0123456789abcdef'"
+_MD5_BYTES = (
+    f"[ (strpos({_HEX}, h[2*i+1]) - 1) * 16 + (strpos({_HEX}, h[2*i+2]) - 1) "
+    "for i in range(0, 16) ]"
+)
+
+
+@query(
+    "q_bmp_decode",
+    f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         b AS (SELECT doc_id, {_MD5_BYTES} AS bytes FROM d)
+    SELECT doc_id, 'bmp' AS fmt,
+           8 AS width, 4 AS height,
+           CAST(list_sum(bytes) AS DOUBLE) / 16.0 AS mean_pixel
+    FROM b
+    """,
+)
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode: build 8x4 24-bit BMPs (pixels = md5 digest
+    cycled to 96 bytes), then byte-level-decode them back with the
+    stdlib BMP parser. Decoded mean over the cycled pixels equals the
+    digest-byte mean, which the oracle recomputes from md5 hex. Payload
+    bytes never cross a shuffle (mapInPandas end to end)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = M.decode_features(M.documents_as_bmp(docs, width=8, height=4))
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "fmt",
+        "width",
+        "height",
+        F.col("mean_val").alias("mean_pixel"),
+    )
+
+
+@query(
+    "q_wav_decode",
+    f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         b AS (SELECT doc_id, {_MD5_BYTES} AS bytes FROM d),
+         s AS (SELECT doc_id,
+                      [ CASE WHEN bytes[2*j+1] + 256 * bytes[2*j+2] >= 32768
+                             THEN bytes[2*j+1] + 256 * bytes[2*j+2] - 65536
+                             ELSE bytes[2*j+1] + 256 * bytes[2*j+2] END
+                        for j in range(0, 8) ] AS samples
+               FROM b)
+    SELECT doc_id, 'wav' AS fmt,
+           8 AS n_samples, CAST(1 AS BIGINT) AS duration_ms,
+           CAST(list_sum(samples) AS DOUBLE) / 8.0 AS mean_sample
+    FROM s
+    """,
+)
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode: build PCM-16 mono WAVs (8 samples = md5
+    digest as little-endian int16s, 8 kHz), chunk-walk the RIFF bytes
+    back out with the stdlib WAV parser. The oracle recomputes sample
+    values (incl. sign handling) from md5 hex arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    out = M.decode_features(M.documents_as_wav(docs, sample_rate=8000))
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "fmt",
+        "n_samples",
+        "duration_ms",
+        F.col("mean_val").alias("mean_sample"),
+    )
+
+
+# --------------------------------------------------------------------------
 # ANN via IVF (KMeans cells; rows-only — centroid training is ML-seeded)
 # --------------------------------------------------------------------------
 @query("q_ann_ivf")

@@ -120,8 +120,45 @@ def test_multimodal_pipeline(spark):
 def test_decode_stub_raises(spark):
     import pytest
 
+    # PIL-dependent formats still raise; stdlib BMP/WAV do not
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
+        M.decode_image(b"\x89PNG" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"ID3\x03" + b"\x00" * 64)
+
+
+def test_bmp_codec_roundtrip():
+    """Real byte-level BMP decode: padding, bottom-up rows, header."""
+    px = bytes(range(5 * 3 * 3))  # 5x3, rows NOT 4-byte aligned
+    img = M.decode_image(M.encode_bmp(5, 3, px))
+    assert (img["width"], img["height"], img["bpp"]) == (5, 3, 24)
+    assert img["pixels"] == px
+
+
+def test_wav_codec_roundtrip():
+    samples = [0, -1, 32767, -32768, 123, -456, 7, 8]
+    au = M.decode_audio(M.encode_wav(samples, 8000))
+    assert au["samples"] == samples
+    assert au["n_samples"] == 8 and au["duration_ms"] == 1
+    assert au["channels"] == 1 and au["sample_rate"] == 8000
+
+
+def test_decode_features_real_payloads(spark):
+    """decode_features parses genuine BMP/WAV bytes and passes opaque
+    payloads through with nulls (no crash, no payload shuffle)."""
+    px = bytes(96)
+    rows = [
+        (1, M.encode_bmp(8, 4, px)),
+        (2, M.encode_wav([100, -100, 50, -50], 8000)),
+        (3, b"not media at all"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in M.decode_features(media).collect()}
+    assert (got[1].fmt, got[1].width, got[1].height, got[1].mean_val) == (
+        "bmp", 8, 4, 0.0,
+    )
+    assert (got[2].fmt, got[2].n_samples, got[2].mean_val) == ("wav", 4, 0.0)
+    assert got[3].fmt == "opaque" and got[3].width is None
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
