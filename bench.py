@@ -6,12 +6,19 @@ Each query is forced to full execution with a cheap count-style action
 (`df.foreach(noop)` would serialize rows to Python; `count()` after a
 `cache`-free plan keeps everything JVM-side, mirroring how the reference's
 dbt models materialize results with a write).
+
+Measurement is pinned against jitter: after one untimed warmup pass,
+$SPARK_GRAFT_BENCH_RUNS (default 5) timed passes run the whole headline
+set each, and the reported per-query number is the MEDIAN across passes
+(stddev reported alongside) — so a one-off GC pause or JIT recompile in
+one pass can't read as a perf regression between rounds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -49,17 +56,24 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
 
     # Steady-state measurement: one untimed warmup pass (JVM JIT,
-    # codegen compilation, parquet footers), then the timed pass.
+    # codegen compilation, parquet footers), then n timed passes —
+    # whole set per pass, so drift decorrelates across queries.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     for name in names:
         qs[name](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(runs):
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            samples[name].append(time.perf_counter() - t0)
 
+    timings = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
+    stddev = {
+        n: round(statistics.pstdev(ts), 4) if len(ts) > 1 else 0.0
+        for n, ts in samples.items()
+    }
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -68,6 +82,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stddev": stddev,
+                "runs": runs,
                 "sf": sf,
             }
         )
