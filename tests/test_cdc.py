@@ -357,3 +357,18 @@ def test_batch_id_high_water_mark_skips_replay(spark, catalog):
     assert catalog.current_snapshot("t_hwm").version > v1
     assert last_applied_batch(catalog, "t_hwm") == 1
     assert {r.id for r in catalog.read("t_hwm").collect()} == {1, 2}
+
+
+def test_kafka_source_path(spark):
+    """The production format('kafka') path exists and fails loud-and-
+    clear in this container (no spark-sql-kafka package); the option
+    wiring itself is exercised up to the datasource lookup."""
+    from konohadataplatform_spark.streaming.cdc import (
+        KafkaSourceUnavailable,
+        kafka_envelope_stream,
+    )
+
+    with pytest.raises(ValueError, match="bootstrap_servers"):
+        kafka_envelope_stream(spark, None, ["orders"])
+    with pytest.raises(KafkaSourceUnavailable, match="spark-sql-kafka"):
+        kafka_envelope_stream(spark, "broker:9092", ["orders", "customers"])
