@@ -928,3 +928,181 @@ def q_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 10)
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (GPT-style concat-and-split): per-lang, documents are
+# concatenated in doc_id order and split at a fixed token budget; each
+# doc learns which packed chunk(s) it spans. The running-total window is
+# PARTITIONED (per lang/shard) — never a single global sort — which is
+# how packing runs at corpus scale: one shuffle per shard key.
+# --------------------------------------------------------------------------
+@query(
+    "q_sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, toks,
+             -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
+             -- renders as float and breaks the driver's canonical form
+             CAST(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, toks,
+           (cum - toks) // 64 AS start_chunk,
+           (cum - 1) // 64 AS end_chunk,
+           (cum - 1) // 64 - (cum - toks) // 64 + 1 AS n_chunks
+    FROM c
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .withColumn("cum", F.sum("toks").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "toks",
+            F.expr("(cum - toks) DIV 64").alias("start_chunk"),
+            F.expr("(cum - 1) DIV 64").alias("end_chunk"),
+            (
+                F.expr("(cum - 1) DIV 64") - F.expr("(cum - toks) DIV 64") + 1
+            ).alias("n_chunks"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-mixture weights: per (lang, source) cell, the resampling
+# weight that moves the corpus toward a uniform-over-cells target
+# (weight = target_share / actual_share). One agg shuffle + a 1-row
+# broadcast of the totals — no per-doc state.
+# --------------------------------------------------------------------------
+@query(
+    "q_corpus_mixture",
+    """
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS n_docs
+      FROM documents GROUP BY lang, source
+    ), t AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM g
+    )
+    SELECT lang, source, n_docs,
+           CAST(n_docs AS DOUBLE) / total AS share,
+           CAST(total AS DOUBLE) / (n_groups * n_docs) AS weight
+    FROM g, t
+    """,
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = g.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("total")).alias("share"),
+        (
+            F.col("total").cast("double") / (F.col("n_groups") * F.col("n_docs"))
+        ).alias("weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization (the SQ compression step of an ANN index): per-
+# dimension global min/max, each component mapped to an 8-bit code.
+# Shuffle shape: one explode + per-dim agg (64 groups), stats broadcast
+# back, one re-agg per vector — codes never materialize as strings and
+# the corpus is scanned twice at most.
+# --------------------------------------------------------------------------
+@query(
+    "q_embedding_quantize",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v, i AS pos
+      FROM embeddings, range(1, 65) t(i)
+    ), s AS (
+      SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY pos
+    ), codes AS (
+      SELECT vec_id,
+             CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(255, FLOOR(((v - mn) * 255.0) / (mx - mn))) END
+               AS code
+      FROM e JOIN s USING (pos)
+    )
+    SELECT vec_id,
+           CAST(SUM(code) AS BIGINT) AS qsum,
+           CAST(MIN(code) AS INT) AS qmin,
+           CAST(MAX(code) AS INT) AS qmax
+    FROM codes GROUP BY vec_id
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    stats = e.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(255).cast("bigint"),
+            F.floor(((F.col("v") - F.col("mn")) * F.lit(255.0)) / (F.col("mx") - F.col("mn"))),
+        )
+    )
+    return (
+        e.join(F.broadcast(stats), "pos")
+        .select("vec_id", code.alias("code"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum("code").cast("bigint").alias("qsum"),
+            F.min("code").cast("int").alias("qmin"),
+            F.max("code").cast("int").alias("qmax"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pattern scrub (the PII-redaction pipeline shape): count pattern runs
+# and measure the redacted text, all JVM-side regex — the engine-
+# agnostic '[aeiou]+' pattern stands in for PII regexes (emails/phones),
+# which drop in unchanged.
+# --------------------------------------------------------------------------
+@query(
+    "q_doc_pattern_scrub",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_runs,
+           CAST(length(regexp_replace(text, '[aeiou]+', '@', 'g')) AS BIGINT)
+             AS red_len,
+           CAST(length(text) AS BIGINT) AS orig_len
+    FROM documents
+    """,
+)
+def q_doc_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[aeiou]+"), 0)).cast("bigint").alias("n_runs"),
+        F.length(F.regexp_replace("text", "[aeiou]+", "@")).cast("bigint").alias("red_len"),
+        F.length("text").cast("bigint").alias("orig_len"),
+    )

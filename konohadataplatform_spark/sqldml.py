@@ -34,7 +34,10 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
 
-_DML_RE = re.compile(r"^\s*(MERGE|DELETE|UPDATE|ALTER)\b", re.IGNORECASE)
+_DML_RE = re.compile(
+    r"^\s*(MERGE|DELETE|UPDATE|ALTER|INSERT|TRUNCATE|DROP|CREATE)\b",
+    re.IGNORECASE,
+)
 
 # Keywords that can follow a table reference (so a time-travel rewrite
 # knows whether the next token is an alias or the next clause).
@@ -166,6 +169,127 @@ def _dispatch_update(engine, query: str) -> DataFrame:
     )
     snap = cat.write(name, updated, operation=f"update-where: {pred}")
     return _refresh_and_summarize(engine, name, snap)
+
+
+# --------------------------------------------------------------------------
+# INSERT INTO / CTAS / TRUNCATE / DROP — the rest of the S8 DML/DDL
+# surface a dbt-style user issues against catalog tables
+# --------------------------------------------------------------------------
+
+_INSERT_RE = re.compile(
+    r"^INSERT\s+(?P<mode>INTO|OVERWRITE(?:\s+TABLE)?)\s+(?P<name>[\w.`]+)"
+    r"(?:\s*\((?P<cols>[^)]*)\))?\s+"
+    r"(?P<body>SELECT\b.*|VALUES\b.*|WITH\b.*|TABLE\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CTAS_RE = re.compile(
+    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+    r"(?P<ifnot>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.`]+)\s+AS\s+"
+    r"(?P<body>SELECT\b.*|WITH\b.*|VALUES\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE_RE = re.compile(
+    r"^TRUNCATE\s+TABLE\s+(?P<name>[\w.`]+)$", re.IGNORECASE
+)
+_DROP_RE = re.compile(
+    r"^DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[\w.`]+)$", re.IGNORECASE
+)
+
+
+def _dispatch_insert(engine, query: str) -> DataFrame:
+    m = _INSERT_RE.match(query)
+    if not m:
+        raise ValueError(f"unsupported INSERT syntax: {query!r}")
+    name = m.group("name").strip("`")
+    if not engine.catalog.exists(name) and engine.spark.catalog.tableExists(name):
+        # metastore-managed table (e.g. bucketed): plain Spark SQL path
+        return engine.spark.sql(query)
+    body = m.group("body")
+    df = engine.spark.sql(
+        body if not re.match(r"VALUES\b", body, re.IGNORECASE)
+        else f"SELECT * FROM ({body})"
+    )
+    if m.group("cols"):
+        cols = [_unalias(c) for c in _split_top_level(m.group("cols"))]
+        if len(cols) != len(df.columns):
+            raise ValueError("INSERT: column list / SELECT arity mismatch")
+        df = df.toDF(*cols)
+    if engine.catalog.exists(name):
+        # standard INSERT semantics: positional against the target
+        # schema (VALUES yields col1/col2/... names), NULL-fill columns
+        # absent from an explicit column list
+        from pyspark.sql import functions as F
+
+        tcols = engine.catalog.read(name).columns
+        if m.group("cols"):
+            unknown = set(df.columns) - set(tcols)
+            if unknown:
+                raise ValueError(f"INSERT: unknown column(s) {sorted(unknown)}")
+            for c in tcols:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None))
+            df = df.select(*tcols)
+        else:
+            if len(df.columns) != len(tcols):
+                raise ValueError(
+                    f"INSERT: {len(df.columns)} values for {len(tcols)} columns"
+                )
+            df = df.toDF(*tcols)
+    overwrite = m.group("mode").upper().startswith("OVERWRITE")
+    snap = engine.catalog.write(
+        name, df, mode="overwrite" if overwrite else "append",
+        operation="insert-overwrite" if overwrite else "insert-into",
+    )
+    return _refresh_and_summarize(engine, name, snap)
+
+
+def _dispatch_create(engine, query: str) -> DataFrame:
+    m = _CTAS_RE.match(query)
+    if not m:
+        raise ValueError(
+            f"unsupported CREATE TABLE syntax (only CTAS forms): {query!r}"
+        )
+    name = m.group("name").strip("`")
+    exists = engine.catalog.exists(name)
+    if exists and m.group("ifnot"):
+        return _refresh_and_summarize(
+            engine, name, engine.catalog.current_snapshot(name)
+        )
+    if exists and not m.group("replace"):
+        raise ValueError(f"table already exists: {name} (use CREATE OR REPLACE)")
+    body = m.group("body")
+    df = engine.spark.sql(
+        body if not re.match(r"VALUES\b", body, re.IGNORECASE)
+        else f"SELECT * FROM ({body})"
+    )
+    snap = engine.catalog.write(name, df, operation="ctas")
+    return _refresh_and_summarize(engine, name, snap)
+
+
+def _dispatch_truncate(engine, query: str) -> DataFrame:
+    m = _TRUNCATE_RE.match(query)
+    if not m:
+        raise ValueError(f"unsupported TRUNCATE syntax: {query!r}")
+    name = m.group("name").strip("`")
+    if not engine.catalog.exists(name):
+        return engine.spark.sql(query)
+    snap = engine.catalog.delete_where(name, "TRUE")
+    return _refresh_and_summarize(engine, name, snap)
+
+
+def _dispatch_drop(engine, query: str) -> DataFrame:
+    m = _DROP_RE.match(query)
+    if not m:
+        raise ValueError(f"unsupported DROP syntax: {query!r}")
+    name = m.group("name").strip("`")
+    if not engine.catalog.exists(name):
+        # not a catalog table: metastore tables go to plain Spark SQL
+        return engine.spark.sql(query)
+    engine.catalog.drop_table(name)
+    engine.spark.catalog.dropTempView(name.split(".")[-1])
+    return engine.spark.createDataFrame(
+        [("drop-table", name, 0)], "operation string, table string, version int"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -464,6 +588,21 @@ def dispatch(engine, query: str) -> DataFrame:
         return _dispatch_update(engine, q)
     if head == "ALTER":
         return _dispatch_alter(engine, q)
+    if head == "INSERT":
+        return _dispatch_insert(engine, q)
+    if head == "CREATE":
+        # only CTAS forms target the catalog; CREATE [TEMP] VIEW and
+        # other CREATEs stay plain Spark SQL
+        if _CTAS_RE.match(q):
+            return _dispatch_create(engine, q)
+        return engine.spark.sql(q)
+    if head == "TRUNCATE":
+        return _dispatch_truncate(engine, q)
+    if head == "DROP":
+        # only catalog tables; DROP VIEW etc. stays Spark SQL
+        if _DROP_RE.match(q):
+            return _dispatch_drop(engine, q)
+        return engine.spark.sql(q)
     return _dispatch_merge(engine, q)
 
 

@@ -161,3 +161,45 @@ def test_dml_without_catalog_rejected(spark):
     eng = Engine(spark, None)
     with pytest.raises(Exception):
         eng.sql("DELETE FROM metrics WHERE id = 1")
+
+
+def test_insert_into_and_overwrite(engine):
+    seed(engine)
+    engine.sql("INSERT INTO metrics VALUES (9, 'z', 90.0), (10, 'y', 100.0)")
+    assert len(rows(engine.table("metrics"))) == 5
+    assert engine.history("metrics")[-1].operation == "insert-into"
+    engine.sql("INSERT INTO metrics (id, tag, v) SELECT 11, 'w', 110.0")
+    assert (11, "w", 110.0) in rows(engine.table("metrics"))
+    engine.sql("INSERT OVERWRITE metrics SELECT 1 AS id, 'only' AS tag, 1.0 AS v")
+    assert rows(engine.table("metrics")) == [(1, "only", 1.0)]
+    assert engine.history("metrics")[-1].operation == "insert-overwrite"
+
+
+def test_ctas_and_drop(engine):
+    seed(engine)
+    engine.sql("CREATE TABLE top_metrics AS SELECT * FROM metrics WHERE v >= 20.0")
+    assert len(rows(engine.table("top_metrics"))) == 2
+    assert engine.catalog.exists("top_metrics")
+    with pytest.raises(ValueError, match="already exists"):
+        engine.sql("CREATE TABLE top_metrics AS SELECT 1 AS a")
+    engine.sql("CREATE OR REPLACE TABLE top_metrics AS SELECT 1 AS a")
+    assert rows(engine.table("top_metrics")) == [(1,)]
+    # IF NOT EXISTS on an existing table is a no-op
+    engine.sql("CREATE TABLE IF NOT EXISTS top_metrics AS SELECT 2 AS b")
+    assert rows(engine.table("top_metrics")) == [(1,)]
+    engine.sql("DROP TABLE top_metrics")
+    assert not engine.catalog.exists("top_metrics")
+
+
+def test_truncate_table(engine):
+    seed(engine)
+    engine.sql("TRUNCATE TABLE metrics")
+    assert rows(engine.table("metrics")) == []
+    assert engine.catalog.exists("metrics")  # table survives, empty
+
+
+def test_create_view_passes_through(engine):
+    seed(engine)
+    engine.sql("CREATE OR REPLACE TEMP VIEW mv AS SELECT id FROM metrics WHERE id = 1")
+    assert rows(engine.sql("SELECT * FROM mv")) == [(1,)]
+    engine.sql("DROP VIEW mv")
