@@ -1106,3 +1106,114 @@ def q_doc_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", "[aeiou]+", "@")).cast("bigint").alias("red_len"),
         F.length("text").cast("bigint").alias("orig_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking with overlap (the tokenize-and-chunk step of a
+# pretraining pipeline): each document fans out into fixed-size token
+# windows with stride < size. Pure per-row explode — zero shuffle; chunk
+# rows carry ids + boundary tokens, never the text body.
+# --------------------------------------------------------------------------
+@query(
+    "q_doc_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), c AS (
+      SELECT doc_id, len(w) AS n_toks,
+             unnest([ {'idx': i, 'start': 1 + (i - 1) * 24 }
+                      for i in range(1, 2 + greatest(0, (len(w) - 32 + 23) // 24)) ]) AS ch,
+             w
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(ch.idx - 1 AS INT) AS chunk_idx,
+           CAST(least(32, n_toks - ch.start + 1) AS BIGINT) AS chunk_tokens,
+           w[ch.start] AS first_token,
+           w[least(n_toks, ch.start + 31)] AS last_token
+    FROM c
+    WHERE ch.start <= n_toks AND (ch.idx = 1 OR least(32, n_toks - ch.start + 1) > 32 - 24)
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window=32, stride=24). The
+    tail rule matches standard packing: a final short window is kept
+    only if it contributes > window-stride new tokens (otherwise its
+    content is fully covered by the previous window's overlap)."""
+    docs = _t(spark, sf_dir, "documents")
+    size_, stride = 32, 24
+    w = F.split(F.trim(F.col("text")), " ")
+    n = F.size(w)
+    starts = F.expr(
+        f"sequence(0, greatest(0, cast((size(w) - {size_} + {stride - 1}) / {stride} as int)))"
+    )
+    base = docs.select("doc_id", w.alias("w")).select(
+        "doc_id", "w", F.size("w").alias("n_toks"), F.posexplode(starts)
+    ).select(
+        "doc_id",
+        "w",
+        "n_toks",
+        F.col("pos").alias("chunk_idx"),
+        (F.col("pos") * stride).alias("start0"),
+    )
+    chunk_tokens = F.least(F.lit(size_), F.col("n_toks") - F.col("start0"))
+    return (
+        base.filter(F.col("start0") < F.col("n_toks"))
+        .filter((F.col("chunk_idx") == 0) | (chunk_tokens > size_ - stride))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            chunk_tokens.cast("bigint").alias("chunk_tokens"),
+            F.expr("w[start0]").alias("first_token"),
+            F.expr(f"w[least(n_toks - 1, start0 + {size_ - 1})]").alias("last_token"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Padding-waste analysis (length-bucketed batching): docs grouped into
+# power-of-two token-length buckets; padding waste = what static
+# bucket-padding would burn. One agg shuffle on a tiny key space.
+# --------------------------------------------------------------------------
+@query(
+    "q_padding_waste",
+    """
+    WITH t AS (
+      SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks
+      FROM documents
+    ), b AS (
+      SELECT toks,
+             CAST(CASE WHEN toks <= 1 THEN 1
+                  ELSE power(2, ceil(log2(toks))) END AS BIGINT) AS bucket
+      FROM t
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - toks) AS BIGINT) AS padding_tokens,
+           CAST(SUM(bucket - toks) AS DOUBLE) / SUM(bucket) AS waste_ratio
+    FROM b GROUP BY bucket
+    """,
+)
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint")
+    # next power of two via bit length — integer-exact, no float log2
+    bucket = F.expr(
+        "CAST(CASE WHEN toks <= 1 THEN 1 "
+        "ELSE 1 << CAST(ceil(log2(toks)) AS INT) END AS BIGINT)"
+    )
+    return (
+        docs.select(toks.alias("toks"))
+        .select("toks", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("toks")).cast("bigint").alias("padding_tokens"),
+            (
+                F.sum(F.col("bucket") - F.col("toks")).cast("double")
+                / F.sum("bucket")
+            ).alias("waste_ratio"),
+        )
+    )
