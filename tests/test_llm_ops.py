@@ -256,3 +256,65 @@ def test_incremental_minhash_dedup_matches_full_rebuild(spark):
     }
     assert inc_pairs == full_pairs
     assert inc_pairs, "expected planted near-dup pairs spanning the batches"
+
+
+def test_ivf_index_persist_and_search(spark, tmp_path):
+    """Persistent IVF: build-once then search matches the train-inline
+    ann_ivf_topk (same seed/cells/nprobe), incremental add is probed
+    without retraining, and the probe prunes to probed cell partitions."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    S.build_ivf_index(cat, "ivf", emb, n_cells=8)
+    got = {
+        (r.query_id, r.neighbor_id, r.knn_rank)
+        for r in S.ivf_index_search(cat, "ivf", queries, k=5, nprobe=4).collect()
+    }
+    inline = {
+        (r.query_id, r.neighbor_id, r.knn_rank)
+        for r in S.ann_ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4).collect()
+    }
+    assert got == inline
+
+    # incremental add: a brand-new vector becomes findable w/o rebuild
+    probe = emb.filter(F.col("vec_id") == 3).select("embedding").first().embedding
+    new = spark.createDataFrame(
+        [(999999, [float(x) for x in probe], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    S.ivf_index_add(cat, "ivf", new)
+    found = S.ivf_index_search(
+        cat, "ivf", emb.filter(F.col("vec_id") == 3), k=3, nprobe=2
+    )
+    assert 999999 in {r.neighbor_id for r in found.collect()}
+
+    # probe prunes: the cells scan carries a partition filter on cell
+    q = S.ivf_index_search(cat, "ivf", queries, k=2, nprobe=2)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_ivf_index_add_cell_move_no_duplicates(spark, tmp_path):
+    """Re-ingesting an id whose new embedding lands in a different cell
+    must move it (delete from the old partition), never duplicate it."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    emb = load_table(spark, SF_DIR, "embeddings")
+    S.build_ivf_index(cat, "ivf", emb, n_cells=8)
+    cells = cat.read("ivf__cells")
+    # pick a vector and replace its embedding with one from a DIFFERENT cell
+    a = cells.orderBy("vid").first()
+    other = cells.filter(F.col("cell") != a.cell).orderBy("vid").first()
+    moved = spark.createDataFrame(
+        [(a.vid, [float(x) for x in other.vec], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    S.ivf_index_add(cat, "ivf", moved)
+    after = cat.read("ivf__cells").filter(F.col("vid") == a.vid).collect()
+    assert len(after) == 1, f"id duplicated across cells: {after}"
+    assert after[0].cell == other.cell
+    assert cat.read("ivf__cells").count() == cells.count()
