@@ -102,6 +102,32 @@ def main() -> None:
     print("diff v1->v2:",
           catalog.diff("accounts", 1, 2).count(), "changed rows")
 
+    # --- 7. round 4: SQL DML surface + schema evolution + IVF index ---
+    engine.catalog = catalog  # attach the lakehouse to the SQL surface
+    engine.sql("CREATE OR REPLACE TABLE tiers AS SELECT 'gold' AS tier, 2 AS rank_")
+    engine.sql("INSERT INTO tiers VALUES ('silver', 1)")
+    engine.sql("""
+        MERGE INTO accounts t
+        USING (SELECT 2 AS id, 'platinum' AS tier) s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET tier = s.tier
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    print("accounts after SQL MERGE:",
+          sorted((r.id, r.tier) for r in engine.table("accounts").collect()))
+    print("time travel via SQL:",
+          engine.sql("SELECT count(*) AS n FROM accounts FOR VERSION AS OF 1")
+          .collect()[0].n, "rows at v1")
+    engine.sql("ALTER TABLE accounts RENAME COLUMN tier TO level")
+    print("after rename (metadata-only):", engine.table("accounts").columns)
+
+    from konohadataplatform_spark.operators import similarity as sim
+
+    emb = engine.table("embeddings")
+    sim.build_ivf_index(catalog, "vecidx", emb, n_cells=8)
+    hits = sim.ivf_index_search(
+        catalog, "vecidx", emb.limit(2), k=3, nprobe=2)
+    print("IVF index probe:", hits.count(), "neighbors for 2 queries")
+
     spark.stop()
 
 
