@@ -122,8 +122,7 @@ _DELETE_RE = re.compile(
 )
 
 _UPDATE_RE = re.compile(
-    r"^UPDATE\s+(?P<name>[\w.`]+)\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<pred>.+))?$",
+    r"^UPDATE\s+(?P<name>[\w.`]+)\s+SET\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -143,9 +142,14 @@ def _dispatch_update(engine, query: str) -> DataFrame:
     if not m:
         raise ValueError(f"unsupported UPDATE syntax: {query!r}")
     name = m.group("name").strip("`")
-    pred = (m.group("pred") or "TRUE").strip()
+    rest = m.group("rest")
+    # split SET list from the optional WHERE with the quote/paren-aware
+    # scanner — a regex would latch onto a WHERE inside a string literal
+    where_at = _find_keyword(rest, "WHERE")
+    sets_sql = rest[:where_at] if where_at >= 0 else rest
+    pred = rest[where_at + 5 :].strip() if where_at >= 0 else "TRUE"
     assigns: dict[str, str] = {}
-    for part in _split_top_level(m.group("sets")):
+    for part in _split_top_level(sets_sql):
         eq = part.find("=")
         if eq < 0:
             raise ValueError(f"bad SET assignment: {part!r}")

@@ -203,3 +203,31 @@ def test_create_view_passes_through(engine):
     engine.sql("CREATE OR REPLACE TEMP VIEW mv AS SELECT id FROM metrics WHERE id = 1")
     assert rows(engine.sql("SELECT * FROM mv")) == [(1,)]
     engine.sql("DROP VIEW mv")
+
+
+def test_update_string_literal_with_equals_and_keywords(engine):
+    """Quoted literals containing '=' or SQL keywords must not confuse
+    the statement parser (assignment split is on the FIRST '=' and
+    predicates pass through verbatim)."""
+    seed(engine)
+    engine.sql("UPDATE metrics SET tag = 'a=b WHERE x' WHERE id = 1")
+    assert (1, "a=b WHERE x", 10.0) in rows(engine.table("metrics"))
+
+
+def test_delete_predicate_with_quoted_keyword(engine):
+    seed(engine)
+    engine.sql("UPDATE metrics SET tag = 'DELETE FROM' WHERE id = 2")
+    engine.sql("DELETE FROM metrics WHERE tag = 'DELETE FROM'")
+    assert [t for _, t, _ in rows(engine.table("metrics"))] == ["a", "c"]
+
+
+def test_merge_quoted_using_in_source(engine):
+    seed(engine)
+    engine.sql(
+        """
+        MERGE INTO metrics t
+        USING (SELECT 1 AS id, 'USING ON WHEN' AS tag) s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET tag = s.tag
+        """
+    )
+    assert (1, "USING ON WHEN", 10.0) in rows(engine.table("metrics"))
