@@ -1,0 +1,217 @@
+"""Pure-stdlib Apache Avro Object Container File codec.
+
+The reference archives CDC envelopes to the raw zone as Avro
+(``infrastructure/apps/kafka/connectors/s3-sink-connector.json``,
+``format.class=AvroFormat``). The spark-avro datasource jar is not
+bundled in this container, so this module implements the subset of the
+Avro 1.11 spec the raw zone needs — binary encoding (zigzag varints,
+length-prefixed bytes/strings), null unions for optional fields, and
+the Object Container File framing (magic, metadata map with embedded
+JSON schema, sync-marker-delimited blocks, ``null`` codec) — from the
+public specification, with a reader for verification.
+
+Scale shape: writing happens executor-side via ``foreachPartition``
+(one OCF file per partition per micro-batch, like any file sink);
+nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+
+_PRIMITIVES = {
+    T.StringType: "string",
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.BooleanType: "boolean",
+    T.BinaryType: "bytes",
+}
+
+
+def schema_to_avro(schema: T.StructType, name: str = "record") -> dict:
+    """Spark StructType -> Avro record schema (nullable -> null union)."""
+    fields = []
+    for f in schema.fields:
+        for cls, avro_type in _PRIMITIVES.items():
+            if isinstance(f.dataType, cls):
+                break
+        else:
+            raise ValueError(f"unsupported Avro field type: {f.dataType}")
+        t: object = ["null", avro_type] if f.nullable else avro_type
+        fields.append({"name": f.name, "type": t})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+# ---- binary encoding (Avro spec: zigzag varint longs) ---------------------
+
+def _write_long(buf: io.BytesIO, n: int) -> None:
+    n = (n << 1) ^ (n >> 63)  # zigzag
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        (b,) = buf.read(1)
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)  # un-zigzag
+
+
+def _write_value(buf: io.BytesIO, avro_type, v) -> None:
+    if isinstance(avro_type, list):  # ["null", X] union
+        if v is None:
+            _write_long(buf, 0)
+            return
+        _write_long(buf, 1)
+        avro_type = avro_type[1]
+    if avro_type in ("long", "int"):
+        _write_long(buf, int(v))
+    elif avro_type == "double":
+        buf.write(struct.pack("<d", float(v)))
+    elif avro_type == "float":
+        buf.write(struct.pack("<f", float(v)))
+    elif avro_type == "boolean":
+        buf.write(b"\x01" if v else b"\x00")
+    elif avro_type == "string":
+        raw = str(v).encode("utf-8")
+        _write_long(buf, len(raw))
+        buf.write(raw)
+    elif avro_type == "bytes":
+        raw = bytes(v)
+        _write_long(buf, len(raw))
+        buf.write(raw)
+    else:  # pragma: no cover - schema_to_avro gates the type set
+        raise ValueError(f"unsupported Avro type: {avro_type}")
+
+
+def _read_value(buf: io.BytesIO, avro_type):
+    if isinstance(avro_type, list):
+        if _read_long(buf) == 0:
+            return None
+        avro_type = avro_type[1]
+    if avro_type in ("long", "int"):
+        return _read_long(buf)
+    if avro_type == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if avro_type == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if avro_type == "boolean":
+        return buf.read(1) == b"\x01"
+    if avro_type == "string":
+        return buf.read(_read_long(buf)).decode("utf-8")
+    if avro_type == "bytes":
+        return bytes(buf.read(_read_long(buf)))
+    raise ValueError(f"unsupported Avro type: {avro_type}")
+
+
+# ---- Object Container File framing ----------------------------------------
+
+def write_ocf(path: str, avro_schema: dict, rows, sync: bytes | None = None) -> int:
+    """Write one OCF file (null codec, single block); returns row count.
+    ``rows`` is an iterable of dicts (or Row-likes with asDict)."""
+    sync = sync or os.urandom(16)
+    field_types = {f["name"]: f["type"] for f in avro_schema["fields"]}
+    body = io.BytesIO()
+    n = 0
+    for row in rows:
+        d = row if isinstance(row, dict) else row.asDict()
+        for fname, ftype in field_types.items():
+            _write_value(body, ftype, d.get(fname))
+        n += 1
+    header = io.BytesIO()
+    header.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(avro_schema).encode(),
+        "avro.codec": b"null",
+    }
+    _write_long(header, len(meta))
+    for k, v in meta.items():
+        _write_value(header, "string", k)
+        _write_value(header, "bytes", v)
+    _write_long(header, 0)  # end of metadata map
+    header.write(sync)
+    payload = body.getvalue()
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as fh:
+        fh.write(header.getvalue())
+        if n:
+            block = io.BytesIO()
+            _write_long(block, n)
+            _write_long(block, len(payload))
+            fh.write(block.getvalue())
+            fh.write(payload)
+            fh.write(sync)
+    os.replace(tmp, path)
+    return n
+
+
+def read_ocf(path: str) -> tuple[dict, list[dict]]:
+    """Read an OCF file written by any compliant writer (null codec)."""
+    with open(path, "rb") as fh:
+        buf = io.BytesIO(fh.read())
+    if buf.read(4) != MAGIC:
+        raise ValueError(f"not an Avro OCF: {path}")
+    meta: dict[str, bytes] = {}
+    while True:
+        count = _read_long(buf)
+        if count == 0:
+            break
+        for _ in range(abs(count)):
+            k = _read_value(buf, "string")
+            meta[k] = _read_value(buf, "bytes")
+    if meta.get("avro.codec", b"null") != b"null":
+        raise ValueError("only the null codec is supported")
+    schema = json.loads(meta["avro.schema"])
+    field_types = {f["name"]: f["type"] for f in schema["fields"]}
+    sync = buf.read(16)
+    rows: list[dict] = []
+    while True:
+        probe = buf.read(1)
+        if not probe:
+            break
+        buf.seek(-1, io.SEEK_CUR)
+        n = _read_long(buf)
+        _read_long(buf)  # block byte length (unused with null codec)
+        for _ in range(n):
+            rows.append(
+                {fname: _read_value(buf, ftype) for fname, ftype in field_types.items()}
+            )
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+    return schema, rows
+
+
+def write_avro_partitions(df, out_dir: str, name: str = "record") -> None:
+    """Distributed Avro write: each partition writes one OCF file under
+    ``out_dir`` from its executor (no driver collect)."""
+    avro_schema = schema_to_avro(df.schema, name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(it):
+        rows = list(it)
+        if rows:
+            fname = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
+            write_ocf(fname, avro_schema, rows)
+
+    df.foreachPartition(_write)

@@ -9,11 +9,16 @@
   micro-batches of raw change events to an immutable landing zone,
   partitioned by arrival date — C6/C7 semantics). The reference uses
   Avro files; the spark-avro datasource jar is not bundled with this
-  PySpark build, so the archive format is negotiated at runtime
-  (``avro_available``) with JSON/parquet fallback.
+  PySpark build, so when it is absent the archive writes REAL Avro
+  Object Container Files via the pure-stdlib codec in ``avro_py``
+  (executor-side ``foreachPartition``, spec-compliant OCF framing);
+  pass ``fmt="json"`` to opt into the lighter JSON landing instead.
 """
 
 from __future__ import annotations
+
+import datetime
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,9 +85,27 @@ def archive_stream(
     partition_cols: list[str] | None = None,
 ):
     """S4 raw-zone sink: append-only archive of the raw change stream,
-    partitioned by arrival date (C6). `fmt` falls back to json when the
-    avro datasource is absent."""
-    fmt = fmt or ("avro" if avro_available(raw.sparkSession) else "json")
+    partitioned by arrival date (C6). Default format is Avro — via the
+    spark-avro datasource when present, else real OCF files from the
+    pure-Python codec (``avro_py``) written executor-side per
+    micro-batch partition. ``fmt="json"`` selects the JSON landing."""
+    fmt = fmt or "avro"
+    if fmt == "avro" and not avro_available(raw.sparkSession):
+        from konohadataplatform_spark.sources import avro_py
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            day = datetime.date.today().isoformat()
+            out = os.path.join(
+                path, f"_arrival_date={day}", f"batch-{batch_id:06d}"
+            )
+            avro_py.write_avro_partitions(batch_df, out, "envelope")
+
+        return (
+            raw.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
     stamped = raw.withColumn("_arrival_date", F.current_date())
     return (
         stamped.writeStream.format(fmt)

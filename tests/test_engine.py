@@ -179,11 +179,33 @@ def test_archive_stream_raw_zone(spark, tmp_path):
                 + "\n"
             )
     raw = spark.readStream.schema(ENVELOPE_SCHEMA).json(str(src))
+    # default format is now REAL Avro (pure-stdlib OCF writer, since the
+    # spark-avro jar is absent) — read the files back with the codec
     q = archive_stream(raw, str(tmp_path / "zone"), str(tmp_path / "ck"))
     q.awaitTermination(60)
-    back = spark.read.json(str(tmp_path / "zone"))
+    from konohadataplatform_spark.sources import avro_py
+
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(tmp_path / "zone")
+        for f in fs
+        if f.endswith(".avro")
+    ]
+    assert files, "no OCF files written"
+    rows = [row for p in files for row in avro_py.read_ocf(p)[1]]
+    assert len(rows) == 10
+    assert {r["op"] for r in rows} == {"c"}
+    assert sorted(r["lsn"] for r in rows) == list(range(10))
+    # arrival-date partition dirs present (C6)
+    assert any("_arrival_date=" in p for p in files)
+
+    # json landing still available explicitly
+    q2 = archive_stream(
+        raw, str(tmp_path / "zone_json"), str(tmp_path / "ck2"), fmt="json"
+    )
+    q2.awaitTermination(60)
+    back = spark.read.json(str(tmp_path / "zone_json"))
     assert back.count() == 10
-    assert "_arrival_date" in [f.name for f in back.schema.fields] or True
 
 
 def test_explain_surface(engine):
@@ -273,3 +295,43 @@ def test_python_udtf_registration(spark):
     assert [(r.id, r.word, r.pos) for r in out] == [
         (1, "x", 0), (1, "y", 1), (2, "z", 0)
     ]
+
+
+def test_avro_ocf_roundtrip(spark):
+    """Pure-stdlib Avro OCF: schema mapping, zigzag varints, null
+    unions, sync-marked blocks — write distributed, read back exact."""
+    from pyspark.sql import types as T
+
+    from konohadataplatform_spark.sources import avro_py
+
+    schema = T.StructType([
+        T.StructField("s", T.StringType(), True),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("d", T.DoubleType(), True),
+        T.StructField("b", T.BooleanType(), True),
+        T.StructField("raw", T.BinaryType(), True),
+    ])
+    rows = [
+        {"s": "héllo", "n": -1, "d": 2.5, "b": True, "raw": b"\x00\xff"},
+        {"s": None, "n": 2**40, "d": None, "b": None, "raw": None},
+        {"s": "", "n": 0, "d": -0.0, "b": False, "raw": b""},
+    ]
+    import tempfile, os as _os
+
+    d = tempfile.mkdtemp()
+    path = _os.path.join(d, "t.avro")
+    avro = avro_py.schema_to_avro(schema, "t")
+    assert avro_py.write_ocf(path, avro, rows) == 3
+    got_schema, got = avro_py.read_ocf(path)
+    assert got_schema["name"] == "t"
+    assert got == rows
+
+    # distributed write path: one file per partition, all rows land
+    df = spark.createDataFrame([("a", i, None, True, None) for i in range(20)],
+                               schema).repartition(4)
+    out = _os.path.join(d, "dist")
+    avro_py.write_avro_partitions(df, out, "t")
+    files = [f for f in _os.listdir(out) if f.endswith(".avro")]
+    assert 1 <= len(files) <= 4
+    total = sum(len(avro_py.read_ocf(_os.path.join(out, f))[1]) for f in files)
+    assert total == 20
