@@ -33,6 +33,7 @@ import re
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _DML_RE = re.compile(
     r"^\s*(MERGE|DELETE|UPDATE|ALTER|INSERT|TRUNCATE|DROP|CREATE)\b",
@@ -349,8 +350,10 @@ _MERGE_HEAD_RE = re.compile(
 )
 
 _WHEN_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\b(?:\s+AND\s+(?P<guard>.*?))?\s+THEN\s+"
-    r"(?P<action>UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)\s*(?=WHEN\s+(?:NOT\s+)?MATCHED\b|$)",
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\b(?:\s+BY\s+(?P<by>SOURCE|TARGET)\b)?"
+    r"(?:\s+AND\s+(?P<guard>.*?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)\s*"
+    r"(?=WHEN\s+(?:NOT\s+)?MATCHED\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -398,20 +401,41 @@ def _parse_merge(query: str) -> dict:
         raise ValueError(f"MERGE: no WHEN clause in {query!r}")
     out["on"] = rest[:when_at].strip()
 
-    out["matched"] = out["not_matched"] = None
-    for wm in _WHEN_RE.finditer(rest[when_at:]):
+    out["matched"] = out["not_matched"] = out["not_matched_by_source"] = None
+    region = rest[when_at:]
+    pos = 0
+    for wm in _WHEN_RE.finditer(region):
+        # every WHEN clause must parse: any top-level text between (or
+        # before) matches means the regex skipped a clause it could not
+        # handle — executing with missing semantics would silently keep
+        # or drop the wrong rows, so refuse instead.
+        gap = region[pos : wm.start()].strip()
+        if gap:
+            raise ValueError(f"MERGE: unsupported WHEN clause near {gap[:80]!r}")
+        pos = wm.end()
+        by = (wm.group("by") or "").upper()
+        is_not = bool(wm.group("not"))
+        if by == "SOURCE" and not is_not:
+            raise ValueError("MERGE: WHEN MATCHED BY SOURCE is not valid SQL")
         clause = {
             "guard": (wm.group("guard") or "").strip() or None,
             "action": wm.group("action").strip(),
         }
-        slot = "not_matched" if wm.group("not") else "matched"
+        if is_not and by == "SOURCE":
+            slot, label = "not_matched_by_source", "NOT MATCHED BY SOURCE"
+        elif is_not:
+            slot, label = "not_matched", "NOT MATCHED"
+        else:
+            slot, label = "matched", "MATCHED"
         if out[slot] is not None:
-            raise ValueError(
-                f"MERGE: at most one WHEN {'NOT ' if wm.group('not') else ''}"
-                "MATCHED clause is supported"
-            )
+            raise ValueError(f"MERGE: at most one WHEN {label} clause is supported")
         out[slot] = clause
-    if out["matched"] is None and out["not_matched"] is None:
+    tail = region[pos:].strip().strip(";").strip()
+    if tail:
+        raise ValueError(f"MERGE: unsupported trailing text near {tail[:80]!r}")
+    if out["matched"] is None and out["not_matched"] is None and (
+        out["not_matched_by_source"] is None
+    ):
         raise ValueError(f"MERGE: could not parse WHEN clauses in {query!r}")
     return out
 
@@ -469,7 +493,11 @@ def _dispatch_merge(engine, query: str) -> DataFrame:
     target = p["target"]
     t = p["talias"] or target.split(".")[-1]
     target_df = cat.read(target)
-    target_df.createOrReplaceTempView(t)
+    # synthetic row id for the cardinality check below; tcols is taken from
+    # target_df so __merge_tid never reaches the output
+    target_df.withColumn(
+        "__merge_tid", F.monotonically_increasing_id()
+    ).createOrReplaceTempView(t)
 
     if p["source_sql"] is not None:
         source_df = spark.sql(p["source_sql"])
@@ -484,15 +512,59 @@ def _dispatch_merge(engine, query: str) -> DataFrame:
     tcols, scols = target_df.columns, set(source_df.columns)
     on = p["on"]
     t_all = ", ".join(f"{t}.{_qid(c)} AS {_qid(c)}" for c in tcols)
-    pieces = [
-        # target rows with no source match always survive
-        f"SELECT {t_all} FROM {t} LEFT ANTI JOIN {s} ON {on}"
-    ]
 
     matched = p["matched"]
+    if matched is not None:
+        # Standard MERGE semantics (Spark/Delta/Iceberg): a target row
+        # matched by more than one source row is a cardinality violation —
+        # applying the clause per source row would silently duplicate the
+        # target row.
+        ambiguous = spark.sql(
+            f"SELECT max(__n) AS m FROM (SELECT count(*) AS __n "
+            f"FROM {t} JOIN {s} ON {on} GROUP BY {t}.__merge_tid)"
+        ).first()
+        if ambiguous and ambiguous["m"] is not None and ambiguous["m"] > 1:
+            raise ValueError(
+                "MERGE: cardinality violation — a target row matches "
+                f"{ambiguous['m']} source rows; MERGE would apply the WHEN "
+                "MATCHED clause multiple times to the same row"
+            )
+
+    nmbs = p["not_matched_by_source"]
+    if nmbs is None:
+        # target rows with no source match always survive
+        pieces = [f"SELECT {t_all} FROM {t} LEFT ANTI JOIN {s} ON {on}"]
+    else:
+        pieces = []
+        guard = nmbs["guard"]
+        if guard:
+            # unmatched rows failing the guard are untouched
+            pieces.append(
+                f"SELECT {t_all} FROM {t} LEFT ANTI JOIN {s} ON {on} "
+                f"WHERE NOT coalesce(({guard}), false)"
+            )
+        if re.match(r"DELETE\b", nmbs["action"], re.IGNORECASE):
+            pass  # guarded-in unmatched rows are dropped
+        elif re.match(r"UPDATE\s+SET\s+\*", nmbs["action"], re.IGNORECASE):
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE: UPDATE SET * has no source row"
+            )
+        elif re.match(r"UPDATE\b", nmbs["action"], re.IGNORECASE):
+            # only target columns are in scope: there is no source row
+            sel = _update_select(nmbs["action"], tcols, frozenset(), t, t)
+            q = f"SELECT {sel} FROM {t} LEFT ANTI JOIN {s} ON {on}"
+            if guard:
+                q += f" WHERE ({guard})"
+            pieces.append(q)
+        else:
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE supports only UPDATE or DELETE"
+            )
+
     if matched is None:
-        # no matched clause: matched target rows stay as-is
-        pieces.append(f"SELECT {t_all} FROM {t} JOIN {s} ON {on}")
+        # no matched clause: matched target rows stay as-is (semi join —
+        # an inner join would emit one copy per matching source row)
+        pieces.append(f"SELECT {t_all} FROM {t} LEFT SEMI JOIN {s} ON {on}")
     else:
         guard = matched["guard"]
         if guard:

@@ -231,3 +231,100 @@ def test_merge_quoted_using_in_source(engine):
         """
     )
     assert (1, "USING ON WHEN", 10.0) in rows(engine.table("metrics"))
+
+
+def test_merge_not_matched_by_source_delete(engine):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE drops target rows with no
+    source match — previously this clause was silently ignored."""
+    seed(engine)
+    src_df(engine).createOrReplaceTempView("src")
+    engine.sql(
+        """
+        MERGE INTO metrics t USING src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """
+    )
+    assert rows(engine.table("metrics")) == [(2, "B", 200.0), (4, "d", 40.0)]
+
+
+def test_merge_not_matched_by_source_guarded_update(engine):
+    seed(engine)
+    src_df(engine).createOrReplaceTempView("src")
+    engine.sql(
+        """
+        MERGE INTO metrics t USING src s ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE AND t.id = 3 THEN UPDATE SET tag = 'stale'
+        """
+    )
+    assert rows(engine.table("metrics")) == [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+        (3, "stale", 30.0),
+    ]
+
+
+def test_merge_unparseable_when_clause_raises(engine):
+    """A WHEN clause the parser cannot handle must fail loudly, never be
+    silently dropped while the rest of the statement executes."""
+    seed(engine)
+    src_df(engine).createOrReplaceTempView("src")
+    with pytest.raises(ValueError, match="MERGE"):
+        engine.sql(
+            """
+            MERGE INTO metrics t USING src s ON t.id = s.id
+            WHEN MATCHED THEN FROBNICATE
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+    # statement rejected: table unchanged
+    assert rows(engine.table("metrics")) == [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+        (3, "c", 30.0),
+    ]
+
+
+def test_merge_matched_by_source_rejected(engine):
+    seed(engine)
+    src_df(engine).createOrReplaceTempView("src")
+    with pytest.raises(ValueError, match="BY SOURCE"):
+        engine.sql(
+            "MERGE INTO metrics t USING src s ON t.id = s.id "
+            "WHEN MATCHED BY SOURCE THEN DELETE"
+        )
+
+
+def test_merge_cardinality_violation_raises(engine):
+    """Multiple source rows matching one target row is an error (the
+    Spark/Delta/Iceberg contract), not silent row duplication."""
+    seed(engine)
+    engine.spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0)], "id long, tag string, v double"
+    ).createOrReplaceTempView("src")
+    with pytest.raises(ValueError, match="cardinality"):
+        engine.sql(
+            "MERGE INTO metrics t USING src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+
+
+def test_merge_insert_only_with_duplicate_source_matches(engine):
+    """With no MATCHED clause, duplicate source matches must not
+    duplicate surviving target rows (semi-join semantics)."""
+    seed(engine)
+    engine.spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0), (5, "e", 50.0)],
+        "id long, tag string, v double",
+    ).createOrReplaceTempView("src")
+    engine.sql(
+        "MERGE INTO metrics t USING src s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert rows(engine.table("metrics")) == [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+        (3, "c", 30.0),
+        (5, "e", 50.0),
+    ]
