@@ -1080,16 +1080,34 @@ class SnapshotCatalog:
         return current
 
     def _schema_meta_commit(
-        self, name: str, operation: str, renames: dict, dropped: list
+        self,
+        name: str,
+        operation: str,
+        renames: dict,
+        dropped: list,
+        key_rename: tuple[str, str] | None = None,
     ) -> Snapshot:
         """Commit a metadata-only schema change: data files hardlinked,
-        only the rename/drop maps change — O(#files) at any scale."""
+        only the rename/drop maps change — O(#files) at any scale.
+
+        ``key_rename=(old, new)`` rewrites the MOR key-column lists
+        BEFORE the snapshot is registered, so the pointer and the
+        ``_log.jsonl`` record stay consistent — a time-travel read of
+        the rename snapshot (resolved via ``history()``) must see the
+        renamed key cols, since ``_apply_schema_meta`` already renames
+        the data columns for that version."""
         prev = self.current_snapshot(name)
         version, snap_dir = self._new_snapshot_dir(name)
         _link_tree(prev.path, snap_dir)
         delete_path = None
         if prev.delete_path and os.path.isdir(prev.delete_path):
             delete_path = os.path.join(snap_dir, "_deletes")
+
+        def _fix(ks):
+            if ks and key_rename and key_rename[0] in ks:
+                return [key_rename[1] if k == key_rename[0] else k for k in ks]
+            return ks
+
         return self._register_snapshot(
             name,
             version,
@@ -1097,10 +1115,10 @@ class SnapshotCatalog:
             operation,
             row_count=prev.row_count,
             delete_path=delete_path,
-            delete_key_cols=prev.delete_key_cols if delete_path else None,
+            delete_key_cols=_fix(prev.delete_key_cols) if delete_path else None,
             mixed_schema=prev.mixed_schema,
             upsert_layers=prev.upsert_layers,
-            upsert_key_cols=prev.upsert_key_cols,
+            upsert_key_cols=_fix(prev.upsert_key_cols),
             renames=renames,
             dropped=dropped,
         )
@@ -1123,31 +1141,16 @@ class SnapshotCatalog:
             renames.pop(phys, None)  # renamed back to the physical name
         else:
             renames[phys] = new
-        # MOR key metadata tracks current names
-        snap = self._schema_meta_commit(
-            name, f"rename-column({old}->{new})", renames, list(prev.dropped or [])
+        # MOR key metadata tracks current names; the fixup happens inside
+        # _schema_meta_commit so pointer and log agree (time travel reads
+        # the log record, not the pointer)
+        return self._schema_meta_commit(
+            name,
+            f"rename-column({old}->{new})",
+            renames,
+            list(prev.dropped or []),
+            key_rename=(old, new),
         )
-        return self._rewrite_key_cols(name, snap, old, new)
-
-    def _rewrite_key_cols(
-        self, name: str, snap: Snapshot, old: str, new: str
-    ) -> Snapshot:
-        """Key-column lists in the pointer/log track CURRENT names; fix
-        them up after a rename (read() renames the delete/layer files'
-        physical columns, so the join keys must follow)."""
-        changed = False
-        for attr in ("delete_key_cols", "upsert_key_cols"):
-            ks = getattr(snap, attr)
-            if ks and old in ks:
-                setattr(snap, attr, [new if k == old else k for k in ks])
-                changed = True
-        if changed:
-            ptr = self._pointer_path(name)
-            tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as f:
-                json.dump(snap.__dict__, f)
-            os.replace(tmp, ptr)
-        return snap
 
     def drop_column(self, name: str, col: str) -> Snapshot:
         """M5 ALTER TABLE DROP COLUMN — metadata-only: the physical

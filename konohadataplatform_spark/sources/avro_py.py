@@ -177,7 +177,12 @@ def read_ocf(path: str) -> tuple[dict, list[dict]]:
         count = _read_long(buf)
         if count == 0:
             break
-        for _ in range(abs(count)):
+        if count < 0:
+            # spec: a negative map-block count is followed by the block's
+            # byte size; consume it or the key/value stream misaligns
+            _read_long(buf)
+            count = -count
+        for _ in range(count):
             k = _read_value(buf, "string")
             meta[k] = _read_value(buf, "bytes")
     if meta.get("avro.codec", b"null") != b"null":

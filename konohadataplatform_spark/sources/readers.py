@@ -93,12 +93,28 @@ def archive_stream(
     if fmt == "avro" and not avro_available(raw.sparkSession):
         from konohadataplatform_spark.sources import avro_py
 
+        cols = list(partition_cols or ["_arrival_date"])
+
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            day = datetime.date.today().isoformat()
-            out = os.path.join(
-                path, f"_arrival_date={day}", f"batch-{batch_id:06d}"
-            )
-            avro_py.write_avro_partitions(batch_df, out, "envelope")
+            # UTC, matching the datasource path's per-row current_date()
+            # under the pinned-UTC session (not the driver's local zone)
+            day = datetime.datetime.now(datetime.timezone.utc).date()
+            stamped = batch_df
+            if "_arrival_date" in cols and "_arrival_date" not in batch_df.columns:
+                stamped = batch_df.withColumn("_arrival_date", F.lit(day.isoformat()))
+            # Hive-style layout per distinct partition tuple; the combo
+            # set is metadata-sized (dates x topics per micro-batch)
+            combos = [tuple(r) for r in stamped.select(*cols).distinct().collect()]
+            for combo in combos:
+                sub = stamped
+                for c, v in zip(cols, combo):
+                    sub = sub.filter(F.col(c) == F.lit(v))
+                subdir = os.path.join(
+                    path,
+                    *(f"{c}={v}" for c, v in zip(cols, combo)),
+                    f"batch-{batch_id:06d}",
+                )
+                avro_py.write_avro_partitions(sub.drop(*cols), subdir, "envelope")
 
         return (
             raw.writeStream.foreachBatch(sink)

@@ -773,6 +773,13 @@ def test_rename_key_column_with_pending_mor(spark, catalog):
     snap = catalog.rename_column("t", "k", "key")
     assert snap.delete_key_cols == ["key"]
     assert {(r.key, r.v) for r in catalog.read("t").collect()} == {(2, "b")}
+    # time-travel read of the rename snapshot resolves via the LOG record,
+    # not the pointer — its key cols must also carry the new name, or the
+    # MOR anti-join fails on a missing column
+    tt = catalog.read("t", version=snap.version)
+    assert {(r.key, r.v) for r in tt.collect()} == {(2, "b")}
+    hist = [s for s in catalog.history("t") if s.version == snap.version]
+    assert hist and hist[0].delete_key_cols == ["key"]
 
 
 def test_drop_column_metadata_only(spark, catalog):

@@ -335,3 +335,78 @@ def test_avro_ocf_roundtrip(spark):
     assert 1 <= len(files) <= 4
     total = sum(len(avro_py.read_ocf(_os.path.join(out, f))[1]) for f in files)
     assert total == 20
+
+
+def test_avro_ocf_negative_metadata_block_count():
+    """Avro spec: a negative map-block count is followed by the block's
+    byte size. Files from writers using that form must parse clean."""
+    import io, os as _os, tempfile
+
+    from konohadataplatform_spark.sources import avro_py
+
+    avro = {"type": "record", "name": "t",
+            "fields": [{"name": "n", "type": "long"}]}
+    import json as _json
+    sync = b"\x01" * 16
+    kv = io.BytesIO()
+    avro_py._write_value(kv, "string", "avro.schema")
+    avro_py._write_value(kv, "bytes", _json.dumps(avro).encode())
+    avro_py._write_value(kv, "string", "avro.codec")
+    avro_py._write_value(kv, "bytes", b"null")
+    payload = kv.getvalue()
+
+    buf = io.BytesIO()
+    buf.write(avro_py.MAGIC)
+    avro_py._write_long(buf, -2)            # negative count ...
+    avro_py._write_long(buf, len(payload))  # ... then byte size (spec)
+    buf.write(payload)
+    avro_py._write_long(buf, 0)             # end of metadata map
+    buf.write(sync)
+    body = io.BytesIO()
+    avro_py._write_value(body, "long", 7)
+    avro_py._write_long(buf, 1)
+    avro_py._write_long(buf, len(body.getvalue()))
+    buf.write(body.getvalue())
+    buf.write(sync)
+
+    d = tempfile.mkdtemp()
+    path = _os.path.join(d, "neg.avro")
+    with open(path, "wb") as fh:
+        fh.write(buf.getvalue())
+    schema, rows = avro_py.read_ocf(path)
+    assert schema["name"] == "t"
+    assert rows == [{"n": 7}]
+
+
+def test_archive_stream_fallback_honors_partition_cols(spark, tmp_path):
+    """The avro_py fallback must lay out Hive-style dirs for the caller's
+    partition_cols (it used to ignore them and always stamp the driver's
+    local arrival date)."""
+    import json as _json
+    import os
+
+    from konohadataplatform_spark.streaming.cdc import ENVELOPE_SCHEMA
+    from konohadataplatform_spark.sources.readers import archive_stream
+    from konohadataplatform_spark.sources import avro_py
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    with open(src / "f1.json", "w") as f:
+        for i in range(6):
+            f.write(_json.dumps(
+                {"op": "c", "before": None, "after": "{}", "ts_ms": i,
+                 "lsn": i, "table": "t_a" if i % 2 else "t_b"}) + "\n")
+    raw = spark.readStream.schema(ENVELOPE_SCHEMA).json(str(src))
+    q = archive_stream(raw, str(tmp_path / "zone"), str(tmp_path / "ck"),
+                       partition_cols=["table"])
+    q.awaitTermination(60)
+    files = [os.path.join(r, f)
+             for r, _d, fs in os.walk(tmp_path / "zone")
+             for f in fs if f.endswith(".avro")]
+    assert files
+    assert any("table=t_a" in p for p in files)
+    assert any("table=t_b" in p for p in files)
+    rows = [row for p in files for row in avro_py.read_ocf(p)[1]]
+    assert len(rows) == 6
+    # partition column is carried by the directory, not the payload
+    assert all("table" not in r for r in rows)
