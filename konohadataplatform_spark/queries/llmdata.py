@@ -941,19 +941,19 @@ def q_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sequence_packing",
     """
     WITH t AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, doc_id % 16 AS shard_id,
              CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks
       FROM documents
     ), c AS (
-      SELECT doc_id, lang, toks,
+      SELECT doc_id, lang, shard_id, toks,
              -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
              -- renders as float and breaks the driver's canonical form
-             CAST(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+             CAST(SUM(toks) OVER (PARTITION BY lang, shard_id ORDER BY doc_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND CURRENT ROW) AS BIGINT) AS cum
       FROM t
     )
-    SELECT doc_id, lang, toks,
+    SELECT doc_id, lang, shard_id, toks,
            (cum - toks) // 64 AS start_chunk,
            (cum - 1) // 64 AS end_chunk,
            (cum - 1) // 64 - (cum - toks) // 64 + 1 AS n_chunks
@@ -961,21 +961,37 @@ def q_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing with SHARD-LOCAL chunk ids.
+
+    The running-total window is keyed on ``(lang, shard_id)``, not
+    ``lang`` alone: with ~10 languages a lang-only window means one
+    task sorts an entire language's corpus at 100 TB. The deterministic
+    shard key (``doc_id % 16``; raise the modulus with corpus size)
+    bounds every window partition, and shard-local chunk ids are
+    exactly how production packing shards — each shard concatenates
+    and splits independently (SCALING.md "Training-pipeline queries").
+    """
     from pyspark.sql.window import Window
 
     docs = _t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint")
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard_id")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        docs.select("doc_id", "lang", toks.alias("toks"))
+        docs.select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") % 16).alias("shard_id"),
+            toks.alias("toks"),
+        )
         .withColumn("cum", F.sum("toks").over(w))
         .select(
             "doc_id",
             "lang",
+            "shard_id",
             "toks",
             F.expr("(cum - toks) DIV 64").alias("start_chunk"),
             F.expr("(cum - 1) DIV 64").alias("end_chunk"),
