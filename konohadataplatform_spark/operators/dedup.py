@@ -295,13 +295,29 @@ def minhash_dedup(
 # SimHash
 # --------------------------------------------------------------------------
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (term-frequency weighted)."""
+    """64-bit SimHash over whitespace tokens (term-frequency weighted).
+
+    ``token_hash="md5"`` uses the top 60 bits of md5 instead of
+    xxhash64 — slower per token but engine-portable (any system with
+    md5 reproduces the exact fingerprint bit-for-bit; this is what the
+    DuckDB oracle for ``q_simhash_clusters`` recomputes). Bits 60-63
+    are then always zero, an effective 60-bit SimHash."""
+    if token_hash == "md5":
+        h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    elif token_hash == "xxhash64":
+        h = F.xxhash64("t")
+    else:
+        raise ValueError(f"unknown token_hash: {token_hash!r}")
     tok = df.select(
         F.col(id_col).alias("sid"),
         F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", h)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

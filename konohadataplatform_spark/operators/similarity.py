@@ -122,6 +122,7 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    exact_sigs: bool = False,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH.
 
@@ -131,19 +132,33 @@ def ann_lsh_topk(
     100 TB that's an O(L)-size *index* of ids, not payloads; vectors are
     only scored for bucket-matched candidates, cutting the scored pairs
     to a small fraction of brute force.
+
+    ``exact_sigs=True`` computes signatures with the JVM sequential-fold
+    dot product instead of the Arrow numpy kernel: same planes, same
+    algorithm, but the fold is bit-identical to DuckDB's
+    ``list_dot_product`` (numpy's pairwise summation rounds differently
+    and could in principle flip a sign at a near-zero dot), which makes
+    the output exactly reproducible by a SQL oracle.
     """
     planes = make_planes(dim, n_tables * bits_per_table, seed)
-    sig_udf = table_signatures_arrow(planes, n_tables, bits_per_table)
+    if exact_sigs:
+        def sig_col(col):
+            return _table_signatures(col, planes, n_tables, bits_per_table)
+    else:
+        sig_udf = table_signatures_arrow(planes, n_tables, bits_per_table)
+
+        def sig_col(col):
+            return sig_udf(col)
     c = _spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
-    ).withColumn("sig", F.explode(sig_udf(F.col("cv"))))
+    ).withColumn("sig", F.explode(sig_col(F.col("cv"))))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("sig", F.explode(sig_udf(F.col("qv"))))
+    ).withColumn("sig", F.explode(sig_col(F.col("qv"))))
     cands = (
         c.join(
             F.broadcast(q),

@@ -1,14 +1,15 @@
 """LLM training-data pipeline queries over documents + embeddings
 (beyond-reference surface; BASELINE.json north star).
 
-Oracle-checkable entries compute the same semantics in portable SQL;
-``q_simhash_clusters`` / ``q_ann_lsh`` / ``q_ann_ivf`` are
-probabilistic/hash-seeded and therefore rows-only for the driver —
-their quality is asserted in tests/test_llm_ops.py against the exact
-variants (recall/precision bounds). ``q_minhash_dedup`` IS
-oracle-checked: its LSH candidates are verified with exact Jaccard and
-fixture recall is exactly 1.0 (guarded in pytest), so it hash-matches
-the exact-join SQL.
+Oracle-checkable entries compute the same semantics in portable SQL.
+Only ``q_ann_ivf`` remains rows-only (KMeans centroid training is
+ML-seeded, not SQL-expressible); its recall is asserted in
+tests/test_llm_ops.py. The formerly rows-only hash-based queries are
+now oracle-checked: ``q_minhash_dedup`` verifies candidates with exact
+Jaccard (fixture recall exactly 1.0, pytest-guarded),
+``q_simhash_clusters`` uses an engine-portable md5 token hash so DuckDB
+recomputes the fingerprints bit-for-bit, and ``q_ann_lsh`` bakes its
+seeded plane literals into the oracle SQL with fold-exact dot products.
 """
 
 from __future__ import annotations
@@ -120,16 +121,60 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash clusters (rows-only)
+# SimHash clusters — oracle-checked. The whole pipeline is deterministic
+# (no RNG): with the engine-portable md5 token hash, DuckDB recomputes
+# the exact 60-bit fingerprints, the 16-bit band buckets, and the
+# Hamming filter, so the oracle reproduces the row set bit-for-bit.
 # --------------------------------------------------------------------------
-@query("q_simhash_clusters")
+@query(
+    "q_simhash_clusters",
+    """
+    WITH tok AS (
+      SELECT doc_id AS sid, unnest(string_split(trim(text), ' ')) AS t
+      FROM documents
+    ), th AS (
+      -- top 60 bits of md5(token): 15 hex nibbles assembled with shifts
+      SELECT sid,
+             CAST(list_sum([
+               (CAST(strpos('0123456789abcdef', substr(md5(t), j, 1)) AS BIGINT) - 1)
+                 << (4 * (15 - j))
+               for j in range(1, 16) ]) AS BIGINT) AS h
+      FROM tok
+    ), bs AS (
+      SELECT sid, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, range(0, 60) r(i)
+      GROUP BY sid, i
+    ), fp AS (
+      SELECT sid,
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM bs GROUP BY sid
+    ), banded AS (
+      SELECT sid, band, (simhash >> (band * 16)) & 65535 AS bucket
+      FROM fp, range(0, 4) r(band)
+    ), cand AS (
+      SELECT DISTINCT x.sid AS a_id, y.sid AS b_id
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.sid < y.sid
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.sid = c.a_id
+    JOIN fp fb ON fb.sid = c.b_id
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 8
+    """,
+)
 def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only by design: SimHash pairs at Hamming<=8 have no exact
-    set-similarity equivalent (the bit-sampling projection is lossy in
-    both directions), so no SQL oracle reproduces the row set. Recall
-    vs the exact Jaccard join is bounded in tests/test_llm_ops.py."""
+    """SimHash near-dup pairs (banded candidates, Hamming <= 8).
+
+    Oracle-checked: the md5 token hash makes the fingerprint engine-
+    portable (graduated from rows-only in round 5 — banding is
+    deterministic, so the candidate set is exactly SQL-expressible;
+    only the token hash needed to be reproducible)."""
     docs = _t(spark, sf_dir, "documents")
-    hashes = D.simhash(docs)
+    hashes = D.simhash(docs, token_hash="md5")
     cands = D.simhash_candidates(hashes, bands=4)
     ha = hashes.select(F.col("sid").alias("a_id"), F.col("simhash").alias("h_a"))
     hb = hashes.select(F.col("sid").alias("b_id"), F.col("simhash").alias("h_b"))
@@ -286,18 +331,70 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ANN via random-hyperplane LSH (rows-only; recall tested vs brute force)
+# ANN via random-hyperplane LSH — oracle-checked. The planes are
+# deterministic (seeded), so the oracle embeds them as literals and
+# recomputes the signatures; exact_sigs uses the JVM fold dot product,
+# bit-identical to DuckDB list_dot_product, so bucket membership (and
+# therefore the candidate set and top-k) matches exactly.
 # --------------------------------------------------------------------------
-@query("q_ann_lsh")
+def _ann_lsh_oracle_sql(
+    dim: int = 64, n_tables: int = 16, bits_per_table: int = 4, seed: int = 42
+) -> str:
+    planes = S.make_planes(dim, n_tables * bits_per_table, seed)
+    tables = []
+    for t in range(n_tables):
+        bits = []
+        for i in range(bits_per_table):
+            p = planes[t * bits_per_table + i]
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0.0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        tables.append(
+            "(" + " + ".join(bits) + f" + {t * (1 << bits_per_table)})"
+        )
+    sig_list = "[" + ",\n      ".join(tables) + "]"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v, {sig_list} AS sigs FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, sigs AS qsigs FROM s WHERE vec_id < 8
+    ), cand AS (
+      SELECT q.query_id, q.qv, s.vec_id AS neighbor_id, s.v AS cv
+      FROM s, q
+      WHERE s.vec_id <> q.query_id
+        AND len(list_intersect(s.sigs, q.qsigs)) > 0
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cos_sim
+      FROM cand
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, knn_rank
+    FROM ranked WHERE knn_rank <= 5
+    """
+
+
+@query("q_ann_lsh", _ann_lsh_oracle_sql())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only by design: hyperplane-LSH top-k is approximate — which
-    neighbors land in probed buckets depends on the random-but-seeded
-    hyperplanes, so no SQL oracle can reproduce the exact rows. Recall
-    vs brute force is asserted in tests/test_llm_ops.py (>=0.8 on the
-    fixture); the exact baseline q_knn_bruteforce IS oracle-checked."""
+    """Multi-table hyperplane-LSH top-k (16 tables x 4 bits).
+
+    Oracle-checked (graduated from rows-only in round 5): LSH is
+    approximate relative to brute force, but fully deterministic given
+    the seeded planes — the oracle bakes the same plane literals into
+    SQL and reproduces bucket membership exactly. Recall vs the exact
+    q_knn_bruteforce baseline remains pytest-asserted."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return S.ann_lsh_topk(emb, queries, k=5)
+    return S.ann_lsh_topk(emb, queries, k=5, exact_sigs=True)
 
 
 # --------------------------------------------------------------------------
