@@ -85,6 +85,12 @@ def _write_value(buf: io.BytesIO, avro_type, v) -> None:
             return
         _write_long(buf, 1)
         avro_type = avro_type[1]
+    if isinstance(avro_type, dict) and avro_type.get("type") == "record":
+        # nested record (Debezium before/after row images)
+        d = v if isinstance(v, dict) else v.asDict()
+        for f in avro_type["fields"]:
+            _write_value(buf, f["type"], d.get(f["name"]))
+        return
     if avro_type in ("long", "int"):
         _write_long(buf, int(v))
     elif avro_type == "double":
@@ -110,6 +116,10 @@ def _read_value(buf: io.BytesIO, avro_type):
         if _read_long(buf) == 0:
             return None
         avro_type = avro_type[1]
+    if isinstance(avro_type, dict) and avro_type.get("type") == "record":
+        return {
+            f["name"]: _read_value(buf, f["type"]) for f in avro_type["fields"]
+        }
     if avro_type in ("long", "int"):
         return _read_long(buf)
     if avro_type == "double":
@@ -220,3 +230,61 @@ def write_avro_partitions(df, out_dir: str, name: str = "record") -> None:
             write_ocf(fname, avro_schema, rows)
 
     df.foreachPartition(_write)
+
+
+# ---- Confluent Schema-Registry wire format ---------------------------------
+#
+# Debezium with AvroConverter (the reference's connector config:
+# ``debezium-postgres-connector.json`` key/value converters) frames every
+# Kafka record as: magic byte 0x00, 4-byte big-endian schema id, then the
+# Avro binary body encoded with the registered writer schema. This is NOT
+# the OCF framing above — no header, no sync markers.
+
+CONFLUENT_MAGIC = 0
+
+
+def encode_confluent(record: dict, avro_schema: dict, schema_id: int) -> bytes:
+    """Encode one record in the Schema-Registry wire format."""
+    buf = io.BytesIO()
+    buf.write(struct.pack(">bI", CONFLUENT_MAGIC, schema_id))
+    for f in avro_schema["fields"]:
+        _write_value(buf, f["type"], record.get(f["name"]))
+    return buf.getvalue()
+
+
+def confluent_schema_id(payload: bytes) -> int:
+    """Peek the schema id from a wire-format payload (loud on bad magic)."""
+    if len(payload) < 5:
+        raise ValueError(f"Confluent payload too short: {len(payload)} bytes")
+    magic, schema_id = struct.unpack(">bI", payload[:5])
+    if magic != CONFLUENT_MAGIC:
+        raise ValueError(
+            f"bad Confluent magic byte {magic} (expected {CONFLUENT_MAGIC}); "
+            "payload is not Schema-Registry framed Avro"
+        )
+    return schema_id
+
+
+def decode_confluent(payload: bytes, schema_by_id) -> tuple[int, dict]:
+    """Decode one wire-format payload; returns ``(schema_id, record)``.
+
+    ``schema_by_id`` maps registry schema ids to Avro record schemas —
+    a dict in-sandbox, or any Mapping-like facade over a real Schema
+    Registry's ``GET /schemas/ids/{id}`` lookup in production. Unknown
+    ids fail loudly (decoding with a guessed schema corrupts silently).
+    """
+    schema_id = confluent_schema_id(payload)
+    schema = schema_by_id.get(schema_id)
+    if schema is None:
+        raise ValueError(
+            f"schema id {schema_id} not in registry (known: "
+            f"{sorted(schema_by_id)[:20]}); refusing to guess a writer schema"
+        )
+    buf = io.BytesIO(payload[5:])
+    rec = {f["name"]: _read_value(buf, f["type"]) for f in schema["fields"]}
+    if buf.read(1):
+        raise ValueError(
+            f"trailing bytes after Avro body (schema id {schema_id}): "
+            "writer schema mismatch"
+        )
+    return schema_id, rec

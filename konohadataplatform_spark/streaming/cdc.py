@@ -241,6 +241,8 @@ class CdcPipeline:
         source: str = "files",
         kafka_bootstrap: str | None = None,
         topics: list[str] | None = None,
+        value_format: str = "json",
+        schema_registry: dict | None = None,
     ):
         """Tail Debezium envelopes and apply each micro-batch.
 
@@ -251,7 +253,13 @@ class CdcPipeline:
         package + a broker; raises KafkaSourceUnavailable here).
         """
         if source == "kafka":
-            raw = kafka_envelope_stream(self.spark, kafka_bootstrap, topics or [])
+            raw = kafka_envelope_stream(
+                self.spark,
+                kafka_bootstrap,
+                topics or [],
+                value_format=value_format,
+                schema_registry=schema_registry,
+            )
         elif source == "files":
             raw = self.spark.readStream.schema(ENVELOPE_SCHEMA).json(envelope_dir)
         else:
@@ -275,16 +283,23 @@ def kafka_envelope_stream(
     bootstrap_servers: str | None,
     topics: list[str],
     starting_offsets: str = "earliest",
+    value_format: str = "json",
+    schema_registry: dict | None = None,
 ) -> DataFrame:
     """Production CDC source: Debezium envelopes from Kafka topics
     (S2's streaming half, ``debezium-postgres-connector.json``).
 
-    Value bytes are the envelope JSON (the Avro schema's JSON
-    projection); the target table is the envelope's ``table`` field
-    when present, else the topic's last dot-segment — the RegexRouter
-    ``$3`` analog (``transforms.route.replacement`` in the reference's
-    connector config). The downstream pipeline (parse -> latest-per-key
-    -> merge) is byte-identical to the file-source path.
+    ``value_format="json"``: value bytes are the envelope JSON (the
+    Avro schema's JSON projection). ``value_format="confluent-avro"``:
+    value bytes carry the Schema-Registry wire framing the reference's
+    AvroConverter emits (magic 0x00 + schema id + Avro body), decoded
+    via :func:`decode_confluent_envelopes` with ``schema_registry``
+    (id -> Avro record schema). Either way the target table is the
+    envelope's ``table`` field when present, else the topic's last
+    dot-segment — the RegexRouter ``$3`` analog
+    (``transforms.route.replacement`` in the reference's connector
+    config) — and the downstream pipeline (parse -> latest-per-key ->
+    merge) is byte-identical to the file-source path.
 
     Requires the ``spark-sql-kafka-0-10`` package, which is not bundled
     in this container — the load failure is re-raised as
@@ -292,6 +307,10 @@ def kafka_envelope_stream(
     """
     if not bootstrap_servers:
         raise ValueError("kafka source requires bootstrap_servers")
+    if value_format not in ("json", "confluent-avro"):
+        raise ValueError(f"unknown value_format {value_format!r}")
+    if value_format == "confluent-avro" and not schema_registry:
+        raise ValueError("confluent-avro decoding requires schema_registry")
     try:
         raw = (
             spark.readStream.format("kafka")
@@ -308,6 +327,10 @@ def kafka_envelope_stream(
             "broker; in this sandbox use source='files' with the JSON "
             "envelope directory instead"
         ) from exc
+    if value_format == "confluent-avro":
+        return decode_confluent_envelopes(
+            raw.select("topic", "value"), schema_registry
+        )
     env = F.from_json(F.col("value").cast("string"), ENVELOPE_SCHEMA)
     return raw.select(
         F.col("topic"), env.alias("env")
@@ -321,3 +344,70 @@ def kafka_envelope_stream(
             F.col("env.table"), F.regexp_extract(F.col("topic"), r"([^.]+)$", 1)
         ).alias("table"),
     )
+
+
+# --------------------------------------------------------------------------
+# Confluent Schema-Registry Avro envelopes (the wire format Debezium's
+# AvroConverter actually puts on the topic: magic 0x00 + 4-byte schema id
+# + Avro binary body — NOT self-describing OCF)
+# --------------------------------------------------------------------------
+def _envelope_from_record(rec: dict, topic: str | None) -> dict:
+    """Normalize a decoded Debezium Avro record to the ENVELOPE_SCHEMA
+    shape. Handles both the flat envelope (before/after already JSON
+    strings) and the nested form (before/after/source are Avro records:
+    row images are re-serialized as canonical JSON, lsn/ts_ms/table fall
+    back to the source block, table falls back to the topic's last
+    dot-segment — the RegexRouter analog)."""
+    import json as _json
+
+    src = rec.get("source") if isinstance(rec.get("source"), dict) else {}
+
+    def img(x):
+        if x is None or isinstance(x, str):
+            return x
+        return _json.dumps(x, sort_keys=True)
+
+    table = rec.get("table") or src.get("table")
+    if table is None and topic:
+        table = topic.rsplit(".", 1)[-1]
+    ts_ms = rec.get("ts_ms", src.get("ts_ms"))
+    lsn = rec.get("lsn", src.get("lsn"))
+    return {
+        "op": rec.get("op"),
+        "before": img(rec.get("before")),
+        "after": img(rec.get("after")),
+        "ts_ms": None if ts_ms is None else int(ts_ms),
+        "lsn": None if lsn is None else int(lsn),
+        "table": table,
+    }
+
+
+def decode_confluent_envelopes(raw: DataFrame, schema_by_id: dict) -> DataFrame:
+    """Kafka-shaped rows (binary ``value``, optional ``topic``) ->
+    ENVELOPE_SCHEMA rows, decoding the Schema-Registry wire format.
+
+    Decoding runs inside ``mapInPandas`` Arrow batches on the executors
+    (same posture as the multimodal decoders: payload bytes never cross
+    a shuffle, nothing is collected to the driver). ``schema_by_id`` is
+    a plain dict snapshot of the registry — ids are immutable in a real
+    Schema Registry, so shipping the map in the task closure is safe;
+    unknown ids fail the task loudly rather than guessing a schema.
+    """
+    import pandas as pd
+
+    from konohadataplatform_spark.sources import avro_py
+
+    has_topic = "topic" in raw.columns
+    cols = [f.name for f in ENVELOPE_SCHEMA.fields]
+
+    def _decode(batches):
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                payload = bytes(pdf["value"].iloc[i])
+                topic = str(pdf["topic"].iloc[i]) if has_topic else None
+                _sid, rec = avro_py.decode_confluent(payload, schema_by_id)
+                out.append(_envelope_from_record(rec, topic))
+            yield pd.DataFrame(out, columns=cols)
+
+    return raw.mapInPandas(_decode, ENVELOPE_SCHEMA)

@@ -372,3 +372,143 @@ def test_kafka_source_path(spark):
         kafka_envelope_stream(spark, None, ["orders"])
     with pytest.raises(KafkaSourceUnavailable, match="spark-sql-kafka"):
         kafka_envelope_stream(spark, "broker:9092", ["orders", "customers"])
+
+
+# --------------------------------------------------------------------------
+# Confluent Schema-Registry wire format (AvroConverter framing)
+# --------------------------------------------------------------------------
+DEBEZIUM_ROW = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "customer_id", "type": "string"},
+        {"name": "company_name", "type": ["null", "string"]},
+    ],
+}
+
+DEBEZIUM_VALUE_SCHEMA = {
+    "type": "record",
+    "name": "Envelope",
+    "fields": [
+        {"name": "op", "type": "string"},
+        {"name": "before", "type": ["null", DEBEZIUM_ROW]},
+        {"name": "after", "type": ["null", DEBEZIUM_ROW]},
+        {
+            "name": "source",
+            "type": {
+                "type": "record",
+                "name": "source",
+                "fields": [
+                    {"name": "ts_ms", "type": "long"},
+                    {"name": "lsn", "type": "long"},
+                    {"name": "table", "type": "string"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def test_confluent_wire_roundtrip():
+    from konohadataplatform_spark.sources import avro_py
+
+    rec = {
+        "op": "u",
+        "before": {"customer_id": "A", "company_name": None},
+        "after": {"customer_id": "A", "company_name": "Acme"},
+        "source": {"ts_ms": 42, "lsn": 7, "table": "customers"},
+    }
+    payload = avro_py.encode_confluent(rec, DEBEZIUM_VALUE_SCHEMA, 101)
+    assert payload[0] == 0  # magic byte
+    assert avro_py.confluent_schema_id(payload) == 101
+    sid, back = avro_py.decode_confluent(payload, {101: DEBEZIUM_VALUE_SCHEMA})
+    assert sid == 101
+    assert back == rec
+
+    # unknown schema id: loud, never guesses
+    with pytest.raises(ValueError, match="not in registry"):
+        avro_py.decode_confluent(payload, {7: DEBEZIUM_VALUE_SCHEMA})
+    # non-wire-format bytes: loud on the magic byte
+    with pytest.raises(ValueError, match="magic"):
+        avro_py.confluent_schema_id(b"\x01\x00\x00\x00e rest")
+    # truncated/mismatched body: loud on trailing bytes
+    with pytest.raises(ValueError, match="trailing"):
+        avro_py.decode_confluent(payload + b"x", {101: DEBEZIUM_VALUE_SCHEMA})
+
+
+def test_decode_confluent_envelopes_to_cdc_apply(spark, catalog):
+    """Wire-format Kafka rows -> ENVELOPE_SCHEMA -> the normal CDC apply
+    path: nested before/after become canonical JSON row images, source
+    block supplies ts_ms/lsn/table."""
+    from konohadataplatform_spark.sources import avro_py
+    from konohadataplatform_spark.streaming.cdc import decode_confluent_envelopes
+
+    recs = [
+        {"op": "c", "before": None,
+         "after": {"customer_id": "A", "company_name": "Acme"},
+         "source": {"ts_ms": 1, "lsn": 1, "table": "customers"}},
+        {"op": "u", "before": {"customer_id": "A", "company_name": "Acme"},
+         "after": {"customer_id": "A", "company_name": "Acme 2"},
+         "source": {"ts_ms": 2, "lsn": 2, "table": "customers"}},
+        {"op": "c", "before": None,
+         "after": {"customer_id": "B", "company_name": None},
+         "source": {"ts_ms": 3, "lsn": 3, "table": "customers"}},
+    ]
+    kafka_rows = [
+        ("srv1.public.customers", avro_py.encode_confluent(r, DEBEZIUM_VALUE_SCHEMA, 5))
+        for r in recs
+    ]
+    raw = spark.createDataFrame(kafka_rows, "topic string, value binary")
+    env_df = decode_confluent_envelopes(raw, {5: DEBEZIUM_VALUE_SCHEMA})
+    assert env_df.schema == ENVELOPE_SCHEMA
+    got = {(r.op, r.lsn, r.table) for r in env_df.collect()}
+    assert got == {("c", 1, "customers"), ("u", 2, "customers"), ("c", 3, "customers")}
+
+    # feed the decoded envelopes through the standard apply path
+    schema = T.StructType([
+        T.StructField("customer_id", T.StringType(), False),
+        T.StructField("company_name", T.StringType(), True),
+    ])
+    typed = parse_envelopes(env_df, schema)
+    apply_cdc_batch(catalog, "customers", typed, ["customer_id"], None)
+    final = {(r.customer_id, r.company_name)
+             for r in catalog.read("customers").collect()}
+    assert final == {("A", "Acme 2"), ("B", None)}
+
+
+def test_decode_confluent_envelopes_table_from_topic(spark):
+    """Without a table in the record or source, the topic's last
+    dot-segment routes (RegexRouter analog)."""
+    from konohadataplatform_spark.sources import avro_py
+    from konohadataplatform_spark.streaming.cdc import decode_confluent_envelopes
+
+    flat = {
+        "type": "record",
+        "name": "Envelope",
+        "fields": [
+            {"name": "op", "type": "string"},
+            {"name": "before", "type": ["null", "string"]},
+            {"name": "after", "type": ["null", "string"]},
+            {"name": "ts_ms", "type": "long"},
+            {"name": "lsn", "type": "long"},
+        ],
+    }
+    rec = {"op": "c", "before": None, "after": "{}", "ts_ms": 9, "lsn": 9}
+    raw = spark.createDataFrame(
+        [("srv1.public.orders", avro_py.encode_confluent(rec, flat, 3))],
+        "topic string, value binary",
+    )
+    out = decode_confluent_envelopes(raw, {3: flat}).collect()
+    assert out[0].table == "orders"
+    assert out[0].after == "{}"
+
+
+def test_kafka_stream_confluent_avro_validation(spark):
+    from konohadataplatform_spark.streaming.cdc import kafka_envelope_stream
+
+    with pytest.raises(ValueError, match="schema_registry"):
+        kafka_envelope_stream(
+            spark, "broker:9092", ["t"], value_format="confluent-avro"
+        )
+    with pytest.raises(ValueError, match="value_format"):
+        kafka_envelope_stream(spark, "broker:9092", ["t"], value_format="xml")
