@@ -2,10 +2,12 @@
 
 Images/audio/video are carried as opaque ``binary`` columns with a
 typed metadata struct — the Spark-side schema, partitioning, and
-Arrow-batched UDF plumbing are real and tested; the actual media decode
-is STUBBED (no image/audio libraries in this container) behind
-``DecodeNotAvailable`` with a deterministic-fake fallback so the
-pipeline shape can be exercised end to end.
+Arrow-batched UDF plumbing are real and tested. Decode is REAL for
+uncompressed 24-bit BMP, non-interlaced 8-bit PNG (stdlib zlib +
+filter reconstruction), and PCM-16 WAV; PIL-only formats (JPEG,
+palette/16-bit PNG, compressed BMP) raise ``DecodeNotAvailable``
+loudly, with a deterministic-fake feature fallback so the pipeline
+shape can be exercised end to end.
 
 Scale posture: binary payloads never pass through a shuffle — feature
 extraction is ``mapInPandas`` (per-partition, Arrow batches), and any
@@ -16,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -83,14 +86,19 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
 
 
 def decode_image(content: bytes) -> dict:
-    """Decode an uncompressed 24-bit BMP (stdlib struct; cites the
-    Windows BITMAPINFOHEADER layout). Returns width/height/bpp and the
-    pixel bytes as top-down BGR rows (padding stripped). Other formats
-    (PNG/JPEG/compressed BMP) need PIL/opencv -> DecodeNotAvailable."""
+    """Decode an image natively: uncompressed 24-bit BMP (stdlib
+    struct; Windows BITMAPINFOHEADER layout) or non-interlaced 8-bit
+    PNG (stdlib zlib + PNG filter reconstruction). Returns width/
+    height/bpp and the raw pixel bytes as top-down rows. Remaining
+    formats (JPEG/palette PNG/compressed BMP) need PIL/opencv ->
+    DecodeNotAvailable."""
+    if content[:8] == PNG_SIG:
+        return decode_png(content)
     if len(content) < 54 or content[:2] != b"BM":
         raise DecodeNotAvailable(
-            "only uncompressed 24-bit BMP decodes natively; other image "
-            "formats require PIL/opencv, not available in this environment"
+            "only uncompressed 24-bit BMP and 8-bit non-interlaced PNG "
+            "decode natively; other image formats require PIL/opencv, "
+            "not available in this environment"
         )
     offset = struct.unpack_from("<I", content, 10)[0]
     _, width, height, _, bpp, compression = struct.unpack_from(
@@ -115,6 +123,113 @@ def decode_image(content: bytes) -> dict:
         "height": height,
         "bpp": bpp,
         "pixels": b"".join(rows),
+    }
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> bytes:
+    """Build a non-interlaced 8-bit PNG (color_type 0 gray / 2 RGB /
+    6 RGBA) from top-down pixel rows, filter 0 per scanline."""
+    channels = _PNG_CHANNELS[color_type]
+    if len(pixels) != width * height * channels:
+        raise ValueError(f"pixels must be width*height*{channels} bytes")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(height)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> dict:
+    """Decode a non-interlaced 8-bit gray/RGB/RGBA PNG with the stdlib:
+    chunk walk (CRC-checked), zlib inflate, then full scanline filter
+    reconstruction (None/Sub/Up/Average/Paeth per the PNG spec §9).
+    Palette, 16-bit, and interlaced images still need PIL."""
+    if content[:8] != PNG_SIG:
+        raise DecodeNotAvailable("not a PNG signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace or comp or filt:
+        raise DecodeNotAvailable(
+            f"PNG depth={depth} color_type={color_type} "
+            f"interlace={interlace}: only 8-bit gray/RGB/RGBA "
+            "non-interlaced decodes natively; others require PIL"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    rpos = 0
+    for _r in range(height):
+        f = raw[rpos]
+        line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+        rpos += 1 + stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        out += line
+        prev = line
+    return {
+        "width": width,
+        "height": height,
+        "bpp": 8 * channels,
+        "channels": channels,
+        "pixels": bytes(out),
     }
 
 
@@ -279,6 +394,11 @@ def decode_features(media: DataFrame) -> DataFrame:
         if content is None:
             return (mid, None, None, None, None, None, None)
         b = bytes(content)
+        if b[:8] == PNG_SIG:
+            img = decode_png(b)
+            px = img["pixels"]
+            mean = sum(px) / len(px) if px else None
+            return (mid, "png", img["width"], img["height"], None, None, mean)
         if b[:2] == b"BM":
             img = decode_image(b)
             px = img["pixels"]
@@ -333,6 +453,38 @@ def documents_as_bmp(docs: DataFrame, width: int = 8, height: int = 4) -> DataFr
     )
 
 
+def documents_as_png(docs: DataFrame, width: int = 8, height: int = 4) -> DataFrame:
+    """Deterministic REAL PNG payloads: each document becomes a
+    width x height 8-bit RGB PNG whose pixel bytes are the md5 digest
+    of its text cycled to fill the image — decode round-trips through
+    zlib + filter reconstruction, and decoded features are exactly
+    reproducible from the text (the SQL oracle recomputes the digest-
+    byte mean from md5 hex, valid whenever width*height*3 is a
+    multiple of 16)."""
+    npix = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_png(
+                    width, height,
+                    (hashlib.md5(t.encode()).digest() * ((npix // 16) + 1))[:npix],
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
 def documents_as_wav(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
     """Deterministic REAL audio payloads: 8 signed 16-bit samples from
     the md5 digest (little-endian pairs), PCM mono WAV."""
@@ -357,11 +509,25 @@ def documents_as_wav(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
     )
 
 
-def resize_image(content: bytes, width: int, height: int):  # pragma: no cover
-    """STUB: real implementation would use PIL (not installed here)."""
-    raise DecodeNotAvailable(
-        "image resize requires PIL/opencv, not available in this environment"
-    )
+def resize_image(content: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize for the natively-decodable formats
+    (BMP, 8-bit PNG), re-encoded in the source format. JPEG and other
+    PIL-only formats raise DecodeNotAvailable from decode_image."""
+    is_png = content[:8] == PNG_SIG
+    img = decode_image(content)
+    ch = img.get("channels", 3)
+    src_w, src_h, px = img["width"], img["height"], img["pixels"]
+    out = bytearray()
+    for y in range(height):
+        sy = y * src_h // height
+        row_base = sy * src_w
+        for x in range(width):
+            off = (row_base + x * src_w // width) * ch
+            out += px[off : off + ch]
+    if is_png:
+        color_type = {1: 0, 3: 2, 4: 6}[ch]
+        return encode_png(width, height, bytes(out), color_type)
+    return encode_bmp(width, height, bytes(out))
 
 
 def thumbnail_features(media: DataFrame, dim: int = 4) -> DataFrame:

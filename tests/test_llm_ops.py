@@ -120,11 +120,101 @@ def test_multimodal_pipeline(spark):
 def test_decode_stub_raises(spark):
     import pytest
 
-    # PIL-dependent formats still raise; stdlib BMP/WAV do not
+    # PIL-dependent formats still raise; stdlib BMP/PNG/WAV do not
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG" + b"\x00" * 64)
+        M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG SOI
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"ID3\x03" + b"\x00" * 64)
+    # palette (color_type 3) PNG: valid signature, unsupported color mode
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    chunk = (_s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    idat = _s.pack(">I", 0) + b"IDAT" + _s.pack(">I", _z.crc32(b"IDAT") & 0xFFFFFFFF)
+    with pytest.raises(NotImplementedError, match="color_type=3"):
+        M.decode_image(M.PNG_SIG + chunk + idat)
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Stdlib PNG: encode->decode round-trip, plus decoding scanlines
+    written with every filter type (Sub/Up/Average/Paeth) — the spec §9
+    reconstruction, not just the filter-0 happy path."""
+    import struct as _s
+    import zlib as _z
+
+    px = bytes(range(8 * 4 * 3))
+    img = M.decode_image(M.encode_png(8, 4, px))
+    assert (img["width"], img["height"], img["bpp"]) == (8, 4, 24)
+    assert img["pixels"] == px
+
+    # grayscale + RGBA color types round-trip too
+    g = M.decode_png(M.encode_png(4, 2, bytes(range(8)), color_type=0))
+    assert (g["channels"], g["pixels"]) == (1, bytes(range(8)))
+    a = M.decode_png(M.encode_png(2, 2, bytes(range(16)), color_type=6))
+    assert (a["channels"], a["pixels"]) == (4, bytes(range(16)))
+
+    # hand-build an image whose rows use filters 1-4; reconstruct and
+    # compare against the plain (filter-0) pixels
+    w, h, ch = 4, 5, 3
+    stride = w * ch
+    rows = [bytes((r * 17 + c * 7) % 256 for c in range(stride)) for r in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, (f, line) in enumerate(zip([0, 1, 2, 3, 4], rows)):
+        raw.append(f)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                raw.append(line[i])
+            elif f == 1:
+                raw.append((line[i] - left) & 0xFF)
+            elif f == 2:
+                raw.append((line[i] - up) & 0xFF)
+            elif f == 3:
+                raw.append((line[i] - ((left + up) >> 1)) & 0xFF)
+            else:
+                raw.append((line[i] - paeth(left, up, ul)) & 0xFF)
+        prev = line
+
+    def chunk(ctype, body):
+        return (_s.pack(">I", len(body)) + ctype + body
+                + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
+
+    content = (M.PNG_SIG
+               + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", _z.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    img = M.decode_png(content)
+    assert img["pixels"] == b"".join(rows)
+
+    # corrupt a chunk body: CRC check is loud
+    bad = bytearray(M.encode_png(2, 2, bytes(12)))
+    bad[40] ^= 0xFF
+    import pytest
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(bad))
+
+
+def test_resize_image_real():
+    """Nearest-neighbor resize round-trips through both codecs."""
+    px = bytes(range(8 * 4 * 3))
+    small = M.decode_image(M.resize_image(M.encode_png(8, 4, px), 4, 2))
+    assert (small["width"], small["height"]) == (4, 2)
+    # top-left pixel survives nearest-neighbor exactly
+    assert small["pixels"][:3] == px[:3]
+    small_bmp = M.decode_image(M.resize_image(M.encode_bmp(8, 4, px), 4, 2))
+    assert (small_bmp["width"], small_bmp["height"]) == (4, 2)
+    assert small_bmp["pixels"][:3] == px[:3]
 
 
 def test_bmp_codec_roundtrip():
