@@ -26,7 +26,9 @@ from konohadataplatform_spark.queries import all_queries
 from konohadataplatform_spark.session import get_spark
 
 # Headline set: the queries that exercise scan/join/agg/window/dedup/knn
-# at scale. Everything else is covered by the correctness gate.
+# at scale. Everything else is covered by the correctness gate. This list
+# is FROZEN so `value` stays comparable across rounds; newer operators go
+# in EXTENDED below.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -39,6 +41,18 @@ HEADLINE = [
     "q_doc_exact_dedup",
     "q_minhash_dedup",
     "q_knn_bruteforce",
+]
+
+# Extended set (round 4-5 operators): measured with the same warmup +
+# median-of-n discipline, reported under "extended"/"extended_total" so
+# the headline total stays round-over-round comparable.
+EXTENDED = [
+    "q_sequence_packing",
+    "q_embedding_quantize",
+    "q_corpus_mixture",
+    "q_simhash_clusters",
+    "q_ann_lsh",
+    "q_png_decode",
 ]
 
 
@@ -54,22 +68,26 @@ def main() -> None:
     spark = get_spark(app_name="konoha-bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
+    ext_names = [n for n in EXTENDED if n in qs]
 
     # Steady-state measurement: one untimed warmup pass (JVM JIT,
     # codegen compilation, parquet footers), then n timed passes —
     # whole set per pass, so drift decorrelates across queries.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
-    for name in names:
+    for name in names + ext_names:
         qs[name](spark, sf_dir).count()
 
-    samples: dict[str, list[float]] = {n: [] for n in names}
+    samples: dict[str, list[float]] = {n: [] for n in names + ext_names}
     for _ in range(runs):
-        for name in names:
+        for name in names + ext_names:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             samples[name].append(time.perf_counter() - t0)
 
-    timings = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
+    def med(sub: list[str]) -> dict[str, float]:
+        return {n: round(statistics.median(samples[n]), 4) for n in sub}
+
+    timings, ext_timings = med(names), med(ext_names)
     stddev = {
         n: round(statistics.pstdev(ts), 4) if len(ts) > 1 else 0.0
         for n, ts in samples.items()
@@ -82,6 +100,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": ext_timings,
+                "extended_total": round(sum(ext_timings.values()), 4),
                 "stddev": stddev,
                 "runs": runs,
                 "sf": sf,

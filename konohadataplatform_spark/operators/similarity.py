@@ -122,7 +122,6 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
-    exact_sigs: bool = False,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH.
 
@@ -133,32 +132,23 @@ def ann_lsh_topk(
     only scored for bucket-matched candidates, cutting the scored pairs
     to a small fraction of brute force.
 
-    ``exact_sigs=True`` computes signatures with the JVM sequential-fold
-    dot product instead of the Arrow numpy kernel: same planes, same
-    algorithm, but the fold is bit-identical to DuckDB's
-    ``list_dot_product`` (numpy's pairwise summation rounds differently
-    and could in principle flip a sign at a near-zero dot), which makes
-    the output exactly reproducible by a SQL oracle.
+    Bucket ids are exactly reproducible by a SQL oracle: the Arrow
+    signature kernel accumulates dots in fold order (see
+    :func:`table_signatures_arrow`), bit-identical to DuckDB's
+    ``list_dot_product`` over the same plane literals.
     """
     planes = make_planes(dim, n_tables * bits_per_table, seed)
-    if exact_sigs:
-        def sig_col(col):
-            return _table_signatures(col, planes, n_tables, bits_per_table)
-    else:
-        sig_udf = table_signatures_arrow(planes, n_tables, bits_per_table)
-
-        def sig_col(col):
-            return sig_udf(col)
+    sig_udf = table_signatures_arrow(planes, n_tables, bits_per_table)
     c = _spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
-    ).withColumn("sig", F.explode(sig_col(F.col("cv"))))
+    ).withColumn("sig", F.explode(sig_udf(F.col("cv"))))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("sig", F.explode(sig_col(F.col("qv"))))
+    ).withColumn("sig", F.explode(sig_udf(F.col("qv"))))
     cands = (
         c.join(
             F.broadcast(q),
@@ -429,13 +419,15 @@ def cosine_pairs_exact(
 def table_signatures_arrow(
     planes: list[list[float]], n_tables: int, bits_per_table: int
 ):
-    """Arrow-batched signature kernel: one numpy matmul per batch
-    computes every plane dot product at once (~100x the per-element
-    interpreted fold for wide plane sets). Signatures only build the
-    index — every candidate is exactly verified afterwards — so BLAS
-    association-order differences (which could flip a sign only when a
-    dot is within float-epsilon of 0) cost at most a candidate, never
-    correctness."""
+    """Arrow-batched signature kernel, FOLD-EXACT: dot products
+    accumulate sequentially over dimensions (vectorized across rows),
+    which is bit-identical to a left fold ``((0 + v0*p0) + v1*p1)...``
+    — the order the JVM ``aggregate``/``zip_with`` expression and
+    DuckDB's ``list_dot_product`` use. A BLAS matmul would be faster
+    per batch but uses pairwise summation, whose different rounding
+    could flip a sign at a near-zero dot and desync bucket ids from a
+    SQL oracle; the dim-loop keeps numpy throughput (one vectorized
+    multiply-add per dimension) with reproducible bits."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -448,7 +440,10 @@ def table_signatures_arrow(
 
     def _kernel(vecs):
         m = np.vstack(vecs.to_numpy())  # (n, dim)
-        bits = (m @ mat) >= 0  # (n, bits)
+        acc = np.zeros((len(m), mat.shape[1]))  # (n, bits)
+        for d in range(mat.shape[0]):  # sequential over dims = fold order
+            acc += m[:, d : d + 1] * mat[d]
+        bits = acc >= 0
         per_table = bits.reshape(len(m), n_tables, bits_per_table)
         ids = (per_table * weights).sum(axis=2) + offsets  # (n, n_tables)
         return pd.Series(list(ids))

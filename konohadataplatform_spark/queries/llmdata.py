@@ -333,9 +333,9 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # ANN via random-hyperplane LSH — oracle-checked. The planes are
 # deterministic (seeded), so the oracle embeds them as literals and
-# recomputes the signatures; exact_sigs uses the JVM fold dot product,
-# bit-identical to DuckDB list_dot_product, so bucket membership (and
-# therefore the candidate set and top-k) matches exactly.
+# recomputes the signatures; the Arrow kernel accumulates dots in fold
+# order, bit-identical to DuckDB list_dot_product, so bucket membership
+# (and therefore the candidate set and top-k) matches exactly.
 # --------------------------------------------------------------------------
 def _ann_lsh_oracle_sql(
     dim: int = 64, n_tables: int = 16, bits_per_table: int = 4, seed: int = 42
@@ -390,11 +390,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checked (graduated from rows-only in round 5): LSH is
     approximate relative to brute force, but fully deterministic given
     the seeded planes — the oracle bakes the same plane literals into
-    SQL and reproduces bucket membership exactly. Recall vs the exact
-    q_knn_bruteforce baseline remains pytest-asserted."""
+    SQL, and the fold-exact Arrow signature kernel reproduces bucket
+    membership bit-for-bit. Recall vs the exact q_knn_bruteforce
+    baseline remains pytest-asserted."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return S.ann_lsh_topk(emb, queries, k=5, exact_sigs=True)
+    return S.ann_lsh_topk(emb, queries, k=5)
 
 
 # --------------------------------------------------------------------------
