@@ -7,12 +7,18 @@ This module provides the same *semantics* with plain Parquet plus a tiny
 metadata layer, mirroring Iceberg's commit protocol:
 
 - every write lands in a fresh immutable snapshot directory;
-- the table's "current" pointer is swapped atomically (``os.replace`` —
-  the analog of Iceberg's atomic metadata-pointer swap);
-- readers resolve the pointer first, so concurrent reads always see a
-  complete snapshot (snapshot isolation for single-writer, which is the
-  reference's operating mode too — Airflow serializes runs via
-  ``max_active_runs=1``, ``dag/dbt_analytics_pipeline.py:54``).
+- commits are arbitrated by an O_EXCL per-version claim file (the
+  analog of Iceberg's atomic metadata-pointer CAS): exactly one writer
+  can publish each version, racers get CommitConflictError and retry
+  on the new current — true multi-writer optimistic concurrency, not
+  just the reference's Airflow-serialized single writer
+  (``max_active_runs=1``, ``dag/dbt_analytics_pipeline.py:54``);
+- read-modify-write operations (append/merge/delete/compact/...) pin
+  their basis version through the commit, so a df derived from a stale
+  snapshot can never publish over a newer one;
+- readers resolve the pointer then roll forward over fully-claimed
+  successors, so concurrent reads always see a complete snapshot and a
+  claimer that dies mid-publish cannot wedge or regress the table.
 
 Operations map 1:1 to SURVEY §2.10:
   M1 expire_snapshots / M2 compact / M3 time travel (version + as-of
@@ -220,10 +226,16 @@ class SnapshotCatalog:
         path = self._log_path(name)
         if not os.path.exists(path):
             return []
-        out = []
+        out, seen = [], set()
         with open(path) as f:
             for line in f:
-                d = json.loads(line)
+                try:
+                    d = json.loads(line)
+                except ValueError:
+                    continue  # torn trailing append (writer died mid-line)
+                if d["version"] in seen:
+                    continue  # replayed publish (claim finisher race)
+                seen.add(d["version"])
                 out.append(Snapshot(**d))
         return out
 
@@ -232,7 +244,21 @@ class SnapshotCatalog:
         if not os.path.exists(ptr):
             return None
         with open(ptr) as f:
-            return Snapshot(**json.load(f))
+            snap = Snapshot(**json.load(f))
+        # Roll forward over fully-claimed successor versions: the claim
+        # file (commits/v{N}, written via O_EXCL) is the commit arbiter
+        # and carries the snapshot JSON, so a pointer that lags a claim
+        # (claimer died mid-publish, or a slow finisher briefly rewrote
+        # an older pointer) never loses the newer committed snapshot —
+        # readers see the claim sequence, the pointer is only a cache.
+        commits = os.path.join(self._tdir(name), "commits")
+        while True:
+            nxt = os.path.join(commits, f"v{snap.version + 1:06d}")
+            try:
+                with open(nxt) as f:
+                    snap = Snapshot(**json.loads(f.read()))
+            except (OSError, ValueError):
+                return snap  # no successor claim / content not yet written
 
     def exists(self, name: str) -> bool:
         return self.current_snapshot(name) is not None
@@ -247,9 +273,16 @@ class SnapshotCatalog:
         )
 
     # ---- commit protocol ------------------------------------------------
-    def _new_snapshot_dir(self, name: str) -> tuple[int, str]:
-        prev = self.current_snapshot(name)
-        version = (prev.version + 1) if prev else 1
+    def _new_snapshot_dir(
+        self, name: str, version: int | None = None
+    ) -> tuple[int, str]:
+        """Allocate the next snapshot dir. ``version`` pins the commit
+        to a basis read earlier by the caller (read-modify-write paths):
+        if another writer lands in between, registration conflicts
+        instead of silently committing a df derived from stale data."""
+        if version is None:
+            prev = self.current_snapshot(name)
+            version = (prev.version + 1) if prev else 1
         return version, os.path.join(
             self._tdir(name), "snapshots", f"v{version:06d}-{uuid.uuid4().hex[:8]}"
         )
@@ -297,19 +330,91 @@ class SnapshotCatalog:
                 f"{name}: expected to commit v{version} on top of "
                 f"v{version - 1}, but current is v{cur_version}"
             )
+        # The check above is advisory (racy between read and swap): the
+        # ARBITER is an O_EXCL claim file per version — exactly one
+        # writer can create commits/v{N}, so two racers that both read
+        # current=v{N-1} cannot both publish v{N} (the loser's pointer
+        # swap would silently drop the winner's snapshot). The claim
+        # file carries the full snapshot JSON, so a claimer that dies
+        # mid-commit leaves enough state for any later writer to finish
+        # the publish (see the FileExistsError path).
+        commits = os.path.join(self._tdir(name), "commits")
+        os.makedirs(commits, exist_ok=True)
+        claim = os.path.join(commits, f"v{version:06d}")
+        payload = json.dumps(snap.__dict__)
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            shutil.rmtree(snap_dir, ignore_errors=True)
+            self._finish_claimed_commit(name, version, claim)
+            raise CommitConflictError(
+                f"{name}: another writer claimed v{version} first; "
+                "retry on top of the new current snapshot"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        self._publish_pointer(name, version, payload)
+        return snap
+
+    def _publish_pointer(self, name: str, version: int, payload: str) -> None:
+        """Pointer swap + log append for an already-claimed version.
+        Idempotent: replaying it writes identical bytes, and the log
+        append is skipped if the version is already logged (history()
+        additionally dedupes by version for the interleaved-append
+        race, which keeps the replay harmless)."""
         ptr = self._pointer_path(name)
         tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump(snap.__dict__, f)
+            f.write(payload)
         os.replace(tmp, ptr)
+        logged = {s.version for s in self.history(name)}
+        if version in logged:
+            return
         with open(self._log_path(name), "a") as f:
-            f.write(json.dumps(snap.__dict__) + "\n")
-        return snap
+            # backfill log records for earlier claimed-but-unlogged
+            # versions first (a claimer that died mid-publish was rolled
+            # forward over by a later writer): their claim files hold
+            # the payload. Versions removed by expire_snapshots lose
+            # their claims too, so expiry gaps are never resurrected.
+            commits = os.path.join(self._tdir(name), "commits")
+            lo = max(logged) + 1 if logged else 1
+            for v in range(lo, version):
+                if v in logged:
+                    continue
+                try:
+                    with open(os.path.join(commits, f"v{v:06d}")) as cf:
+                        prior = cf.read()
+                    json.loads(prior)
+                except (OSError, ValueError):
+                    continue
+                f.write(prior + "\n")
+            f.write(payload + "\n")
+
+    def _finish_claimed_commit(self, name: str, version: int, claim: str) -> None:
+        """If v{version} was claimed but never published (claimer died
+        between claim and pointer swap), complete it from the claim
+        file so the version sequence cannot wedge. No-op when the
+        pointer already advanced past it."""
+        cur = self.current_snapshot(name)
+        if cur is not None and cur.version >= version:
+            return
+        try:
+            with open(claim) as f:
+                payload = f.read()
+            json.loads(payload)  # torn claim write -> leave for the claimer
+        except (OSError, ValueError):
+            return
+        self._publish_pointer(name, version, payload)
 
     def _commit(
-        self, name: str, df: DataFrame, operation: str, partition_by: list[str] | None
+        self,
+        name: str,
+        df: DataFrame,
+        operation: str,
+        partition_by: list[str] | None,
+        expected_version: int | None = None,
     ) -> Snapshot:
-        version, snap_dir = self._new_snapshot_dir(name)
+        version, snap_dir = self._new_snapshot_dir(name, expected_version)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -333,10 +438,18 @@ class SnapshotCatalog:
         """S5 full write (CTAS-overwrite) / append; auto-creates (M7).
         ``operation`` overrides the history label (SQL DML dispatch
         records e.g. ``merge(sql)`` instead of ``overwrite``)."""
-        if mode == "append" and self.exists(name):
-            existing = self.read(name)
-            df = existing.unionByName(df, allowMissingColumns=True)
-            return self._commit(name, df, operation or "append", partition_by)
+        if mode == "append":
+            base = self.current_snapshot(name)
+            if base is not None:
+                existing = self._read_snapshot(base)
+                df = existing.unionByName(df, allowMissingColumns=True)
+                return self._commit(
+                    name,
+                    df,
+                    operation or "append",
+                    partition_by,
+                    expected_version=base.version + 1,
+                )
         return self._commit(name, df, operation or "overwrite", partition_by)
 
     def merge(
@@ -351,12 +464,15 @@ class SnapshotCatalog:
         commit a new snapshot. Schema evolution (M5): new source columns
         are added, missing ones null-filled (unionByName allowMissing).
         """
-        if not self.exists(name):
+        base = self.current_snapshot(name)
+        if base is None:
             return self._commit(name, source, "create-on-merge", partition_by)
-        target = self.read(name)
+        target = self._read_snapshot(base)
         kept = target.join(source.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = kept.unionByName(source, allowMissingColumns=True)
-        return self._commit(name, merged, "merge", partition_by)
+        return self._commit(
+            name, merged, "merge", partition_by, expected_version=base.version + 1
+        )
 
     def merge_partitioned(
         self,
@@ -405,13 +521,15 @@ class SnapshotCatalog:
         if not prev_part_dirs:
             # target isn't partitioned on this column — full merge
             merged = (
-                self.read(name)
+                self._read_snapshot(prev)
                 .join(changed.select(*key_cols).distinct(), key_cols, "left_anti")
                 .unionByName(source, allowMissingColumns=True)
             )
-            return self._commit(name, merged, "merge", None)
+            return self._commit(
+                name, merged, "merge", None, expected_version=prev.version + 1
+            )
 
-        target = self.read(name)
+        target = self._read_snapshot(prev)
         # isin() with a None in the list is NULL for every row (SQL
         # three-valued logic), which would silently drop *all* base rows
         # of the null partition from the rewrite while touched_strs
@@ -431,7 +549,7 @@ class SnapshotCatalog:
             source, allowMissingColumns=True
         )
 
-        version, snap_dir = self._new_snapshot_dir(name)
+        version, snap_dir = self._new_snapshot_dir(name, prev.version + 1)
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(snap_dir)
 
         # directory-name match must use Spark's own rendering: a NULL
@@ -513,7 +631,7 @@ class SnapshotCatalog:
             prev_dels = self.spark.read.parquet(prev.delete_path).select(*key_cols)
             new_deletes = prev_dels.unionByName(new_deletes).distinct()
 
-        version, snap_dir = self._new_snapshot_dir(name)
+        version, snap_dir = self._new_snapshot_dir(name, prev.version + 1)
         _link_tree(prev.path, snap_dir)
         del_dir = os.path.join(snap_dir, "_deletes")
         # plan the merged delete set BEFORE overwriting (reads from the
@@ -575,7 +693,7 @@ class SnapshotCatalog:
                 "compact() before upserting on different keys"
             )
 
-        version, snap_dir = self._new_snapshot_dir(name)
+        version, snap_dir = self._new_snapshot_dir(name, prev.version + 1)
         _link_tree(prev.path, snap_dir)
         layers = list(prev.upsert_layers or [])
         layer_rel = os.path.join("_upserts", f"seq-{len(layers) + 1:06d}")
@@ -786,8 +904,17 @@ class SnapshotCatalog:
 
     def delete_where(self, name: str, predicate: str) -> Snapshot:
         """M4 DELETE FROM name WHERE predicate (filtered rewrite)."""
-        df = self.read(name).filter(f"NOT ({predicate})")
-        return self._commit(name, df, f"delete-where: {predicate}", None)
+        base = self.current_snapshot(name)
+        if base is None:
+            raise ValueError(f"table not found: {name}")
+        df = self._read_snapshot(base).filter(f"NOT ({predicate})")
+        return self._commit(
+            name,
+            df,
+            f"delete-where: {predicate}",
+            None,
+            expected_version=base.version + 1,
+        )
 
     # ---- read paths -----------------------------------------------------
     def read(
@@ -802,6 +929,11 @@ class SnapshotCatalog:
         keys are filtered with an anti-join at read time.
         """
         snap = self._resolve(name, version, as_of_timestamp_ms)
+        return self._read_snapshot(snap)
+
+    def _read_snapshot(self, snap: Snapshot) -> DataFrame:
+        """Build the DataFrame for a specific snapshot — the basis the
+        read-modify-write commit paths pin their expected_version to."""
         reader = self.spark.read
         if snap.mixed_schema:
             # footer-merge only when the snapshot is known to carry two
@@ -960,6 +1092,17 @@ class SnapshotCatalog:
                 removed += 1
             elif s.version in keep:
                 kept_hist.append(s)
+            if s.version not in keep:
+                # claim files of expired versions are dead weight (the
+                # roll-forward only ever reads claims beyond current)
+                try:
+                    os.remove(
+                        os.path.join(
+                            self._tdir(name), "commits", f"v{s.version:06d}"
+                        )
+                    )
+                except OSError:
+                    pass
         with open(self._log_path(name), "w") as f:
             for s in kept_hist:
                 f.write(json.dumps(s.__dict__) + "\n")
@@ -998,26 +1141,30 @@ class SnapshotCatalog:
         scans get full-size row groups and the driver's file listing
         stays O(bytes/128 MiB) instead of O(#commits).
         """
+        base = self.current_snapshot(name)
+        if base is None:
+            raise ValueError(f"table not found: {name}")
         if target_files is None:
             if target_file_bytes:
                 total = self.data_bytes(name)
                 target_files = max(1, -(-total // target_file_bytes))
             else:
                 target_files = 8
+        cur = self._read_snapshot(base)
         if partition_by:
             # hash on the partition columns so each partition value's
             # rows coalesce into one task -> one file per partition,
             # instead of every task touching every partition
-            df = self.read(name).repartition(target_files, *[F.col(c) for c in partition_by])
+            df = cur.repartition(target_files, *[F.col(c) for c in partition_by])
         elif sort_by:
             # RANGE-partition on the sort key so each output file owns
             # a disjoint key range (round-robin + local sort would give
             # every file the full keyspace and useless min/max stats)
-            df = self.read(name).repartitionByRange(
+            df = cur.repartitionByRange(
                 target_files, *[F.col(c) for c in sort_by]
             )
         else:
-            df = self.read(name).repartition(target_files)
+            df = cur.repartition(target_files)
         if sort_by:
             # cluster within each output file so parquet row-group
             # min/max stats become selective — scans filtering on the
@@ -1025,7 +1172,9 @@ class SnapshotCatalog:
             # matters most at 100 TB: sort on the dominant filter col)
             df = df.sortWithinPartitions(*sort_by)
         op = f"compact({target_files}" + (f",sort={sort_by}" if sort_by else "") + ")"
-        return self._commit(name, df, op, partition_by)
+        return self._commit(
+            name, df, op, partition_by, expected_version=base.version + 1
+        )
 
     def file_count(self, name: str, version: int | None = None) -> int:
         """Number of base data files in the snapshot (metadata only)."""
@@ -1069,8 +1218,17 @@ class SnapshotCatalog:
 
     def add_column(self, name: str, col_name: str, col_expr) -> Snapshot:
         """M5 ALTER TABLE ADD COLUMN (materialized as a new snapshot)."""
-        df = self.read(name).withColumn(col_name, col_expr)
-        return self._commit(name, df, f"add-column({col_name})", None)
+        base = self.current_snapshot(name)
+        if base is None:
+            raise ValueError(f"table not found: {name}")
+        df = self._read_snapshot(base).withColumn(col_name, col_expr)
+        return self._commit(
+            name,
+            df,
+            f"add-column({col_name})",
+            None,
+            expected_version=base.version + 1,
+        )
 
     def _physical_name(self, snap: Snapshot, current: str) -> str:
         """Resolve a current column name to its on-disk parquet name."""
@@ -1097,7 +1255,7 @@ class SnapshotCatalog:
         renamed key cols, since ``_apply_schema_meta`` already renames
         the data columns for that version."""
         prev = self.current_snapshot(name)
-        version, snap_dir = self._new_snapshot_dir(name)
+        version, snap_dir = self._new_snapshot_dir(name, prev.version + 1)
         _link_tree(prev.path, snap_dir)
         delete_path = None
         if prev.delete_path and os.path.isdir(prev.delete_path):

@@ -921,3 +921,102 @@ def test_expire_keeps_tagged_versions(spark, catalog):
     assert catalog.read_tag("t", "pinned").first().id == 0
     with pytest.raises(ValueError):
         catalog.read("t", version=2)
+
+
+def test_concurrent_writer_stress_no_lost_updates(spark, catalog):
+    """N threads race real commits with retry-on-conflict; every append
+    must survive. This drives the O_EXCL claim arbiter under true
+    concurrency — the advisory version check alone has a read-then-swap
+    window where two racers both publish the same version and one
+    snapshot silently vanishes."""
+    import threading
+
+    from konohadataplatform_spark.catalog import CommitConflictError
+
+    catalog.write("t", df_of(spark, [Row(id=0, writer=-1)]))
+    n_writers, per_writer = 8, 3
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            for i in range(per_writer):
+                delta = df_of(spark, [Row(id=(w + 1) * 100 + i, writer=w)])
+                for _attempt in range(60):
+                    try:
+                        catalog.write(
+                            "t", delta, mode="append",
+                            operation=f"append-w{w}-{i}",
+                        )
+                        break
+                    except CommitConflictError:
+                        continue
+                else:  # pragma: no cover
+                    raise AssertionError(f"writer {w} starved out")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    # zero lost updates: every (writer, i) append is in the final table
+    ids = sorted(r.id for r in catalog.read("t").collect())
+    expect = sorted([0] + [(w + 1) * 100 + i for w in range(n_writers)
+                           for i in range(per_writer)])
+    assert ids == expect
+
+    # version sequence is gapless and the log agrees with the pointer
+    hist = catalog.history("t")
+    versions = [s.version for s in hist]
+    assert versions == list(range(1, len(versions) + 1))
+    assert versions[-1] == catalog.current_snapshot("t").version
+    assert len(versions) == 1 + n_writers * per_writer
+
+
+def test_crashed_claimer_commit_is_finished_by_next_writer(spark, catalog):
+    """A writer that claims a version and dies before the pointer swap
+    must not wedge the table: the next writer completes the publish
+    from the claim file, then retries on top of it."""
+    import json as _json
+    import os as _os
+
+    from konohadataplatform_spark.catalog import CommitConflictError
+
+    catalog.write("t", df_of(spark, [Row(id=1)]))
+
+    # simulate the crash: claim v2 with full snapshot JSON, no publish
+    version, snap_dir = catalog._new_snapshot_dir("t")
+    df_of(spark, [Row(id=2)]).write.mode("overwrite").parquet(snap_dir)
+    commits = _os.path.join(catalog._tdir("t"), "commits")
+    _os.makedirs(commits, exist_ok=True)
+    from konohadataplatform_spark.catalog import Snapshot
+    import time as _time
+
+    ghost = Snapshot(version=version, path=snap_dir, operation="ghost-write",
+                     timestamp_ms=int(_time.time() * 1000), row_count=1)
+    with open(_os.path.join(commits, f"v{version:06d}"), "w") as f:
+        f.write(_json.dumps(ghost.__dict__))
+
+    # readers already see the claimed (but unpublished) version
+    assert catalog.current_snapshot("t").version == version
+    assert {r.id for r in catalog.read("t").collect()} == {2}
+
+    # the next committer lands cleanly on top of it
+    catalog.write("t", df_of(spark, [Row(id=3)]), operation="after-ghost")
+    assert catalog.current_snapshot("t").version == version + 1
+    # and the ghost commit is now in the log (published by roll-forward)
+    assert [s.version for s in catalog.history("t")][-2:] == [version, version + 1]
+
+
+def test_torn_log_line_tolerated(spark, catalog):
+    """A writer killed mid-log-append leaves a torn trailing line;
+    history() must skip it, not crash every subsequent reader."""
+    catalog.write("t", df_of(spark, [Row(id=1)]))
+    catalog.write("t", df_of(spark, [Row(id=2)]), operation="second")
+    with open(catalog._log_path("t"), "a") as f:
+        f.write('{"version": 99, "path": "/x", "oper')  # torn
+    assert [s.version for s in catalog.history("t")] == [1, 2]
+    assert catalog.current_snapshot("t").version == 2

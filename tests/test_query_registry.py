@@ -75,10 +75,8 @@ def test_never_and_failed_queries_sort_first():
 def test_oracles_subset_of_queries():
     qs, oracles = qreg.all_queries(), qreg.all_oracles()
     assert set(oracles) <= set(qs)
-    # Rows-only queries are the documented non-SQL-expressible set
-    # (q_minhash_dedup graduated: verify-exact + fixture recall 1.0).
-    assert {q for q in qs if q not in oracles} == {
-        "q_simhash_clusters",
-        "q_ann_lsh",
-        "q_ann_ivf",
-    }
+    # Rows-only queries are the documented non-SQL-expressible set.
+    # Round-5 graduations: q_simhash_clusters (portable md5 token hash)
+    # and q_ann_lsh (plane literals + fold-exact signatures) now carry
+    # oracles; only the ML-seeded IVF query remains rows-only.
+    assert {q for q in qs if q not in oracles} == {"q_ann_ivf"}
