@@ -1,0 +1,160 @@
+"""Network SQL endpoint — the Kyuubi JDBC/Thrift front-end analog.
+
+The reference's only network entry point for interactive SQL is
+Kyuubi's Thrift server on :10009 (``docs/components/kyuubi.md:61-67``;
+``infrastructure/apps/kyuubi/base/kyuubi-dbt-defaults-configmap.yaml:
+22-24`` sets the dbt connection to it). :class:`Engine.sql` covers the
+semantics in-process; this module adds the missing *wire* surface: a
+threaded TCP server speaking newline-delimited JSON, so an external
+client (BI tool shim, curl-grade script, another process) can run the
+full S8 dialect — Spark SQL plus the DML/time-travel dispatch —
+against one shared engine.
+
+Protocol (one JSON object per line, UTF-8):
+
+    request:  {"sql": "...", "limit": 1000}
+    response: {"ok": true, "columns": ["c1", ...],
+               "types": ["bigint", ...],
+               "rows": [[...], ...], "row_count": N,
+               "truncated": false, "elapsed_ms": M}
+    error:    {"ok": false, "error": "...", "error_class": "ValueError"}
+
+Like HiveServer2/Kyuubi with a SERVER share-level engine, every
+connection shares one SparkSession: temp views registered by one
+client are visible to all (``docs/architecture/compute.md:28-39``).
+Concurrency is the driver's: each connection runs on its own thread
+and Spark schedules the jobs; the GIL only gates the (tiny) JSON
+serialization, not the JVM query execution.
+
+Result sets are capped by ``limit`` (default 10_000, like a JDBC
+fetch-size guard): a full-table SELECT over 100 TB returns the first N
+rows and ``truncated: true`` instead of collecting the world onto the
+driver. Values are JSON-ified conservatively (Decimal/date/datetime/
+bytes -> strings) so any client can parse them.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import decimal
+import json
+import socket
+import socketserver
+import threading
+import time
+
+DEFAULT_LIMIT = 10_000
+
+
+def _jsonable(v):
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    if hasattr(v, "asDict"):  # Row (struct) — a tuple subclass, check first
+        return {k: _jsonable(x) for k, x in v.asDict().items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _jsonable(x) for k, x in v.items()}
+    return str(v)
+
+
+class SqlServer:
+    """Threaded line-JSON SQL server over an :class:`Engine`.
+
+    >>> srv = SqlServer(engine).start()        # port auto-assigned
+    >>> sql_request(srv.port, "SELECT 1 AS x")["rows"]
+    [[1]]
+    >>> srv.stop()
+    """
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self.host, self.port = host, port
+        self._server: socketserver.ThreadingTCPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    def _handle_line(self, line: str) -> str:
+        t0 = time.perf_counter()
+        try:
+            req = json.loads(line)
+            sql = req["sql"]
+            limit = int(req.get("limit", DEFAULT_LIMIT))
+            df = self.engine.sql(sql)
+            # limit+1 detects truncation without a count() second job
+            rows = df.limit(limit + 1).collect()
+            truncated = len(rows) > limit
+            rows = rows[:limit]
+            resp = {
+                "ok": True,
+                "columns": list(df.columns),
+                "types": [t for _n, t in df.dtypes],
+                "rows": [[_jsonable(v) for v in r] for r in rows],
+                "row_count": len(rows),
+                "truncated": truncated,
+                "elapsed_ms": round((time.perf_counter() - t0) * 1000, 1),
+            }
+        except Exception as exc:  # noqa: BLE001 — wire boundary
+            resp = {
+                "ok": False,
+                "error": str(exc)[:4000],
+                "error_class": type(exc).__name__,
+            }
+        return json.dumps(resp)
+
+    def start(self) -> "SqlServer":
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                for raw in self.rfile:
+                    line = raw.decode("utf-8").strip()
+                    if not line:
+                        continue
+                    out = outer._handle_line(line)
+                    self.wfile.write(out.encode("utf-8") + b"\n")
+                    self.wfile.flush()
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((self.host, self.port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="konoha-sql-server", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+
+def sql_request(
+    port: int,
+    sql: str,
+    host: str = "127.0.0.1",
+    limit: int = DEFAULT_LIMIT,
+    timeout: float = 120.0,
+) -> dict:
+    """Minimal client: one request per call (the protocol also allows
+    pipelining many lines per connection)."""
+    with socket.create_connection((host, port), timeout=timeout) as s:
+        s.sendall(json.dumps({"sql": sql, "limit": limit}).encode() + b"\n")
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode("utf-8"))
