@@ -158,3 +158,46 @@ def sql_request(
                 break
             buf += chunk
     return json.loads(buf.decode("utf-8"))
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: serve a warehouse over TCP.
+
+    python -m konohadataplatform_spark.sqlserver \
+        --warehouse /path/wh --port 10009 [--sf-dir /root/testdata/sf0.01]
+
+    --sf-dir additionally registers the star-schema parquet tables as
+    views, so a fresh server is immediately queryable. Port 10009
+    mirrors the reference's Kyuubi listener.
+    """
+    import argparse
+
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.engine import Engine
+    from konohadataplatform_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=10009)
+    ap.add_argument("--sf-dir", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="konoha-sql-server")
+    engine = Engine(spark, SnapshotCatalog(spark, args.warehouse))
+    if args.sf_dir:
+        engine.register_star_schema(args.sf_dir)
+    engine.catalog.register_views()
+    srv = SqlServer(engine, host=args.host, port=args.port).start()
+    print(f"konoha SQL endpoint listening on {srv.host}:{srv.port}", flush=True)
+    try:
+        threading.Event().wait()  # serve until killed
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via subprocess test
+    raise SystemExit(main())

@@ -1020,3 +1020,71 @@ def test_torn_log_line_tolerated(spark, catalog):
         f.write('{"version": 99, "path": "/x", "oper')  # torn
     assert [s.version for s in catalog.history("t")] == [1, 2]
     assert catalog.current_snapshot("t").version == 2
+
+
+def test_concurrent_mixed_ops_stress(spark, catalog):
+    """Appends, MOR upserts, and a compactor racing on one table: the
+    claim arbiter + pinned basis versions must keep latest-wins
+    semantics with zero lost operations."""
+    import threading
+
+    from konohadataplatform_spark.catalog import CommitConflictError
+
+    catalog.write(
+        "t", spark.createDataFrame([(k, 0) for k in range(4)], "k long, v long")
+    )
+    errors: list[Exception] = []
+
+    def retrying(fn) -> None:
+        for _ in range(80):
+            try:
+                fn()
+                return
+            except CommitConflictError:
+                continue
+        raise AssertionError("starved out")  # pragma: no cover
+
+    def upserter(k: int) -> None:
+        try:
+            for v in (1, 2, 3):
+                retrying(lambda: catalog.upsert_by_keys(
+                    "t",
+                    spark.createDataFrame([(k, v)], "k long, v long"),
+                    ["k"],
+                ))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def appender() -> None:
+        try:
+            for k in (100, 101):
+                retrying(lambda: catalog.write(
+                    "t",
+                    spark.createDataFrame([(k, -1)], "k long, v long"),
+                    mode="append",
+                ))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def compactor() -> None:
+        try:
+            retrying(lambda: catalog.compact("t", target_files=2))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = (
+        [threading.Thread(target=upserter, args=(k,)) for k in range(4)]
+        + [threading.Thread(target=appender), threading.Thread(target=compactor)]
+    )
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    final = {r.k: r.v for r in catalog.read("t").collect()}
+    # every upserted key converged to its last write; appends survived
+    assert {k: final[k] for k in range(4)} == {k: 3 for k in range(4)}
+    assert final[100] == -1 and final[101] == -1
+    versions = [s.version for s in catalog.history("t")]
+    assert versions == list(range(1, len(versions) + 1))

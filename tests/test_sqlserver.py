@@ -114,3 +114,46 @@ def test_jsonable_exotic_types(server):
     import base64
     assert base64.b64decode(bin_) == b"\x00\xff"
     assert arr == [1, 2] and st == {"a": 1}
+
+
+def test_cli_subprocess_end_to_end(tmp_path):
+    """The __main__ CLI boots a real server in a separate process (its
+    own SparkSession) and serves queries over TCP — the full external-
+    user path: start the endpoint, point a client at it."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time as _time
+
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "2")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "konohadataplatform_spark.sqlserver",
+         "--warehouse", str(tmp_path / "wh"), "--port", "0",
+         "--sf-dir", "/root/testdata/sf0.001"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        port = None
+        deadline = _time.time() + 120
+        for line in proc.stdout:
+            m = re.search(r"listening on [\d.]+:(\d+)", line)
+            if m:
+                port = int(m.group(1))
+                break
+            if _time.time() > deadline:  # pragma: no cover
+                break
+        assert port, "server never reported its port"
+        out = sql_request(port, "SELECT count(*) AS n FROM region")
+        assert out["ok"] and out["rows"] == [[5]]
+        out = sql_request(
+            port,
+            "CREATE TABLE r2 AS SELECT r_regionkey FROM region WHERE r_regionkey < 2",
+        )
+        assert out["ok"], out
+        assert sql_request(port, "SELECT count(*) AS n FROM r2")["rows"] == [[2]]
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
