@@ -511,3 +511,127 @@ def cosine_neardup_lsh(
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# Portable IVF: exact-integer-arithmetic Lloyd iterations, reproducible
+# bit-for-bit by any engine with 64-bit integers (the DuckDB oracle).
+# --------------------------------------------------------------------------
+def ann_ivf_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset: float = 2.0,
+) -> DataFrame:
+    """IVF top-k with DETERMINISTIC, engine-portable centroid training.
+
+    Spark ML KMeans centroids depend on float summation order, so no
+    SQL oracle can reproduce them. This variant makes every training
+    step exact integer arithmetic, which is order-independent:
+
+    - components quantize to a non-negative grid:
+      ``floor((v + offset) * scale)`` as int64 (offset shifts unit-ish
+      embeddings positive so truncating and floor division agree);
+    - init: the ``n_cells`` lowest-id vectors are the seeds (cell ids
+      follow id order);
+    - each Lloyd iteration assigns by exact squared-L2 on the grid
+      (BIGINT sums, ties broken by cell id) and recomputes centroids as
+      per-dimension ``SUM DIV COUNT`` — exact integer division, no
+      float means; empty cells drop out deterministically;
+    - queries probe their ``nprobe`` nearest cells and take the exact
+      cosine top-k (fold-order doubles, the q_knn_bruteforce contract)
+      among vectors assigned to those cells.
+
+    Scale shape matches the production IVF: centroids are a broadcast
+    n_cells x dim table, assignment is one narrow shuffle per
+    iteration (cell, pos, sum) — train on a sample at 100 TB exactly
+    like the ML path.
+    """
+    grid = F.transform(
+        F.col("v"),
+        lambda x: F.floor((x + F.lit(float(offset))) * F.lit(float(scale))).cast(
+            "long"
+        ),
+    )
+    base = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("q", grid)
+
+    # deterministic seeds: the n_cells lowest ids, cell = rank by id
+    w_init = Window.orderBy("cid")
+    cents = (
+        base.orderBy("cid")
+        .limit(n_cells)
+        .select(F.row_number().over(w_init).alias("cell"), F.col("q").alias("c"))
+    )
+
+    def sq_l2_int(qc: Column, cc: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(qc, cc, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(df: DataFrame, cents_df: DataFrame) -> DataFrame:
+        d = sq_l2_int(F.col("q"), F.col("c"))
+        w = Window.partitionBy("cid").orderBy("d", "cell")
+        return (
+            df.crossJoin(F.broadcast(cents_df))
+            .withColumn("d", d)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cid", "v", "q", "cell")
+        )
+
+    for _ in range(iters):
+        assigned = assign(base, cents)
+        ex = assigned.select("cell", F.posexplode("q").alias("pos", "val"))
+        agg = ex.groupBy("cell", "pos").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        cents = (
+            agg.withColumn("cd", F.expr("s DIV n"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cd"))),
+                    lambda st: st.getField("cd"),
+                ).alias("c")
+            )
+        )
+
+    final = assign(base, cents).select(
+        F.col("cid").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+    )
+
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("q", grid)
+    wq = Window.partitionBy("query_id").orderBy("d", "cell")
+    probes = (
+        qbase.crossJoin(F.broadcast(cents))
+        .withColumn("d", sq_l2_int(F.col("q"), F.col("c")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("v").alias("qv"), "cell")
+    )
+
+    cand = probes.join(final, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(wk))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "knn_rank")
+    )

@@ -1,15 +1,14 @@
 """LLM training-data pipeline queries over documents + embeddings
 (beyond-reference surface; BASELINE.json north star).
 
-Oracle-checkable entries compute the same semantics in portable SQL.
-Only ``q_ann_ivf`` remains rows-only (KMeans centroid training is
-ML-seeded, not SQL-expressible); its recall is asserted in
-tests/test_llm_ops.py. The formerly rows-only hash-based queries are
-now oracle-checked: ``q_minhash_dedup`` verifies candidates with exact
-Jaccard (fixture recall exactly 1.0, pytest-guarded),
-``q_simhash_clusters`` uses an engine-portable md5 token hash so DuckDB
-recomputes the fingerprints bit-for-bit, and ``q_ann_lsh`` bakes its
-seeded plane literals into the oracle SQL with fold-exact dot products.
+Every entry is oracle-checked (zero rows-only as of round 5). The
+formerly rows-only hash/ML-seeded queries graduated by making each
+pipeline engine-portable: ``q_minhash_dedup`` verifies candidates with
+exact Jaccard (fixture recall exactly 1.0, pytest-guarded),
+``q_simhash_clusters`` uses an md5 token hash DuckDB can recompute,
+``q_ann_lsh`` bakes its seeded plane literals into the oracle SQL with
+fold-exact dot products, and ``q_ann_ivf`` trains centroids with
+exact-integer Lloyd iterations the oracle replays as unrolled CTEs.
 """
 
 from __future__ import annotations
@@ -567,18 +566,100 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ANN via IVF (KMeans cells; rows-only — centroid training is ML-seeded)
+# ANN via IVF — oracle-checked (graduated in round 5). Centroid training
+# here is the PORTABLE exact-integer Lloyd variant: quantized grid,
+# BIGINT distance sums, SUM DIV COUNT centroid means — every step
+# order-independent, so DuckDB replays the full training + probe + top-k
+# pipeline bit-for-bit (two unrolled iterations in the CTE chain). The
+# ML-KMeans IVF (ann_ivf_topk + the persistent index) remains the
+# production path and is recall/round-trip-tested in pytest.
 # --------------------------------------------------------------------------
-@query("q_ann_ivf")
+@query(
+    "q_ann_ivf",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             [ CAST(FLOOR((CAST(embedding AS DOUBLE[])[i] + 2.0) * 1000000.0) AS BIGINT)
+               for i in range(1, 65) ] AS q
+      FROM embeddings
+    ), c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, q AS c
+      FROM e ORDER BY vec_id LIMIT 8
+    ), a1 AS (
+      SELECT cid, q, cell FROM (
+        SELECT e.vec_id AS cid, e.q, c0.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(list_sum([ (e.q[i]-c0.c[i])*(e.q[i]-c0.c[i])
+                                          for i in range(1, 65) ]) AS BIGINT),
+                          c0.cell) AS rn
+        FROM e, c0)
+      WHERE rn = 1
+    ), c1 AS (
+      SELECT cell, list(cd ORDER BY pos) AS c FROM (
+        SELECT cell, i AS pos, CAST(SUM(q[i]) AS BIGINT) // COUNT(*) AS cd
+        FROM a1, range(1, 65) r(i) GROUP BY cell, i)
+      GROUP BY cell
+    ), a2 AS (
+      SELECT cid, q, cell FROM (
+        SELECT a1.cid, a1.q, c1.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a1.cid
+                 ORDER BY CAST(list_sum([ (a1.q[i]-c1.c[i])*(a1.q[i]-c1.c[i])
+                                          for i in range(1, 65) ]) AS BIGINT),
+                          c1.cell) AS rn
+        FROM a1, c1)
+      WHERE rn = 1
+    ), c2 AS (
+      SELECT cell, list(cd ORDER BY pos) AS c FROM (
+        SELECT cell, i AS pos, CAST(SUM(q[i]) AS BIGINT) // COUNT(*) AS cd
+        FROM a2, range(1, 65) r(i) GROUP BY cell, i)
+      GROUP BY cell
+    ), fin AS (
+      SELECT cid AS neighbor_id, cell FROM (
+        SELECT e.vec_id AS cid, c2.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(list_sum([ (e.q[i]-c2.c[i])*(e.q[i]-c2.c[i])
+                                          for i in range(1, 65) ]) AS BIGINT),
+                          c2.cell) AS rn
+        FROM e, c2)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, c2.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(list_sum([ (e.q[i]-c2.c[i])*(e.q[i]-c2.c[i])
+                                          for i in range(1, 65) ]) AS BIGINT),
+                          c2.cell) AS rn
+        FROM e, c2 WHERE e.vec_id < 8)
+      WHERE rn <= 4
+    ), scored AS (
+      SELECT p.query_id, f.neighbor_id,
+             list_dot_product(eq.v, en.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(en.v, en.v)))
+               AS cos_sim
+      FROM probes p
+      JOIN fin f ON f.cell = p.cell AND f.neighbor_id <> p.query_id
+      JOIN e eq ON eq.vec_id = p.query_id
+      JOIN e en ON en.vec_id = f.neighbor_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, knn_rank
+    FROM ranked WHERE knn_rank <= 5
+    """,
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only by design: IVF probes only the nprobe nearest KMeans
-    cells, so results depend on the (seeded) clustering — not
-    SQL-expressible. Recall and determinism are asserted in
-    tests/test_llm_ops.py; q_knn_bruteforce is the oracle-checked
-    exact baseline."""
+    """IVF top-k with deterministic exact-integer centroid training
+    (see operators.similarity.ann_ivf_topk_portable). Verified
+    hash-identical to the SQL replay at sf0.001 and sf0.01."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return S.ann_ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4)
+    return S.ann_ivf_topk_portable(emb, queries, k=5, n_cells=8, nprobe=4, iters=2)
 
 
 # --------------------------------------------------------------------------

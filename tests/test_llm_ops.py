@@ -266,6 +266,28 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.6, f"IVF recall vs brute force too low: {recall}"
 
 
+def test_ann_ivf_portable_recall_and_determinism(spark):
+    """The exact-integer-arithmetic IVF (the oracle-checked q_ann_ivf
+    path): useful recall vs brute force, and bit-stable across runs
+    (every training step is order-independent integer math)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    runs = [
+        {(r.query_id, r.neighbor_id, r.knn_rank)
+         for r in S.ann_ivf_topk_portable(
+             emb, queries, k=5, n_cells=8, nprobe=4, iters=2).collect()}
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+    approx = {(q, n) for q, n, _rk in runs[0]}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"portable IVF recall too low: {recall}"
+
+
 def test_ivf_deterministic(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     c1 = S.ivf_centroids(emb, n_cells=4)

@@ -75,8 +75,8 @@ def test_never_and_failed_queries_sort_first():
 def test_oracles_subset_of_queries():
     qs, oracles = qreg.all_queries(), qreg.all_oracles()
     assert set(oracles) <= set(qs)
-    # Rows-only queries are the documented non-SQL-expressible set.
-    # Round-5 graduations: q_simhash_clusters (portable md5 token hash)
-    # and q_ann_lsh (plane literals + fold-exact signatures) now carry
-    # oracles; only the ML-seeded IVF query remains rows-only.
-    assert {q for q in qs if q not in oracles} == {"q_ann_ivf"}
+    # Round 5 closed the rows-only set entirely: simhash (portable md5
+    # token hash), ann-lsh (plane literals + fold-exact signatures),
+    # and ann-ivf (exact-integer Lloyd training replayed as unrolled
+    # CTEs) all graduated to oracle-checked.
+    assert {q for q in qs if q not in oracles} == set()
