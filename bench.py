@@ -52,6 +52,7 @@ EXTENDED = [
     "q_corpus_mixture",
     "q_simhash_clusters",
     "q_ann_lsh",
+    "q_ann_ivf",
     "q_png_decode",
 ]
 

@@ -241,10 +241,25 @@ def minhash_signatures(
     return sets.select("sid", sig.alias("sig"))
 
 
+def _cap_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Skew guard for LSH self-joins: drop (band, bucket) groups larger
+    than ``max_bucket`` before pairing (see simhash_candidates)."""
+    if max_bucket is None:
+        return banded
+    sizes = banded.groupBy("band", "bucket").count()
+    small = sizes.filter(F.col("count") <= max_bucket).select("band", "bucket")
+    return banded.join(small, ["band", "bucket"], "left_semi")
+
+
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 16, num_perm: int = 64
+    sigs: DataFrame,
+    bands: int = 16,
+    num_perm: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Band the signature; docs sharing any band bucket are candidates."""
+    """Band the signature; docs sharing any band bucket are candidates.
+    ``max_bucket`` excludes oversized buckets (skew guard; see
+    simhash_candidates)."""
     rows_per_band = num_perm // bands
     banded = sigs.select(
         "sid",
@@ -255,6 +270,7 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    banded = _cap_buckets(banded, max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -335,9 +351,23 @@ def simhash(
     return agg.select("sid", fp.alias("simhash"))
 
 
-def simhash_candidates(hashes: DataFrame, bands: int = 4, bits: int = 64) -> DataFrame:
+def simhash_candidates(
+    hashes: DataFrame,
+    bands: int = 4,
+    bits: int = 64,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Near-dup candidates: pairs sharing any of `bands` 16-bit slices
-    (guarantees recall of pairs with Hamming distance < bands)."""
+    (guarantees recall of pairs with Hamming distance < bands).
+
+    ``max_bucket`` is the 100 TB skew guard: a bucket of size B emits
+    B^2/2 pairs, and boilerplate-heavy corpora can drop a visible
+    fraction of all documents into one bucket (e.g. a shared header
+    dominating one 16-bit slice) — one task then owns a quadratic
+    blow-up. When set, buckets larger than ``max_bucket`` are excluded
+    from the self-join (one extra count + semi-join, both metadata-
+    narrow), trading bounded recall loss on degenerate keys for
+    bounded work. Off by default so exact oracle parity holds."""
     width = bits // bands
     mask = (1 << width) - 1
     banded = hashes.select(
@@ -351,6 +381,7 @@ def simhash_candidates(hashes: DataFrame, bands: int = 4, bits: int = 64) -> Dat
             )
         ).alias("band", "bucket"),
     )
+    banded = _cap_buckets(banded, max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -173,7 +173,10 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, so the candidate set is exactly SQL-expressible;
     only the token hash needed to be reproducible)."""
     docs = _t(spark, sf_dir, "documents")
-    hashes = D.simhash(docs, token_hash="md5")
+    # cache: hashes feed the band join AND both hash-value join-backs —
+    # without it the token explode + 64-bit-sum agg runs three times
+    # (same pattern as minhash_dedup's cached shingle sets)
+    hashes = D.simhash(docs, token_hash="md5").cache()
     cands = D.simhash_candidates(hashes, bands=4)
     ha = hashes.select(F.col("sid").alias("a_id"), F.col("simhash").alias("h_a"))
     hb = hashes.select(F.col("sid").alias("b_id"), F.col("simhash").alias("h_b"))

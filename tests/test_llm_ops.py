@@ -430,3 +430,27 @@ def test_ivf_index_add_cell_move_no_duplicates(spark, tmp_path):
     assert len(after) == 1, f"id duplicated across cells: {after}"
     assert after[0].cell == other.cell
     assert cat.read("ivf__cells").count() == cells.count()
+
+
+def test_lsh_bucket_cap_skew_guard(spark):
+    """max_bucket bounds the quadratic blow-up of a hot LSH bucket:
+    capped candidate sets are a subset of the uncapped ones, and a
+    bucket over the cap stops contributing pairs entirely."""
+    from pyspark.sql import Row
+
+    # 6 identical docs -> every band bucket has size >= 6; 2 unrelated
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="the same boilerplate header text repeated here")
+         for i in range(6)]
+        + [Row(doc_id=10, text="entirely different content about spark catalysts"),
+           Row(doc_id=11, text="another unrelated record talking about parquet")]
+    )
+    hashes = D.simhash(docs).cache()
+    uncapped = _pairs(D.simhash_candidates(hashes, bands=4))
+    capped = _pairs(D.simhash_candidates(hashes, bands=4, max_bucket=5))
+    assert capped <= uncapped
+    # the size-6 identical cluster is excluded by the cap
+    hot = {(a, b) for a, b in uncapped if a < 6 and b < 6}
+    assert hot and not (capped & hot)
+    # a generous cap changes nothing
+    assert _pairs(D.simhash_candidates(hashes, bands=4, max_bucket=100)) == uncapped
