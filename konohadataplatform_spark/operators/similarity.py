@@ -541,18 +541,28 @@ def ann_ivf_topk_portable(
     - init: the ``n_cells`` lowest-id vectors are the seeds (cell ids
       follow id order);
     - each Lloyd iteration assigns by exact squared-L2 on the grid
-      (BIGINT sums, ties broken by cell id) and recomputes centroids as
+      (int64 sums, ties broken by cell id) and recomputes centroids as
       per-dimension ``SUM DIV COUNT`` — exact integer division, no
       float means; empty cells drop out deterministically;
     - queries probe their ``nprobe`` nearest cells and take the exact
       cosine top-k (fold-order doubles, the q_knn_bruteforce contract)
       among vectors assigned to those cells.
 
-    Scale shape matches the production IVF: centroids are a broadcast
-    n_cells x dim table, assignment is one narrow shuffle per
-    iteration (cell, pos, sum) — train on a sample at 100 TB exactly
-    like the ML path.
+    Execution shape: centroids live driver-side as plain integer lists
+    (n_cells x dim — metadata-sized, the "broadcast centroids" of any
+    IVF) and assignment is an Arrow argmin kernel — a map-only
+    projection, no n_cells-fold row blow-up, no shuffle. Each Lloyd
+    iteration is exactly ONE Spark job: the per-(cell, dim) sum/count
+    agg, whose output (n_cells x dim rows) is collected and reduced to
+    new centroids with exact Python integer division. int64 math makes
+    every step independent of partitioning and evaluation order — the
+    property that enables the SQL oracle replay is the same one that
+    prevents float drift between local[32] and 1000 executors. Train
+    on a sample at 100 TB exactly like the ML path.
     """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     grid = F.transform(
         F.col("v"),
         lambda x: F.floor((x + F.lit(float(offset))) * F.lit(float(scale))).cast(
@@ -563,50 +573,45 @@ def ann_ivf_topk_portable(
         F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("q", grid)
 
-    # deterministic seeds: the n_cells lowest ids, cell = rank by id
-    w_init = Window.orderBy("cid")
-    cents = (
-        base.orderBy("cid")
-        .limit(n_cells)
-        .select(F.row_number().over(w_init).alias("cell"), F.col("q").alias("c"))
-    )
+    # deterministic seeds: the n_cells lowest ids, cell = rank by id.
+    # The seed fetch is a TakeOrdered of n_cells rows — metadata-sized.
+    seed_rows = base.select("cid", "q").orderBy("cid").take(n_cells)
+    cents: list[tuple[int, list[int]]] = [
+        (i + 1, list(r["q"])) for i, r in enumerate(seed_rows)
+    ]
 
-    def sq_l2_int(qc: Column, cc: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(qc, cc, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    def cell_of_udf(cents_rows):
+        ids = np.array([cell for cell, _ in cents_rows], dtype=np.int64)
+        cmat = np.array([c for _, c in cents_rows], dtype=np.int64)
 
-    def assign(df: DataFrame, cents_df: DataFrame) -> DataFrame:
-        d = sq_l2_int(F.col("q"), F.col("c"))
-        w = Window.partitionBy("cid").orderBy("d", "cell")
-        return (
-            df.crossJoin(F.broadcast(cents_df))
-            .withColumn("d", d)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("cid", "v", "q", "cell")
-        )
+        def _k(qs):
+            m = np.vstack(qs.to_numpy()).astype(np.int64)  # (n, dim)
+            d = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            # ids ascend, so numpy first-min argmin == ties to lowest cell
+            return pd.Series(ids[np.argmin(d, axis=1)])
+
+        _k.__annotations__ = {"qs": pd.Series, "return": pd.Series}
+        return pandas_udf(_k, "long")
 
     for _ in range(iters):
-        assigned = assign(base, cents)
-        ex = assigned.select("cell", F.posexplode("q").alias("pos", "val"))
-        agg = ex.groupBy("cell", "pos").agg(
-            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+        assigned = base.withColumn("cell", cell_of_udf(cents)(F.col("q")))
+        agg_rows = (
+            assigned.select("cell", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        cents = (
-            agg.withColumn("cd", F.expr("s DIV n"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cd"))),
-                    lambda st: st.getField("cd"),
-                ).alias("c")
-            )
-        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in agg_rows:
+            # exact floor division on non-negative ints == DIV / //
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"] // r["n"]
+        cents = [
+            (cell, [dims[p] for p in sorted(dims)])
+            for cell, dims in sorted(by_cell.items())
+        ]
 
-    final = assign(base, cents).select(
+    cell_of = cell_of_udf(cents)
+    final = base.withColumn("cell", cell_of(F.col("q"))).select(
         F.col("cid").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
     )
 
@@ -614,14 +619,26 @@ def ann_ivf_topk_portable(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("q", grid)
-    wq = Window.partitionBy("query_id").orderBy("d", "cell")
-    probes = (
-        qbase.crossJoin(F.broadcast(cents))
-        .withColumn("d", sq_l2_int(F.col("q"), F.col("c")))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", F.col("v").alias("qv"), "cell")
-    )
+
+    # probe list per query: same exact distances, top-nprobe cells
+    def probes_udf(cents_rows, n):
+        ids = np.array([cell for cell, _ in cents_rows], dtype=np.int64)
+        cmat = np.array([c for _, c in cents_rows], dtype=np.int64)
+
+        def _k(qs):
+            m = np.vstack(qs.to_numpy()).astype(np.int64)
+            d = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            # stable argsort on (d, cell-id order): ids ascend, and
+            # numpy stable sort keeps earlier (lower) cells on ties
+            order = np.argsort(d, axis=1, kind="stable")[:, :n]
+            return pd.Series([list(ids[row]) for row in order])
+
+        _k.__annotations__ = {"qs": pd.Series, "return": pd.Series}
+        return pandas_udf(_k, "array<long>")
+
+    probes = qbase.withColumn(
+        "cell", F.explode(probes_udf(cents, nprobe)(F.col("q")))
+    ).select("query_id", F.col("v").alias("qv"), "cell")
 
     cand = probes.join(final, "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
