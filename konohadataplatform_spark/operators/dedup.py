@@ -67,6 +67,49 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_pred: Column,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with an eval split (the GPT-3/Llama 13-gram-overlap method,
+    here parameterized).
+
+    ``eval_pred`` partitions the corpus into eval (True) and training
+    rows. Returns one row per *contaminated* training doc with the
+    count of distinct eval n-grams it contains.
+
+    Scale shape: the eval set (benchmarks) is tiny relative to a 100 TB
+    corpus, so its distinct-gram set is collected into a broadcast hash
+    join — the training side streams map-side with NO shuffle of
+    training grams; the only exchange is the per-doc match count keyed
+    by doc_id. Gram formation is a codegen'd array expression
+    (sequence/slice/array_join), exploded only after array_distinct.
+    """
+    from konohadataplatform_spark.operators.text import word_ngrams
+
+    words = F.split(F.trim(F.col(text_col)), " ")
+    grams = (
+        docs.select(F.col(id_col), eval_pred.alias("_is_eval"), words.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            id_col,
+            "_is_eval",
+            F.explode(F.array_distinct(word_ngrams(F.col("w"), n))).alias("gram"),
+        )
+    )
+    eval_grams = grams.filter(F.col("_is_eval")).select("gram").distinct()
+    train = grams.filter(~F.col("_is_eval"))
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    )
+
+
 # --------------------------------------------------------------------------
 # shingling
 # --------------------------------------------------------------------------

@@ -98,6 +98,104 @@ def fingerprint(text: Column) -> Column:
     return F.md5(text.cast("binary"))
 
 
+def word_ngrams(words: Column, n: int) -> Column:
+    """Overlapping word n-grams as space-joined strings.
+
+    Pure JVM array expression (sequence + slice + array_join inside
+    whole-stage codegen): no explode until the caller asks for one, so
+    a 100 TB scan pays zero Python and zero shuffle to form grams.
+    Yields size(words) - n + 1 grams (empty array when the doc is
+    shorter than n words).
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1).
+
+    Per document: the duplicate-word fraction (1 - distinct/total) and
+    the fraction of non-space characters covered by the most frequent
+    word 2-gram (ties broken by lexicographically smallest gram, so the
+    result is engine-portable). Docs with < 2 words are excluded.
+
+    Scale shape: one explode keyed by (doc, gram), a partial-agg count,
+    and a per-doc window — every stage is partitioned by doc_id, so the
+    plan is embarrassingly parallel at corpus scale; no global state.
+    The char-fraction numerator is computed as exact integer math cast
+    once before a single IEEE division (bit-identical across engines).
+    """
+    from pyspark.sql import Window
+
+    t = F.trim(F.col(text_col))
+    base = (
+        df.select(
+            F.col(id_col),
+            t.alias("tt"),
+            F.split(t, " ").alias("w"),
+        )
+        .filter(F.size("w") >= 2)
+    )
+    dup = base.select(
+        id_col,
+        "tt",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("w")).cast("double") / F.size("w")
+        ).alias("dup_word_frac"),
+        F.explode(word_ngrams(F.col("w"), 2)).alias("gram"),
+    )
+    counts = dup.groupBy(id_col, "tt", "dup_word_frac", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    top = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            "dup_word_frac",
+            F.col("gram").alias("top_2gram"),
+            F.col("cnt").alias("top_2gram_cnt"),
+            (
+                (F.col("cnt") * F.length(F.replace(F.col("gram"), F.lit(" "), F.lit("")))).cast("double")
+                / F.length(F.replace(F.col("tt"), F.lit(" "), F.lit("")))
+            ).alias("top_2gram_char_frac"),
+        )
+    )
+
+
+def word_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram (word) Shannon entropy in bits.
+
+    A standard pretraining quality signal: near-zero entropy flags
+    degenerate/boilerplate docs, unusually high entropy flags noise.
+    Rounded to 6 decimals because log2 is a transcendental whose last
+    ulp (and float summation order) may differ across engines — the
+    only non-exact arithmetic in this module.
+
+    Scale shape: explode → two hash aggregations keyed by doc_id (the
+    (doc, word) partial agg combines map-side), then a doc-keyed join —
+    all stages partition on doc_id, nothing global.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("word"),
+    )
+    counts = words.groupBy(id_col, "word").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("cnt").cast("double") / F.col("n_tokens")
+    return (
+        counts.join(totals, id_col)
+        .groupBy(id_col, "n_tokens", "n_distinct")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("word_entropy"))
+    )
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full feature bundle to a documents DataFrame."""
     t = F.col(text_col)

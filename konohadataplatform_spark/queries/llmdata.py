@@ -1444,3 +1444,102 @@ def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 / Llama n-gram-overlap method)
+# --------------------------------------------------------------------------
+@query(
+    "q_decontaminate",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, doc_id % 17 = 0 AS is_eval,
+             unnest(list_distinct(
+               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]
+             )) AS gram
+      FROM t WHERE len(w) >= 5
+    ), eg AS (
+      SELECT DISTINCT gram FROM g WHERE is_eval
+    )
+    SELECT g.doc_id, COUNT(*) AS n_eval_grams
+    FROM g JOIN eg USING (gram)
+    WHERE NOT g.is_eval
+    GROUP BY g.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing any 5-gram with the held-out eval split
+    (doc_id % 17 == 0 — engine-portable, unlike hash-based splits).
+    Eval gram set is broadcast; training grams never shuffle."""
+    return D.ngram_decontaminate(
+        _t(spark, sf_dir, "documents"), eval_pred=F.col("doc_id") % 17 == 0, n=5
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition filters (dup-word fraction, top-2-gram char mass)
+# --------------------------------------------------------------------------
+@query(
+    "q_repetition_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, trim(text) AS tt, string_split(trim(text), ' ') AS w
+      FROM documents
+    ), base AS (
+      SELECT * FROM t WHERE len(w) >= 2
+    ), g AS (
+      SELECT doc_id, tt,
+             1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
+             unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+      FROM base
+    ), c AS (
+      SELECT doc_id, tt, dup_word_frac, gram, COUNT(*) AS cnt
+      FROM g GROUP BY ALL
+    ), top AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+      FROM c
+    )
+    SELECT doc_id, dup_word_frac,
+           gram AS top_2gram, cnt AS top_2gram_cnt,
+           CAST(cnt * length(replace(gram, ' ', '')) AS DOUBLE)
+             / length(replace(tt, ' ', '')) AS top_2gram_char_frac
+    FROM top WHERE rn = 1
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021): the
+    duplicate-word fraction and the non-space-char mass of the most
+    frequent word 2-gram, per doc. All integer math cast once before a
+    single IEEE division, so the doubles hash-match bit-for-bit."""
+    return TX.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Unigram entropy (pretraining quality signal)
+# --------------------------------------------------------------------------
+@query(
+    "q_doc_entropy",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ), c AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2
+    ), t AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct
+      FROM c GROUP BY 1
+    )
+    SELECT c.doc_id, t.n_tokens, t.n_distinct,
+           round(-SUM((CAST(cnt AS DOUBLE) / n_tokens)
+                      * log2(CAST(cnt AS DOUBLE) / n_tokens)), 6) AS word_entropy
+    FROM c JOIN t USING (doc_id)
+    GROUP BY c.doc_id, t.n_tokens, t.n_distinct
+    """,
+)
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (rounded 6dp — log2 is the one
+    non-exact op; float-sum order differs between engines below 1e-12)."""
+    return TX.word_entropy(_t(spark, sf_dir, "documents"))

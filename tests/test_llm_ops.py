@@ -454,3 +454,53 @@ def test_lsh_bucket_cap_skew_guard(spark):
     assert hot and not (capped & hot)
     # a generous cap changes nothing
     assert _pairs(D.simhash_candidates(hashes, bands=4, max_bucket=100)) == uncapped
+
+
+def test_ngram_decontaminate_planted(spark):
+    """A training doc that copies a 5-word span from an eval doc is
+    flagged with the exact count of shared distinct 5-grams; clean
+    docs are absent from the output."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),   # eval
+        (2, "x alpha beta gamma delta epsilon zeta y"),  # shares 2 5-grams w/ doc 1
+        (3, "one two three four five six seven"),     # clean
+        (4, "short doc"),                             # < n words, excluded
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.ngram_decontaminate(docs, eval_pred=F.col("doc_id") == 1, n=5)
+    got = {r.doc_id: r.n_eval_grams for r in out.collect()}
+    assert got == {2: 2}
+
+
+def test_repetition_stats_values(spark):
+    """dup-word fraction and top-2-gram char mass on a constructed doc:
+    'a b a b a b' -> 4/6 dup words; top 2-gram 'a b' occurs 3 times,
+    covering 3*2=6 of 6 non-space chars."""
+    from konohadataplatform_spark.operators import text as TXO
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x y z"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in TXO.repetition_stats(docs).collect()}
+    assert 3 not in out  # < 2 words filtered
+    r1 = out[1]
+    assert abs(r1.dup_word_frac - 4 / 6) < 1e-12
+    assert r1.top_2gram == "a b" and r1.top_2gram_cnt == 3
+    assert abs(r1.top_2gram_char_frac - 1.0) < 1e-12
+    r2 = out[2]
+    assert r2.dup_word_frac == 0.0
+    # all five 2-grams tie at cnt=1 -> lexicographically smallest wins
+    assert r2.top_2gram == "u v" and r2.top_2gram_cnt == 1
+
+
+def test_word_entropy_known_values(spark):
+    """Uniform 4-word doc -> exactly 2 bits; single repeated word -> 0."""
+    from konohadataplatform_spark.operators import text as TXO
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "w w w w w")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in TXO.word_entropy(docs).collect()}
+    assert out[1].word_entropy == 2.0 and out[1].n_tokens == 4 and out[1].n_distinct == 4
+    assert out[2].word_entropy == 0.0 and out[2].n_distinct == 1
