@@ -206,3 +206,39 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("pred_lang", predict_lang(t))
         .withColumn("doc_fp", fingerprint(t))
     )
+
+
+def boilerplate_coverage(
+    df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level boilerplate signal: per doc, the fraction of its
+    distinct word n-grams that also occur in at least one OTHER doc
+    (document frequency >= 2). High coverage marks template/boilerplate
+    pages — a standard pretraining removal heuristic (C4 family).
+
+    Scale shape: grams are formed codegen-side and deduped per doc
+    before the explode, so the shuffle carries each (doc, gram) once.
+    The document-frequency aggregation and the join back both hash on
+    `gram` — Catalyst reuses the exchange, so the whole operator costs
+    one gram-keyed shuffle plus the final doc_id-keyed agg. The single
+    division happens once on exact integer counts (bit-portable).
+    """
+    words = F.split(F.trim(F.col(text_col)), " ")
+    g = (
+        df.select(F.col(id_col), words.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            id_col, F.explode(F.array_distinct(word_ngrams(F.col("w"), n))).alias("gram")
+        )
+    )
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    common = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("bigint")
+    return (
+        g.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            common.alias("n_common_grams"),
+            (common.cast("double") / F.count(F.lit(1))).alias("boilerplate_frac"),
+        )
+    )

@@ -1543,3 +1543,35 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc unigram Shannon entropy (rounded 6dp — log2 is the one
     non-exact op; float-sum order differs between engines below 1e-12)."""
     return TX.word_entropy(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Corpus boilerplate coverage (C4-family template detection)
+# --------------------------------------------------------------------------
+@query(
+    "q_boilerplate_coverage",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(
+               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]
+             )) AS gram
+      FROM t WHERE len(w) >= 5
+    ), dfreq AS (
+      SELECT gram, COUNT(*) AS df FROM g GROUP BY 1
+    )
+    SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common_grams,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS boilerplate_frac
+    FROM g JOIN dfreq USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's distinct 5-grams appearing in >= 2 docs.
+    One gram-keyed shuffle (exchange reused between the df agg and the
+    join back), then a doc-keyed agg; division on exact ints."""
+    return TX.boilerplate_coverage(_t(spark, sf_dir, "documents"), n=5)

@@ -504,3 +504,21 @@ def test_word_entropy_known_values(spark):
     out = {r.doc_id: r for r in TXO.word_entropy(docs).collect()}
     assert out[1].word_entropy == 2.0 and out[1].n_tokens == 4 and out[1].n_distinct == 4
     assert out[2].word_entropy == 0.0 and out[2].n_distinct == 1
+
+
+def test_boilerplate_coverage_values(spark):
+    """Two docs sharing one 5-gram span, one unique doc: shared grams
+    get df>=2, unique doc scores 0."""
+    from konohadataplatform_spark.operators import text as TXO
+
+    rows = [
+        (1, "a b c d e f"),        # grams: 'a b c d e', 'b c d e f'
+        (2, "a b c d e zz"),       # shares 'a b c d e'
+        (3, "p q r s t u"),        # unique
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in TXO.boilerplate_coverage(docs, n=5).collect()}
+    assert out[1].n_grams == 2 and out[1].n_common_grams == 1
+    assert abs(out[1].boilerplate_frac - 0.5) < 1e-12
+    assert out[2].n_common_grams == 1
+    assert out[3].n_common_grams == 0 and out[3].boilerplate_frac == 0.0

@@ -181,3 +181,19 @@ def test_exact_dedup_never_shuffles_text(spark):
     assert "text_hash" in plan
     # the post-exchange aggregate works on the hash, not raw text
     assert "md5" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval gram set must reach the training side as a broadcast
+    hash join — training grams never shuffle for the match."""
+    df = QUERIES["q_decontaminate"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_reuses_gram_exchange(spark):
+    """df-agg and join-back both hash on gram; with the final doc agg
+    that is at most 3 exchanges (gram, gram-reuse-or-AQE, doc_id)."""
+    df = QUERIES["q_boilerplate_coverage"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") <= 3
