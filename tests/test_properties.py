@@ -224,3 +224,91 @@ def test_as_of_join_forward_matches_bruteforce(spark):
         nxt = min((t for t in rmap[k] if t >= ts), default=None)
         want = f"r{k}:{nxt}" if nxt is not None else None
         assert got[(k, ts)] == want, (k, ts, got[(k, ts)], want)
+
+
+# ---------------------------------------------------------------------------
+# Avro codec properties: the OCF/value/wire encoders must roundtrip ANY
+# record the schema admits (the r4 review found spec holes by hand —
+# hypothesis keeps the whole encode/decode surface honest).
+# ---------------------------------------------------------------------------
+import io
+import os
+import tempfile
+
+from konohadataplatform_spark.sources import avro_py
+
+_INT64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_PRIM_VALUES = {
+    "long": _INT64,
+    "int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    "double": st.floats(allow_nan=False),
+    "float": st.floats(allow_nan=False, width=32),
+    "boolean": st.booleans(),
+    "string": st.text(max_size=40),
+    "bytes": st.binary(max_size=40),
+}
+
+
+@given(_INT64)
+@settings(max_examples=200, deadline=None)
+def test_zigzag_long_roundtrip(n):
+    buf = io.BytesIO()
+    avro_py._write_long(buf, n)
+    buf.seek(0)
+    assert avro_py._read_long(buf) == n
+
+
+@st.composite
+def _schema_and_rows(draw):
+    names = draw(
+        st.lists(
+            st.sampled_from(list("abcdefgh")), unique=True, min_size=1, max_size=5
+        )
+    )
+    fields = []
+    for nm in names:
+        t = draw(st.sampled_from(sorted(_PRIM_VALUES)))
+        nullable = draw(st.booleans())
+        fields.append((nm, t, nullable))
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": nm, "type": (["null", t] if nullable else t)}
+            for nm, t, nullable in fields
+        ],
+    }
+    rows = []
+    for _ in range(draw(st.integers(min_value=0, max_value=6))):
+        row = {}
+        for nm, t, nullable in fields:
+            if nullable and draw(st.booleans()):
+                row[nm] = None
+            else:
+                row[nm] = draw(_PRIM_VALUES[t])
+        rows.append(row)
+    return schema, rows
+
+
+@given(_schema_and_rows())
+@settings(max_examples=30, deadline=None)
+def test_ocf_roundtrip_property(sr):
+    schema, rows = sr
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.avro")
+        assert avro_py.write_ocf(path, schema, rows) == len(rows)
+        got_schema, got = avro_py.read_ocf(path)
+    assert got_schema == schema
+    assert got == rows
+
+
+@given(_schema_and_rows(), st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_confluent_wire_roundtrip_property(sr, schema_id):
+    schema, rows = sr
+    for row in rows:
+        payload = avro_py.encode_confluent(row, schema, schema_id)
+        assert payload[0] == avro_py.CONFLUENT_MAGIC
+        assert avro_py.confluent_schema_id(payload) == schema_id
+        sid, got = avro_py.decode_confluent(payload, {schema_id: schema})
+        assert sid == schema_id and got == row
