@@ -54,6 +54,8 @@ EXTENDED = [
     "q_ann_lsh",
     "q_ann_ivf",
     "q_png_decode",
+    "q_decontaminate",
+    "q_boilerplate_coverage",
 ]
 
 

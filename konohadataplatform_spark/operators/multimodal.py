@@ -4,10 +4,11 @@ Images/audio/video are carried as opaque ``binary`` columns with a
 typed metadata struct — the Spark-side schema, partitioning, and
 Arrow-batched UDF plumbing are real and tested. Decode is REAL for
 uncompressed 24-bit BMP, non-interlaced 8-bit PNG (stdlib zlib +
-filter reconstruction), and PCM-16 WAV; PIL-only formats (JPEG,
-palette/16-bit PNG, compressed BMP) raise ``DecodeNotAvailable``
-loudly, with a deterministic-fake feature fallback so the pipeline
-shape can be exercised end to end.
+filter reconstruction), PCM-16 WAV, and baseline JPEG (jpeg_py:
+Huffman + IDCT, 4:4:4/4:2:2/4:2:0, restart markers); the remaining
+PIL-only formats (progressive JPEG, palette/16-bit PNG, compressed
+BMP) raise ``DecodeNotAvailable`` loudly, with a deterministic-fake
+feature fallback so the pipeline shape can be exercised end to end.
 
 Scale posture: binary payloads never pass through a shuffle — feature
 extraction is ``mapInPandas`` (per-partition, Arrow batches), and any
@@ -61,9 +62,9 @@ class DecodeNotAvailable(NotImplementedError):
 
 
 # --------------------------------------------------------------------------
-# Real stdlib codecs: uncompressed 24-bit BMP and PCM-16 WAV. These are
-# genuine byte-level decoders (struct-based, no media libraries); PNG/
-# JPEG/compressed formats still raise DecodeNotAvailable for PIL/opencv.
+# Real codecs, no media libraries: uncompressed 24-bit BMP, 8-bit PNG,
+# PCM-16 WAV (stdlib) and baseline JPEG (jpeg_py, numpy IDCT). Formats
+# beyond these still raise DecodeNotAvailable for PIL/opencv.
 # --------------------------------------------------------------------------
 
 def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
@@ -87,18 +88,29 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
 
 def decode_image(content: bytes) -> dict:
     """Decode an image natively: uncompressed 24-bit BMP (stdlib
-    struct; Windows BITMAPINFOHEADER layout) or non-interlaced 8-bit
-    PNG (stdlib zlib + PNG filter reconstruction). Returns width/
-    height/bpp and the raw pixel bytes as top-down rows. Remaining
-    formats (JPEG/palette PNG/compressed BMP) need PIL/opencv ->
-    DecodeNotAvailable."""
+    struct; Windows BITMAPINFOHEADER layout), non-interlaced 8-bit PNG
+    (stdlib zlib + filter reconstruction), or baseline JPEG (jpeg_py
+    Huffman+IDCT). Returns width/height/bpp and the raw pixel bytes as
+    top-down rows. Remaining formats (progressive JPEG/palette PNG/
+    compressed BMP) need PIL/opencv -> DecodeNotAvailable."""
     if content[:8] == PNG_SIG:
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from konohadataplatform_spark.operators.jpeg_py import decode_jpeg
+
+        img = decode_jpeg(content)
+        return {
+            "width": img["width"],
+            "height": img["height"],
+            "bpp": img["channels"] * 8,
+            "channels": img["channels"],
+            "pixels": img["pixels"],
+        }
     if len(content) < 54 or content[:2] != b"BM":
         raise DecodeNotAvailable(
-            "only uncompressed 24-bit BMP and 8-bit non-interlaced PNG "
-            "decode natively; other image formats require PIL/opencv, "
-            "not available in this environment"
+            "only baseline JPEG, uncompressed 24-bit BMP and 8-bit "
+            "non-interlaced PNG decode natively; other image formats "
+            "require PIL/opencv, not available in this environment"
         )
     offset = struct.unpack_from("<I", content, 10)[0]
     _, width, height, _, bpp, compression = struct.unpack_from(
@@ -404,6 +416,11 @@ def decode_features(media: DataFrame) -> DataFrame:
             px = img["pixels"]
             mean = sum(px) / len(px) if px else None
             return (mid, "bmp", img["width"], img["height"], None, None, mean)
+        if b[:2] == b"\xff\xd8":
+            img = decode_image(b)
+            px = img["pixels"]
+            mean = sum(px) / len(px) if px else None
+            return (mid, "jpeg", img["width"], img["height"], None, None, mean)
         if b[:4] == b"RIFF":
             au = decode_audio(b)
             ss = au["samples"]
@@ -511,9 +528,10 @@ def documents_as_wav(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
 
 def resize_image(content: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor resize for the natively-decodable formats
-    (BMP, 8-bit PNG), re-encoded in the source format. JPEG and other
+    (BMP, 8-bit PNG, baseline JPEG), re-encoded in the source format.
     PIL-only formats raise DecodeNotAvailable from decode_image."""
     is_png = content[:8] == PNG_SIG
+    is_jpeg = content[:2] == b"\xff\xd8"
     img = decode_image(content)
     ch = img.get("channels", 3)
     src_w, src_h, px = img["width"], img["height"], img["pixels"]
@@ -527,6 +545,15 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
     if is_png:
         color_type = {1: 0, 3: 2, 4: 6}[ch]
         return encode_png(width, height, bytes(out), color_type)
+    if is_jpeg:
+        from konohadataplatform_spark.operators.jpeg_py import (
+            encode_jpeg,
+            encode_jpeg_gray,
+        )
+
+        if ch == 1:
+            return encode_jpeg_gray(width, height, bytes(out))
+        return encode_jpeg(width, height, bytes(out))
     return encode_bmp(width, height, bytes(out))
 
 
@@ -555,3 +582,35 @@ def thumbnail_features(media: DataFrame, dim: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def documents_as_jpeg(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL baseline-JPEG payloads: each document becomes
+    a 16x16 grayscale JPEG of four 8x8 constant blocks whose values are
+    the first 4 md5 bytes of its text. Constant blocks are DC-only, so
+    the identity-quant encode/decode round trip is EXACT (verified over
+    every fixture doc and all 256 block values) — decoded features are
+    reproducible from the text and the SQL oracle recomputes them from
+    md5 hex, the same contract as documents_as_bmp/png."""
+    from konohadataplatform_spark.operators.jpeg_py import encode_jpeg_gray
+
+    def one(text: str) -> bytes:
+        d = hashlib.md5(text.encode()).digest()[:4]
+        px = bytes(d[(y // 8) * 2 + (x // 8)] for y in range(16) for x in range(16))
+        return encode_jpeg_gray(16, 16, px)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": [one(t) for t in pdf["text"]]}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        ),
+    )

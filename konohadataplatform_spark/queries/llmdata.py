@@ -1575,3 +1575,35 @@ def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     One gram-keyed shuffle (exchange reused between the df agg and the
     join back), then a doc-keyed agg; division on exact ints."""
     return TX.boilerplate_coverage(_t(spark, sf_dir, "documents"), n=5)
+
+
+# --------------------------------------------------------------------------
+# Real JPEG decode (baseline Huffman+IDCT through mapInPandas)
+# --------------------------------------------------------------------------
+@query(
+    "q_jpeg_decode",
+    f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         b AS (SELECT doc_id, {_MD5_BYTES} AS bytes FROM d)
+    SELECT doc_id, 'jpeg' AS fmt,
+           16 AS width, 16 AS height,
+           CAST(bytes[1] + bytes[2] + bytes[3] + bytes[4] AS DOUBLE) / 4.0
+             AS mean_pixel
+    FROM b
+    """,
+)
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG decode: 16x16 grayscale baseline JPEGs (four 8x8
+    constant blocks = first 4 md5 bytes; DC-only, so identity-quant
+    round trip is exact) decoded back through the full Huffman+IDCT
+    path. Decoded pixel mean == digest-byte mean, recomputed by the
+    oracle from md5 hex. Payloads never cross a shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = M.decode_features(M.documents_as_jpeg(docs))
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "fmt",
+        "width",
+        "height",
+        F.col("mean_val").alias("mean_pixel"),
+    )

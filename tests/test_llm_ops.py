@@ -120,9 +120,15 @@ def test_multimodal_pipeline(spark):
 def test_decode_stub_raises(spark):
     import pytest
 
-    # PIL-dependent formats still raise; stdlib BMP/PNG/WAV do not
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG SOI
+    # PIL-dependent formats still raise; stdlib BMP/PNG/WAV/JPEG do not.
+    # Progressive JPEG (SOF2) is the loud non-baseline guard:
+    import struct as _st
+
+    sof2 = _st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    prog = (b"\xff\xd8" + b"\xff\xc2" + _st.pack(">H", len(sof2) + 2) + sof2
+            + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        M.decode_image(prog)
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"ID3\x03" + b"\x00" * 64)
     # palette (color_type 3) PNG: valid signature, unsupported color mode
@@ -325,7 +331,10 @@ def test_thumbnail_pipeline_deterministic(spark):
 def test_resize_stub_raises(spark):
     import pytest
 
+    # GIF is still PIL-only; a truncated JPEG is corrupt, not missing
     with pytest.raises(NotImplementedError):
+        M.resize_image(b"GIF89a" + b"\x00" * 60, 64, 64)
+    with pytest.raises(ValueError):
         M.resize_image(b"\xff\xd8", 64, 64)
 
 
@@ -522,3 +531,96 @@ def test_boilerplate_coverage_values(spark):
     assert abs(out[1].boilerplate_frac - 0.5) < 1e-12
     assert out[2].n_common_grams == 1
     assert out[3].n_common_grams == 0 and out[3].boilerplate_frac == 0.0
+
+
+def test_jpeg_codec_roundtrips():
+    """Baseline JPEG: with identity quant tables and 4:4:4 the only
+    loss is DCT float rounding — on these fixtures, exactly zero.
+    Subsampled/restart variants decode within chroma-averaging bounds."""
+    import numpy as np
+
+    from konohadataplatform_spark.operators import jpeg_py as J
+
+    w, h = 24, 17
+    orig = np.zeros((h, w, 3), np.uint8)
+    for yy in range(h):
+        for xx in range(w):
+            orig[yy, xx] = ((yy * 9) % 256, (xx * 11) % 256, (yy * 3 + xx * 5) % 256)
+
+    dec = J.decode_jpeg(J.encode_jpeg(w, h, orig.tobytes()))
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
+    got = np.frombuffer(dec["pixels"], np.uint8).reshape(h, w, 3)
+    assert np.array_equal(got, orig), "4:4:4 identity-quant must be lossless here"
+
+    for kw, tol in (({"subsampling": "420"}, 16), ({"subsampling": "422"}, 16),
+                    ({"restart_interval": 2}, 0)):
+        dec = J.decode_jpeg(J.encode_jpeg(w, h, orig.tobytes(), **kw))
+        got = np.frombuffer(dec["pixels"], np.uint8).reshape(h, w, 3)
+        err = np.abs(got.astype(int) - orig.astype(int)).max()
+        assert err <= tol, f"{kw}: max err {err} > {tol}"
+
+    # grayscale single-component path; non-multiple-of-8 dims
+    gray = bytes((x * 19 + y * 7) % 256 for y in range(9) for x in range(13))
+    g = J.decode_jpeg(J.encode_jpeg_gray(13, 9, gray))
+    assert (g["width"], g["height"], g["channels"]) == (13, 9, 1)
+    assert max(abs(a - b) for a, b in zip(g["pixels"], gray)) <= 1
+
+    # determinism: same bytes in, same bytes out, twice
+    enc = J.encode_jpeg(w, h, orig.tobytes(), subsampling="420")
+    assert enc == J.encode_jpeg(w, h, orig.tobytes(), subsampling="420")
+    assert J.decode_jpeg(enc)["pixels"] == J.decode_jpeg(enc)["pixels"]
+
+
+def test_jpeg_via_decode_image_dispatch():
+    """decode_image routes FFD8 payloads through the JPEG decoder with
+    the same dict contract as PNG/BMP."""
+    import numpy as np
+
+    from konohadataplatform_spark.operators import jpeg_py as J
+
+    w, h = 8, 8
+    orig = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    img = M.decode_image(J.encode_jpeg(w, h, orig.tobytes()))
+    assert (img["width"], img["height"], img["bpp"]) == (w, h, 24)
+    assert img["pixels"] == orig.tobytes()
+
+
+def test_jpeg_quantized_lossy_but_close():
+    """Non-identity quant tables (real compression) stay within a
+    quality envelope on a smooth gradient."""
+    import numpy as np
+
+    from konohadataplatform_spark.operators import jpeg_py as J
+
+    w, h = 32, 32
+    orig = np.zeros((h, w, 3), np.uint8)
+    for yy in range(h):
+        for xx in range(w):
+            v = (yy * 4 + xx * 4) % 256
+            orig[yy, xx] = (v, v, v)
+    q = np.full((8, 8), 4.0)
+    enc = J.encode_jpeg(w, h, orig.tobytes(), quant_luma=q, quant_chroma=q)
+    dec = J.decode_jpeg(enc)
+    got = np.frombuffer(dec["pixels"], np.uint8).reshape(h, w, 3)
+    err = np.abs(got.astype(int) - orig.astype(int)).max()
+    assert err <= 12, f"quantized roundtrip err {err}"
+
+
+def test_jpeg_resize_real():
+    """resize_image decodes baseline JPEG and re-encodes as JPEG."""
+    import numpy as np
+
+    from konohadataplatform_spark.operators import jpeg_py as J
+
+    w, h = 16, 16
+    orig = np.zeros((h, w, 3), np.uint8)
+    orig[:, : w // 2] = (200, 40, 90)
+    orig[:, w // 2 :] = (10, 250, 120)
+    small = M.resize_image(J.encode_jpeg(w, h, orig.tobytes()), 8, 8)
+    assert small[:2] == b"\xff\xd8"
+    img = M.decode_image(small)
+    assert (img["width"], img["height"]) == (8, 8)
+    got = np.frombuffer(img["pixels"], np.uint8).reshape(8, 8, 3)
+    # halves survive the resize+recompress within JPEG tolerance
+    assert np.abs(got[:, :4].astype(int) - [200, 40, 90]).max() <= 3
+    assert np.abs(got[:, 4:].astype(int) - [10, 250, 120]).max() <= 3
