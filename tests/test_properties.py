@@ -312,3 +312,66 @@ def test_confluent_wire_roundtrip_property(sr, schema_id):
         assert avro_py.confluent_schema_id(payload) == schema_id
         sid, got = avro_py.decode_confluent(payload, {schema_id: schema})
         assert sid == schema_id and got == row
+
+
+# ---------------------------------------------------------------------------
+# SQL MERGE property: for arbitrary target/source key sets, guarded
+# matched-updates, NOT-MATCHED inserts, and NOT MATCHED BY SOURCE
+# deletes must agree with a trivially-correct dict model. The r4 review
+# found hand-testable holes in the WHEN parser; this searches the space.
+# ---------------------------------------------------------------------------
+
+_merge_case = st.tuples(
+    st.lists(  # target rows: (key, value)
+        st.tuples(st.integers(0, 6), st.integers(0, 50)),
+        unique_by=lambda t: t[0], min_size=0, max_size=6,
+    ),
+    st.lists(  # source rows
+        st.tuples(st.integers(0, 6), st.integers(0, 50)),
+        unique_by=lambda t: t[0], min_size=0, max_size=6,
+    ),
+    st.integers(0, 50),  # guard threshold for the matched-update
+    st.booleans(),       # include NOT MATCHED BY SOURCE DELETE?
+)
+
+
+@given(_merge_case)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_sql_agrees_with_model(spark, tmp_path_factory, case):
+    from konohadataplatform_spark.engine import Engine
+
+    tgt, src, guard, with_bysource = case
+    base = tmp_path_factory.mktemp("merge_prop")
+    engine = Engine(spark, SnapshotCatalog(spark, str(base / "wh")))
+    engine.save_table(
+        "t",
+        spark.createDataFrame(tgt or [(99, 0)], "k long, v long").filter(
+            "k >= 0" if tgt else "k < 0"
+        ),
+    )
+    spark.createDataFrame(src or [(99, 0)], "k long, v long").filter(
+        "k >= 0" if src else "k < 0"
+    ).createOrReplaceTempView("s")
+    bysource = "WHEN NOT MATCHED BY SOURCE THEN DELETE" if with_bysource else ""
+    engine.sql(
+        f"""
+        MERGE INTO t USING s ON t.k = s.k
+        WHEN MATCHED AND s.v >= {guard} THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        {bysource}
+        """
+    )
+    got = sorted(tuple(r) for r in engine.table("t").collect())
+
+    model = dict(tgt)
+    smap = dict(src)
+    out = {}
+    for k, v in model.items():
+        if k in smap:
+            out[k] = smap[k] if smap[k] >= guard else v
+        elif not with_bysource:
+            out[k] = v
+    for k, v in smap.items():
+        if k not in model:
+            out[k] = v
+    assert got == sorted(out.items())
