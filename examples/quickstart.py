@@ -128,6 +128,20 @@ def main() -> None:
         catalog, "vecidx", emb.limit(2), k=3, nprobe=2)
     print("IVF index probe:", hits.count(), "neighbors for 2 queries")
 
+    # --- 8. round 5: curation operators + native JPEG -----------------
+    from konohadataplatform_spark.operators import jpeg_py
+
+    docs = engine.table("documents")
+    flagged = dedup.ngram_decontaminate(
+        docs, eval_pred=F.col("doc_id") % 17 == 0, n=5)
+    print("decontamination: flagged", flagged.count(), "training docs")
+    rep = text.repetition_stats(docs)
+    print("most repetitive doc:",
+          rep.orderBy(F.desc("dup_word_frac")).first().doc_id)
+    jpg = jpeg_py.encode_jpeg(8, 8, bytes(range(8 * 8 * 3)))
+    print("JPEG roundtrip lossless:",
+          jpeg_py.decode_jpeg(jpg)["pixels"] == bytes(range(8 * 8 * 3)))
+
     spark.stop()
 
 
