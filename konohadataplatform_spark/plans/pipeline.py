@@ -155,6 +155,36 @@ class PipelineOps:
             out[name] = [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields]
         return out
 
+    # dbt deps: install model packages into the project. The analog of
+    # packages.yml is a {name: path} mapping of local Python modules
+    # exposing register(pipeline); the returned lock dict ({name:
+    # version-or-content-hash}) is the package-lock.yml analog. No
+    # network package manager exists in-process, so "install" means
+    # load + register — which is also exactly what dbt deps achieves
+    # for the subsequent run (models become resolvable by ref()).
+    def deps(self, packages: dict[str, str]) -> dict[str, str]:
+        import hashlib
+        import importlib.util
+
+        lock: dict[str, str] = {}
+        for name, path in packages.items():
+            spec = importlib.util.spec_from_file_location(
+                f"konoha_pkg_{name}", path
+            )
+            if spec is None or spec.loader is None:
+                raise ValueError(f"package {name!r}: cannot load {path!r}")
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            if not hasattr(mod, "register"):
+                raise ValueError(
+                    f"package {name!r} has no register(pipeline) entry point"
+                )
+            mod.register(self.p)
+            with open(path, "rb") as fh:
+                digest = hashlib.md5(fh.read()).hexdigest()[:12]
+            lock[name] = str(getattr(mod, "__version__", digest))
+        return lock
+
     # dbt docs generate: model metadata + schemas + dependency edges
     def docs(self) -> dict:
         doc = {"models": {}, "edges": []}

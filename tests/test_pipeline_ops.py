@@ -133,3 +133,35 @@ def test_quality_checks_catch_violations(pipeline, spark):
     # dbt semantics: NULL is not an accepted_values violation (not_null
     # owns it) — only the out-of-set 'zz' counts
     assert by_check["accepted_values"] == 1
+
+
+def test_deps_installs_local_package(pipeline, tmp_path):
+    """dbt-deps analog: a local package module registers its models
+    into the pipeline and the lock records its version/content hash."""
+    pkg = tmp_path / "revenue_pkg.py"
+    pkg.write_text(
+        '__version__ = "1.2.0"\n'
+        "from konohadataplatform_spark.plans.pipeline import ModelSpec\n\n\n"
+        "def register(pipeline):\n"
+        "    def pkg_user_count(spark, ctx):\n"
+        "        return ctx.ref('stg_users').groupBy().count()\n"
+        "    pipeline.model(ModelSpec(\n"
+        "        name='pkg_user_count', fn=pkg_user_count,\n"
+        "        depends_on=['stg_users']))\n"
+    )
+    ops = PipelineOps(pipeline)
+    lock = ops.deps({"revenue_pkg": str(pkg)})
+    assert lock == {"revenue_pkg": "1.2.0"}
+    assert "pkg_user_count" in pipeline.models
+    pipeline.run(select=["pkg_user_count"])
+    assert pipeline.catalog.read("pkg_user_count").collect()[0]["count"] >= 1
+
+    # unversioned package -> content hash; missing entry point -> loud
+    pkg2 = tmp_path / "noop_pkg.py"
+    pkg2.write_text("def register(pipeline):\n    pass\n")
+    lock2 = ops.deps({"noop_pkg": str(pkg2)})
+    assert len(lock2["noop_pkg"]) == 12
+    bad = tmp_path / "bad_pkg.py"
+    bad.write_text("x = 1\n")
+    with pytest.raises(ValueError, match="register"):
+        ops.deps({"bad_pkg": str(bad)})
