@@ -93,7 +93,8 @@ def ngram_decontaminate(
 
     words = F.split(F.trim(F.col(text_col)), " ")
     grams = (
-        docs.select(F.col(id_col), eval_pred.alias("_is_eval"), words.alias("w"))
+        _spread(docs)
+        .select(F.col(id_col), eval_pred.alias("_is_eval"), words.alias("w"))
         .filter(F.size("w") >= n)
         .select(
             id_col,
