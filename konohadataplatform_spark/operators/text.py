@@ -251,3 +251,57 @@ def boilerplate_coverage(
             (common.cast("double") / F.count(F.lit(1))).alias("boilerplate_frac"),
         )
     )
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style perplexity filter primitive: each doc's mean
+    surprisal (-log2 p) under the corpus's own unigram LM. Low-
+    surprisal docs are boilerplate/repetitive; extreme values are
+    noise — the standard cheap stand-in for a KenLM perplexity score.
+
+    Scale shape: token stream shuffles once on `word` for the corpus
+    frequency agg and the join-back reuses that exchange; the corpus
+    total is a 1-row broadcast. Final agg keys on doc_id. Rounded 6dp
+    (log2 + float-sum order are the non-exact ops).
+    """
+    w = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("word"),
+    )
+    cf = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = cf.agg(F.sum("c").cast("double").alias("t"))
+    p = F.col("c").cast("double") / F.col("t")
+    return (
+        w.join(cf, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.sum(F.log2(p)) / F.count(F.lit(1)), 6).alias(
+                "unigram_surprisal"
+            ),
+        )
+    )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """Per-group vocabulary stats (Heaps-law inputs): token count,
+    distinct-word count, and type-token ratio — the corpus-composition
+    dashboard a mixture designer reads. Two word-keyed aggs, exact
+    integer math, one final division."""
+    w = df.select(
+        F.col(group_col),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("word"),
+    )
+    return (
+        w.groupBy(group_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(group_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            (F.count(F.lit(1)).cast("double") / F.sum("c")).alias(
+                "type_token_ratio"
+            ),
+        )
+    )

@@ -1607,3 +1607,56 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.col("mean_val").alias("mean_pixel"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram surprisal (CCNet-style perplexity filter primitive)
+# --------------------------------------------------------------------------
+@query(
+    "q_unigram_surprisal",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ), cf AS (
+      SELECT word, COUNT(*) AS c FROM w GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cf
+    )
+    SELECT w.doc_id, COUNT(*) AS n_tokens,
+           round(-SUM(log2(CAST(c AS DOUBLE) / t)) / COUNT(*), 6)
+             AS unigram_surprisal
+    FROM w JOIN cf USING (word), tot
+    GROUP BY w.doc_id
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token -log2 p under the corpus unigram LM (the cheap
+    KenLM-perplexity stand-in CCNet filters on). One word-keyed
+    exchange reused by agg+join; corpus total is a 1-row broadcast."""
+    return TX.unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Per-source vocabulary stats (Heaps-law / mixture dashboard)
+# --------------------------------------------------------------------------
+@query(
+    "q_vocab_stats",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ), c AS (
+      SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct_words,
+           CAST(COUNT(*) AS DOUBLE) / SUM(c) AS type_token_ratio
+    FROM c GROUP BY source
+    """,
+)
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/vocab counts and type-token ratio per source — exact
+    integer aggregation with a single output division."""
+    return TX.vocab_stats(_t(spark, sf_dir, "documents"))

@@ -624,3 +624,35 @@ def test_jpeg_resize_real():
     # halves survive the resize+recompress within JPEG tolerance
     assert np.abs(got[:, :4].astype(int) - [200, 40, 90]).max() <= 3
     assert np.abs(got[:, 4:].astype(int) - [10, 250, 120]).max() <= 3
+
+
+def test_unigram_surprisal_uniform_corpus(spark):
+    """With all words equally frequent, every doc's surprisal is
+    exactly log2(vocab); a doc of rare words scores higher than one
+    of common words."""
+    from konohadataplatform_spark.operators import text as TXO
+
+    uni = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.unigram_surprisal for r in TXO.unigram_surprisal(uni).collect()}
+    assert out[1] == out[2] == 2.0  # 4 words, each p=1/4
+
+    skew = spark.createDataFrame(
+        [(1, "x x x x"), (2, "y z w v")], ["doc_id", "text"]
+    )
+    s = {r.doc_id: r.unigram_surprisal for r in TXO.unigram_surprisal(skew).collect()}
+    assert s[2] > s[1]  # rare words are more surprising
+
+
+def test_vocab_stats_values(spark):
+    from konohadataplatform_spark.operators import text as TXO
+
+    docs = spark.createDataFrame(
+        [(1, "a b a", "s1"), (2, "c c", "s1"), (3, "x y", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r.source: r for r in TXO.vocab_stats(docs).collect()}
+    assert out["s1"].n_tokens == 5 and out["s1"].n_distinct_words == 3
+    assert abs(out["s1"].type_token_ratio - 0.6) < 1e-12
+    assert out["s2"].n_tokens == 2 and out["s2"].type_token_ratio == 1.0
