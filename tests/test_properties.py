@@ -375,3 +375,60 @@ def test_merge_sql_agrees_with_model(spark, tmp_path_factory, case):
         if k not in model:
             out[k] = v
     assert got == sorted(out.items())
+
+
+# ---------------------------------------------------------------------------
+# Image codec properties: PNG must roundtrip ANY pixel buffer exactly;
+# JPEG must roundtrip block-constant grayscale exactly (the DC-only
+# invariant q_jpeg_decode's oracle relies on) and stay within the DCT
+# envelope for arbitrary grayscale.
+# ---------------------------------------------------------------------------
+from konohadataplatform_spark.operators import jpeg_py
+from konohadataplatform_spark.operators import multimodal as MM
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([0, 2, 6]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, color_type, rnd):
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+    img = MM.decode_png(MM.encode_png(w, h, px, color_type))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, ch)
+    assert img["pixels"] == px
+
+
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=3),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_blockwise_constant_gray_is_exact(bw, bh, rnd):
+    """8x8-constant blocks are DC-only: identity-quant grayscale JPEG
+    must reproduce them bit-exactly (q_jpeg_decode's oracle contract)."""
+    vals = [rnd.randrange(256) for _ in range(bw * bh)]
+    w, h = bw * 8, bh * 8
+    px = bytes(vals[(y // 8) * bw + (x // 8)] for y in range(h) for x in range(w))
+    dec = jpeg_py.decode_jpeg(jpeg_py.encode_jpeg_gray(w, h, px))
+    assert dec["pixels"] == px
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_gray_arbitrary_within_dct_envelope(w, h, rnd):
+    """Arbitrary grayscale (any dims, incl. non-multiples of 8) must
+    decode within a small integer-rounding envelope of the source."""
+    px = bytes(rnd.randrange(256) for _ in range(w * h))
+    dec = jpeg_py.decode_jpeg(jpeg_py.encode_jpeg_gray(w, h, px))
+    assert (dec["width"], dec["height"]) == (w, h)
+    err = max(abs(a - b) for a, b in zip(dec["pixels"], px))
+    assert err <= 4, f"gray DCT envelope exceeded: {err}"
