@@ -131,3 +131,92 @@ def archive_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_duckdb(
+    spark: SparkSession,
+    db_path: str,
+    query: str,
+    partition_col: str | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """S9 federated read — the Trino-connector analog: query an
+    external DuckDB database from Spark.
+
+    Two modes, chosen by the caller like a Trino catalog config:
+
+    - **Gateway (default)**: one driver-side Arrow fetch. Right for
+      dimension-sized federated tables (the reference federates dims
+      through Trino the same way — the coordinator streams them).
+    - **Partitioned** (``partition_col``): the driver fetches only
+      MIN/MAX of the partition column, then each executor opens the
+      database READ-ONLY and fetches its own range via ``mapInPandas``
+      — rows never funnel through the driver. Requires ``db_path`` on
+      shared storage (same contract as every file-based source here).
+      Range predicates are pushed into DuckDB, so each task reads only
+      its slice.
+    """
+    import duckdb
+
+    if partition_col is None:
+        con = duckdb.connect(db_path, read_only=True)
+        try:
+            tbl = con.execute(query).arrow()
+        finally:
+            con.close()
+        return spark.createDataFrame(tbl)
+
+    con = duckdb.connect(db_path, read_only=True)
+    try:
+        lo, hi = con.execute(
+            f"SELECT MIN({partition_col}), MAX({partition_col}) FROM ({query}) q"
+        ).fetchone()
+        empty = con.execute(f"SELECT * FROM ({query}) q LIMIT 0").arrow()
+    finally:
+        con.close()
+    if lo is None:
+        return spark.createDataFrame(empty)
+
+    # inclusive integer ranges, last bucket takes the remainder
+    lo, hi = int(lo), int(hi)
+    step = max(1, (hi - lo + 1) // num_partitions)
+    bounds = []
+    start = lo
+    while start <= hi:
+        end = hi if len(bounds) == num_partitions - 1 else min(hi, start + step - 1)
+        bounds.append((start, end))
+        start = end + 1
+    ranges = spark.createDataFrame(bounds, "lo long, hi long").repartition(
+        len(bounds)
+    )
+
+    import pandas as pd  # noqa: F401  (executors need it in scope)
+
+    def fetch(batches):
+        import duckdb as ddb
+
+        for pdf in batches:
+            for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
+                c = ddb.connect(db_path, read_only=True)
+                try:
+                    yield c.execute(
+                        f"SELECT * FROM ({query}) q "
+                        f"WHERE {partition_col} BETWEEN {int(lo_)} AND {int(hi_)}"
+                    ).fetchdf()
+                finally:
+                    c.close()
+
+    schema = spark.createDataFrame(empty).schema
+    return ranges.mapInPandas(fetch, schema)
+
+
+def register_duckdb_tables(
+    spark: SparkSession, db_path: str, tables: list[str], prefix: str = ""
+) -> None:
+    """Register federated DuckDB tables as temp views so `Engine.sql`
+    joins them against catalog/star-schema tables in one statement —
+    the reference's Trino-catalog ergonomics."""
+    for t in tables:
+        read_duckdb(spark, db_path, f"SELECT * FROM {t}").createOrReplaceTempView(
+            f"{prefix}{t}"
+        )

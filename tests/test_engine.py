@@ -410,3 +410,57 @@ def test_archive_stream_fallback_honors_partition_cols(spark, tmp_path):
     assert len(rows) == 6
     # partition column is carried by the directory, not the payload
     assert all("table" not in r for r in rows)
+
+
+def test_read_duckdb_federated(spark, tmp_path):
+    """S9 federation (Trino-connector analog): gateway mode for dims,
+    executor-partitioned range mode for bigger tables — identical rows,
+    range predicates pushed into DuckDB per task."""
+    import duckdb
+
+    from konohadataplatform_spark.sources.readers import read_duckdb
+
+    db = str(tmp_path / "fed.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE ext AS SELECT i AS id, i % 7 AS grp, 'v' || i AS val "
+        "FROM range(0, 1000) t(i)"
+    )
+    con.close()
+
+    dim = read_duckdb(spark, db, "SELECT * FROM ext WHERE id < 10")
+    assert dim.count() == 10
+
+    part = read_duckdb(
+        spark, db, "SELECT * FROM ext", partition_col="id", num_partitions=4
+    )
+    assert part.rdd.getNumPartitions() == 4
+    got = sorted((r.id, r.grp, r.val) for r in part.collect())
+    assert len(got) == 1000 and got[0] == (0, 0, "v0") and got[-1] == (999, 5, "v999")
+
+    empty = read_duckdb(
+        spark, db, "SELECT * FROM ext WHERE id < 0", partition_col="id"
+    )
+    assert empty.count() == 0
+
+
+def test_register_duckdb_tables_federated_join(spark, tmp_path):
+    """Federated DuckDB views join against Spark-side tables in one
+    SQL statement (the Trino-catalog ergonomics)."""
+    import duckdb
+
+    from konohadataplatform_spark.sources.readers import register_duckdb_tables
+
+    db = str(tmp_path / "cat.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE tiers AS SELECT * FROM (VALUES (0, 'low'), (1, 'high')) t(grp, label)")
+    con.close()
+    register_duckdb_tables(spark, db, ["tiers"], prefix="fed_")
+    spark.createDataFrame([(1, 0), (2, 1), (3, 1)], "id long, grp long") \
+        .createOrReplaceTempView("local_rows")
+    got = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT l.id, f.label FROM local_rows l JOIN fed_tiers f USING (grp)"
+        ).collect()
+    )
+    assert got == [(1, "low"), (2, "high"), (3, "high")]
