@@ -1,0 +1,352 @@
+"""PostgreSQL wire-protocol (v3) endpoint over the Engine.
+
+The reference's public SQL entry point is JDBC/Thrift on Kyuubi :10009
+(docs/components/kyuubi.md:61-67) — an external BI tool connects with a
+stock driver. The in-container analog: speak the Postgres frontend/
+backend protocol's simple-query subset, so ANY stock Postgres client
+(psql, psycopg, JDBC's org.postgresql.Driver, BI tools' "PostgreSQL"
+connector) can run SQL against the Spark engine with no custom client
+code. Complements `sqlserver.SqlServer` (line-JSON) with a standard
+protocol.
+
+Implemented (per the published protocol docs):
+- StartupMessage (196608), SSLRequest answered 'N', GSSENCRequest 'N'
+- AuthenticationOk (trust), ParameterStatus, BackendKeyData,
+  ReadyForQuery
+- Simple Query 'Q': RowDescription / DataRow (text format) /
+  CommandComplete / EmptyQueryResponse / ErrorResponse, multi-statement
+  strings split on top-level semicolons
+- Terminate 'X'
+
+Not implemented (not needed for the simple-query flow): extended
+protocol (Parse/Bind/Execute), COPY, cancellation keys, TLS.
+
+Scale posture: identical to SqlServer — results are capped with a
+limit+1 probe (no second count job, no unbounded driver collect);
+concurrent connections are threads sharing the one SparkSession whose
+jobs the JVM schedules fairly.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+DEFAULT_LIMIT = 10_000
+
+# Spark simpleString dtype -> (pg type oid, typlen)
+_PG_TYPES = {
+    "boolean": (16, 1),
+    "tinyint": (21, 2),
+    "smallint": (21, 2),
+    "int": (23, 4),
+    "bigint": (20, 8),
+    "float": (700, 4),
+    "double": (701, 8),
+    "string": (25, -1),
+    "date": (1082, 4),
+    "timestamp": (1114, 8),
+    "timestamp_ntz": (1114, 8),
+    "binary": (17, -1),
+}
+
+
+def _pg_type(dtype: str) -> tuple[int, int]:
+    if dtype.startswith("decimal"):
+        return (1700, -1)
+    return _PG_TYPES.get(dtype, (25, -1))  # arrays/structs render as text
+
+
+def _pg_text(v) -> bytes | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return b"t" if v else b"f"
+    if isinstance(v, (bytes, bytearray)):
+        return b"\\x" + bytes(v).hex().encode()
+    return str(v).encode("utf-8")
+
+
+def _split_statements(sql: str) -> list[str]:
+    """Split on semicolons outside single/double quotes (the protocol
+    allows multiple statements per Query message)."""
+    out, buf, q = [], [], None
+    for ch in sql:
+        if q:
+            if ch == q:
+                q = None
+            buf.append(ch)
+        elif ch in ("'", '"'):
+            q = ch
+            buf.append(ch)
+        elif ch == ";":
+            s = "".join(buf).strip()
+            if s:
+                out.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+    s = "".join(buf).strip()
+    if s:
+        out.append(s)
+    return out
+
+
+class _Messages:
+    """Backend message builders (type byte + int32 length + payload)."""
+
+    @staticmethod
+    def msg(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack(">I", len(payload) + 4) + payload
+
+    @classmethod
+    def auth_ok(cls) -> bytes:
+        return cls.msg(b"R", struct.pack(">I", 0))
+
+    @classmethod
+    def parameter_status(cls, k: str, v: str) -> bytes:
+        return cls.msg(b"S", k.encode() + b"\x00" + v.encode() + b"\x00")
+
+    @classmethod
+    def backend_key_data(cls, pid: int, key: int) -> bytes:
+        return cls.msg(b"K", struct.pack(">II", pid, key))
+
+    @classmethod
+    def ready(cls) -> bytes:
+        return cls.msg(b"Z", b"I")
+
+    @classmethod
+    def row_description(cls, cols: list[tuple[str, str]]) -> bytes:
+        body = struct.pack(">H", len(cols))
+        for name, dtype in cols:
+            oid, typlen = _pg_type(dtype)
+            body += (
+                name.encode("utf-8") + b"\x00"
+                + struct.pack(">IhIhih", 0, 0, oid, typlen, -1, 0)
+            )
+        return cls.msg(b"T", body)
+
+    @classmethod
+    def data_row(cls, values) -> bytes:
+        body = struct.pack(">H", len(values))
+        for v in values:
+            t = _pg_text(v)
+            if t is None:
+                body += struct.pack(">i", -1)
+            else:
+                body += struct.pack(">i", len(t)) + t
+        return cls.msg(b"D", body)
+
+    @classmethod
+    def command_complete(cls, tag: str) -> bytes:
+        return cls.msg(b"C", tag.encode() + b"\x00")
+
+    @classmethod
+    def empty_query(cls) -> bytes:
+        return cls.msg(b"I", b"")
+
+    @classmethod
+    def error(cls, message: str, code: str = "XX000") -> bytes:
+        body = (
+            b"S" + b"ERROR\x00"
+            + b"C" + code.encode() + b"\x00"
+            + b"M" + message[:4000].encode("utf-8", "replace") + b"\x00"
+            + b"\x00"
+        )
+        return cls.msg(b"E", body)
+
+
+class PgWireServer:
+    """Threaded Postgres-protocol server over an :class:`Engine`.
+
+    >>> srv = PgWireServer(engine).start()
+    >>> # any stock Postgres client can now connect to srv.port
+    >>> srv.stop()
+    """
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
+                 limit: int = DEFAULT_LIMIT):
+        self.engine = engine
+        self.host, self.port = host, port
+        self.limit = limit
+        self._server: socketserver.ThreadingTCPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- query execution ----------------------------------------------------
+    def _run_query(self, wfile, sql: str) -> None:
+        stmts = _split_statements(sql)
+        if not stmts:
+            wfile.write(_Messages.empty_query())
+            return
+        for stmt in stmts:
+            df = self.engine.sql(stmt)
+            if df is None or not df.columns:
+                wfile.write(_Messages.command_complete("OK"))
+                continue
+            rows = df.limit(self.limit + 1).collect()
+            rows = rows[: self.limit]
+            wfile.write(_Messages.row_description(list(df.dtypes)))
+            for r in rows:
+                wfile.write(_Messages.data_row(list(r)))
+            wfile.write(_Messages.command_complete(f"SELECT {len(rows)}"))
+
+    # -- connection handling ------------------------------------------------
+    def _handle_conn(self, rfile, wfile) -> None:
+        # startup phase: length-prefixed, untagged messages
+        while True:
+            head = rfile.read(4)
+            if len(head) < 4:
+                return
+            (length,) = struct.unpack(">I", head)
+            payload = rfile.read(length - 4)
+            (code,) = struct.unpack(">I", payload[:4])
+            if code in (80877103, 80877104):  # SSLRequest / GSSENCRequest
+                wfile.write(b"N")
+                wfile.flush()
+                continue
+            if code == 80877102:  # CancelRequest: no cancel keys issued
+                return
+            if code == 196608:  # StartupMessage v3.0
+                break
+            wfile.write(_Messages.error(f"unsupported protocol {code:#x}", "0A000"))
+            wfile.flush()
+            return
+        wfile.write(_Messages.auth_ok())
+        for k, v in (
+            ("server_version", "15.0 (konohadataplatform-spark)"),
+            ("server_encoding", "UTF8"),
+            ("client_encoding", "UTF8"),
+            ("DateStyle", "ISO, MDY"),
+            ("integer_datetimes", "on"),
+        ):
+            wfile.write(_Messages.parameter_status(k, v))
+        wfile.write(_Messages.backend_key_data(1, 0))
+        wfile.write(_Messages.ready())
+        wfile.flush()
+
+        while True:
+            tag = rfile.read(1)
+            if not tag:
+                return
+            head = rfile.read(4)
+            if len(head) < 4:
+                return
+            (length,) = struct.unpack(">I", head)
+            payload = rfile.read(length - 4)
+            if tag == b"X":  # Terminate
+                return
+            if tag == b"Q":
+                sql = payload.rstrip(b"\x00").decode("utf-8")
+                try:
+                    self._run_query(wfile, sql)
+                except Exception as exc:  # noqa: BLE001 — wire boundary
+                    wfile.write(_Messages.error(str(exc)))
+                wfile.write(_Messages.ready())
+                wfile.flush()
+            else:
+                # extended-protocol or unknown: report and stay alive
+                wfile.write(
+                    _Messages.error(
+                        f"message {tag!r} not supported (simple query only)",
+                        "0A000",
+                    )
+                )
+                wfile.write(_Messages.ready())
+                wfile.flush()
+
+    # -- lifecycle ----------------------------------------------------------
+    def start(self) -> "PgWireServer":
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                try:
+                    outer._handle_conn(self.rfile, self.wfile)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((self.host, self.port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="konoha-pgwire", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+
+# ---------------------------------------------------------------------------
+# Minimal frontend (tests + CLI): speaks the same simple-query subset.
+# ---------------------------------------------------------------------------
+
+def pg_query(port: int, sql: str, host: str = "127.0.0.1", timeout: float = 60.0):
+    """Run one simple query against a Postgres-protocol server and
+    return (columns, rows-as-text, error-or-None). A stand-in for a
+    stock client in environments without psycopg/psql."""
+    with socket.create_connection((host, port), timeout=timeout) as s:
+        f = s.makefile("rwb")
+        params = b"user\x00konoha\x00database\x00spark\x00\x00"
+        body = struct.pack(">I", 196608) + params
+        f.write(struct.pack(">I", len(body) + 4) + body)
+        f.flush()
+        _drain_until_ready(f)
+        q = sql.encode("utf-8") + b"\x00"
+        f.write(b"Q" + struct.pack(">I", len(q) + 4) + q)
+        f.flush()
+        cols, rows, err = [], [], None
+        while True:
+            tag = f.read(1)
+            (length,) = struct.unpack(">I", f.read(4))
+            payload = f.read(length - 4)
+            if tag == b"T":
+                (n,) = struct.unpack(">H", payload[:2])
+                pos = 2
+                cols = []
+                for _ in range(n):
+                    end = payload.index(b"\x00", pos)
+                    cols.append(payload[pos:end].decode())
+                    pos = end + 1 + 18
+            elif tag == b"D":
+                (n,) = struct.unpack(">H", payload[:2])
+                pos = 2
+                row = []
+                for _ in range(n):
+                    (ln,) = struct.unpack(">i", payload[pos : pos + 4])
+                    pos += 4
+                    if ln == -1:
+                        row.append(None)
+                    else:
+                        row.append(payload[pos : pos + ln].decode())
+                        pos += ln
+                rows.append(row)
+            elif tag == b"E":
+                fields = payload.split(b"\x00")
+                err = next(
+                    (x[1:].decode() for x in fields if x[:1] == b"M"), "error"
+                )
+            elif tag == b"Z":
+                return cols, rows, err
+        # unreachable
+
+def _drain_until_ready(f) -> None:
+    while True:
+        tag = f.read(1)
+        if tag == b"N":  # SSL refusal byte (no length) — not sent here
+            continue
+        (length,) = struct.unpack(">I", f.read(4))
+        payload = f.read(length - 4)
+        if tag == b"E":
+            raise ConnectionError(payload)
+        if tag == b"Z":
+            return

@@ -1,0 +1,66 @@
+"""Postgres wire-protocol endpoint: a stock-protocol client flow
+(startup -> simple query -> terminate) against the Spark engine.
+Analog of the reference's Kyuubi JDBC entry (docs/components/
+kyuubi.md:61-67) using a protocol this container can actually speak."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from konohadataplatform_spark.catalog import SnapshotCatalog
+from konohadataplatform_spark.engine import Engine
+from konohadataplatform_spark.pgwire import PgWireServer, pg_query
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    eng = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "wh")))
+    eng.save_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "a", 1.5, True, None), (2, "b", 2.5, False, "x")],
+            "id long, s string, d double, b boolean, n string",
+        ),
+    )
+    srv = PgWireServer(eng).start()
+    yield srv
+    srv.stop()
+
+
+def test_simple_query_roundtrip(server):
+    cols, rows, err = pg_query(server.port, "SELECT id, s, d, b, n FROM t ORDER BY id")
+    assert err is None
+    assert cols == ["id", "s", "d", "b", "n"]
+    assert rows == [
+        ["1", "a", "1.5", "t", None],
+        ["2", "b", "2.5", "f", "x"],
+    ]
+
+
+def test_multi_statement_and_error(server):
+    cols, rows, err = pg_query(server.port, "SELECT 1 AS a; SELECT 2 AS b")
+    assert err is None and cols == ["b"] and [r[0] for r in rows][-1] == "2"
+
+    _, _, err = pg_query(server.port, "SELECT * FROM missing_table")
+    assert err is not None and "missing_table" in err.lower()
+
+    # session survives the error
+    cols, rows, err = pg_query(server.port, "SELECT count(*) AS n FROM t")
+    assert err is None and rows == [["2"]]
+
+
+def test_concurrent_clients(server):
+    out = {}
+
+    def worker(i):
+        _, rows, err = pg_query(server.port, f"SELECT {i} AS x, count(*) AS n FROM t")
+        out[i] = (rows, err)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(err is None and rows == [[str(i), "2"]] for i, (rows, err) in out.items())
