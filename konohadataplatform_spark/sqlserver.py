@@ -181,6 +181,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=10009)
     ap.add_argument("--sf-dir", default=None)
+    ap.add_argument(
+        "--pg-port",
+        type=int,
+        default=None,
+        help="also serve the Postgres wire protocol on this port "
+        "(stock psql/JDBC/BI clients)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="konoha-sql-server")
@@ -190,6 +197,11 @@ def main(argv: list[str] | None = None) -> int:
     engine.catalog.register_views()
     srv = SqlServer(engine, host=args.host, port=args.port).start()
     print(f"konoha SQL endpoint listening on {srv.host}:{srv.port}", flush=True)
+    if args.pg_port is not None:
+        from konohadataplatform_spark.pgwire import PgWireServer
+
+        pg = PgWireServer(engine, host=args.host, port=args.pg_port).start()
+        print(f"konoha pg-wire endpoint listening on {pg.host}:{pg.port}", flush=True)
     try:
         threading.Event().wait()  # serve until killed
     except KeyboardInterrupt:
