@@ -137,9 +137,18 @@ def _read_value(buf: io.BytesIO, avro_type):
 
 # ---- Object Container File framing ----------------------------------------
 
-def write_ocf(path: str, avro_schema: dict, rows, sync: bytes | None = None) -> int:
-    """Write one OCF file (null codec, single block); returns row count.
-    ``rows`` is an iterable of dicts (or Row-likes with asDict)."""
+def write_ocf(
+    path: str,
+    avro_schema: dict,
+    rows,
+    sync: bytes | None = None,
+    codec: str = "null",
+) -> int:
+    """Write one OCF file (single block); returns row count. ``rows``
+    is an iterable of dicts (or Row-likes with asDict). ``codec`` is
+    "null" or "deflate" (spec: raw RFC-1951 deflate, no zlib header)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec {codec!r}")
     sync = sync or os.urandom(16)
     field_types = {f["name"]: f["type"] for f in avro_schema["fields"]}
     body = io.BytesIO()
@@ -153,7 +162,7 @@ def write_ocf(path: str, avro_schema: dict, rows, sync: bytes | None = None) -> 
     header.write(MAGIC)
     meta = {
         "avro.schema": json.dumps(avro_schema).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     _write_long(header, len(meta))
     for k, v in meta.items():
@@ -162,6 +171,11 @@ def write_ocf(path: str, avro_schema: dict, rows, sync: bytes | None = None) -> 
     _write_long(header, 0)  # end of metadata map
     header.write(sync)
     payload = body.getvalue()
+    if codec == "deflate":
+        import zlib
+
+        co = zlib.compressobj(wbits=-15)  # raw RFC-1951, per the spec
+        payload = co.compress(payload) + co.flush()
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as fh:
         fh.write(header.getvalue())
@@ -195,8 +209,9 @@ def read_ocf(path: str) -> tuple[dict, list[dict]]:
         for _ in range(count):
             k = _read_value(buf, "string")
             meta[k] = _read_value(buf, "bytes")
-    if meta.get("avro.codec", b"null") != b"null":
-        raise ValueError("only the null codec is supported")
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b"deflate"):
+        raise ValueError(f"unsupported Avro codec {codec!r}")
     schema = json.loads(meta["avro.schema"])
     field_types = {f["name"]: f["type"] for f in schema["fields"]}
     sync = buf.read(16)
@@ -207,10 +222,16 @@ def read_ocf(path: str) -> tuple[dict, list[dict]]:
             break
         buf.seek(-1, io.SEEK_CUR)
         n = _read_long(buf)
-        _read_long(buf)  # block byte length (unused with null codec)
+        blen = _read_long(buf)  # block byte length
+        if codec == b"deflate":
+            import zlib
+
+            data = io.BytesIO(zlib.decompress(buf.read(blen), -15))
+        else:
+            data = buf
         for _ in range(n):
             rows.append(
-                {fname: _read_value(buf, ftype) for fname, ftype in field_types.items()}
+                {fname: _read_value(data, ftype) for fname, ftype in field_types.items()}
             )
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch (corrupt block)")

@@ -432,3 +432,17 @@ def test_jpeg_gray_arbitrary_within_dct_envelope(w, h, rnd):
     assert (dec["width"], dec["height"]) == (w, h)
     err = max(abs(a - b) for a, b in zip(dec["pixels"], px))
     assert err <= 4, f"gray DCT envelope exceeded: {err}"
+
+
+@given(_schema_and_rows())
+@settings(max_examples=20, deadline=None)
+def test_ocf_deflate_roundtrip_property(sr):
+    """Spec deflate codec: raw RFC-1951 blocks roundtrip any record
+    set and interop with the null-codec reader path."""
+    schema, rows = sr
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.avro")
+        assert avro_py.write_ocf(path, schema, rows, codec="deflate") == len(rows)
+        got_schema, got = avro_py.read_ocf(path)
+    assert got_schema == schema
+    assert got == rows
