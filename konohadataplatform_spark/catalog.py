@@ -959,6 +959,157 @@ class SnapshotCatalog:
             df = df.join(dels, snap.delete_key_cols, "left_anti")
         return df
 
+    # ---- Iceberg-manifest-style file pruning -----------------------------
+
+    def _base_data_files(self, snap: Snapshot) -> list[str]:
+        files = []
+        for root, _dirs, fs in os.walk(snap.path):
+            rel = os.path.relpath(root, snap.path)
+            if rel != "." and any(p.startswith("_") for p in rel.split(os.sep)):
+                continue
+            files += [os.path.join(root, f) for f in fs if f.endswith(".parquet")]
+        return sorted(files)
+
+    def _file_stats(self, snap: Snapshot) -> dict:
+        """Per-file column min/max from parquet footers — the manifest
+        statistics Iceberg keeps. Computed once per (immutable)
+        snapshot and cached as ``_stats.json`` inside it (underscore
+        prefix: invisible to Spark's scans). Only int/float/str stats
+        are kept; other types read as may-match."""
+        import pyarrow.parquet as pq
+
+        cache = os.path.join(snap.path, "_stats.json")
+        if os.path.exists(cache):
+            with open(cache) as fh:
+                return json.load(fh)
+        stats: dict[str, dict] = {}
+        for path in self._base_data_files(snap):
+            md = pq.ParquetFile(path).metadata
+            cols: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        cols[c.path_in_schema] = None
+                        continue
+                    lo, hi = st.min, st.max
+                    if not isinstance(lo, (int, float, str)) or isinstance(lo, bool):
+                        cols[c.path_in_schema] = None
+                        continue
+                    prev = cols.get(c.path_in_schema)
+                    if prev is None and c.path_in_schema in cols:
+                        continue  # an earlier row group opted out
+                    cols[c.path_in_schema] = (
+                        [lo, hi] if prev is None else [min(prev[0], lo), max(prev[1], hi)]
+                    )
+            entry = {k: v for k, v in cols.items() if v is not None}
+            entry["__rows__"] = md.num_rows
+            stats[os.path.relpath(path, snap.path)] = entry
+        tmp = f"{cache}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh)
+        os.replace(tmp, cache)
+        return stats
+
+    @staticmethod
+    def _may_match(mm, op: str, val) -> bool:
+        """Can a file whose column spans [min, max] contain a row
+        satisfying ``col <op> val``? Missing stats -> True."""
+        if mm is None:
+            return True
+        lo, hi = mm
+        try:
+            if op in ("=", "=="):
+                return lo <= val <= hi
+            if op == "<":
+                return lo < val
+            if op == "<=":
+                return lo <= val
+            if op == ">":
+                return hi > val
+            if op == ">=":
+                return hi >= val
+        except TypeError:
+            return True  # incomparable types -> conservative
+        return True  # unknown op -> no pruning
+
+    def scan_files(
+        self, name: str, filters: list[tuple], version: int | None = None
+    ) -> tuple[Snapshot, list[str], int]:
+        """The manifest-pruning step alone: (snapshot, surviving base
+        files, total base files). ``filters`` is an AND list of
+        (column, op, literal) with op in = < <= > >=."""
+        snap = self._resolve(name, version, None)
+        files = self._base_data_files(snap)
+        stats = self._file_stats(snap)
+        renames = snap.renames or {}
+
+        def phys_names(col: str) -> list[str]:
+            return [p for p, cur in renames.items() if cur == col] + [col]
+
+        keep = []
+        for f in files:
+            fstats = stats.get(os.path.relpath(f, snap.path), {})
+            if fstats.get("__rows__") == 0:
+                continue  # empty part file: no rows to contribute
+            ok = True
+            for col, op, val in filters:
+                mms = [fstats.get(p) for p in phys_names(col) if p in fstats]
+                mm = mms[0] if mms else None
+                if not self._may_match(mm, op, val):
+                    ok = False
+                    break
+            if ok:
+                keep.append(f)
+        return snap, keep, len(files)
+
+    def scan(
+        self, name: str, filters: list[tuple], version: int | None = None
+    ) -> DataFrame:
+        """Stats-pruned read: identical rows to
+        ``read(name).filter(<AND of filters>)`` but skipping base files
+        whose footer min/max cannot satisfy the predicate — Iceberg's
+        manifest pruning, which turns a 100 TB scan over range-
+        clustered data (see ``compact(sort_by=...)``) into a scan of
+        only the overlapping files, before Spark even lists them.
+        MOR layers and delete files are still applied in full; the
+        residual filter keeps row-level exactness either way."""
+        snap, keep, _total = self.scan_files(name, filters, version)
+        if not keep:
+            df = self._read_snapshot(snap).limit(0)
+        else:
+            reader = self.spark.read.option("basePath", snap.path)
+            if snap.mixed_schema:
+                reader = reader.option("mergeSchema", "true")
+            df = self._apply_schema_meta(reader.parquet(*keep), snap)
+            for layer_rel in snap.upsert_layers or []:
+                layer = self._apply_schema_meta(
+                    self.spark.read.parquet(os.path.join(snap.path, layer_rel)), snap
+                )
+                df = df.join(
+                    layer.select(*snap.upsert_key_cols).distinct(),
+                    snap.upsert_key_cols,
+                    "left_anti",
+                ).unionByName(layer, allowMissingColumns=True)
+            if snap.delete_path and os.path.isdir(snap.delete_path):
+                dels = self._apply_schema_meta(
+                    self.spark.read.parquet(snap.delete_path), snap
+                )
+                df = df.join(dels, snap.delete_key_cols, "left_anti")
+        cmp = {
+            "=": lambda c, v: c == v,
+            "==": lambda c, v: c == v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+        }
+        for col, op, val in filters:
+            df = df.filter(cmp[op](F.col(col), F.lit(val)))
+        return df
+
     @staticmethod
     def _apply_schema_meta(df: DataFrame, snap: Snapshot) -> DataFrame:
         """Metadata-only rename/drop, applied at read time (M5). Files

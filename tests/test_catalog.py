@@ -1088,3 +1088,78 @@ def test_concurrent_mixed_ops_stress(spark, catalog):
     assert final[100] == -1 and final[101] == -1
     versions = [s.version for s in catalog.history("t")]
     assert versions == list(range(1, len(versions) + 1))
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-manifest-style file pruning (scan/scan_files)
+# ---------------------------------------------------------------------------
+
+def test_scan_prunes_files_by_footer_stats(spark, catalog):
+    df = (
+        spark.range(0, 10_000)
+        .withColumn("v", F.col("id") % 100)
+        .repartitionByRange(10, "id")
+    )
+    catalog.write("ranged", df)
+    snap, keep, total = catalog.scan_files("ranged", [("id", ">=", 9_000)])
+    assert total == 10
+    assert 1 <= len(keep) <= 2, f"expected ~1 surviving file, got {len(keep)}"
+
+    got = sorted(r.id for r in catalog.scan("ranged", [("id", ">=", 9_000)]).collect())
+    want = sorted(
+        r.id for r in catalog.read("ranged").filter("id >= 9000").collect()
+    )
+    assert got == want
+
+    # conjunction narrows further; equality hits a single file
+    _s, keep_eq, _t = catalog.scan_files("ranged", [("id", "=", 4_321)])
+    assert len(keep_eq) == 1
+    assert [r.id for r in catalog.scan("ranged", [("id", "=", 4_321)]).collect()] == [4_321]
+
+
+def test_scan_empty_and_unpruned_ops(spark, catalog):
+    catalog.write(
+        "small", spark.range(5).withColumn("s", F.concat(F.lit("k"), F.col("id")))
+    )
+    out = catalog.scan("small", [("id", ">", 99)])
+    assert out.count() == 0 and "s" in out.columns  # schema-stable empty
+    # string stats prune too
+    _s, keep, total = catalog.scan_files("small", [("s", "=", "zzz")])
+    assert keep == []
+
+
+def test_scan_correct_with_mor_deletes_and_rename(spark, catalog):
+    df = spark.range(0, 1000).withColumn("grp", F.col("id") % 10).repartitionByRange(4, "id")
+    catalog.write("mor_scan", df)
+    catalog.delete_by_keys(
+        "mor_scan", spark.createDataFrame([(990,), (5,)], "id long"), ["id"]
+    )
+    catalog.rename_column("mor_scan", "grp", "bucket")
+
+    got = sorted(
+        (r.id, r.bucket)
+        for r in catalog.scan("mor_scan", [("id", ">=", 900)]).collect()
+    )
+    want = sorted(
+        (r.id, r.bucket)
+        for r in catalog.read("mor_scan").filter("id >= 900").collect()
+    )
+    assert got == want and (990, 0) not in got
+
+    # pruning on the RENAMED column consults the physical-name stats
+    _s, keep, total = catalog.scan_files("mor_scan", [("bucket", ">=", 0)])
+    assert len(keep) == total  # grp spans 0-9 in every file: nothing pruned
+    got2 = catalog.scan("mor_scan", [("bucket", "=", 3)]).count()
+    assert got2 == catalog.read("mor_scan").filter("bucket = 3").count()
+
+
+def test_scan_stats_cache_written_once(spark, catalog):
+    import os as _os
+
+    catalog.write("cached", spark.range(100).repartition(2))
+    snap, _k, _t = catalog.scan_files("cached", [("id", ">=", 0)])
+    cache = _os.path.join(snap.path, "_stats.json")
+    assert _os.path.exists(cache)
+    mtime = _os.path.getmtime(cache)
+    catalog.scan_files("cached", [("id", ">=", 50)])
+    assert _os.path.getmtime(cache) == mtime  # reused, not recomputed
