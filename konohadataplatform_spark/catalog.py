@@ -1273,6 +1273,34 @@ class SnapshotCatalog:
                     total += os.path.getsize(os.path.join(root, f))
         return total
 
+    @staticmethod
+    def _zvalue(cols: list, mins: dict, maxs: dict, bits: int = 16):
+        """Interleaved-bit Z-address over min/max-normalized columns —
+        a pure column expression (shift/and/or), fully codegen'd. Each
+        column is linearly scaled to [0, 2^bits); bit i of column j
+        lands at position i*ncols + j."""
+        ncols = len(cols)
+        norm = []
+        for c in cols:
+            lo, hi = mins[c], maxs[c]
+            span = (hi - lo) or 1
+            norm.append(
+                F.least(
+                    F.lit((1 << 16) - 1),
+                    (
+                        (F.col(c).cast("double") - F.lit(float(lo)))
+                        * F.lit(float((1 << 16) - 1))
+                        / F.lit(float(span))
+                    ).cast("long"),
+                )
+            )
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, n in enumerate(norm):
+                bit = F.shiftright(n, i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
+        return z
+
     def compact(
         self,
         name: str,
@@ -1280,6 +1308,7 @@ class SnapshotCatalog:
         target_file_bytes: int | None = None,
         partition_by: list[str] | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> Snapshot:
         """M2: rewrite the current snapshot into right-sized files (the
         OPTIMIZE / rewrite_data_files analog), folding any pending
@@ -1302,6 +1331,30 @@ class SnapshotCatalog:
             else:
                 target_files = 8
         cur = self._read_snapshot(base)
+        if zorder_by:
+            # Z-ORDER (the OPTIMIZE ZORDER BY analog): range-partition
+            # and sort on the interleaved-bit address so EVERY zorder
+            # column gets tight per-file min/max — multi-column scan
+            # pruning where a lexicographic sort only helps its leading
+            # column. One tiny agg job fetches global min/max for the
+            # linear normalization (numeric columns only).
+            mm = cur.agg(
+                *[F.min(c).alias(f"_lo_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"_hi_{c}") for c in zorder_by],
+            ).collect()[0]
+            mins = {c: mm[f"_lo_{c}"] for c in zorder_by}
+            maxs = {c: mm[f"_hi_{c}"] for c in zorder_by}
+            z = self._zvalue(zorder_by, mins, maxs)
+            df = (
+                cur.withColumn("_zaddr", z)
+                .repartitionByRange(target_files, F.col("_zaddr"))
+                .sortWithinPartitions("_zaddr")
+                .drop("_zaddr")
+            )
+            op = f"compact({target_files},zorder={zorder_by})"
+            return self._commit(
+                name, df, op, partition_by, expected_version=base.version + 1
+            )
         if partition_by:
             # hash on the partition columns so each partition value's
             # rows coalesce into one task -> one file per partition,

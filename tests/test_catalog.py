@@ -1163,3 +1163,36 @@ def test_scan_stats_cache_written_once(spark, catalog):
     mtime = _os.path.getmtime(cache)
     catalog.scan_files("cached", [("id", ">=", 50)])
     assert _os.path.getmtime(cache) == mtime  # reused, not recomputed
+
+
+def test_zorder_compact_prunes_on_both_columns(spark, catalog):
+    """OPTIMIZE ZORDER analog: after z-order compaction, manifest
+    pruning is selective on BOTH clustering columns, where a
+    lexicographic sort only serves its leading column."""
+    n = 20_000
+    df = (
+        spark.range(n)
+        .withColumn("x", F.col("id") % 141)
+        .withColumn("y", (F.col("id") / 141).cast("long") % 141)
+        .drop("id")
+    )
+    catalog.write("zt", df)
+    catalog.compact("zt", target_files=16, zorder_by=["x", "y"])
+
+    # correctness: rewrite is lossless
+    assert catalog.count("zt") == n
+
+    _s, keep_x, total = catalog.scan_files("zt", [("x", "=", 3)])
+    _s, keep_y, _t = catalog.scan_files("zt", [("y", "=", 3)])
+    assert total == 16
+    assert len(keep_x) <= total // 2, f"x pruning weak: {len(keep_x)}/{total}"
+    assert len(keep_y) <= total // 2, f"y pruning weak: {len(keep_y)}/{total}"
+
+    got = sorted(
+        (r.x, r.y) for r in catalog.scan("zt", [("x", "=", 3), ("y", "<", 50)]).collect()
+    )
+    want = sorted(
+        (r.x, r.y)
+        for r in catalog.read("zt").filter("x = 3 AND y < 50").collect()
+    )
+    assert got == want and got
