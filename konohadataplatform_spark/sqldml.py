@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _DML_RE = re.compile(
-    r"^\s*(MERGE|DELETE|UPDATE|ALTER|INSERT|TRUNCATE|DROP|CREATE)\b",
+    r"^\s*(MERGE|DELETE|UPDATE|ALTER|INSERT|TRUNCATE|DROP|CREATE|CALL|OPTIMIZE)\b",
     re.IGNORECASE,
 )
 
@@ -672,6 +672,10 @@ def dispatch(engine, query: str) -> DataFrame:
         if _CTAS_RE.match(q):
             return _dispatch_create(engine, q)
         return engine.spark.sql(q)
+    if head == "CALL":
+        return _dispatch_call(engine, q)
+    if head == "OPTIMIZE":
+        return _dispatch_optimize(engine, q)
     if head == "TRUNCATE":
         return _dispatch_truncate(engine, q)
     if head == "DROP":
@@ -688,3 +692,88 @@ def _refresh_and_summarize(engine, name: str, snap) -> DataFrame:
         [(snap.operation, name, snap.version)],
         "operation string, table string, version int",
     )
+
+
+# ---------------------------------------------------------------------------
+# CALL system.<procedure>(...) — the Iceberg Spark-procedures surface
+# (the reference's users run these through Kyuubi for table
+# maintenance) — and Delta-style OPTIMIZE ... ZORDER BY.
+# ---------------------------------------------------------------------------
+
+_CALL_RE = re.compile(
+    r"^CALL\s+(?:system\.)?(\w+)\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^OPTIMIZE\s+([\w.]+)"
+    r"(?:\s+ZORDER\s+BY\s*\(?\s*([\w\s,]+?)\s*\)?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _call_args(raw: str) -> list:
+    """Split a procedure argument list on top-level commas; literals
+    only (quoted strings and numbers — the Iceberg procedure forms)."""
+    out = []
+    for part in _split_top_level(raw, ","):
+        p = part.strip()
+        if not p:
+            continue
+        if "=>" in p:  # named argument form: name => value
+            p = p.split("=>", 1)[1].strip()
+        if (p.startswith("'") and p.endswith("'")) or (
+            p.startswith('"') and p.endswith('"')
+        ):
+            out.append(p[1:-1])
+        elif p.upper() in ("TRUE", "FALSE"):
+            out.append(p.upper() == "TRUE")
+        else:
+            out.append(int(p) if re.fullmatch(r"-?\d+", p) else float(p))
+    return out
+
+
+def _dispatch_call(engine, q: str) -> DataFrame:
+    m = _CALL_RE.match(q)
+    if not m:
+        raise ValueError(f"cannot parse CALL statement: {q!r}")
+    proc = m.group(1).lower()
+    args = _call_args(m.group(2))
+    if proc == "expire_snapshots":
+        name, keep = args[0], int(args[1]) if len(args) > 1 else 1
+        removed = engine.catalog.expire_snapshots(name, keep_last=keep)
+        return engine.spark.createDataFrame(
+            [(proc, name, removed)], "procedure string, table string, removed int"
+        )
+    if proc in ("rewrite_data_files", "compact"):
+        name = args[0]
+        target = int(args[1]) if len(args) > 1 else None
+        snap = engine.catalog.compact(name, target_files=target)
+        return _refresh_and_summarize(engine, name, snap)
+    if proc in ("rollback", "rollback_to_version"):
+        name, version = args[0], int(args[1])
+        snap = engine.catalog.rollback(name, version)
+        return _refresh_and_summarize(engine, name, snap)
+    if proc == "remove_orphan_files":
+        name = args[0]
+        older = int(args[1]) if len(args) > 1 else 24 * 3600 * 1000
+        removed = engine.catalog.cleanup_staged(name, older_than_ms=older)
+        return engine.spark.createDataFrame(
+            [(proc, name, removed)], "procedure string, table string, removed int"
+        )
+    raise ValueError(
+        f"unknown procedure {proc!r}; supported: expire_snapshots, "
+        "rewrite_data_files/compact, rollback[_to_version], remove_orphan_files"
+    )
+
+
+def _dispatch_optimize(engine, q: str) -> DataFrame:
+    m = _OPTIMIZE_RE.match(q)
+    if not m:
+        raise ValueError(f"cannot parse OPTIMIZE statement: {q!r}")
+    name = m.group(1)
+    if m.group(2):
+        cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+        snap = engine.catalog.compact(name, zorder_by=cols)
+    else:
+        snap = engine.catalog.compact(name)
+    return _refresh_and_summarize(engine, name, snap)

@@ -328,3 +328,30 @@ def test_merge_insert_only_with_duplicate_source_matches(engine):
         (3, "c", 30.0),
         (5, "e", 50.0),
     ]
+
+
+def test_call_procedures_and_optimize(engine, spark):
+    seed(engine)
+    for i in range(3):
+        engine.sql(f"INSERT INTO metrics VALUES ({10 + i}, 'x{i}', {float(i)})")
+    assert len(engine.history("metrics")) == 4
+
+    out = engine.sql("CALL system.expire_snapshots('metrics', 2)").collect()[0]
+    assert out.procedure == "expire_snapshots" and out.removed == 2
+
+    out = engine.sql("CALL system.rewrite_data_files('metrics', 2)").collect()[0]
+    assert "compact" in out.operation
+    assert engine.table("metrics").count() == 6
+
+    v = engine.catalog.current_snapshot("metrics").version
+    engine.sql("INSERT INTO metrics VALUES (99, 'z', 0.0)")
+    engine.sql(f"CALL system.rollback('metrics', {v})")
+    assert engine.table("metrics").filter("id = 99").count() == 0
+
+    # OPTIMIZE ... ZORDER BY
+    out = engine.sql("OPTIMIZE metrics ZORDER BY (id, v)").collect()[0]
+    assert "zorder" in out.operation
+    assert engine.table("metrics").count() == 6
+
+    with pytest.raises(ValueError, match="unknown procedure"):
+        engine.sql("CALL system.no_such_proc('metrics')")
