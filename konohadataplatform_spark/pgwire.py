@@ -16,10 +16,14 @@ Implemented (per the published protocol docs):
 - Simple Query 'Q': RowDescription / DataRow (text format) /
   CommandComplete / EmptyQueryResponse / ErrorResponse, multi-statement
   strings split on top-level semicolons
+- Extended protocol (what JDBC/psycopg actually send): Parse / Bind
+  (text-format parameters substituted as SQL literals) / Describe /
+  Execute / Close / Sync / Flush, with ParseComplete / BindComplete /
+  NoData / PortalSuspended responses and error-until-Sync recovery
 - Terminate 'X'
 
-Not implemented (not needed for the simple-query flow): extended
-protocol (Parse/Bind/Execute), COPY, cancellation keys, TLS.
+Not implemented: COPY, binary parameter/result formats, cursors
+beyond one unnamed portal row-limit, cancellation keys, TLS.
 
 Scale posture: identical to SqlServer — results are capped with a
 limit+1 probe (no second count job, no unbounded driver collect);
@@ -192,6 +196,103 @@ class PgWireServer:
                 wfile.write(_Messages.data_row(list(r)))
             wfile.write(_Messages.command_complete(f"SELECT {len(rows)}"))
 
+    # -- extended protocol --------------------------------------------------
+    @staticmethod
+    def _bind_params(sql: str, params: list) -> str:
+        """Substitute $1..$n with SQL literals (text-format params)."""
+        import re
+
+        def lit(v):
+            if v is None:
+                return "NULL"
+            s = v.decode("utf-8")
+            if re.fullmatch(r"-?\d+", s) or re.fullmatch(r"-?\d*\.\d+([eE][+-]?\d+)?", s):
+                return s
+            return "'" + s.replace("'", "''") + "'"
+
+        return re.sub(
+            r"\$(\d+)", lambda m: lit(params[int(m.group(1)) - 1]), sql
+        )
+
+    @staticmethod
+    def _returns_rows(sql: str) -> bool:
+        head = sql.lstrip().split(None, 1)
+        return bool(head) and head[0].upper() in (
+            "SELECT", "WITH", "VALUES", "SHOW", "TABLE", "DESCRIBE", "EXPLAIN"
+        )
+
+    def _handle_extended(self, tag, payload, wfile, state) -> None:
+        """One extended-protocol message. ``state`` carries prepared
+        statements, portals, and the error-until-Sync flag."""
+        if state.get("error") and tag not in (b"S",):
+            return  # spec: after an error, discard until Sync
+        if tag == b"P":  # Parse: name\0 sql\0 nparamtypes oids...
+            name_end = payload.index(b"\x00")
+            name = payload[:name_end].decode()
+            sql_end = payload.index(b"\x00", name_end + 1)
+            sql = payload[name_end + 1 : sql_end].decode("utf-8")
+            state["stmts"][name] = sql
+            wfile.write(_Messages.msg(b"1", b""))  # ParseComplete
+        elif tag == b"B":  # Bind
+            pos = payload.index(b"\x00")
+            portal = payload[:pos].decode()
+            end = payload.index(b"\x00", pos + 1)
+            stmt = payload[pos + 1 : end].decode()
+            pos = end + 1
+            (nfmt,) = struct.unpack_from(">H", payload, pos)
+            pos += 2 + 2 * nfmt
+            (nparams,) = struct.unpack_from(">H", payload, pos)
+            pos += 2
+            params = []
+            for _ in range(nparams):
+                (ln,) = struct.unpack_from(">i", payload, pos)
+                pos += 4
+                if ln == -1:
+                    params.append(None)
+                else:
+                    params.append(payload[pos : pos + ln])
+                    pos += ln
+            sql = self._bind_params(state["stmts"][stmt], params)
+            state["portals"][portal] = sql
+            wfile.write(_Messages.msg(b"2", b""))  # BindComplete
+        elif tag == b"D":  # Describe 'S'|'P' + name
+            kind, name = payload[:1], payload[1:].split(b"\x00")[0].decode()
+            sql = (
+                state["portals"].get(name)
+                if kind == b"P"
+                else state["stmts"].get(name)
+            )
+            if kind == b"S":
+                # ParameterDescription: we accept any params as text
+                wfile.write(_Messages.msg(b"t", struct.pack(">H", 0)))
+            if sql is not None and self._returns_rows(sql) and "$" not in sql:
+                df = self.engine.sql(sql)  # lazy: schema only, no action
+                wfile.write(_Messages.row_description(list(df.dtypes)))
+            else:
+                # unbound parameters or no result set: client re-describes
+                # the portal after Bind to get the row shape
+                wfile.write(_Messages.msg(b"n", b""))  # NoData
+        elif tag == b"E":  # Execute: portal\0 maxrows
+            end = payload.index(b"\x00")
+            portal = payload[:end].decode()
+            (maxrows,) = struct.unpack_from(">I", payload, end + 1)
+            sql = state["portals"][portal]
+            df = self.engine.sql(sql)
+            if df is None or not df.columns:
+                wfile.write(_Messages.command_complete("OK"))
+            else:
+                cap = min(maxrows, self.limit) if maxrows else self.limit
+                rows = df.limit(cap + 1).collect()[:cap]
+                for r in rows:
+                    wfile.write(_Messages.data_row(list(r)))
+                wfile.write(_Messages.command_complete(f"SELECT {len(rows)}"))
+        elif tag == b"C":  # Close
+            kind, name = payload[:1], payload[1:].split(b"\x00")[0].decode()
+            (state["portals"] if kind == b"P" else state["stmts"]).pop(name, None)
+            wfile.write(_Messages.msg(b"3", b""))  # CloseComplete
+        elif tag == b"H":  # Flush
+            wfile.flush()
+
     # -- connection handling ------------------------------------------------
     def _handle_conn(self, rfile, wfile) -> None:
         # startup phase: length-prefixed, untagged messages
@@ -226,6 +327,7 @@ class PgWireServer:
         wfile.write(_Messages.ready())
         wfile.flush()
 
+        state = {"stmts": {}, "portals": {}, "error": False}
         while True:
             tag = rfile.read(1)
             if not tag:
@@ -245,13 +347,20 @@ class PgWireServer:
                     wfile.write(_Messages.error(str(exc)))
                 wfile.write(_Messages.ready())
                 wfile.flush()
+            elif tag == b"S":  # Sync: end of extended batch
+                state["error"] = False
+                wfile.write(_Messages.ready())
+                wfile.flush()
+            elif tag in (b"P", b"B", b"D", b"E", b"C", b"H"):
+                try:
+                    self._handle_extended(tag, payload, wfile, state)
+                except Exception as exc:  # noqa: BLE001 — wire boundary
+                    state["error"] = True
+                    wfile.write(_Messages.error(str(exc)))
+                    wfile.flush()
             else:
-                # extended-protocol or unknown: report and stay alive
                 wfile.write(
-                    _Messages.error(
-                        f"message {tag!r} not supported (simple query only)",
-                        "0A000",
-                    )
+                    _Messages.error(f"message {tag!r} not supported", "0A000")
                 )
                 wfile.write(_Messages.ready())
                 wfile.flush()
@@ -350,3 +459,75 @@ def _drain_until_ready(f) -> None:
             raise ConnectionError(payload)
         if tag == b"Z":
             return
+
+
+def pg_extended_query(
+    port: int,
+    sql: str,
+    params: list | None = None,
+    host: str = "127.0.0.1",
+    timeout: float = 60.0,
+):
+    """Extended-protocol client flow (what JDBC/psycopg send):
+    Parse -> Bind -> Describe(portal) -> Execute -> Sync. Returns
+    (columns, rows-as-text, error-or-None)."""
+    params = params or []
+    with socket.create_connection((host, port), timeout=timeout) as s:
+        f = s.makefile("rwb")
+        startup = b"user\x00konoha\x00\x00"
+        body = struct.pack(">I", 196608) + startup
+        f.write(struct.pack(">I", len(body) + 4) + body)
+        f.flush()
+        _drain_until_ready(f)
+
+        def send(tag: bytes, payload: bytes) -> None:
+            f.write(tag + struct.pack(">I", len(payload) + 4) + payload)
+
+        send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack(">H", 0))
+        bind = b"\x00\x00" + struct.pack(">H", 0) + struct.pack(">H", len(params))
+        for p in params:
+            if p is None:
+                bind += struct.pack(">i", -1)
+            else:
+                enc = str(p).encode()
+                bind += struct.pack(">i", len(enc)) + enc
+        bind += struct.pack(">H", 0)
+        send(b"B", bind)
+        send(b"D", b"P\x00")
+        send(b"E", b"\x00" + struct.pack(">I", 0))
+        send(b"S", b"")
+        f.flush()
+
+        cols, rows, err = [], [], None
+        while True:
+            tag = f.read(1)
+            (length,) = struct.unpack(">I", f.read(4))
+            payload = f.read(length - 4)
+            if tag == b"T":
+                (n,) = struct.unpack(">H", payload[:2])
+                pos = 2
+                cols = []
+                for _ in range(n):
+                    end = payload.index(b"\x00", pos)
+                    cols.append(payload[pos:end].decode())
+                    pos = end + 1 + 18
+            elif tag == b"D":
+                (n,) = struct.unpack(">H", payload[:2])
+                pos = 2
+                row = []
+                for _ in range(n):
+                    (ln,) = struct.unpack(">i", payload[pos : pos + 4])
+                    pos += 4
+                    if ln == -1:
+                        row.append(None)
+                    else:
+                        row.append(payload[pos : pos + ln].decode())
+                        pos += ln
+                rows.append(row)
+            elif tag == b"E":
+                fields = payload.split(b"\x00")
+                err = next(
+                    (x[1:].decode() for x in fields if x[:1] == b"M"), "error"
+                )
+            elif tag == b"Z":
+                return cols, rows, err

@@ -64,3 +64,29 @@ def test_concurrent_clients(server):
     for t in threads:
         t.join()
     assert all(err is None and rows == [[str(i), "2"]] for i, (rows, err) in out.items())
+
+
+def test_extended_protocol_prepared_statement(server):
+    from konohadataplatform_spark.pgwire import pg_extended_query
+
+    cols, rows, err = pg_extended_query(
+        server.port, "SELECT id, s FROM t WHERE id = $1", ["2"]
+    )
+    assert err is None
+    assert cols == ["id", "s"] and rows == [["2", "b"]]
+
+    # string param quoting + NULL param
+    cols, rows, err = pg_extended_query(
+        server.port, "SELECT id FROM t WHERE s = $1 OR $2 IS NOT NULL", ["a", None]
+    )
+    assert err is None and rows == [["1"]]
+
+
+def test_extended_protocol_error_recovers_at_sync(server):
+    from konohadataplatform_spark.pgwire import pg_extended_query
+
+    _c, _r, err = pg_extended_query(server.port, "SELECT * FROM nope_missing")
+    assert err is not None
+
+    cols, rows, err = pg_extended_query(server.port, "SELECT count(*) AS n FROM t")
+    assert err is None and rows == [["2"]]
