@@ -680,3 +680,50 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ewma.alias("ewma_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: the product-
+# analytics "what happens after X" table. One window (user-keyed) plus
+# two small aggs; probabilities are exact integer divisions.
+# --------------------------------------------------------------------------
+@query(
+    "q_events_transitions",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), p AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+      FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), t AS (
+      SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS tot
+      FROM p GROUP BY 1
+    )
+    SELECT p.prev_type, p.next_type, p.n_transitions,
+           CAST(p.n_transitions AS DOUBLE) / tot AS prob
+    FROM p JOIN t USING (prev_type)
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    p = e.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    t = p.groupBy("prev_type").agg(F.sum("n_transitions").alias("tot"))
+    return p.join(t, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.col("tot")).alias("prob"),
+    )
