@@ -1049,15 +1049,37 @@ class SnapshotCatalog:
         def phys_names(col: str) -> list[str]:
             return [p for p, cur in renames.items() if cur == col] + [col]
 
+        def partition_values(f: str) -> dict:
+            """col=value segments from the file's partition path (the
+            Hive layout Spark writes) — each is an exact [v, v] span."""
+            out = {}
+            for seg in os.path.relpath(f, snap.path).split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    out[k] = v
+            return out
+
         keep = []
         for f in files:
             fstats = stats.get(os.path.relpath(f, snap.path), {})
             if fstats.get("__rows__") == 0:
                 continue  # empty part file: no rows to contribute
+            parts = partition_values(f)
             ok = True
             for col, op, val in filters:
                 mms = [fstats.get(p) for p in phys_names(col) if p in fstats]
                 mm = mms[0] if mms else None
+                if mm is None:
+                    for p in phys_names(col):
+                        if p in parts:
+                            pv = parts[p]
+                            if isinstance(val, (int, float)) and not isinstance(val, bool):
+                                try:
+                                    pv = type(val)(pv)
+                                except ValueError:
+                                    break
+                            mm = [pv, pv]
+                            break
                 if not self._may_match(mm, op, val):
                     ok = False
                     break

@@ -56,6 +56,14 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
+    def scan(self, name: str, filters: list[tuple], version: int | None = None) -> DataFrame:
+        """Manifest-pruned read of a catalog table — identical rows to
+        ``table(name).filter(...)``, reading only files whose footer
+        stats / partition path can satisfy the predicate."""
+        if self.catalog is None:
+            raise ValueError("scan requires a catalog attached to the Engine")
+        return self.catalog.scan(name, filters, version)
+
     def udtf_register(self, name: str, udtf_cls) -> None:
         """Register a Python UDTF (table function) — the §2.11
         extensibility surface's table-valued half: usable directly in

@@ -1196,3 +1196,19 @@ def test_zorder_compact_prunes_on_both_columns(spark, catalog):
         for r in catalog.read("zt").filter("x = 3 AND y < 50").collect()
     )
     assert got == want and got
+
+
+def test_scan_prunes_partition_directories(spark, catalog):
+    """Hive-layout partition dirs (col=value) prune like exact [v, v]
+    stats — partition pruning without a Spark file listing."""
+    df = spark.createDataFrame(
+        [(i, f"d{i % 4}", i * 10) for i in range(40)], "id long, d string, v long"
+    )
+    catalog.write("pt", df, partition_by=["d"])
+    _s, keep, total = catalog.scan_files("pt", [("d", "=", "d2")])
+    assert keep and all("d=d2" in f for f in keep)
+    assert len(keep) < total
+
+    got = sorted(r.id for r in catalog.scan("pt", [("d", "=", "d2")]).collect())
+    want = sorted(r.id for r in catalog.read("pt").filter("d = 'd2'").collect())
+    assert got == want and got
