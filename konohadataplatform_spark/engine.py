@@ -38,12 +38,15 @@ class Engine:
         catalog API, and ``FOR TIMESTAMP|VERSION AS OF`` table clauses
         rewrite onto :meth:`table_at` time travel. Everything else is
         handed to Spark SQL unchanged."""
-        if self.catalog is not None:
-            from konohadataplatform_spark import sqldml
+        from konohadataplatform_spark import sqldml
 
+        if self.catalog is not None:
             if sqldml.is_dml(query):
                 return sqldml.dispatch(self, query)
             query = sqldml.rewrite_time_travel(self, query)
+        rewritten = sqldml.rewrite_qualify(query)
+        if rewritten is not None:
+            return self.spark.sql(rewritten).drop("__qualify__")
         return self.spark.sql(query)
 
     # ---- table registry -------------------------------------------------

@@ -777,3 +777,54 @@ def _dispatch_optimize(engine, q: str) -> DataFrame:
     else:
         snap = engine.catalog.compact(name)
     return _refresh_and_summarize(engine, name, snap)
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY (Snowflake/BigQuery/DuckDB ergonomics Spark lacks): filter on
+# window-function results without a subquery. Rewrite
+#   SELECT <list> FROM ... QUALIFY <pred>
+# to
+#   SELECT <list>, (<pred>) AS __qualify__ FROM ...
+# and let the caller filter+drop the marker column — window functions
+# are legal in the select list, so the predicate evaluates after the
+# window stage exactly as QUALIFY specifies.
+# ---------------------------------------------------------------------------
+
+def rewrite_qualify(query: str) -> str | None:
+    """Return the rewritten SQL if a top-level QUALIFY is present,
+    else None. Set-operation queries (UNION/INTERSECT/EXCEPT at top
+    level) are rejected with a clear error."""
+    q = _strip(query)
+    at = _find_keyword(q, "QUALIFY")
+    if at < 0:
+        return None
+    for kw in ("UNION", "INTERSECT", "EXCEPT"):
+        if _find_keyword(q, kw) >= 0:
+            raise ValueError(
+                "QUALIFY on a set-operation query is unsupported; wrap the "
+                "branch in a subquery"
+            )
+    pred_and_rest = q[at + len("QUALIFY"):].strip()
+    # QUALIFY may be followed by ORDER BY / LIMIT — keep them after the
+    # predicate ends
+    tail_at = min(
+        (p for p in (
+            _find_keyword(pred_and_rest, "ORDER"),
+            _find_keyword(pred_and_rest, "LIMIT"),
+        ) if p >= 0),
+        default=-1,
+    )
+    pred = pred_and_rest[:tail_at] if tail_at >= 0 else pred_and_rest
+    tail = pred_and_rest[tail_at:] if tail_at >= 0 else ""
+    head = q[:at].rstrip()
+    from_at = _find_keyword(head, "FROM")
+    if from_at < 0:
+        raise ValueError("QUALIFY requires a FROM clause")
+    inner = (
+        head[:from_at].rstrip()
+        + f", ({pred.strip()}) AS __qualify__ "
+        + head[from_at:]
+    )
+    # ORDER BY / LIMIT after QUALIFY apply to the FILTERED rows, so
+    # they live on the outer select, after the marker predicate
+    return f"SELECT * FROM ({inner}) WHERE __qualify__ {tail}".rstrip()

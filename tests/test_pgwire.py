@@ -90,3 +90,19 @@ def test_extended_protocol_error_recovers_at_sync(server):
 
     cols, rows, err = pg_extended_query(server.port, "SELECT count(*) AS n FROM t")
     assert err is None and rows == [["2"]]
+
+
+def test_type_fidelity_over_the_wire(server):
+    """Temporal/decimal/array values arrive as their canonical text
+    renderings (what a stock client parses by declared type oid)."""
+    cols, rows, err = pg_query(
+        server.port,
+        "SELECT DATE'2024-02-29' AS d, TIMESTAMP'2024-02-29 12:30:45' AS ts, "
+        "CAST(1.50 AS DECIMAL(10,2)) AS m, array(1,2,3) AS arr",
+    )
+    assert err is None
+    d, ts, m, arr = rows[0]
+    assert d == "2024-02-29"
+    assert ts.startswith("2024-02-29 12:30:45")
+    assert m == "1.50"
+    assert arr == "[1, 2, 3]"

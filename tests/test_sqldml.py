@@ -355,3 +355,29 @@ def test_call_procedures_and_optimize(engine, spark):
 
     with pytest.raises(ValueError, match="unknown procedure"):
         engine.sql("CALL system.no_such_proc('metrics')")
+
+
+def test_qualify_clause(engine, spark):
+    seed(engine)
+    # alias-free window predicate
+    got = sorted(
+        (r.id, r.tag)
+        for r in engine.sql(
+            "SELECT id, tag FROM metrics "
+            "QUALIFY ROW_NUMBER() OVER (ORDER BY v DESC) <= 2"
+        ).collect()
+    )
+    assert got == [(2, "b"), (3, "c")]
+
+    # with ORDER BY / LIMIT after the predicate
+    rows = engine.sql(
+        "SELECT id, v FROM metrics "
+        "QUALIFY RANK() OVER (ORDER BY v) >= 2 ORDER BY id LIMIT 1"
+    ).collect()
+    assert [(r.id, r.v) for r in rows] == [(2, 20.0)]
+
+    with pytest.raises(ValueError, match="set-operation"):
+        engine.sql(
+            "SELECT id FROM metrics QUALIFY ROW_NUMBER() OVER (ORDER BY id) = 1 "
+            "UNION ALL SELECT id FROM metrics"
+        )
