@@ -106,6 +106,19 @@ def decode_image(content: bytes) -> dict:
             "channels": img["channels"],
             "pixels": img["pixels"],
         }
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from konohadataplatform_spark.operators.gif_py import decode_gif
+
+        g = decode_gif(content)
+        first = g["frames"][0]
+        return {
+            "width": first["width"],
+            "height": first["height"],
+            "bpp": 24,
+            "channels": 3,
+            "pixels": first["pixels"],
+            "n_frames": g["n_frames"],
+        }
     if len(content) < 54 or content[:2] != b"BM":
         raise DecodeNotAvailable(
             "only baseline JPEG, uncompressed 24-bit BMP and 8-bit "
@@ -421,6 +434,18 @@ def decode_features(media: DataFrame) -> DataFrame:
             px = img["pixels"]
             mean = sum(px) / len(px) if px else None
             return (mid, "jpeg", img["width"], img["height"], None, None, mean)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            from konohadataplatform_spark.operators.gif_py import decode_gif
+
+            g = decode_gif(b)
+            first = g["frames"][0]
+            px = first["pixels"]
+            mean = sum(px) / len(px) if px else None
+            total_ms = sum(f["delay_ms"] for f in g["frames"])
+            return (
+                mid, "gif", first["width"], first["height"],
+                g["n_frames"], total_ms, mean,
+            )
         if b[:4] == b"RIFF":
             au = decode_audio(b)
             ss = au["samples"]
@@ -598,6 +623,48 @@ def documents_as_jpeg(docs: DataFrame) -> DataFrame:
         d = hashlib.md5(text.encode()).digest()[:4]
         px = bytes(d[(y // 8) * 2 + (x // 8)] for y in range(16) for x in range(16))
         return encode_jpeg_gray(16, 16, px)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": [one(t) for t in pdf["text"]]}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
+def documents_as_gif(docs: DataFrame, n_frames: int = 2) -> DataFrame:
+    """Deterministic REAL animated-GIF payloads (the video-column
+    analog): each doc becomes an 8x4 GIF whose frames index a 16-gray
+    palette by md5 digest bytes (frame k starts at byte offset 4*k,
+    cycling) — exact-match palette encode, so decode round-trips
+    bit-perfectly and the SQL oracle recomputes frame means from md5
+    hex, like documents_as_bmp/png/jpeg."""
+    from konohadataplatform_spark.operators.gif_py import encode_gif
+
+    palette = bytes(c for i in range(16) for c in (17 * i, 17 * i, 17 * i))
+    w, h = 8, 4
+
+    def one(text: str) -> bytes:
+        d = hashlib.md5(text.encode()).digest()
+        frames = []
+        for k in range(n_frames):
+            px = bytes(
+                c
+                for i in range(w * h)
+                for g in (17 * (d[(i + 4 * k) % 16] % 16),)
+                for c in (g, g, g)
+            )
+            frames.append(px)
+        return encode_gif(w, h, frames, palette=palette, delay_ms=40)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

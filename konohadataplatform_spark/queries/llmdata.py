@@ -1660,3 +1660,37 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/vocab counts and type-token ratio per source — exact
     integer aggregation with a single output division."""
     return TX.vocab_stats(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Real animated-GIF decode (the video-column analog: LZW + palette)
+# --------------------------------------------------------------------------
+@query(
+    "q_gif_decode",
+    f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         b AS (SELECT doc_id, {_MD5_BYTES} AS bytes FROM d)
+    SELECT doc_id, 'gif' AS fmt,
+           8 AS width, 4 AS height,
+           2 AS n_frames, CAST(80 AS BIGINT) AS duration_ms,
+           CAST(list_sum([17 * (x % 16) for x in bytes]) AS DOUBLE) / 16.0
+             AS mean_pixel
+    FROM b
+    """,
+)
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multi-frame decode: animated GIFs (16-gray palette indexed
+    by md5 bytes) decoded back through full LZW; first-frame mean,
+    frame count, and total duration all recomputed by the oracle from
+    md5 arithmetic. Payloads never cross a shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = M.decode_features(M.documents_as_gif(docs))
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "fmt",
+        "width",
+        "height",
+        F.col("n_samples").cast("int").alias("n_frames"),
+        F.col("duration_ms"),
+        F.col("mean_val").alias("mean_pixel"),
+    )

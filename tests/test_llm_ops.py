@@ -656,3 +656,40 @@ def test_vocab_stats_values(spark):
     assert out["s1"].n_tokens == 5 and out["s1"].n_distinct_words == 3
     assert abs(out["s1"].type_token_ratio - 0.6) < 1e-12
     assert out["s2"].n_tokens == 2 and out["s2"].type_token_ratio == 1.0
+
+
+def test_gif_codec_roundtrips():
+    """Stdlib GIF: LZW encode/decode round trip, multi-frame animation
+    with delays, code-width growth + dict reset on larger images."""
+    import random
+
+    from konohadataplatform_spark.operators import gif_py as G
+
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    w, h = 7, 5
+    px = bytes(c for i in range(w * h) for c in pal[3 * (i % 4):3 * (i % 4) + 3])
+    dec = G.decode_gif(G.encode_gif(w, h, [px], palette=pal))
+    assert (dec["width"], dec["n_frames"]) == (w, 1)
+    assert dec["frames"][0]["pixels"] == px
+
+    f2 = bytes(c for i in range(w * h) for c in pal[3 * ((i + 1) % 4):3 * ((i + 1) % 4) + 3])
+    dec = G.decode_gif(G.encode_gif(w, h, [px, f2, px], palette=pal, delay_ms=50))
+    assert dec["n_frames"] == 3
+    assert dec["frames"][1]["pixels"] == f2
+    assert dec["frames"][0]["delay_ms"] == 50
+
+    rnd = random.Random(42)
+    big = [rnd.randrange(4) for _ in range(64 * 64)]
+    bpx = bytes(c for i in big for c in pal[3 * i:3 * i + 3])
+    dec = G.decode_gif(G.encode_gif(64, 64, [bpx], palette=pal))
+    assert dec["frames"][0]["pixels"] == bpx
+
+    # decode_image dispatch: first frame, n_frames surfaced
+    img = M.decode_image(G.encode_gif(w, h, [px, f2], palette=pal))
+    assert (img["width"], img["height"], img["n_frames"]) == (w, h, 2)
+    assert img["pixels"] == px
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not in palette"):
+        G.encode_gif(1, 1, [b"\x01\x02\x03"], palette=pal)
