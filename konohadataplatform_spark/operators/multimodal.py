@@ -681,3 +681,45 @@ def documents_as_gif(docs: DataFrame, n_frames: int = 2) -> DataFrame:
             ]
         ),
     )
+
+
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("delay_ms", T.LongType(), True),
+        T.StructField("frame_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def gif_frames(media: DataFrame, stride: int = 1) -> DataFrame:
+    """REAL frame extraction from animated-GIF payloads: one output row
+    per kept frame (every ``stride``-th), with per-frame pixel means —
+    the video frame-sampling stage with actual decode work. Arrow
+    batches, payloads never shuffle; downstream joins see only scalar
+    frame features."""
+    from konohadataplatform_spark.operators.gif_py import decode_gif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                g = decode_gif(bytes(content))
+                for i, fr in enumerate(g["frames"]):
+                    if i % stride:
+                        continue
+                    px = fr["pixels"]
+                    rows.append(
+                        (
+                            mid, i, fr["width"], fr["height"], fr["delay_ms"],
+                            sum(px) / len(px) if px else None,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in GIF_FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(run, GIF_FRAME_SCHEMA)

@@ -1694,3 +1694,29 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("duration_ms"),
         F.col("mean_val").alias("mean_pixel"),
     )
+
+
+@query(
+    "q_gif_frame_sample",
+    f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         b AS (SELECT doc_id, {_MD5_BYTES} AS bytes FROM d),
+         k AS (SELECT unnest([0, 1]) AS frame_idx)
+    SELECT doc_id, frame_idx, 8 AS width, 4 AS height,
+           CAST(40 AS BIGINT) AS delay_ms,
+           CAST(list_sum(
+             [17 * (bytes[(i + 4 * frame_idx) % 16 + 1] % 16)
+              for i in range(0, 16)]
+           ) AS DOUBLE) / 16.0 AS frame_mean
+    FROM b, k
+    """,
+)
+def q_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame extraction through the real LZW decoder: every frame
+    of every doc's animated GIF, with per-frame means the oracle
+    recomputes from md5 byte arithmetic (frame k reads digest bytes at
+    offset 4k, cycled over 32 gray pixels -> mean = digest mean of the
+    rotated view)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = M.gif_frames(M.documents_as_gif(docs), stride=1)
+    return out.withColumnRenamed("media_id", "doc_id")
