@@ -331,11 +331,13 @@ def test_thumbnail_pipeline_deterministic(spark):
 def test_resize_stub_raises(spark):
     import pytest
 
-    # GIF is still PIL-only; a truncated JPEG is corrupt, not missing
+    # TIFF is still PIL-only; truncated JPEG/GIF are corrupt, not missing
     with pytest.raises(NotImplementedError):
-        M.resize_image(b"GIF89a" + b"\x00" * 60, 64, 64)
+        M.resize_image(b"II*\x00" + b"\x00" * 60, 64, 64)
     with pytest.raises(ValueError):
         M.resize_image(b"\xff\xd8", 64, 64)
+    with pytest.raises(ValueError):
+        M.decode_image(b"GIF89a" + b"\x00" * 8)
 
 
 def test_cosine_neardup_lsh_recall(spark):
