@@ -56,6 +56,9 @@ EXTENDED = [
     "q_png_decode",
     "q_decontaminate",
     "q_boilerplate_coverage",
+    "q_jpeg_decode",
+    "q_gif_frame_sample",
+    "q_unigram_surprisal",
 ]
 
 

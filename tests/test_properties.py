@@ -446,3 +446,34 @@ def test_ocf_deflate_roundtrip_property(sr):
         got_schema, got = avro_py.read_ocf(path)
     assert got_schema == schema
     assert got == rows
+
+
+from konohadataplatform_spark.operators import gif_py
+
+
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=2, max_value=8),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_property(w, h, n_frames, n_colors, rnd):
+    """LZW + palette roundtrip for arbitrary dims/frame counts/palette
+    sizes (exercises code-width growth and multi-frame framing)."""
+    # random RG channels; B = palette index so entries are distinct and
+    # the exact-match encode lookup stays 1:1
+    pal = bytes(
+        v
+        for i in range(n_colors)
+        for v in (rnd.randrange(256), rnd.randrange(256), i)
+    )
+    frames = []
+    for _ in range(n_frames):
+        idx = [rnd.randrange(n_colors) for _ in range(w * h)]
+        frames.append(bytes(c for i in idx for c in pal[3 * i : 3 * i + 3]))
+    dec = gif_py.decode_gif(gif_py.encode_gif(w, h, frames, palette=pal))
+    assert dec["n_frames"] == n_frames
+    for k, fr in enumerate(dec["frames"]):
+        assert fr["pixels"] == frames[k]
