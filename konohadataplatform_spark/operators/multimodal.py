@@ -723,3 +723,54 @@ def gif_frames(media: DataFrame, stride: int = 1) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in GIF_FRAME_SCHEMA.fields])
 
     return media.mapInPandas(run, GIF_FRAME_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("energy", T.LongType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_window_stats(media: DataFrame, window: int = 4) -> DataFrame:
+    """Windowed audio analysis over PCM payloads: per fixed window of
+    ``window`` samples, the energy (sum of squares), zero-crossing
+    count (sign changes between consecutive in-window samples; 0 counts
+    as non-negative), and peak |amplitude| — the silence/clipping/
+    activity features an audio curation pipeline filters on. Exact
+    integer math end to end (oracle-replayable); trailing partial
+    windows are kept. Arrow batches, payloads never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                au = decode_audio(bytes(content))
+                ss = au["samples"]
+                for w0 in range(0, len(ss), window):
+                    sub = ss[w0 : w0 + window]
+                    zc = sum(
+                        1
+                        for a, b in zip(sub, sub[1:])
+                        if (a < 0) != (b < 0)
+                    )
+                    rows.append(
+                        (
+                            mid,
+                            w0 // window,
+                            sum(x * x for x in sub),
+                            zc,
+                            max(abs(x) for x in sub),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_WINDOW_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, AUDIO_WINDOW_SCHEMA)

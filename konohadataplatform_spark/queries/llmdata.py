@@ -1720,3 +1720,42 @@ def q_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = M.gif_frames(M.documents_as_gif(docs), stride=1)
     return out.withColumnRenamed("media_id", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Windowed audio analysis (silence/clipping/activity curation features)
+# --------------------------------------------------------------------------
+@query(
+    "q_wav_windows",
+    f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         b AS (SELECT doc_id, {_MD5_BYTES} AS bytes FROM d),
+         s AS (SELECT doc_id,
+                      [ CASE WHEN bytes[2*j+1] + 256 * bytes[2*j+2] >= 32768
+                             THEN bytes[2*j+1] + 256 * bytes[2*j+2] - 65536
+                             ELSE bytes[2*j+1] + 256 * bytes[2*j+2] END
+                        for j in range(0, 8) ] AS samples
+               FROM b),
+         w AS (SELECT doc_id, samples, unnest([0, 1]) AS window_idx FROM s),
+         x AS (SELECT doc_id, window_idx,
+                      samples[4*window_idx+1 : 4*window_idx+4] AS sub
+               FROM w)
+    SELECT doc_id, window_idx,
+           CAST(list_sum([v * v for v in sub]) AS BIGINT) AS energy,
+           CAST(
+             (CASE WHEN (sub[1] < 0) <> (sub[2] < 0) THEN 1 ELSE 0 END)
+             + (CASE WHEN (sub[2] < 0) <> (sub[3] < 0) THEN 1 ELSE 0 END)
+             + (CASE WHEN (sub[3] < 0) <> (sub[4] < 0) THEN 1 ELSE 0 END)
+           AS INT) AS zero_crossings,
+           CAST(list_max([abs(v) for v in sub]) AS INT) AS peak
+    FROM x
+    """,
+)
+def q_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window energy / zero-crossing / peak stats through the real
+    WAV decoder (8 md5-derived int16 samples, window=4 -> 2 windows per
+    doc). Exact integer arithmetic, recomputed by the oracle from md5
+    bytes with the same sign convention."""
+    docs = _t(spark, sf_dir, "documents")
+    out = M.audio_window_stats(M.documents_as_wav(docs), window=4)
+    return out.withColumnRenamed("media_id", "doc_id")

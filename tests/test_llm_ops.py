@@ -695,3 +695,23 @@ def test_gif_codec_roundtrips():
 
     with pytest.raises(ValueError, match="not in palette"):
         G.encode_gif(1, 1, [b"\x01\x02\x03"], palette=pal)
+
+
+def test_audio_window_stats_values(spark):
+    """Constructed PCM: energy/zero-crossings/peak per window, exact."""
+    media = M.documents_as_media(
+        spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    )
+    # bypass the md5 fixture: hand-build one WAV with known samples
+    import pandas as pd
+
+    wav = M.encode_wav([100, -200, 300, 0, -5, -5, 5, 5], 8000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [7], "content": [wav]})
+    )
+    out = {r.window_idx: r for r in M.audio_window_stats(df, window=4).collect()}
+    w0, w1 = out[0], out[1]
+    assert w0.energy == 100**2 + 200**2 + 300**2 + 0
+    assert w0.zero_crossings == 2  # +100 -> -200 -> +300 -> 0 (0 is non-neg)
+    assert w0.peak == 300
+    assert w1.energy == 25 * 4 and w1.zero_crossings == 1 and w1.peak == 5
