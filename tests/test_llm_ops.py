@@ -715,3 +715,37 @@ def test_audio_window_stats_values(spark):
     assert w0.zero_crossings == 2  # +100 -> -200 -> +300 -> 0 (0 is non-neg)
     assert w0.peak == 300
     assert w1.energy == 25 * 4 and w1.zero_crossings == 1 and w1.peak == 5
+
+
+def test_gif_interlaced_decode():
+    """Hand-built interlaced GIF (flag 0x40, spec row passes 8/8/4/2)
+    reconstructs to the same pixels as the sequential encoding."""
+    import struct as _s
+
+    from konohadataplatform_spark.operators import gif_py as G
+
+    pal = bytes(c for i in range(4) for c in (i * 80 % 256, i * 40 % 256, i))
+    w, h = 4, 9
+    idx = [(r * 3 + c) % 4 for r in range(h) for c in range(w)]
+    px = bytes(c for i in idx for c in pal[3 * i:3 * i + 3])
+
+    # interlaced row order per spec
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    inter_idx = [idx[r * w + c] for r in order for c in range(w)]
+
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)  # GCT, 4 colors
+    out += pal
+    out += b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out.append(2)  # min code size
+    payload = G._lzw_encode(2, inter_idx)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    out.append(0x3B)
+
+    dec = G.decode_gif(bytes(out))
+    assert dec["frames"][0]["pixels"] == px
