@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _DML_RE = re.compile(
-    r"^\s*(MERGE|DELETE|UPDATE|ALTER|INSERT|TRUNCATE|DROP|CREATE|CALL|OPTIMIZE)\b",
+    r"^\s*(MERGE|DELETE|UPDATE|ALTER|INSERT|TRUNCATE|DROP|CREATE|CALL|OPTIMIZE)\b"
+    r"|^\s*DESCRIBE\s+HISTORY\b",
     re.IGNORECASE,
 )
 
@@ -655,9 +656,22 @@ def dispatch(engine, query: str) -> DataFrame:
     """Route one DML statement onto the catalog API; returns a one-row
     summary DataFrame (operation, table, version)."""
     q = _strip(query)
-    head = _DML_RE.match(q).group(1).upper()
+    m = _DML_RE.match(q)
+    head = (m.group(1) or "DESCRIBE").upper()
     if engine.catalog is None:
         raise ValueError(f"{head} requires a catalog attached to the Engine")
+    if head == "DESCRIBE":
+        name = re.match(
+            r"DESCRIBE\s+HISTORY\s+([\w.`]+)", q, re.IGNORECASE
+        ).group(1).strip("`")
+        rows = [
+            (s.version, s.operation, s.timestamp_ms, s.row_count)
+            for s in engine.catalog.history(name)
+        ]
+        return engine.spark.createDataFrame(
+            rows,
+            "version int, operation string, timestamp_ms long, row_count long",
+        )
     if head == "DELETE":
         return _dispatch_delete(engine, q)
     if head == "UPDATE":

@@ -477,3 +477,58 @@ def test_gif_roundtrip_property(w, h, n_frames, n_colors, rnd):
     assert dec["n_frames"] == n_frames
     for k, fr in enumerate(dec["frames"]):
         assert fr["pixels"] == frames[k]
+
+
+# ---------------------------------------------------------------------------
+# Manifest pruning property: scan(t, F) must equal read(t).filter(F)
+# for arbitrary predicates over a range-clustered AND a partitioned
+# table — pruning may only skip files that cannot matter.
+# ---------------------------------------------------------------------------
+
+_SCAN_TABLES: dict = {}
+
+
+def _scan_fixture(spark, tmp_path_factory):
+    key = id(spark)
+    if key not in _SCAN_TABLES:
+        base = tmp_path_factory.mktemp("scan_prop")
+        cat = SnapshotCatalog(spark, str(base / "wh"))
+        from pyspark.sql import functions as SF
+
+        df = (
+            spark.range(0, 3000)
+            .withColumn("v", (SF.col("id") * 7) % 91)
+            .withColumn("p", SF.concat(SF.lit("g"), SF.col("id") % 5))
+            .repartitionByRange(6, "id")
+        )
+        cat.write("ranged", df)
+        cat.write("parted", df, partition_by=["p"])
+        _SCAN_TABLES[key] = cat
+    return _SCAN_TABLES[key]
+
+
+_filter_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["id", "v"]),
+        st.sampled_from(["=", "<", "<=", ">", ">="]),
+        st.integers(min_value=-10, max_value=3100),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(_filter_strategy, st.sampled_from(["ranged", "parted"]), st.booleans())
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_scan_equals_filtered_read(spark, tmp_path_factory, filters, table, add_part):
+    cat = _scan_fixture(spark, tmp_path_factory)
+    if add_part and table == "parted":
+        filters = filters + [("p", "=", "g3")]
+    got = sorted(tuple(r) for r in cat.scan(table, filters).collect())
+    df = cat.read(table)
+    for col, op, val in filters:
+        sql_op = "=" if op in ("=", "==") else op
+        lit = f"'{val}'" if isinstance(val, str) else str(val)
+        df = df.filter(f"{col} {sql_op} {lit}")
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want

@@ -381,3 +381,11 @@ def test_qualify_clause(engine, spark):
             "SELECT id FROM metrics QUALIFY ROW_NUMBER() OVER (ORDER BY id) = 1 "
             "UNION ALL SELECT id FROM metrics"
         )
+
+
+def test_describe_history(engine):
+    seed(engine)
+    engine.sql("INSERT INTO metrics VALUES (9, 'z', 1.0)")
+    hist = engine.sql("DESCRIBE HISTORY metrics").collect()
+    assert [r.version for r in hist] == [1, 2]
+    assert hist[1].operation.startswith("insert")
