@@ -774,3 +774,60 @@ def audio_window_stats(media: DataFrame, window: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(run, AUDIO_WINDOW_SCHEMA)
+
+
+def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
+    """One binary column, five modalities: each doc becomes a BMP, PNG,
+    JPEG, GIF, or WAV payload (doc_id % 5) built from its md5 digest
+    with the same per-format fixtures as the single-format builders —
+    the realistic shape of a crawled multimodal corpus, exercising the
+    full decode dispatch under ONE scan."""
+    from konohadataplatform_spark.operators.gif_py import encode_gif
+    from konohadataplatform_spark.operators.jpeg_py import encode_jpeg_gray
+
+    gif_pal = bytes(c for i in range(16) for c in (17 * i, 17 * i, 17 * i))
+
+    def one(doc_id: int, text: str) -> bytes:
+        d = hashlib.md5(text.encode()).digest()
+        kind = doc_id % 5
+        if kind == 0:
+            return encode_bmp(8, 4, (d * 7)[: 8 * 4 * 3])
+        if kind == 1:
+            return encode_png(8, 4, (d * 7)[: 8 * 4 * 3])
+        if kind == 2:
+            px = bytes(d[(y // 8) * 2 + (x // 8)] for y in range(16) for x in range(16))
+            return encode_jpeg_gray(16, 16, px)
+        if kind == 3:
+            frames = []
+            for k in range(2):
+                frames.append(
+                    bytes(
+                        c
+                        for i in range(32)
+                        for g in (17 * (d[(i + 4 * k) % 16] % 16),)
+                        for c in (g, g, g)
+                    )
+                )
+            return encode_gif(8, 4, frames, palette=gif_pal, delay_ms=40)
+        return encode_wav(list(struct.unpack("<8h", d)), 8000)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        one(int(i), t) for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        ),
+    )

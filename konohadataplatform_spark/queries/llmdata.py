@@ -1759,3 +1759,47 @@ def q_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = M.audio_window_stats(M.documents_as_wav(docs), window=4)
     return out.withColumnRenamed("media_id", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Mixed-modality media column: one scan, five formats, one dispatch
+# --------------------------------------------------------------------------
+@query(
+    "q_media_dispatch",
+    f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         b AS (SELECT doc_id, doc_id % 5 AS kind, {_MD5_BYTES} AS bytes FROM d),
+         s AS (SELECT doc_id, kind, bytes,
+                      [ CASE WHEN bytes[2*j+1] + 256 * bytes[2*j+2] >= 32768
+                             THEN bytes[2*j+1] + 256 * bytes[2*j+2] - 65536
+                             ELSE bytes[2*j+1] + 256 * bytes[2*j+2] END
+                        for j in range(0, 8) ] AS samples
+               FROM b)
+    SELECT doc_id,
+           CASE kind WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
+                     WHEN 3 THEN 'gif' ELSE 'wav' END AS fmt,
+           CASE WHEN kind IN (0, 1) THEN 8 WHEN kind = 2 THEN 16
+                WHEN kind = 3 THEN 8 END AS width,
+           CASE WHEN kind IN (0, 1, 3) THEN 4 WHEN kind = 2 THEN 16 END AS height,
+           CASE WHEN kind = 3 THEN 2 WHEN kind = 4 THEN 8 END AS n_samples,
+           CAST(CASE WHEN kind = 3 THEN 80 WHEN kind = 4 THEN 1 END AS BIGINT)
+             AS duration_ms,
+           CASE kind
+             WHEN 2 THEN CAST(bytes[1] + bytes[2] + bytes[3] + bytes[4] AS DOUBLE) / 4.0
+             WHEN 3 THEN CAST(list_sum([17 * (x % 16) for x in bytes]) AS DOUBLE) / 16.0
+             WHEN 4 THEN CAST(list_sum(samples) AS DOUBLE) / 8.0
+             ELSE CAST(list_sum(bytes) AS DOUBLE) / 16.0
+           END AS mean_val
+    FROM s
+    """,
+)
+def q_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal-corpus shape: ONE binary column carrying five
+    formats (doc_id % 5 -> BMP/PNG/JPEG/GIF/WAV), decoded by the single
+    decode_features dispatch in one scan. Every per-format feature is
+    recomputed by the oracle from md5 arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    out = M.decode_features(M.documents_as_mixed_media(docs))
+    return out.withColumnRenamed("media_id", "doc_id").withColumn(
+        "n_samples", F.col("n_samples").cast("int")
+    )
