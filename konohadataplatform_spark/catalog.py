@@ -1100,26 +1100,31 @@ class SnapshotCatalog:
         residual filter keeps row-level exactness either way."""
         snap, keep, _total = self.scan_files(name, filters, version)
         if not keep:
-            df = self._read_snapshot(snap).limit(0)
+            # empty schema-stable base — but MOR layers below must STILL
+            # be applied: matching rows may live only in _upserts dirs
+            reader = self.spark.read
+            if snap.mixed_schema:
+                reader = reader.option("mergeSchema", "true")
+            df = self._apply_schema_meta(reader.parquet(snap.path), snap).limit(0)
         else:
             reader = self.spark.read.option("basePath", snap.path)
             if snap.mixed_schema:
                 reader = reader.option("mergeSchema", "true")
             df = self._apply_schema_meta(reader.parquet(*keep), snap)
-            for layer_rel in snap.upsert_layers or []:
-                layer = self._apply_schema_meta(
-                    self.spark.read.parquet(os.path.join(snap.path, layer_rel)), snap
-                )
-                df = df.join(
-                    layer.select(*snap.upsert_key_cols).distinct(),
-                    snap.upsert_key_cols,
-                    "left_anti",
-                ).unionByName(layer, allowMissingColumns=True)
-            if snap.delete_path and os.path.isdir(snap.delete_path):
-                dels = self._apply_schema_meta(
-                    self.spark.read.parquet(snap.delete_path), snap
-                )
-                df = df.join(dels, snap.delete_key_cols, "left_anti")
+        for layer_rel in snap.upsert_layers or []:
+            layer = self._apply_schema_meta(
+                self.spark.read.parquet(os.path.join(snap.path, layer_rel)), snap
+            )
+            df = df.join(
+                layer.select(*snap.upsert_key_cols).distinct(),
+                snap.upsert_key_cols,
+                "left_anti",
+            ).unionByName(layer, allowMissingColumns=True)
+        if snap.delete_path and os.path.isdir(snap.delete_path):
+            dels = self._apply_schema_meta(
+                self.spark.read.parquet(snap.delete_path), snap
+            )
+            df = df.join(dels, snap.delete_key_cols, "left_anti")
         cmp = {
             "=": lambda c, v: c == v,
             "==": lambda c, v: c == v,
@@ -1300,18 +1305,22 @@ class SnapshotCatalog:
         """Interleaved-bit Z-address over min/max-normalized columns —
         a pure column expression (shift/and/or), fully codegen'd. Each
         column is linearly scaled to [0, 2^bits); bit i of column j
-        lands at position i*ncols + j."""
+        lands at position i*ncols + j. Bits are capped so the highest
+        position stays below 63 — the long sign bit must never be set
+        or half the address space would sort negative."""
         ncols = len(cols)
+        bits = min(bits, 63 // ncols)
+        top = (1 << bits) - 1
         norm = []
         for c in cols:
             lo, hi = mins[c], maxs[c]
             span = (hi - lo) or 1
             norm.append(
                 F.least(
-                    F.lit((1 << 16) - 1),
+                    F.lit(top),
                     (
                         (F.col(c).cast("double") - F.lit(float(lo)))
-                        * F.lit(float((1 << 16) - 1))
+                        * F.lit(float(top))
                         / F.lit(float(span))
                     ).cast("long"),
                 )

@@ -191,7 +191,10 @@ class _BitReader:
             else:
                 raise JpegError("expected a marker in entropy stream")
         else:
-            self.pos += 2  # consume the 0xFF xx we peeked at in _fill
+            # _fill consumed the 0xFF prefix already (pos sits ON the
+            # marker byte) — consume exactly that one byte, or the
+            # first entropy byte of the next restart interval is lost
+            self.pos += 1
         m, self.marker = self.marker, None
         return m
 

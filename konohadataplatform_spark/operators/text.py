@@ -107,9 +107,14 @@ def word_ngrams(words: Column, n: int) -> Column:
     Yields size(words) - n + 1 grams (empty array when the doc is
     shorter than n words).
     """
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
         lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    # sequence(1, 0) would yield the DESCENDING [1, 0] and slice would
+    # reject start 0 — short docs must short-circuit to an empty array
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        grams
     )
 
 

@@ -75,11 +75,19 @@ def _pg_text(v) -> bytes | None:
 
 def _split_statements(sql: str) -> list[str]:
     """Split on semicolons outside single/double quotes (the protocol
-    allows multiple statements per Query message)."""
+    allows multiple statements per Query message). Backslash-escaped
+    quotes inside literals (legal in Spark SQL) do not close them."""
     out, buf, q = [], [], None
+    skip = False
     for ch in sql:
+        if skip:
+            buf.append(ch)
+            skip = False
+            continue
         if q:
-            if ch == q:
+            if ch == "\\":
+                skip = True
+            elif ch == q:
                 q = None
             buf.append(ch)
         elif ch in ("'", '"'):
@@ -96,6 +104,42 @@ def _split_statements(sql: str) -> list[str]:
     if s:
         out.append(s)
     return out
+
+
+def _sub_placeholders(sql: str, repl) -> tuple[str, bool]:
+    """Replace $n placeholders OUTSIDE string literals via ``repl(n)``;
+    returns (new_sql, any_found). Quote- and backslash-aware, so a
+    literal like 'costs $1 each' is never touched."""
+    out = []
+    i, n, q, found = 0, len(sql), None, False
+    while i < n:
+        ch = sql[i]
+        if q:
+            out.append(ch)
+            if ch == "\\" and i + 1 < n:
+                out.append(sql[i + 1])
+                i += 2
+                continue
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            q = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "$" and i + 1 < n and sql[i + 1].isdigit():
+            j = i + 1
+            while j < n and sql[j].isdigit():
+                j += 1
+            out.append(repl(int(sql[i + 1 : j])))
+            found = True
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out), found
 
 
 class _Messages:
@@ -199,10 +243,12 @@ class PgWireServer:
     # -- extended protocol --------------------------------------------------
     @staticmethod
     def _bind_params(sql: str, params: list) -> str:
-        """Substitute $1..$n with SQL literals (text-format params)."""
+        """Substitute $1..$n (outside string literals) with SQL
+        literals (text-format params)."""
         import re
 
-        def lit(v):
+        def lit(n: int) -> str:
+            v = params[n - 1]
             if v is None:
                 return "NULL"
             s = v.decode("utf-8")
@@ -210,9 +256,7 @@ class PgWireServer:
                 return s
             return "'" + s.replace("'", "''") + "'"
 
-        return re.sub(
-            r"\$(\d+)", lambda m: lit(params[int(m.group(1)) - 1]), sql
-        )
+        return _sub_placeholders(sql, lit)[0]
 
     @staticmethod
     def _returns_rows(sql: str) -> bool:
@@ -253,19 +297,22 @@ class PgWireServer:
                     params.append(payload[pos : pos + ln])
                     pos += ln
             sql = self._bind_params(state["stmts"][stmt], params)
-            state["portals"][portal] = sql
+            state["portals"][portal] = {"sql": sql, "rows": None, "pos": 0}
             wfile.write(_Messages.msg(b"2", b""))  # BindComplete
         elif tag == b"D":  # Describe 'S'|'P' + name
             kind, name = payload[:1], payload[1:].split(b"\x00")[0].decode()
-            sql = (
-                state["portals"].get(name)
-                if kind == b"P"
-                else state["stmts"].get(name)
-            )
+            if kind == b"P":
+                entry = state["portals"].get(name)
+                sql = entry["sql"] if entry else None
+            else:
+                sql = state["stmts"].get(name)
             if kind == b"S":
                 # ParameterDescription: we accept any params as text
                 wfile.write(_Messages.msg(b"t", struct.pack(">H", 0)))
-            if sql is not None and self._returns_rows(sql) and "$" not in sql:
+            has_params = (
+                sql is not None and _sub_placeholders(sql, lambda n: "NULL")[1]
+            )
+            if sql is not None and self._returns_rows(sql) and not has_params:
                 df = self.engine.sql(sql)  # lazy: schema only, no action
                 wfile.write(_Messages.row_description(list(df.dtypes)))
             else:
@@ -276,15 +323,24 @@ class PgWireServer:
             end = payload.index(b"\x00")
             portal = payload[:end].decode()
             (maxrows,) = struct.unpack_from(">I", payload, end + 1)
-            sql = state["portals"][portal]
-            df = self.engine.sql(sql)
-            if df is None or not df.columns:
-                wfile.write(_Messages.command_complete("OK"))
+            entry = state["portals"][portal]
+            if entry["rows"] is None:
+                df = self.engine.sql(entry["sql"])
+                if df is None or not df.columns:
+                    entry["rows"] = []
+                    wfile.write(_Messages.command_complete("OK"))
+                    return
+                entry["rows"] = df.limit(self.limit + 1).collect()[: self.limit]
+            rows = entry["rows"]
+            take = rows[entry["pos"] : entry["pos"] + maxrows] if maxrows else rows[entry["pos"] :]
+            for r in take:
+                wfile.write(_Messages.data_row(list(r)))
+            entry["pos"] += len(take)
+            if entry["pos"] < len(rows):
+                # fetch-size clients (JDBC setFetchSize) resume with
+                # another Execute on the same portal
+                wfile.write(_Messages.msg(b"s", b""))  # PortalSuspended
             else:
-                cap = min(maxrows, self.limit) if maxrows else self.limit
-                rows = df.limit(cap + 1).collect()[:cap]
-                for r in rows:
-                    wfile.write(_Messages.data_row(list(r)))
                 wfile.write(_Messages.command_complete(f"SELECT {len(rows)}"))
         elif tag == b"C":  # Close
             kind, name = payload[:1], payload[1:].split(b"\x00")[0].decode()

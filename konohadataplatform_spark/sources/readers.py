@@ -108,10 +108,16 @@ def archive_stream(
             for combo in combos:
                 sub = stamped
                 for c, v in zip(cols, combo):
-                    sub = sub.filter(F.col(c) == F.lit(v))
+                    # null-safe: a NULL partition value must select its
+                    # rows (plain == NULL matches nothing and would
+                    # silently drop them from the archive)
+                    sub = sub.filter(F.col(c).eqNullSafe(F.lit(v)))
                 subdir = os.path.join(
                     path,
-                    *(f"{c}={v}" for c, v in zip(cols, combo)),
+                    *(
+                        f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                        for c, v in zip(cols, combo)
+                    ),
                     f"batch-{batch_id:06d}",
                 )
                 avro_py.write_avro_partitions(sub.drop(*cols), subdir, "envelope")
@@ -177,7 +183,9 @@ def read_duckdb(
     if lo is None:
         return spark.createDataFrame(empty)
 
-    # inclusive integer ranges, last bucket takes the remainder
+    # inclusive integer ranges, last bucket takes the remainder; one
+    # extra task fetches NULL-keyed rows (MIN/MAX ignore NULLs and
+    # BETWEEN never matches them — they must not be silently dropped)
     lo, hi = int(lo), int(hi)
     step = max(1, (hi - lo + 1) // num_partitions)
     bounds = []
@@ -186,6 +194,7 @@ def read_duckdb(
         end = hi if len(bounds) == num_partitions - 1 else min(hi, start + step - 1)
         bounds.append((start, end))
         start = end + 1
+    bounds.append((None, None))  # the IS NULL task
     ranges = spark.createDataFrame(bounds, "lo long, hi long").repartition(
         len(bounds)
     )
@@ -197,11 +206,15 @@ def read_duckdb(
 
         for pdf in batches:
             for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
+                pred = (
+                    f"{partition_col} IS NULL"
+                    if pd.isna(lo_)
+                    else f"{partition_col} BETWEEN {int(lo_)} AND {int(hi_)}"
+                )
                 c = ddb.connect(db_path, read_only=True)
                 try:
                     yield c.execute(
-                        f"SELECT * FROM ({query}) q "
-                        f"WHERE {partition_col} BETWEEN {int(lo_)} AND {int(hi_)}"
+                        f"SELECT * FROM ({query}) q WHERE {pred}"
                     ).fetchdf()
                 finally:
                     c.close()

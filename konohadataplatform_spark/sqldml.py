@@ -725,25 +725,42 @@ _OPTIMIZE_RE = re.compile(
 )
 
 
-def _call_args(raw: str) -> list:
-    """Split a procedure argument list on top-level commas; literals
-    only (quoted strings and numbers — the Iceberg procedure forms)."""
-    out = []
+def _call_args(raw: str) -> tuple[list, dict]:
+    """Parse a procedure argument list: positional literals plus
+    Iceberg-style ``name => value`` named arguments (any order).
+    Returns (positional, named)."""
+
+    def literal(p: str):
+        if (p.startswith("'") and p.endswith("'")) or (
+            p.startswith('"') and p.endswith('"')
+        ):
+            return p[1:-1]
+        if p.upper() in ("TRUE", "FALSE"):
+            return p.upper() == "TRUE"
+        return int(p) if re.fullmatch(r"-?\d+", p) else float(p)
+
+    pos, named = [], {}
     for part in _split_top_level(raw, ","):
         p = part.strip()
         if not p:
             continue
-        if "=>" in p:  # named argument form: name => value
-            p = p.split("=>", 1)[1].strip()
-        if (p.startswith("'") and p.endswith("'")) or (
-            p.startswith('"') and p.endswith('"')
-        ):
-            out.append(p[1:-1])
-        elif p.upper() in ("TRUE", "FALSE"):
-            out.append(p.upper() == "TRUE")
+        if "=>" in p:
+            name, _, val = p.partition("=>")
+            named[name.strip().lower()] = literal(val.strip())
         else:
-            out.append(int(p) if re.fullmatch(r"-?\d+", p) else float(p))
-    return out
+            pos.append(literal(p))
+    return pos, named
+
+
+def _arg(pos: list, named: dict, index: int, *names, default=None):
+    """Resolve one procedure parameter: named form wins, else
+    positional, else default."""
+    for n in names:
+        if n in named:
+            return named[n]
+    if index < len(pos):
+        return pos[index]
+    return default
 
 
 def _dispatch_call(engine, q: str) -> DataFrame:
@@ -751,25 +768,32 @@ def _dispatch_call(engine, q: str) -> DataFrame:
     if not m:
         raise ValueError(f"cannot parse CALL statement: {q!r}")
     proc = m.group(1).lower()
-    args = _call_args(m.group(2))
+    pos, named = _call_args(m.group(2))
+    name = _arg(pos, named, 0, "table")
+    if name is None:
+        raise ValueError(f"CALL {proc}: missing table argument")
     if proc == "expire_snapshots":
-        name, keep = args[0], int(args[1]) if len(args) > 1 else 1
+        keep = int(_arg(pos, named, 1, "retain_last", "keep_last", default=1))
         removed = engine.catalog.expire_snapshots(name, keep_last=keep)
         return engine.spark.createDataFrame(
             [(proc, name, removed)], "procedure string, table string, removed int"
         )
     if proc in ("rewrite_data_files", "compact"):
-        name = args[0]
-        target = int(args[1]) if len(args) > 1 else None
-        snap = engine.catalog.compact(name, target_files=target)
+        target = _arg(pos, named, 1, "target_files")
+        snap = engine.catalog.compact(
+            name, target_files=int(target) if target is not None else None
+        )
         return _refresh_and_summarize(engine, name, snap)
     if proc in ("rollback", "rollback_to_version"):
-        name, version = args[0], int(args[1])
-        snap = engine.catalog.rollback(name, version)
+        version = _arg(pos, named, 1, "version", "snapshot_id")
+        if version is None:
+            raise ValueError(f"CALL {proc}: missing version argument")
+        snap = engine.catalog.rollback(name, int(version))
         return _refresh_and_summarize(engine, name, snap)
     if proc == "remove_orphan_files":
-        name = args[0]
-        older = int(args[1]) if len(args) > 1 else 24 * 3600 * 1000
+        older = int(
+            _arg(pos, named, 1, "older_than_ms", default=24 * 3600 * 1000)
+        )
         removed = engine.catalog.cleanup_staged(name, older_than_ms=older)
         return engine.spark.createDataFrame(
             [(proc, name, removed)], "procedure string, table string, removed int"

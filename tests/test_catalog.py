@@ -1212,3 +1212,36 @@ def test_scan_prunes_partition_directories(spark, catalog):
     got = sorted(r.id for r in catalog.scan("pt", [("d", "=", "d2")]).collect())
     want = sorted(r.id for r in catalog.read("pt").filter("d = 'd2'").collect())
     assert got == want and got
+
+
+def test_scan_finds_rows_living_only_in_upsert_layers(spark, catalog):
+    """All base files pruned away must NOT hide MOR upsert-layer rows
+    that match the predicate (review finding, reproduced then fixed)."""
+    catalog.write("morscan2", spark.range(0, 100).withColumn("v", F.lit(1)))
+    catalog.upsert_by_keys(
+        "morscan2", spark.createDataFrame([(500, 9)], "id long, v int"), ["id"]
+    )
+    got = [(r.id, r.v) for r in catalog.scan("morscan2", [("id", "=", 500)]).collect()]
+    want = [
+        (r.id, r.v)
+        for r in catalog.read("morscan2").filter("id = 500").collect()
+    ]
+    assert got == want == [(500, 9)]
+
+
+def test_zorder_four_columns_no_sign_bit(spark, catalog):
+    """4-column z-order caps interleaved bits below the long sign bit;
+    pruning still exact (review finding)."""
+    df = (
+        spark.range(4000)
+        .withColumn("a", F.col("id") % 17)
+        .withColumn("b", (F.col("id") / 17).cast("long") % 17)
+        .withColumn("c", F.col("id") % 5)
+        .withColumn("d", F.col("id") % 3)
+        .drop("id")
+    )
+    catalog.write("z4", df)
+    catalog.compact("z4", target_files=8, zorder_by=["a", "b", "c", "d"])
+    assert catalog.count("z4") == 4000
+    got = catalog.scan("z4", [("a", "=", 3)]).count()
+    assert got == catalog.read("z4").filter("a = 3").count()

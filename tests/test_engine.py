@@ -434,7 +434,7 @@ def test_read_duckdb_federated(spark, tmp_path):
     part = read_duckdb(
         spark, db, "SELECT * FROM ext", partition_col="id", num_partitions=4
     )
-    assert part.rdd.getNumPartitions() == 4
+    assert part.rdd.getNumPartitions() == 5  # 4 ranges + the IS NULL task
     got = sorted((r.id, r.grp, r.val) for r in part.collect())
     assert len(got) == 1000 and got[0] == (0, 0, "v0") and got[-1] == (999, 5, "v999")
 
@@ -464,3 +464,22 @@ def test_register_duckdb_tables_federated_join(spark, tmp_path):
         ).collect()
     )
     assert got == [(1, "low"), (2, "high"), (3, "high")]
+
+
+def test_read_duckdb_null_partition_rows_kept(spark, tmp_path):
+    """Rows with NULL in the partition column must not be dropped by
+    the partitioned fetch (review finding)."""
+    import duckdb
+
+    from konohadataplatform_spark.sources.readers import read_duckdb
+
+    db = str(tmp_path / "nulls.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE t AS SELECT CASE WHEN i % 10 = 0 THEN NULL ELSE i END "
+        "AS id, i AS v FROM range(0, 100) r(i)"
+    )
+    con.close()
+    part = read_duckdb(spark, db, "SELECT * FROM t", partition_col="id")
+    assert part.count() == 100
+    assert part.filter("id IS NULL").count() == 10

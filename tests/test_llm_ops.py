@@ -749,3 +749,21 @@ def test_gif_interlaced_decode():
 
     dec = G.decode_gif(bytes(out))
     assert dec["frames"][0]["pixels"] == px
+
+
+def test_word_ngrams_short_docs_yield_empty(spark):
+    """Docs shorter than n must give an empty gram array, not a slice
+    error (review finding: sequence(1,0) is DESCENDING in Spark)."""
+    from konohadataplatform_spark.operators.text import word_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "one two three four five")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.g
+        for r in docs.select(
+            "doc_id", word_ngrams(F.split("text", " "), 5).alias("g")
+        ).collect()
+    }
+    assert out[1] == []
+    assert out[2] == ["one two three four five"]

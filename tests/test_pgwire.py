@@ -106,3 +106,60 @@ def test_type_fidelity_over_the_wire(server):
     assert ts.startswith("2024-02-29 12:30:45")
     assert m == "1.50"
     assert arr == "[1, 2, 3]"
+
+
+def test_dollar_inside_string_literal_not_substituted(server):
+    from konohadataplatform_spark.pgwire import pg_extended_query
+
+    cols, rows, err = pg_extended_query(
+        server.port,
+        "SELECT id FROM t WHERE s = $1 AND 'costs $1 each' = 'costs $1 each'",
+        ["b"],
+    )
+    assert err is None and rows == [["2"]]
+
+
+def test_fetch_size_portal_suspended(server):
+    """Execute with maxrows paginates: PortalSuspended until drained —
+    the JDBC setFetchSize flow (review finding)."""
+    import socket
+    import struct as _s
+
+    from konohadataplatform_spark.pgwire import _drain_until_ready
+
+    with socket.create_connection(("127.0.0.1", server.port), timeout=60) as sck:
+        f = sck.makefile("rwb")
+        body = _s.pack(">I", 196608) + b"user\x00t\x00\x00"
+        f.write(_s.pack(">I", len(body) + 4) + body)
+        f.flush()
+        _drain_until_ready(f)
+
+        def send(tag, payload):
+            f.write(tag + _s.pack(">I", len(payload) + 4) + payload)
+
+        send(b"P", b"\x00SELECT id FROM t ORDER BY id\x00" + _s.pack(">H", 0))
+        send(b"B", b"\x00\x00" + _s.pack(">HHH", 0, 0, 0))
+        send(b"E", b"\x00" + _s.pack(">I", 1))  # first page: 1 row
+        send(b"E", b"\x00" + _s.pack(">I", 1))  # second page
+        send(b"S", b"")
+        f.flush()
+
+        seen = []
+        while True:
+            tag = f.read(1)
+            (ln,) = _s.unpack(">I", f.read(4))
+            payload = f.read(ln - 4)
+            seen.append(tag)
+            if tag == b"Z":
+                break
+        # Parse, Bind, 1 row, suspended, 1 row, complete, ready
+        assert seen.count(b"D") == 2
+        assert b"s" in seen  # PortalSuspended after the first page
+        assert b"C" in seen  # CommandComplete when drained
+
+
+def test_multi_statement_backslash_escaped_quote(server):
+    cols, rows, err = pg_query(
+        server.port, r"SELECT 'don\'t; stay' AS s; SELECT 2 AS b"
+    )
+    assert err is None and cols == ["b"] and rows[-1] == ["2"]

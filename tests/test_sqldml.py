@@ -389,3 +389,13 @@ def test_describe_history(engine):
     hist = engine.sql("DESCRIBE HISTORY metrics").collect()
     assert [r.version for r in hist] == [1, 2]
     assert hist[1].operation.startswith("insert")
+
+
+def test_call_named_arguments_any_order(engine):
+    seed(engine)
+    engine.sql("INSERT INTO metrics VALUES (7, 'g', 5.0)")
+    engine.sql("INSERT INTO metrics VALUES (8, 'h', 6.0)")
+    out = engine.sql(
+        "CALL system.expire_snapshots(retain_last => 2, table => 'metrics')"
+    ).collect()[0]
+    assert out.table == "metrics" and out.removed == 1
