@@ -1204,6 +1204,112 @@ class SnapshotCatalog:
             json.dump(t, f)
         os.replace(tmp, self._tags_path(name))
 
+    # ---- branches (named mutable refs, Iceberg branch analog) -----------
+    #
+    # A branch is a SHADOW TABLE "{name}@{branch}" forked by hardlinking
+    # the source snapshot (O(#files) metadata, zero data copy). Every
+    # existing write/read/maintenance path works on the branch unchanged
+    # — its own snapshot chain, commit arbiter, history, time travel.
+    # fast_forward publishes the branch head back to main when main has
+    # not moved since the fork (Iceberg's fast-forward semantics);
+    # divergence is a loud CommitConflictError, never a silent merge.
+
+    def _branches_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_branches.json")
+
+    def branches(self, name: str) -> dict:
+        path = self._branches_path(name)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_branches(self, name: str, b: dict) -> None:
+        tmp = self._branches_path(name) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(b, f)
+        os.replace(tmp, self._branches_path(name))
+
+    def branch_table(self, name: str, branch: str) -> str:
+        return f"{name}@{branch}"
+
+    def _fork_snapshot(self, src: Snapshot, dest_table: str, operation: str) -> Snapshot:
+        """Hardlink a snapshot's files as a new commit of dest_table,
+        carrying all MOR/schema metadata (rollback's mechanics)."""
+        new_version, snap_dir = self._new_snapshot_dir(dest_table)
+        _link_tree(src.path, snap_dir)
+        delete_path = None
+        if src.delete_path and os.path.isdir(src.delete_path):
+            delete_path = os.path.join(snap_dir, "_deletes")
+        return self._register_snapshot(
+            dest_table,
+            new_version,
+            snap_dir,
+            operation,
+            row_count=src.row_count,
+            delete_path=delete_path,
+            delete_key_cols=src.delete_key_cols if delete_path else None,
+            mixed_schema=src.mixed_schema,
+            upsert_layers=src.upsert_layers,
+            upsert_key_cols=src.upsert_key_cols,
+            renames=src.renames,
+            dropped=src.dropped,
+        )
+
+    def create_branch(
+        self, name: str, branch: str, version: int | None = None
+    ) -> str:
+        """Fork a branch from the current (or given) version. Returns
+        the branch table name to use with every catalog API."""
+        if "@" in name:
+            raise ValueError("cannot branch a branch table directly")
+        if branch in self.branches(name):
+            raise ValueError(f"branch {branch!r} already exists on {name}")
+        src = self._resolve(name, version, None)
+        bt = self.branch_table(name, branch)
+        self._fork_snapshot(src, bt, f"branch(from={name}@v{src.version})")
+        b = self.branches(name)
+        b[branch] = {"base_version": src.version}
+        self._write_branches(name, b)
+        return bt
+
+    def read_branch(self, name: str, branch: str, **kwargs) -> DataFrame:
+        if branch not in self.branches(name):
+            raise ValueError(f"no branch {branch!r} on {name}")
+        return self.read(self.branch_table(name, branch), **kwargs)
+
+    def fast_forward(self, name: str, branch: str) -> Snapshot:
+        """Publish the branch head to main. Allowed only while main is
+        still at the fork point — otherwise the refs have diverged and
+        the caller must resolve (re-branch or table-level merge)."""
+        info = self.branches(name).get(branch)
+        if info is None:
+            raise ValueError(f"no branch {branch!r} on {name}")
+        cur = self.current_snapshot(name)
+        if cur is None or cur.version != info["base_version"]:
+            raise CommitConflictError(
+                f"{name}: diverged — branch {branch!r} forked at "
+                f"v{info['base_version']} but main is at "
+                f"v{cur.version if cur else 0}; re-branch to retry"
+            )
+        head = self.current_snapshot(self.branch_table(name, branch))
+        snap = self._fork_snapshot(
+            cur if head is None else head,
+            name,
+            f"fast_forward({branch}@v{head.version if head else 0})",
+        )
+        b = self.branches(name)
+        b[branch]["base_version"] = snap.version
+        self._write_branches(name, b)
+        return snap
+
+    def drop_branch(self, name: str, branch: str) -> None:
+        b = self.branches(name)
+        if branch in b:
+            self.drop_table(self.branch_table(name, branch))
+            b.pop(branch)
+            self._write_branches(name, b)
+
     def read_tag(self, name: str, tag: str) -> DataFrame:
         t = self.tags(name)
         if tag not in t:

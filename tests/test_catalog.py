@@ -1245,3 +1245,47 @@ def test_zorder_four_columns_no_sign_bit(spark, catalog):
     assert catalog.count("z4") == 4000
     got = catalog.scan("z4", [("a", "=", 3)]).count()
     assert got == catalog.read("z4").filter("a = 3").count()
+
+
+# ---------------------------------------------------------------------------
+# Branches (Iceberg branch analog: fork, isolated commits, fast-forward)
+# ---------------------------------------------------------------------------
+
+def test_branch_fork_commit_fast_forward(spark, catalog):
+    catalog.write("bt", df_of(spark, [Row(id=1, v="a"), Row(id=2, v="b")]))
+    bt = catalog.create_branch("bt", "dev")
+    # branch commits are invisible on main
+    catalog.merge(bt, df_of(spark, [Row(id=3, v="c")]), ["id"])
+    catalog.merge(bt, df_of(spark, [Row(id=2, v="B")]), ["id"])
+    assert sorted(r.id for r in catalog.read("bt").collect()) == [1, 2]
+    assert {r.id: r.v for r in catalog.read_branch("bt", "dev").collect()} == {
+        1: "a", 2: "B", 3: "c",
+    }
+    # fast-forward publishes the branch head as one main commit
+    snap = catalog.fast_forward("bt", "dev")
+    assert snap.operation.startswith("fast_forward(dev")
+    assert {r.id: r.v for r in catalog.read("bt").collect()} == {
+        1: "a", 2: "B", 3: "c",
+    }
+    # branch survives and can keep moving; repeat ff works
+    catalog.merge(bt, df_of(spark, [Row(id=4, v="d")]), ["id"])
+    catalog.fast_forward("bt", "dev")
+    assert sorted(r.id for r in catalog.read("bt").collect()) == [1, 2, 3, 4]
+
+
+def test_branch_divergence_blocks_fast_forward(spark, catalog):
+    from konohadataplatform_spark.catalog import CommitConflictError
+
+    catalog.write("bt2", df_of(spark, [Row(id=1, v="a")]))
+    bt = catalog.create_branch("bt2", "exp")
+    catalog.merge(bt, df_of(spark, [Row(id=2, v="x")]), ["id"])
+    # main moves after the fork -> diverged
+    catalog.write("bt2", df_of(spark, [Row(id=9, v="z")]), mode="append")
+    with pytest.raises(CommitConflictError, match="diverged"):
+        catalog.fast_forward("bt2", "exp")
+    # dropping the branch removes the shadow table
+    catalog.drop_branch("bt2", "exp")
+    assert catalog.branches("bt2") == {}
+    assert not catalog.exists(catalog.branch_table("bt2", "exp"))
+    with pytest.raises(ValueError, match="already exists|no branch"):
+        catalog.read_branch("bt2", "exp")
