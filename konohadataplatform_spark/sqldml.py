@@ -790,6 +790,25 @@ def _dispatch_call(engine, q: str) -> DataFrame:
             raise ValueError(f"CALL {proc}: missing version argument")
         snap = engine.catalog.rollback(name, int(version))
         return _refresh_and_summarize(engine, name, snap)
+    if proc == "create_branch":
+        branch = _arg(pos, named, 1, "branch")
+        version = _arg(pos, named, 2, "version")
+        bt = engine.catalog.create_branch(
+            name, branch, int(version) if version is not None else None
+        )
+        return engine.spark.createDataFrame(
+            [(proc, name, bt)], "procedure string, table string, branch_table string"
+        )
+    if proc == "fast_forward":
+        branch = _arg(pos, named, 1, "branch")
+        snap = engine.catalog.fast_forward(name, branch)
+        return _refresh_and_summarize(engine, name, snap)
+    if proc == "drop_branch":
+        branch = _arg(pos, named, 1, "branch")
+        engine.catalog.drop_branch(name, branch)
+        return engine.spark.createDataFrame(
+            [(proc, name, branch)], "procedure string, table string, branch string"
+        )
     if proc == "remove_orphan_files":
         older = int(
             _arg(pos, named, 1, "older_than_ms", default=24 * 3600 * 1000)
@@ -800,7 +819,8 @@ def _dispatch_call(engine, q: str) -> DataFrame:
         )
     raise ValueError(
         f"unknown procedure {proc!r}; supported: expire_snapshots, "
-        "rewrite_data_files/compact, rollback[_to_version], remove_orphan_files"
+        "rewrite_data_files/compact, rollback[_to_version], "
+        "remove_orphan_files, create_branch, fast_forward, drop_branch"
     )
 
 

@@ -399,3 +399,20 @@ def test_call_named_arguments_any_order(engine):
         "CALL system.expire_snapshots(retain_last => 2, table => 'metrics')"
     ).collect()[0]
     assert out.table == "metrics" and out.removed == 1
+
+
+def test_branch_procedures_via_sql(engine, spark):
+    seed(engine)
+    out = engine.sql("CALL system.create_branch('metrics', 'dev')").collect()[0]
+    assert out.branch_table == "metrics@dev"
+    # commit to the branch through the catalog API, then fast-forward
+    engine.catalog.merge(
+        "metrics@dev",
+        spark.createDataFrame([(42, "dev", 9.0)], "id long, tag string, v double"),
+        ["id"],
+    )
+    assert engine.table("metrics").count() == 3  # main untouched
+    engine.sql("CALL system.fast_forward('metrics', 'dev')")
+    assert engine.table("metrics").filter("id = 42").count() == 1
+    engine.sql("CALL system.drop_branch('metrics', 'dev')")
+    assert engine.catalog.branches("metrics") == {}
