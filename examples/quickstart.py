@@ -142,6 +142,29 @@ def main() -> None:
     print("JPEG roundtrip lossless:",
           jpeg_py.decode_jpeg(jpg)["pixels"] == bytes(range(8 * 8 * 3)))
 
+    # --- 9. round 5: branches, manifest pruning, OPTIMIZE ZORDER ------
+    catalog.write(
+        "metrics9",
+        spark.range(0, 5000).withColumn("g", F.col("id") % 7),
+    )
+    engine.sql("CALL system.create_branch('metrics9', 'dev')")
+    catalog.merge(
+        "metrics9@dev",
+        spark.createDataFrame([(99999, 0)], "id long, g long"),
+        ["id"],
+    )
+    engine.sql("CALL system.fast_forward('metrics9', 'dev')")
+    print("after branch fast-forward:", catalog.count("metrics9"), "rows")
+    engine.sql("OPTIMIZE metrics9 ZORDER BY (id)")
+    _snap, kept, total = catalog.scan_files("metrics9", [("id", ">=", 4500)])
+    print(f"manifest pruning reads {len(kept)}/{total} files for id>=4500")
+    engine.register("metrics9", catalog.read("metrics9"))
+    top = engine.sql(
+        "SELECT id, g FROM metrics9 "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY id DESC) <= 2"
+    )
+    print("QUALIFY top-2 ids:", sorted(r.id for r in top.collect()))
+
     spark.stop()
 
 
