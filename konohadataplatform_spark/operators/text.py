@@ -310,3 +310,21 @@ def vocab_stats(df: DataFrame, text_col: str = "text", group_col: str = "source"
             ),
         )
     )
+
+
+def canonicalize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Text canonicalization TRANSFORM (not just detection): lowercase,
+    then collapse adjacent duplicate tokens ("the the the" -> "the" —
+    the stutter artifact of OCR/scraped corpora). Returns before/after
+    token counts and the md5 of the cleaned text, all computed by pure
+    JVM array expressions — zero shuffle, zero Python, linear scan."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), " ")
+    cleaned = F.filter(
+        words, lambda w, i: (i == 0) | (w != F.element_at(words, i))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(words).alias("n_before"),
+        F.size(cleaned).alias("n_after"),
+        F.md5(F.array_join(cleaned, " ").cast("binary")).alias("canonical_md5"),
+    )

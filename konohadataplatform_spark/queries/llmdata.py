@@ -1803,3 +1803,30 @@ def q_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("media_id", "doc_id").withColumn(
         "n_samples", F.col("n_samples").cast("int")
     )
+
+
+# --------------------------------------------------------------------------
+# Canonicalization transform (stutter collapse + canonical fingerprint)
+# --------------------------------------------------------------------------
+@query(
+    "q_text_canonicalize",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM documents
+    ), c AS (
+      SELECT doc_id, len(w) AS n_before,
+             [w[i] for i in range(1, len(w) + 1)
+              if i = 1 or w[i] <> w[i-1]] AS cw
+      FROM t
+    )
+    SELECT doc_id, n_before, len(cw) AS n_after,
+           md5(array_to_string(cw, ' ')) AS canonical_md5
+    FROM c
+    """,
+)
+def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-duplicate-token collapse with a canonical md5 — the
+    cleaned-text fingerprint both engines recompute byte-identically.
+    element_at(words, i) is the PREVIOUS token (element_at is 1-based
+    while the filter lambda index is 0-based)."""
+    return TX.canonicalize(_t(spark, sf_dir, "documents"))

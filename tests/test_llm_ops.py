@@ -767,3 +767,17 @@ def test_word_ngrams_short_docs_yield_empty(spark):
     }
     assert out[1] == []
     assert out[2] == ["one two three four five"]
+
+
+def test_canonicalize_collapses_stutter(spark):
+    from konohadataplatform_spark.operators import text as TXO
+
+    docs = spark.createDataFrame(
+        [(1, "The the THE cat cat sat"), (2, "a b a b")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in TXO.canonicalize(docs).collect()}
+    assert out[1].n_before == 6 and out[1].n_after == 3  # "the cat sat"
+    assert out[2].n_before == 4 and out[2].n_after == 4  # non-adjacent kept
+    import hashlib
+
+    assert out[1].canonical_md5 == hashlib.md5(b"the cat sat").hexdigest()
