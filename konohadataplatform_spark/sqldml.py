@@ -632,7 +632,19 @@ def rewrite_time_travel(engine, query: str) -> str:
         kind = m.group("kind").upper()
         raw = m.group("val")
         if kind == "VERSION":
-            df = engine.catalog.read(tbl, version=int(raw))
+            if raw.startswith("'"):
+                # named ref (Iceberg's VERSION AS OF 'ref'): a tag pins
+                # an immutable version; a branch reads the branch head
+                ref = raw.strip("'")
+                tags = engine.catalog.tags(tbl)
+                if ref in tags:
+                    df = engine.catalog.read(tbl, version=tags[ref])
+                elif ref in engine.catalog.branches(tbl):
+                    df = engine.catalog.read(engine.catalog.branch_table(tbl, ref))
+                else:
+                    raise ValueError(f"{tbl}: unknown tag/branch ref {ref!r}")
+            else:
+                df = engine.catalog.read(tbl, version=int(raw))
         else:
             df = engine.catalog.read(tbl, as_of_timestamp_ms=_parse_ts_ms(raw))
         simple = tbl.split(".")[-1]

@@ -416,3 +416,25 @@ def test_branch_procedures_via_sql(engine, spark):
     assert engine.table("metrics").filter("id = 42").count() == 1
     engine.sql("CALL system.drop_branch('metrics', 'dev')")
     assert engine.catalog.branches("metrics") == {}
+
+
+def test_version_as_of_named_refs(engine, spark):
+    """VERSION AS OF 'ref' resolves tags (pinned version) and branches
+    (branch head) — the Iceberg named-ref SQL form."""
+    seed(engine)
+    engine.catalog.create_tag("metrics", "launch")
+    engine.sql("INSERT INTO metrics VALUES (9, 'z', 1.0)")
+    engine.sql("CALL system.create_branch('metrics', 'dev')")
+    engine.catalog.merge(
+        "metrics@dev",
+        spark.createDataFrame([(50, 'd', 5.0)], "id long, tag string, v double"),
+        ["id"],
+    )
+    assert engine.sql(
+        "SELECT count(*) AS n FROM metrics FOR VERSION AS OF 'launch'"
+    ).first().n == 3
+    assert engine.sql(
+        "SELECT count(*) AS n FROM metrics FOR VERSION AS OF 'dev'"
+    ).first().n == 5
+    with pytest.raises(ValueError, match="unknown tag/branch"):
+        engine.sql("SELECT * FROM metrics FOR VERSION AS OF 'nope'")
