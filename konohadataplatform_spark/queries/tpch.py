@@ -1046,3 +1046,274 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# q2 — minimum-cost supplier (TPC-H Q2 shape). The testdata has no
+# partsupp table, so the supply relation is derived: per (part, supplier)
+# pair observed in lineitem, supplycost := MIN(l_extendedprice). The
+# correlated-MIN-subquery structure, the 4-dim join fan, and the
+# deterministic top-k are exactly Q2's.
+#
+# Scale: the supply relation groups lineitem once on (partkey, suppkey);
+# the per-part minimum is a second agg on the same partkey axis, so the
+# min-join reuses the shuffle partitioning. All dims broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice) AS supplycost
+      FROM lineitem GROUP BY 1, 2
+    ), eur AS (
+      SELECT ps.partkey, ps.suppkey, ps.supplycost, s_acctbal, s_name, n_name
+      FROM ps JOIN supplier ON s_suppkey = ps.suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(supplycost AS DOUBLE) AS supplycost
+    FROM eur JOIN part ON p_partkey = eur.partkey
+    WHERE p_size IN (5, 15, 25, 35, 45) AND p_type = 'STANDARD'
+      AND supplycost = (SELECT MIN(e2.supplycost) FROM eur e2
+                        WHERE e2.partkey = eur.partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 15, 25, 35, 45) & (F.col("p_type") == "STANDARD")
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min("l_extendedprice").alias("supplycost"))
+    eur = (
+        ps.join(F.broadcast(supp), ps.suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("partkey", "suppkey", "supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = eur.groupBy("partkey").agg(F.min("supplycost").alias("min_cost"))
+    return (
+        eur.join(min_cost, "partkey")
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("partkey") == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q9 — product-type profit by nation and year (TPC-H Q9 shape). Without
+# partsupp, the cost leg uses the part's retail price: amount :=
+# extprice*(1-disc) - 0.5*retailprice*quantity, all in exact DECIMAL.
+# Same 5-way join fan (lineitem⋈part⋈supplier⋈orders⋈nation) and the
+# same substring part filter.
+# --------------------------------------------------------------------------
+@query(
+    "q9_product_type_profit",
+    """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(3,1))
+               * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    amount = dec("l_extendedprice") * (1 - dec("l_discount")) - dec(
+        "p_retailprice"
+    ) * F.lit(0.5).cast("decimal(3,1)") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(amount).cast("double").alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — important stock (TPC-H Q11 shape): per-part value for one
+# nation's suppliers, kept only when above a fraction of the grand
+# total — the GROUP BY + HAVING-over-scalar-subquery pattern. value :=
+# SUM(extprice*quantity) from lineitem (partsupp analog), exact DECIMAL.
+#
+# Scale: the grand total is a 1-row aggregate broadcast into the filter,
+# never a driver collect; the per-part agg shuffles digest-small rows.
+# --------------------------------------------------------------------------
+@query(
+    "q11_important_stock",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS val
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, CAST(val AS DOUBLE) AS val
+    FROM ps
+    WHERE val > (SELECT SUM(val) * CAST(0.001 AS DECIMAL(6,4)) FROM ps)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    ps = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("val"))
+    )
+    total = ps.agg(
+        (F.sum("val") * F.lit(0.001).cast("decimal(6,4)")).alias("cutoff")
+    )
+    return (
+        ps.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("cutoff"))
+        .select("partkey", F.col("val").cast("double").alias("val"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — supplier-part relationship counts (TPC-H Q16 shape): distinct
+# (part, supplier) pairs from lineitem stand in for partsupp; the
+# "customer complaints" exclusion becomes negative-balance suppliers.
+# Keeps the NOT IN anti-join + COUNT(DISTINCT) + multi-key grouping.
+# --------------------------------------------------------------------------
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+          FROM lineitem) ps
+    JOIN part ON p_partkey = partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    return (
+        ps.join(F.broadcast(bad), ps.suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — potential part promotion (TPC-H Q20 shape): suppliers in a
+# nation set who shipped more than a threshold quantity of name-matched
+# parts in a year — the nested IN-subquery + HAVING structure. The
+# availqty>half-shipped predicate becomes the shipped-quantity HAVING
+# (no partsupp.availqty in the testdata).
+# --------------------------------------------------------------------------
+@query(
+    "q20_potential_promotion",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_4', 'NATION_14', 'NATION_24')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+          AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 30
+      )
+    ORDER BY s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qualified = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_4", "NATION_14", "NATION_24")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == F.col("n_nationkey"))
+        .join(
+            F.broadcast(qualified),
+            supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
