@@ -62,6 +62,85 @@ def parse_envelopes(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
     )
 
 
+# Debezium op codes: create / update / snapshot read / delete.
+VALID_OPS = ("c", "u", "r", "d")
+
+
+def parse_envelopes_dlq(
+    raw: DataFrame,
+    row_schema: T.StructType,
+    required: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split raw envelopes into (typed good rows, dead-letter rows).
+
+    Production CDC streams carry garbage — truncated JSON from a
+    producer crash, unknown op codes from a connector upgrade, rows
+    with a NULL primary key from an upstream bug. Crashing the stream
+    on one bad record stalls the whole pipeline; silently dropping it
+    loses data. The dead-letter split keeps the raw payload + a reason
+    so bad records are quarantined, inspectable, and replayable.
+
+    Reasons: ``unknown_op`` (op outside c|u|r|d, incl. NULL),
+    ``null_row_image`` (the op's row image is missing),
+    ``malformed_json`` (image doesn't parse against ``row_schema``),
+    ``null_key`` (a ``required`` column parsed NULL — these rows could
+    never be shadowed or deleted by key later, see
+    catalog._reject_null_keys).
+    """
+    img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    tagged = raw.withColumn("_img", img).withColumn(
+        "_row", F.from_json(F.col("_img"), row_schema)
+    )
+    op_ok = F.coalesce(F.col("op").isin(*VALID_OPS), F.lit(False))
+    # from_json (PERMISSIVE) salvages truncated JSON into a partial
+    # struct rather than returning NULL, so syntactic validity is
+    # checked with json_object_keys, which IS null on invalid JSON.
+    reason = (
+        F.when(~op_ok, F.lit("unknown_op"))
+        .when(F.col("_img").isNull(), F.lit("null_row_image"))
+        .when(
+            F.json_object_keys(F.col("_img")).isNull() | F.col("_row").isNull(),
+            F.lit("malformed_json"),
+        )
+    )
+    for c in required or []:
+        reason = reason.when(F.col(f"_row.{c}").isNull(), F.lit("null_key"))
+    tagged = tagged.withColumn("_error", reason)
+    bad = tagged.filter(F.col("_error").isNotNull()).select(
+        F.col("table").alias("_topic"),
+        "op",
+        "ts_ms",
+        "lsn",
+        F.col("_img").alias("payload"),
+        "_error",
+    )
+    good = tagged.filter(F.col("_error").isNull()).select(
+        F.col("table").alias("_topic"), "op", "ts_ms", "lsn", "_row.*"
+    )
+    return good, bad
+
+
+def envelope_drift(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
+    """Row-image JSON keys NOT in ``row_schema``: (key, n_envelopes).
+
+    The Debezium analog of a schema-change event: when the source table
+    gains a column, envelopes start carrying a key the consumer's schema
+    doesn't know, and ``from_json`` silently drops it. This surfaces the
+    drift as data (distinct unknown keys — metadata-sized output) so the
+    pipeline can widen its schema instead of losing columns.
+    """
+    img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    known = [f.name for f in row_schema.fields]
+    keys = (
+        raw.withColumn("_img", img)
+        .filter(F.col("_img").isNotNull())
+        .select(F.explode(F.json_object_keys(F.col("_img"))).alias("key"))
+    )
+    if known:
+        keys = keys.filter(~F.col("key").isin(*known))
+    return keys.groupBy("key").agg(F.count(F.lit(1)).alias("n_envelopes"))
+
+
 def latest_per_key(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     """C2 dedupe rule: keep the newest change per PK by (ts_ms, lsn)."""
     w = Window.partitionBy(*key_cols).orderBy(
@@ -201,12 +280,25 @@ class CdcPipeline:
         catalog: SnapshotCatalog,
         tables: dict[str, tuple],
         merge_on_read: bool = False,
+        dlq_table: str | None = None,
+        evolve_schema: bool = False,
     ):
         self.spark = spark
         self.catalog = catalog
         # merge_on_read: O(|batch|) layer/delete-file commits instead of
         # partition or table rewrites (pair with periodic compact())
         self.merge_on_read = merge_on_read
+        # dlq_table: quarantine malformed/unknown-op/null-key envelopes
+        # into a catalog table instead of crashing or dropping them;
+        # keyed on (_topic, lsn) so redelivered bad records do not
+        # duplicate (parse_envelopes_dlq).
+        self.dlq_table = dlq_table
+        # evolve_schema: widen each table's row schema when envelopes
+        # carry unknown JSON keys (envelope_drift); new columns arrive
+        # as nullable strings, and both apply paths surface them (the
+        # merge path via unionByName(allowMissingColumns), the MOR path
+        # via the layer fold's allowMissingColumns union).
+        self.evolve_schema = evolve_schema
         self.tables = {
             name: (spec if len(spec) == 3 else (*spec, None))
             for name, spec in tables.items()
@@ -220,7 +312,29 @@ class CdcPipeline:
     def apply_envelopes(self, raw: DataFrame, batch_id: int | None = None) -> None:
         for name, (row_schema, key_cols, partition_col) in self.tables.items():
             subset = raw.filter(F.col("table") == name)
-            typed = parse_envelopes(subset, row_schema)
+            if self.evolve_schema:
+                # distinct unknown keys — metadata-sized (bounded by the
+                # source table's column count), never row-sized
+                drift = envelope_drift(subset, row_schema).collect()
+                if drift:
+                    row_schema = T.StructType(
+                        list(row_schema.fields)
+                        + [
+                            T.StructField(r["key"], T.StringType(), True)
+                            for r in sorted(drift, key=lambda r: r["key"])
+                        ]
+                    )
+                    self.tables[name] = (row_schema, key_cols, partition_col)
+            if self.dlq_table:
+                typed, bad = parse_envelopes_dlq(
+                    subset, row_schema, required=key_cols
+                )
+                if not bad.isEmpty():
+                    self.catalog.upsert_by_keys(
+                        self.dlq_table, bad, ["_topic", "lsn"]
+                    )
+            else:
+                typed = parse_envelopes(subset, row_schema)
             if typed.isEmpty():
                 continue
             apply_cdc_batch(

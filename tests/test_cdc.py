@@ -512,3 +512,125 @@ def test_kafka_stream_confluent_avro_validation(spark):
         )
     with pytest.raises(ValueError, match="value_format"):
         kafka_envelope_stream(spark, "broker:9092", ["t"], value_format="xml")
+
+
+def test_parse_envelopes_dlq_reasons(spark):
+    """Bad envelopes route to the dead-letter side with a reason; good
+    rows parse normally. One bad record must never stall the stream."""
+    from konohadataplatform_spark.streaming.cdc import parse_envelopes_dlq
+
+    raw = spark.createDataFrame(
+        [
+            env("c", "customers", {"customer_id": "A", "company_name": "co", "contact_name": "x"}, ts_ms=1, lsn=1),
+            # unknown op code (connector upgrade artifact)
+            env("x", "customers", {"customer_id": "B", "company_name": "b", "contact_name": "y"}, ts_ms=2, lsn=2),
+            # delete with no before-image
+            env("d", "customers", ts_ms=3, lsn=3),
+            # truncated JSON from a producer crash
+            Row(op="c", before=None, after='{"customer_id": "C", "company_', ts_ms=4, lsn=4, table="customers"),
+            # NULL primary key
+            env("c", "customers", {"customer_id": None, "company_name": "n", "contact_name": "z"}, ts_ms=5, lsn=5),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    good, bad = parse_envelopes_dlq(raw, CUSTOMER_SCHEMA, required=["customer_id"])
+    assert [r.customer_id for r in good.collect()] == ["A"]
+    reasons = {r.lsn: r._error for r in bad.collect()}
+    assert reasons == {
+        2: "unknown_op",
+        3: "null_row_image",
+        4: "malformed_json",
+        5: "null_key",
+    }
+    # the raw payload is preserved for replay
+    payloads = {r.lsn: r.payload for r in bad.collect()}
+    assert payloads[4] == '{"customer_id": "C", "company_'
+
+
+def test_envelope_drift_reports_new_keys(spark):
+    from konohadataplatform_spark.streaming.cdc import envelope_drift
+
+    raw = spark.createDataFrame(
+        [
+            env("c", "customers", {"customer_id": "A", "company_name": "co", "contact_name": "x"}, ts_ms=1, lsn=1),
+            env("u", "customers", {"customer_id": "A", "company_name": "co", "contact_name": "x", "country": "VN"}, ts_ms=2, lsn=2),
+            env("c", "customers", {"customer_id": "B", "company_name": "b", "contact_name": "y", "country": "DE", "vat_id": "123"}, ts_ms=3, lsn=3),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    drift = {r.key: r.n_envelopes for r in envelope_drift(raw, CUSTOMER_SCHEMA).collect()}
+    assert drift == {"country": 2, "vat_id": 1}
+
+
+def test_pipeline_dlq_and_auto_evolve(spark, catalog):
+    """End-to-end: the pipeline quarantines bad envelopes into the DLQ
+    table and auto-widens the row schema when the source gains a column
+    (the Debezium schema-change analog), without any manual schema
+    update between batches."""
+    pipe = CdcPipeline(
+        spark,
+        catalog,
+        {"customers": (CUSTOMER_SCHEMA, ["customer_id"])},
+        dlq_table="_cdc_dlq",
+        evolve_schema=True,
+    )
+    batch1 = spark.createDataFrame(
+        [
+            env("c", "customers", {"customer_id": "A", "company_name": "co", "contact_name": "x"}, ts_ms=1, lsn=1),
+            Row(op="c", before=None, after="{broken", ts_ms=2, lsn=2, table="customers"),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    pipe.apply_envelopes(batch1, batch_id=1)
+    assert {r.customer_id for r in catalog.read("customers").collect()} == {"A"}
+    dlq = catalog.read("_cdc_dlq").collect()
+    assert len(dlq) == 1 and dlq[0]._error == "malformed_json"
+
+    # source table gained `country` upstream: envelopes carry a new key
+    batch2 = spark.createDataFrame(
+        [
+            env("c", "customers", {"customer_id": "B", "company_name": "bee", "contact_name": "y", "country": "DE"}, ts_ms=3, lsn=3),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    pipe.apply_envelopes(batch2, batch_id=2)
+    out = {r.customer_id: getattr(r, "country", None) for r in catalog.read("customers").collect()}
+    assert out == {"A": None, "B": "DE"}
+    # the widened schema is persistent pipeline state for later batches
+    assert "country" in [f.name for f in pipe.tables["customers"][0].fields]
+
+    # redelivery of the bad record does not duplicate the DLQ row
+    pipe.apply_envelopes(batch1, batch_id=3)
+    assert catalog.read("_cdc_dlq").count() == 1
+
+
+def test_pipeline_dlq_merge_on_read_path(spark, catalog):
+    """DLQ + auto-evolve also hold on the O(batch) MOR apply path."""
+    pipe = CdcPipeline(
+        spark,
+        catalog,
+        {"customers": (CUSTOMER_SCHEMA, ["customer_id"])},
+        merge_on_read=True,
+        dlq_table="_cdc_dlq",
+        evolve_schema=True,
+    )
+    pipe.apply_envelopes(
+        spark.createDataFrame(
+            [env("c", "customers", {"customer_id": "A", "company_name": "co", "contact_name": "x"}, ts_ms=1, lsn=1)],
+            ENVELOPE_SCHEMA,
+        ),
+        batch_id=1,
+    )
+    pipe.apply_envelopes(
+        spark.createDataFrame(
+            [
+                env("u", "customers", {"customer_id": "A", "company_name": "co2", "contact_name": "x", "country": "VN"}, ts_ms=2, lsn=2),
+                env("c", "customers", {"customer_id": None, "company_name": "bad", "contact_name": "q"}, ts_ms=3, lsn=3),
+            ],
+            ENVELOPE_SCHEMA,
+        ),
+        batch_id=2,
+    )
+    out = {r.customer_id: r.country for r in catalog.read("customers").collect()}
+    assert out == {"A": "VN"}
+    assert [r._error for r in catalog.read("_cdc_dlq").collect()] == ["null_key"]
