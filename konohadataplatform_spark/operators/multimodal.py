@@ -4,10 +4,11 @@ Images/audio/video are carried as opaque ``binary`` columns with a
 typed metadata struct — the Spark-side schema, partitioning, and
 Arrow-batched UDF plumbing are real and tested. Decode is REAL for
 uncompressed 24-bit BMP, non-interlaced 8-bit PNG (stdlib zlib +
-filter reconstruction), PCM-16 WAV, and baseline JPEG (jpeg_py:
-Huffman + IDCT, 4:4:4/4:2:2/4:2:0, restart markers); the remaining
-PIL-only formats (progressive JPEG, palette/16-bit PNG, compressed
-BMP) raise ``DecodeNotAvailable`` loudly, with a deterministic-fake
+filter reconstruction), uncompressed baseline TIFF (both byte
+orders), PCM-16 WAV, and baseline JPEG (jpeg_py: Huffman + IDCT,
+4:4:4/4:2:2/4:2:0, restart markers); the remaining PIL-only formats
+(progressive JPEG, palette/16-bit PNG, compressed BMP/TIFF, WebP)
+raise ``DecodeNotAvailable`` loudly, with a deterministic-fake
 feature fallback so the pipeline shape can be exercised end to end.
 
 Scale posture: binary payloads never pass through a shuffle — feature
@@ -86,6 +87,135 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return head + info + body
 
 
+TIFF_II = b"II*\x00"
+TIFF_MM = b"MM\x00*"
+_TIFF_TYPE = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}  # BYTE / SHORT / LONG
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    big_endian: bool = False,
+) -> bytes:
+    """Build an uncompressed baseline TIFF (classic, strip-based).
+
+    ``pixels`` is top-down rows of 8-bit samples (RGB for channels=3,
+    grayscale for channels=1), one strip. Both byte orders are
+    supported (II little-endian default, MM big-endian) — the decoder
+    must handle either, so the encoder can produce either for tests.
+    """
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels must be width*height*channels bytes")
+    e = ">" if big_endian else "<"
+    px_off = 8
+    bps_off = px_off + len(pixels)
+    # BitsPerSample: 3 SHORTs don't fit the 4-byte inline slot, so RGB
+    # stores them externally; grayscale's single SHORT is inline
+    ifd_off = bps_off + (6 if channels == 3 else 0)
+
+    def entry(tag: int, typ: int, count: int, inline: bytes) -> bytes:
+        return struct.pack(e + "HHI", tag, typ, count) + inline
+
+    def short(v: int) -> bytes:  # left-justified inline SHORT
+        return struct.pack(e + "HH", v, 0)
+
+    def long_(v: int) -> bytes:
+        return struct.pack(e + "I", v)
+
+    entries = [
+        entry(256, 3, 1, short(width)),
+        entry(257, 3, 1, short(height)),
+        entry(258, 3, channels, long_(bps_off) if channels == 3 else short(8)),
+        entry(259, 3, 1, short(1)),  # Compression = none
+        entry(262, 3, 1, short(2 if channels == 3 else 1)),  # RGB | BlackIsZero
+        entry(273, 4, 1, long_(px_off)),  # StripOffsets
+        entry(277, 3, 1, short(channels)),  # SamplesPerPixel
+        entry(278, 3, 1, short(height)),  # RowsPerStrip
+        entry(279, 4, 1, long_(len(pixels))),  # StripByteCounts
+    ]
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries) + struct.pack(
+        e + "I", 0
+    )
+    head = (TIFF_MM if big_endian else TIFF_II) + struct.pack(e + "I", ifd_off)
+    bps_blob = struct.pack(e + "HHH", 8, 8, 8) if channels == 3 else b""
+    return head + pixels + bps_blob + ifd
+
+
+def decode_tiff(content: bytes) -> dict:
+    """Decode an uncompressed baseline TIFF (either byte order,
+    8-bit grayscale or RGB, any strip layout). Compressed / deeper
+    bit-depth / tiled variants raise DecodeNotAvailable; structurally
+    broken files raise ValueError."""
+    if content[:4] == TIFF_II:
+        e = "<"
+    elif content[:4] == TIFF_MM:
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order/magic header")
+    (ifd_off,) = struct.unpack_from(e + "I", content, 4)
+    if ifd_off < 8 or ifd_off + 2 > len(content):
+        raise ValueError("corrupt TIFF: IFD offset out of range")
+    (n_entries,) = struct.unpack_from(e + "H", content, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > len(content):
+        raise ValueError("corrupt TIFF: truncated IFD")
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", content, off)
+        if typ not in _TIFF_TYPE:  # RATIONAL/ASCII metadata — not needed
+            continue
+        ch, size = _TIFF_TYPE[typ]
+        total = size * cnt
+        data_off = off + 8
+        if total > 4:
+            (data_off,) = struct.unpack_from(e + "I", content, off + 8)
+        if data_off + total > len(content):
+            raise ValueError(f"corrupt TIFF: tag {tag} data out of range")
+        tags[tag] = list(struct.unpack_from(e + ch * cnt, content, data_off))
+    try:
+        width, height = tags[256][0], tags[257][0]
+        strip_offsets = tags[273]
+    except KeyError as exc:
+        raise ValueError(f"corrupt TIFF: missing required tag {exc}") from exc
+    compression = tags.get(259, [1])[0]
+    if compression != 1:
+        raise DecodeNotAvailable(
+            f"TIFF compression={compression} requires PIL/libtiff; only "
+            "uncompressed strips decode natively"
+        )
+    channels = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * channels)
+    photometric = tags.get(262, [1])[0]
+    if channels not in (1, 3) or any(b != 8 for b in bits) or photometric not in (
+        0, 1, 2
+    ):
+        raise DecodeNotAvailable(
+            f"TIFF spp={channels} bits={bits} photometric={photometric} "
+            "requires PIL/libtiff"
+        )
+    counts = tags.get(279, [width * height * channels])
+    data = b"".join(
+        content[o : o + c] for o, c in zip(strip_offsets, counts)
+    )
+    expected = width * height * channels
+    if len(data) < expected:
+        raise ValueError("corrupt TIFF: strip data shorter than dimensions")
+    pixels = data[:expected]
+    if photometric == 0:  # WhiteIsZero: invert to BlackIsZero convention
+        pixels = bytes(255 - b for b in pixels)
+    return {
+        "width": width,
+        "height": height,
+        "bpp": 8 * channels,
+        "channels": channels,
+        "pixels": pixels,
+    }
+
+
 def decode_image(content: bytes) -> dict:
     """Decode an image natively: uncompressed 24-bit BMP (stdlib
     struct; Windows BITMAPINFOHEADER layout), non-interlaced 8-bit PNG
@@ -119,11 +249,14 @@ def decode_image(content: bytes) -> dict:
             "pixels": first["pixels"],
             "n_frames": g["n_frames"],
         }
+    if content[:4] in (TIFF_II, TIFF_MM):
+        return decode_tiff(content)
     if len(content) < 54 or content[:2] != b"BM":
         raise DecodeNotAvailable(
-            "only baseline JPEG, uncompressed 24-bit BMP and 8-bit "
-            "non-interlaced PNG decode natively; other image formats "
-            "require PIL/opencv, not available in this environment"
+            "only baseline JPEG, uncompressed 24-bit BMP, 8-bit "
+            "non-interlaced PNG, GIF, and uncompressed baseline TIFF "
+            "decode natively; other image formats require PIL/opencv, "
+            "not available in this environment"
         )
     offset = struct.unpack_from("<I", content, 10)[0]
     _, width, height, _, bpp, compression = struct.unpack_from(
@@ -434,6 +567,11 @@ def decode_features(media: DataFrame) -> DataFrame:
             px = img["pixels"]
             mean = sum(px) / len(px) if px else None
             return (mid, "jpeg", img["width"], img["height"], None, None, mean)
+        if b[:4] in (TIFF_II, TIFF_MM):
+            img = decode_tiff(b)
+            px = img["pixels"]
+            mean = sum(px) / len(px) if px else None
+            return (mid, "tiff", img["width"], img["height"], None, None, mean)
         if b[:6] in (b"GIF87a", b"GIF89a"):
             from konohadataplatform_spark.operators.gif_py import decode_gif
 
@@ -527,6 +665,37 @@ def documents_as_png(docs: DataFrame, width: int = 8, height: int = 4) -> DataFr
     )
 
 
+def documents_as_tiff(docs: DataFrame, width: int = 8, height: int = 4) -> DataFrame:
+    """Deterministic REAL TIFF payloads: each document becomes a
+    width x height 8-bit RGB uncompressed TIFF whose pixel bytes are
+    the md5 digest of its text cycled to fill the image — the same
+    oracle contract as documents_as_bmp/png. Byte order alternates by
+    doc_id parity so both II and MM files flow through the decoder."""
+    npix = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_tiff(
+                    width, height,
+                    (hashlib.md5(t.encode()).digest() * ((npix // 16) + 1))[:npix],
+                    big_endian=bool(i % 2),
+                )
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
 def documents_as_wav(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
     """Deterministic REAL audio payloads: 8 signed 16-bit samples from
     the md5 digest (little-endian pairs), PCM mono WAV."""
@@ -557,6 +726,7 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
     PIL-only formats raise DecodeNotAvailable from decode_image."""
     is_png = content[:8] == PNG_SIG
     is_jpeg = content[:2] == b"\xff\xd8"
+    is_tiff = content[:4] in (TIFF_II, TIFF_MM)
     img = decode_image(content)
     ch = img.get("channels", 3)
     src_w, src_h, px = img["width"], img["height"], img["pixels"]
@@ -579,6 +749,11 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
         if ch == 1:
             return encode_jpeg_gray(width, height, bytes(out))
         return encode_jpeg(width, height, bytes(out))
+    if is_tiff:
+        return encode_tiff(
+            width, height, bytes(out), channels=ch,
+            big_endian=content[:2] == b"MM",
+        )
     return encode_bmp(width, height, bytes(out))
 
 

@@ -536,6 +536,35 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tiff_decode",
+    f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         b AS (SELECT doc_id, {_MD5_BYTES} AS bytes FROM d)
+    SELECT doc_id, 'tiff' AS fmt,
+           8 AS width, 4 AS height,
+           CAST(list_sum(bytes) AS DOUBLE) / 16.0 AS mean_pixel
+    FROM b
+    """,
+)
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real TIFF decode: build 8x4 uncompressed RGB TIFFs (pixels = md5
+    digest cycled to 96 bytes; byte order alternates II/MM by doc_id
+    parity), walk the IFD back out with the stdlib parser. Decoded mean
+    over the cycled pixels equals the digest-byte mean, which the
+    oracle recomputes from md5 hex. Payload bytes never cross a shuffle
+    (mapInPandas end to end)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = M.decode_features(M.documents_as_tiff(docs, width=8, height=4))
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "fmt",
+        "width",
+        "height",
+        F.col("mean_val").alias("mean_pixel"),
+    )
+
+
+@query(
     "q_wav_decode",
     f"""
     WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),

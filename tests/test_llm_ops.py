@@ -331,13 +331,57 @@ def test_thumbnail_pipeline_deterministic(spark):
 def test_resize_stub_raises(spark):
     import pytest
 
-    # TIFF is still PIL-only; truncated JPEG/GIF are corrupt, not missing
+    # WebP is PIL-only; truncated TIFF/JPEG/GIF are corrupt, not missing
     with pytest.raises(NotImplementedError):
+        M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 40)
+    with pytest.raises(ValueError):
         M.resize_image(b"II*\x00" + b"\x00" * 60, 64, 64)
     with pytest.raises(ValueError):
         M.resize_image(b"\xff\xd8", 64, 64)
     with pytest.raises(ValueError):
         M.decode_image(b"GIF89a" + b"\x00" * 8)
+
+
+def test_tiff_roundtrip_both_byte_orders():
+    import pytest
+
+    px = bytes(range(8 * 4 * 3))
+    for big_endian in (False, True):
+        t = M.encode_tiff(8, 4, px, big_endian=big_endian)
+        img = M.decode_tiff(t)
+        assert (img["width"], img["height"], img["channels"]) == (8, 4, 3)
+        assert img["pixels"] == px
+        # and through the generic dispatcher
+        assert M.decode_image(t)["pixels"] == px
+    # grayscale single-strip variant
+    g = M.encode_tiff(4, 4, bytes(range(16)), channels=1)
+    img = M.decode_tiff(g)
+    assert img["channels"] == 1 and img["pixels"] == bytes(range(16))
+    # compressed TIFF is a loud capability gap, not silent garbage
+    import struct
+
+    lzw = bytearray(M.encode_tiff(8, 4, px))
+    # flip the Compression SHORT (tag 259) to 5 (LZW)
+    idx = lzw.find(struct.pack("<HHI", 259, 3, 1))
+    lzw[idx + 8 : idx + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError):
+        M.decode_tiff(bytes(lzw))
+
+
+def test_tiff_resize_preserves_format():
+    px = bytes((i * 7) % 256 for i in range(8 * 4 * 3))
+    for big_endian in (False, True):
+        t = M.encode_tiff(8, 4, px, big_endian=big_endian)
+        out = M.resize_image(t, 4, 2)
+        assert out[:2] == (b"MM" if big_endian else b"II")
+        img = M.decode_tiff(out)
+        assert (img["width"], img["height"]) == (4, 2)
+        # nearest-neighbor: every output pixel exists in the source
+        src_rows = [px[r * 24 : (r + 1) * 24] for r in range(4)]
+        for y in range(2):
+            for x in range(4):
+                trip = img["pixels"][(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]
+                assert trip == src_rows[y * 2][x * 2 * 3 : x * 2 * 3 + 3]
 
 
 def test_cosine_neardup_lsh_recall(spark):
