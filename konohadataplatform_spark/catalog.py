@@ -406,6 +406,59 @@ class SnapshotCatalog:
             return
         self._publish_pointer(name, version, payload)
 
+    # ---- table properties (Iceberg table-property analog) ---------------
+    def _props_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_props.json")
+
+    def table_properties(self, name: str) -> dict:
+        try:
+            with open(self._props_path(name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def set_table_properties(self, name: str, props: dict) -> dict:
+        """Merge-update persistent table properties (None deletes a key).
+        Properties apply to every FUTURE rewrite; existing snapshots are
+        immutable, exactly like Iceberg's write.* properties."""
+        os.makedirs(self._tdir(name), exist_ok=True)
+        cur = self.table_properties(name)
+        for k, v in props.items():
+            if v is None:
+                cur.pop(k, None)
+            else:
+                cur[k] = v
+        tmp = f"{self._props_path(name)}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(cur, f)
+        os.replace(tmp, self._props_path(name))
+        return cur
+
+    def set_bloom_filters(self, name: str, cols: dict) -> None:
+        """Enable parquet bloom filters on ``cols`` ({col: expected_ndv
+        or None}) for every future snapshot write of this table — the
+        ``write.parquet.bloom-filter-enabled.column.<col>`` analog.
+
+        At 100 TB: min/max footer stats prune range predicates but are
+        useless for point lookups on high-cardinality unsorted keys
+        (every file's [min,max] spans the whole keyspace); a bloom
+        filter answers "key definitely not in this row group" in one
+        bitset probe, turning needle-in-haystack lookups from a full
+        scan into a handful of row groups. Costs ~1.2 bytes/ndv of
+        footer space per column."""
+        self.set_table_properties(name, {"bloom_filters": cols})
+
+    def _write_options(self, name: str, writer):
+        """Apply persistent per-table writer options (bloom filters)."""
+        props = self.table_properties(name)
+        for col, ndv in (props.get("bloom_filters") or {}).items():
+            writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+            if ndv:
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{col}", str(ndv)
+                )
+        return writer
+
     def _commit(
         self,
         name: str,
@@ -415,7 +468,7 @@ class SnapshotCatalog:
         expected_version: int | None = None,
     ) -> Snapshot:
         version, snap_dir = self._new_snapshot_dir(name, expected_version)
-        writer = df.write.mode("overwrite")
+        writer = self._write_options(name, df.write.mode("overwrite"))
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(snap_dir)
@@ -697,7 +750,9 @@ class SnapshotCatalog:
         _link_tree(prev.path, snap_dir)
         layers = list(prev.upsert_layers or [])
         layer_rel = os.path.join("_upserts", f"seq-{len(layers) + 1:06d}")
-        source.write.mode("overwrite").parquet(os.path.join(snap_dir, layer_rel))
+        self._write_options(name, source.write.mode("overwrite")).parquet(
+            os.path.join(snap_dir, layer_rel)
+        )
         layers.append(layer_rel)
 
         # an upserted key must come back to life even if a pending

@@ -29,6 +29,7 @@ Parsing scope (documented contract, enforced with clear errors):
 
 from __future__ import annotations
 
+import json
 import re
 from datetime import datetime, timezone
 
@@ -311,6 +312,11 @@ _ALTER_DROP_RE = re.compile(
     r"^ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+DROP\s+COLUMN\s+(?P<col>[\w`]+)$",
     re.IGNORECASE,
 )
+_ALTER_TBLPROPS_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+SET\s+TBLPROPERTIES\s*"
+    r"\((?P<props>.*)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ALTER_ADD_RE = re.compile(
     r"^ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+ADD\s+COLUMN\s+"
     r"(?P<col>[\w`]+)\s+(?P<type>.+)$",
@@ -334,6 +340,41 @@ def _dispatch_alter(engine, query: str) -> DataFrame:
             m.group("name").strip("`"),
             m.group("col").strip("`"),
             F.lit(None).cast(m.group("type").strip()),
+        )
+    elif m := _ALTER_TBLPROPS_RE.match(query):
+        # Iceberg-style writer properties, e.g.
+        #   SET TBLPROPERTIES (
+        #     'write.parquet.bloom-filter-enabled.column.user_id'='true',
+        #     'write.parquet.bloom-filter-expected-ndv.column.user_id'='20000')
+        # Unknown keys persist as opaque table properties.
+        name = m.group("name").strip("`")
+        props = {}
+        for part in _split_top_level(m.group("props"), ","):
+            k, _, v = part.strip().partition("=")
+            k, v = k.strip().strip("'\""), v.strip().strip("'\"")
+            if not k:
+                continue
+            props[k] = v
+        bloom = dict(cat.table_properties(name).get("bloom_filters") or {})
+        passthrough = {}
+        for k, v in props.items():
+            if k.startswith("write.parquet.bloom-filter-enabled.column."):
+                col = k.rsplit(".", 1)[-1]
+                if v.lower() == "true":
+                    bloom.setdefault(col, None)
+                else:
+                    bloom.pop(col, None)
+            elif k.startswith("write.parquet.bloom-filter-expected-ndv.column."):
+                col = k.rsplit(".", 1)[-1]
+                bloom[col] = int(v)
+            else:
+                passthrough[k] = v
+        cat.set_table_properties(
+            name, {**passthrough, "bloom_filters": bloom or None}
+        )
+        return engine.spark.createDataFrame(
+            [(name, json.dumps(cat.table_properties(name), sort_keys=True))],
+            "table string, properties string",
         )
     else:
         raise ValueError(f"unsupported ALTER TABLE syntax: {query!r}")

@@ -1289,3 +1289,51 @@ def test_branch_divergence_blocks_fast_forward(spark, catalog):
     assert not catalog.exists(catalog.branch_table("bt2", "exp"))
     with pytest.raises(ValueError, match="already exists|no branch"):
         catalog.read_branch("bt2", "exp")
+
+
+def test_table_properties_roundtrip(spark, catalog):
+    assert catalog.table_properties("tprops") == {}
+    catalog.set_table_properties("tprops", {"a": 1, "b": "x"})
+    catalog.set_table_properties("tprops", {"b": None, "c": [1, 2]})
+    assert catalog.table_properties("tprops") == {"a": 1, "c": [1, 2]}
+
+
+def _dir_bytes(d):
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def test_bloom_filter_property_applies_to_writes(spark, catalog):
+    """set_bloom_filters persists as a table property and every rewrite
+    path (write, merge, compact) emits parquet bloom filters — visible
+    as a deterministic footer-size delta vs the same data without."""
+    df = spark.range(20000).selectExpr(
+        "id", "concat('user_', id) AS user_id"
+    ).coalesce(1)
+    catalog.write("plain", df)
+    catalog.set_bloom_filters("bloomed", {"user_id": 20000})
+    catalog.write("bloomed", df)
+    plain = _dir_bytes(catalog.current_snapshot("plain").path)
+    bloomed = _dir_bytes(catalog.current_snapshot("bloomed").path)
+    # ndv=20000 bloom bitset is ~32 KiB; same data otherwise
+    assert bloomed > plain + 8192
+
+    # survives merge (new snapshot, same property)
+    catalog.merge(
+        "bloomed",
+        spark.range(20000, 20100).selectExpr("id", "concat('user_', id) AS user_id"),
+        ["id"],
+    )
+    merged = _dir_bytes(catalog.current_snapshot("bloomed").path)
+    assert merged > plain + 8192
+
+    # and compact
+    catalog.compact("bloomed", target_files=1)
+    compacted = _dir_bytes(catalog.current_snapshot("bloomed").path)
+    assert compacted > plain + 8192
+    # data identical through it all
+    assert catalog.read("bloomed").count() == 20100

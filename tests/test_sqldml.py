@@ -438,3 +438,26 @@ def test_version_as_of_named_refs(engine, spark):
     ).first().n == 5
     with pytest.raises(ValueError, match="unknown tag/branch"):
         engine.sql("SELECT * FROM metrics FOR VERSION AS OF 'nope'")
+
+
+def test_alter_table_set_tblproperties_bloom(engine):
+    """Iceberg-style writer properties through SQL: bloom-filter columns
+    round-trip into catalog table properties and apply to future writes."""
+    seed(engine)
+    out = engine.sql(
+        "ALTER TABLE metrics SET TBLPROPERTIES ("
+        "'write.parquet.bloom-filter-enabled.column.tag'='true', "
+        "'write.parquet.bloom-filter-expected-ndv.column.tag'='5000', "
+        "'commit.retry.num-retries'='3')"
+    ).collect()
+    props = engine.catalog.table_properties("metrics")
+    assert props["bloom_filters"] == {"tag": 5000}
+    assert props["commit.retry.num-retries"] == "3"
+    assert out[0].table == "metrics"
+
+    # disable drops the column from the bloom set
+    engine.sql(
+        "ALTER TABLE metrics SET TBLPROPERTIES ("
+        "'write.parquet.bloom-filter-enabled.column.tag'='false')"
+    )
+    assert "bloom_filters" not in engine.catalog.table_properties("metrics")
