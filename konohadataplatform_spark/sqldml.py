@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 _DML_RE = re.compile(
     r"^\s*(MERGE|DELETE|UPDATE|ALTER|INSERT|TRUNCATE|DROP|CREATE|CALL|OPTIMIZE)\b"
-    r"|^\s*DESCRIBE\s+HISTORY\b",
+    r"|^\s*DESCRIBE\s+HISTORY\b|^\s*SHOW\s+TBLPROPERTIES\b",
     re.IGNORECASE,
 )
 
@@ -710,9 +710,29 @@ def dispatch(engine, query: str) -> DataFrame:
     summary DataFrame (operation, table, version)."""
     q = _strip(query)
     m = _DML_RE.match(q)
-    head = (m.group(1) or "DESCRIBE").upper()
+    head = (m.group(1) or q.split(None, 1)[0]).upper()
     if engine.catalog is None:
         raise ValueError(f"{head} requires a catalog attached to the Engine")
+    if head == "SHOW":
+        name = re.match(
+            r"SHOW\s+TBLPROPERTIES\s+([\w.`]+)", q, re.IGNORECASE
+        ).group(1).strip("`")
+        props = engine.catalog.table_properties(name)
+        flat = []
+        for k, v in sorted(props.items()):
+            if k == "bloom_filters":
+                for col, ndv in sorted(v.items()):
+                    flat.append(
+                        (f"write.parquet.bloom-filter-enabled.column.{col}", "true")
+                    )
+                    if ndv:
+                        flat.append((
+                            f"write.parquet.bloom-filter-expected-ndv.column.{col}",
+                            str(ndv),
+                        ))
+            else:
+                flat.append((k, str(v)))
+        return engine.spark.createDataFrame(flat or [], "key string, value string")
     if head == "DESCRIBE":
         name = re.match(
             r"DESCRIBE\s+HISTORY\s+([\w.`]+)", q, re.IGNORECASE

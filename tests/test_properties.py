@@ -532,3 +532,22 @@ def test_scan_equals_filtered_read(spark, tmp_path_factory, filters, table, add_
         df = df.filter(f"{col} {sql_op} {lit}")
     want = sorted(tuple(r) for r in df.collect())
     assert got == want
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 3]),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_property(w, h, channels, big_endian, rnd):
+    """encode_tiff/decode_tiff are exact inverses for any dimensions,
+    channel count, and byte order."""
+    px = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    img = MM.decode_tiff(
+        MM.encode_tiff(w, h, px, channels=channels, big_endian=big_endian)
+    )
+    assert (img["width"], img["height"], img["channels"]) == (w, h, channels)
+    assert img["pixels"] == px

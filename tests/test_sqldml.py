@@ -455,6 +455,12 @@ def test_alter_table_set_tblproperties_bloom(engine):
     assert props["commit.retry.num-retries"] == "3"
     assert out[0].table == "metrics"
 
+    # SHOW TBLPROPERTIES flattens back to the Iceberg key form
+    shown = {r.key: r.value for r in engine.sql("SHOW TBLPROPERTIES metrics").collect()}
+    assert shown["write.parquet.bloom-filter-enabled.column.tag"] == "true"
+    assert shown["write.parquet.bloom-filter-expected-ndv.column.tag"] == "5000"
+    assert shown["commit.retry.num-retries"] == "3"
+
     # disable drops the column from the bloom set
     engine.sql(
         "ALTER TABLE metrics SET TBLPROPERTIES ("
