@@ -197,3 +197,21 @@ def test_boilerplate_reuses_gram_exchange(spark):
     df = QUERIES["q_boilerplate_coverage"](spark, SF_DIR)
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_adapted_tpch_plans_broadcast_dims(spark):
+    """The five adapted TPC-H queries must never cartesian-join and
+    must broadcast their dimension sides — the lineitem-derived supply
+    relation is the only side allowed to shuffle."""
+    for name, min_bcast in [
+        ("q2_min_cost_supplier", 3),
+        ("q9_product_type_profit", 3),
+        ("q11_important_stock", 2),
+        ("q16_supplier_part_counts", 2),
+        ("q20_potential_promotion", 2),
+    ]:
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastHashJoin") + plan.count(
+            "BroadcastNestedLoopJoin"
+        ) >= min_bcast, (name, plan.count("BroadcastHashJoin"))
