@@ -165,6 +165,57 @@ def main() -> None:
     )
     print("QUALIFY top-2 ids:", sorted(r.id for r in top.collect()))
 
+    # --- 10. round 5: CDC DLQ + auto-evolve, bloom filters, TIFF ------
+    import json as _json
+
+    from pyspark.sql import Row, types as T
+    from konohadataplatform_spark.streaming.cdc import ENVELOPE_SCHEMA, CdcPipeline
+
+    cust_schema = T.StructType(
+        [
+            T.StructField("customer_id", T.StringType(), False),
+            T.StructField("company_name", T.StringType(), True),
+        ]
+    )
+    pipe = CdcPipeline(
+        spark, catalog, {"cust10": (cust_schema, ["customer_id"])},
+        dlq_table="cdc_dlq10", evolve_schema=True,
+    )
+    pipe.apply_envelopes(
+        spark.createDataFrame(
+            [
+                Row(op="c", before=None,
+                    after=_json.dumps({"customer_id": "A", "company_name": "co"}),
+                    ts_ms=1, lsn=1, table="cust10"),
+                Row(op="c", before=None, after='{"broken', ts_ms=2, lsn=2,
+                    table="cust10"),  # -> dead-letter queue
+                Row(op="c", before=None,
+                    after=_json.dumps({"customer_id": "B", "company_name": "b",
+                                       "country": "DE"}),  # new upstream column
+                    ts_ms=3, lsn=3, table="cust10"),
+            ],
+            ENVELOPE_SCHEMA,
+        ),
+        batch_id=1,
+    )
+    print("CDC with DLQ:", catalog.read("cust10").columns,
+          "| quarantined:", [r._error for r in catalog.read("cdc_dlq10").collect()])
+
+    engine.sql(
+        "ALTER TABLE metrics9 SET TBLPROPERTIES ("
+        "'write.parquet.bloom-filter-enabled.column.id'='true', "
+        "'write.parquet.bloom-filter-expected-ndv.column.id'='5000')"
+    )
+    catalog.compact("metrics9", target_files=2)  # rewrite picks up blooms
+    print("bloom props:",
+          {r.key: r.value for r in engine.sql("SHOW TBLPROPERTIES metrics9").collect()})
+
+    from konohadataplatform_spark.operators import multimodal as M
+
+    tiff = M.encode_tiff(8, 4, bytes(range(96)), big_endian=True)
+    print("TIFF (MM) roundtrip lossless:",
+          M.decode_image(tiff)["pixels"] == bytes(range(96)))
+
     spark.stop()
 
 
