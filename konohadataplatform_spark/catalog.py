@@ -957,6 +957,79 @@ class SnapshotCatalog:
         dels = older.exceptAll(newer).withColumn("_change_type", F.lit("delete"))
         return ins.unionByName(dels)
 
+    def read_change_feed(
+        self,
+        name: str,
+        from_version: int,
+        to_version: int | None = None,
+        key_cols: list[str] | None = None,
+        per_commit: bool = False,
+    ) -> DataFrame:
+        """Delta-CDF-style change feed over the snapshot history.
+
+        Without ``key_cols`` this is :meth:`diff` plus a
+        ``_commit_version`` column (updates appear as delete+insert).
+        With ``key_cols``, changes pair up the way Delta's change data
+        feed reports them: a key present in both versions with any
+        non-key difference yields ``update_preimage`` (old row) and
+        ``update_postimage`` (new row); keys only in the newer version
+        are ``insert``; only in the older, ``delete``.
+
+        ``per_commit=True`` attributes every change to the exact commit
+        that introduced it by walking version pairs — O(#versions)
+        snapshot reads, audit grain. The default compares only the two
+        endpoint snapshots (one pass, any table size): intermediate
+        churn that cancels out is invisible, exactly like Delta CDF
+        with ``readChangeFeed`` between two versions.
+
+        Scale: each endpoint pairing is two exceptAlls plus key-keyed
+        anti/semi-joins — all declarative, shuffle on the key columns,
+        nothing collected."""
+        cur = self.current_snapshot(name)
+        if cur is None:
+            raise ValueError(f"table not found: {name}")
+        to_version = cur.version if to_version is None else to_version
+        if per_commit:
+            versions = [
+                s.version
+                for s in self.history(name)
+                if from_version <= s.version <= to_version
+            ]
+            out = None
+            for lo, hi in zip(versions, versions[1:]):
+                step = self.read_change_feed(name, lo, hi, key_cols=key_cols)
+                out = step if out is None else out.unionByName(step)
+            if out is None:
+                raise ValueError(
+                    f"{name}: no version pairs in [{from_version}, {to_version}]"
+                )
+            return out
+
+        older = self.read(name, from_version)
+        newer = self.read(name, to_version)
+        ver = F.lit(to_version).alias("_commit_version")
+        if not key_cols:
+            return self.diff(name, from_version, to_version).withColumn(
+                "_commit_version", F.lit(to_version)
+            )
+        new_rows = newer.exceptAll(older)  # changed or inserted
+        old_rows = older.exceptAll(newer)  # changed or deleted
+        old_keys = older.select(*key_cols).distinct()
+        new_keys = newer.select(*key_cols).distinct()
+        inserts = new_rows.join(old_keys, key_cols, "left_anti").select(
+            "*", F.lit("insert").alias("_change_type"), ver
+        )
+        deletes = old_rows.join(new_keys, key_cols, "left_anti").select(
+            "*", F.lit("delete").alias("_change_type"), ver
+        )
+        post = new_rows.join(old_keys, key_cols, "left_semi").select(
+            "*", F.lit("update_postimage").alias("_change_type"), ver
+        )
+        pre = old_rows.join(new_keys, key_cols, "left_semi").select(
+            "*", F.lit("update_preimage").alias("_change_type"), ver
+        )
+        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
     def delete_where(self, name: str, predicate: str) -> Snapshot:
         """M4 DELETE FROM name WHERE predicate (filtered rewrite)."""
         base = self.current_snapshot(name)

@@ -882,6 +882,20 @@ def _dispatch_call(engine, q: str) -> DataFrame:
         return engine.spark.createDataFrame(
             [(proc, name, branch)], "procedure string, table string, branch string"
         )
+    if proc == "table_changes":
+        # Delta's table_changes('t', from, to) analog; optional
+        # key_cols => 'id,ts' switches on update pre/postimage pairing
+        frm = _arg(pos, named, 1, "from_version", "start_version")
+        if frm is None:
+            raise ValueError("CALL table_changes: missing from_version")
+        to = _arg(pos, named, 2, "to_version", "end_version")
+        keys = _arg(pos, named, 3, "key_cols")
+        return engine.catalog.read_change_feed(
+            name,
+            int(frm),
+            int(to) if to is not None else None,
+            key_cols=[k.strip() for k in keys.split(",")] if keys else None,
+        )
     if proc == "remove_orphan_files":
         older = int(
             _arg(pos, named, 1, "older_than_ms", default=24 * 3600 * 1000)
@@ -893,7 +907,8 @@ def _dispatch_call(engine, q: str) -> DataFrame:
     raise ValueError(
         f"unknown procedure {proc!r}; supported: expire_snapshots, "
         "rewrite_data_files/compact, rollback[_to_version], "
-        "remove_orphan_files, create_branch, fast_forward, drop_branch"
+        "remove_orphan_files, table_changes, create_branch, "
+        "fast_forward, drop_branch"
     )
 
 

@@ -1337,3 +1337,40 @@ def test_bloom_filter_property_applies_to_writes(spark, catalog):
     assert compacted > plain + 8192
     # data identical through it all
     assert catalog.read("bloomed").count() == 20100
+
+
+def test_read_change_feed_keyed_updates(spark, catalog):
+    """CDF semantics: keyed changes pair as update_pre/postimage;
+    pure inserts/deletes keep their own types; _commit_version stamps
+    the endpoint (or the exact commit with per_commit=True)."""
+    catalog.write("cdf", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"))          # v1
+    catalog.merge("cdf", spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id long, v string"), ["id"])           # v2
+    catalog.delete_where("cdf", "id = 3")                              # v3
+
+    feed = catalog.read_change_feed("cdf", 1, 3, key_cols=["id"])
+    got = sorted((r.id, r._change_type, r.v) for r in feed.collect())
+    assert got == [
+        (2, "update_postimage", "B2"),
+        (2, "update_preimage", "b"),
+        (3, "delete", "c"),
+        (4, "insert", "d"),
+    ]
+    assert {r._commit_version for r in feed.collect()} == {3}
+
+    # per-commit attribution: the update lands in v2, the delete in v3
+    per = catalog.read_change_feed("cdf", 1, 3, key_cols=["id"], per_commit=True)
+    by_ver = sorted((r._commit_version, r._change_type, r.id) for r in per.collect())
+    assert by_ver == [
+        (2, "insert", 4),
+        (2, "update_postimage", 2),
+        (2, "update_preimage", 2),
+        (3, "delete", 3),
+    ]
+
+    # un-keyed fallback: update becomes delete+insert
+    raw = catalog.read_change_feed("cdf", 1, 2)
+    assert sorted((r._change_type, r.id) for r in raw.collect()) == [
+        ("delete", 2), ("insert", 2), ("insert", 4),
+    ]

@@ -467,3 +467,13 @@ def test_alter_table_set_tblproperties_bloom(engine):
         "'write.parquet.bloom-filter-enabled.column.tag'='false')"
     )
     assert "bloom_filters" not in engine.catalog.table_properties("metrics")
+
+
+def test_call_table_changes(engine):
+    seed(engine)
+    engine.sql("UPDATE metrics SET v = 99.0 WHERE id = 2")
+    out = engine.sql(
+        "CALL system.table_changes('metrics', 1, 2, key_cols => 'id')"
+    )
+    got = sorted((r.id, r._change_type, r.v) for r in out.collect())
+    assert got == [(2, "update_postimage", 99.0), (2, "update_preimage", 20.0)]
