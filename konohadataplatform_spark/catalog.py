@@ -195,6 +195,10 @@ class Snapshot:
     # compact) materializes the current schema and clears these.
     renames: dict | None = None
     dropped: list | None = None
+    # partition layout of this snapshot's base files (Hive dirs). Row-
+    # level rewrites (DELETE/UPDATE/MERGE/compact) inherit it so one
+    # GDPR delete can't silently flatten a date-partitioned table.
+    partition_by: list | None = None
 
 
 class CommitConflictError(RuntimeError):
@@ -301,6 +305,7 @@ class SnapshotCatalog:
         upsert_key_cols: list[str] | None = None,
         renames: dict | None = None,
         dropped: list | None = None,
+        partition_by: list[str] | None = None,
     ) -> Snapshot:
         """Atomic pointer swap: temp file + rename (same protocol shape
         as Iceberg's metadata pointer update). On conflict the caller's
@@ -318,6 +323,7 @@ class SnapshotCatalog:
             upsert_key_cols=upsert_key_cols,
             renames=renames or None,
             dropped=dropped or None,
+            partition_by=list(partition_by) if partition_by else None,
         )
         # optimistic concurrency: the version we computed must still be
         # next-in-line; a concurrent committer makes this a conflict,
@@ -467,6 +473,18 @@ class SnapshotCatalog:
         partition_by: list[str] | None,
         expected_version: int | None = None,
     ) -> Snapshot:
+        # Partition-spec inheritance (Iceberg: the spec is table state,
+        # not a per-write argument): callers that don't specify a
+        # layout keep the previous snapshot's — so DELETE/UPDATE/MERGE/
+        # compact never silently flatten a partitioned table. Pass
+        # partition_by=[] to explicitly unpartition.
+        if partition_by is None:
+            prev = self.current_snapshot(name)
+            if prev is not None and prev.partition_by:
+                # inherited spec: tolerate a since-dropped/renamed
+                # partition column by keeping only columns still present
+                partition_by = [c for c in prev.partition_by if c in df.columns]
+        partition_by = list(partition_by) if partition_by else None
         version, snap_dir = self._new_snapshot_dir(name, expected_version)
         writer = self._write_options(name, df.write.mode("overwrite"))
         if partition_by:
@@ -476,7 +494,12 @@ class SnapshotCatalog:
         # persisted snapshot/log record carries it
         row_count = _footer_row_count(snap_dir)
         return self._register_snapshot(
-            name, version, snap_dir, operation, row_count=row_count
+            name,
+            version,
+            snap_dir,
+            operation,
+            row_count=row_count,
+            partition_by=partition_by,
         )
 
     # ---- public write paths --------------------------------------------
@@ -630,6 +653,7 @@ class SnapshotCatalog:
             f"merge-partitioned(rewrote={len(touched_strs)},linked={linked})",
             row_count=_footer_row_count(snap_dir),
             mixed_schema=mixed,
+            partition_by=[partition_col],
         )
 
     def _reject_null_keys(
@@ -704,6 +728,7 @@ class SnapshotCatalog:
             upsert_key_cols=prev.upsert_key_cols,
             renames=prev.renames,
             dropped=prev.dropped,
+            partition_by=prev.partition_by,
         )
 
     def upsert_by_keys(
@@ -780,6 +805,7 @@ class SnapshotCatalog:
             upsert_key_cols=key_cols,
             renames=prev.renames,
             dropped=prev.dropped,
+            partition_by=prev.partition_by,
         )
 
     # ---- write-audit-publish (staged commits) ---------------------------
@@ -810,6 +836,7 @@ class SnapshotCatalog:
             timestamp_ms=int(time.time() * 1000),
             row_count=_footer_row_count(sdir),
             base_version=cur.version if cur else 0,
+            partition_by=list(partition_by) if partition_by else None,
         )
 
     def read_staged(self, staged: Snapshot) -> DataFrame:
@@ -834,7 +861,12 @@ class SnapshotCatalog:
         os.makedirs(os.path.dirname(snap_dir), exist_ok=True)
         os.rename(staged.path, snap_dir)
         return self._register_snapshot(
-            name, version, snap_dir, "publish", row_count=staged.row_count
+            name,
+            version,
+            snap_dir,
+            "publish",
+            row_count=staged.row_count,
+            partition_by=staged.partition_by,
         )
 
     def discard_staged(self, staged: Snapshot) -> None:
@@ -941,6 +973,7 @@ class SnapshotCatalog:
             upsert_key_cols=old.upsert_key_cols,
             renames=old.renames,
             dropped=old.dropped,
+            partition_by=old.partition_by,
         )
 
     def diff(
@@ -956,6 +989,93 @@ class SnapshotCatalog:
         ins = newer.exceptAll(older).withColumn("_change_type", F.lit("insert"))
         dels = older.exceptAll(newer).withColumn("_change_type", F.lit("delete"))
         return ins.unionByName(dels)
+
+    def metadata_table(
+        self, name: str, kind: str, version: int | None = None
+    ) -> DataFrame:
+        """Iceberg metadata-table analog (``SELECT * FROM t$files`` et
+        al. via Engine.sql): inspectable relations over the catalog's
+        own metadata, never the data files.
+
+        kinds: ``snapshots``/``history`` (one row per commit),
+        ``files`` (per base data file: rows, bytes, partition values,
+        footer min/max as JSON), ``partitions`` (files rolled up by
+        partition value), ``refs`` (tags + branches and the version
+        each points at).
+
+        Everything here is driver-side metadata (file listings, cached
+        footer stats) turned into a tiny DataFrame — O(#files), the
+        same cost Iceberg pays to serve its metadata tables."""
+        if kind in ("snapshots", "history"):
+            rows = [
+                (
+                    s.version,
+                    s.operation,
+                    s.timestamp_ms,
+                    s.row_count,
+                    os.path.relpath(s.path, self._tdir(name)),
+                    bool(s.upsert_layers),
+                    s.delete_path is not None,
+                )
+                for s in self.history(name)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "version int, operation string, timestamp_ms long, "
+                "row_count long, path string, has_upsert_layers boolean, "
+                "has_deletes boolean",
+            )
+        if kind in ("files", "partitions"):
+            snap = self._resolve(name, version, None)
+            stats = self._file_stats(snap)
+            rows = []
+            for f in self._base_data_files(snap):
+                rel = os.path.relpath(f, snap.path)
+                fstats = dict(stats.get(rel, {}))
+                n_rows = fstats.pop("__rows__", None)
+                parts = {
+                    k: v
+                    for seg in rel.split(os.sep)[:-1]
+                    if "=" in seg
+                    for k, _, v in [seg.partition("=")]
+                }
+                rows.append(
+                    (
+                        rel,
+                        n_rows,
+                        os.path.getsize(f),
+                        json.dumps(parts, sort_keys=True),
+                        json.dumps(fstats, sort_keys=True, default=str),
+                    )
+                )
+            files_df = self.spark.createDataFrame(
+                rows,
+                "file_path string, row_count long, file_bytes long, "
+                "partition string, column_stats string",
+            )
+            if kind == "files":
+                return files_df
+            return files_df.groupBy("partition").agg(
+                F.count(F.lit(1)).alias("file_count"),
+                F.sum("row_count").alias("row_count"),
+                F.sum("file_bytes").alias("file_bytes"),
+            )
+        if kind == "refs":
+            rows = [
+                ("main", "branch", self.current_snapshot(name).version)
+            ] if self.exists(name) else []
+            rows += [(t, "tag", v) for t, v in sorted(self.tags(name).items())]
+            for b in sorted(self.branches(name)):
+                bt = self.branch_table(name, b)
+                if self.exists(bt):
+                    rows.append((b, "branch", self.current_snapshot(bt).version))
+            return self.spark.createDataFrame(
+                rows, "name string, type string, version int"
+            )
+        raise ValueError(
+            f"unknown metadata table {kind!r}; supported: files, "
+            "snapshots/history, partitions, refs"
+        )
 
     def read_change_feed(
         self,
@@ -1382,6 +1502,7 @@ class SnapshotCatalog:
             upsert_key_cols=src.upsert_key_cols,
             renames=src.renames,
             dropped=src.dropped,
+            partition_by=src.partition_by,
         )
 
     def create_branch(
@@ -1748,6 +1869,7 @@ class SnapshotCatalog:
             upsert_key_cols=_fix(prev.upsert_key_cols),
             renames=renames,
             dropped=dropped,
+            partition_by=prev.partition_by,
         )
 
     def rename_column(self, name: str, old: str, new: str) -> Snapshot:

@@ -44,6 +44,8 @@ class Engine:
             if sqldml.is_dml(query):
                 return sqldml.dispatch(self, query)
             query = sqldml.rewrite_time_travel(self, query)
+            if "$" in query:
+                query = sqldml.rewrite_metadata_tables(self, query)
         rewritten = sqldml.rewrite_qualify(query)
         if rewritten is not None:
             return self.spark.sql(rewritten).drop("__qualify__")

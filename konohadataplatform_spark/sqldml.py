@@ -55,6 +55,29 @@ def is_dml(query: str) -> bool:
     return _DML_RE.match(query) is not None
 
 
+# Iceberg-style metadata-table references: SELECT * FROM t$files etc.
+_META_TABLE_RE = re.compile(
+    r"\b([A-Za-z_]\w*)\$(files|snapshots|history|partitions|refs)\b"
+)
+
+
+def rewrite_metadata_tables(engine, query: str) -> str:
+    """Rewrite ``t$files`` / ``t$snapshots`` / ``t$partitions`` /
+    ``t$refs`` / ``t$history`` references to temp views over
+    :meth:`SnapshotCatalog.metadata_table` (the Iceberg metadata-table
+    surface). Views are (re)registered per statement so they always
+    reflect the current snapshot. Caveat: a ``$``-reference inside a
+    string literal would also be rewritten — quote such literals with
+    a split (``'t' || CHR(36) || 'files'``) if ever needed."""
+    def sub(m):
+        tbl, kind = m.group(1), m.group(2)
+        view = f"__meta_{tbl}__{kind}"
+        engine.catalog.metadata_table(tbl, kind).createOrReplaceTempView(view)
+        return view
+
+    return _META_TABLE_RE.sub(sub, query)
+
+
 def _strip(query: str) -> str:
     return query.strip().rstrip(";").strip()
 

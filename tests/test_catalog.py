@@ -1374,3 +1374,49 @@ def test_read_change_feed_keyed_updates(spark, catalog):
     assert sorted((r._change_type, r.id) for r in raw.collect()) == [
         ("delete", 2), ("insert", 2), ("insert", 4),
     ]
+
+
+def test_partition_spec_inherited_across_rewrites(spark, catalog):
+    """Iceberg semantics: the partition spec is table state. Row-level
+    rewrites (delete_where, merge, compact) keep the layout; an
+    explicit partition_by=[] unpartitions."""
+    catalog.write(
+        "pspec",
+        spark.createDataFrame(
+            [(i, f"g{i % 3}") for i in range(30)], "id long, g string"
+        ),
+        partition_by=["g"],
+    )
+
+    def layout(name):
+        snap = catalog.current_snapshot(name)
+        dirs = {
+            seg
+            for f in catalog._base_data_files(snap)
+            for seg in os.path.relpath(f, snap.path).split(os.sep)[:-1]
+            if "=" in seg
+        }
+        return snap.partition_by, dirs
+
+    catalog.delete_where("pspec", "id = 0")
+    pb, dirs = layout("pspec")
+    assert pb == ["g"] and dirs == {"g=g0", "g=g1", "g=g2"}
+
+    catalog.merge(
+        "pspec", spark.createDataFrame([(99, "g1")], "id long, g string"), ["id"]
+    )
+    pb, dirs = layout("pspec")
+    assert pb == ["g"] and len(dirs) == 3
+
+    catalog.compact("pspec", target_files=1)
+    pb, dirs = layout("pspec")
+    assert pb == ["g"] and len(dirs) == 3
+
+    # rollback keeps the recorded spec too
+    catalog.rollback("pspec", 1)
+    assert catalog.current_snapshot("pspec").partition_by == ["g"]
+
+    # explicit [] unpartitions
+    catalog.write("pspec", catalog.read("pspec"), partition_by=[])
+    pb, dirs = layout("pspec")
+    assert pb is None and dirs == set()

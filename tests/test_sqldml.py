@@ -477,3 +477,42 @@ def test_call_table_changes(engine):
     )
     got = sorted((r.id, r._change_type, r.v) for r in out.collect())
     assert got == [(2, "update_postimage", 99.0), (2, "update_preimage", 20.0)]
+
+
+def test_metadata_tables_sql(engine):
+    """Iceberg metadata-table surface: t$snapshots / t$files /
+    t$partitions / t$refs resolve through Engine.sql."""
+    engine.save_table(
+        "mt",
+        engine.spark.createDataFrame(
+            [(i, f"g{i % 2}") for i in range(100)], "id long, g string"
+        ),
+        partition_by=["g"],
+    )
+    engine.sql("DELETE FROM mt WHERE id = 0")
+    snaps = engine.sql(
+        "SELECT version, operation FROM mt$snapshots ORDER BY version"
+    ).collect()
+    assert [r.version for r in snaps] == [1, 2]
+    assert snaps[1].operation.startswith("delete-where")
+
+    files = engine.sql("SELECT * FROM mt$files").collect()
+    assert all(f.row_count > 0 and f.file_bytes > 0 for f in files)
+    assert {f.partition for f in files} == {'{"g": "g0"}', '{"g": "g1"}'}
+
+    parts = engine.sql(
+        "SELECT partition, row_count FROM mt$partitions ORDER BY partition"
+    ).collect()
+    assert [p.row_count for p in parts] == [49, 50]  # id=0 deleted from g0
+
+    engine.catalog.create_tag("mt", "audit", 1)
+    refs = {(r.name, r.type): r.version
+            for r in engine.sql("SELECT * FROM mt$refs").collect()}
+    assert refs[("main", "branch")] == 2 and refs[("audit", "tag")] == 1
+
+    # metadata joins with data in one statement
+    joined = engine.sql(
+        "SELECT count(*) AS n FROM mt$files f JOIN mt$partitions p "
+        "ON f.partition = p.partition"
+    ).collect()
+    assert joined[0].n == len(files)
