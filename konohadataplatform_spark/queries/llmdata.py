@@ -1859,3 +1859,177 @@ def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     element_at(words, i) is the PREVIOUS token (element_at is 1-based
     while the filter lambda index is 0-based)."""
     return TX.canonicalize(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture weights (the multilingual T5/XLM-R data
+# recipe): resampling probability proportional to share^alpha with
+# alpha=0.5, i.e. weight = share^(alpha-1) = sqrt(total/n). sqrt is
+# IEEE-exact in both engines and every value derives per-cell from
+# integer counts — no cross-cell float summation, so the output is
+# bit-portable. One agg shuffle + a 1-row broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "q_temperature_mixture",
+    """
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS n_docs
+      FROM documents GROUP BY lang, source
+    ), t AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM g
+    )
+    SELECT lang, source, n_docs,
+           CAST(n_docs AS DOUBLE) / total AS share,
+           sqrt(CAST(total AS DOUBLE) / n_docs) AS temp_weight,
+           sqrt(CAST(n_docs AS DOUBLE) / total) AS sampled_mass
+    FROM g, t
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = g.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("total")).alias("share"),
+        F.sqrt(F.col("total").cast("double") / F.col("n_docs")).alias(
+            "temp_weight"
+        ),
+        F.sqrt(F.col("n_docs").cast("double") / F.col("total")).alias(
+            "sampled_mass"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget subset selection: deterministic per-language sample
+# until a token budget — the "give me ~2k tokens per language, stably"
+# primitive behind reproducible data ablations. Priority = md5(text)
+# (engine-portable), running token total via a partitioned window.
+# Scale: one shuffle on lang; at corpus scale key the window on
+# (lang, shard) exactly like q_sequence_packing and give each shard
+# budget/n_shards.
+# --------------------------------------------------------------------------
+@query(
+    "q_token_budget_pack",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(string_split(trim(text), ' ')) AS toks,
+             md5(text) AS pri
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, toks,
+             SUM(toks) OVER (PARTITION BY lang ORDER BY pri, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT doc_id, lang, CAST(toks AS BIGINT) AS toks,
+           CAST(cum AS BIGINT) AS cum_toks
+    FROM c WHERE cum <= 2000
+    """,
+)
+def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("toks"),
+        F.md5(F.col("text")).alias("pri"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_toks", F.sum("toks").over(w))
+        .filter(F.col("cum_toks") <= 2000)
+        .select("doc_id", "lang", "toks", "cum_toks")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-family): coarse sign-bit bucketing over the
+# leading embedding dims (training-free, deterministic), exact cosine
+# within buckets, keep the lowest-id member of every near-dup pair.
+# Scale: the pairwise join is bucket-equi (2^k buckets bound each
+# task's pair count); vectors shuffle once on the bucket key; cosine
+# is the same sequential fold DuckDB's list_dot_product performs, so
+# the kept/dropped decision is bit-portable.
+# --------------------------------------------------------------------------
+@query(
+    "q_semantic_dedup",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM e
+    ), dups AS (
+      SELECT DISTINCT hi.vec_id
+      FROM b lo JOIN b hi ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+      WHERE list_dot_product(lo.v, hi.v) / (lo.nrm * hi.nrm) >= 0.35
+    )
+    SELECT b.vec_id, CAST(bucket AS INT) AS bucket,
+           b.vec_id NOT IN (SELECT vec_id FROM dups) AS kept
+    FROM b
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dot = (
+        "aggregate(zip_with({0}, {1}, (a, b) -> a * b), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    b = e.select(
+        "vec_id",
+        "v",
+        F.expr(f"sqrt({dot.format('v', 'v')})").alias("nrm"),
+        (
+            F.when(F.expr("v[0]") > 0, 1).otherwise(0)
+            + F.when(F.expr("v[1]") > 0, 2).otherwise(0)
+            + F.when(F.expr("v[2]") > 0, 4).otherwise(0)
+            + F.when(F.expr("v[3]") > 0, 8).otherwise(0)
+        ).cast("int").alias("bucket"),
+    )
+    lo = b.select(
+        F.col("vec_id").alias("lo_id"), F.col("v").alias("lo_v"),
+        F.col("nrm").alias("lo_nrm"), F.col("bucket").alias("lo_bucket"),
+    )
+    hi = b.select(
+        F.col("vec_id").alias("hi_id"), F.col("v").alias("hi_v"),
+        F.col("nrm").alias("hi_nrm"), F.col("bucket").alias("hi_bucket"),
+    )
+    cos = F.expr(dot.format("lo_v", "hi_v")) / (F.col("lo_nrm") * F.col("hi_nrm"))
+    dups = (
+        lo.join(
+            hi,
+            (F.col("lo_bucket") == F.col("hi_bucket"))
+            & (F.col("lo_id") < F.col("hi_id")),
+        )
+        .filter(cos >= 0.35)
+        .select(F.col("hi_id").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        b.join(F.broadcast(dups), b.vec_id == F.col("dup_id"), "left_outer")
+        .select(
+            "vec_id",
+            "bucket",
+            F.col("dup_id").isNull().alias("kept"),
+        )
+    )
