@@ -214,7 +214,9 @@ _INSERT_RE = re.compile(
 )
 _CTAS_RE = re.compile(
     r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
-    r"(?P<ifnot>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.`]+)\s+AS\s+"
+    r"(?P<ifnot>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.`]+)\s+"
+    r"(?:USING\s+\w+\s+)?"  # USING parquet/iceberg — accepted, moot here
+    r"(?:PARTITIONED\s+BY\s*\((?P<partcols>[^)]*)\)\s+)?AS\s+"
     r"(?P<body>SELECT\b.*|WITH\b.*|VALUES\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -292,7 +294,17 @@ def _dispatch_create(engine, query: str) -> DataFrame:
         body if not re.match(r"VALUES\b", body, re.IGNORECASE)
         else f"SELECT * FROM ({body})"
     )
-    snap = engine.catalog.write(name, df, operation="ctas")
+    partcols = [
+        c.strip().strip("`")
+        for c in (m.group("partcols") or "").split(",")
+        if c.strip()
+    ]
+    # CREATE (OR REPLACE) declares the table's spec from scratch: no
+    # PARTITIONED BY clause means unpartitioned ([] defeats the
+    # spec-inheritance a row-level rewrite would get)
+    snap = engine.catalog.write(
+        name, df, operation="ctas", partition_by=partcols or []
+    )
     return _refresh_and_summarize(engine, name, snap)
 
 

@@ -516,3 +516,18 @@ def test_metadata_tables_sql(engine):
         "ON f.partition = p.partition"
     ).collect()
     assert joined[0].n == len(files)
+
+
+def test_ctas_partitioned_by(engine):
+    engine.sql(
+        "CREATE TABLE pt USING parquet PARTITIONED BY (g) AS "
+        "SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS g "
+        "FROM range(20)"
+    )
+    snap = engine.catalog.current_snapshot("pt")
+    assert snap.partition_by == ["g"]
+    parts = {r.partition for r in engine.sql("SELECT * FROM pt$files").collect()}
+    assert parts == {'{"g": "even"}', '{"g": "odd"}'}
+    # CREATE OR REPLACE without the clause resets to unpartitioned
+    engine.sql("CREATE OR REPLACE TABLE pt AS SELECT 1 AS id")
+    assert engine.catalog.current_snapshot("pt").partition_by is None
