@@ -1608,15 +1608,29 @@ class SnapshotCatalog:
             return json.load(f)
 
     # ---- maintenance ----------------------------------------------------
-    def expire_snapshots(self, name: str, keep_last: int = 2) -> int:
+    def expire_snapshots(
+        self,
+        name: str,
+        keep_last: int = 2,
+        older_than_ms: int | None = None,
+    ) -> int:
         """M1: drop all but the newest `keep_last` snapshots' data dirs.
-        Tagged versions are always kept — a tag is a pin."""
+        Tagged versions are always kept — a tag is a pin.
+
+        ``older_than_ms`` (Iceberg's ``older_than`` retention): also
+        keep every snapshot committed within the age window, regardless
+        of count — only snapshots BOTH beyond keep_last AND older than
+        the cutoff expire. Pass keep_last=1 with an age to get pure
+        age-based retention (the current snapshot never expires)."""
         hist = self.history(name)
         current = self.current_snapshot(name)
         keep = {s.version for s in hist[-keep_last:]}
         if current:
             keep.add(current.version)
         keep.update(self.tags(name).values())
+        if older_than_ms is not None:
+            cutoff = int(time.time() * 1000) - older_than_ms
+            keep.update(s.version for s in hist if s.timestamp_ms > cutoff)
         removed = 0
         kept_hist = []
         for s in hist:

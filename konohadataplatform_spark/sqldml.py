@@ -882,7 +882,12 @@ def _dispatch_call(engine, q: str) -> DataFrame:
         raise ValueError(f"CALL {proc}: missing table argument")
     if proc == "expire_snapshots":
         keep = int(_arg(pos, named, 1, "retain_last", "keep_last", default=1))
-        removed = engine.catalog.expire_snapshots(name, keep_last=keep)
+        older = _arg(pos, named, 2, "older_than_ms", "older_than")
+        removed = engine.catalog.expire_snapshots(
+            name,
+            keep_last=keep,
+            older_than_ms=int(older) if older is not None else None,
+        )
         return engine.spark.createDataFrame(
             [(proc, name, removed)], "procedure string, table string, removed int"
         )

