@@ -238,6 +238,56 @@ def read_ocf(path: str) -> tuple[dict, list[dict]]:
     return schema, rows
 
 
+_AVRO_TO_SPARK = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "boolean": T.BooleanType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def read_ocf_schema(path: str) -> dict:
+    """Header-only read: the Avro schema from an OCF file's metadata
+    map, without touching the data blocks (the schema-inference step of
+    a directory read — one small read on the driver)."""
+    with open(path, "rb") as fh:
+        if fh.read(4) != MAGIC:
+            raise ValueError(f"not an Avro OCF: {path}")
+        meta: dict[str, bytes] = {}
+        while True:
+            count = _read_long(fh)
+            if count == 0:
+                break
+            if count < 0:
+                _read_long(fh)
+                count = -count
+            for _ in range(count):
+                k = _read_value(fh, "string")
+                meta[k] = _read_value(fh, "bytes")
+        return json.loads(meta["avro.schema"])
+
+
+def avro_to_spark_schema(avro_schema: dict) -> T.StructType:
+    """Avro record schema -> Spark StructType (null unions -> nullable).
+    Flat primitive columns only — the raw-zone envelope shape."""
+    fields = []
+    for f in avro_schema["fields"]:
+        t, nullable = f["type"], False
+        if isinstance(t, list):
+            nullable = "null" in t
+            t = next(x for x in t if x != "null")
+        if not isinstance(t, str) or t not in _AVRO_TO_SPARK:
+            raise ValueError(
+                f"read_avro supports flat primitive columns; field "
+                f"{f['name']!r} has type {t!r}"
+            )
+        fields.append(T.StructField(f["name"], _AVRO_TO_SPARK[t], nullable))
+    return T.StructType(fields)
+
+
 def write_avro_partitions(df, out_dir: str, name: str = "record") -> None:
     """Distributed Avro write: each partition writes one OCF file under
     ``out_dir`` from its executor (no driver collect)."""

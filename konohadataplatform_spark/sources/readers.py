@@ -30,6 +30,78 @@ def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**opts).csv(path)
 
 
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed raw-zone Avro read WITHOUT spark-avro: closes the
+    archive loop (``archive_stream`` writes OCF via ``avro_py``; this
+    reads it back as a DataFrame).
+
+    Shape: the file listing and one header read (schema inference)
+    happen on the driver — metadata-sized, like any datasource's
+    planning step. Decoding is ``mapInPandas`` over the file list, so
+    each executor task streams whole OCF files and record payloads
+    never pass through the driver. Hive-style ``k=v`` partition dirs
+    surface as string columns, matching the fallback writer's layout.
+
+    Prefers the spark-avro datasource when it is on the classpath
+    (native reader, full pushdown); falls back to the stdlib codec."""
+    if avro_available(spark):
+        return spark.read.format("avro").load(path)
+
+    import json as _json
+
+    import pandas as pd
+
+    from konohadataplatform_spark.sources.avro_py import (
+        avro_to_spark_schema,
+        read_ocf,
+        read_ocf_schema,
+    )
+    from pyspark.sql import types as T
+
+    files, part_keys = [], []
+    for root, _dirs, names in os.walk(path):
+        parts = {
+            k: v
+            for seg in os.path.relpath(root, path).split(os.sep)
+            if "=" in seg
+            for k, _, v in [seg.partition("=")]
+        }
+        for k in parts:
+            if k not in part_keys:
+                part_keys.append(k)
+        files += [
+            (os.path.join(root, n), _json.dumps(parts))
+            for n in sorted(names)
+            if n.endswith(".avro")
+        ]
+    if not files:
+        raise ValueError(f"no .avro files under {path}")
+    schema = avro_to_spark_schema(read_ocf_schema(files[0][0]))
+    cols = [f.name for f in schema.fields] + part_keys
+    full = T.StructType(
+        list(schema.fields)
+        + [T.StructField(k, T.StringType(), True) for k in part_keys]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for p, parts_json in zip(pdf["path"], pdf["parts"]):
+                parts = _json.loads(parts_json)
+                _, recs = read_ocf(p)
+                rows += [
+                    [{**r, **parts}.get(c) for c in cols] for r in recs
+                ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    n_tasks = min(len(files), spark.sparkContext.defaultParallelism)
+    return (
+        spark.createDataFrame(files, "path string, parts string")
+        .repartition(n_tasks)
+        .mapInPandas(run, full)
+    )
+
+
 def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     reader = spark.read
     if schema is not None:

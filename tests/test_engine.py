@@ -483,3 +483,40 @@ def test_read_duckdb_null_partition_rows_kept(spark, tmp_path):
     part = read_duckdb(spark, db, "SELECT * FROM t", partition_col="id")
     assert part.count() == 100
     assert part.filter("id IS NULL").count() == 10
+
+
+def test_read_avro_distributed_roundtrip(spark, tmp_path):
+    """read_avro closes the raw-zone loop: OCF files written by the
+    stdlib codec (incl. partition dirs) come back as a DataFrame with
+    partition columns, decoding on executors."""
+    import os
+
+    from konohadataplatform_spark.sources import avro_py
+    from konohadataplatform_spark.sources.readers import read_avro
+
+    df = spark.createDataFrame(
+        [(i, f"name_{i}", float(i) / 2, i % 2 == 0) for i in range(50)],
+        "id long, name string, score double, flag boolean",
+    )
+    root = tmp_path / "zone"
+    for day in ("2024-01-01", "2024-01-02"):
+        avro_py.write_avro_partitions(
+            df.repartition(3), str(root / f"_arrival_date={day}")
+        )
+    out = read_avro(spark, str(root))
+    assert out.count() == 100
+    assert set(out.columns) == {"id", "name", "score", "flag", "_arrival_date"}
+    assert out.filter("_arrival_date = '2024-01-01'").count() == 50
+    got = {
+        (r.id, r.name, r.score, r.flag)
+        for r in out.filter("_arrival_date = '2024-01-02'").collect()
+    }
+    assert got == {(i, f"name_{i}", i / 2, i % 2 == 0) for i in range(50)}
+    # header-only schema inference matched the writer schema
+    some = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".avro")
+    ][0]
+    assert avro_py.read_ocf_schema(some)["fields"][0]["name"] == "id"
