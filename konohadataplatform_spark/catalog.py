@@ -626,7 +626,9 @@ class SnapshotCatalog:
         )
 
         version, snap_dir = self._new_snapshot_dir(name, prev.version + 1)
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(snap_dir)
+        self._write_options(name, merged.write.mode("overwrite")).partitionBy(
+            partition_col
+        ).parquet(snap_dir)
 
         # directory-name match must use Spark's own rendering: a NULL
         # partition value lands in __HIVE_DEFAULT_PARTITION__, not "None"
@@ -823,12 +825,18 @@ class SnapshotCatalog:
         reads the staged files once and the publish itself is just a
         pointer swap.
         """
+        cur = self.current_snapshot(name)
+        # same spec inheritance as _commit: a WAP flow that doesn't
+        # restate the layout must not silently flatten the table it
+        # will publish over (partition_by=[] explicitly unpartitions)
+        if partition_by is None and cur is not None and cur.partition_by:
+            partition_by = [c for c in cur.partition_by if c in df.columns]
+        partition_by = list(partition_by) if partition_by else None
         sdir = os.path.join(self._tdir(name), "staged", uuid.uuid4().hex[:8])
-        writer = df.write.mode("overwrite")
+        writer = self._write_options(name, df.write.mode("overwrite"))
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(sdir)
-        cur = self.current_snapshot(name)
         return Snapshot(
             version=-1,
             path=sdir,
@@ -836,7 +844,7 @@ class SnapshotCatalog:
             timestamp_ms=int(time.time() * 1000),
             row_count=_footer_row_count(sdir),
             base_version=cur.version if cur else 0,
-            partition_by=list(partition_by) if partition_by else None,
+            partition_by=partition_by,
         )
 
     def read_staged(self, staged: Snapshot) -> DataFrame:
@@ -1026,6 +1034,10 @@ class SnapshotCatalog:
                 "has_deletes boolean",
             )
         if kind in ("files", "partitions"):
+            from konohadataplatform_spark.sources.avro_py import (
+                hive_partition_values,
+            )
+
             snap = self._resolve(name, version, None)
             stats = self._file_stats(snap)
             rows = []
@@ -1033,12 +1045,7 @@ class SnapshotCatalog:
                 rel = os.path.relpath(f, snap.path)
                 fstats = dict(stats.get(rel, {}))
                 n_rows = fstats.pop("__rows__", None)
-                parts = {
-                    k: v
-                    for seg in rel.split(os.sep)[:-1]
-                    if "=" in seg
-                    for k, _, v in [seg.partition("=")]
-                }
+                parts = hive_partition_values(os.path.dirname(rel))
                 rows.append(
                     (
                         rel,

@@ -238,6 +238,18 @@ def read_ocf(path: str) -> tuple[dict, list[dict]]:
     return schema, rows
 
 
+def hive_partition_values(rel_path: str) -> dict:
+    """``k=v`` partition values from a Hive-layout relative path (the
+    one place this parsing lives — the catalog's metadata tables and
+    the Avro directory reader both surface these as columns)."""
+    return {
+        k: v
+        for seg in rel_path.split(os.sep)
+        if "=" in seg
+        for k, _, v in [seg.partition("=")]
+    }
+
+
 _AVRO_TO_SPARK = {
     "string": T.StringType(),
     "long": T.LongType(),

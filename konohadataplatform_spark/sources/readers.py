@@ -53,27 +53,26 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 
     from konohadataplatform_spark.sources.avro_py import (
         avro_to_spark_schema,
+        hive_partition_values,
         read_ocf,
         read_ocf_schema,
     )
     from pyspark.sql import types as T
 
     files, part_keys = [], []
-    for root, _dirs, names in os.walk(path):
-        parts = {
-            k: v
-            for seg in os.path.relpath(root, path).split(os.sep)
-            if "=" in seg
-            for k, _, v in [seg.partition("=")]
-        }
-        for k in parts:
-            if k not in part_keys:
-                part_keys.append(k)
-        files += [
-            (os.path.join(root, n), _json.dumps(parts))
-            for n in sorted(names)
-            if n.endswith(".avro")
-        ]
+    if os.path.isfile(path):
+        files = [(path, "{}")]
+    else:
+        for root, _dirs, names in os.walk(path):
+            parts = hive_partition_values(os.path.relpath(root, path))
+            for k in parts:
+                if k not in part_keys:
+                    part_keys.append(k)
+            files += [
+                (os.path.join(root, n), _json.dumps(parts))
+                for n in sorted(names)
+                if n.endswith(".avro")
+            ]
     if not files:
         raise ValueError(f"no .avro files under {path}")
     schema = avro_to_spark_schema(read_ocf_schema(files[0][0]))

@@ -66,16 +66,33 @@ def rewrite_metadata_tables(engine, query: str) -> str:
     ``t$refs`` / ``t$history`` references to temp views over
     :meth:`SnapshotCatalog.metadata_table` (the Iceberg metadata-table
     surface). Views are (re)registered per statement so they always
-    reflect the current snapshot. Caveat: a ``$``-reference inside a
-    string literal would also be rewritten — quote such literals with
-    a split (``'t' || CHR(36) || 'files'``) if ever needed."""
+    reflect the current snapshot. Quote-aware: ``$``-patterns inside
+    string literals pass through untouched, so ``SELECT 'x$files'``
+    keeps meaning the literal."""
     def sub(m):
         tbl, kind = m.group(1), m.group(2)
         view = f"__meta_{tbl}__{kind}"
         engine.catalog.metadata_table(tbl, kind).createOrReplaceTempView(view)
         return view
 
-    return _META_TABLE_RE.sub(sub, query)
+    # split into quoted and unquoted segments; rewrite only outside
+    # quotes (same scanner discipline as _split_top_level)
+    out, buf, quote = [], [], None
+    for ch in query:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                out.append("".join(buf))
+                buf, quote = [], None
+            continue
+        if ch in "'\"":
+            out.append(_META_TABLE_RE.sub(sub, "".join(buf)))
+            buf, quote = [ch], ch
+            continue
+        buf.append(ch)
+    tail = "".join(buf)
+    out.append(tail if quote else _META_TABLE_RE.sub(sub, tail))
+    return "".join(out)
 
 
 def _strip(query: str) -> str:
@@ -749,9 +766,15 @@ def dispatch(engine, query: str) -> DataFrame:
     if engine.catalog is None:
         raise ValueError(f"{head} requires a catalog attached to the Engine")
     if head == "SHOW":
-        name = re.match(
-            r"SHOW\s+TBLPROPERTIES\s+([\w.`]+)", q, re.IGNORECASE
-        ).group(1).strip("`")
+        sm = re.match(
+            r"SHOW\s+TBLPROPERTIES\s+([\w.`]+)"
+            r"(?:\s*\(\s*'([^']*)'\s*\))?\s*$",
+            q,
+            re.IGNORECASE,
+        )
+        if not sm:
+            raise ValueError(f"unsupported SHOW TBLPROPERTIES syntax: {q!r}")
+        name, key_filter = sm.group(1).strip("`"), sm.group(2)
         props = engine.catalog.table_properties(name)
         flat = []
         for k, v in sorted(props.items()):
@@ -767,11 +790,14 @@ def dispatch(engine, query: str) -> DataFrame:
                         ))
             else:
                 flat.append((k, str(v)))
+        if key_filter is not None:
+            flat = [kv for kv in flat if kv[0] == key_filter]
         return engine.spark.createDataFrame(flat or [], "key string, value string")
     if head == "DESCRIBE":
-        name = re.match(
-            r"DESCRIBE\s+HISTORY\s+([\w.`]+)", q, re.IGNORECASE
-        ).group(1).strip("`")
+        dm = re.match(r"DESCRIBE\s+HISTORY\s+([\w.`]+)\s*$", q, re.IGNORECASE)
+        if not dm:
+            raise ValueError(f"unsupported DESCRIBE HISTORY syntax: {q!r}")
+        name = dm.group(1).strip("`")
         rows = [
             (s.version, s.operation, s.timestamp_ms, s.row_count)
             for s in engine.catalog.history(name)

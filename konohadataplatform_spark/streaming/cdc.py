@@ -52,7 +52,7 @@ def parse_envelopes(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
     Keeps the envelope columns (op/ts_ms/lsn) and adds `_topic` (C5)
     so downstream routing matches the reference's InsertField SMT.
     """
-    img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    img = _row_image()
     return raw.withColumn("_row", F.from_json(img, row_schema)).select(
         F.col("table").alias("_topic"),
         "op",
@@ -64,6 +64,40 @@ def parse_envelopes(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
 
 # Debezium op codes: create / update / snapshot read / delete.
 VALID_OPS = ("c", "u", "r", "d")
+
+
+def _row_image() -> "F.Column":
+    """The envelope's effective row image: before for deletes, after
+    otherwise (the one place this rule lives)."""
+    return F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+
+
+def _tag_envelopes(
+    raw: DataFrame,
+    row_schema: T.StructType,
+    required: list[str] | None,
+) -> DataFrame:
+    """Add ``_img``, ``_row`` (parsed), and ``_error`` (NULL when the
+    envelope is clean) to the raw frame — shared by the DLQ split and
+    drift detection so both agree on what counts as garbage."""
+    tagged = raw.withColumn("_img", _row_image()).withColumn(
+        "_row", F.from_json(F.col("_img"), row_schema)
+    )
+    op_ok = F.coalesce(F.col("op").isin(*VALID_OPS), F.lit(False))
+    # from_json (PERMISSIVE) salvages truncated JSON into a partial
+    # struct rather than returning NULL, so syntactic validity is
+    # checked with json_object_keys, which IS null on invalid JSON.
+    reason = (
+        F.when(~op_ok, F.lit("unknown_op"))
+        .when(F.col("_img").isNull(), F.lit("null_row_image"))
+        .when(
+            F.json_object_keys(F.col("_img")).isNull() | F.col("_row").isNull(),
+            F.lit("malformed_json"),
+        )
+    )
+    for c in required or []:
+        reason = reason.when(F.col(f"_row.{c}").isNull(), F.lit("null_key"))
+    return tagged.withColumn("_error", reason)
 
 
 def parse_envelopes_dlq(
@@ -86,26 +120,14 @@ def parse_envelopes_dlq(
     ``null_key`` (a ``required`` column parsed NULL — these rows could
     never be shadowed or deleted by key later, see
     catalog._reject_null_keys).
+
+    The dead-letter side carries ``_dlq_key`` — a content digest over
+    (topic, op, ts_ms, lsn, payload). Garbage cannot be trusted to
+    have usable key columns (a NULL lsn is itself a quarantine-worthy
+    defect), so redelivery-dedup keys on the content digest, which is
+    never NULL.
     """
-    img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
-    tagged = raw.withColumn("_img", img).withColumn(
-        "_row", F.from_json(F.col("_img"), row_schema)
-    )
-    op_ok = F.coalesce(F.col("op").isin(*VALID_OPS), F.lit(False))
-    # from_json (PERMISSIVE) salvages truncated JSON into a partial
-    # struct rather than returning NULL, so syntactic validity is
-    # checked with json_object_keys, which IS null on invalid JSON.
-    reason = (
-        F.when(~op_ok, F.lit("unknown_op"))
-        .when(F.col("_img").isNull(), F.lit("null_row_image"))
-        .when(
-            F.json_object_keys(F.col("_img")).isNull() | F.col("_row").isNull(),
-            F.lit("malformed_json"),
-        )
-    )
-    for c in required or []:
-        reason = reason.when(F.col(f"_row.{c}").isNull(), F.lit("null_key"))
-    tagged = tagged.withColumn("_error", reason)
+    tagged = _tag_envelopes(raw, row_schema, required)
     bad = tagged.filter(F.col("_error").isNotNull()).select(
         F.col("table").alias("_topic"),
         "op",
@@ -113,6 +135,17 @@ def parse_envelopes_dlq(
         "lsn",
         F.col("_img").alias("payload"),
         "_error",
+    ).withColumn(
+        "_dlq_key",
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in ("_topic", "op", "ts_ms", "lsn", "payload")
+                ],
+            )
+        ),
     )
     good = tagged.filter(F.col("_error").isNull()).select(
         F.col("table").alias("_topic"), "op", "ts_ms", "lsn", "_row.*"
@@ -120,7 +153,11 @@ def parse_envelopes_dlq(
     return good, bad
 
 
-def envelope_drift(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
+def envelope_drift(
+    raw: DataFrame,
+    row_schema: T.StructType,
+    required: list[str] | None = None,
+) -> DataFrame:
     """Row-image JSON keys NOT in ``row_schema``: (key, n_envelopes).
 
     The Debezium analog of a schema-change event: when the source table
@@ -128,12 +165,15 @@ def envelope_drift(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
     doesn't know, and ``from_json`` silently drops it. This surfaces the
     drift as data (distinct unknown keys — metadata-sized output) so the
     pipeline can widen its schema instead of losing columns.
+
+    Only CLEAN envelopes count (same gate as the DLQ split): a junk
+    field on a record that will be quarantined must not permanently
+    widen the table schema.
     """
-    img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
     known = [f.name for f in row_schema.fields]
     keys = (
-        raw.withColumn("_img", img)
-        .filter(F.col("_img").isNotNull())
+        _tag_envelopes(raw, row_schema, required)
+        .filter(F.col("_error").isNull())
         .select(F.explode(F.json_object_keys(F.col("_img"))).alias("key"))
     )
     if known:
@@ -311,41 +351,55 @@ class CdcPipeline:
     # ---- batch apply (used by both batch replays and foreachBatch) ------
     def apply_envelopes(self, raw: DataFrame, batch_id: int | None = None) -> None:
         for name, (row_schema, key_cols, partition_col) in self.tables.items():
-            subset = raw.filter(F.col("table") == name)
-            if self.evolve_schema:
-                # distinct unknown keys — metadata-sized (bounded by the
-                # source table's column count), never row-sized
-                drift = envelope_drift(subset, row_schema).collect()
-                if drift:
-                    row_schema = T.StructType(
-                        list(row_schema.fields)
-                        + [
-                            T.StructField(r["key"], T.StringType(), True)
-                            for r in sorted(drift, key=lambda r: r["key"])
-                        ]
+            # one materialization per table: drift detection, the DLQ
+            # split, emptiness checks, and the apply all re-derive from
+            # this subset — without the persist each action would
+            # re-read the micro-batch source
+            subset = raw.filter(F.col("table") == name).persist()
+            try:
+                if self.evolve_schema:
+                    # distinct unknown keys from CLEAN envelopes only —
+                    # metadata-sized (bounded by the source table's
+                    # column count), never row-sized; quarantined
+                    # garbage must not widen the schema
+                    drift = envelope_drift(
+                        subset, row_schema, required=key_cols
+                    ).collect()
+                    if drift:
+                        row_schema = T.StructType(
+                            list(row_schema.fields)
+                            + [
+                                T.StructField(r["key"], T.StringType(), True)
+                                for r in sorted(drift, key=lambda r: r["key"])
+                            ]
+                        )
+                        self.tables[name] = (row_schema, key_cols, partition_col)
+                if self.dlq_table:
+                    typed, bad = parse_envelopes_dlq(
+                        subset, row_schema, required=key_cols
                     )
-                    self.tables[name] = (row_schema, key_cols, partition_col)
-            if self.dlq_table:
-                typed, bad = parse_envelopes_dlq(
-                    subset, row_schema, required=key_cols
+                    if not bad.isEmpty():
+                        # keyed on the content digest (never NULL —
+                        # garbage can't be trusted to carry a usable
+                        # lsn), so redelivery cannot duplicate
+                        self.catalog.upsert_by_keys(
+                            self.dlq_table, bad, ["_dlq_key"]
+                        )
+                else:
+                    typed = parse_envelopes(subset, row_schema)
+                if typed.isEmpty():
+                    continue
+                apply_cdc_batch(
+                    self.catalog,
+                    name,
+                    typed,
+                    key_cols,
+                    partition_col,
+                    merge_on_read=self.merge_on_read,
+                    batch_id=batch_id,
                 )
-                if not bad.isEmpty():
-                    self.catalog.upsert_by_keys(
-                        self.dlq_table, bad, ["_topic", "lsn"]
-                    )
-            else:
-                typed = parse_envelopes(subset, row_schema)
-            if typed.isEmpty():
-                continue
-            apply_cdc_batch(
-                self.catalog,
-                name,
-                typed,
-                key_cols,
-                partition_col,
-                merge_on_read=self.merge_on_read,
-                batch_id=batch_id,
-            )
+            finally:
+                subset.unpersist()
 
     # ---- streaming entry point ------------------------------------------
     def start_stream(

@@ -1438,3 +1438,32 @@ def test_expire_snapshots_age_retention(spark, catalog):
     assert [s.version for s in catalog.history("age")] == [3, 4]
     assert catalog.read("age").collect()[0].v == 3 or True  # still readable
     assert catalog.count("age") == 1
+
+
+def test_wap_stage_inherits_partition_spec(spark, catalog):
+    """Review regression: a WAP stage/publish without restating the
+    layout must keep the table partitioned, with bloom properties
+    applied to the staged files."""
+    catalog.set_bloom_filters("wap", {"g": 10})
+    catalog.write(
+        "wap",
+        spark.createDataFrame([(i, f"g{i % 2}") for i in range(10)],
+                              "id long, g string"),
+        partition_by=["g"],
+    )
+    staged = catalog.stage(
+        "wap",
+        spark.createDataFrame([(i, f"g{i % 2}") for i in range(20)],
+                              "id long, g string"),
+    )
+    assert staged.partition_by == ["g"]
+    catalog.publish("wap", staged)
+    snap = catalog.current_snapshot("wap")
+    assert snap.partition_by == ["g"]
+    dirs = {
+        seg
+        for f in catalog._base_data_files(snap)
+        for seg in os.path.relpath(f, snap.path).split(os.sep)[:-1]
+        if "=" in seg
+    }
+    assert dirs == {"g=g0", "g=g1"}

@@ -634,3 +634,74 @@ def test_pipeline_dlq_merge_on_read_path(spark, catalog):
     out = {r.customer_id: r.country for r in catalog.read("customers").collect()}
     assert out == {"A": "VN"}
     assert [r._error for r in catalog.read("_cdc_dlq").collect()] == ["null_key"]
+
+
+def test_dlq_null_lsn_does_not_crash(spark, catalog):
+    """Review regression: garbage with a NULL lsn must quarantine, not
+    crash the upsert on a NULL key (content-digest DLQ key)."""
+    pipe = CdcPipeline(
+        spark,
+        catalog,
+        {"customers": (CUSTOMER_SCHEMA, ["customer_id"])},
+        dlq_table="_cdc_dlq",
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(op="c", before=None, after="{broken", ts_ms=None, lsn=None,
+                table="customers"),
+            Row(op=None, before=None, after="{}", ts_ms=1, lsn=1,
+                table="customers"),
+            env("c", "customers", {"customer_id": "A", "company_name": "x",
+                                   "contact_name": "y"}, ts_ms=2, lsn=2),
+        ],
+        T.StructType([
+            T.StructField("op", T.StringType(), True),
+            T.StructField("before", T.StringType(), True),
+            T.StructField("after", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("table", T.StringType(), False),
+        ]),
+    )
+    pipe.apply_envelopes(batch, batch_id=1)
+    assert catalog.read("customers").count() == 1
+    dlq = catalog.read("_cdc_dlq")
+    assert sorted(r._error for r in dlq.collect()) == [
+        "malformed_json", "unknown_op",
+    ]
+    # redelivery still dedupes on the content digest
+    pipe.apply_envelopes(batch, batch_id=2)
+    assert catalog.read("_cdc_dlq").count() == 2
+
+
+def test_quarantined_garbage_does_not_evolve_schema(spark, catalog):
+    """Review regression: a junk field on a record headed to the DLQ
+    must not widen the table schema."""
+    pipe = CdcPipeline(
+        spark,
+        catalog,
+        {"customers": (CUSTOMER_SCHEMA, ["customer_id"])},
+        dlq_table="_cdc_dlq",
+        evolve_schema=True,
+    )
+    pipe.apply_envelopes(
+        spark.createDataFrame(
+            [
+                env("c", "customers", {"customer_id": "A", "company_name": "x",
+                                       "contact_name": "y"}, ts_ms=1, lsn=1),
+                # unknown op carrying a junk key: quarantined, no evolution
+                env("x", "customers", {"customer_id": "B", "company_name": "z",
+                                       "contact_name": "w", "__debug": "1"},
+                    ts_ms=2, lsn=2),
+                # NULL key carrying a junk key: quarantined, no evolution
+                env("c", "customers", {"customer_id": None, "company_name": "q",
+                                       "contact_name": "r", "__trace": "1"},
+                    ts_ms=3, lsn=3),
+            ],
+            ENVELOPE_SCHEMA,
+        ),
+        batch_id=1,
+    )
+    cols = set(catalog.read("customers").columns)
+    assert "__debug" not in cols and "__trace" not in cols
+    assert catalog.read("_cdc_dlq").count() == 2

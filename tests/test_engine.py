@@ -520,3 +520,20 @@ def test_read_avro_distributed_roundtrip(spark, tmp_path):
         if f.endswith(".avro")
     ][0]
     assert avro_py.read_ocf_schema(some)["fields"][0]["name"] == "id"
+
+
+def test_read_avro_single_file(spark, tmp_path):
+    from konohadataplatform_spark.sources import avro_py
+    from konohadataplatform_spark.sources.readers import read_avro
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    avro_py.write_avro_partitions(df.coalesce(1), str(tmp_path / "one"))
+    import os
+
+    f = [
+        os.path.join(str(tmp_path / "one"), n)
+        for n in os.listdir(tmp_path / "one")
+        if n.endswith(".avro")
+    ][0]
+    out = read_avro(spark, f)
+    assert {(r.id, r.v) for r in out.collect()} == {(1, "a"), (2, "b")}

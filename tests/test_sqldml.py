@@ -531,3 +531,27 @@ def test_ctas_partitioned_by(engine):
     # CREATE OR REPLACE without the clause resets to unpartitioned
     engine.sql("CREATE OR REPLACE TABLE pt AS SELECT 1 AS id")
     assert engine.catalog.current_snapshot("pt").partition_by is None
+
+
+def test_metadata_rewrite_skips_string_literals(engine):
+    seed(engine)
+    out = engine.sql("SELECT 'report$files' AS label").collect()
+    assert out[0].label == "report$files"
+    # mixed: literal untouched, real reference rewritten
+    out = engine.sql(
+        "SELECT 'metrics$files' AS lit, count(*) AS n FROM metrics$files"
+    ).collect()
+    assert out[0].lit == "metrics$files" and out[0].n >= 1
+
+
+def test_show_tblproperties_malformed_and_key_selector(engine):
+    seed(engine)
+    engine.sql(
+        "ALTER TABLE metrics SET TBLPROPERTIES ('owner'='team-data')"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="SHOW TBLPROPERTIES"):
+        engine.sql("SHOW TBLPROPERTIES")
+    got = engine.sql("SHOW TBLPROPERTIES metrics ('owner')").collect()
+    assert [(r.key, r.value) for r in got] == [("owner", "team-data")]
