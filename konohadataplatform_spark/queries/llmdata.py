@@ -2033,3 +2033,97 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_id").isNull().alias("kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline (the flagship composition): quality
+# filter -> exact dedup -> shard-safe sequence packing, one declarative
+# plan. Thresholds compare in INTEGER cross-multiplied form (5*nd >=
+# 2*toks means distinct-ratio >= 0.4) so the keep/drop decision never
+# touches a float. Scale: stats + filter are zero-shuffle codegen, the
+# dedup is one digest-keyed agg+join, the packing window is
+# (lang, shard)-partitioned — the same three shuffle shapes as the
+# standalone operators, fused by Catalyst into one job.
+# --------------------------------------------------------------------------
+@query(
+    "q_curation_pipeline",
+    """
+    WITH s AS (
+      SELECT doc_id, lang, md5(text) AS digest,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks,
+             CAST(len(list_distinct(string_split(trim(text), ' ')))
+                  AS BIGINT) AS nd
+      FROM documents
+    ), q AS (
+      SELECT * FROM s
+      WHERE toks BETWEEN 20 AND 120 AND 5 * nd >= 2 * toks
+    ), canon AS (
+      SELECT digest, MIN(doc_id) AS keep_id FROM q GROUP BY digest
+    ), kept AS (
+      SELECT q.doc_id, q.lang, q.toks, q.doc_id % 8 AS shard_id
+      FROM q JOIN canon ON q.digest = canon.digest
+                        AND q.doc_id = canon.keep_id
+    ), packed AS (
+      SELECT doc_id, lang, shard_id, toks,
+             CAST(SUM(toks) OVER (PARTITION BY lang, shard_id
+                                  ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum
+      FROM kept
+    )
+    SELECT doc_id, lang, shard_id, toks,
+           (cum - toks) // 512 AS start_chunk,
+           (cum - 1) // 512 AS end_chunk
+    FROM packed
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate + exact dedup + packing as ONE Catalyst plan.
+
+    The three stages are the standalone operators' shapes verbatim:
+    integer-exact quality stats (no float thresholds), md5-digest
+    keep-lowest-id dedup (16-byte digests shuffle, never text), and
+    the (lang, shard)-keyed running-total window from
+    q_sequence_packing. Composing them declaratively means Catalyst
+    prunes the text column after the stats projection — the packing
+    stages never carry document bodies."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    s = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("digest"),
+        F.size(words).cast("bigint").alias("toks"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("nd"),
+    )
+    q = s.filter(
+        F.col("toks").between(20, 120) & (5 * F.col("nd") >= 2 * F.col("toks"))
+    )
+    canon = (
+        q.groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .withColumnRenamed("digest", "c_digest")
+    )
+    kept = q.join(
+        canon,
+        (F.col("digest") == F.col("c_digest"))
+        & (F.col("doc_id") == F.col("keep_id")),
+    ).select(
+        "doc_id", "lang", "toks", (F.col("doc_id") % 8).alias("shard_id")
+    )
+    w = (
+        Window.partitionBy("lang", "shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.withColumn("cum", F.sum("toks").over(w).cast("bigint"))
+    return packed.select(
+        "doc_id",
+        "lang",
+        "shard_id",
+        "toks",
+        F.floor((F.col("cum") - F.col("toks")) / 512).alias("start_chunk"),
+        F.floor((F.col("cum") - 1) / 512).alias("end_chunk"),
+    )
