@@ -59,6 +59,8 @@ EXTENDED = [
     "q_jpeg_decode",
     "q_gif_frame_sample",
     "q_unigram_surprisal",
+    "q_semantic_dedup",
+    "q_curation_pipeline",
 ]
 
 

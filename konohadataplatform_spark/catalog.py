@@ -882,9 +882,8 @@ class SnapshotCatalog:
 
     def cleanup_staged(self, name: str, older_than_ms: int = 24 * 3600 * 1000) -> int:
         """Drop abandoned staged snapshots older than the cutoff
-        (orphan-file cleanup — staged dirs are the only data that can
-        leak, since losing commits and expire_snapshots already clean
-        snapshot dirs)."""
+        (one half of orphan cleanup; ``remove_orphan_snapshots`` sweeps
+        unclaimed snapshot dirs left by hard-killed writers)."""
         sroot = os.path.join(self._tdir(name), "staged")
         if not os.path.isdir(sroot):
             return 0
@@ -893,6 +892,45 @@ class SnapshotCatalog:
         for d in os.listdir(sroot):
             p = os.path.join(sroot, d)
             if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        return removed
+
+    def remove_orphan_snapshots(
+        self, name: str, older_than_ms: int = 24 * 3600 * 1000
+    ) -> int:
+        """Drop snapshot dirs no committed version references (the rest
+        of Iceberg's remove_orphan_files): a writer hard-killed AFTER
+        writing its snapshot dir but BEFORE claiming the version leaves
+        the dir behind — the graceful conflict path cleans up, a
+        SIGKILL cannot. Age-gated so an in-flight commit (dir written,
+        claim microseconds away) is never swept."""
+        sroot = os.path.join(self._tdir(name), "snapshots")
+        if not os.path.isdir(sroot):
+            return 0
+        referenced = {os.path.basename(s.path) for s in self.history(name)}
+        cur = self.current_snapshot(name)
+        if cur is not None:
+            referenced.add(os.path.basename(cur.path))
+        commits = os.path.join(self._tdir(name), "commits")
+        if os.path.isdir(commits):
+            for c in os.listdir(commits):
+                try:
+                    with open(os.path.join(commits, c)) as fh:
+                        referenced.add(
+                            os.path.basename(json.loads(fh.read())["path"])
+                        )
+                except (OSError, ValueError, KeyError):
+                    continue
+        cutoff = time.time() - older_than_ms / 1000
+        removed = 0
+        for d in os.listdir(sroot):
+            p = os.path.join(sroot, d)
+            if (
+                d not in referenced
+                and os.path.isdir(p)
+                and os.path.getmtime(p) < cutoff
+            ):
                 shutil.rmtree(p, ignore_errors=True)
                 removed += 1
         return removed

@@ -966,7 +966,9 @@ def _dispatch_call(engine, q: str) -> DataFrame:
         older = int(
             _arg(pos, named, 1, "older_than_ms", default=24 * 3600 * 1000)
         )
-        removed = engine.catalog.cleanup_staged(name, older_than_ms=older)
+        removed = engine.catalog.cleanup_staged(
+            name, older_than_ms=older
+        ) + engine.catalog.remove_orphan_snapshots(name, older_than_ms=older)
         return engine.spark.createDataFrame(
             [(proc, name, removed)], "procedure string, table string, removed int"
         )

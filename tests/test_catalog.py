@@ -1467,3 +1467,26 @@ def test_wap_stage_inherits_partition_spec(spark, catalog):
         if "=" in seg
     }
     assert dirs == {"g=g0", "g=g1"}
+
+
+def test_remove_orphan_snapshots(spark, catalog):
+    """A hard-killed writer's unclaimed snapshot dir is swept once old;
+    referenced dirs and fresh dirs survive."""
+    catalog.write("orph", spark.createDataFrame([(1,)], "v long"))
+    snap = catalog.current_snapshot("orph")
+    sroot = os.path.dirname(snap.path)
+    # simulate a writer killed after the data write, before the claim
+    dead = os.path.join(sroot, "v000099-deadbeef")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    # fresh orphan: kept by the age gate
+    assert catalog.remove_orphan_snapshots("orph") == 0
+    assert os.path.isdir(dead)
+    # old orphan: swept; the committed snapshot survives
+    old = time.time() - 100
+    os.utime(dead, (old, old))
+    assert catalog.remove_orphan_snapshots("orph", older_than_ms=50_000) == 1
+    assert not os.path.isdir(dead)
+    assert os.path.isdir(snap.path)
+    assert catalog.read("orph").count() == 1
