@@ -1640,13 +1640,16 @@ class SnapshotCatalog:
                 for c in columns
             },
         }
-        with open(os.path.join(snap.path, "_stats.json"), "w") as f:
+        # NOTE: _table_stats.json, NOT _stats.json — that name is the
+        # per-file footer min/max cache scan_files prunes with; sharing
+        # it would silently clobber pruning after every ANALYZE
+        with open(os.path.join(snap.path, "_table_stats.json"), "w") as f:
             json.dump(stats, f)
         return stats
 
     def stats(self, name: str, version: int | None = None) -> dict | None:
         snap = self._resolve(name, version, None)
-        path = os.path.join(snap.path, "_stats.json")
+        path = os.path.join(snap.path, "_table_stats.json")
         if not os.path.exists(path):
             return None
         with open(path) as f:

@@ -160,3 +160,14 @@ class Engine:
 
     def table_at_tag(self, name: str, tag: str) -> DataFrame:
         return self._require_catalog().read_tag(name, tag)
+
+    def table_changes(self, name: str, from_version: int, **kwargs) -> DataFrame:
+        """Delta-CDF-style change feed (see catalog.read_change_feed)."""
+        return self._require_catalog().read_change_feed(name, from_version, **kwargs)
+
+    def metadata_table(self, name: str, kind: str) -> DataFrame:
+        """Iceberg metadata tables: files/snapshots/partitions/refs."""
+        return self._require_catalog().metadata_table(name, kind)
+
+    def set_bloom_filters(self, name: str, cols: dict) -> None:
+        self._require_catalog().set_bloom_filters(name, cols)

@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 
 _DML_RE = re.compile(
     r"^\s*(MERGE|DELETE|UPDATE|ALTER|INSERT|TRUNCATE|DROP|CREATE|CALL|OPTIMIZE)\b"
-    r"|^\s*DESCRIBE\s+HISTORY\b|^\s*SHOW\s+TBLPROPERTIES\b",
+    r"|^\s*DESCRIBE\s+HISTORY\b|^\s*SHOW\s+TBLPROPERTIES\b"
+    r"|^\s*ANALYZE\s+TABLE\b",
     re.IGNORECASE,
 )
 
@@ -793,6 +794,31 @@ def dispatch(engine, query: str) -> DataFrame:
         if key_filter is not None:
             flat = [kv for kv in flat if kv[0] == key_filter]
         return engine.spark.createDataFrame(flat or [], "key string, value string")
+    if head == "ANALYZE":
+        am = re.match(
+            r"ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS"
+            r"(?:\s+FOR\s+COLUMNS\s+(.+))?\s*$",
+            q,
+            re.IGNORECASE,
+        )
+        if not am:
+            raise ValueError(f"unsupported ANALYZE syntax: {q!r}")
+        name = am.group(1).strip("`")
+        cols = (
+            [c.strip().strip("`") for c in am.group(2).split(",")]
+            if am.group(2)
+            else None
+        )
+        st = engine.catalog.analyze(name, cols)
+        rows = [
+            (c, v["min"], v["max"], v["null_count"], v["approx_ndv"])
+            for c, v in sorted(st["columns"].items())
+        ]
+        return engine.spark.createDataFrame(
+            rows,
+            "column string, min string, max string, "
+            "null_count long, approx_ndv long",
+        )
     if head == "DESCRIBE":
         dm = re.match(r"DESCRIBE\s+HISTORY\s+([\w.`]+)\s*$", q, re.IGNORECASE)
         if not dm:

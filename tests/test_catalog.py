@@ -1490,3 +1490,21 @@ def test_remove_orphan_snapshots(spark, catalog):
     assert not os.path.isdir(dead)
     assert os.path.isdir(snap.path)
     assert catalog.read("orph").count() == 1
+
+
+def test_analyze_does_not_clobber_pruning_cache(spark, catalog):
+    """Regression: analyze() column stats and the footer-stats pruning
+    cache are separate files — ANALYZE must not disable file pruning."""
+    catalog.write(
+        "an", spark.createDataFrame([(i,) for i in range(100)], "id long")
+    )
+    _snap, keep_before, total = catalog.scan_files("an", [("id", ">=", 90)])
+    catalog.analyze("an", ["id"])
+    st = catalog.stats("an")
+    assert st["columns"]["id"]["null_count"] == 0
+    assert int(st["columns"]["id"]["max"]) == 99
+    _snap, keep_after, total2 = catalog.scan_files("an", [("id", ">=", 90)])
+    assert sorted(keep_after) == sorted(keep_before) and total2 == total
+    # metadata table still sees per-file row counts after ANALYZE
+    files = catalog.metadata_table("an", "files").collect()
+    assert all(f.row_count and f.row_count > 0 for f in files)

@@ -555,3 +555,17 @@ def test_show_tblproperties_malformed_and_key_selector(engine):
         engine.sql("SHOW TBLPROPERTIES")
     got = engine.sql("SHOW TBLPROPERTIES metrics ('owner')").collect()
     assert [(r.key, r.value) for r in got] == [("owner", "team-data")]
+
+
+def test_analyze_table_sql(engine):
+    seed(engine)
+    out = {r.column: r for r in engine.sql(
+        "ANALYZE TABLE metrics COMPUTE STATISTICS FOR COLUMNS id, v"
+    ).collect()}
+    assert set(out) == {"id", "v"}
+    assert out["id"].min == "1" and out["id"].max == "3"
+    assert out["v"].null_count == 0 and out["v"].approx_ndv == 3
+    # stats persisted for later retrieval
+    assert engine.catalog.stats("metrics")["columns"]["id"]["max"] == "3"
+    with pytest.raises(ValueError, match="ANALYZE"):
+        engine.sql("ANALYZE TABLE metrics")
