@@ -705,3 +705,32 @@ def test_quarantined_garbage_does_not_evolve_schema(spark, catalog):
     cols = set(catalog.read("customers").columns)
     assert "__debug" not in cols and "__trace" not in cols
     assert catalog.read("_cdc_dlq").count() == 2
+
+
+def test_streaming_end_to_end_with_dlq(spark, catalog, tmp_path):
+    """A real Structured Streaming run where the batch carries garbage:
+    the good rows land, the garbage quarantines, the stream finishes."""
+    src = tmp_path / "dlq_src"
+    ckpt = tmp_path / "dlq_ckpt"
+    os.makedirs(src)
+    with open(src / "batch1.json", "w") as f:
+        f.write(json.dumps({"op": "c", "before": None,
+                            "after": json.dumps({"customer_id": "A", "company_name": "co", "contact_name": "x"}),
+                            "ts_ms": 1, "lsn": 1, "table": "customers"}) + "\n")
+        f.write('{"op": "c", "before": null, "after": "{torn", "ts_ms": 2, "lsn": 2, "table": "customers"}\n')
+        f.write(json.dumps({"op": "c", "before": None,
+                            "after": json.dumps({"customer_id": "B", "company_name": "b", "contact_name": "y", "country": "DE"}),
+                            "ts_ms": 3, "lsn": 3, "table": "customers"}) + "\n")
+
+    pipe = CdcPipeline(
+        spark, catalog,
+        {"customers": (CUSTOMER_SCHEMA, ["customer_id"])},
+        dlq_table="_stream_dlq", evolve_schema=True,
+    )
+    q = pipe.start_stream(str(src), str(ckpt))
+    q.awaitTermination(60)
+    out = {r.customer_id: getattr(r, "country", None)
+           for r in catalog.read("customers").collect()}
+    assert out == {"A": None, "B": "DE"}
+    dlq = catalog.read("_stream_dlq").collect()
+    assert len(dlq) == 1 and dlq[0]._error == "malformed_json"
