@@ -216,6 +216,21 @@ def main() -> None:
     print("TIFF (MM) roundtrip lossless:",
           M.decode_image(tiff)["pixels"] == bytes(range(96)))
 
+    # --- 11. metadata tables, change feed, ANALYZE --------------------
+    print("metrics9$snapshots:",
+          engine.sql("SELECT version, operation FROM metrics9$snapshots "
+                     "ORDER BY version DESC LIMIT 2").collect())
+    files = engine.sql(
+        "SELECT count(*) AS n, sum(file_bytes) AS bytes FROM metrics9$files"
+    ).collect()[0]
+    print(f"metrics9$files: {files.n} files, {files.bytes} bytes")
+    feed = engine.table_changes("accounts", 1, key_cols=["id"])
+    print("change feed v1..head:",
+          sorted((r._change_type, r.id) for r in feed.collect())[:4])
+    print("ANALYZE:", engine.sql(
+        "ANALYZE TABLE cust10 COMPUTE STATISTICS FOR COLUMNS customer_id"
+    ).collect())
+
     spark.stop()
 
 

@@ -1172,11 +1172,59 @@ class SnapshotCatalog:
 
         older = self.read(name, from_version)
         newer = self.read(name, to_version)
+        # schema evolution between the endpoints: compose every rename
+        # recorded up to to_version (a later full rewrite materializes
+        # the schema and CLEARS snapshot.renames, so the current
+        # snapshot alone can't say that older's 'level' is newer's
+        # 'tier' — the history walk can), then align both frames to
+        # the union of columns with typed NULLs — an added or dropped
+        # column makes the row read as changed, the honest CDF answer
+        latest: dict[str, str] = {}
+        for s in self.history(name):
+            if s.version <= to_version and s.renames:
+                latest.update(s.renames)
+
+        def _resolve_name(c: str) -> str:
+            seen: set[str] = set()
+            while c in latest and latest[c] != c and c not in seen:
+                seen.add(c)
+                c = latest[c]
+            return c
+
+        for c in list(older.columns):
+            r = _resolve_name(c)
+            if r != c and r not in older.columns:
+                older = older.withColumnRenamed(c, r)
+        if older.columns != newer.columns:
+            allcols = list(dict.fromkeys(newer.columns + older.columns))
+            types = {}
+            for df_ in (newer, older):
+                for fld in df_.schema.fields:
+                    types.setdefault(fld.name, fld.dataType)
+
+            def _align(df_):
+                have = set(df_.columns)
+                return df_.select(
+                    *[
+                        F.col(c)
+                        if c in have
+                        else F.lit(None).cast(types[c]).alias(c)
+                        for c in allcols
+                    ]
+                )
+
+            older, newer = _align(older), _align(newer)
         ver = F.lit(to_version).alias("_commit_version")
         if not key_cols:
-            return self.diff(name, from_version, to_version).withColumn(
-                "_commit_version", F.lit(to_version)
+            # same insert/delete grain as diff(), but over the aligned
+            # frames so a rename between the endpoints doesn't crash
+            ins = newer.exceptAll(older).select(
+                "*", F.lit("insert").alias("_change_type"), ver
             )
+            dels = older.exceptAll(newer).select(
+                "*", F.lit("delete").alias("_change_type"), ver
+            )
+            return ins.unionByName(dels)
         new_rows = newer.exceptAll(older)  # changed or inserted
         old_rows = older.exceptAll(newer)  # changed or deleted
         old_keys = older.select(*key_cols).distinct()

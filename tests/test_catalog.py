@@ -1508,3 +1508,28 @@ def test_analyze_does_not_clobber_pruning_cache(spark, catalog):
     # metadata table still sees per-file row counts after ANALYZE
     files = catalog.metadata_table("an", "files").collect()
     assert all(f.row_count and f.row_count > 0 for f in files)
+
+
+def test_change_feed_across_rename_and_add(spark, catalog):
+    """Review regression: a rename or added column between the feed's
+    endpoints must reconcile, not crash — the changed-shape rows read
+    as updates, the honest CDF answer."""
+    catalog.write("cf2", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, level string"))          # v1
+    catalog.rename_column("cf2", "level", "tier")                # v2
+    catalog.add_column("cf2", "score", F.lit(None).cast("double"))  # v3
+    catalog.merge("cf2", spark.createDataFrame(
+        [(2, "B2", 9.5)], "id long, tier string, score double"), ["id"])  # v4
+
+    feed = catalog.read_change_feed("cf2", 1, 4, key_cols=["id"])
+    got = sorted((r.id, r._change_type, r.tier, r.score) for r in feed.collect())
+    # id=1: rename is metadata-only and its score is NULL on both
+    # aligned sides -> no change reported (correct); id=2's value
+    # change -> update pair carrying the evolved columns
+    assert got == [
+        (2, "update_postimage", "B2", 9.5),
+        (2, "update_preimage", "b", None),
+    ]
+    # unkeyed form also survives the rename boundary
+    raw = catalog.read_change_feed("cf2", 1, 4)
+    assert {r._change_type for r in raw.collect()} == {"insert", "delete"}
