@@ -401,6 +401,61 @@ class CdcPipeline:
             finally:
                 subset.unpersist()
 
+    def replay_dlq(self) -> dict[str, int]:
+        """Re-parse quarantined envelopes against the pipeline's CURRENT
+        table configs and apply the ones that now succeed, draining
+        them from the DLQ — the standard dead-letter lifecycle: fix the
+        schema/config, replay, and only still-bad records remain.
+
+        Reconstructs each envelope from the stored payload (the
+        effective row image: before for deletes, after otherwise), so a
+        record quarantined as ``null_key`` under a wrong schema applies
+        cleanly once the schema is corrected. Returns {table: n_applied}.
+        """
+        if not self.dlq_table or not self.catalog.exists(self.dlq_table):
+            return {}
+        applied: dict[str, int] = {}
+        dlq = self.catalog.read(self.dlq_table)
+        for name, (row_schema, key_cols, partition_col) in self.tables.items():
+            pend = dlq.filter(F.col("_topic") == name)
+            raw = pend.select(
+                "op",
+                F.when(F.col("op") == "d", F.col("payload"))
+                .otherwise(F.lit(None))
+                .alias("before"),
+                F.when(F.col("op") != "d", F.col("payload"))
+                .otherwise(F.lit(None))
+                .alias("after"),
+                "ts_ms",
+                "lsn",
+                F.col("_topic").alias("table"),
+                "_dlq_key",
+            )
+            # tag directly (not parse_envelopes_dlq) so _dlq_key stays
+            # attached to each row — the drain is exact even when the
+            # envelope's own lsn/ts_ms are NULL
+            tagged = _tag_envelopes(raw, row_schema, key_cols)
+            good_t = tagged.filter(F.col("_error").isNull())
+            good = good_t.select(
+                F.col("table").alias("_topic"), "op", "ts_ms", "lsn", "_row.*"
+            )
+            drained = good_t.select("_dlq_key")
+            n = good.count()
+            if n:
+                apply_cdc_batch(
+                    self.catalog,
+                    name,
+                    good,
+                    key_cols,
+                    partition_col,
+                    merge_on_read=self.merge_on_read,
+                )
+                self.catalog.delete_by_keys(
+                    self.dlq_table, drained, ["_dlq_key"]
+                )
+            applied[name] = n
+        return applied
+
     # ---- streaming entry point ------------------------------------------
     def start_stream(
         self,

@@ -734,3 +734,46 @@ def test_streaming_end_to_end_with_dlq(spark, catalog, tmp_path):
     assert out == {"A": None, "B": "DE"}
     dlq = catalog.read("_stream_dlq").collect()
     assert len(dlq) == 1 and dlq[0]._error == "malformed_json"
+
+
+def test_replay_dlq_after_schema_fix(spark, catalog):
+    """DLQ lifecycle: a record quarantined as null_key under a wrong
+    schema applies cleanly after the config is fixed and drains from
+    the DLQ; still-broken records stay quarantined."""
+    wrong = T.StructType([
+        T.StructField("customer_id", T.StringType(), True),  # producer sends "id"
+        T.StructField("company_name", T.StringType(), True),
+    ])
+    pipe = CdcPipeline(
+        spark, catalog, {"customers": (wrong, ["customer_id"])},
+        dlq_table="_cdc_dlq",
+    )
+    pipe.apply_envelopes(
+        spark.createDataFrame(
+            [
+                env("c", "customers", {"id": "A", "company_name": "co"},
+                    ts_ms=1, lsn=1),  # null_key under the wrong schema
+                Row(op="c", before=None, after="{torn", ts_ms=2, lsn=2,
+                    table="customers"),  # permanently malformed
+            ],
+            ENVELOPE_SCHEMA,
+        ),
+        batch_id=1,
+    )
+    assert not catalog.exists("customers")  # nothing applied yet
+    assert catalog.read("_cdc_dlq").count() == 2
+
+    # operator fixes the schema + key, then replays
+    right = T.StructType([
+        T.StructField("id", T.StringType(), True),
+        T.StructField("company_name", T.StringType(), True),
+    ])
+    pipe.tables["customers"] = (right, ["id"], None)
+    applied = pipe.replay_dlq()
+    assert applied == {"customers": 1}
+    assert {r.id: r.company_name for r in catalog.read("customers").collect()} \
+        == {"A": "co"}
+    left = catalog.read("_cdc_dlq").collect()
+    assert len(left) == 1 and left[0]._error == "malformed_json"
+    # idempotent: nothing left to replay
+    assert pipe.replay_dlq() == {"customers": 0}
