@@ -17,9 +17,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the end-to-end curation pipeline (quality gate ->
+    exact dedup -> shard-safe sequence packing in one Catalyst plan) —
+    the operator composition this engine exists for at 100 TB."""
     qs = all_queries()
-    flagship = qs.get("q_customer_order_summary", qs["q1_pricing_summary"])
+    flagship = qs.get("q_curation_pipeline", qs["q1_pricing_summary"])
     return flagship(spark, SMOKE_SF_DIR)
 
 

@@ -215,3 +215,21 @@ def test_adapted_tpch_plans_broadcast_dims(spark):
         assert plan.count("BroadcastHashJoin") + plan.count(
             "BroadcastNestedLoopJoin"
         ) >= min_bcast, (name, plan.count("BroadcastHashJoin"))
+
+
+def test_packing_windows_are_shard_partitioned(spark):
+    """The running-total windows in sequence packing and the curation
+    pipeline must partition on (lang, shard_id) — a lang-only window
+    means one task sorts a whole language's corpus at 100 TB
+    (SCALING.md 'Training-pipeline queries')."""
+    import re
+
+    for name in ("q_sequence_packing", "q_curation_pipeline"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        m = re.search(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert m, (name, "no window in plan")
+        spec = m.group(1)
+        assert "lang" in spec and "shard_id" in spec, (name, spec)
+        # and the exchange feeding it hashes on the shard key too
+        assert re.search(r"hashpartitioning\([^)]*shard_id", plan), name
