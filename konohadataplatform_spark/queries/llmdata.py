@@ -2127,3 +2127,44 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("cum") - F.col("toks")) / 512).alias("start_chunk"),
         F.floor((F.col("cum") - 1) / 512).alias("end_chunk"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic dataset split (train/val/test): assignment from the md5
+# of the document id — stable across runs, engines, partitionings, and
+# corpus growth (a doc's split never changes when other docs arrive,
+# unlike any rank- or sample-based split). Zero-shuffle, pure codegen.
+# --------------------------------------------------------------------------
+@query(
+    "q_dataset_split",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             (strpos({_HEX}, md5(CAST(doc_id AS VARCHAR))[1]) - 1) AS b
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN b < 13 THEN 'train'
+                WHEN b < 14 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~81% train / ~6% val / ~12.5% test from the first md5 hex nibble
+    of doc_id (13/16, 1/16, 2/16). The hash-based rule is the standard
+    production split: membership is a pure function of the id, so
+    re-runs, resharding, and incremental corpus growth never move a
+    document across splits (no leakage)."""
+    docs = _t(spark, sf_dir, "documents")
+    nibble = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(nibble < 13, "train")
+        .when(nibble < 14, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
