@@ -2168,3 +2168,75 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chunk-level inter-document repetition (RefinedWeb-family): split each
+# doc into non-overlapping 32-token chunks, hash them, and measure what
+# fraction of a doc's chunks appear anywhere else in the corpus —
+# catches partially-copied documents exact whole-doc dedup misses.
+# Scale: the shuffle carries 16-byte chunk digests, never chunk text;
+# one digest agg + one digest join + one doc agg.
+# --------------------------------------------------------------------------
+@query(
+    "q_chunk_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+    ), c AS (
+      SELECT doc_id, lang, w,
+             unnest([ i for i in range(0, (len(w) + 31) // 32) ]) AS i
+      FROM t
+    ), h AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(list_slice(w, i * 32 + 1, i * 32 + 32), ' '))
+               AS digest
+      FROM c
+    ), d AS (
+      SELECT digest, COUNT(*) AS cnt FROM h GROUP BY digest
+    )
+    SELECT h.doc_id, h.lang,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_chunk_frac
+    FROM h JOIN d USING (digest)
+    GROUP BY h.doc_id, h.lang
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-chunk fraction against the whole corpus.
+
+    The fraction is one division of exact integer counts (bit-portable);
+    chunk membership itself is md5-exact. The standard follow-up —
+    drop docs with dup_chunk_frac above a threshold — composes with
+    q_curation_pipeline's integer-compare idiom."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    base = docs.select("doc_id", "lang", w.alias("w")).select(
+        "doc_id",
+        "lang",
+        "w",
+        F.explode(
+            F.expr("sequence(0, cast((size(w) + 31) / 32 as int) - 1)")
+        ).alias("i"),
+    )
+    h = base.select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.array_join(F.expr("slice(w, i * 32 + 1, 32)"), " ")
+        ).alias("digest"),
+    )
+    d = h.groupBy("digest").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+    return (
+        h.join(d, "digest")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.cast("bigint").alias("n_dup_chunks"),
+            (dup.cast("double") / F.count(F.lit(1))).alias("dup_chunk_frac"),
+        )
+    )
