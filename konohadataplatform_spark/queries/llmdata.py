@@ -2240,3 +2240,55 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup.cast("double") / F.count(F.lit(1))).alias("dup_chunk_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source corpus health report (the ingestion dashboard): volume,
+# token mass, doc-length spread, language fan-out, and exact-duplicate
+# rate per source — the first table a curation run looks at. One agg
+# shuffle on source; every stat is exact-integer (the two ratios are
+# single divisions of exact counts, bit-portable).
+# --------------------------------------------------------------------------
+@query(
+    "q_source_health",
+    """
+    WITH s AS (
+      SELECT source, lang, n_chars, md5(text) AS digest,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_toks,
+           CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS avg_toks,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT) AS n_exact_dups,
+           CAST(COUNT(*) - COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*)
+             AS dup_rate
+    FROM s
+    GROUP BY source
+    """,
+)
+def q_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("digest"),
+        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("toks"),
+    )
+    n = F.count(F.lit(1))
+    dups = n - F.countDistinct("digest")
+    return s.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_toks"),
+        (F.sum("toks").cast("double") / n).alias("avg_toks"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        dups.cast("bigint").alias("n_exact_dups"),
+        (dups.cast("double") / n).alias("dup_rate"),
+    )
