@@ -896,15 +896,39 @@ class SnapshotCatalog:
                 removed += 1
         return removed
 
+    # refuse orphan sweeps with a window under 1h unless forced: a
+    # legitimate in-flight write that outlives the window (dir written,
+    # claim not yet recorded) would be swept mid-commit. Iceberg
+    # documents the same hazard for remove_orphan_files.
+    MIN_ORPHAN_AGE_MS = 3600 * 1000
+
     def remove_orphan_snapshots(
-        self, name: str, older_than_ms: int = 24 * 3600 * 1000
+        self,
+        name: str,
+        older_than_ms: int = 24 * 3600 * 1000,
+        force: bool = False,
     ) -> int:
         """Drop snapshot dirs no committed version references (the rest
         of Iceberg's remove_orphan_files): a writer hard-killed AFTER
         writing its snapshot dir but BEFORE claiming the version leaves
         the dir behind — the graceful conflict path cleans up, a
         SIGKILL cannot. Age-gated so an in-flight commit (dir written,
-        claim microseconds away) is never swept."""
+        claim microseconds away) is never swept.
+
+        HAZARD (same as Iceberg's remove_orphan_files): the age gate is
+        the only protection against sweeping a live writer's in-flight
+        snapshot. Windows below ``MIN_ORPHAN_AGE_MS`` (1h) are refused
+        unless ``force=True``; the gate uses the NEWEST mtime anywhere
+        in the dir tree, so a long multi-file write stays protected as
+        long as any of its files is recent."""
+        if older_than_ms < self.MIN_ORPHAN_AGE_MS and not force:
+            raise ValueError(
+                f"remove_orphan_snapshots: older_than_ms={older_than_ms}"
+                f" is below the {self.MIN_ORPHAN_AGE_MS} ms safety floor"
+                " — an in-flight write slower than the window would be"
+                " swept mid-commit. Pass force=True only if no writers"
+                " can be active."
+            )
         sroot = os.path.join(self._tdir(name), "snapshots")
         if not os.path.isdir(sroot):
             return 0
@@ -929,11 +953,27 @@ class SnapshotCatalog:
             if (
                 d not in referenced
                 and os.path.isdir(p)
-                and os.path.getmtime(p) < cutoff
+                and self._newest_mtime(p) < cutoff
             ):
                 shutil.rmtree(p, ignore_errors=True)
                 removed += 1
         return removed
+
+    @staticmethod
+    def _newest_mtime(path: str) -> float:
+        """Newest mtime anywhere under ``path`` (incl. the dir itself):
+        the orphan age gate must see a slow writer's most recent file,
+        not just the top dir's creation time."""
+        newest = os.path.getmtime(path)
+        for root, dirs, files in os.walk(path):
+            for entry in dirs + files:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(root, entry))
+                    )
+                except OSError:
+                    continue
+        return newest
 
     def write_transformed(
         self, name: str, df: DataFrame, partition_transforms: list[str]
@@ -1820,6 +1860,15 @@ class SnapshotCatalog:
         base = self.current_snapshot(name)
         if base is None:
             raise ValueError(f"table not found: {name}")
+        # resolve the inherited partition spec UP FRONT so the
+        # clustering branch keys off it: _commit would inherit the spec
+        # at write time anyway, but without clustering the data is
+        # round-robin repartitioned and then Hive-partitioned on write,
+        # producing up to target_files x n_partitions files — a
+        # "compaction" that increases file count. partition_by=[] still
+        # explicitly unpartitions.
+        if partition_by is None and base.partition_by:
+            partition_by = list(base.partition_by)
         if target_files is None:
             if target_file_bytes:
                 total = self.data_bytes(name)

@@ -934,7 +934,18 @@ def _dispatch_call(engine, q: str) -> DataFrame:
         raise ValueError(f"CALL {proc}: missing table argument")
     if proc == "expire_snapshots":
         keep = int(_arg(pos, named, 1, "retain_last", "keep_last", default=1))
-        older = _arg(pos, named, 2, "older_than_ms", "older_than")
+        # only the explicit _ms spelling is accepted: Iceberg's
+        # `older_than` is an ABSOLUTE timestamp, ours is an age window —
+        # silently reinterpreting an epoch-ms value as a ~54-year window
+        # would expire nothing. Reject the ambiguous name loudly.
+        if "older_than" in named:
+            raise ValueError(
+                "CALL expire_snapshots: use older_than_ms=<age window in"
+                " ms> (Iceberg's older_than is an absolute timestamp;"
+                " this engine takes an age window, so the ambiguous"
+                " 'older_than' name is rejected)"
+            )
+        older = _arg(pos, named, 2, "older_than_ms")
         removed = engine.catalog.expire_snapshots(
             name,
             keep_last=keep,

@@ -330,8 +330,9 @@ class CdcPipeline:
         self.merge_on_read = merge_on_read
         # dlq_table: quarantine malformed/unknown-op/null-key envelopes
         # into a catalog table instead of crashing or dropping them;
-        # keyed on (_topic, lsn) so redelivered bad records do not
-        # duplicate (parse_envelopes_dlq).
+        # keyed on the _dlq_key content digest (lsn can be NULL on
+        # garbage) so redelivered bad records do not duplicate
+        # (parse_envelopes_dlq).
         self.dlq_table = dlq_table
         # evolve_schema: widen each table's row schema when envelopes
         # carry unknown JSON keys (envelope_drift); new columns arrive
@@ -398,8 +399,36 @@ class CdcPipeline:
                     merge_on_read=self.merge_on_read,
                     batch_id=batch_id,
                 )
+                if self.dlq_table:
+                    # per-key high-water mark of applied changes: the
+                    # replay ordering guard (see replay_dlq). Only kept
+                    # when a DLQ exists — without replay there is
+                    # nothing to guard, and this is an extra O(|batch|)
+                    # commit per micro-batch.
+                    self._record_hwm(name, typed, key_cols)
             finally:
                 subset.unpersist()
+
+    # sentinel below any real ts_ms/lsn: NULL timestamps sort as
+    # oldest, so a replayed record of unknown age never beats a
+    # recorded high-water mark
+    _HWM_NEG = -(2**62)
+
+    def _hwm_table(self, name: str) -> str:
+        return f"{name}__cdc_hwm"
+
+    def _record_hwm(self, name: str, typed: DataFrame, key_cols: list[str]) -> None:
+        """Upsert each applied key's newest (ts_ms, lsn) into the
+        per-table high-water-mark table. O(|batch|) merge-on-read
+        commit; correctness relies on micro-batches arriving in stream
+        order (Debezium's per-key LSN ordering), so the latest batch's
+        layer shadowing yields the per-key max."""
+        hwm = latest_per_key(typed, key_cols).select(
+            *key_cols,
+            F.col("ts_ms").alias("_hwm_ts_ms"),
+            F.col("lsn").alias("_hwm_lsn"),
+        )
+        self.catalog.upsert_by_keys(self._hwm_table(name), hwm, key_cols)
 
     def replay_dlq(self) -> dict[str, int]:
         """Re-parse quarantined envelopes against the pipeline's CURRENT
@@ -411,6 +440,14 @@ class CdcPipeline:
         effective row image: before for deletes, after otherwise), so a
         record quarantined as ``null_key`` under a wrong schema applies
         cleanly once the schema is corrected. Returns {table: n_applied}.
+
+        Ordering guard: a quarantined record's key may have received
+        NEWER changes since quarantine — latest-wins only holds within
+        a batch, so blindly replaying a stale record would regress the
+        row. Replay therefore drops any record at or below the per-key
+        high-water mark recorded at apply time (``_record_hwm``);
+        superseded records still drain from the DLQ (they are resolved
+        — the newer change already won).
         """
         if not self.dlq_table or not self.catalog.exists(self.dlq_table):
             return {}
@@ -439,7 +476,27 @@ class CdcPipeline:
             good = good_t.select(
                 F.col("table").alias("_topic"), "op", "ts_ms", "lsn", "_row.*"
             )
+            # drain every successfully re-parsed record — applied OR
+            # superseded — from the DLQ; only still-bad records remain
             drained = good_t.select("_dlq_key")
+            if self.catalog.exists(self._hwm_table(name)):
+                hwm = self.catalog.read(self._hwm_table(name)).withColumn(
+                    "_has_hwm", F.lit(True)
+                )
+                neg = F.lit(self._HWM_NEG)
+                rts = F.coalesce(F.col("ts_ms"), neg)
+                rlsn = F.coalesce(F.col("lsn"), neg)
+                hts = F.coalesce(F.col("_hwm_ts_ms"), neg)
+                hlsn = F.coalesce(F.col("_hwm_lsn"), neg)
+                good = (
+                    good.join(hwm, key_cols, "left_outer")
+                    .filter(
+                        F.col("_has_hwm").isNull()
+                        | (rts > hts)
+                        | ((rts == hts) & (rlsn > hlsn))
+                    )
+                    .drop("_hwm_ts_ms", "_hwm_lsn", "_has_hwm")
+                )
             n = good.count()
             if n:
                 apply_cdc_batch(
@@ -450,6 +507,10 @@ class CdcPipeline:
                     partition_col,
                     merge_on_read=self.merge_on_read,
                 )
+                # replayed changes advance the mark like any applied
+                # batch, so repeated replays stay monotonic
+                self._record_hwm(name, good, key_cols)
+            if not drained.isEmpty():
                 self.catalog.delete_by_keys(
                     self.dlq_table, drained, ["_dlq_key"]
                 )

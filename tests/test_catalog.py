@@ -496,6 +496,24 @@ def test_compact_partition_preserving(spark, catalog):
     assert catalog.read("t").count() == 300
 
 
+def test_compact_inherits_partition_spec_for_clustering(spark, catalog):
+    """Advisor regression: compact() WITHOUT an explicit partition_by on
+    a partitioned table must cluster on the inherited spec — round-robin
+    repartition + Hive-partitioned write would produce up to
+    target_files x n_partitions files (compaction that INCREASES file
+    count)."""
+    df = spark.createDataFrame(
+        [(i, f"p{i % 20}") for i in range(2000)], "id long, p string"
+    ).repartition(32)
+    catalog.write("t", df, partition_by=["p"])
+    assert catalog.file_count("t") > 20
+    snap = catalog.compact("t", target_files=4)
+    # clustered: ~one file per partition value, never files x partitions
+    assert catalog.file_count("t") <= 20
+    assert snap.partition_by == ["p"]
+    assert catalog.read("t").count() == 2000
+
+
 # ---- write-audit-publish / rollback / diff (round 2) -------------------
 
 def test_wap_stage_audit_publish(spark, catalog):
@@ -1483,10 +1501,25 @@ def test_remove_orphan_snapshots(spark, catalog):
     # fresh orphan: kept by the age gate
     assert catalog.remove_orphan_snapshots("orph") == 0
     assert os.path.isdir(dead)
-    # old orphan: swept; the committed snapshot survives
+    # sub-1h windows are refused unless forced: a slow in-flight write
+    # would be swept mid-commit
+    with pytest.raises(ValueError, match="safety floor"):
+        catalog.remove_orphan_snapshots("orph", older_than_ms=50_000)
+    # age the dir but leave the file inside fresh: the gate keys on the
+    # NEWEST mtime in the tree, so a still-writing snapshot survives
     old = time.time() - 100
     os.utime(dead, (old, old))
-    assert catalog.remove_orphan_snapshots("orph", older_than_ms=50_000) == 1
+    assert (
+        catalog.remove_orphan_snapshots("orph", older_than_ms=50_000, force=True)
+        == 0
+    )
+    # once every file in the tree is old, the orphan is swept
+    os.utime(os.path.join(dead, "part-0.parquet"), (old, old))
+    os.utime(dead, (old, old))
+    assert (
+        catalog.remove_orphan_snapshots("orph", older_than_ms=50_000, force=True)
+        == 1
+    )
     assert not os.path.isdir(dead)
     assert os.path.isdir(snap.path)
     assert catalog.read("orph").count() == 1

@@ -777,3 +777,104 @@ def test_replay_dlq_after_schema_fix(spark, catalog):
     assert len(left) == 1 and left[0]._error == "malformed_json"
     # idempotent: nothing left to replay
     assert pipe.replay_dlq() == {"customers": 0}
+
+
+def test_replay_dlq_never_regresses_newer_changes(spark, catalog):
+    """Ordering guard: a record quarantined at ts=5 must NOT overwrite a
+    ts=10 update for the same key applied after quarantine — replay
+    drops the superseded record but still drains it from the DLQ."""
+    wrong = T.StructType([
+        T.StructField("customer_id", T.StringType(), True),  # producer sends "id"
+        T.StructField("company_name", T.StringType(), True),
+    ])
+    right = T.StructType([
+        T.StructField("id", T.StringType(), True),
+        T.StructField("company_name", T.StringType(), True),
+    ])
+    pipe = CdcPipeline(
+        spark, catalog, {"customers": (wrong, ["customer_id"])},
+        dlq_table="_cdc_dlq",
+    )
+    # ts=5 change quarantined as null_key under the wrong schema
+    pipe.apply_envelopes(
+        spark.createDataFrame(
+            [env("u", "customers", {"id": "A", "company_name": "old"},
+                 ts_ms=5, lsn=5)],
+            ENVELOPE_SCHEMA,
+        ),
+        batch_id=1,
+    )
+    assert catalog.read("_cdc_dlq").count() == 1
+    # operator fixes the schema; a NEWER ts=10 change applies cleanly
+    pipe.tables["customers"] = (right, ["id"], None)
+    pipe.apply_envelopes(
+        spark.createDataFrame(
+            [env("u", "customers", {"id": "A", "company_name": "new"},
+                 ts_ms=10, lsn=10)],
+            ENVELOPE_SCHEMA,
+        ),
+        batch_id=2,
+    )
+    assert catalog.read("customers").collect()[0].company_name == "new"
+    # replay: the stale ts=5 record is dropped, NOT applied...
+    assert pipe.replay_dlq() == {"customers": 0}
+    assert catalog.read("customers").collect()[0].company_name == "new"
+    # ...but it still drains — it is resolved (superseded), not pending
+    assert catalog.read("_cdc_dlq").count() == 0
+
+
+def test_replay_dlq_applies_when_strictly_newer(spark, catalog):
+    """The guard only blocks stale records: a quarantined change NEWER
+    than everything applied for its key replays normally, and a NULL-ts
+    quarantined record counts as oldest (never beats a recorded mark)."""
+    wrong = T.StructType([
+        T.StructField("customer_id", T.StringType(), True),
+        T.StructField("company_name", T.StringType(), True),
+    ])
+    right = T.StructType([
+        T.StructField("id", T.StringType(), True),
+        T.StructField("company_name", T.StringType(), True),
+    ])
+    pipe = CdcPipeline(
+        spark, catalog, {"customers": (wrong, ["customer_id"])},
+        dlq_table="_cdc_dlq",
+    )
+    pipe.apply_envelopes(
+        spark.createDataFrame(
+            [
+                # ts=20: newer than anything applied -> must replay
+                env("u", "customers", {"id": "A", "company_name": "newest"},
+                    ts_ms=20, lsn=20),
+                # NULL ts/lsn: unknown age -> must NOT beat B's mark
+                Row(op="u", before=None,
+                    after=json.dumps({"id": "B", "company_name": "stale?"}),
+                    ts_ms=None, lsn=None, table="customers"),
+            ],
+            T.StructType([
+                T.StructField("op", T.StringType(), True),
+                T.StructField("before", T.StringType(), True),
+                T.StructField("after", T.StringType(), True),
+                T.StructField("ts_ms", T.LongType(), True),
+                T.StructField("lsn", T.LongType(), True),
+                T.StructField("table", T.StringType(), False),
+            ]),
+        ),
+        batch_id=1,
+    )
+    pipe.tables["customers"] = (right, ["id"], None)
+    pipe.apply_envelopes(
+        spark.createDataFrame(
+            [
+                env("u", "customers", {"id": "A", "company_name": "mid"},
+                    ts_ms=10, lsn=10),
+                env("u", "customers", {"id": "B", "company_name": "bval"},
+                    ts_ms=10, lsn=10),
+            ],
+            ENVELOPE_SCHEMA,
+        ),
+        batch_id=2,
+    )
+    assert pipe.replay_dlq() == {"customers": 1}
+    rows = {r.id: r.company_name for r in catalog.read("customers").collect()}
+    assert rows == {"A": "newest", "B": "bval"}
+    assert catalog.read("_cdc_dlq").count() == 0

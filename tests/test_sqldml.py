@@ -401,6 +401,18 @@ def test_call_named_arguments_any_order(engine):
     assert out.table == "metrics" and out.removed == 1
 
 
+def test_call_expire_rejects_ambiguous_older_than(engine):
+    """Advisor regression: Iceberg's `older_than` is an absolute
+    timestamp but ours is an age window — an epoch-ms value silently
+    read as a ~54-year window would expire nothing. Reject the name."""
+    seed(engine)
+    with pytest.raises(ValueError, match="older_than_ms"):
+        engine.sql(
+            "CALL system.expire_snapshots('metrics', 1,"
+            " older_than => 1755000000000)"
+        )
+
+
 def test_branch_procedures_via_sql(engine, spark):
     seed(engine)
     out = engine.sql("CALL system.create_branch('metrics', 'dev')").collect()[0]
