@@ -652,3 +652,84 @@ def ann_ivf_topk_portable(
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "knn_rank")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bits: int = 4,
+    threshold: float = 0.35,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SemDeDup-family semantic dedup: coarse sign-bit bucketing over
+    the leading ``bits`` embedding dims (training-free, deterministic),
+    exact cosine within buckets, keep the lowest-id member of every
+    near-dup pair. Returns (id_col, bucket, kept).
+
+    Scale knobs (the 100 TB contract — see SCALING.md):
+
+    - ``bits`` sets the bucket count to 2^bits; each task's pairwise
+      work is O((n/2^bits)^2) per bucket, so RAISE bits with corpus
+      size (16-20 at 100 TB) to keep per-bucket pair counts bounded.
+      Capped at 30 so the bucket id stays a positive int.
+    - ``max_bucket`` is the skew guard (same convention as
+      ``dedup._cap_buckets``): buckets larger than the cap skip
+      pairing entirely — their members are all kept. A documented
+      recall tradeoff, never an OOM.
+    - The keep-join carries NO broadcast hint: the duplicate-id set
+      grows with the corpus, so AQE decides (broadcast when it is
+      actually small, shuffle join when not).
+
+    Cosine is the same sequential double fold DuckDB's
+    list_dot_product performs, so kept/dropped decisions are
+    bit-portable against the SQL oracle.
+    """
+    if not 1 <= bits <= 30:
+        raise ValueError(f"semantic_dedup: bits must be in [1, 30], got {bits}")
+    e = emb.select(
+        id_col,
+        F.expr(f"transform({emb_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    bucket = F.lit(0)
+    for i in range(bits):
+        bucket = bucket + F.when(F.expr(f"v[{i}]") > 0, 1 << i).otherwise(0)
+    b = e.select(
+        id_col,
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        bucket.cast("int").alias("bucket"),
+    )
+    pairable = b
+    if max_bucket is not None:
+        sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        small = sizes.filter(F.col("_bn") <= max_bucket).select("bucket")
+        pairable = b.join(small, "bucket", "left_semi")
+    lo = pairable.select(
+        F.col(id_col).alias("lo_id"), F.col("v").alias("lo_v"),
+        F.col("nrm").alias("lo_nrm"), F.col("bucket").alias("lo_bucket"),
+    )
+    hi = pairable.select(
+        F.col(id_col).alias("hi_id"), F.col("v").alias("hi_v"),
+        F.col("nrm").alias("hi_nrm"), F.col("bucket").alias("hi_bucket"),
+    )
+    cos = _dot(F.col("lo_v"), F.col("hi_v")) / (
+        F.col("lo_nrm") * F.col("hi_nrm")
+    )
+    dups = (
+        lo.join(
+            hi,
+            (F.col("lo_bucket") == F.col("hi_bucket"))
+            & (F.col("lo_id") < F.col("hi_id")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("hi_id").alias("dup_id"))
+        .distinct()
+    )
+    return b.join(
+        dups, F.col(id_col) == F.col("dup_id"), "left_outer"
+    ).select(
+        id_col,
+        "bucket",
+        F.col("dup_id").isNull().alias("kept"),
+    )

