@@ -526,7 +526,7 @@ class CdcPipeline:
         kafka_bootstrap: str | None = None,
         topics: list[str] | None = None,
         value_format: str = "json",
-        schema_registry: dict | None = None,
+        schema_registry=None,
     ):
         """Tail Debezium envelopes and apply each micro-batch.
 
@@ -568,7 +568,7 @@ def kafka_envelope_stream(
     topics: list[str],
     starting_offsets: str = "earliest",
     value_format: str = "json",
-    schema_registry: dict | None = None,
+    schema_registry=None,
 ) -> DataFrame:
     """Production CDC source: Debezium envelopes from Kafka topics
     (S2's streaming half, ``debezium-postgres-connector.json``).
@@ -577,8 +577,11 @@ def kafka_envelope_stream(
     Avro schema's JSON projection). ``value_format="confluent-avro"``:
     value bytes carry the Schema-Registry wire framing the reference's
     AvroConverter emits (magic 0x00 + schema id + Avro body), decoded
-    via :func:`decode_confluent_envelopes` with ``schema_registry``
-    (id -> Avro record schema). Either way the target table is the
+    via :func:`decode_confluent_envelopes` with ``schema_registry`` —
+    either a plain id -> Avro-record-schema dict, or a
+    :class:`~konohadataplatform_spark.sources.schema_registry.SchemaRegistryClient`
+    pointed at the connector's ``schema.registry.url`` (resolves writer
+    schemas over the Confluent REST API, cached per executor). Either way the target table is the
     envelope's ``table`` field when present, else the topic's last
     dot-segment — the RegexRouter ``$3`` analog
     (``transforms.route.replacement`` in the reference's connector
@@ -666,15 +669,17 @@ def _envelope_from_record(rec: dict, topic: str | None) -> dict:
     }
 
 
-def decode_confluent_envelopes(raw: DataFrame, schema_by_id: dict) -> DataFrame:
+def decode_confluent_envelopes(raw: DataFrame, schema_by_id) -> DataFrame:
     """Kafka-shaped rows (binary ``value``, optional ``topic``) ->
     ENVELOPE_SCHEMA rows, decoding the Schema-Registry wire format.
 
     Decoding runs inside ``mapInPandas`` Arrow batches on the executors
     (same posture as the multimodal decoders: payload bytes never cross
     a shuffle, nothing is collected to the driver). ``schema_by_id`` is
-    a plain dict snapshot of the registry — ids are immutable in a real
-    Schema Registry, so shipping the map in the task closure is safe;
+    any mapping from registry schema id to Avro record schema: a plain
+    dict snapshot, or a ``sources.schema_registry.SchemaRegistryClient``
+    (REST lookup + per-executor cache) — ids are immutable in a real
+    Schema Registry, so shipping either in the task closure is safe;
     unknown ids fail the task loudly rather than guessing a schema.
     """
     import pandas as pd

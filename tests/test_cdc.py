@@ -878,3 +878,162 @@ def test_replay_dlq_applies_when_strictly_newer(spark, catalog):
     rows = {r.id: r.company_name for r in catalog.read("customers").collect()}
     assert rows == {"A": "newest", "B": "bval"}
     assert catalog.read("_cdc_dlq").count() == 0
+
+
+# ---- Schema-Registry REST client ----------------------------------------
+
+class _StubRegistry:
+    """In-process Confluent-REST stub: POST /subjects/x/versions assigns
+    ids; GET /schemas/ids/{id} serves them; counts GETs so tests can
+    assert the client caches."""
+
+    def __init__(self):
+        import http.server
+        import threading
+
+        stub = self
+        stub.schemas = {}
+        stub.next_id = 1
+        stub.get_count = 0
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                parts = self.path.strip("/").split("/")
+                if parts[:2] == ["schemas", "ids"]:
+                    stub.get_count += 1
+                    sid = int(parts[2])
+                    if sid in stub.schemas:
+                        self._json(200, {"schema": stub.schemas[sid]})
+                    else:
+                        self._json(404, {"error_code": 40403})
+                elif len(parts) == 4 and parts[0] == "subjects" \
+                        and parts[2] == "versions" and parts[3] == "latest":
+                    ids = [i for i, (subj, _) in stub.by_subject.items()
+                           if subj == parts[1]]
+                    if ids:
+                        sid = max(ids)
+                        self._json(200, {"id": sid, "version": 1,
+                                         "subject": parts[1],
+                                         "schema": stub.schemas[sid]})
+                    else:
+                        self._json(404, {"error_code": 40401})
+                else:
+                    self._json(404, {"error_code": 404})
+
+            def do_POST(self):
+                parts = self.path.strip("/").split("/")
+                n = int(self.headers["Content-Length"])
+                payload = json.loads(self.rfile.read(n))
+                sid = stub.next_id
+                stub.next_id += 1
+                stub.schemas[sid] = payload["schema"]
+                stub.by_subject[sid] = (parts[1], payload["schema"])
+                self._json(200, {"id": sid})
+
+        stub.by_subject = {}
+        self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.server.server_address[1]}"
+        self.thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+        self.thread.start()
+
+    def close(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_schema_registry_client_resolves_and_caches():
+    from konohadataplatform_spark.sources.schema_registry import (
+        SchemaRegistryClient,
+        SchemaRegistryError,
+    )
+
+    reg = _StubRegistry()
+    try:
+        client = SchemaRegistryClient(reg.url)
+        sid = client.register("customers-value", DEBEZIUM_VALUE_SCHEMA)
+        # register warms the cache: no GET needed for the id we created
+        assert client.get(sid) == DEBEZIUM_VALUE_SCHEMA
+        assert reg.get_count == 0
+        # a cold client resolves over HTTP exactly once, then caches
+        cold = SchemaRegistryClient(reg.url)
+        assert cold[sid]["name"] == "Envelope"
+        assert cold.get(sid) is cold.get(sid)
+        assert reg.get_count == 1
+        assert sid in cold and list(iter(cold)) == [sid]
+        # unknown id -> None / KeyError, never a guessed schema
+        assert cold.get(999999) is None
+        with pytest.raises(KeyError):
+            cold[999999]
+        # latest() resolves by subject
+        lsid, lschema = SchemaRegistryClient(reg.url).latest("customers-value")
+        assert lsid == sid and lschema == DEBEZIUM_VALUE_SCHEMA
+        with pytest.raises(SchemaRegistryError, match="unknown subject"):
+            SchemaRegistryClient(reg.url).latest("nope-value")
+    finally:
+        reg.close()
+    # registry down -> loud SchemaRegistryError, not a silent miss
+    from konohadataplatform_spark.sources.schema_registry import (
+        SchemaRegistryError as SRE,
+    )
+    with pytest.raises(SRE):
+        SchemaRegistryClient(reg.url).get(1)
+
+
+def test_confluent_envelopes_via_rest_registry(spark, catalog):
+    """End-to-end Debezium AvroConverter path: wire-framed envelopes on
+    a Kafka-shaped frame resolve their writer schema via the REST
+    registry client (executor-side, cached) and land byte-identical to
+    the dict-registry path."""
+    from konohadataplatform_spark.sources import avro_py
+    from konohadataplatform_spark.sources.schema_registry import (
+        SchemaRegistryClient,
+    )
+    from konohadataplatform_spark.streaming.cdc import (
+        decode_confluent_envelopes,
+    )
+
+    reg = _StubRegistry()
+    try:
+        writer = SchemaRegistryClient(reg.url)
+        sid = writer.register("srv1.public.customers-value",
+                              DEBEZIUM_VALUE_SCHEMA)
+        recs = [
+            {"op": "c", "before": None,
+             "after": {"customer_id": "A", "company_name": "Acme"},
+             "source": {"ts_ms": 1, "lsn": 1, "table": "customers"}},
+            {"op": "d",
+             "before": {"customer_id": "A", "company_name": "Acme"},
+             "after": None,
+             "source": {"ts_ms": 2, "lsn": 2, "table": "customers"}},
+        ]
+        raw = spark.createDataFrame(
+            [("srv1.public.customers",
+              avro_py.encode_confluent(r, DEBEZIUM_VALUE_SCHEMA, sid))
+             for r in recs],
+            "topic string, value binary",
+        )
+        # a COLD client pickles into the task closure and resolves on
+        # the executors
+        via_rest = decode_confluent_envelopes(
+            raw, SchemaRegistryClient(reg.url)
+        ).collect()
+        via_dict = decode_confluent_envelopes(
+            raw, {sid: DEBEZIUM_VALUE_SCHEMA}
+        ).collect()
+        assert sorted(map(tuple, via_rest)) == sorted(map(tuple, via_dict))
+        assert {r.op for r in via_rest} == {"c", "d"}
+    finally:
+        reg.close()
