@@ -64,6 +64,30 @@ EXTENDED = [
 ]
 
 
+CALIBRATION_RUNS = 3
+
+
+def calibrate(spark) -> float:
+    """Constant-work host-speed probe: hash-reduce 2B longs over 32
+    splits, entirely JVM-side, independent of the SF data and of every
+    query under test. FROZEN forever — dividing a query's wall time by
+    this number cancels host-level drift (CPU contention, thermal
+    state), so cross-round BENCH comparisons can separate machine drift
+    from real plan regressions mechanically. Median of
+    CALIBRATION_RUNS after one warmup, same discipline as the queries.
+    """
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 2_000_000_000, 1, 32).selectExpr(
+            "sum(xxhash64(id)) AS h"
+        ).collect()
+        return time.perf_counter() - t0
+
+    once()  # warmup (JIT, codegen)
+    return statistics.median(once() for _ in range(CALIBRATION_RUNS))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.isdir(sf_dir):
@@ -101,6 +125,14 @@ def main() -> None:
         for n, ts in samples.items()
     }
     total = round(sum(timings.values()), 4)
+    # host-speed calibration: raw numbers stay the headline contract;
+    # `normalized` = seconds per calibration-second, comparable across
+    # rounds even when the host is 10-20% slower/faster than last time
+    cal = calibrate(spark)
+    norm = {
+        n: round(t / cal, 4)
+        for n, t in {**timings, **ext_timings}.items()
+    }
     print(
         json.dumps(
             {
@@ -113,6 +145,10 @@ def main() -> None:
                 "stddev": stddev,
                 "runs": runs,
                 "sf": sf,
+                "calibration_sec": round(cal, 4),
+                "calibration_job": "median-of-3 sum(xxhash64(range(2B)))/32splits",
+                "normalized": norm,
+                "normalized_total": round(total / cal, 4),
             }
         )
     )

@@ -1,0 +1,151 @@
+"""sf1 scale smoke: do the headline plans SURVIVE a 10x scale-up?
+
+The per-round bench runs at sf0.1, where AQE broadcasts almost
+everything and scale-killers hide. This tool materializes an sf1-scale
+dataset (10x facts, dims unchanged — the shape a real warehouse scales
+in), times the headline queries at both scale factors, and reports the
+wall-time ratio: sub-linear (< 10x on 10x data) means the plan's
+shuffles and windows spread the extra data across tasks instead of
+serializing it.
+
+Construction (derived from the driver's sf0.1 parquet, never
+synthesized from scratch):
+- lineitem/orders: 10 copies with l_orderkey/o_orderkey offset per
+  copy (keeps per-order groups and the orders<->lineitem FK intact;
+  10x orders per customer, like any growing business).
+- documents: 10 copies, doc_id offset (texts repeat — which is
+  exactly what corpus dedup workloads look like).
+- embeddings: 10 copies, vec_id offset.
+- dims (region/nation/customer/supplier/part) + events: unchanged.
+
+Also measures `semantic_dedup` at sf1 across its `bits` knob, showing
+the documented scale contract (per-bucket pair count O((n/2^bits)^2))
+with real numbers.
+
+Run: python tools/scale_smoke.py [--rebuild]   (~2-4 min)
+Output: one JSON line + a markdown table to paste into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from konohadataplatform_spark.queries import all_queries  # noqa: E402
+from konohadataplatform_spark.session import get_spark  # noqa: E402
+from konohadataplatform_spark.sources.star_schema import load_table  # noqa: E402
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sparkgraft_sf1")
+COPIES = 10
+
+SMOKE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q_token_budget_pack",
+    "q_sequence_packing",
+]
+
+DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
+
+
+def _replicate(spark, table: str, key_cols: list[str], out: str) -> None:
+    """10 copies with per-copy key offsets (one job, no driver loop
+    over rows — the copy index comes from an explode)."""
+    df = load_table(spark, SF01, table)
+    offset = df.agg(F.max(key_cols[0])).collect()[0][0] + 1
+    copies = df.withColumn(
+        "_copy", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1)))
+    )
+    for k in key_cols:
+        copies = copies.withColumn(k, F.col(k) + F.col("_copy") * F.lit(offset))
+    copies.drop("_copy").write.mode("overwrite").parquet(
+        os.path.join(out, f"{table}.parquet")
+    )
+
+
+def build_sf1(spark) -> None:
+    os.makedirs(SF1, exist_ok=True)
+    for t in DIMS:
+        load_table(spark, SF01, t).write.mode("overwrite").parquet(
+            os.path.join(SF1, f"{t}.parquet")
+        )
+    _replicate(spark, "orders", ["o_orderkey"], SF1)
+    _replicate(spark, "lineitem", ["l_orderkey"], SF1)
+    _replicate(spark, "documents", ["doc_id"], SF1)
+    _replicate(spark, "embeddings", ["vec_id"], SF1)
+
+
+def _time(fn, warmup: bool = True) -> float:
+    if warmup:
+        fn()
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    spark = get_spark(app_name="konoha-scale-smoke")
+    if "--rebuild" in sys.argv or not os.path.isdir(
+        os.path.join(SF1, "lineitem.parquet")
+    ):
+        print("building sf1 dataset at", SF1, file=sys.stderr)
+        build_sf1(spark)
+
+    qs = all_queries()
+    rows = []
+    for name in SMOKE_QUERIES:
+        t01 = _time(lambda: qs[name](spark, SF01).count())
+        t1 = _time(lambda: qs[name](spark, SF1).count(), warmup=False)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            qs[name](spark, SF1)._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan, name
+        rows.append(
+            {
+                "query": name,
+                "sf0.1_sec": round(t01, 3),
+                "sf1_sec": round(t1, 3),
+                "ratio_vs_10x_data": round(t1 / t01, 2),
+                "sublinear": t1 / t01 < COPIES,
+            }
+        )
+
+    # semantic dedup: the bits knob at sf1 (the shipped sf0.1 config is
+    # bits=4; the SCALING.md contract says raise bits with corpus size)
+    from konohadataplatform_spark.operators.similarity import semantic_dedup
+
+    sem = {}
+    for bits in (4, 8, 12):
+        emb = load_table(spark, SF1, "embeddings")
+        sem[f"bits={bits}"] = round(
+            _time(lambda: semantic_dedup(emb, bits=bits).count(), warmup=False),
+            3,
+        )
+
+    out = {"queries": rows, "semantic_dedup_sf1": sem, "copies": COPIES}
+    print(json.dumps(out))
+    print("\n| query | sf0.1 s | sf1 s | ratio (10x data) |", file=sys.stderr)
+    print("|---|---|---|---|", file=sys.stderr)
+    for r in rows:
+        print(
+            f"| {r['query']} | {r['sf0.1_sec']} | {r['sf1_sec']} |"
+            f" {r['ratio_vs_10x_data']}x |",
+            file=sys.stderr,
+        )
+    print(f"semantic_dedup at sf1: {sem}", file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
