@@ -1566,3 +1566,75 @@ def test_change_feed_across_rename_and_add(spark, catalog):
     # unkeyed form also survives the rename boundary
     raw = catalog.read_change_feed("cf2", 1, 4)
     assert {r._change_type for r in raw.collect()} == {"insert", "delete"}
+
+
+# ---- cross-PROCESS writer contention (r6): the claim-file protocol is
+# designed for separate processes; the threaded stress test can't see
+# GIL-independent races. Each worker gets its own JVM + SparkSession
+# over the SAME warehouse dir.
+
+def _mp_writer(warehouse: str, writer_id: int, n_commits: int) -> int:
+    from pyspark.sql import SparkSession
+
+    from konohadataplatform_spark.catalog import (
+        CommitConflictError,
+        SnapshotCatalog,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"mp-writer-{writer_id}")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.driver.memory", "1g")
+        .getOrCreate()
+    )
+    try:
+        cat = SnapshotCatalog(spark, warehouse)
+        done = 0
+        for i in range(n_commits):
+            df = spark.createDataFrame(
+                [(writer_id * 1000 + i, f"w{writer_id}")], "id long, who string"
+            )
+            while True:
+                try:
+                    cat.upsert_by_keys("contended", df, ["id"])
+                    break
+                except CommitConflictError:
+                    continue  # Iceberg retry contract: re-read, re-commit
+            done += 1
+        return done
+    finally:
+        spark.stop()
+
+
+def test_multiprocess_writers_lossless_linear_chain(spark, tmp_path):
+    """2 OS processes x 4 merge-on-read upserts against one table: every
+    row survives, the snapshot chain is linear and gapless, and every
+    version was claimed by exactly one writer (the O_EXCL arbiter)."""
+    import multiprocessing as mp
+
+    warehouse = str(tmp_path / "mpwh")
+    catalog = SnapshotCatalog(spark, warehouse)
+    catalog.write("contended", spark.createDataFrame([(0, "seed")],
+                                                     "id long, who string"))
+    n_writers, n_commits = 2, 4
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(n_writers) as pool:
+        results = pool.starmap(
+            _mp_writer,
+            [(warehouse, w, n_commits) for w in range(1, n_writers + 1)],
+        )
+    assert results == [n_commits] * n_writers
+
+    rows = {r.id for r in catalog.read("contended").collect()}
+    expect = {0} | {
+        w * 1000 + i for w in range(1, n_writers + 1) for i in range(n_commits)
+    }
+    assert rows == expect, f"lost updates: {expect - rows}"
+    versions = [s.version for s in catalog.history("contended")]
+    assert versions == list(range(1, n_writers * n_commits + 2))
+    # exactly one claim file per version
+    commits = os.path.join(warehouse, "contended", "commits")
+    claims = sorted(os.listdir(commits))
+    assert claims == [f"v{v:06d}" for v in versions]
