@@ -53,13 +53,14 @@ def _times_driver_checked() -> dict[str, int]:
         for name, result in report.items():
             if not isinstance(result, dict):
                 continue
-            # Only a clean round counts as verified: a crash or hash
-            # mismatch leaves the count unchanged so the query sorts
-            # back into the driver's re-check window next round.
+            # Only a clean ORACLE round counts as verified: a crash or
+            # hash mismatch leaves the count unchanged, and so does a
+            # rows-only `no_oracle` round — a query that has since
+            # gained a real oracle must sort back into the driver's
+            # window so the hash match gets recorded by the driver,
+            # not just by tools/driver_sim.
             err = result.get("err")
-            ok = (err is None or err == "no_oracle") and result.get(
-                "hash_match"
-            ) is not False
+            ok = err is None and result.get("hash_match") is not False
             if ok:
                 counts[name] = counts.get(name, 0) + 1
     return counts

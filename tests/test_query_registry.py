@@ -51,7 +51,10 @@ def test_failed_rounds_do_not_count(tmp_path):
             }
         },
     )
-    assert counts == {"rows_only": 1, "green": 1}
+    # r6: a rows-only `no_oracle` round no longer counts — once the
+    # query gains a real oracle it must sort back into the driver's
+    # window so the driver (not just driver_sim) records the hash match
+    assert counts == {"green": 1}
 
 
 def test_unreadable_report_skipped(tmp_path):
