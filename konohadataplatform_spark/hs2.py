@@ -236,6 +236,8 @@ class _SaslTransport:
     def read(self, n: int) -> bytes:
         while len(self._buf) < n:
             frame_len = struct.unpack(">i", _read_exact(self._r, 4))[0]
+            if frame_len <= 0:  # would busy-loop forever; treat as EOF
+                raise EOFError(f"bad SASL frame length {frame_len}")
             self._buf += _read_exact(self._r, frame_len)
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
@@ -389,6 +391,10 @@ def _row_set(dtypes: list[tuple[str, str]], rows: list, start: int) -> tuple[int
         columns.append(tcol)
     return (T_STRUCT, {
         1: (T_I64, start),
+        # field 2 (row-based TRows) is REQUIRED in TCLIService.thrift —
+        # stock thrift-generated clients call validate() and throw if it
+        # is absent, even though V6+ clients read the columnar field 3
+        2: (T_LIST, (T_STRUCT, [])),
         3: (T_LIST, (T_STRUCT, columns)),
         5: (T_I32, len(dtypes)),
     })
@@ -418,41 +424,64 @@ class Hs2Server:
         self._thread: threading.Thread | None = None
 
     # -- operation factory --------------------------------------------------
-    def _new_op(self, dtypes, rows) -> bytes:
+    def _new_op(self, dtypes, rows, session: bytes = b"") -> bytes:
         guid = uuid.uuid4().bytes
         with self._lock:
-            self._ops[guid] = {"dtypes": dtypes, "rows": rows, "cursor": 0}
+            self._ops[guid] = {"dtypes": dtypes, "rows": rows, "cursor": 0,
+                               "session": session}
         return guid
 
-    def _run_statement(self, sql: str) -> bytes:
+    def _run_statement(self, sql: str, session: bytes = b"") -> bytes:
         df = self.engine.sql(sql)
         if df is None or not df.columns:
-            return self._new_op([], [])
+            return self._new_op([], [], session)
         rows = [tuple(r) for r in df.limit(self.limit + 1).collect()]
-        return self._new_op(list(df.dtypes), rows[: self.limit])
+        return self._new_op(list(df.dtypes), rows[: self.limit], session)
+
+    def _reap_session(self, guid: bytes) -> None:
+        """Drop a session and every operation it owns — called from
+        CloseSession AND when a connection drops without closing (JDBC
+        pools do both): ops hold up to `limit` collected rows each, so
+        leaking them is unbounded driver memory."""
+        with self._lock:
+            self._sessions.pop(guid, None)
+            dead = [op for op, st in self._ops.items()
+                    if st.get("session") == guid]
+            for op in dead:
+                self._ops.pop(op, None)
 
     # -- method dispatch ----------------------------------------------------
-    def _dispatch(self, name: str, args: dict) -> dict:
+    def _dispatch(self, name: str, args: dict,
+                  conn_sessions: list | None = None) -> dict:
         if name == "OpenSession":
             req = args[1][1]
             client_proto = req.get(1, (T_I32, self.PROTOCOL_MAX))[1]
+            if client_proto < 5:  # pre-V6 clients need row-based TRows
+                return {1: _status_error(
+                    "protocol V6+ required (columnar result sets); "
+                    f"client requested V{client_proto + 1}"
+                ), 2: (T_I32, self.PROTOCOL_MAX)}
             proto = min(client_proto, self.PROTOCOL_MAX)
             guid = uuid.uuid4().bytes
             with self._lock:
                 self._sessions[guid] = {"protocol": proto}
+            if conn_sessions is not None:
+                conn_sessions.append(guid)
             return {1: _status_ok(), 2: (T_I32, proto), 3: _handle(guid)}
 
         if name == "CloseSession":
             guid = _guid_of(args[1][1][1])
-            with self._lock:
-                self._sessions.pop(guid, None)
+            self._reap_session(guid)
+            if conn_sessions is not None and guid in conn_sessions:
+                conn_sessions.remove(guid)
             return {1: _status_ok()}
 
         if name == "ExecuteStatement":
             req = args[1][1]
             sql = req[2][1].decode("utf-8")
+            sguid = _guid_of(req[1])
             try:
-                op = self._run_statement(sql)
+                op = self._run_statement(sql, sguid)
             except Exception as exc:  # surface as TStatus, keep serving
                 return {1: _status_error(f"{type(exc).__name__}: {exc}")}
             has_rs = bool(self._ops[op]["dtypes"])
@@ -508,20 +537,27 @@ class Hs2Server:
             dt = [("TABLE_CAT", "string"), ("TABLE_SCHEM", "string"),
                   ("TABLE_NAME", "string"), ("TABLE_TYPE", "string"),
                   ("REMARKS", "string")]
-            return {1: _status_ok(), 2: _op_handle(self._new_op(dt, rows), True)}
+            sguid = _guid_of(args[1][1][1])
+            return {1: _status_ok(),
+                    2: _op_handle(self._new_op(dt, rows, sguid), True)}
 
         if name == "GetSchemas":
             dt = [("TABLE_SCHEM", "string"), ("TABLE_CATALOG", "string")]
-            return {1: _status_ok(),
-                    2: _op_handle(self._new_op(dt, [("default", None)]), True)}
+            sguid = _guid_of(args[1][1][1])
+            return {1: _status_ok(), 2: _op_handle(
+                self._new_op(dt, [("default", None)], sguid), True)}
 
         if name == "GetCatalogs":
             dt = [("TABLE_CAT", "string")]
-            return {1: _status_ok(), 2: _op_handle(self._new_op(dt, []), True)}
+            sguid = _guid_of(args[1][1][1])
+            return {1: _status_ok(),
+                    2: _op_handle(self._new_op(dt, [], sguid), True)}
 
         if name == "GetTypeInfo":
             dt = [("TYPE_NAME", "string"), ("DATA_TYPE", "int")]
-            return {1: _status_ok(), 2: _op_handle(self._new_op(dt, []), True)}
+            sguid = _guid_of(args[1][1][1])
+            return {1: _status_ok(),
+                    2: _op_handle(self._new_op(dt, [], sguid), True)}
 
         raise KeyError(name)
 
@@ -541,13 +577,23 @@ class Hs2Server:
                 return
         else:
             transport = _RawTransport(rfile, wfile, first_byte=first)
+        conn_sessions: list[bytes] = []
+        try:
+            self._conn_loop(transport, conn_sessions)
+        finally:
+            # a client that vanishes without CloseSession must not leak
+            # its sessions/ops (each op holds up to `limit` rows)
+            for guid in list(conn_sessions):
+                self._reap_session(guid)
+
+    def _conn_loop(self, transport, conn_sessions: list) -> None:
         while True:
             try:
                 name, mtype, seqid, args = read_message(transport)
             except (EOFError, ConnectionResetError):
                 return
             try:
-                result = self._dispatch(name, args)
+                result = self._dispatch(name, args, conn_sessions)
                 reply = write_message(
                     name, M_REPLY, seqid, {0: (T_STRUCT, result)}
                 )
@@ -723,6 +769,8 @@ class _SaslReader:
     def read(self, n: int) -> bytes:
         while len(self._buf) < n:
             frame_len = struct.unpack(">i", _read_exact(self._r, 4))[0]
+            if frame_len <= 0:  # would busy-loop forever; treat as EOF
+                raise EOFError(f"bad SASL frame length {frame_len}")
             self._buf += _read_exact(self._r, frame_len)
         out, self._buf = self._buf[:n], self._buf[n:]
         return out

@@ -32,6 +32,15 @@ _REPO_ROOT = os.path.dirname(
 )
 
 
+def _oracle_names() -> set[str]:
+    """Names that currently have a DuckDB oracle (unordered — safe to
+    call from inside the ordering machinery)."""
+    names: set[str] = set()
+    for mod in (tpch, analytics, events, llmdata):
+        names.update(mod.ORACLE)
+    return names
+
+
 @lru_cache(maxsize=1)
 def _times_driver_checked() -> dict[str, int]:
     """Per-query count of driver rounds that verified it.
@@ -41,6 +50,7 @@ def _times_driver_checked() -> dict[str, int]:
     written report can never break query registration.
     """
     counts: dict[str, int] = {}
+    oracle_backed = _oracle_names()
     pattern = os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")
     for path in sorted(glob.glob(pattern)):
         try:
@@ -53,14 +63,18 @@ def _times_driver_checked() -> dict[str, int]:
         for name, result in report.items():
             if not isinstance(result, dict):
                 continue
-            # Only a clean ORACLE round counts as verified: a crash or
-            # hash mismatch leaves the count unchanged, and so does a
-            # rows-only `no_oracle` round — a query that has since
-            # gained a real oracle must sort back into the driver's
-            # window so the hash match gets recorded by the driver,
-            # not just by tools/driver_sim.
+            # A crash or hash mismatch leaves the count unchanged. A
+            # rows-only `no_oracle` round counts ONLY for queries that
+            # still have no oracle today (they can never do better, and
+            # must not camp in the window forever); for an oracle-backed
+            # query it does NOT count — the query must sort back into
+            # the driver's window so the hash match gets recorded by
+            # the driver, not just by tools/driver_sim.
             err = result.get("err")
-            ok = err is None and result.get("hash_match") is not False
+            ok = result.get("hash_match") is not False and (
+                err is None
+                or (err == "no_oracle" and name not in oracle_backed)
+            )
             if ok:
                 counts[name] = counts.get(name, 0) + 1
     return counts

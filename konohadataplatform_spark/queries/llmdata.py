@@ -1952,7 +1952,12 @@ def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("toks"),
         F.md5(F.col("text")).alias("pri"),
-    ).withColumn("shard", F.substring("pri", 1, 1))
+    ).withColumn(
+        # NULL text -> NULL pri; "" sorts before every hex char, which
+        # matches Spark's nulls-first pri ordering, and a non-null
+        # shard key keeps NULL-text rows joinable below
+        "shard", F.coalesce(F.substring("pri", 1, 1), F.lit(""))
+    )
     # phase 1: per-(lang, shard) token totals -> exclusive prefix
     # offsets. Bounded at n_langs x 16 rows — metadata-sized, so the
     # offsets window and the broadcast are O(1) in corpus size.
@@ -1975,8 +1980,19 @@ def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pri", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # null-safe on lang: groupBy and window both treat NULL lang as its
+    # own group, so the join-back must too — a plain equi-join would
+    # silently drop NULL-lang documents the lang-window version kept
+    off = offsets.withColumnRenamed("lang", "_olang").withColumnRenamed(
+        "shard", "_oshard"
+    )
     return (
-        d.join(F.broadcast(offsets), ["lang", "shard"])
+        d.join(
+            F.broadcast(off),
+            F.col("lang").eqNullSafe(F.col("_olang"))
+            & (F.col("shard") == F.col("_oshard")),
+        )
+        .drop("_olang", "_oshard")
         .withColumn("cum_toks", F.sum("toks").over(w) + F.col("offset"))
         .filter(F.col("cum_toks") <= budget)
         .select("doc_id", "lang", "toks", "cum_toks")

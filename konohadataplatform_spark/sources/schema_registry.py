@@ -115,8 +115,14 @@ class SchemaRegistryClient:
         raw = self._http_get(f"/subjects/{subject}/versions/latest")
         if raw is None:
             raise SchemaRegistryError(f"unknown subject: {subject!r}")
-        schema = json.loads(raw["schema"])
-        sid = int(raw["id"])
+        try:
+            schema = json.loads(raw["schema"])
+            sid = int(raw["id"])
+        except (KeyError, TypeError, ValueError) as exc:
+            raise SchemaRegistryError(
+                f"registry returned an unparseable latest-version payload"
+                f" for subject {subject!r}: {raw!r}"
+            ) from exc
         self._cache[sid] = schema
         return sid, schema
 

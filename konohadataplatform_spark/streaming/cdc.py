@@ -218,8 +218,11 @@ def apply_cdc_batch(
     partition_col: str | None = None,
     merge_on_read: bool = False,
     batch_id: int | None = None,
-) -> None:
+) -> bool:
     """Apply one micro-batch of typed changes to a catalog table.
+    Returns True when the batch was applied, False when the batch_id
+    idempotence gate skipped it (callers must not record side effects
+    — e.g. replay high-water marks — for skipped batches).
 
     latest-wins dedupe -> split deletes/upserts -> single merge commit.
     Auto-creates the table from the stream schema on first batch (M7,
@@ -247,7 +250,7 @@ def apply_cdc_batch(
     if batch_id is not None:
         last = last_applied_batch(catalog, table)
         if last is not None and batch_id <= last:
-            return
+            return False
     # cache is released in the finally: a long-running stream applies
     # thousands of micro-batches — leaked cached batches would pile up
     # in executor storage memory
@@ -292,6 +295,7 @@ def apply_cdc_batch(
             catalog._commit(table, merged, "cdc-apply", None)
         if batch_id is not None:
             _mark_applied_batch(catalog, table, batch_id)
+        return True
     finally:
         deduped.unpersist()
 
@@ -390,7 +394,7 @@ class CdcPipeline:
                     typed = parse_envelopes(subset, row_schema)
                 if typed.isEmpty():
                     continue
-                apply_cdc_batch(
+                applied_now = apply_cdc_batch(
                     self.catalog,
                     name,
                     typed,
@@ -399,12 +403,15 @@ class CdcPipeline:
                     merge_on_read=self.merge_on_read,
                     batch_id=batch_id,
                 )
-                if self.dlq_table:
+                if applied_now and self.dlq_table:
                     # per-key high-water mark of applied changes: the
                     # replay ordering guard (see replay_dlq). Only kept
                     # when a DLQ exists — without replay there is
                     # nothing to guard, and this is an extra O(|batch|)
-                    # commit per micro-batch.
+                    # commit per micro-batch. NEVER recorded for a
+                    # batch the idempotence gate skipped: a checkpoint
+                    # redelivery of an old batch must not regress the
+                    # mark (that would re-open the stale-replay hole).
                     self._record_hwm(name, typed, key_cols)
             finally:
                 subset.unpersist()

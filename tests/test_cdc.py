@@ -1037,3 +1037,51 @@ def test_confluent_envelopes_via_rest_registry(spark, catalog):
         assert {r.op for r in via_rest} == {"c", "d"}
     finally:
         reg.close()
+
+
+def test_hwm_not_regressed_by_redelivered_old_batch(spark, catalog):
+    """Review regression: a checkpoint-redelivered OLD batch is skipped
+    by the batch-id gate and must not regress the high-water mark — or
+    a later replay of a mid-age quarantined record would overwrite the
+    newest row."""
+    wrong = T.StructType([
+        T.StructField("customer_id", T.StringType(), True),
+        T.StructField("company_name", T.StringType(), True),
+    ])
+    right = T.StructType([
+        T.StructField("id", T.StringType(), True),
+        T.StructField("company_name", T.StringType(), True),
+    ])
+    pipe = CdcPipeline(
+        spark, catalog, {"customers": (right, ["id"])},
+        dlq_table="_cdc_dlq",
+    )
+    b1 = spark.createDataFrame(
+        [env("u", "customers", {"id": "A", "company_name": "v5"},
+             ts_ms=5, lsn=5)], ENVELOPE_SCHEMA)
+    pipe.apply_envelopes(b1, batch_id=1)
+    # ts=7 for A quarantined (wrong schema window)
+    pipe.tables["customers"] = (wrong, ["customer_id"], None)
+    pipe.apply_envelopes(
+        spark.createDataFrame(
+            [env("u", "customers", {"id": "A", "company_name": "v7"},
+                 ts_ms=7, lsn=7)], ENVELOPE_SCHEMA),
+        batch_id=2,
+    )
+    pipe.tables["customers"] = (right, ["id"], None)
+    # ts=10 applies
+    pipe.apply_envelopes(
+        spark.createDataFrame(
+            [env("u", "customers", {"id": "A", "company_name": "v10"},
+                 ts_ms=10, lsn=10)], ENVELOPE_SCHEMA),
+        batch_id=3,
+    )
+    # checkpoint redelivery of OLD batch 1: skipped by the gate, must
+    # NOT pull the high-water mark back to ts=5
+    pipe.apply_envelopes(b1, batch_id=1)
+    hwm = {r.id: r._hwm_ts_ms
+           for r in catalog.read("customers__cdc_hwm").collect()}
+    assert hwm == {"A": 10}
+    # so the ts=7 quarantined record is (correctly) dropped on replay
+    assert pipe.replay_dlq() == {"customers": 0}
+    assert catalog.read("customers").collect()[0].company_name == "v10"

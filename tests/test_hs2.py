@@ -144,3 +144,100 @@ def test_concurrent_sessions(server):
     for t in ts:
         t.join(60)
     assert out == {"a": [(1,)], "b": [(2,)]}
+
+
+def test_rowset_carries_required_rows_field(server):
+    """Review regression: TRowSet.rows (field 2) is REQUIRED in
+    TCLIService.thrift — stock thrift-generated clients validate() and
+    throw if it is absent, even though V6+ clients read field 3."""
+    from konohadataplatform_spark.hs2 import T_I16, T_I64, T_STRUCT
+
+    c = _connect(server)
+    try:
+        resp = c.call("ExecuteStatement", {1: (T_STRUCT, {
+            1: c.session, 2: (11, "SELECT 1 AS x"),
+        })})
+        c._check(resp)
+        op = resp[2]
+        fr = c.call("FetchResults", {1: (T_STRUCT, {
+            1: op, 2: (T_I16, 0), 3: (T_I64, 10),
+        })})
+        rowset = fr[3][1]
+        assert 2 in rowset, "required TRowSet.rows field missing"
+        assert 3 in rowset  # columnar payload still present
+    finally:
+        c.close()
+
+
+def test_session_close_reaps_operations(server):
+    """Review regression: ops hold up to `limit` collected rows —
+    CloseSession must drop the session's operations, and a vanished
+    connection must reap its sessions."""
+    c = _connect(server)
+    c.execute("SELECT 1 AS x")  # execute+close pairs clean up
+    # leave an op open deliberately
+    from konohadataplatform_spark.hs2 import T_STRUCT
+
+    resp = c.call("ExecuteStatement", {1: (T_STRUCT, {
+        1: c.session, 2: (11, "SELECT * FROM t"),
+    })})
+    assert len(server._ops) == 1
+    c.close()  # CloseSession
+    assert server._ops == {} and server._sessions == {}
+
+    # connection dropped WITHOUT CloseSession: reaped on disconnect
+    c2 = _connect(server)
+    c2.call("ExecuteStatement", {1: (T_STRUCT, {
+        1: c2.session, 2: (11, "SELECT * FROM t"),
+    })})
+    assert len(server._ops) == 1
+    # vanish: shutdown forces the FIN even though the client's makefile
+    # objects still hold a reference to the socket
+    import socket as _socket
+
+    c2._sock.shutdown(_socket.SHUT_RDWR)
+    c2._sock.close()
+    import time as _time
+    for _ in range(100):
+        if not server._ops and not server._sessions:
+            break
+        _time.sleep(0.05)
+    assert server._ops == {} and server._sessions == {}
+
+
+def test_pre_v6_client_rejected(server):
+    """Clients below protocol V6 can't read columnar rowsets; the
+    server must refuse the session instead of serving empty results."""
+    from konohadataplatform_spark.hs2 import T_I32, T_STRUCT, Hs2Client
+
+    c = Hs2Client(server.port)
+    try:
+        resp = c.call("OpenSession", {1: (T_STRUCT, {
+            1: (T_I32, 3),  # V4
+            2: (11, "old-client"),
+        })})
+        with pytest.raises(RuntimeError, match="V6"):
+            c._check(resp)
+    finally:
+        c._sock.close()
+
+
+def test_zero_length_sasl_frame_is_eof_not_spin(server):
+    """Review regression: a 0-length SASL data frame must close the
+    connection, not busy-loop a server thread at 100% CPU."""
+    import socket as _socket
+    import struct as _struct
+
+    s = _socket.create_connection(("127.0.0.1", server.port), timeout=10)
+    try:
+        # SASL PLAIN handshake
+        for status, payload in ((1, b"PLAIN"), (2, b"\x00a\x00b")):
+            s.sendall(bytes([status]) + _struct.pack(">i", len(payload)) + payload)
+        head = s.recv(5)
+        assert head[0] == 5  # COMPLETE
+        # poison frame: declared length 0
+        s.sendall(_struct.pack(">i", 0))
+        s.settimeout(10)
+        assert s.recv(1) == b""  # server closed the connection
+    finally:
+        s.close()

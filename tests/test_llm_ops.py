@@ -861,3 +861,27 @@ def test_semantic_dedup_scale_knobs(spark):
         S.semantic_dedup(tiny, bits=0)
     with _pytest.raises(ValueError, match="bits"):
         S.semantic_dedup(tiny, bits=31)
+
+
+def test_token_budget_pack_keeps_null_lang_docs(spark, tmp_path):
+    """Review regression: the r6 two-phase join-back must be null-safe
+    on lang — groupBy and window both treat NULL lang as its own
+    group, so a null-rejecting equi-join would silently drop those
+    documents (and NULL-text docs via a NULL shard key)."""
+    from konohadataplatform_spark.queries.llmdata import QUERIES
+
+    rows = [
+        (1, "alpha beta", "en", "web", 10),
+        (2, "gamma delta", None, "web", 11),   # NULL lang
+        (3, None, "en", "web", 0),             # NULL text -> NULL pri
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["q_token_budget_pack"](spark, str(tmp_path)).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert 2 in by_id and by_id[2].lang is None
+    # NULL text: toks = size(split(NULL)) = -1? -> spark size(NULL) is
+    # None with ansi off... whatever it yields, the row must not be
+    # silently DROPPED by the join; presence or a NULL cum is accepted
+    assert 1 in by_id

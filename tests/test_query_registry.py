@@ -46,15 +46,19 @@ def test_failed_rounds_do_not_count(tmp_path):
             "CORRECTNESS_r01.json": {
                 "crashed": {"err": "AnalysisException ...", "hash_match": None},
                 "mismatched": {"err": None, "hash_match": False},
+                # a name NOT in today's oracle registry: rows-only is
+                # the best this query can ever do, so it counts (it
+                # must not camp in the window forever)
                 "rows_only": {"err": "no_oracle", "hash_match": None},
+                # a REAL oracle-backed query recorded rows-only in an
+                # old round (pre-graduation): does NOT count — it must
+                # re-enter the window for a driver-recorded hash match
+                "q_ann_lsh": {"err": "no_oracle", "hash_match": None},
                 "green": {"err": None, "hash_match": True},
             }
         },
     )
-    # r6: a rows-only `no_oracle` round no longer counts — once the
-    # query gains a real oracle it must sort back into the driver's
-    # window so the driver (not just driver_sim) records the hash match
-    assert counts == {"green": 1}
+    assert counts == {"rows_only": 1, "green": 1}
 
 
 def test_unreadable_report_skipped(tmp_path):

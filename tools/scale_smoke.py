@@ -58,11 +58,18 @@ SMOKE_QUERIES = [
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
 
 
-def _replicate(spark, table: str, key_cols: list[str], out: str) -> None:
+def _replicate(
+    spark, table: str, key_cols: list[str], out: str,
+    offset: int | None = None,
+) -> None:
     """10 copies with per-copy key offsets (one job, no driver loop
-    over rows — the copy index comes from an explode)."""
+    over rows — the copy index comes from an explode). ``offset`` must
+    be SHARED across tables related by the key (orders<->lineitem): an
+    independently-computed max would silently break the FK whenever one
+    side's max key exceeds the other's."""
     df = load_table(spark, SF01, table)
-    offset = df.agg(F.max(key_cols[0])).collect()[0][0] + 1
+    if offset is None:
+        offset = df.agg(F.max(key_cols[0])).collect()[0][0] + 1
     copies = df.withColumn(
         "_copy", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1)))
     )
@@ -79,8 +86,15 @@ def build_sf1(spark) -> None:
         load_table(spark, SF01, t).write.mode("overwrite").parquet(
             os.path.join(SF1, f"{t}.parquet")
         )
-    _replicate(spark, "orders", ["o_orderkey"], SF1)
-    _replicate(spark, "lineitem", ["l_orderkey"], SF1)
+    okey = (
+        load_table(spark, SF01, "orders").agg(F.max("o_orderkey")).collect()[0][0]
+    )
+    lkey = (
+        load_table(spark, SF01, "lineitem").agg(F.max("l_orderkey")).collect()[0][0]
+    )
+    shared = max(okey, lkey) + 1
+    _replicate(spark, "orders", ["o_orderkey"], SF1, offset=shared)
+    _replicate(spark, "lineitem", ["l_orderkey"], SF1, offset=shared)
     _replicate(spark, "documents", ["doc_id"], SF1)
     _replicate(spark, "embeddings", ["vec_id"], SF1)
 
