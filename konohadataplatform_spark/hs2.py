@@ -559,6 +559,28 @@ class Hs2Server:
             return {1: _status_ok(),
                     2: _op_handle(self._new_op(dt, [], sguid), True)}
 
+        if name == "GetColumns":
+            # JDBC DatabaseMetaData.getColumns: optional table-name
+            # pattern in field 4 ('%' / NULL = all tables)
+            req = args[1][1]
+            sguid = _guid_of(req[1])
+            pat = req.get(4, (T_STRING, b"%"))[1].decode("utf-8")
+            spark = self.engine.spark
+            rows = []
+            for t in spark.catalog.listTables():
+                if pat not in ("", "%") and t.name != pat:
+                    continue
+                for pos, col in enumerate(spark.catalog.listColumns(t.name), 1):
+                    tid, _c, _q = _hive_type(col.dataType)
+                    rows.append((None, t.database or "default", t.name,
+                                 col.name, tid, col.dataType, pos))
+            dt = [("TABLE_CAT", "string"), ("TABLE_SCHEM", "string"),
+                  ("TABLE_NAME", "string"), ("COLUMN_NAME", "string"),
+                  ("DATA_TYPE", "int"), ("TYPE_NAME", "string"),
+                  ("ORDINAL_POSITION", "int")]
+            return {1: _status_ok(),
+                    2: _op_handle(self._new_op(dt, rows, sguid), True)}
+
         raise KeyError(name)
 
     # -- connection loop ----------------------------------------------------

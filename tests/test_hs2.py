@@ -241,3 +241,32 @@ def test_zero_length_sasl_frame_is_eof_not_spin(server):
         assert s.recv(1) == b""  # server closed the connection
     finally:
         s.close()
+
+
+def test_get_columns(server):
+    """JDBC DatabaseMetaData.getColumns over the session catalog."""
+    from konohadataplatform_spark.hs2 import T_I16, T_I64, T_STRUCT
+
+    c = _connect(server)
+    try:
+        resp = c.call("GetColumns", {1: (T_STRUCT, {
+            1: c.session, 4: (11, "t"),
+        })})
+        c._check(resp)
+        op = resp[2]
+        fr = c.call("FetchResults", {1: (T_STRUCT, {
+            1: op, 2: (T_I16, 0), 3: (T_I64, 100),
+        })})
+        c._check(fr)
+        cols_out = []
+        for tcol in fr[3][1][3][1][1]:
+            colid = next(iter(tcol))
+            body = tcol[colid][1]
+            cols_out.append([v.decode() if isinstance(v, bytes) else v
+                             for v in body[1][1][1]])
+        names, types = cols_out[3], cols_out[5]
+        assert names == ["id", "s", "d", "b", "n"]
+        assert types == ["bigint", "string", "double", "boolean", "string"]
+        c.call("CloseOperation", {1: (T_STRUCT, {1: op})})
+    finally:
+        c.close()
