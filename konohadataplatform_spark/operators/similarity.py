@@ -733,3 +733,156 @@ def semantic_dedup(
         "bucket",
         F.col("dup_id").isNull().alias("kept"),
     )
+
+
+def _semantic_features(
+    df: DataFrame, id_col: str, emb_col: str, bits: int
+) -> DataFrame:
+    """(id, v, nrm, bucket) — the stored shape of the semantic index."""
+    e = df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({emb_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    bucket = F.lit(0)
+    for i in range(bits):
+        bucket = bucket + F.when(F.expr(f"v[{i}]") > 0, 1 << i).otherwise(0)
+    return e.select(
+        "vid",
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        bucket.cast("int").alias("bucket"),
+    )
+
+
+def build_semantic_index(
+    catalog,
+    name: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bits: int = 4,
+    threshold: float = 0.35,
+    max_bucket: int | None = None,
+) -> None:
+    """Materialize ``semantic_dedup``'s features + kept flags as a
+    bucket-partitioned catalog table ``{name}__semidx`` (+ bits/
+    threshold recorded as table properties so every later ``add`` uses
+    the same geometry). ALL vectors are stored, not just kept
+    representatives: the one-shot rule drops a vector that collides
+    with ANY lower-id vector — including already-dropped ones (cosine
+    is not transitive) — so batch adds must compare against the full
+    bucket population to reproduce one-shot results exactly.
+
+    The incremental counterpart of the one-shot operator — the ingest
+    path at 100 TB: each new batch compares only against index rows in
+    ITS OWN buckets (partition-pruned scan), the corpus is never
+    re-scored."""
+    flags = semantic_dedup(
+        corpus, id_col=id_col, emb_col=emb_col, bits=bits,
+        threshold=threshold, max_bucket=max_bucket,
+    ).select(F.col(id_col).alias("vid"), "kept")
+    feats = _semantic_features(corpus, id_col, emb_col, bits)
+    catalog.write(
+        f"{name}__semidx",
+        feats.join(flags, "vid"),
+        partition_by=["bucket"],
+    )
+    catalog.set_table_properties(
+        f"{name}__semidx",
+        {"bits": bits, "threshold": threshold},
+    )
+
+
+def semantic_index_add(
+    catalog,
+    name: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against the persisted semantic index and
+    append the survivors: returns (id, bucket, kept) for the batch.
+
+    A new vector is dropped when it is a near-dup of ANY indexed
+    vector (kept or dropped — earlier arrivals win and the one-shot
+    rule scores dropped vectors too) or of a lower-id vector within
+    the batch; run against an in-order corpus this reproduces the
+    one-shot keep-lowest-id output exactly (tested). The whole batch
+    (with kept flags) is appended in one O(|batch|) commit.
+
+    Scale: the only join against the corpus is bucket-equi against the
+    index table's matching partitions — cost per batch is
+    O(|batch| x bucket_occupancy), independent of corpus size, exactly
+    like ``incremental_minhash_dedup`` / ``ivf_index_add``.
+    """
+    idx_table = f"{name}__semidx"
+    props = catalog.table_properties(idx_table)
+    bits = int(props["bits"])
+    threshold = float(props["threshold"])
+    nf = _semantic_features(new_vectors, id_col, emb_col, bits)
+    if max_bucket is not None:
+        sizes = nf.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        small = sizes.filter(F.col("_bn") <= max_bucket).select("bucket")
+        pairable = nf.join(small, "bucket", "left_semi")
+    else:
+        pairable = nf
+    idx = catalog.read(idx_table)
+    # vs-corpus: ANY collision with an indexed vector drops the new
+    # row (no id comparison — the index member arrived first)
+    cos_ic = _dot(F.col("iv"), F.col("nv")) / (F.col("inrm") * F.col("nnrm"))
+    vs_idx = (
+        idx.select(
+            F.col("bucket").alias("ibucket"), F.col("v").alias("iv"),
+            F.col("nrm").alias("inrm"),
+        )
+        .join(
+            pairable.select(
+                F.col("vid").alias("nid"), F.col("bucket").alias("nbucket"),
+                F.col("v").alias("nv"), F.col("nrm").alias("nnrm"),
+            ),
+            F.col("ibucket") == F.col("nbucket"),
+        )
+        .filter(cos_ic >= threshold)
+        .select(F.col("nid").alias("dup_id"))
+    )
+    # vs-batch: keep-lowest-id within the new batch
+    cos_nn = _dot(F.col("lo_v"), F.col("hi_v")) / (
+        F.col("lo_nrm") * F.col("hi_nrm")
+    )
+    lo = pairable.select(
+        F.col("vid").alias("lo_id"), F.col("v").alias("lo_v"),
+        F.col("nrm").alias("lo_nrm"), F.col("bucket").alias("lo_bucket"),
+    )
+    hi = pairable.select(
+        F.col("vid").alias("hi_id"), F.col("v").alias("hi_v"),
+        F.col("nrm").alias("hi_nrm"), F.col("bucket").alias("hi_bucket"),
+    )
+    vs_new = (
+        lo.join(
+            hi,
+            (F.col("lo_bucket") == F.col("hi_bucket"))
+            & (F.col("lo_id") < F.col("hi_id")),
+        )
+        .filter(cos_nn >= threshold)
+        .select(F.col("hi_id").alias("dup_id"))
+    )
+    dups = vs_idx.unionByName(vs_new).distinct()
+    out = nf.join(
+        dups, nf.vid == F.col("dup_id"), "left_outer"
+    ).select(
+        F.col("vid").alias(id_col),
+        "bucket",
+        F.col("dup_id").isNull().alias("kept"),
+    )
+    batch_rows = nf.join(
+        out.select(F.col(id_col).alias("vid"), "kept"), "vid"
+    )
+    # O(|batch|) merge-on-read layer commit — NEVER a corpus rewrite.
+    # New layers aren't bucket-partition-pruned until the next
+    # catalog.compact(idx_table) folds them into the base (same
+    # maintenance contract as every MOR table here); the vs-index join
+    # above still prunes on the base partitions, and layer rows join by
+    # the bucket column.
+    catalog.upsert_by_keys(idx_table, batch_rows, ["vid"])
+    return out

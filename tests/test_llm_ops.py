@@ -885,3 +885,39 @@ def test_token_budget_pack_keeps_null_lang_docs(spark, tmp_path):
     # None with ansi off... whatever it yields, the row must not be
     # silently DROPPED by the join; presence or a NULL cum is accepted
     assert 1 in by_id
+
+
+def test_semantic_index_incremental_matches_full_rebuild(spark, tmp_path):
+    """The persisted semantic index is the ingest path: batch-adding
+    the second half of the corpus must keep exactly the vectors a full
+    one-shot semantic_dedup would keep (earlier-arrival-wins == the
+    keep-lowest-id rule when ids arrive in order), with an O(|batch|)
+    commit, never a corpus rescore."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+
+    catalog = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    emb = load_table(spark, SF_DIR, "embeddings").orderBy("vec_id")
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    cut = ids[len(ids) // 2]
+    first = emb.filter(F.col("vec_id") <= cut)
+    second = emb.filter(F.col("vec_id") > cut)
+
+    S.build_semantic_index(catalog, "corpus", first, bits=4, threshold=0.35)
+    out = S.semantic_index_add(catalog, "corpus", second)
+    batch_kept = {r.vec_id for r in out.collect() if r.kept}
+
+    full = S.semantic_dedup(emb, bits=4, threshold=0.35)
+    full_kept = {r.vec_id for r in full.collect() if r.kept}
+    first_kept = {
+        r.vec_id
+        for r in S.semantic_dedup(first, bits=4, threshold=0.35).collect()
+        if r.kept
+    }
+    assert first_kept | batch_kept == full_kept
+    # the index now holds the whole corpus, flagged
+    idx = catalog.read("corpus__semidx").collect()
+    assert {r.vid for r in idx} == set(ids)
+    assert {r.vid for r in idx if r.kept} == full_kept
+    # re-adding the same batch finds everything duplicated
+    again = S.semantic_index_add(catalog, "corpus", second)
+    assert not any(r.kept for r in again.collect())
