@@ -61,6 +61,9 @@ EXTENDED = [
     "q_unigram_surprisal",
     "q_semantic_dedup",
     "q_curation_pipeline",
+    # r6: pinned after the two-phase rewrite so future rounds catch
+    # regressions in the shard/offset plan
+    "q_token_budget_pack",
 ]
 
 

@@ -188,6 +188,13 @@ def main(argv: list[str] | None = None) -> int:
         help="also serve the Postgres wire protocol on this port "
         "(stock psql/JDBC/BI clients)",
     )
+    ap.add_argument(
+        "--hs2-port",
+        type=int,
+        default=None,
+        help="also serve HiveServer2 Thrift on this port (Hive JDBC: "
+        "jdbc:hive2://host:port/default, beeline, dbt-spark thrift)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="konoha-sql-server")
@@ -202,6 +209,11 @@ def main(argv: list[str] | None = None) -> int:
 
         pg = PgWireServer(engine, host=args.host, port=args.pg_port).start()
         print(f"konoha pg-wire endpoint listening on {pg.host}:{pg.port}", flush=True)
+    if args.hs2_port is not None:
+        from konohadataplatform_spark.hs2 import Hs2Server
+
+        hs = Hs2Server(engine, host=args.host, port=args.hs2_port).start()
+        print(f"konoha hs2 endpoint listening on {hs.host}:{hs.port}", flush=True)
     try:
         threading.Event().wait()  # serve until killed
     except KeyboardInterrupt:

@@ -270,3 +270,48 @@ def test_get_columns(server):
         c.call("CloseOperation", {1: (T_STRUCT, {1: op})})
     finally:
         c.close()
+
+
+def test_cli_serves_hs2_subprocess(tmp_path):
+    """`python -m konohadataplatform_spark.sqlserver --hs2-port 0` boots
+    the Thrift door in a separate process; a Hive-JDBC-shaped client
+    runs SQL against the sf0.001 star schema over it."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time as _time
+
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "2")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "konohadataplatform_spark.sqlserver",
+         "--warehouse", str(tmp_path / "wh"), "--port", "0",
+         "--hs2-port", "0", "--sf-dir", "/root/testdata/sf0.001"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        port = None
+        deadline = _time.time() + 120
+        for line in proc.stdout:
+            m = re.search(r"hs2 endpoint listening on [\d.]+:(\d+)", line)
+            if m:
+                port = int(m.group(1))
+                break
+            if _time.time() > deadline:  # pragma: no cover
+                break
+        assert port, "hs2 endpoint never reported its port"
+        c = Hs2Client(port)
+        c.open_session()
+        try:
+            cols, rows = c.execute(
+                "SELECT r_regionkey FROM region ORDER BY r_regionkey"
+            )
+            assert cols == ["r_regionkey"]
+            assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+        finally:
+            c.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
