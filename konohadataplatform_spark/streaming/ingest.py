@@ -1,0 +1,252 @@
+"""Streaming document-ingest curation: the training-data pipeline as a
+Structured Streaming job.
+
+The batch flagship (``q_curation_pipeline``) curates a STATIC corpus;
+this is the other half a production corpus needs — documents arriving
+continuously (crawl drops, vendor feeds), each micro-batch gated and
+deduplicated against EVERYTHING accepted so far, state persisted in
+catalog tables rather than executor memory (the same no-unbounded-state
+posture as the CDC engine in ``streaming/cdc.py``).
+
+Per micro-batch, in order:
+
+1. **quality gate** — ``operators.text.quality_score`` threshold
+   (zero-shuffle codegen expressions).
+2. **exact dedup** — in-batch keep-lowest-id per md5 digest, then an
+   anti-join against the persisted digest table (16-byte digests; the
+   corpus' text is never re-read).
+3. **near-dup gate** — ``operators.dedup.incremental_minhash_dedup``
+   against the persisted (shingles, signature) index: candidates are
+   band-bucket collisions, verification is exact Jaccard; cost per
+   batch is O(|batch| + collisions), independent of corpus size.
+4. **commits** — accepted docs, their digests, and their index entries
+   land as O(|batch|) merge-on-read upserts; rejected docs land in
+   ``{name}__rejects`` with a reason (the DLQ analog: inspectable, and
+   re-ingestable after a threshold change).
+
+State tables: ``{name}`` (accepted corpus), ``{name}__digests``
+(text_hash -> doc_id), ``{name}__dedupidx`` (sid, shingles, sig),
+``{name}__rejects`` (doc_id, reason). Batch-id high-water marking makes
+checkpoint replay idempotent (same contract as ``apply_cdc_batch``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from konohadataplatform_spark.catalog import SnapshotCatalog
+from konohadataplatform_spark.operators import dedup as D
+from konohadataplatform_spark.operators import text as TX
+from konohadataplatform_spark.streaming.cdc import (
+    _mark_applied_batch,
+    last_applied_batch,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+class DocIngestPipeline:
+    """Curated streaming ingest into a catalog-backed corpus."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: SnapshotCatalog,
+        name: str,
+        quality_min: float = 0.6,
+        jaccard_threshold: float = 0.8,
+        ngram: int = 3,
+        num_perm: int = 64,
+        bands: int = 16,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.name = name
+        self.quality_min = quality_min
+        self.jaccard_threshold = jaccard_threshold
+        self.ngram = ngram
+        self.num_perm = num_perm
+        self.bands = bands
+
+    # -- table names --------------------------------------------------------
+    @property
+    def digests_table(self) -> str:
+        return f"{self.name}__digests"
+
+    @property
+    def index_table(self) -> str:
+        return f"{self.name}__dedupidx"
+
+    @property
+    def rejects_table(self) -> str:
+        return f"{self.name}__rejects"
+
+    # -- the batch curation pass -------------------------------------------
+    def apply_batch(self, docs: DataFrame, batch_id: int | None = None) -> None:
+        """Gate + dedup one micro-batch and commit the survivors.
+
+        Every commit is O(|batch|) (merge-on-read upserts); the only
+        reads against corpus state are the digest anti-join (16-byte
+        keys) and the band-bucket candidate join (longs) — document
+        text never leaves the batch.
+        """
+        if batch_id is not None:
+            last = last_applied_batch(self.catalog, self.name)
+            if last is not None and batch_id <= last:
+                return
+        docs = docs.select(
+            "doc_id", "text", "lang", "source",
+            F.coalesce(
+                F.col("n_chars"), F.length("text"), F.lit(0)
+            ).alias("n_chars"),
+        ).cache()
+        try:
+            rejects = []
+
+            # 1. quality gate (codegen expressions, zero shuffle)
+            scored = docs.withColumn(
+                "_q", TX.quality_score(F.col("text"), F.col("n_chars"))
+            )
+            rejects.append(
+                scored.filter(
+                    F.col("text").isNull() | (F.col("_q") < self.quality_min)
+                ).select("doc_id", F.lit("low_quality").alias("reason"))
+            )
+            ok = scored.filter(
+                F.col("text").isNotNull() & (F.col("_q") >= self.quality_min)
+            ).drop("_q")
+
+            # 2a. in-batch exact dedup: keep-lowest-id per digest
+            hashed = ok.withColumn(
+                "text_hash", F.md5(F.col("text").cast("binary"))
+            )
+            w = Window.partitionBy("text_hash").orderBy("doc_id")
+            hashed = hashed.withColumn("_rn", F.row_number().over(w))
+            rejects.append(
+                hashed.filter(F.col("_rn") > 1)
+                .select("doc_id", F.lit("exact_duplicate").alias("reason"))
+            )
+            firsts = hashed.filter(F.col("_rn") == 1).drop("_rn")
+
+            # 2b. exact dedup vs the persisted digest set
+            if self.catalog.exists(self.digests_table):
+                known = self.catalog.read(self.digests_table).select("text_hash")
+                rejects.append(
+                    firsts.join(known, "text_hash", "left_semi")
+                    .select("doc_id", F.lit("exact_duplicate").alias("reason"))
+                )
+                firsts = firsts.join(known, "text_hash", "left_anti")
+            firsts = firsts.cache()
+
+            # 3. near-dup vs the persisted minhash index (+ in-batch)
+            new_index = D.minhash_index(
+                firsts, "text", "doc_id", self.ngram, self.num_perm
+            ).cache()
+            if self.catalog.exists(self.index_table):
+                corpus_index = self.catalog.read(self.index_table)
+            else:
+                corpus_index = self.spark.createDataFrame(
+                    [], new_index.schema
+                )
+            pairs = D.incremental_minhash_dedup(
+                corpus_index,
+                new_index,
+                threshold=self.jaccard_threshold,
+                num_perm=self.num_perm,
+                bands=self.bands,
+            )
+            new_ids = firsts.select(F.col("doc_id").alias("_nid"))
+            flagged = (
+                pairs.join(
+                    new_ids.withColumnRenamed("_nid", "a_id")
+                    .withColumn("_a_new", F.lit(True)),
+                    "a_id", "left_outer",
+                )
+                .join(
+                    new_ids.withColumnRenamed("_nid", "b_id")
+                    .withColumn("_b_new", F.lit(True)),
+                    "b_id", "left_outer",
+                )
+            )
+            # both sides new -> arrival (lowest id) wins; one side in
+            # the corpus -> the corpus doc arrived first, drop the new
+            drop_ids = flagged.select(
+                F.when(
+                    F.col("_a_new").isNotNull() & F.col("_b_new").isNotNull(),
+                    F.greatest("a_id", "b_id"),
+                )
+                .when(F.col("_b_new").isNotNull(), F.col("b_id"))
+                .otherwise(F.col("a_id"))
+                .alias("doc_id")
+            ).distinct()
+            rejects.append(
+                drop_ids.select(
+                    "doc_id", F.lit("near_duplicate").alias("reason")
+                )
+            )
+            accepted = firsts.join(drop_ids, "doc_id", "left_anti").cache()
+
+            # 4. O(|batch|) commits: corpus, digests, index, rejects
+            self.catalog.upsert_by_keys(
+                self.name,
+                accepted.select("doc_id", "text", "lang", "source", "n_chars"),
+                ["doc_id"],
+            )
+            self.catalog.upsert_by_keys(
+                self.digests_table,
+                accepted.select("text_hash", "doc_id"),
+                ["text_hash"],
+            )
+            self.catalog.upsert_by_keys(
+                self.index_table,
+                new_index.join(
+                    accepted.select(F.col("doc_id").alias("sid")), "sid"
+                ),
+                ["sid"],
+            )
+            all_rejects = rejects[0]
+            for r in rejects[1:]:
+                all_rejects = all_rejects.unionByName(r)
+            if not all_rejects.isEmpty():
+                self.catalog.upsert_by_keys(
+                    self.rejects_table, all_rejects, ["doc_id"]
+                )
+            if batch_id is not None:
+                _mark_applied_batch(self.catalog, self.name, batch_id)
+            # release per-batch caches — a long-running stream applies
+            # thousands of micro-batches (same hygiene as apply_cdc_batch)
+            firsts.unpersist()
+            new_index.unpersist()
+            accepted.unpersist()
+        finally:
+            docs.unpersist()
+
+    # -- streaming entry point ---------------------------------------------
+    def start_stream(self, src_dir: str, checkpoint_dir: str):
+        """Tail a directory of JSON document files (one object per
+        line, DOC_SCHEMA) and curate each micro-batch. availableNow
+        semantics: drain what exists, then stop — rerun to pick up new
+        files (the same harness pattern as CdcPipeline.start_stream)."""
+        stream = (
+            self.spark.readStream.schema(DOC_SCHEMA)
+            .json(src_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                lambda batch, bid: self.apply_batch(batch, batch_id=bid)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -1,0 +1,123 @@
+"""Streaming document-ingest curation (streaming/ingest.py): micro-
+batches gated for quality, exact-deduped and near-deduped against the
+persisted corpus state, with O(batch) commits and checkpoint-idempotent
+replay — the streaming half of the batch curation flagship."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from konohadataplatform_spark.catalog import SnapshotCatalog
+from konohadataplatform_spark.streaming.ingest import DOC_SCHEMA, DocIngestPipeline
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the quiet green forest where it finds a warm safe place to rest "
+    "for the night before continuing the long journey home in the morning"
+)
+GOOD2 = (
+    "a completely different story about data engines and the catalyst "
+    "optimizer that plans scans joins and aggregates for very large "
+    "clusters while keeping every shuffle as small as it can possibly be"
+)
+NEAR_GOOD = GOOD.replace("lazy dog", "sleepy dog")  # near-dup of GOOD
+# repeated single token, no stopwords: uniq_ratio ~0.03 -> score ~0.5
+SPAM = " ".join(["spam"] * 40)
+
+
+def doc(i, text, lang="en", source="web"):
+    return {"doc_id": i, "text": text, "lang": lang, "source": source,
+            "n_chars": len(text) if text else 0}
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return SnapshotCatalog(spark, str(tmp_path / "wh"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+         for r in rows],
+        DOC_SCHEMA,
+    )
+
+
+def test_batch_curation_gates(spark, catalog):
+    """One batch: low-quality, in-batch exact dup, and in-batch
+    near-dup are rejected with reasons; the survivors land."""
+    pipe = DocIngestPipeline(spark, catalog, "corpus")
+    pipe.apply_batch(_df(spark, [
+        doc(1, GOOD),
+        doc(2, GOOD),        # exact dup of 1
+        doc(3, NEAR_GOOD),   # near dup of 1
+        doc(4, SPAM),        # low quality (repetition, no stopwords)
+        doc(5, GOOD2),
+    ]))
+    kept = {r.doc_id for r in catalog.read("corpus").collect()}
+    assert kept == {1, 5}
+    reasons = {r.doc_id: r.reason
+               for r in catalog.read("corpus__rejects").collect()}
+    assert reasons == {2: "exact_duplicate", 3: "near_duplicate",
+                       4: "low_quality"}
+
+
+def test_cross_batch_dedup_uses_persisted_state(spark, catalog):
+    """Batch 2's duplicates of batch 1 docs are caught via the digest
+    table and the minhash index — the corpus text is never re-read."""
+    pipe = DocIngestPipeline(spark, catalog, "corpus")
+    pipe.apply_batch(_df(spark, [doc(1, GOOD)]))
+    pipe.apply_batch(_df(spark, [
+        doc(10, GOOD),       # exact dup of corpus doc 1
+        doc(11, NEAR_GOOD),  # near dup of corpus doc 1
+        doc(12, GOOD2),      # novel
+    ]))
+    kept = {r.doc_id for r in catalog.read("corpus").collect()}
+    assert kept == {1, 12}
+    reasons = {r.doc_id: r.reason
+               for r in catalog.read("corpus__rejects").collect()}
+    assert reasons == {10: "exact_duplicate", 11: "near_duplicate"}
+    # state tables hold only accepted docs' entries
+    assert {r.doc_id for r in catalog.read("corpus__digests").collect()} \
+        == {1, 12}
+    assert {r.sid for r in catalog.read("corpus__dedupidx").collect()} \
+        == {1, 12}
+
+
+def test_batch_id_replay_is_idempotent(spark, catalog):
+    """Checkpoint replay: re-applying an already-applied batch_id is a
+    no-op (same contract as apply_cdc_batch)."""
+    pipe = DocIngestPipeline(spark, catalog, "corpus")
+    b1 = _df(spark, [doc(1, GOOD)])
+    pipe.apply_batch(b1, batch_id=1)
+    v1 = catalog.current_snapshot("corpus").version
+    pipe.apply_batch(b1, batch_id=1)  # replayed
+    assert catalog.current_snapshot("corpus").version == v1
+    assert catalog.read("corpus").count() == 1
+
+
+def test_streaming_end_to_end(spark, catalog, tmp_path):
+    """A real Structured Streaming run over JSON document files, two
+    availableNow drains with state carried between them."""
+    src = tmp_path / "docs_src"
+    ckpt = tmp_path / "ckpt"
+    os.makedirs(src)
+    with open(src / "drop1.json", "w") as f:
+        for d in [doc(1, GOOD), doc(2, SPAM)]:
+            f.write(json.dumps(d) + "\n")
+    pipe = DocIngestPipeline(spark, catalog, "corpus")
+    pipe.start_stream(str(src), str(ckpt)).awaitTermination(120)
+    assert {r.doc_id for r in catalog.read("corpus").collect()} == {1}
+
+    with open(src / "drop2.json", "w") as f:
+        for d in [doc(3, GOOD), doc(4, GOOD2)]:  # 3 = exact dup of 1
+            f.write(json.dumps(d) + "\n")
+    pipe.start_stream(str(src), str(ckpt)).awaitTermination(120)
+    assert {r.doc_id for r in catalog.read("corpus").collect()} == {1, 4}
+    reasons = {r.doc_id: r.reason
+               for r in catalog.read("corpus__rejects").collect()}
+    assert reasons[2] == "low_quality" and reasons[3] == "exact_duplicate"
