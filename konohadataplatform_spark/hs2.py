@@ -27,7 +27,8 @@ protocol spec — hand-rolled, no thrift compiler or runtime dep):
 - FetchResults (**columnar** TRowSet — protocol >= V6 — with per-column
   null bitmasks, paged by maxRows with hasMoreRows)
 - GetInfo (DBMS name/version), GetTables / GetSchemas / GetCatalogs /
-  GetTypeInfo as result-set operations over the session catalog
+  GetTypeInfo / GetColumns (java.sql.Types codes, SQL LIKE patterns)
+  as result-set operations over the session catalog
 
 Not implemented: Kerberos/LDAP auth, HTTP transport, result
 compression, log fetching (fetchType=1 returns an empty rowset).
@@ -273,6 +274,24 @@ _HIVE_TYPES = {
 
 _COL_ELEM_TYPE = {1: T_BOOL, 2: T_BYTE, 3: T_I16, 4: T_I32, 5: T_I64,
                   6: T_DOUBLE, 7: T_STRING, 8: T_STRING}
+
+# TTypeId -> java.sql.Types code (what JDBC DatabaseMetaData.getColumns
+# consumers switch on — NOT the internal thrift enum)
+_JDBC_TYPES = {TYPE_BOOLEAN: 16, TYPE_TINYINT: -6, TYPE_SMALLINT: 5,
+               TYPE_INT: 4, TYPE_BIGINT: -5, TYPE_FLOAT: 6, TYPE_DOUBLE: 8,
+               TYPE_STRING: 12, TYPE_TIMESTAMP: 93, TYPE_BINARY: -2,
+               TYPE_DECIMAL: 3, TYPE_NULL: 0, TYPE_DATE: 91}
+
+
+def _like_match(pattern: str, s: str) -> bool:
+    """SQL LIKE semantics for JDBC metadata patterns: % = any run,
+    _ = any char; empty/None/'%' matches everything."""
+    import re as _re
+
+    if pattern in ("", "%", None):
+        return True
+    rx = _re.escape(pattern).replace("%", ".*").replace("_", ".")
+    return _re.fullmatch(rx, s) is not None
 _COL_DEFAULT = {1: False, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0.0, 7: "", 8: b""}
 
 
@@ -568,12 +587,13 @@ class Hs2Server:
             spark = self.engine.spark
             rows = []
             for t in spark.catalog.listTables():
-                if pat not in ("", "%") and t.name != pat:
+                if not _like_match(pat, t.name):
                     continue
                 for pos, col in enumerate(spark.catalog.listColumns(t.name), 1):
                     tid, _c, _q = _hive_type(col.dataType)
                     rows.append((None, t.database or "default", t.name,
-                                 col.name, tid, col.dataType, pos))
+                                 col.name, _JDBC_TYPES.get(tid, 12),
+                                 col.dataType, pos))
             dt = [("TABLE_CAT", "string"), ("TABLE_SCHEM", "string"),
                   ("TABLE_NAME", "string"), ("COLUMN_NAME", "string"),
                   ("DATA_TYPE", "int"), ("TYPE_NAME", "string"),

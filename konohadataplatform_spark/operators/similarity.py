@@ -789,7 +789,10 @@ def build_semantic_index(
     )
     catalog.set_table_properties(
         f"{name}__semidx",
-        {"bits": bits, "threshold": threshold},
+        # max_bucket=0 encodes "no cap" (JSON-friendly); adds restore
+        # the SAME geometry unless explicitly overridden
+        {"bits": bits, "threshold": threshold,
+         "max_bucket": max_bucket or 0},
     )
 
 
@@ -807,9 +810,17 @@ def semantic_index_add(
     A new vector is dropped when it is a near-dup of ANY indexed
     vector (kept or dropped — earlier arrivals win and the one-shot
     rule scores dropped vectors too) or of a lower-id vector within
-    the batch; run against an in-order corpus this reproduces the
-    one-shot keep-lowest-id output exactly (tested). The whole batch
-    (with kept flags) is appended in one O(|batch|) commit.
+    the batch; run against an in-order corpus with no bucket cap this
+    reproduces the one-shot keep-lowest-id output exactly (tested).
+    The whole batch (with kept flags) is appended in one O(|batch|)
+    commit.
+
+    ``max_bucket`` defaults to the cap recorded at build time, and the
+    gate counts the CURRENT population (index + batch) per bucket —
+    the same skew guard the one-shot applies. With a cap, incremental
+    results are order-dependent by construction (a bucket can cross
+    the cap mid-stream, and earlier drops are never revisited) — a
+    documented approximation, same convention as LSH ``_cap_buckets``.
 
     Scale: the only join against the corpus is bucket-equi against the
     index table's matching partitions — cost per batch is
@@ -820,19 +831,28 @@ def semantic_index_add(
     props = catalog.table_properties(idx_table)
     bits = int(props["bits"])
     threshold = float(props["threshold"])
+    if max_bucket is None:
+        max_bucket = int(props.get("max_bucket", 0)) or None
     nf = _semantic_features(new_vectors, id_col, emb_col, bits)
+    idx = catalog.read(idx_table)
     if max_bucket is not None:
-        sizes = nf.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        # population-wide bucket sizes: the cap must see index AND
+        # batch occupancy, not the batch alone
+        sizes = (
+            idx.select("bucket").unionByName(nf.select("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        )
         small = sizes.filter(F.col("_bn") <= max_bucket).select("bucket")
         pairable = nf.join(small, "bucket", "left_semi")
+        idx_pairable = idx.join(small, "bucket", "left_semi")
     else:
         pairable = nf
-    idx = catalog.read(idx_table)
+        idx_pairable = idx
     # vs-corpus: ANY collision with an indexed vector drops the new
     # row (no id comparison — the index member arrived first)
     cos_ic = _dot(F.col("iv"), F.col("nv")) / (F.col("inrm") * F.col("nnrm"))
     vs_idx = (
-        idx.select(
+        idx_pairable.select(
             F.col("bucket").alias("ibucket"), F.col("v").alias("iv"),
             F.col("nrm").alias("inrm"),
         )
@@ -868,21 +888,22 @@ def semantic_index_add(
         .select(F.col("hi_id").alias("dup_id"))
     )
     dups = vs_idx.unionByName(vs_new).distinct()
-    out = nf.join(
+    # one cached frame carries features + verdicts: the commit and the
+    # caller's consumption both read it, so the pairwise joins run once
+    # per batch (batch-sized cache, released by Spark LRU)
+    full = nf.join(
         dups, nf.vid == F.col("dup_id"), "left_outer"
     ).select(
-        F.col("vid").alias(id_col),
-        "bucket",
+        "vid", "v", "nrm", "bucket",
         F.col("dup_id").isNull().alias("kept"),
-    )
-    batch_rows = nf.join(
-        out.select(F.col(id_col).alias("vid"), "kept"), "vid"
-    )
+    ).cache()
     # O(|batch|) merge-on-read layer commit — NEVER a corpus rewrite.
     # New layers aren't bucket-partition-pruned until the next
     # catalog.compact(idx_table) folds them into the base (same
     # maintenance contract as every MOR table here); the vs-index join
     # above still prunes on the base partitions, and layer rows join by
     # the bucket column.
-    catalog.upsert_by_keys(idx_table, batch_rows, ["vid"])
-    return out
+    catalog.upsert_by_keys(idx_table, full, ["vid"])
+    return full.select(
+        F.col("vid").alias(id_col), "bucket", "kept"
+    )

@@ -111,12 +111,20 @@ class DocIngestPipeline:
                 F.col("n_chars"), F.length("text"), F.lit(0)
             ).alias("n_chars"),
         ).cache()
+        firsts = new_index = accepted = drop_ids = None
         try:
             rejects = []
 
-            # 1. quality gate (codegen expressions, zero shuffle)
+            # 1. quality gate (codegen expressions, zero shuffle).
+            # NULL-safe: empty/whitespace text yields a NULL score
+            # (0-token division) — that's low quality, never a row that
+            # silently vanishes from both the corpus and the DLQ.
             scored = docs.withColumn(
-                "_q", TX.quality_score(F.col("text"), F.col("n_chars"))
+                "_q",
+                F.coalesce(
+                    TX.quality_score(F.col("text"), F.col("n_chars")),
+                    F.lit(0.0),
+                ),
             )
             rejects.append(
                 scored.filter(
@@ -128,8 +136,10 @@ class DocIngestPipeline:
             ).drop("_q")
 
             # 2a. in-batch exact dedup: keep-lowest-id per digest
+            # (TX.fingerprint is the one canonical digest definition —
+            # batch-curated corpora must stay digest-compatible)
             hashed = ok.withColumn(
-                "text_hash", F.md5(F.col("text").cast("binary"))
+                "text_hash", TX.fingerprint(F.col("text"))
             )
             w = Window.partitionBy("text_hash").orderBy("doc_id")
             hashed = hashed.withColumn("_rn", F.row_number().over(w))
@@ -139,14 +149,27 @@ class DocIngestPipeline:
             )
             firsts = hashed.filter(F.col("_rn") == 1).drop("_rn")
 
-            # 2b. exact dedup vs the persisted digest set
+            # 2b. exact dedup vs the persisted digest set. A digest
+            # whose recorded owner IS this doc_id is not a duplicate —
+            # it is this record's own earlier commit (crash between the
+            # commits and the batch marker -> checkpoint redelivery);
+            # without the owner check, replay would file every
+            # already-accepted doc into the DLQ as its own duplicate.
             if self.catalog.exists(self.digests_table):
-                known = self.catalog.read(self.digests_table).select("text_hash")
-                rejects.append(
-                    firsts.join(known, "text_hash", "left_semi")
-                    .select("doc_id", F.lit("exact_duplicate").alias("reason"))
+                known = self.catalog.read(self.digests_table).select(
+                    "text_hash", F.col("doc_id").alias("_owner")
                 )
-                firsts = firsts.join(known, "text_hash", "left_anti")
+                joined = firsts.join(known, "text_hash", "left_outer")
+                rejects.append(
+                    joined.filter(
+                        F.col("_owner").isNotNull()
+                        & (F.col("_owner") != F.col("doc_id"))
+                    ).select("doc_id", F.lit("exact_duplicate").alias("reason"))
+                )
+                firsts = joined.filter(
+                    F.col("_owner").isNull()
+                    | (F.col("_owner") == F.col("doc_id"))
+                ).drop("_owner")
             firsts = firsts.cache()
 
             # 3. near-dup vs the persisted minhash index (+ in-batch)
@@ -189,7 +212,7 @@ class DocIngestPipeline:
                 .when(F.col("_b_new").isNotNull(), F.col("b_id"))
                 .otherwise(F.col("a_id"))
                 .alias("doc_id")
-            ).distinct()
+            ).distinct().cache()
             rejects.append(
                 drop_ids.select(
                     "doc_id", F.lit("near_duplicate").alias("reason")
@@ -208,13 +231,15 @@ class DocIngestPipeline:
                 accepted.select("text_hash", "doc_id"),
                 ["text_hash"],
             )
-            self.catalog.upsert_by_keys(
-                self.index_table,
-                new_index.join(
-                    accepted.select(F.col("doc_id").alias("sid")), "sid"
-                ),
-                ["sid"],
-            )
+            # index entries for EVERY doc that reached the near-dup
+            # stage — including the near-dup-rejected ones. In-batch, a
+            # dropped doc still drops later docs (the keep-lowest-id
+            # chain); storing only accepted entries would make the
+            # outcome depend on micro-batch boundaries (doc C near B
+            # but not A: batch [B,C] drops C, batches [B],[C] would
+            # keep C). Same rationale as build_semantic_index storing
+            # dropped vectors.
+            self.catalog.upsert_by_keys(self.index_table, new_index, ["sid"])
             all_rejects = rejects[0]
             for r in rejects[1:]:
                 all_rejects = all_rejects.unionByName(r)
@@ -224,12 +249,13 @@ class DocIngestPipeline:
                 )
             if batch_id is not None:
                 _mark_applied_batch(self.catalog, self.name, batch_id)
-            # release per-batch caches — a long-running stream applies
-            # thousands of micro-batches (same hygiene as apply_cdc_batch)
-            firsts.unpersist()
-            new_index.unpersist()
-            accepted.unpersist()
         finally:
+            # release per-batch caches even when a commit fails — a
+            # stream retrying failed batches must not accumulate cached
+            # frames (same hygiene as apply_cdc_batch)
+            for frame in (firsts, new_index, accepted, drop_ids):
+                if frame is not None:
+                    frame.unpersist()
             docs.unpersist()
 
     # -- streaming entry point ---------------------------------------------

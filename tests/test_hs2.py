@@ -264,10 +264,18 @@ def test_get_columns(server):
             body = tcol[colid][1]
             cols_out.append([v.decode() if isinstance(v, bytes) else v
                              for v in body[1][1][1]])
-        names, types = cols_out[3], cols_out[5]
+        names, jdbc, types = cols_out[3], cols_out[4], cols_out[5]
         assert names == ["id", "s", "d", "b", "n"]
         assert types == ["bigint", "string", "double", "boolean", "string"]
+        # DATA_TYPE must be java.sql.Types codes, not the thrift enum
+        assert jdbc == [-5, 12, 8, 16, 12]
         c.call("CloseOperation", {1: (T_STRUCT, {1: op})})
+        # JDBC metadata patterns are SQL LIKE: prefix wildcard matches
+        resp = c.call("GetColumns", {1: (T_STRUCT, {
+            1: c.session, 4: (11, "t%"),
+        })})
+        c._check(resp)
+        assert resp[2][1][3][1]  # hasResultSet for the matching table
     finally:
         c.close()
 

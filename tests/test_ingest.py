@@ -81,11 +81,13 @@ def test_cross_batch_dedup_uses_persisted_state(spark, catalog):
     reasons = {r.doc_id: r.reason
                for r in catalog.read("corpus__rejects").collect()}
     assert reasons == {10: "exact_duplicate", 11: "near_duplicate"}
-    # state tables hold only accepted docs' entries
+    # digests hold accepted docs only; the minhash index also keeps
+    # near-dup-rejected entries so later arrivals dedup against them
+    # regardless of micro-batch slicing
     assert {r.doc_id for r in catalog.read("corpus__digests").collect()} \
         == {1, 12}
     assert {r.sid for r in catalog.read("corpus__dedupidx").collect()} \
-        == {1, 12}
+        == {1, 11, 12}
 
 
 def test_batch_id_replay_is_idempotent(spark, catalog):
@@ -121,3 +123,48 @@ def test_streaming_end_to_end(spark, catalog, tmp_path):
     reasons = {r.doc_id: r.reason
                for r in catalog.read("corpus__rejects").collect()}
     assert reasons[2] == "low_quality" and reasons[3] == "exact_duplicate"
+
+
+def test_empty_text_rejected_not_lost(spark, catalog):
+    """Review regression: whitespace-only text gives a NULL quality
+    score (0-token division) — it must land in the rejects table, not
+    silently vanish from both tables."""
+    pipe = DocIngestPipeline(spark, catalog, "corpus")
+    pipe.apply_batch(_df(spark, [doc(1, GOOD), doc(2, "   "), doc(3, "")]))
+    assert {r.doc_id for r in catalog.read("corpus").collect()} == {1}
+    reasons = {r.doc_id: r.reason
+               for r in catalog.read("corpus__rejects").collect()}
+    assert reasons == {2: "low_quality", 3: "low_quality"}
+
+
+def test_crash_replay_does_not_pollute_rejects(spark, catalog):
+    """Review regression: commits landed but the batch marker did not
+    (crash window) -> redelivery must re-accept the batch's own docs,
+    not file them as duplicates of themselves."""
+    pipe = DocIngestPipeline(spark, catalog, "corpus")
+    b = _df(spark, [doc(1, GOOD), doc(2, GOOD2)])
+    pipe.apply_batch(b, batch_id=1)
+    # simulate the marker being lost in the crash
+    os.remove(os.path.join(catalog._tdir("corpus"), "_last_batch"))
+    pipe.apply_batch(b, batch_id=1)  # checkpoint redelivery
+    assert {r.doc_id for r in catalog.read("corpus").collect()} == {1, 2}
+    assert not catalog.exists("corpus__rejects") \
+        or catalog.read("corpus__rejects").count() == 0
+
+
+def test_near_dup_chain_consistent_across_batch_slicing(spark, catalog):
+    """Review regression: rejected docs' index entries persist, so a
+    doc near-dup of a REJECTED doc is dropped the same way whether the
+    pair arrives in one batch or across two."""
+    NEAR2 = NEAR_GOOD.replace("green forest", "dark forest")
+    # one batch: GOOD accepted, NEAR_GOOD dropped, NEAR2 dropped (chain)
+    p1 = DocIngestPipeline(spark, catalog, "one")
+    p1.apply_batch(_df(spark, [doc(1, GOOD), doc(2, NEAR_GOOD),
+                               doc(3, NEAR2)]))
+    one = {r.doc_id for r in catalog.read("one").collect()}
+    # split batches: same outcome
+    p2 = DocIngestPipeline(spark, catalog, "two")
+    p2.apply_batch(_df(spark, [doc(1, GOOD), doc(2, NEAR_GOOD)]))
+    p2.apply_batch(_df(spark, [doc(3, NEAR2)]))
+    two = {r.doc_id for r in catalog.read("two").collect()}
+    assert one == two

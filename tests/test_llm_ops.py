@@ -921,3 +921,37 @@ def test_semantic_index_incremental_matches_full_rebuild(spark, tmp_path):
     # re-adding the same batch finds everything duplicated
     again = S.semantic_index_add(catalog, "corpus", second)
     assert not any(r.kept for r in again.collect())
+
+
+def test_semantic_index_add_respects_persisted_bucket_cap(spark, tmp_path):
+    """Review regression: the build-time max_bucket persists in the
+    table properties and the add-time gate counts the CURRENT
+    population (index + batch) — an over-cap bucket skips pairing, so
+    an identical new vector is still kept."""
+    from pyspark.sql import Row
+
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+
+    catalog = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    # 3 identical vectors, one bucket; cap=3 -> bucket fits at build
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 2.0, 3.0, 4.0]) for i in range(3)]
+    )
+    S.build_semantic_index(catalog, "c", base, bits=4, threshold=0.9,
+                           max_bucket=3)
+    props = catalog.table_properties("c__semidx")
+    assert int(props["max_bucket"]) == 3
+    # adding a 4th identical vector pushes population to 4 > cap:
+    # pairing skipped -> kept, even though it duplicates the bucket
+    out = S.semantic_index_add(
+        catalog, "c",
+        spark.createDataFrame([Row(vec_id=10, embedding=[1.0, 2.0, 3.0, 4.0])]),
+    ).collect()
+    assert out[0].kept is True
+    # explicit override re-enables pairing for the next add
+    out2 = S.semantic_index_add(
+        catalog, "c",
+        spark.createDataFrame([Row(vec_id=11, embedding=[1.0, 2.0, 3.0, 4.0])]),
+        max_bucket=100,
+    ).collect()
+    assert out2[0].kept is False
