@@ -69,6 +69,7 @@ class DocIngestPipeline:
         ngram: int = 3,
         num_perm: int = 64,
         bands: int = 16,
+        maintain_every: int = 32,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -78,6 +79,11 @@ class DocIngestPipeline:
         self.ngram = ngram
         self.num_perm = num_perm
         self.bands = bands
+        # every commit is a merge-on-read layer: maintain() bounds the
+        # read-side fold depth (threshold-gated — the check itself is
+        # metadata-only, compaction only runs when layers/files pile
+        # up). 0 disables.
+        self.maintain_every = maintain_every
 
     # -- table names --------------------------------------------------------
     @property
@@ -249,6 +255,11 @@ class DocIngestPipeline:
                 )
             if batch_id is not None:
                 _mark_applied_batch(self.catalog, self.name, batch_id)
+                if self.maintain_every and batch_id % self.maintain_every == 0:
+                    for t in (self.name, self.digests_table,
+                              self.index_table, self.rejects_table):
+                        if self.catalog.exists(t):
+                            self.catalog.maintain(t)
         finally:
             # release per-batch caches even when a commit fails — a
             # stream retrying failed batches must not accumulate cached
