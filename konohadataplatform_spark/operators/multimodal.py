@@ -3,11 +3,12 @@
 Images/audio/video are carried as opaque ``binary`` columns with a
 typed metadata struct — the Spark-side schema, partitioning, and
 Arrow-batched UDF plumbing are real and tested. Decode is REAL for
-uncompressed 24-bit BMP, non-interlaced 8-bit PNG (stdlib zlib +
-filter reconstruction), uncompressed baseline TIFF (both byte
+uncompressed 24-bit BMP, PNG (stdlib zlib + filter reconstruction:
+gray 1/2/4/8/16-bit, palette incl. tRNS, RGB/RGBA 8/16-bit, Adam7
+interlace — r6 widened matrix), uncompressed baseline TIFF (both byte
 orders), PCM-16 WAV, and baseline JPEG (jpeg_py: Huffman + IDCT,
 4:4:4/4:2:2/4:2:0, restart markers); the remaining PIL-only formats
-(progressive JPEG, palette/16-bit PNG, compressed BMP/TIFF, WebP)
+(progressive JPEG, PNG gray+alpha, compressed BMP/TIFF, WebP)
 raise ``DecodeNotAvailable`` loudly, with a deterministic-fake
 feature fallback so the pipeline shape can be exercised end to end.
 
@@ -317,13 +318,20 @@ def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> b
 
 
 def decode_png(content: bytes) -> dict:
-    """Decode a non-interlaced 8-bit gray/RGB/RGBA PNG with the stdlib:
-    chunk walk (CRC-checked), zlib inflate, then full scanline filter
-    reconstruction (None/Sub/Up/Average/Paeth per the PNG spec §9).
-    Palette, 16-bit, and interlaced images still need PIL."""
+    """Decode a PNG with the stdlib: chunk walk (CRC-checked), zlib
+    inflate, then full scanline filter reconstruction (None/Sub/Up/
+    Average/Paeth per the PNG spec §9).
+
+    Native matrix (r6 widened): 8-bit gray/RGB/RGBA non-interlaced on
+    the fast byte path, PLUS palette (color_type 3 with PLTE, tRNS ->
+    RGBA), bit depths 1/2/4 (gray + palette) and 16 (gray/RGB/RGBA,
+    emitted as 8-bit high bytes with ``bit_depth`` recording the
+    source), and Adam7 interlace for all of the above on the general
+    sample path. Gray+alpha (color_type 4) and gray/RGB tRNS remain
+    behind DecodeNotAvailable."""
     if content[:8] != PNG_SIG:
         raise DecodeNotAvailable("not a PNG signature")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 12 <= len(content):
         (length,) = struct.unpack_from(">I", content, pos)
         ctype = content[pos + 4 : pos + 8]
@@ -335,17 +343,39 @@ def decode_png(content: bytes) -> dict:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat.append(body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IEND":
             break
         pos += 12 + length
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or color_type not in _PNG_CHANNELS or interlace or comp or filt:
+    if comp or filt:
+        raise ValueError(
+            f"PNG compression={comp} filter_method={filt}: only method 0 "
+            "is defined by the spec"
+        )
+    supported = (
+        (color_type in (0, 3) and depth in (1, 2, 4, 8, 16))
+        or (color_type in (2, 6) and depth in (8, 16))
+    )
+    if color_type == 3 and depth == 16:
+        supported = False  # not a legal PNG combination
+    if not supported:
         raise DecodeNotAvailable(
-            f"PNG depth={depth} color_type={color_type} "
-            f"interlace={interlace}: only 8-bit gray/RGB/RGBA "
-            "non-interlaced decodes natively; others require PIL"
+            f"PNG depth={depth} color_type={color_type}: outside the "
+            "native matrix (gray 1/2/4/8/16, palette 1/2/4/8, RGB/RGBA "
+            "8/16); gray+alpha requires PIL"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    if depth != 8 or color_type == 3 or interlace:
+        return _decode_png_general(
+            width, height, depth, color_type, interlace,
+            zlib.decompress(b"".join(idat)), plte, trns,
         )
     channels = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(b"".join(idat))
@@ -387,6 +417,142 @@ def decode_png(content: bytes) -> dict:
         "height": height,
         "bpp": 8 * channels,
         "channels": channels,
+        "pixels": bytes(out),
+    }
+
+
+# Adam7 interlace passes: (x0, y0, dx, dy) per the PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Reverse the per-scanline filters over packed bytes. ``bpp`` is
+    the filter distance in BYTES (max(1, channels*depth//8)) — the spec
+    defines Sub/Average/Paeth at byte granularity even for sub-byte
+    depths."""
+    out = bytearray()
+    prev = bytearray(stride)
+    rpos = 0
+    for _r in range(height):
+        f = raw[rpos]
+        line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+        rpos += 1 + stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        out += line
+        prev = line
+    return bytes(out), rpos
+
+
+def _png_unpack_samples(row: bytes, n_samples: int, depth: int) -> list[int]:
+    """Packed scanline bytes -> per-sample ints (MSB-first bit order)."""
+    if depth == 8:
+        return list(row[:n_samples])
+    if depth == 16:
+        return [
+            (row[2 * i] << 8) | row[2 * i + 1] for i in range(n_samples)
+        ]
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    samples = []
+    for b in row:
+        for k in range(per_byte - 1, -1, -1):
+            samples.append((b >> (k * depth)) & mask)
+            if len(samples) == n_samples:
+                return samples
+    return samples
+
+
+def _decode_png_general(
+    width: int,
+    height: int,
+    depth: int,
+    color_type: int,
+    interlace: int,
+    raw: bytes,
+    plte: bytes | None,
+    trns: bytes | None,
+) -> dict:
+    """The general PNG sample path: palette / sub-byte / 16-bit /
+    Adam7. Output pixels are always 8 bits per channel (16-bit samples
+    emit their high byte — the standard display downconversion);
+    ``bit_depth`` records the source depth."""
+    channels = 1 if color_type in (0, 3) else _PNG_CHANNELS[color_type]
+    # per-pixel samples of the full image, scattered by pass
+    img = [[0] * (width * channels) for _ in range(height)]
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * channels * depth + 7) // 8
+        bpp = max(1, (channels * depth) // 8)
+        chunk = raw[pos:]
+        unfiltered, consumed = _png_unfilter(chunk, ph, stride, bpp)
+        pos += consumed
+        for j in range(ph):
+            row = unfiltered[j * stride : (j + 1) * stride]
+            samples = _png_unpack_samples(row, pw * channels, depth)
+            y = y0 + j * dy
+            for i in range(pw):
+                x = x0 + i * dx
+                for c in range(channels):
+                    img[y][x * channels + c] = samples[i * channels + c]
+    # sample -> 8-bit channel values
+    out = bytearray()
+    if color_type == 3:
+        pal = [tuple(plte[3 * i : 3 * i + 3]) for i in range(len(plte) // 3)]
+        alpha = list(trns) if trns is not None else None
+        out_channels = 4 if alpha is not None else 3
+        for y in range(height):
+            for x in range(width):
+                idx = img[y][x]
+                if idx >= len(pal):
+                    raise ValueError(f"palette index {idx} out of range")
+                out += bytes(pal[idx])
+                if alpha is not None:
+                    out.append(alpha[idx] if idx < len(alpha) else 255)
+        channels = out_channels
+    else:
+        if depth == 16:
+            scale = lambda s: s >> 8  # noqa: E731
+        elif depth == 8:
+            scale = lambda s: s  # noqa: E731
+        else:
+            mx = (1 << depth) - 1
+            scale = lambda s: (s * 255) // mx  # noqa: E731
+        for y in range(height):
+            out += bytes(scale(s) for s in img[y])
+    return {
+        "width": width,
+        "height": height,
+        "bpp": 8 * channels,
+        "channels": channels,
+        "bit_depth": depth,
         "pixels": bytes(out),
     }
 

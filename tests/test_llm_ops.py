@@ -131,15 +131,16 @@ def test_decode_stub_raises(spark):
         M.decode_image(prog)
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"ID3\x03" + b"\x00" * 64)
-    # palette (color_type 3) PNG: valid signature, unsupported color mode
+    # gray+alpha (color_type 4) PNG: valid signature, the one color
+    # mode still outside the r6-widened native matrix
     import struct as _s
     import zlib as _z
 
-    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0)
     chunk = (_s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
              + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
     idat = _s.pack(">I", 0) + b"IDAT" + _s.pack(">I", _z.crc32(b"IDAT") & 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError, match="color_type=3"):
+    with pytest.raises(NotImplementedError, match="color_type=4"):
         M.decode_image(M.PNG_SIG + chunk + idat)
 
 
@@ -955,3 +956,134 @@ def test_semantic_index_add_respects_persisted_bucket_cap(spark, tmp_path):
         max_bucket=100,
     ).collect()
     assert out2[0].kept is False
+
+
+def _encode_png_variant(width, height, depth, color_type, rows,
+                        plte=None, trns=None, interlace=0):
+    """Test-side PNG encoder for the widened decode matrix: rows is
+    height lists of per-pixel channel samples; packs sub-byte depths
+    MSB-first, 16-bit big-endian, filter 0 everywhere, optional Adam7."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from konohadataplatform_spark.operators.multimodal import (
+        _ADAM7,
+        _png_chunk,
+        PNG_SIG,
+    )
+
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+
+    def pack_row(samples):
+        if depth == 8:
+            return bytes(samples)
+        if depth == 16:
+            return b"".join(_struct.pack(">H", s) for s in samples)
+        per_byte = 8 // depth
+        out = bytearray()
+        for i in range(0, len(samples), per_byte):
+            b = 0
+            chunk = samples[i:i + per_byte]
+            for k, s in enumerate(chunk):
+                b |= s << ((per_byte - 1 - k) * depth)
+            out.append(b)
+        return bytes(out)
+
+    raw = bytearray()
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for j in range(ph):
+            y = y0 + j * dy
+            samples = []
+            for i in range(pw):
+                x = x0 + i * dx
+                samples.extend(rows[y][x * channels:(x + 1) * channels])
+            raw += b"\x00" + pack_row(samples)
+    ihdr = _struct.pack(">IIBBBBB", width, height, depth, color_type,
+                        0, 0, interlace)
+    out = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(plte))
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(trns))
+    out += _png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
+def test_png_widened_matrix_palette_subbyte_16bit_adam7():
+    """r6 codec-matrix widening: palette (+tRNS alpha), 4-bit gray,
+    16-bit RGB (high-byte emission), and Adam7 interlace all decode
+    natively; gray+alpha stays a loud DecodeNotAvailable."""
+    from konohadataplatform_spark.operators.multimodal import (
+        DecodeNotAvailable,
+        decode_png,
+    )
+
+    # palette 3x2, indices 0..2, tRNS alpha on index 1
+    pal = [255, 0, 0, 0, 255, 0, 0, 0, 255]
+    rows = [[0, 1, 2], [2, 1, 0]]
+    d = decode_png(_encode_png_variant(3, 2, 8, 3, rows, plte=pal))
+    assert (d["width"], d["height"], d["channels"]) == (3, 2, 3)
+    assert d["pixels"][:9] == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    da = decode_png(_encode_png_variant(3, 2, 8, 3, rows, plte=pal,
+                                        trns=[255, 128]))
+    assert da["channels"] == 4
+    assert da["pixels"][:4] == bytes([255, 0, 0, 255])   # idx0, opaque
+    assert da["pixels"][4:8] == bytes([0, 255, 0, 128])  # idx1, a=128
+
+    # 4-bit gray 5x2: value v scales to v*255//15
+    g = [[0, 5, 10, 15, 7], [15, 0, 3, 12, 1]]
+    dg = decode_png(_encode_png_variant(5, 2, 4, 0, g))
+    assert dg["channels"] == 1 and dg["bit_depth"] == 4
+    assert list(dg["pixels"][:5]) == [v * 255 // 15 for v in g[0]]
+
+    # 2-bit palette (sub-byte indexed)
+    d2 = decode_png(_encode_png_variant(3, 2, 2, 3, rows, plte=pal))
+    assert d2["pixels"] == d["pixels"]
+
+    # 16-bit RGB 2x2: high byte comes back
+    r16 = [[0x1234, 0xFF00, 0x0001, 0x8000, 0x7FFF, 0xABCD],
+           [0, 0xFFFF, 0x5555, 0x1000, 0x2000, 0x3000]]
+    d16 = decode_png(_encode_png_variant(2, 2, 16, 2, r16))
+    assert d16["bit_depth"] == 16 and d16["channels"] == 3
+    assert list(d16["pixels"][:6]) == [0x12, 0xFF, 0x00, 0x80, 0x7F, 0xAB]
+
+    # Adam7 interlaced 8-bit RGB 9x9 == its non-interlaced twin
+    rgb = [[(x * 7 + y * 31 + c) % 256 for x in range(9) for c in range(3)]
+           for y in range(9)]
+    plain = decode_png(_encode_png_variant(9, 9, 8, 2, rgb))
+    inter = decode_png(_encode_png_variant(9, 9, 8, 2, rgb, interlace=1))
+    assert inter["pixels"] == plain["pixels"]
+
+    # Adam7 + palette + sub-byte together
+    prow = [[(x + y) % 3 for x in range(9)] for y in range(9)]
+    pi = decode_png(_encode_png_variant(9, 9, 2, 3, prow, plte=pal,
+                                        interlace=1))
+    pp = decode_png(_encode_png_variant(9, 9, 2, 3, prow, plte=pal))
+    assert pi["pixels"] == pp["pixels"]
+
+    # gray+alpha (color_type 4) is still a loud boundary (a valid
+    # CRC'd IHDR, not a byte-hacked one)
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from konohadataplatform_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+    )
+
+    ga = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 8, 4, 0, 0, 0))
+        + _png_chunk(b"IDAT", _zlib.compress(b"\x00\x80\xff"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(DecodeNotAvailable, match="gray"):
+        decode_png(ga)
