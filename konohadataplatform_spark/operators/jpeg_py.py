@@ -3,7 +3,10 @@
 Closes the last gap in the native decode matrix (BMP/PNG/WAV landed in
 rounds 4-5): baseline sequential DCT, 8-bit samples, Huffman entropy
 coding, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling,
-restart markers. Progressive (SOF2), arithmetic coding, 12-bit and
+restart markers — and, as of r6, **progressive (SOF2)**: spectral
+selection, successive approximation (DC + AC first/refinement scans,
+EOB runs, buffered correction bits), coefficients accumulated across
+scans with one IDCT after EOI. Arithmetic coding, 12-bit and
 hierarchical modes stay behind ``DecodeNotAvailable`` — loudly, not
 silently wrong.
 
@@ -220,6 +223,7 @@ def decode_jpeg(content: bytes) -> dict:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    coeff_store = None
     restart_interval = 0
     pos = 2
     n = len(content)
@@ -259,7 +263,7 @@ def decode_jpeg(content: bytes) -> dict:
                 values = list(seg[p + 17 : p + 17 + nvals])
                 (huff_ac if tc else huff_dc)[th] = _decode_table(bits, values)
                 p += 17 + nvals
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline + ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline + SOF2 progressive
             prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise DecodeNotAvailable(f"{prec}-bit JPEG unsupported")
@@ -267,11 +271,12 @@ def decode_jpeg(content: bytes) -> dict:
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"w": width, "h": height, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"w": width, "h": height, "comps": comps,
+                     "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise DecodeNotAvailable(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}): "
-                "progressive/hierarchical/arithmetic modes need PIL"
+                "hierarchical/arithmetic/lossless modes need PIL"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -284,10 +289,21 @@ def decode_jpeg(content: bytes) -> dict:
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tables >> 4, tables & 0x0F))
-            return _decode_scan(
-                content, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            if not frame.get("prog"):
+                return _decode_scan(
+                    content, pos, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if coeff_store is None:
+                coeff_store = _alloc_coeffs(frame)
+            pos = _decode_prog_scan(
+                content, pos, frame, scan, ss, se, ahal >> 4, ahal & 0x0F,
+                huff_dc, huff_ac, restart_interval, coeff_store,
             )
         # else: APPn / COM / others — skipped
+    if frame is not None and frame.get("prog") and coeff_store is not None:
+        return _reconstruct_progressive(frame, coeff_store, qt)
     raise JpegError("no SOS marker found")
 
 
@@ -350,6 +366,245 @@ def _decode_block(reader, dc_table, ac_table, pred, cid) -> np.ndarray:
     out = np.zeros(64)
     out[ZIGZAG] = zz
     return out.reshape(8, 8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) scans — T.81 §G: each scan contributes a spectral
+# band and/or a successive-approximation bit plane to a persistent
+# per-component coefficient array; the IDCT runs once, after EOI.
+# ---------------------------------------------------------------------------
+
+def _alloc_coeffs(frame):
+    """Per-component int32 coefficient grids (zigzag order), sized to
+    the MCU-padded block grid so interleaved and non-interleaved scans
+    index the same storage."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        for c in comps
+    }
+
+
+def _comp_used_blocks(frame, comp):
+    """Non-interleaved block grid: ceil(ceil(dim*f/fmax)/8) per spec
+    A.2.2 — may be smaller than the MCU-padded storage."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _next_marker_pos(content, p):
+    """Position of the next non-stuffing, non-restart marker at or
+    after ``p`` (the end of a progressive scan's entropy data)."""
+    n = len(content)
+    while p + 1 < n:
+        if content[p] == 0xFF and content[p + 1] != 0x00:
+            if 0xD0 <= content[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise JpegError("ran off the end looking for a marker")
+
+
+def _decode_prog_scan(
+    content, pos, frame, scan, ss, se, ah, al,
+    huff_dc, huff_ac, restart_interval, coeffs,
+):
+    reader = _BitReader(content, pos)
+    if ss == 0:
+        if se != 0:
+            raise JpegError("progressive DC scan must have Se=0")
+        _prog_dc(reader, frame, scan, ah, al, huff_dc, restart_interval, coeffs)
+    else:
+        if len(scan) != 1:
+            raise JpegError("progressive AC scans are non-interleaved")
+        comp, _td, ta = scan[0]
+        if ah == 0:
+            _prog_ac_first(reader, frame, comp, huff_ac[ta], ss, se, al,
+                           restart_interval, coeffs)
+        else:
+            _prog_ac_refine(reader, frame, comp, huff_ac[ta], ss, se, al,
+                            restart_interval, coeffs)
+    # trailing pad bits may have made _fill touch the scan-terminating
+    # marker already — in that case pos sits ON the marker byte, one
+    # past its 0xFF prefix
+    end = reader.pos - 1 if reader.marker is not None else reader.pos
+    return _next_marker_pos(content, end)
+
+
+def _prog_dc(reader, frame, scan, ah, al, huff_dc, restart_interval, coeffs):
+    pred = {c["id"]: 0 for c, _td, _ta in scan}
+    rst_expected = 0
+    nunit = 0
+
+    def block(comp, td, by, bx):
+        cz = coeffs[comp["id"]]
+        if ah == 0:
+            t = reader.decode_huff(huff_dc[td])
+            diff = _extend(reader.read_bits(t), t) if t else 0
+            pred[comp["id"]] += diff
+            cz[by, bx, 0] = pred[comp["id"]] << al
+        else:
+            if reader.read_bit():
+                cz[by, bx, 0] |= 1 << al
+
+    def maybe_restart():
+        nonlocal rst_expected, pred
+        if restart_interval and nunit and nunit % restart_interval == 0:
+            m = reader.sync_to_marker()
+            if m != 0xD0 + rst_expected:
+                raise JpegError(f"bad restart marker 0xFF{m:02X}")
+            rst_expected = (rst_expected + 1) % 8
+            pred = {c["id"]: 0 for c, _td, _ta in scan}
+
+    if len(scan) > 1:  # interleaved over MCUs
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                maybe_restart()
+                for comp, td, _ta in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            block(comp, td,
+                                  my * comp["v"] + by, mx * comp["h"] + bx)
+                nunit += 1
+    else:
+        comp, td, _ta = scan[0]
+        bw, bh = _comp_used_blocks(frame, comp)
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                block(comp, td, by, bx)
+                nunit += 1
+
+
+def _prog_ac_first(reader, frame, comp, ac, ss, se, al, restart_interval, coeffs):
+    cz = coeffs[comp["id"]]
+    bw, bh = _comp_used_blocks(frame, comp)
+    eobrun = 0
+    rst_expected = 0
+    nunit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and nunit and nunit % restart_interval == 0:
+                m = reader.sync_to_marker()
+                if m != 0xD0 + rst_expected:
+                    raise JpegError(f"bad restart marker 0xFF{m:02X}")
+                rst_expected = (rst_expected + 1) % 8
+                eobrun = 0
+            nunit += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode_huff(ac)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    # EOBn: this block ends; r extension bits count more
+                    eobrun = (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise JpegError("AC run past end of spectral band")
+                cz[by, bx, k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+
+
+def _prog_ac_refine(reader, frame, comp, ac, ss, se, al, restart_interval, coeffs):
+    cz = coeffs[comp["id"]]
+    bw, bh = _comp_used_blocks(frame, comp)
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    rst_expected = 0
+    nunit = 0
+
+    def correct(zz, k):
+        """Append a correction bit to an already-nonzero coefficient
+        (magnitude grows toward the true value, spec G.1.2.3)."""
+        if reader.read_bit():
+            if zz[k] > 0 and not (zz[k] & p1):
+                zz[k] += p1
+            elif zz[k] < 0 and not (-zz[k] & p1):
+                zz[k] += m1
+
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and nunit and nunit % restart_interval == 0:
+                m = reader.sync_to_marker()
+                if m != 0xD0 + rst_expected:
+                    raise JpegError(f"bad restart marker 0xFF{m:02X}")
+                rst_expected = (rst_expected + 1) % 8
+                eobrun = 0
+            nunit += 1
+            zz = cz[by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode_huff(ac)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) + (reader.read_bits(r) if r else 0)
+                            break
+                        newval = 0  # ZRL: skip 16 zero-history coeffs
+                    elif s == 1:
+                        newval = p1 if reader.read_bit() else m1
+                    else:
+                        raise JpegError("AC refinement size must be 0 or 1")
+                    # advance over r zero-history coefficients, emitting
+                    # correction bits for nonzero-history ones en route
+                    while k <= se:
+                        if zz[k] != 0:
+                            correct(zz, k)
+                        else:
+                            if r == 0:
+                                if s == 1:
+                                    zz[k] = newval
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                # EOB tail: correction bits only, for the rest of the band
+                while k <= se:
+                    if zz[k] != 0:
+                        correct(zz, k)
+                    k += 1
+                eobrun -= 1
+
+
+def _reconstruct_progressive(frame, coeffs, qt):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = {}
+    for c in comps:
+        cz = coeffs[c["id"]]
+        bh, bw_ = cz.shape[0], cz.shape[1]
+        plane = np.zeros((bh * 8, bw_ * 8))
+        q = qt[c["tq"]]
+        for by in range(bh):
+            for bx in range(bw_):
+                nat = np.zeros(64)
+                nat[ZIGZAG] = cz[by, bx]
+                block = nat.reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ (block * q) @ _A + 128.0
+                )
+        planes[c["id"]] = plane
+    return _planes_to_pixels(planes, comps, frame["w"], frame["h"], hmax, vmax)
 
 
 def _planes_to_pixels(planes, comps, w, h, hmax, vmax) -> dict:
@@ -567,4 +822,298 @@ def encode_jpeg_gray(
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder — exists to prove the SOF2 decoder against real
+# multi-scan streams (no JPEG library ships in this container). Emits
+# every scan species the spec defines: interleaved DC first + DC
+# refinement bit plane, per-component AC spectral bands with
+# successive approximation (first pass at Al=1, refinement to Al=0),
+# EOB runs, ZRL, buffered correction bits.
+# ---------------------------------------------------------------------------
+
+# one flat 8-bit-code Huffman table covering every (run, size) symbol a
+# progressive AC scan can emit (EOBn r<<4, ZRL 0xF0, sizes 1-12);
+# 208 codes < 255 so the all-ones code never occurs
+PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 208, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(13)],
+)
+
+
+def _quantized_coeff_blocks(width, height, rgb, subsampling):
+    """Identity-quant zigzag coefficient grids per component — the same
+    color transform / subsample / pad / FDCT pipeline as encode_jpeg."""
+    px = np.frombuffer(rgb, np.uint8).reshape(height, width, 3).astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    sh, sv = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+
+    def pad(plane, mh, mv):
+        ph = -(-plane.shape[0] // mv) * mv
+        pw = -(-plane.shape[1] // mh) * mh
+        return np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+
+    y = pad(y, 8 * sh, 8 * sv)
+    cbs, crs = cb, cr
+    if (sh, sv) != (1, 1):
+
+        def box_mean(plane):
+            p = pad(plane, sh, sv)
+            return p.reshape(
+                p.shape[0] // sv, sv, p.shape[1] // sh, sh
+            ).mean(axis=(1, 3))
+
+        cbs, crs = box_mean(cb), box_mean(cr)
+    cbs, crs = pad(cbs, 8, 8), pad(crs, 8, 8)
+    comps = [
+        {"id": 1, "h": sh, "v": sv, "tq": 0},
+        {"id": 2, "h": 1, "v": 1, "tq": 0},
+        {"id": 3, "h": 1, "v": 1, "tq": 0},
+    ]
+    grids = {}
+    for cid, plane in ((1, y), (2, cbs), (3, crs)):
+        bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        grid = np.zeros((bh, bw_, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coeffs = np.rint(_A @ block @ _A.T)
+                grid[by, bx] = coeffs.reshape(64)[ZIGZAG]
+        grids[cid] = grid
+    return comps, grids
+
+
+def _shifted(c: int, al: int) -> int:
+    """AC successive approximation: magnitude shift (toward zero)."""
+    m = abs(c) >> al
+    return m if c >= 0 else -m
+
+
+def _enc_dc_first(comps, grids, al, dc_codes):
+    bw_ = _BitWriter()
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcuy = grids[1].shape[0] // comps[0]["v"]
+    mcux = grids[1].shape[1] // comps[0]["h"]
+    pred = {c["id"]: 0 for c in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        v = int(
+                            grids[c["id"]][my * c["v"] + by, mx * c["h"] + bx, 0]
+                        ) >> al
+                        diff = v - pred[c["id"]]
+                        pred[c["id"]] = v
+                        t = _category(diff)
+                        code, length = dc_codes[t]
+                        bw_.write(code, length)
+                        if t:
+                            bw_.write(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+    bw_.flush()
+    return bytes(bw_.out)
+
+
+def _enc_dc_refine(comps, grids, al):
+    bw_ = _BitWriter()
+    mcuy = grids[1].shape[0] // comps[0]["v"]
+    mcux = grids[1].shape[1] // comps[0]["h"]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        v = int(
+                            grids[c["id"]][my * c["v"] + by, mx * c["h"] + bx, 0]
+                        )
+                        bw_.write((v >> al) & 1, 1)
+    bw_.flush()
+    return bytes(bw_.out)
+
+
+def _enc_ac_first(grid, used, ss, se, al, ac_codes):
+    bw_ = _BitWriter()
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        r = eobrun.bit_length() - 1
+        code, length = ac_codes[r << 4]
+        bw_.write(code, length)
+        if r:
+            bw_.write(eobrun - (1 << r), r)
+        eobrun = 0
+
+    used_h, used_w = used
+    for by in range(used_h):
+        for bx in range(used_w):
+            vals = [_shifted(int(grid[by, bx, k]), al) for k in range(ss, se + 1)]
+            last = -1
+            for i, v in enumerate(vals):
+                if v:
+                    last = i
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+                continue
+            emit_eobrun()
+            r = 0
+            for v in vals[: last + 1]:
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, length = ac_codes[0xF0]
+                    bw_.write(code, length)
+                    r -= 16
+                s = _category(v)
+                code, length = ac_codes[(r << 4) | s]
+                bw_.write(code, length)
+                bw_.write(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if last < se - ss:
+                eobrun += 1
+    emit_eobrun()
+    bw_.flush()
+    return bytes(bw_.out)
+
+
+def _enc_ac_refine(grid, used, ss, se, al, ac_codes):
+    bw_ = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []  # correction bits buffered behind an EOB run
+
+    def emit_eobrun():
+        nonlocal eobrun, pending
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            bw_.write(code, length)
+            if r:
+                bw_.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pending:
+            bw_.write(b, 1)
+        pending = []
+
+    used_h, used_w = used
+    for by in range(used_h):
+        for bx in range(used_w):
+            coefs = [int(grid[by, bx, k]) for k in range(ss, se + 1)]
+            absv = [abs(c) >> al for c in coefs]
+            eob = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            r = 0
+            br: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    emit_eobrun()
+                    code, length = ac_codes[0xF0]
+                    bw_.write(code, length)
+                    r -= 16
+                    for b in br:
+                        bw_.write(b, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                # newly significant (magnitude exactly 1 at this plane)
+                emit_eobrun()
+                code, length = ac_codes[(r << 4) | 1]
+                bw_.write(code, length)
+                bw_.write(1 if coefs[i] >= 0 else 0, 1)
+                for b in br:
+                    bw_.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+    emit_eobrun()
+    bw_.flush()
+    return bytes(bw_.out)
+
+
+def encode_jpeg_progressive(
+    width: int, height: int, rgb: bytes, subsampling: str = "444"
+) -> bytes:
+    """Encode top-down RGB bytes as a progressive (SOF2) JFIF with
+    identity quant tables and a full scan script: interleaved DC first
+    (Al=1) + DC refinement, per-component AC bands 1-5 and 6-63 at Al=1
+    with AC refinement passes down to Al=0."""
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError(f"unsupported subsampling {subsampling}")
+    comps, grids = _quantized_coeff_blocks(width, height, rgb, subsampling)
+    dc_codes = _canonical_codes(*DC_LUM)
+    ac_codes = _canonical_codes(*PROG_AC)
+
+    out = bytearray(b"\xff\xd8")
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    out += _dqt_segment(0, np.ones((8, 8)))
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, DC_LUM) + _dht_segment(1, 0, PROG_AC)
+
+    def sos(comp_specs, ss, se, ah, al, body):
+        hdr = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            hdr += bytes([cid, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return (
+            b"\xff\xda" + struct.pack(">H", len(hdr) + 2) + hdr + body
+        )
+
+    # non-interleaved AC scans cover only the USED block grid (spec
+    # A.2.2 ceil dims), never the MCU-padding blocks the interleaved DC
+    # scan carries
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    used = {
+        c["id"]: (
+            -(-(-(-height * c["v"] // vmax)) // 8),
+            -(-(-(-width * c["h"] // hmax)) // 8),
+        )
+        for c in comps
+    }
+    all_dc = [(c["id"], 0, 0) for c in comps]
+    out += sos(all_dc, 0, 0, 0, 1, _enc_dc_first(comps, grids, 1, dc_codes))
+    for cid in (1, 2, 3):
+        out += sos([(cid, 0, 0)], 1, 5, 0, 1,
+                   _enc_ac_first(grids[cid], used[cid], 1, 5, 1, ac_codes))
+    for cid in (1, 2, 3):
+        out += sos([(cid, 0, 0)], 6, 63, 0, 1,
+                   _enc_ac_first(grids[cid], used[cid], 6, 63, 1, ac_codes))
+    out += sos(all_dc, 0, 0, 1, 0, _enc_dc_refine(comps, grids, 0))
+    for cid in (1, 2, 3):
+        out += sos([(cid, 0, 0)], 1, 5, 1, 0,
+                   _enc_ac_refine(grids[cid], used[cid], 1, 5, 0, ac_codes))
+    for cid in (1, 2, 3):
+        out += sos([(cid, 0, 0)], 6, 63, 1, 0,
+                   _enc_ac_refine(grids[cid], used[cid], 6, 63, 0, ac_codes))
+    out += b"\xff\xd9"
     return bytes(out)

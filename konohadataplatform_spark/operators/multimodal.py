@@ -6,9 +6,10 @@ Arrow-batched UDF plumbing are real and tested. Decode is REAL for
 uncompressed 24-bit BMP, PNG (stdlib zlib + filter reconstruction:
 gray 1/2/4/8/16-bit, palette incl. tRNS, RGB/RGBA 8/16-bit, Adam7
 interlace — r6 widened matrix), uncompressed baseline TIFF (both byte
-orders), PCM-16 WAV, and baseline JPEG (jpeg_py: Huffman + IDCT,
-4:4:4/4:2:2/4:2:0, restart markers); the remaining PIL-only formats
-(progressive JPEG, PNG gray+alpha, compressed BMP/TIFF, WebP)
+orders), PCM-16 WAV, and JPEG (jpeg_py: Huffman + IDCT,
+4:4:4/4:2:2/4:2:0, restart markers, baseline AND progressive SOF2 —
+r6); the remaining PIL-only formats
+(arithmetic-coded JPEG, PNG gray+alpha, compressed BMP/TIFF, WebP)
 raise ``DecodeNotAvailable`` loudly, with a deterministic-fake
 feature fallback so the pipeline shape can be exercised end to end.
 

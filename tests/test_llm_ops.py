@@ -120,15 +120,16 @@ def test_multimodal_pipeline(spark):
 def test_decode_stub_raises(spark):
     import pytest
 
-    # PIL-dependent formats still raise; stdlib BMP/PNG/WAV/JPEG do not.
-    # Progressive JPEG (SOF2) is the loud non-baseline guard:
+    # PIL-dependent formats still raise; stdlib BMP/PNG/WAV/JPEG do
+    # not. Arithmetic-coded JPEG (SOF9) is the loud non-baseline guard
+    # (progressive SOF2 decodes natively as of r6):
     import struct as _st
 
-    sof2 = _st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    prog = (b"\xff\xd8" + b"\xff\xc2" + _st.pack(">H", len(sof2) + 2) + sof2
-            + b"\xff\xd9")
-    with pytest.raises(NotImplementedError, match="progressive"):
-        M.decode_image(prog)
+    sof9 = _st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    arith = (b"\xff\xd8" + b"\xff\xc9" + _st.pack(">H", len(sof9) + 2) + sof9
+             + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        M.decode_image(arith)
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"ID3\x03" + b"\x00" * 64)
     # gray+alpha (color_type 4) PNG: valid signature, the one color
@@ -1087,3 +1088,58 @@ def test_png_widened_matrix_palette_subbyte_16bit_adam7():
     )
     with _pytest.raises(DecodeNotAvailable, match="gray"):
         decode_png(ga)
+
+
+def test_jpeg_progressive_decodes_bit_identical_to_baseline():
+    """r6: progressive (SOF2) decode — DC first/refinement, AC spectral
+    bands with successive approximation, EOB runs, buffered correction
+    bits — accumulates to EXACTLY the coefficients the baseline stream
+    carries, so pixels match the baseline decode bit for bit, across
+    subsampling modes and non-multiple-of-8 dimensions (partial MCUs +
+    the used-vs-padded block grid distinction)."""
+    import numpy as np
+
+    from konohadataplatform_spark.operators import jpeg_py as J
+
+    rng = np.random.RandomState(7)
+    for (w, h) in ((19, 13), (8, 8), (33, 9)):
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        for sub in ("444", "422", "420"):
+            base = J.decode_jpeg(J.encode_jpeg(w, h, rgb, subsampling=sub))
+            prog = J.decode_jpeg(
+                J.encode_jpeg_progressive(w, h, rgb, subsampling=sub)
+            )
+            assert prog["width"] == w and prog["height"] == h
+            assert prog["pixels"] == base["pixels"], (w, h, sub)
+
+
+def test_jpeg_progressive_via_decode_image_dispatch():
+    """The multimodal dispatcher routes progressive JPEGs through the
+    same decode path (SOF2 is no longer a DecodeNotAvailable)."""
+    import numpy as np
+
+    from konohadataplatform_spark.operators import jpeg_py as J
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(10, 12, 3), dtype=np.uint8).tobytes()
+    out = M.decode_image(J.encode_jpeg_progressive(12, 10, rgb))
+    assert (out["width"], out["height"], out["channels"]) == (12, 10, 3)
+
+
+def test_jpeg_progressive_gradient_quality():
+    """Sanity beyond self-consistency: a smooth gradient survives the
+    progressive round trip within DCT rounding error (identity quant),
+    i.e. the scan script actually carries ALL the spectral content."""
+    import numpy as np
+
+    from konohadataplatform_spark.operators import jpeg_py as J
+
+    w, h = 24, 16
+    rgb = bytes(
+        int(255 * ((x / (w - 1)) * 0.5 + (y / (h - 1)) * 0.5))
+        for y in range(h) for x in range(w) for _c in range(3)
+    )
+    out = J.decode_jpeg(J.encode_jpeg_progressive(w, h, rgb))
+    a = np.frombuffer(rgb, np.uint8).astype(int)
+    b = np.frombuffer(out["pixels"], np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 3  # DCT float rounding only
