@@ -375,9 +375,10 @@ def _decode_block(reader, dc_table, ac_table, pred, cid) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _alloc_coeffs(frame):
-    """Per-component int32 coefficient grids (zigzag order), sized to
-    the MCU-padded block grid so interleaved and non-interleaved scans
-    index the same storage."""
+    """Per-component int32 coefficient grids (zigzag order; T.81
+    coefficients plus successive-approximation headroom fit easily),
+    sized to the MCU-padded block grid so interleaved and
+    non-interleaved scans index the same storage."""
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -385,7 +386,7 @@ def _alloc_coeffs(frame):
     mcuy = -(-frame["h"] // (8 * vmax))
     frame["mcux"], frame["mcuy"] = mcux, mcuy
     return {
-        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
         for c in comps
     }
 
@@ -700,6 +701,41 @@ def _dqt_segment(tq: int, q: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
+def _ycc_planes(width, height, rgb, subsampling):
+    """RGB bytes -> padded (Y, Cb, Cr) planes + (sh, sv) sampling
+    factors — the ONE color-transform/subsample/pad pipeline shared by
+    the baseline and progressive encoders (the progressive test
+    suite's bit-identity contract depends on there being exactly one)."""
+    px = np.frombuffer(rgb, np.uint8).reshape(height, width, 3).astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    sh, sv = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+
+    def pad(plane, mh, mv):
+        ph = -(-plane.shape[0] // mv) * mv
+        pw = -(-plane.shape[1] // mh) * mh
+        return np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+
+    y = pad(y, 8 * sh, 8 * sv)
+    cbs, crs = cb, cr
+    if (sh, sv) != (1, 1):
+
+        def box_mean(plane):
+            p = pad(plane, sh, sv)
+            return p.reshape(
+                p.shape[0] // sv, sv, p.shape[1] // sh, sh
+            ).mean(axis=(1, 3))
+
+        cbs, crs = box_mean(cb), box_mean(cr)
+    return y, pad(cbs, 8, 8), pad(crs, 8, 8), sh, sv
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -715,30 +751,8 @@ def encode_jpeg(
         raise ValueError(f"unsupported subsampling {subsampling}")
     ql = np.ones((8, 8)) if quant_luma is None else np.asarray(quant_luma, float)
     qc = np.ones((8, 8)) if quant_chroma is None else np.asarray(quant_chroma, float)
-    px = np.frombuffer(rgb, np.uint8).reshape(height, width, 3).astype(np.float64)
-    r, g, b = px[..., 0], px[..., 1], px[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    sh, sv = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+    y, cbs, crs, sh, sv = _ycc_planes(width, height, rgb, subsampling)
     hmax, vmax = sh, sv
-
-    def pad(plane, mh, mv):
-        ph = -(-plane.shape[0] // mv) * mv
-        pw = -(-plane.shape[1] // mh) * mh
-        return np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge")
-
-    y = pad(y, 8 * hmax, 8 * vmax)
-    cbs, crs = cb, cr
-    if (sh, sv) != (1, 1):
-
-        def box_mean(plane):
-            p = pad(plane, sh, sv)
-            return p.reshape(p.shape[0] // sv, sv, p.shape[1] // sh, sh).mean(axis=(1, 3))
-
-        cbs, crs = box_mean(cb), box_mean(cr)
-    cbs = pad(cbs, 8, 8)
-    crs = pad(crs, 8, 8)
 
     mcux = y.shape[1] // (8 * hmax)
     mcuy = y.shape[0] // (8 * vmax)
@@ -844,36 +858,10 @@ PROG_AC = (
 
 
 def _quantized_coeff_blocks(width, height, rgb, subsampling):
-    """Identity-quant zigzag coefficient grids per component — the same
-    color transform / subsample / pad / FDCT pipeline as encode_jpeg."""
-    px = np.frombuffer(rgb, np.uint8).reshape(height, width, 3).astype(np.float64)
-    r, g, b = px[..., 0], px[..., 1], px[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    sh, sv = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
-
-    def pad(plane, mh, mv):
-        ph = -(-plane.shape[0] // mv) * mv
-        pw = -(-plane.shape[1] // mh) * mh
-        return np.pad(
-            plane,
-            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
-            mode="edge",
-        )
-
-    y = pad(y, 8 * sh, 8 * sv)
-    cbs, crs = cb, cr
-    if (sh, sv) != (1, 1):
-
-        def box_mean(plane):
-            p = pad(plane, sh, sv)
-            return p.reshape(
-                p.shape[0] // sv, sv, p.shape[1] // sh, sh
-            ).mean(axis=(1, 3))
-
-        cbs, crs = box_mean(cb), box_mean(cr)
-    cbs, crs = pad(cbs, 8, 8), pad(crs, 8, 8)
+    """Identity-quant zigzag coefficient grids per component, via the
+    shared ``_ycc_planes`` pipeline (same planes as encode_jpeg by
+    construction)."""
+    y, cbs, crs, sh, sv = _ycc_planes(width, height, rgb, subsampling)
     comps = [
         {"id": 1, "h": sh, "v": sv, "tq": 0},
         {"id": 2, "h": 1, "v": 1, "tq": 0},
@@ -882,7 +870,7 @@ def _quantized_coeff_blocks(width, height, rgb, subsampling):
     grids = {}
     for cid, plane in ((1, y), (2, cbs), (3, crs)):
         bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
-        grid = np.zeros((bh, bw_, 64), dtype=np.int64)
+        grid = np.zeros((bh, bw_, 64), dtype=np.int32)
         for by in range(bh):
             for bx in range(bw_):
                 block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
@@ -1090,14 +1078,11 @@ def encode_jpeg_progressive(
 
     # non-interleaved AC scans cover only the USED block grid (spec
     # A.2.2 ceil dims), never the MCU-padding blocks the interleaved DC
-    # scan carries
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
+    # scan carries — same helper the decoder uses, so encoder and
+    # decoder block counts cannot diverge
+    frame_like = {"w": width, "h": height, "comps": comps}
     used = {
-        c["id"]: (
-            -(-(-(-height * c["v"] // vmax)) // 8),
-            -(-(-(-width * c["h"] // hmax)) // 8),
-        )
+        c["id"]: tuple(reversed(_comp_used_blocks(frame_like, c)))
         for c in comps
     }
     all_dc = [(c["id"], 0, 0) for c in comps]

@@ -220,10 +220,11 @@ def decode_tiff(content: bytes) -> dict:
 
 def decode_image(content: bytes) -> dict:
     """Decode an image natively: uncompressed 24-bit BMP (stdlib
-    struct; Windows BITMAPINFOHEADER layout), non-interlaced 8-bit PNG
-    (stdlib zlib + filter reconstruction), or baseline JPEG (jpeg_py
-    Huffman+IDCT). Returns width/height/bpp and the raw pixel bytes as
-    top-down rows. Remaining formats (progressive JPEG/palette PNG/
+    struct; Windows BITMAPINFOHEADER layout), PNG (stdlib zlib +
+    filter reconstruction: gray/RGB/RGBA/palette, 1-16 bit, Adam7 —
+    r6), or JPEG (jpeg_py Huffman+IDCT, baseline + progressive SOF2 —
+    r6). Returns width/height/bpp and the raw pixel bytes as top-down
+    rows. Remaining formats (arithmetic-coded JPEG / PNG gray+alpha /
     compressed BMP) need PIL/opencv -> DecodeNotAvailable."""
     if content[:8] == PNG_SIG:
         return decode_png(content)
@@ -255,10 +256,11 @@ def decode_image(content: bytes) -> dict:
         return decode_tiff(content)
     if len(content) < 54 or content[:2] != b"BM":
         raise DecodeNotAvailable(
-            "only baseline JPEG, uncompressed 24-bit BMP, 8-bit "
-            "non-interlaced PNG, GIF, and uncompressed baseline TIFF "
-            "decode natively; other image formats require PIL/opencv, "
-            "not available in this environment"
+            "only JPEG (baseline + progressive), uncompressed 24-bit "
+            "BMP, PNG (gray/RGB/RGBA/palette, 1-16 bit, Adam7), GIF, "
+            "and uncompressed baseline TIFF decode natively; other "
+            "image formats require PIL/opencv, not available in this "
+            "environment"
         )
     offset = struct.unpack_from("<I", content, 10)[0]
     _, width, height, _, bpp, compression = struct.unpack_from(
@@ -373,6 +375,11 @@ def decode_png(content: bytes) -> dict:
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
+    if trns is not None and color_type in (0, 2):
+        raise DecodeNotAvailable(
+            "PNG tRNS transparency on gray/RGB (transparent-color key) "
+            "requires PIL; palette tRNS decodes natively"
+        )
     if depth != 8 or color_type == 3 or interlace:
         return _decode_png_general(
             width, height, depth, color_type, interlace,
@@ -383,41 +390,13 @@ def decode_png(content: bytes) -> dict:
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data length mismatch")
-    out = bytearray()
-    prev = bytearray(stride)
-    rpos = 0
-    for _r in range(height):
-        f = raw[rpos]
-        line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
-        rpos += 1 + stride
-        if f == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pr) & 0xFF
-        elif f != 0:
-            raise ValueError(f"bad PNG filter type {f}")
-        out += line
-        prev = line
+    out, _consumed = _png_unfilter(raw, height, stride, channels)
     return {
         "width": width,
         "height": height,
         "bpp": 8 * channels,
         "channels": channels,
+        "bit_depth": 8,
         "pixels": bytes(out),
     }
 
@@ -429,11 +408,13 @@ _ADAM7 = [
 ]
 
 
-def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> tuple[bytes, int]:
     """Reverse the per-scanline filters over packed bytes. ``bpp`` is
     the filter distance in BYTES (max(1, channels*depth//8)) — the spec
     defines Sub/Average/Paeth at byte granularity even for sub-byte
-    depths."""
+    depths. Returns (unfiltered bytes, bytes consumed)."""
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
     out = bytearray()
     prev = bytearray(stride)
     rpos = 0
@@ -512,8 +493,7 @@ def _decode_png_general(
             continue
         stride = (pw * channels * depth + 7) // 8
         bpp = max(1, (channels * depth) // 8)
-        chunk = raw[pos:]
-        unfiltered, consumed = _png_unfilter(chunk, ph, stride, bpp)
+        unfiltered, consumed = _png_unfilter(raw[pos:], ph, stride, bpp)
         pos += consumed
         for j in range(ph):
             row = unfiltered[j * stride : (j + 1) * stride]
@@ -523,6 +503,8 @@ def _decode_png_general(
                 x = x0 + i * dx
                 for c in range(channels):
                     img[y][x * channels + c] = samples[i * channels + c]
+    if pos != len(raw):
+        raise ValueError("PNG scanline data length mismatch")
     # sample -> 8-bit channel values
     out = bytearray()
     if color_type == 3:

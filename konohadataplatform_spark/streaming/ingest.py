@@ -258,8 +258,16 @@ class DocIngestPipeline:
                 if self.maintain_every and batch_id % self.maintain_every == 0:
                     for t in (self.name, self.digests_table,
                               self.index_table, self.rejects_table):
-                        if self.catalog.exists(t):
-                            self.catalog.maintain(t)
+                        try:
+                            if self.catalog.exists(t):
+                                self.catalog.maintain(t)
+                        except Exception:
+                            # best-effort chore: the batch is already
+                            # committed + marked — a transient
+                            # compaction failure must not abort the
+                            # stream (it retries at the next interval,
+                            # and maintain() is threshold-gated anyway)
+                            continue
         finally:
             # release per-batch caches even when a commit fails — a
             # stream retrying failed batches must not accumulate cached
