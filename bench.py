@@ -120,14 +120,14 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
 
     def med(sub: list[str]) -> dict[str, float]:
-        return {n: round(statistics.median(samples[n]), 4) for n in sub}
+        return {n: round(statistics.median(samples[n]), 2) for n in sub}
 
     timings, ext_timings = med(names), med(ext_names)
     stddev = {
         n: round(statistics.pstdev(ts), 4) if len(ts) > 1 else 0.0
         for n, ts in samples.items()
     }
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 2)
     # host-speed calibration: raw numbers stay the headline contract;
     # `normalized` = seconds per calibration-second, comparable across
     # rounds even when the host is 10-20% slower/faster than last time
@@ -136,6 +136,26 @@ def main() -> None:
         n: round(t / cal, 4)
         for n, t in {**timings, **ext_timings}.items()
     }
+    # The driver captures only the TAIL of stdout — r6's line grew past
+    # that window (`BENCH_r06.json parsed: null`) because per-query
+    # stddev + normalized detail pushed it to ~3 KB.  The printed line is
+    # now the compact contract (2-decimal medians, totals, calibration);
+    # full-precision detail goes to BENCH_DETAIL.json alongside.
+    detail = {
+        "extended": ext_timings,
+        "stddev": stddev,
+        "normalized": norm,
+        "calibration_job": "median-of-3 sum(xxhash64(range(2B)))/32splits",
+        "medians_4dp": {
+            n: round(statistics.median(samples[n]), 4)
+            for n in names + ext_names
+        },
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as fh:
+        json.dump(detail, fh, indent=1)
     print(
         json.dumps(
             {
@@ -143,15 +163,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "extended": ext_timings,
-                "extended_total": round(sum(ext_timings.values()), 4),
-                "stddev": stddev,
+                "extended_total": round(sum(ext_timings.values()), 2),
                 "runs": runs,
                 "sf": sf,
                 "calibration_sec": round(cal, 4),
-                "calibration_job": "median-of-3 sum(xxhash64(range(2B)))/32splits",
-                "normalized": norm,
-                "normalized_total": round(total / cal, 4),
+                "normalized_total": round(total / cal, 2),
             }
         )
     )

@@ -17,11 +17,21 @@ protocol spec — hand-rolled, no thrift compiler or runtime dep):
   (beeline's default: START/OK negotiation, then 4-byte-framed
   payloads; credentials accepted, not verified — a dev endpoint like
   pgwire's trust auth)
-- OpenSession / CloseSession (negotiates protocol version <= V10)
-- ExecuteStatement (sync + async — async ops report FINISHED
-  immediately; the engine call runs inline, exactly like Kyuubi's
-  sync-over-async for short statements)
-- GetOperationStatus / CancelOperation / CloseOperation
+- OpenSession / CloseSession (negotiates protocol version <= V10;
+  the reply carries the ``configuration`` map — optional in the IDL
+  but dereferenced unconditionally by the real Hive JDBC driver
+  (HiveConnection.openSession reads the default fetch size from it),
+  so omitting it NPEs every beeline connect)
+- ExecuteStatement: sync, and TRUE async (``runAsync=true``, what the
+  Hive JDBC driver always sends): the plan is compiled inline (so the
+  response's ``hasResultSet`` and the result schema are real), the
+  collect runs on a daemon thread under a per-operation Spark job
+  group; GetOperationStatus reports RUNNING→FINISHED/ERROR/CANCELED
+  and CancelOperation interrupts mid-flight via
+  ``sparkContext.cancelJobGroup``
+- GetOperationStatus (real per-handle state + error detail + a
+  TProgressUpdateResp stub when the client asks for in-place
+  progress) / CancelOperation / CloseOperation
 - GetResultSetMetadata (TTableSchema with real TTypeId mapping,
   DECIMAL with precision/scale qualifiers)
 - FetchResults (**columnar** TRowSet — protocol >= V6 — with per-column
@@ -49,6 +59,10 @@ import uuid
 
 DEFAULT_LIMIT = 10_000
 DEFAULT_PORT = 10009  # the reference's Kyuubi frontend port
+
+# TOperationState (TCLIService.thrift)
+OP_INITIALIZED, OP_RUNNING, OP_FINISHED = 0, 1, 2
+OP_CANCELED, OP_CLOSED, OP_ERROR = 3, 4, 5
 
 # ---- Thrift binary protocol (generic) -------------------------------------
 
@@ -443,19 +457,43 @@ class Hs2Server:
         self._thread: threading.Thread | None = None
 
     # -- operation factory --------------------------------------------------
-    def _new_op(self, dtypes, rows, session: bytes = b"") -> bytes:
+    def _new_op(self, dtypes, rows, session: bytes = b"",
+                state: int = OP_FINISHED) -> bytes:
         guid = uuid.uuid4().bytes
+        done = threading.Event()
+        if state == OP_FINISHED:
+            done.set()
         with self._lock:
             self._ops[guid] = {"dtypes": dtypes, "rows": rows, "cursor": 0,
-                               "session": session}
+                               "session": session, "state": state,
+                               "error": None, "done": done}
         return guid
 
-    def _run_statement(self, sql: str, session: bytes = b"") -> bytes:
-        df = self.engine.sql(sql)
-        if df is None or not df.columns:
-            return self._new_op([], [], session)
-        rows = [tuple(r) for r in df.limit(self.limit + 1).collect()]
-        return self._new_op(list(df.dtypes), rows[: self.limit], session)
+    def _collect_into(self, guid: bytes, df) -> None:
+        """Materialize a statement's (limit-capped) rows into its
+        operation slot. Runs inline for sync statements and on a daemon
+        thread for ``runAsync`` ones; either way the Spark jobs carry a
+        per-operation job group so CancelOperation can interrupt them
+        (``cancelJobGroup`` is the one cancellation primitive that
+        reaches already-scheduled tasks on a real cluster)."""
+        op = self._ops.get(guid)
+        if op is None:  # closed before the thread got scheduled
+            return
+        sc = self.engine.spark.sparkContext
+        try:
+            sc.setJobGroup(guid.hex(), "hs2 statement", interruptOnCancel=True)
+            rows = [tuple(r) for r in df.limit(self.limit + 1).collect()]
+            with self._lock:
+                if op["state"] == OP_RUNNING:
+                    op["rows"] = rows[: self.limit]
+                    op["state"] = OP_FINISHED
+        except Exception as exc:
+            with self._lock:
+                if op["state"] == OP_RUNNING:  # a cancel stays CANCELED
+                    op["state"] = OP_ERROR
+                    op["error"] = f"{type(exc).__name__}: {exc}"
+        finally:
+            op["done"].set()
 
     def _reap_session(self, guid: bytes) -> None:
         """Drop a session and every operation it owns — called from
@@ -486,7 +524,15 @@ class Hs2Server:
                 self._sessions[guid] = {"protocol": proto}
             if conn_sessions is not None:
                 conn_sessions.append(guid)
-            return {1: _status_ok(), 2: (T_I32, proto), 3: _handle(guid)}
+            # field 4 (configuration) is optional in the IDL but the
+            # real Hive JDBC driver (hive-jdbc 2.3.x, HIVE-14901) calls
+            # resp.getConfiguration().get(...) unconditionally — omit it
+            # and every beeline connect dies with an NPE at OpenSession
+            conf = {
+                "hive.server2.thrift.resultset.default.fetch.size": "1000",
+            }
+            return {1: _status_ok(), 2: (T_I32, proto), 3: _handle(guid),
+                    4: (T_MAP, (T_STRING, T_STRING, conf))}
 
         if name == "CloseSession":
             guid = _guid_of(args[1][1][1])
@@ -499,17 +545,78 @@ class Hs2Server:
             req = args[1][1]
             sql = req[2][1].decode("utf-8")
             sguid = _guid_of(req[1])
+            run_async = bool(req.get(4, (T_BOOL, False))[1])
+            # Compile inline even for async: engine.sql() builds the
+            # (lazy) plan and runs DDL side effects, and its result
+            # schema is what makes hasResultSet + GetResultSetMetadata
+            # truthful in the immediate response — exactly the
+            # compile-sync / execute-async split real HS2 performs.
             try:
-                op = self._run_statement(sql, sguid)
+                df = self.engine.sql(sql)
             except Exception as exc:  # surface as TStatus, keep serving
                 return {1: _status_error(f"{type(exc).__name__}: {exc}")}
-            has_rs = bool(self._ops[op]["dtypes"])
-            return {1: _status_ok(), 2: _op_handle(op, has_rs)}
+            if df is None or not df.columns:
+                op = self._new_op([], [], sguid)
+                return {1: _status_ok(), 2: _op_handle(op, False)}
+            op = self._new_op(list(df.dtypes), [], sguid, state=OP_RUNNING)
+            if run_async:
+                threading.Thread(
+                    target=self._collect_into, args=(op, df),
+                    name="konoha-hs2-op", daemon=True,
+                ).start()
+            else:
+                self._collect_into(op, df)
+                st = self._ops[op]
+                if st["state"] == OP_ERROR:
+                    with self._lock:
+                        self._ops.pop(op, None)
+                    return {1: _status_error(st["error"] or "error")}
+            return {1: _status_ok(), 2: _op_handle(op, True)}
 
         if name == "GetOperationStatus":
-            return {1: _status_ok(), 2: (T_I32, 2)}  # FINISHED_STATE
+            req = args[1][1]
+            guid = _guid_of(req[1])
+            op = self._ops.get(guid)
+            if op is None:
+                return {1: _status_error("unknown operation handle")}
+            resp = {1: _status_ok(), 2: (T_I32, op["state"]),
+                    9: (T_BOOL, bool(op["dtypes"]))}
+            if op["state"] == OP_ERROR:
+                resp[3] = (T_STRING, "42000")
+                resp[4] = (T_I32, 1)
+                resp[5] = (T_STRING, op["error"] or "error")
+            if req.get(2, (T_BOOL, False))[1]:
+                # client asked for in-place progress (beeline V10):
+                # an empty NOT_AVAILABLE TProgressUpdateResp keeps its
+                # progress bar code on the no-op path
+                resp[10] = (T_STRUCT, {
+                    1: (T_LIST, (T_STRING, [])),
+                    2: (T_LIST, (T_LIST, [])),
+                    3: (T_DOUBLE, 0.0),
+                    4: (T_I32, 2),  # TJobExecutionStatus.NOT_AVAILABLE
+                    5: (T_STRING, ""),
+                    6: (T_I64, 0),
+                })
+            return resp
 
-        if name in ("CancelOperation", "CloseOperation"):
+        if name == "CancelOperation":
+            guid = _guid_of(args[1][1][1])
+            op = self._ops.get(guid)
+            if op is not None:
+                with self._lock:
+                    was_running = op["state"] == OP_RUNNING
+                    if was_running:
+                        op["state"] = OP_CANCELED
+                if was_running:
+                    try:
+                        self.engine.spark.sparkContext.cancelJobGroup(
+                            guid.hex())
+                    except Exception:
+                        pass  # group may have no live jobs yet
+                    op["done"].set()  # unblock any fetcher immediately
+            return {1: _status_ok()}
+
+        if name == "CloseOperation":
             guid = _guid_of(args[1][1][1])
             with self._lock:
                 self._ops.pop(guid, None)
@@ -532,6 +639,13 @@ class Hs2Server:
             if fetch_type != 0:  # log fetch: empty rowset
                 return {1: _status_ok(), 2: (T_BOOL, False),
                         3: _row_set(op["dtypes"], [], 0)}
+            # a well-behaved JDBC client polls GetOperationStatus to
+            # FINISHED before fetching; block here for the rest
+            op["done"].wait()
+            if op["state"] == OP_CANCELED:
+                return {1: _status_error("operation canceled")}
+            if op["state"] == OP_ERROR:
+                return {1: _status_error(op["error"] or "error")}
             max_rows = req.get(3, (T_I64, 1000))[1] or 1000
             start = op["cursor"]
             page = op["rows"][start:start + max_rows]
@@ -651,8 +765,11 @@ class Hs2Server:
                      2: (T_I32, 6)},
                 )
             transport.write_message(reply)
-            if name == "CloseSession":
-                return
+            # NOTE: the loop keeps serving after CloseSession — thrift
+            # allows multiple concurrent sessions per transport (real
+            # HiveServer2/Kyuubi keep the connection open); only
+            # EOF/reset ends the connection, and _serve_conn's finally
+            # reaps whatever sessions are still tracked at that point.
 
     def start(self) -> "Hs2Server":
         outer = self
@@ -791,6 +908,33 @@ class Hs2Client:
                 break
         self.call("CloseOperation", {1: (T_STRUCT, {1: op})})
         return names, rows
+
+    # -- async surface (the call sequence the real Hive JDBC driver
+    # -- performs: runAsync=true, poll GetOperationStatus, then fetch) --
+    def execute_async(self, sql: str):
+        """Submit with runAsync=true; returns the operation handle."""
+        resp = self.call("ExecuteStatement", {1: (T_STRUCT, {
+            1: self.session,
+            2: (T_STRING, sql),
+            4: (T_BOOL, True),
+        })})
+        self._check(resp)
+        return resp[2]
+
+    def op_status(self, op, progress: bool = False) -> int:
+        """TOperationState of an operation (0=INIT 1=RUNNING 2=FINISHED
+        3=CANCELED 5=ERROR); raises on ERROR detail like JDBC does."""
+        resp = self.call("GetOperationStatus", {1: (T_STRUCT, {
+            1: op, 2: (T_BOOL, progress),
+        })})
+        self._check(resp)
+        return resp[2][1]
+
+    def cancel(self, op) -> None:
+        self._check(self.call("CancelOperation", {1: (T_STRUCT, {1: op})}))
+
+    def close_operation(self, op) -> None:
+        self._check(self.call("CloseOperation", {1: (T_STRUCT, {1: op})}))
 
     def close(self) -> None:
         if self.session is not None:
