@@ -733,6 +733,50 @@ class SnapshotCatalog:
             partition_by=prev.partition_by,
         )
 
+    def append_rows(self, name: str, source: DataFrame) -> Snapshot:
+        """Append-only commit: O(|source|) write with ZERO read-side
+        folds — the insert-only counterpart to :meth:`upsert_by_keys`.
+
+        For state that only ever gains rows (streaming-ingest digest
+        sets and dedup-index entries), an upsert layer per micro-batch
+        would make every read fold #batches anti-joins over the corpus
+        — a per-batch O(corpus × layers) cost. Here the previous base
+        files are carried forward by hardlink and the new rows land as
+        additional plain part files in the SAME snapshot directory, so
+        ``read()`` stays a flat parquet scan no matter how many batches
+        have appended; time travel and snapshot history still work.
+
+        Refuses tables carrying MOR layers, pending deletes, partition
+        specs, or schema-evolution metadata — append-only and keyed
+        fold semantics don't mix; ``compact()`` first.
+        """
+        prev = self.current_snapshot(name)
+        if prev is None:
+            return self._commit(name, source, "append", None)
+        if (prev.upsert_layers or prev.delete_path or prev.renames
+                or prev.dropped or prev.partition_by):
+            raise ValueError(
+                f"{name}: append_rows requires a plain un-partitioned "
+                "base (no pending upsert/delete layers, no schema-"
+                "evolution metadata) — compact() first"
+            )
+        version, snap_dir = self._new_snapshot_dir(name, prev.version + 1)
+        _link_tree(prev.path, snap_dir)
+        # the linked footer-stats cache predates the appended files —
+        # drop it so manifest pruning can't silently skip them; it
+        # rebuilds lazily on the next scan()
+        stale_stats = os.path.join(snap_dir, "_stats.json")
+        if os.path.exists(stale_stats):
+            os.remove(stale_stats)
+        self._write_options(name, source.write.mode("append")).parquet(snap_dir)
+        return self._register_snapshot(
+            name,
+            version,
+            snap_dir,
+            "append",
+            row_count=_footer_row_count(snap_dir),
+        )
+
     def upsert_by_keys(
         self, name: str, source: DataFrame, key_cols: list[str]
     ) -> Snapshot:

@@ -557,10 +557,18 @@ def minhash_index(
     drive LSH candidate generation, the hashed shingle sets drive
     exact verification. Both are O(tokens) longs — the raw text never
     needs to be re-read for dedup.
+
+    One projection, ZERO joins: sig derives from the shingles column
+    in the same select (a sets-vs-sigs self-join here would cost two
+    sid exchanges + a sort-merge join per micro-batch for rows that
+    were never apart).
     """
     sets = hashed_shingle_sets(_spread(df), text_col, id_col, n)
-    sigs = minhash_signatures(sets, num_perm)
-    return sets.join(sigs, "sid")
+    sig = F.expr(
+        f"transform(sequence(0L, {num_perm - 1}L), "
+        "i -> array_min(transform(shingles, s -> xxhash64(i, s))))"
+    )
+    return sets.select("sid", "shingles", sig.alias("sig"))
 
 
 def incremental_minhash_dedup(
@@ -576,11 +584,15 @@ def incremental_minhash_dedup(
 
     Candidate generation joins the new batch's band buckets against
     (corpus ∪ new) buckets — the shuffle is keyed on (band, bucket),
-    and only bucket-colliding corpus rows flow into verification. With
-    the corpus index stored bucketed on the band hash (write_bucketed),
-    the big side of this join never reshuffles between batches. Commit
-    the accepted new rows' index entries back to the catalog to make
-    the pipeline incremental end to end.
+    and only bucket-colliding corpus rows flow into verification.
+
+    NOTE: this one-shot form re-explodes the FULL corpus index per
+    call (bands× row blow-up) and shuffles it — fine for occasional
+    batch jobs over a static corpus, WRONG inside a micro-batch loop.
+    A streaming pipeline must persist the exploded buckets once and
+    use :func:`prebucketed_candidates` + :func:`verify_jaccard`
+    instead (see streaming/ingest.py), where the corpus side is a
+    scan + broadcast probe with no explode and no Exchange.
 
     Returns (a_id, b_id, jaccard), exact precision after verification.
     """
@@ -601,3 +613,84 @@ def incremental_minhash_dedup(
         .distinct()
     )
     return verify_jaccard(cands, all_index.select("sid", "shingles"), threshold)
+
+
+def band_bucket_keys(
+    index: DataFrame, bands: int = 16, num_perm: int = 64
+) -> DataFrame:
+    """(bkey, sid) rows from a (sid, shingles, sig) index — the
+    PERSISTABLE exploded form of :func:`_band_buckets`.
+
+    The band id is folded into the bucket hash (``xxhash64(band,
+    band_hash)``) so downstream joins have ONE long equi-key instead of
+    a compound (band, bucket) pair: a corpus-side store is then two
+    longs per row — 16 bytes × bands per document, cheap enough to keep
+    materialized forever — and every probe is a single-key hash join.
+    Cross-band collisions need an xxhash64 collision and are washed out
+    by exact-Jaccard verification anyway.
+    """
+    rows_per_band = num_perm // bands
+    return index.select(
+        "sid",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> xxhash64(b, xxhash64(slice("
+                f"sig, b * {rows_per_band} + 1, {rows_per_band}))))"
+            )
+        ).alias("bkey"),
+    )
+
+
+def prebucketed_candidates(
+    corpus_buckets: DataFrame,
+    new_index: DataFrame,
+    bands: int = 16,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Near-dup CANDIDATE pairs for a new batch against a persisted,
+    pre-exploded (bkey, sid) bucket store — the incremental-ingest
+    fast path.
+
+    Scale contract (the reason this exists): the corpus side is
+    **scan + broadcast-hash probe only** — no explode (the banding was
+    materialized once, at append time) and no Exchange (the batch's
+    bucket keys are broadcast, so corpus rows never shuffle). Per
+    micro-batch the corpus cost is one columnar scan of two long
+    columns; everything downstream (pair distinct, verification) is
+    sized by collisions, not by the corpus. Duplicate (bkey, sid) rows
+    in the store (checkpoint-replay re-appends) are harmless: the
+    ``distinct()`` collapses the duplicated pairs.
+
+    The batch side rides a broadcast, so this assumes micro-batches
+    are bounded (a 10k-doc batch × 16 bands is ~2.5 MB broadcast); for
+    unbounded backfills run the one-shot ``minhash_dedup`` instead.
+
+    Returns (a_id, b_id) UNVERIFIED pairs (a_id < b_id) covering both
+    new-vs-corpus and new-vs-new; feed them to :func:`verify_jaccard`.
+    """
+    nb = band_bucket_keys(new_index, bands, num_perm)
+    vs_corpus = (
+        corpus_buckets.alias("c")
+        .join(
+            F.broadcast(nb.alias("n")),
+            (F.col("c.bkey") == F.col("n.bkey"))
+            & (F.col("c.sid") != F.col("n.sid")),
+        )
+        .select(
+            F.least(F.col("c.sid"), F.col("n.sid")).alias("a_id"),
+            F.greatest(F.col("c.sid"), F.col("n.sid")).alias("b_id"),
+        )
+    )
+    vs_new = (
+        nb.alias("a")
+        .join(
+            # both sides are the (bounded) batch — broadcasting one
+            # keeps the in-batch self-join shuffle-free too
+            F.broadcast(nb.alias("b")),
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
+    )
+    return vs_corpus.unionByName(vs_new).distinct()

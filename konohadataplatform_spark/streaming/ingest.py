@@ -12,22 +12,38 @@ Per micro-batch, in order:
 
 1. **quality gate** — ``operators.text.quality_score`` threshold
    (zero-shuffle codegen expressions).
-2. **exact dedup** — in-batch keep-lowest-id per md5 digest, then an
-   anti-join against the persisted digest table (16-byte digests; the
-   corpus' text is never re-read).
-3. **near-dup gate** — ``operators.dedup.incremental_minhash_dedup``
-   against the persisted (shingles, signature) index: candidates are
-   band-bucket collisions, verification is exact Jaccard; cost per
-   batch is O(|batch| + collisions), independent of corpus size.
-4. **commits** — accepted docs, their digests, and their index entries
-   land as O(|batch|) merge-on-read upserts; rejected docs land in
-   ``{name}__rejects`` with a reason (the DLQ analog: inspectable, and
-   re-ingestable after a threshold change).
+2. **exact dedup** — in-batch keep-lowest-id per md5 digest, then a
+   TWO-PHASE BROADCAST probe of the persisted digest table: the
+   batch's digests broadcast into an inner join against the corpus
+   digest scan (corpus side never shuffles), and only the handful of
+   matches broadcast back onto the batch. The corpus' text is never
+   re-read.
+3. **near-dup gate** — ``operators.dedup.prebucketed_candidates``
+   against the persisted PRE-EXPLODED (bkey, sid) bucket store:
+   banding was materialized once at append time, so per batch the
+   corpus side is one columnar scan of two long columns probed by a
+   broadcast of the batch's bucket keys — no corpus explode, no
+   corpus Exchange. Verification is exact Jaccard over just the
+   colliding sids (sid-pruned read of the (sid, shingles) index, not
+   a full-index join). The scan is the only corpus-sized term; all
+   shuffles are sized by |batch| + collisions.
+4. **commits** — accepted docs upsert into the corpus (MOR, keyed);
+   digests, index entries, and bucket rows are INSERT-ONLY state and
+   land via ``catalog.append_rows`` — O(|batch|) writes that keep
+   reads flat scans (an upsert layer per micro-batch would make every
+   read fold #batches anti-joins). Rejected docs land in
+   ``{name}__rejects`` with a reason (the DLQ analog: inspectable,
+   and re-ingestable after a threshold change).
 
 State tables: ``{name}`` (accepted corpus), ``{name}__digests``
-(text_hash -> doc_id), ``{name}__dedupidx`` (sid, shingles, sig),
-``{name}__rejects`` (doc_id, reason). Batch-id high-water marking makes
-checkpoint replay idempotent (same contract as ``apply_cdc_batch``).
+(text_hash -> doc_id, append-only), ``{name}__dedupidx``
+(sid, shingles, sig, append-only), ``{name}__dedupbuckets``
+(bkey, sid, append-only, pre-exploded), ``{name}__rejects``
+(doc_id, reason). Batch-id high-water marking makes checkpoint replay
+idempotent (same contract as ``apply_cdc_batch``); a crash between
+the appends and the batch marker can re-append rows on replay, which
+every reader here tolerates (digest owner = min(doc_id) per digest,
+candidate pairs are distinct'd, index rows are only read sid-pruned).
 """
 
 from __future__ import annotations
@@ -58,6 +74,11 @@ DOC_SCHEMA = T.StructType(
 
 class DocIngestPipeline:
     """Curated streaming ingest into a catalog-backed corpus."""
+
+    # colliding-corpus-sid sets up to this size are collected and
+    # pushed down as an IN filter (row-group pruning on the index
+    # scan); larger sets fall back to a broadcast semi-join
+    SID_COLLECT_CAP = 100_000
 
     def __init__(
         self,
@@ -95,6 +116,10 @@ class DocIngestPipeline:
         return f"{self.name}__dedupidx"
 
     @property
+    def buckets_table(self) -> str:
+        return f"{self.name}__dedupbuckets"
+
+    @property
     def rejects_table(self) -> str:
         return f"{self.name}__rejects"
 
@@ -102,10 +127,12 @@ class DocIngestPipeline:
     def apply_batch(self, docs: DataFrame, batch_id: int | None = None) -> None:
         """Gate + dedup one micro-batch and commit the survivors.
 
-        Every commit is O(|batch|) (merge-on-read upserts); the only
-        reads against corpus state are the digest anti-join (16-byte
-        keys) and the band-bucket candidate join (longs) — document
-        text never leaves the batch.
+        Every commit is O(|batch|) (one MOR upsert for the corpus,
+        append-only part files for digest/index/bucket state). The
+        only corpus-sized work per batch is two columnar SCANS (the
+        digest table's 16-byte keys, the bucket store's two longs) —
+        both probed via broadcast, so no corpus row ever shuffles or
+        explodes, and document text never leaves the batch.
         """
         if batch_id is not None:
             last = last_applied_batch(self.catalog, self.name)
@@ -117,7 +144,7 @@ class DocIngestPipeline:
                 F.col("n_chars"), F.length("text"), F.lit(0)
             ).alias("n_chars"),
         ).cache()
-        firsts = new_index = accepted = drop_ids = None
+        firsts = new_index = accepted = drop_ids = cands = None
         try:
             rejects = []
 
@@ -155,17 +182,30 @@ class DocIngestPipeline:
             )
             firsts = hashed.filter(F.col("_rn") == 1).drop("_rn")
 
-            # 2b. exact dedup vs the persisted digest set. A digest
-            # whose recorded owner IS this doc_id is not a duplicate —
-            # it is this record's own earlier commit (crash between the
+            # 2b. exact dedup vs the persisted digest set, two-phase
+            # broadcast (the big-probe pattern): (i) the batch's
+            # digests broadcast into an inner join against the corpus
+            # digest SCAN — the corpus side never shuffles; (ii) the
+            # (tiny) match set broadcasts back onto the batch as a
+            # left join. min(doc_id) collapses replay-duplicated
+            # append rows to the one true owner. A digest whose
+            # recorded owner IS this doc_id is not a duplicate — it is
+            # this record's own earlier commit (crash between the
             # commits and the batch marker -> checkpoint redelivery);
             # without the owner check, replay would file every
             # already-accepted doc into the DLQ as its own duplicate.
             if self.catalog.exists(self.digests_table):
-                known = self.catalog.read(self.digests_table).select(
-                    "text_hash", F.col("doc_id").alias("_owner")
+                matches = (
+                    self.catalog.read(self.digests_table)
+                    .join(
+                        F.broadcast(firsts.select("text_hash").distinct()),
+                        "text_hash",
+                    )
+                    .groupBy("text_hash")
+                    .agg(F.min("doc_id").alias("_owner"))
                 )
-                joined = firsts.join(known, "text_hash", "left_outer")
+                joined = firsts.join(F.broadcast(matches), "text_hash",
+                                     "left_outer")
                 rejects.append(
                     joined.filter(
                         F.col("_owner").isNotNull()
@@ -178,23 +218,57 @@ class DocIngestPipeline:
                 ).drop("_owner")
             firsts = firsts.cache()
 
-            # 3. near-dup vs the persisted minhash index (+ in-batch)
+            # 3. near-dup vs the persisted PRE-EXPLODED bucket store
+            # (+ in-batch): corpus side = scan + broadcast probe, no
+            # explode, no Exchange (r6's scale-killer was re-banding
+            # the whole corpus index here every micro-batch)
             new_index = D.minhash_index(
                 firsts, "text", "doc_id", self.ngram, self.num_perm
             ).cache()
-            if self.catalog.exists(self.index_table):
-                corpus_index = self.catalog.read(self.index_table)
+            if self.catalog.exists(self.buckets_table):
+                corpus_buckets = self.catalog.read(self.buckets_table)
             else:
-                corpus_index = self.spark.createDataFrame(
-                    [], new_index.schema
+                corpus_buckets = self.spark.createDataFrame(
+                    [], "sid long, bkey long"
                 )
-            pairs = D.incremental_minhash_dedup(
-                corpus_index,
+            cands = D.prebucketed_candidates(
+                corpus_buckets,
                 new_index,
-                threshold=self.jaccard_threshold,
-                num_perm=self.num_perm,
                 bands=self.bands,
+                num_perm=self.num_perm,
+            ).cache()
+            # Exact-Jaccard verification needs shingle sets for exactly
+            # the COLLIDING sids. Batch sids come from the in-memory
+            # new_index; corpus sids are read sid-pruned from the index
+            # table — an IN-list pushdown when the collision set is
+            # small enough to collect (row-group stats prune the scan),
+            # a broadcast semi-join past the cap. Either way the index
+            # is never joined wholesale.
+            pair_sids = (
+                cands.select(F.col("a_id").alias("sid"))
+                .unionByName(cands.select(F.col("b_id").alias("sid")))
+                .distinct()
             )
+            corpus_sids = pair_sids.join(
+                new_index.select("sid"), "sid", "left_anti"
+            )
+            ids = [
+                r.sid
+                for r in corpus_sids.limit(self.SID_COLLECT_CAP + 1).collect()
+            ]
+            sets = new_index.select("sid", "shingles")
+            if ids and self.catalog.exists(self.index_table):
+                idx = self.catalog.read(self.index_table)
+                if len(ids) <= self.SID_COLLECT_CAP:
+                    pruned = idx.filter(F.col("sid").isin(ids))
+                else:
+                    pruned = idx.join(F.broadcast(corpus_sids), "sid")
+                # dropDuplicates: replay-duplicated append rows must
+                # not multiply verified pairs
+                sets = sets.unionByName(
+                    pruned.select("sid", "shingles").dropDuplicates(["sid"])
+                )
+            pairs = D.verify_jaccard(cands, sets, self.jaccard_threshold)
             new_ids = firsts.select(F.col("doc_id").alias("_nid"))
             flagged = (
                 pairs.join(
@@ -232,20 +306,25 @@ class DocIngestPipeline:
                 accepted.select("doc_id", "text", "lang", "source", "n_chars"),
                 ["doc_id"],
             )
-            self.catalog.upsert_by_keys(
+            self.catalog.append_rows(
                 self.digests_table,
                 accepted.select("text_hash", "doc_id"),
-                ["text_hash"],
             )
-            # index entries for EVERY doc that reached the near-dup
-            # stage — including the near-dup-rejected ones. In-batch, a
-            # dropped doc still drops later docs (the keep-lowest-id
-            # chain); storing only accepted entries would make the
-            # outcome depend on micro-batch boundaries (doc C near B
-            # but not A: batch [B,C] drops C, batches [B],[C] would
-            # keep C). Same rationale as build_semantic_index storing
-            # dropped vectors.
-            self.catalog.upsert_by_keys(self.index_table, new_index, ["sid"])
+            # index + bucket entries for EVERY doc that reached the
+            # near-dup stage — including the near-dup-rejected ones.
+            # In-batch, a dropped doc still drops later docs (the
+            # keep-lowest-id chain); storing only accepted entries
+            # would make the outcome depend on micro-batch boundaries
+            # (doc C near B but not A: batch [B,C] drops C, batches
+            # [B],[C] would keep C). Same rationale as
+            # build_semantic_index storing dropped vectors. Appends,
+            # not upserts: insert-only state must not pay a per-batch
+            # MOR layer that every later read folds.
+            self.catalog.append_rows(self.index_table, new_index)
+            self.catalog.append_rows(
+                self.buckets_table,
+                D.band_bucket_keys(new_index, self.bands, self.num_perm),
+            )
             all_rejects = rejects[0]
             for r in rejects[1:]:
                 all_rejects = all_rejects.unionByName(r)
@@ -257,7 +336,8 @@ class DocIngestPipeline:
                 _mark_applied_batch(self.catalog, self.name, batch_id)
                 if self.maintain_every and batch_id % self.maintain_every == 0:
                     for t in (self.name, self.digests_table,
-                              self.index_table, self.rejects_table):
+                              self.index_table, self.buckets_table,
+                              self.rejects_table):
                         try:
                             if self.catalog.exists(t):
                                 self.catalog.maintain(t)
@@ -272,7 +352,7 @@ class DocIngestPipeline:
             # release per-batch caches even when a commit fails — a
             # stream retrying failed batches must not accumulate cached
             # frames (same hygiene as apply_cdc_batch)
-            for frame in (firsts, new_index, accepted, drop_ids):
+            for frame in (firsts, new_index, accepted, drop_ids, cands):
                 if frame is not None:
                     frame.unpersist()
             docs.unpersist()

@@ -1638,3 +1638,47 @@ def test_multiprocess_writers_lossless_linear_chain(spark, tmp_path):
     commits = os.path.join(warehouse, "contended", "commits")
     claims = sorted(os.listdir(commits))
     assert claims == [f"v{v:06d}" for v in versions]
+
+
+# ---------------------------------------------------------------------------
+# r7: append-only commits (streaming-ingest state tables)
+# ---------------------------------------------------------------------------
+def test_append_rows_flat_read_and_time_travel(spark, catalog):
+    """append_rows commits O(|source|) part files into the snapshot dir
+    — reads stay flat scans (no MOR layers to fold) and every append is
+    a time-travelable snapshot."""
+    catalog.append_rows("a", spark.createDataFrame([(1, "x")], "id long, v string"))
+    catalog.append_rows("a", spark.createDataFrame([(2, "y")], "id long, v string"))
+    catalog.append_rows("a", spark.createDataFrame([(3, "z")], "id long, v string"))
+    assert {r.id for r in catalog.read("a").collect()} == {1, 2, 3}
+    # flat scan: no upsert layers registered on any snapshot
+    assert all(not s.upsert_layers for s in catalog.history("a"))
+    # time travel sees the prefix
+    assert {r.id for r in catalog.read("a", version=2).collect()} == {1, 2}
+    # row_count in the snapshot log covers base + appended files
+    assert catalog.current_snapshot("a").row_count == 3
+
+
+def test_append_rows_refuses_mor_state(spark, catalog):
+    """Append-only and keyed-fold semantics don't mix: a table with
+    pending upsert layers must be compacted first."""
+    catalog.write("m", spark.createDataFrame([(1, "x")], "id long, v string"))
+    catalog.upsert_by_keys(
+        "m", spark.createDataFrame([(1, "y")], "id long, v string"), ["id"]
+    )
+    with pytest.raises(ValueError, match="compact"):
+        catalog.append_rows("m", spark.createDataFrame([(2, "z")], "id long, v string"))
+    catalog.compact("m")
+    catalog.append_rows("m", spark.createDataFrame([(2, "z")], "id long, v string"))
+    assert {(r.id, r.v) for r in catalog.read("m").collect()} == {(1, "y"), (2, "z")}
+
+
+def test_append_rows_scan_stats_refresh(spark, catalog):
+    """The hardlinked footer-stats cache predates appended files; a
+    stale cache would let manifest pruning silently skip them."""
+    catalog.append_rows("s", spark.createDataFrame([(1,)], "id long"))
+    # force the stats cache to materialize on v1
+    assert catalog.scan("s", [("id", ">=", 0)]).count() == 1
+    catalog.append_rows("s", spark.createDataFrame([(100,)], "id long"))
+    assert {r.id for r in catalog.scan("s", [("id", ">=", 0)]).collect()} == {1, 100}
+    assert {r.id for r in catalog.scan("s", [("id", ">", 50)]).collect()} == {100}

@@ -260,3 +260,114 @@ def test_semantic_dedup_no_forced_broadcast(spark):
     assert "ResolvedHint" not in logical
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
+
+
+def test_ingest_candidate_join_no_corpus_exchange(spark, tmp_path):
+    """r6-verdict fix (the last shipped scale-killer): the streaming
+    ingest near-dup probe must read the PRE-EXPLODED bucket store and
+    probe it with a broadcast of the batch's keys — per micro-batch
+    there is no corpus-side explode (banding happened at append time)
+    and no corpus-side shuffle. Gates: no SortMergeJoin, no shuffle
+    Exchange whose input carries the bucket key, and the bucket-store
+    scan reads only (sid, bkey)."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.operators import dedup as D
+    from konohadataplatform_spark.streaming.ingest import DocIngestPipeline
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    pipe = DocIngestPipeline(spark, cat, "corpus")
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog and then "
+                 "keeps on running through the quiet green field today",
+              "en", "a", None)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+        batch_id=0,
+    )
+    batch2 = spark.createDataFrame(
+        [(2, "an entirely different document about spark physical plans "
+             "and broadcast joins in distributed query execution engines",
+          "en", "a", None)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    new_index = D.minhash_index(batch2, "text", "doc_id",
+                                pipe.ngram, pipe.num_perm)
+    cands = D.prebucketed_candidates(
+        cat.read(pipe.buckets_table), new_index,
+        bands=pipe.bands, num_perm=pipe.num_perm,
+    )
+    plan = plan_of(cands)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    # no shuffle Exchange may carry the bucket key: the corpus store
+    # flows scan -> broadcast probe; only candidate PAIRS (a_id, b_id)
+    # ever shuffle (the distinct)
+    for section in plan.split("\n\n"):
+        if section.startswith("(") and ") Exchange" in section:
+            assert "bkey" not in section, section
+    # column pruning: the bucket-store scan reads two longs, nothing
+    # else (no sig/shingles resurrection)
+    scans = [s for s in plan.split("\n\n")
+             if ") Scan parquet" in s and "bkey" in s]
+    assert scans, "bucket-store scan missing from plan"
+    assert all("shingles" not in s and "sig" not in s for s in scans), scans
+
+
+def test_ingest_digest_probe_no_corpus_shuffle(spark, tmp_path):
+    """The exact-dedup gate's corpus side (the persisted digest table)
+    must be probed by broadcast, never sort-merge-joined: the only
+    shuffle allowed is the partial/final agg over the (tiny) match
+    set."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.operators import text as TX
+    from konohadataplatform_spark.streaming.ingest import DocIngestPipeline
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    pipe = DocIngestPipeline(spark, cat, "corpus")
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog and then "
+                 "keeps on running through the quiet green field today",
+              "en", "a", None)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+        batch_id=0,
+    )
+    batch = spark.createDataFrame(
+        [(2, "some new candidate document text for the digest gate",)],
+        "doc_id long, text string",
+    ).withColumn("text_hash", TX.fingerprint(F.col("text")))
+    matches = (
+        cat.read(pipe.digests_table)
+        .join(F.broadcast(batch.select("text_hash").distinct()), "text_hash")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("_owner"))
+    )
+    probed = batch.join(F.broadcast(matches), "text_hash", "left_outer")
+    plan = plan_of(probed)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ingest_verification_prunes_index_scan(spark, tmp_path):
+    """Verification must read the (sid, shingles) index sid-pruned —
+    the IN-list reaches the parquet scan as a pushed filter so row-
+    group stats can prune; the index is never joined wholesale."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.streaming.ingest import DocIngestPipeline
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    pipe = DocIngestPipeline(spark, cat, "corpus")
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog and then "
+                 "keeps on running through the quiet green field today",
+              "en", "a", None)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+        batch_id=0,
+    )
+    pruned = cat.read(pipe.index_table).filter(F.col("sid").isin([1, 7]))
+    plan = plan_of(pruned)
+    assert "PushedFilters: [In(sid" in plan or "In(sid," in plan, plan
