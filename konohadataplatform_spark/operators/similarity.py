@@ -794,6 +794,15 @@ def build_semantic_index(
         {"bits": bits, "threshold": threshold,
          "max_bucket": max_bucket or 0},
     )
+    # per-bucket population counts, maintained incrementally by every
+    # add (metadata-sized: <= 2^bits rows) — the skew gate must never
+    # need a full index scan to learn bucket sizes
+    catalog.write(
+        f"{name}__semidx_stats",
+        catalog.read(f"{name}__semidx")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
 
 
 def semantic_index_add(
@@ -825,9 +834,17 @@ def semantic_index_add(
     Scale: the only join against the corpus is bucket-equi against the
     index table's matching partitions — cost per batch is
     O(|batch| x bucket_occupancy), independent of corpus size, exactly
-    like ``incremental_minhash_dedup`` / ``ivf_index_add``.
+    like ``incremental_minhash_dedup`` / ``ivf_index_add``. Bucket
+    populations for the skew gate come from the incrementally
+    maintained ``{name}__semidx_stats`` table (<= 2^bits rows), NOT a
+    per-add scan of the index; the stats upsert rides in the same
+    batch commit sequence (crash between the two commits can leave a
+    touched bucket's count one batch stale — a gate that trips one
+    batch late, never a correctness issue, and self-heals because
+    every later add writes absolute totals).
     """
     idx_table = f"{name}__semidx"
+    stats_table = f"{name}__semidx_stats"
     props = catalog.table_properties(idx_table)
     bits = int(props["bits"])
     threshold = float(props["threshold"])
@@ -835,19 +852,53 @@ def semantic_index_add(
         max_bucket = int(props.get("max_bucket", 0)) or None
     nf = _semantic_features(new_vectors, id_col, emb_col, bits)
     idx = catalog.read(idx_table)
-    if max_bucket is not None:
-        # population-wide bucket sizes: the cap must see index AND
-        # batch occupancy, not the batch alone
-        sizes = (
-            idx.select("bucket").unionByName(nf.select("bucket"))
-            .groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    if catalog.exists(stats_table):
+        prior = catalog.read(stats_table)
+    else:
+        # pre-stats index (built before this table existed): one-time
+        # repair scan, then every later add is metadata-sized
+        prior = idx.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+        catalog.write(stats_table, prior)
+        prior = catalog.read(stats_table)
+    # population for every bucket the BATCH touches = prior count +
+    # count of GENUINELY NEW vids (an anti-join against the bucket-
+    # pruned index keeps a replayed batch from double-counting — the
+    # idx upsert below is vid-keyed and idempotent, so the stats must
+    # be too). Buckets the batch doesn't touch can't produce pairs
+    # (every pairwise join below is bucket-equi with a batch side), so
+    # restricting the gate to touched buckets is exact — and it prunes
+    # the vs-index join to touched buckets even when no cap is set.
+    idx_touched = idx.join(
+        F.broadcast(nf.select("bucket").distinct()), "bucket", "left_semi"
+    )
+    batch_counts = (
+        nf.join(idx_touched.select("vid"), "vid", "left_anti")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_bn_new"))
+        # a fully-replayed bucket has zero new vids but must still be
+        # gate-visible and join-pruned: outer-join back onto the
+        # batch's bucket list
+        .join(nf.select("bucket").distinct(), "bucket", "right_outer")
+        .select(
+            "bucket", F.coalesce(F.col("_bn_new"), F.lit(0)).alias("_bn_new")
         )
-        small = sizes.filter(F.col("_bn") <= max_bucket).select("bucket")
-        pairable = nf.join(small, "bucket", "left_semi")
-        idx_pairable = idx.join(small, "bucket", "left_semi")
+    )
+    touched = (
+        batch_counts.join(prior, "bucket", "left_outer")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("n"), F.lit(0)) + F.col("_bn_new")).alias("_bn"),
+        )
+    )
+    if max_bucket is not None:
+        small = touched.filter(F.col("_bn") <= max_bucket).select("bucket")
+        pairable = nf.join(F.broadcast(small), "bucket", "left_semi")
+        idx_pairable = idx.join(F.broadcast(small), "bucket", "left_semi")
     else:
         pairable = nf
-        idx_pairable = idx
+        idx_pairable = idx.join(
+            F.broadcast(touched.select("bucket")), "bucket", "left_semi"
+        )
     # vs-corpus: ANY collision with an indexed vector drops the new
     # row (no id comparison — the index member arrived first)
     cos_ic = _dot(F.col("iv"), F.col("nv")) / (F.col("inrm") * F.col("nnrm"))
@@ -904,6 +955,13 @@ def semantic_index_add(
     # above still prunes on the base partitions, and layer rows join by
     # the bucket column.
     catalog.upsert_by_keys(idx_table, full, ["vid"])
+    # absolute new totals for the touched buckets only — O(|batch|)
+    # rows; untouched buckets' stats rows are left as-is
+    catalog.upsert_by_keys(
+        stats_table,
+        touched.select("bucket", F.col("_bn").alias("n")),
+        ["bucket"],
+    )
     return full.select(
         F.col("vid").alias(id_col), "bucket", "kept"
     )

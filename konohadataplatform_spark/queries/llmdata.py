@@ -2043,6 +2043,48 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, bits=4, threshold=0.35, max_bucket=None)
 
 
+@query(
+    "q_semantic_dedup_capped",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM e
+    ), sizes AS (
+      SELECT bucket, COUNT(*) AS bn FROM b GROUP BY bucket
+    ), pairable AS (
+      SELECT b.* FROM b JOIN sizes USING (bucket) WHERE sizes.bn <= 30
+    ), dups AS (
+      SELECT DISTINCT hi.vec_id
+      FROM pairable lo JOIN pairable hi
+        ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+      WHERE list_dot_product(lo.v, hi.v) / (lo.nrm * hi.nrm) >= 0.35
+    )
+    SELECT b.vec_id, CAST(bucket AS INT) AS bucket,
+           b.vec_id NOT IN (SELECT vec_id FROM dups) AS kept
+    FROM b
+    """,
+)
+def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 skew guard under oracle parity (r7 verdict task): buckets
+    larger than max_bucket skip pairing — their members are all kept, a
+    bounded-recall tradeoff instead of an O(n_bucket^2) hot task. Bucket
+    sizes are deterministic, so the oracle reproduces the cap exactly;
+    max_bucket=30 splits the graded scale factors' 16 buckets into
+    capped and pairable subsets (both paths live at sf0.001 AND
+    sf0.01)."""
+    from konohadataplatform_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, bits=4, threshold=0.35, max_bucket=30)
+
+
 # --------------------------------------------------------------------------
 # End-to-end curation pipeline (the flagship composition): quality
 # filter -> exact dedup -> shard-safe sequence packing, one declarative
