@@ -289,7 +289,7 @@ def decode_image(content: bytes) -> dict:
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -303,7 +303,8 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
 
 def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> bytes:
     """Build a non-interlaced 8-bit PNG (color_type 0 gray / 2 RGB /
-    6 RGBA) from top-down pixel rows, filter 0 per scanline."""
+    4 gray+alpha / 6 RGBA) from top-down pixel rows, filter 0 per
+    scanline."""
     channels = _PNG_CHANNELS[color_type]
     if len(pixels) != width * height * channels:
         raise ValueError(f"pixels must be width*height*{channels} bytes")
@@ -325,13 +326,14 @@ def decode_png(content: bytes) -> dict:
     inflate, then full scanline filter reconstruction (None/Sub/Up/
     Average/Paeth per the PNG spec §9).
 
-    Native matrix (r6 widened): 8-bit gray/RGB/RGBA non-interlaced on
-    the fast byte path, PLUS palette (color_type 3 with PLTE, tRNS ->
-    RGBA), bit depths 1/2/4 (gray + palette) and 16 (gray/RGB/RGBA,
-    emitted as 8-bit high bytes with ``bit_depth`` recording the
-    source), and Adam7 interlace for all of the above on the general
-    sample path. Gray+alpha (color_type 4) and gray/RGB tRNS remain
-    behind DecodeNotAvailable."""
+    Native matrix (r6 widened, r7 completed): 8-bit gray/gray+alpha/
+    RGB/RGBA non-interlaced on the fast byte path, PLUS palette
+    (color_type 3 with PLTE, tRNS -> RGBA), bit depths 1/2/4
+    (gray + palette) and 16 (gray/gray+alpha/RGB/RGBA, emitted as
+    8-bit high bytes with ``bit_depth`` recording the source), and
+    Adam7 interlace for all of the above on the general sample path.
+    The one remaining boundary is gray/RGB tRNS (transparent-color
+    key), behind DecodeNotAvailable."""
     if content[:8] != PNG_SIG:
         raise DecodeNotAvailable("not a PNG signature")
     pos, ihdr, idat, plte, trns = 8, None, [], None, None
@@ -363,15 +365,15 @@ def decode_png(content: bytes) -> dict:
         )
     supported = (
         (color_type in (0, 3) and depth in (1, 2, 4, 8, 16))
-        or (color_type in (2, 6) and depth in (8, 16))
+        or (color_type in (2, 4, 6) and depth in (8, 16))
     )
     if color_type == 3 and depth == 16:
         supported = False  # not a legal PNG combination
     if not supported:
         raise DecodeNotAvailable(
             f"PNG depth={depth} color_type={color_type}: outside the "
-            "native matrix (gray 1/2/4/8/16, palette 1/2/4/8, RGB/RGBA "
-            "8/16); gray+alpha requires PIL"
+            "native matrix (gray 1/2/4/8/16, palette 1/2/4/8, "
+            "gray+alpha/RGB/RGBA 8/16)"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
@@ -412,7 +414,13 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> tuple[bytes
     """Reverse the per-scanline filters over packed bytes. ``bpp`` is
     the filter distance in BYTES (max(1, channels*depth//8)) — the spec
     defines Sub/Average/Paeth at byte granularity even for sub-byte
-    depths. Returns (unfiltered bytes, bytes consumed)."""
+    depths. Returns (unfiltered bytes, bytes consumed).
+
+    Sub and Up reconstruct vectorized (Sub is a per-byte-lane cumsum,
+    Up one vector add); Average/Paeth keep the serial byte loop — their
+    left-neighbor dependency is inherently sequential in x."""
+    import numpy as np
+
     if len(raw) < height * (stride + 1):
         raise ValueError("PNG scanline data length mismatch")
     out = bytearray()
@@ -422,12 +430,16 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> tuple[bytes
         f = raw[rpos]
         line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
         rpos += 1 + stride
-        if f == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+        if f == 1:  # Sub: out[i] = in[i] + out[i-bpp] == lane cumsum
+            arr = np.frombuffer(bytes(line), dtype=np.uint8).astype(np.uint64)
+            for lane in range(bpp):
+                arr[lane::bpp] = np.cumsum(arr[lane::bpp])
+            line = bytearray((arr & 0xFF).astype(np.uint8).tobytes())
+        elif f == 2:  # Up: one wrapping vector add
+            arr = np.frombuffer(bytes(line), dtype=np.uint8) + np.frombuffer(
+                bytes(prev), dtype=np.uint8
+            )
+            line = bytearray(arr.tobytes())
         elif f == 3:  # Average
             for i in range(stride):
                 a = line[i - bpp] if i >= bpp else 0
@@ -448,23 +460,30 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> tuple[bytes
     return bytes(out), rpos
 
 
-def _png_unpack_samples(row: bytes, n_samples: int, depth: int) -> list[int]:
-    """Packed scanline bytes -> per-sample ints (MSB-first bit order)."""
+# Per-byte Python filter reconstruction (Average/Paeth rows are
+# serial in x) caps the general path: beyond this many pixels the
+# decode would burn executor-minutes — fail loudly instead (the
+# documented stand-in posture for a native imaging library).
+PNG_GENERAL_MAX_PIXELS = 16_777_216  # 4096 x 4096
+
+
+def _png_unpack_samples_np(row: bytes, n_samples: int, depth: int):
+    """Packed scanline bytes -> uint16 sample vector (MSB-first),
+    vectorized: frombuffer for 8/16-bit, unpackbits + a weight dot for
+    sub-byte depths — no per-sample Python loop."""
+    import numpy as np
+
     if depth == 8:
-        return list(row[:n_samples])
+        return np.frombuffer(row, dtype=np.uint8, count=n_samples).astype(
+            np.uint16
+        )
     if depth == 16:
-        return [
-            (row[2 * i] << 8) | row[2 * i + 1] for i in range(n_samples)
-        ]
-    mask = (1 << depth) - 1
-    per_byte = 8 // depth
-    samples = []
-    for b in row:
-        for k in range(per_byte - 1, -1, -1):
-            samples.append((b >> (k * depth)) & mask)
-            if len(samples) == n_samples:
-                return samples
-    return samples
+        return np.frombuffer(row, dtype=">u2", count=n_samples).astype(
+            np.uint16
+        )
+    bits = np.unpackbits(np.frombuffer(row, dtype=np.uint8))
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return bits[: n_samples * depth].reshape(-1, depth) @ weights
 
 
 def _decode_png_general(
@@ -478,12 +497,26 @@ def _decode_png_general(
     trns: bytes | None,
 ) -> dict:
     """The general PNG sample path: palette / sub-byte / 16-bit /
-    Adam7. Output pixels are always 8 bits per channel (16-bit samples
-    emit their high byte — the standard display downconversion);
-    ``bit_depth`` records the source depth."""
+    gray+alpha / Adam7. Output pixels are always 8 bits per channel
+    (16-bit samples emit their high byte — the standard display
+    downconversion); ``bit_depth`` records the source depth.
+
+    Sample handling is numpy end to end (unpack -> strided scatter ->
+    scale / palette fancy-indexing): the image holds one uint16 ndarray,
+    never per-pixel Python objects. The remaining Python cost is the
+    serial part of filter reconstruction, bounded by
+    PNG_GENERAL_MAX_PIXELS."""
+    import numpy as np
+
+    if width * height > PNG_GENERAL_MAX_PIXELS:
+        raise DecodeNotAvailable(
+            f"PNG {width}x{height} exceeds the {PNG_GENERAL_MAX_PIXELS}-"
+            "pixel general-path cap (stdlib filter reconstruction; "
+            "use a native imaging library for larger images)"
+        )
     channels = 1 if color_type in (0, 3) else _PNG_CHANNELS[color_type]
     # per-pixel samples of the full image, scattered by pass
-    img = [[0] * (width * channels) for _ in range(height)]
+    img = np.zeros((height, width * channels), dtype=np.uint16)
     passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
     pos = 0
     for x0, y0, dx, dy in passes:
@@ -495,48 +528,52 @@ def _decode_png_general(
         bpp = max(1, (channels * depth) // 8)
         unfiltered, consumed = _png_unfilter(raw[pos:], ph, stride, bpp)
         pos += consumed
-        for j in range(ph):
-            row = unfiltered[j * stride : (j + 1) * stride]
-            samples = _png_unpack_samples(row, pw * channels, depth)
-            y = y0 + j * dy
-            for i in range(pw):
-                x = x0 + i * dx
-                for c in range(channels):
-                    img[y][x * channels + c] = samples[i * channels + c]
+        # unpack the whole pass, then scatter with strided indexing:
+        # rows land at y0::dy, pixel i's channels at (x0 + i*dx)*ch + c
+        samples = np.vstack([
+            _png_unpack_samples_np(
+                unfiltered[j * stride : (j + 1) * stride], pw * channels, depth
+            )
+            for j in range(ph)
+        ])  # (ph, pw*channels)
+        cols = (
+            (x0 + np.arange(pw) * dx)[:, None] * channels + np.arange(channels)
+        ).ravel()
+        img[y0 : y0 + ph * dy : dy][:, cols] = samples
     if pos != len(raw):
         raise ValueError("PNG scanline data length mismatch")
-    # sample -> 8-bit channel values
-    out = bytearray()
+    # sample -> 8-bit channel values, vectorized
     if color_type == 3:
-        pal = [tuple(plte[3 * i : 3 * i + 3]) for i in range(len(plte) // 3)]
-        alpha = list(trns) if trns is not None else None
-        out_channels = 4 if alpha is not None else 3
-        for y in range(height):
-            for x in range(width):
-                idx = img[y][x]
-                if idx >= len(pal):
-                    raise ValueError(f"palette index {idx} out of range")
-                out += bytes(pal[idx])
-                if alpha is not None:
-                    out.append(alpha[idx] if idx < len(alpha) else 255)
-        channels = out_channels
+        idx = img  # palette indices
+        n_pal = len(plte) // 3
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range"
+            )
+        pal = np.frombuffer(plte, dtype=np.uint8)[: n_pal * 3].reshape(-1, 3)
+        if trns is not None:
+            alpha = np.full(n_pal, 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            pal = np.hstack([pal, alpha[:, None]])
+        rgb = pal[idx.ravel()]  # (h*w, 3 or 4) fancy-indexed lookup
+        channels = rgb.shape[1]
+        out = rgb.reshape(-1).tobytes()
     else:
         if depth == 16:
-            scale = lambda s: s >> 8  # noqa: E731
+            scaled = (img >> 8).astype(np.uint8)
         elif depth == 8:
-            scale = lambda s: s  # noqa: E731
+            scaled = img.astype(np.uint8)
         else:
             mx = (1 << depth) - 1
-            scale = lambda s: (s * 255) // mx  # noqa: E731
-        for y in range(height):
-            out += bytes(scale(s) for s in img[y])
+            scaled = ((img.astype(np.uint32) * 255) // mx).astype(np.uint8)
+        out = scaled.tobytes()
     return {
         "width": width,
         "height": height,
         "bpp": 8 * channels,
         "channels": channels,
         "bit_depth": depth,
-        "pixels": bytes(out),
+        "pixels": out,
     }
 
 
@@ -887,7 +924,7 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
             off = (row_base + x * src_w // width) * ch
             out += px[off : off + ch]
     if is_png:
-        color_type = {1: 0, 3: 2, 4: 6}[ch]
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
         return encode_png(width, height, bytes(out), color_type)
     if is_jpeg:
         from konohadataplatform_spark.operators.jpeg_py import (

@@ -132,17 +132,24 @@ def test_decode_stub_raises(spark):
         M.decode_image(arith)
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"ID3\x03" + b"\x00" * 64)
-    # gray+alpha (color_type 4) PNG: valid signature, the one color
-    # mode still outside the r6-widened native matrix
+    # gray/RGB tRNS (transparent-color key): the one PNG color mode
+    # still outside the native matrix now that r7 added gray+alpha
     import struct as _s
     import zlib as _z
 
-    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0)
-    chunk = (_s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
-             + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
-    idat = _s.pack(">I", 0) + b"IDAT" + _s.pack(">I", _z.crc32(b"IDAT") & 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError, match="color_type=4"):
-        M.decode_image(M.PNG_SIG + chunk + idat)
+    def _chunk(ctype, body):
+        return (_s.pack(">I", len(body)) + ctype + body
+                + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
+
+    keyed = (
+        M.PNG_SIG
+        + _chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + _chunk(b"tRNS", _s.pack(">H", 0))
+        + _chunk(b"IDAT", _z.compress(b"\x00\x80"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        M.decode_image(keyed)
 
 
 def test_png_codec_roundtrip_and_filters():
@@ -973,7 +980,7 @@ def _encode_png_variant(width, height, depth, color_type, rows,
         PNG_SIG,
     )
 
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
 
     def pack_row(samples):
         if depth == 8:
@@ -1068,12 +1075,10 @@ def test_png_widened_matrix_palette_subbyte_16bit_adam7():
     pp = decode_png(_encode_png_variant(9, 9, 2, 3, prow, plte=pal))
     assert pi["pixels"] == pp["pixels"]
 
-    # gray+alpha (color_type 4) is still a loud boundary (a valid
-    # CRC'd IHDR, not a byte-hacked one)
+    # r7: gray+alpha (color_type 4) closes the PNG matrix — the last
+    # DecodeNotAvailable boundary is gray/RGB tRNS color keys
     import struct as _struct
     import zlib as _zlib
-
-    import pytest as _pytest
 
     from konohadataplatform_spark.operators.multimodal import (
         PNG_SIG,
@@ -1086,8 +1091,62 @@ def test_png_widened_matrix_palette_subbyte_16bit_adam7():
         + _png_chunk(b"IDAT", _zlib.compress(b"\x00\x80\xff"))
         + _png_chunk(b"IEND", b"")
     )
-    with _pytest.raises(DecodeNotAvailable, match="gray"):
-        decode_png(ga)
+    dga = decode_png(ga)
+    assert (dga["channels"], dga["bpp"]) == (2, 16)
+    assert dga["pixels"] == bytes([0x80, 0xFF])
+
+
+def test_png_gray_alpha_matrix():
+    """r7: color_type 4 (gray+alpha) across the whole matrix — 8-bit
+    fast path, 16-bit high-byte emission, Adam7 interlace equivalence,
+    and every scanline filter via the encode helper."""
+    from konohadataplatform_spark.operators.multimodal import decode_png
+
+    # 8-bit 3x2 (fast byte path): (gray, alpha) pairs round-trip
+    rows = [[10, 255, 20, 128, 30, 0], [200, 1, 100, 2, 50, 3]]
+    d = decode_png(_encode_png_variant(3, 2, 8, 4, rows))
+    assert (d["channels"], d["bit_depth"], d["bpp"]) == (2, 8, 16)
+    assert list(d["pixels"]) == rows[0] + rows[1]
+
+    # 16-bit: high bytes come back
+    r16 = [[0x1234, 0xFF00, 0x8000, 0x0001], [0x0000, 0xFFFF, 0x7FFF, 0xABCD]]
+    d16 = decode_png(_encode_png_variant(2, 2, 16, 4, r16))
+    assert (d16["channels"], d16["bit_depth"]) == (2, 16)
+    assert list(d16["pixels"]) == [0x12, 0xFF, 0x80, 0x00,
+                                   0x00, 0xFF, 0x7F, 0xAB]
+
+    # Adam7 interlaced == non-interlaced twin (9x9 hits all 7 passes)
+    ga = [[(x * 11 + y * 29 + c * 3) % 256
+           for x in range(9) for c in range(2)] for y in range(9)]
+    plain = decode_png(_encode_png_variant(9, 9, 8, 4, ga))
+    inter = decode_png(_encode_png_variant(9, 9, 8, 4, ga, interlace=1))
+    assert inter["pixels"] == plain["pixels"]
+
+
+def test_png_general_path_size_guard():
+    """Oversized general-path images fail loudly instead of burning
+    executor-minutes in the serial filter loops (r6 advice)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from konohadataplatform_spark.operators.multimodal import (
+        DecodeNotAvailable,
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    big = (
+        PNG_SIG
+        + _png_chunk(b"IHDR",
+                     _struct.pack(">IIBBBBB", 100_000, 100_000, 16, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", _zlib.compress(b"\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(DecodeNotAvailable, match="cap"):
+        decode_png(big)
 
 
 def test_jpeg_progressive_decodes_bit_identical_to_baseline():
