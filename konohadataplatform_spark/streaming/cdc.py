@@ -326,9 +326,17 @@ class CdcPipeline:
         merge_on_read: bool = False,
         dlq_table: str | None = None,
         evolve_schema: bool = False,
+        maintain_every: int = 32,
     ):
         self.spark = spark
         self.catalog = catalog
+        # every commit on the MOR path is a layer (the target table,
+        # the __cdc_hwm marks, the DLQ): without periodic maintenance
+        # their fold depth grows unboundedly over a long-running
+        # stream, slowing every read — including replay_dlq's own hwm
+        # lookups. maintain() is threshold-gated (metadata check only
+        # when shallow); 0 disables. Same knob as DocIngestPipeline.
+        self.maintain_every = maintain_every
         # merge_on_read: O(|batch|) layer/delete-file commits instead of
         # partition or table rewrites (pair with periodic compact())
         self.merge_on_read = merge_on_read
@@ -413,6 +421,18 @@ class CdcPipeline:
                     # redelivery of an old batch must not regress the
                     # mark (that would re-open the stale-replay hole).
                     self._record_hwm(name, typed, key_cols)
+                if (applied_now and self.maintain_every and batch_id is not None
+                        and batch_id % self.maintain_every == 0):
+                    for t in (name, self._hwm_table(name), self.dlq_table):
+                        try:
+                            if t and self.catalog.exists(t):
+                                self.catalog.maintain(t)
+                        except Exception:
+                            # best-effort chore (the batch is already
+                            # committed): a transient compaction error
+                            # must not abort the stream — it retries at
+                            # the next interval
+                            continue
             finally:
                 subset.unpersist()
 
@@ -437,7 +457,7 @@ class CdcPipeline:
         )
         self.catalog.upsert_by_keys(self._hwm_table(name), hwm, key_cols)
 
-    def replay_dlq(self) -> dict[str, int]:
+    def replay_dlq(self, strict: bool = False) -> dict[str, int]:
         """Re-parse quarantined envelopes against the pipeline's CURRENT
         table configs and apply the ones that now succeed, draining
         them from the DLQ — the standard dead-letter lifecycle: fix the
@@ -455,6 +475,18 @@ class CdcPipeline:
         high-water mark recorded at apply time (``_record_hwm``);
         superseded records still drain from the DLQ (they are resolved
         — the newer change already won).
+
+        COVERAGE GAP + ``strict``: keys applied BEFORE the guard
+        existed (an upgraded deployment, or dlq_table enabled later)
+        carry no high-water mark, and the target table does not retain
+        per-row ts_ms/lsn to seed one — for those keys the default
+        replay cannot tell a stale quarantined record from a newer one
+        and applies it (latest-wins within the replay batch only).
+        ``strict=True`` takes the conservative side: a record whose key
+        has NO mark but already EXISTS in the target is undecidable —
+        it is neither applied nor drained, staying in the DLQ for
+        operator inspection. Keys absent from the target are safe
+        either way (nothing to regress) and always replay.
         """
         if not self.dlq_table or not self.catalog.exists(self.dlq_table):
             return {}
@@ -481,11 +513,17 @@ class CdcPipeline:
             tagged = _tag_envelopes(raw, row_schema, key_cols)
             good_t = tagged.filter(F.col("_error").isNull())
             good = good_t.select(
-                F.col("table").alias("_topic"), "op", "ts_ms", "lsn", "_row.*"
+                F.col("table").alias("_topic"), "op", "ts_ms", "lsn",
+                "_dlq_key", "_row.*"
             )
-            # drain every successfully re-parsed record — applied OR
-            # superseded — from the DLQ; only still-bad records remain
-            drained = good_t.select("_dlq_key")
+            undecided = None
+
+            def _target_keys():
+                return (
+                    self.catalog.read(name).select(*key_cols)
+                    .distinct().withColumn("_in_tgt", F.lit(True))
+                )
+
             if self.catalog.exists(self._hwm_table(name)):
                 hwm = self.catalog.read(self._hwm_table(name)).withColumn(
                     "_has_hwm", F.lit(True)
@@ -495,15 +533,44 @@ class CdcPipeline:
                 rlsn = F.coalesce(F.col("lsn"), neg)
                 hts = F.coalesce(F.col("_hwm_ts_ms"), neg)
                 hlsn = F.coalesce(F.col("_hwm_lsn"), neg)
-                good = (
-                    good.join(hwm, key_cols, "left_outer")
-                    .filter(
+                joined = good.join(hwm, key_cols, "left_outer")
+                if strict and self.catalog.exists(name):
+                    # pre-guard keys (no mark, already in the target)
+                    # are undecidable: hold them in the DLQ
+                    joined = joined.join(_target_keys(), key_cols, "left_outer")
+                    undecidable = (
                         F.col("_has_hwm").isNull()
-                        | (rts > hts)
-                        | ((rts == hts) & (rlsn > hlsn))
+                        & F.col("_in_tgt").isNotNull()
                     )
-                    .drop("_hwm_ts_ms", "_hwm_lsn", "_has_hwm")
+                    undecided = joined.filter(undecidable).select("_dlq_key")
+                else:
+                    undecidable = F.lit(False)
+                good = (
+                    joined.filter(
+                        ~undecidable
+                        & (
+                            F.col("_has_hwm").isNull()
+                            | (rts > hts)
+                            | ((rts == hts) & (rlsn > hlsn))
+                        )
+                    )
+                    .drop("_hwm_ts_ms", "_hwm_lsn", "_has_hwm", "_in_tgt")
                 )
+            elif strict and self.catalog.exists(name):
+                # no marks recorded at all: every key already in the
+                # target is pre-guard history
+                j = good.join(_target_keys(), key_cols, "left_outer")
+                undecided = j.filter(
+                    F.col("_in_tgt").isNotNull()
+                ).select("_dlq_key")
+                good = j.filter(F.col("_in_tgt").isNull()).drop("_in_tgt")
+            # drain every successfully re-parsed record — applied OR
+            # superseded — from the DLQ; only still-bad records remain,
+            # plus (strict mode) the undecidable pre-guard records
+            drained = good_t.select("_dlq_key")
+            if undecided is not None:
+                drained = drained.join(undecided, "_dlq_key", "left_anti")
+            good = good.drop("_dlq_key")
             n = good.count()
             if n:
                 apply_cdc_batch(

@@ -1085,3 +1085,95 @@ def test_hwm_not_regressed_by_redelivered_old_batch(spark, catalog):
     # so the ts=7 quarantined record is (correctly) dropped on replay
     assert pipe.replay_dlq() == {"customers": 0}
     assert catalog.read("customers").collect()[0].company_name == "v10"
+
+
+def test_replay_dlq_strict_holds_preguard_keys(spark, catalog):
+    """r6 advice: keys applied before the hwm guard existed have no
+    mark, so a stale quarantined record could regress them. strict=True
+    holds the undecidable records (no mark + key in target) in the DLQ
+    — neither applied nor drained — while keys absent from the target
+    still replay."""
+    wrong = T.StructType([
+        T.StructField("customer_id", T.StringType(), True),
+        T.StructField("company_name", T.StringType(), True),
+    ])
+    right = T.StructType([
+        T.StructField("id", T.StringType(), True),
+        T.StructField("company_name", T.StringType(), True),
+    ])
+    pipe = CdcPipeline(
+        spark, catalog, {"customers": (wrong, ["customer_id"])},
+        dlq_table="_cdc_dlq",
+    )
+    # simulate a pre-guard deployment: key A applied WITHOUT a mark
+    # (direct apply, not via the pipeline's hwm-recording path)
+    catalog.write(
+        "customers",
+        spark.createDataFrame([("A", "applied-earlier")],
+                              "id string, company_name string"),
+    )
+    # two quarantined records: key A (stale? unknowable) and key B (new)
+    pipe.apply_envelopes(
+        spark.createDataFrame(
+            [env("u", "customers", {"id": "A", "company_name": "stale?"},
+                 ts_ms=5, lsn=5),
+             env("u", "customers", {"id": "B", "company_name": "bval"},
+                 ts_ms=5, lsn=5)],
+            ENVELOPE_SCHEMA,
+        ),
+        batch_id=1,
+    )
+    assert catalog.read("_cdc_dlq").count() == 2
+    pipe.tables["customers"] = (right, ["id"], None)
+    # strict replay: B applies (nothing to regress), A is held
+    assert pipe.replay_dlq(strict=True) == {"customers": 1}
+    rows = {r.id: r.company_name for r in catalog.read("customers").collect()}
+    assert rows == {"A": "applied-earlier", "B": "bval"}
+    held = catalog.read("_cdc_dlq").collect()
+    assert len(held) == 1
+    # the held record is A's, inspectable by the operator
+    assert '"A"' in held[0].payload
+    # default (non-strict) replay applies it — the documented gap
+    assert pipe.replay_dlq() == {"customers": 1}
+    assert catalog.read("_cdc_dlq").count() == 0
+    rows = {r.id: r.company_name for r in catalog.read("customers").collect()}
+    assert rows == {"A": "stale?", "B": "bval"}
+
+
+def test_cdc_maintain_every_bounds_hwm_layers(spark, catalog):
+    """r6 advice: the per-batch hwm upsert adds a MOR layer per
+    micro-batch; maintain_every must fold the hwm table (and target +
+    DLQ) periodically so long-running streams don't accumulate
+    unbounded layer depth."""
+    schema = T.StructType([
+        T.StructField("id", T.StringType(), True),
+        T.StructField("v", T.StringType(), True),
+    ])
+    pipe = CdcPipeline(
+        spark, catalog, {"t": (schema, ["id"])},
+        merge_on_read=True, dlq_table="_dlq", maintain_every=4,
+    )
+    n_batches = 14
+    for b in range(1, n_batches + 1):
+        pipe.apply_envelopes(
+            spark.createDataFrame(
+                [env("u", "t", {"id": f"k{b % 3}", "v": f"v{b}"},
+                     ts_ms=b, lsn=b)],
+                ENVELOPE_SCHEMA,
+            ),
+            batch_id=b,
+        )
+    hwm_snap = catalog.current_snapshot("t__cdc_hwm")
+    # without maintenance there would be 13 pending layers; the check
+    # at batch 12 crossed maintain()'s max_layers=8 gate and compacted,
+    # so depth is bounded by ~maintain_every + threshold, not by stream
+    # length
+    assert len(hwm_snap.upsert_layers or []) < n_batches - 1, (
+        hwm_snap.upsert_layers
+    )
+    assert any(
+        s.operation.startswith("compact") for s in catalog.history("t__cdc_hwm")
+    )
+    # marks are intact after compaction
+    hwm = {r.id: r._hwm_ts_ms for r in catalog.read("t__cdc_hwm").collect()}
+    assert hwm == {"k0": 12, "k1": 13, "k2": 14}

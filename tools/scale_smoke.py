@@ -118,8 +118,11 @@ def main() -> int:
     qs = all_queries()
     rows = []
     for name in SMOKE_QUERIES:
+        # identical protocol at BOTH scale factors: one untimed warmup
+        # pass (codegen/IO), one timed pass — r6 advice: mixing
+        # methodologies (sf1 unwarmed) overstated the sf1 ratios
         t01 = _time(lambda: qs[name](spark, SF01).count())
-        t1 = _time(lambda: qs[name](spark, SF1).count(), warmup=False)
+        t1 = _time(lambda: qs[name](spark, SF1).count())
         plan = spark._jvm.PythonSQLUtils.explainString(
             qs[name](spark, SF1)._jdf.queryExecution(), "formatted"
         )
