@@ -3,14 +3,14 @@
 Images/audio/video are carried as opaque ``binary`` columns with a
 typed metadata struct — the Spark-side schema, partitioning, and
 Arrow-batched UDF plumbing are real and tested. Decode is REAL for
-uncompressed 24-bit BMP, PNG (stdlib zlib + filter reconstruction:
-gray 1/2/4/8/16-bit, palette incl. tRNS, RGB/RGBA 8/16-bit, Adam7
-interlace — r6 widened matrix), uncompressed baseline TIFF (both byte
-orders), PCM-16 WAV, and JPEG (jpeg_py: Huffman + IDCT,
-4:4:4/4:2:2/4:2:0, restart markers, baseline AND progressive SOF2 —
-r6); the remaining PIL-only formats
-(arithmetic-coded JPEG, PNG gray+alpha, compressed BMP/TIFF, WebP)
-raise ``DecodeNotAvailable`` loudly, with a deterministic-fake
+uncompressed 24-bit BMP, the COMPLETE PNG spec matrix (stdlib zlib +
+filter reconstruction: gray/gray+alpha 1/2/4/8/16-bit, palette incl.
+tRNS, RGB/RGBA 8/16-bit, gray/RGB tRNS color keys, Adam7 interlace —
+r7), uncompressed baseline TIFF (both byte orders), PCM-16 WAV, and
+JPEG (jpeg_py: Huffman + IDCT, 4:4:4/4:2:2/4:2:0, restart markers,
+baseline AND progressive SOF2 — r6); the remaining PIL-only formats
+(arithmetic-coded JPEG, compressed BMP/TIFF, WebP) raise
+``DecodeNotAvailable`` loudly, with a deterministic-fake
 feature fallback so the pipeline shape can be exercised end to end.
 
 Scale posture: binary payloads never pass through a shuffle — feature
@@ -220,12 +220,13 @@ def decode_tiff(content: bytes) -> dict:
 
 def decode_image(content: bytes) -> dict:
     """Decode an image natively: uncompressed 24-bit BMP (stdlib
-    struct; Windows BITMAPINFOHEADER layout), PNG (stdlib zlib +
-    filter reconstruction: gray/RGB/RGBA/palette, 1-16 bit, Adam7 —
-    r6), or JPEG (jpeg_py Huffman+IDCT, baseline + progressive SOF2 —
-    r6). Returns width/height/bpp and the raw pixel bytes as top-down
-    rows. Remaining formats (arithmetic-coded JPEG / PNG gray+alpha /
-    compressed BMP) need PIL/opencv -> DecodeNotAvailable."""
+    struct; Windows BITMAPINFOHEADER layout), the complete PNG matrix
+    (stdlib zlib + filter reconstruction: gray/gray+alpha/RGB/RGBA/
+    palette, 1-16 bit, tRNS incl. color keys, Adam7 — r7), or JPEG
+    (jpeg_py Huffman+IDCT, baseline + progressive SOF2 — r6). Returns
+    width/height/bpp and the raw pixel bytes as top-down rows.
+    Remaining formats (arithmetic-coded JPEG / compressed BMP / WebP)
+    need PIL/opencv -> DecodeNotAvailable."""
     if content[:8] == PNG_SIG:
         return decode_png(content)
     if content[:2] == b"\xff\xd8":
@@ -326,14 +327,15 @@ def decode_png(content: bytes) -> dict:
     inflate, then full scanline filter reconstruction (None/Sub/Up/
     Average/Paeth per the PNG spec §9).
 
-    Native matrix (r6 widened, r7 completed): 8-bit gray/gray+alpha/
-    RGB/RGBA non-interlaced on the fast byte path, PLUS palette
-    (color_type 3 with PLTE, tRNS -> RGBA), bit depths 1/2/4
-    (gray + palette) and 16 (gray/gray+alpha/RGB/RGBA, emitted as
-    8-bit high bytes with ``bit_depth`` recording the source), and
-    Adam7 interlace for all of the above on the general sample path.
-    The one remaining boundary is gray/RGB tRNS (transparent-color
-    key), behind DecodeNotAvailable."""
+    Native matrix (r6 widened, r7 COMPLETE — every color-type/depth/
+    interlace/transparency combination the PNG spec defines): 8-bit
+    gray/gray+alpha/RGB/RGBA non-interlaced on the fast byte path,
+    PLUS palette (color_type 3 with PLTE, tRNS -> RGBA), gray/RGB tRNS
+    transparent-color keys (alpha channel added, key compared at
+    source depth), bit depths 1/2/4 (gray + palette) and 16
+    (gray/gray+alpha/RGB/RGBA, emitted as 8-bit high bytes with
+    ``bit_depth`` recording the source), and Adam7 interlace for all
+    of the above on the general sample path."""
     if content[:8] != PNG_SIG:
         raise DecodeNotAvailable("not a PNG signature")
     pos, ihdr, idat, plte, trns = 8, None, [], None, None
@@ -377,12 +379,10 @@ def decode_png(content: bytes) -> dict:
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    if trns is not None and color_type in (0, 2):
-        raise DecodeNotAvailable(
-            "PNG tRNS transparency on gray/RGB (transparent-color key) "
-            "requires PIL; palette tRNS decodes natively"
-        )
-    if depth != 8 or color_type == 3 or interlace:
+    # gray/RGB tRNS (transparent-color key) compares at SOURCE depth,
+    # so it routes through the general sample path even for plain 8-bit
+    if (depth != 8 or color_type == 3 or interlace
+            or (trns is not None and color_type in (0, 2))):
         return _decode_png_general(
             width, height, depth, color_type, interlace,
             zlib.decompress(b"".join(idat)), plte, trns,
@@ -566,6 +566,24 @@ def _decode_png_general(
         else:
             mx = (1 << depth) - 1
             scaled = ((img.astype(np.uint32) * 255) // mx).astype(np.uint8)
+        if trns is not None and color_type in (0, 2):
+            # transparent-color key (spec §11.3.2): a pixel matching the
+            # key on EVERY channel at source depth gets alpha 0 — the
+            # output gains an alpha channel (gray->GA, RGB->RGBA)
+            key = np.frombuffer(trns, dtype=">u2").astype(np.uint16)
+            if key.size != channels:
+                raise ValueError(
+                    f"PNG tRNS carries {key.size} samples for a "
+                    f"{channels}-channel color type"
+                )
+            px = img.reshape(height, width, channels)
+            transparent = (px == key[None, None, :]).all(axis=2)
+            alpha = np.where(transparent, 0, 255).astype(np.uint8)
+            scaled = np.concatenate(
+                [scaled.reshape(height, width, channels), alpha[:, :, None]],
+                axis=2,
+            )
+            channels += 1
         out = scaled.tobytes()
     return {
         "width": width,

@@ -132,24 +132,9 @@ def test_decode_stub_raises(spark):
         M.decode_image(arith)
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"ID3\x03" + b"\x00" * 64)
-    # gray/RGB tRNS (transparent-color key): the one PNG color mode
-    # still outside the native matrix now that r7 added gray+alpha
-    import struct as _s
-    import zlib as _z
-
-    def _chunk(ctype, body):
-        return (_s.pack(">I", len(body)) + ctype + body
-                + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
-
-    keyed = (
-        M.PNG_SIG
-        + _chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
-        + _chunk(b"tRNS", _s.pack(">H", 0))
-        + _chunk(b"IDAT", _z.compress(b"\x00\x80"))
-        + _chunk(b"IEND", b"")
-    )
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        M.decode_image(keyed)
+    # compressed BMP/TIFF-class formats stay loud (WebP RIFF header)
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 32)
 
 
 def test_png_codec_roundtrip_and_filters():
@@ -1251,3 +1236,68 @@ def test_semantic_index_stats_maintained_incrementally(spark, tmp_path):
         ),
     )
     assert stats_counts() == actual_counts()
+
+
+def test_png_trns_color_key():
+    """r7: gray/RGB tRNS transparent-color keys close the LAST PNG
+    boundary — a pixel matching the key on every channel (compared at
+    source depth) gets alpha 0, and the output gains an alpha
+    channel."""
+    import struct as _s
+    import zlib as _z
+
+    from konohadataplatform_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    # 8-bit gray 3x1, key = 0x80: middle pixel transparent
+    keyed = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 3, 1, 8, 0, 0, 0, 0))
+        + _png_chunk(b"tRNS", _s.pack(">H", 0x80))
+        + _png_chunk(b"IDAT", _z.compress(b"\x00\x10\x80\xf0"))
+        + _png_chunk(b"IEND", b"")
+    )
+    d = decode_png(keyed)
+    assert (d["channels"], d["bpp"]) == (2, 16)
+    assert list(d["pixels"]) == [0x10, 255, 0x80, 0, 0xF0, 255]
+
+    # 8-bit RGB 2x1, key = (1,2,3): first pixel transparent, a pixel
+    # matching on only some channels stays opaque
+    keyed_rgb = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+        + _png_chunk(b"tRNS", _s.pack(">HHH", 1, 2, 3))
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" + bytes([1, 2, 3, 1, 2, 9])))
+        + _png_chunk(b"IEND", b"")
+    )
+    dr = decode_png(keyed_rgb)
+    assert dr["channels"] == 4
+    assert list(dr["pixels"]) == [1, 2, 3, 0, 1, 2, 9, 255]
+
+    # 16-bit gray: key compares at SOURCE depth — 0x8000 and 0x8001
+    # both emit high byte 0x80, but only the exact key is transparent
+    keyed16 = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+        + _png_chunk(b"tRNS", _s.pack(">H", 0x8000))
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" + _s.pack(">HH", 0x8000, 0x8001)))
+        + _png_chunk(b"IEND", b"")
+    )
+    d16 = decode_png(keyed16)
+    assert d16["channels"] == 2 and d16["bit_depth"] == 16
+    assert list(d16["pixels"]) == [0x80, 0, 0x80, 255]
+
+    # 4-bit gray + Adam7-free: sub-byte key
+    keyed4 = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 1, 4, 0, 0, 0, 0))
+        + _png_chunk(b"tRNS", _s.pack(">H", 5))
+        + _png_chunk(b"IDAT", _z.compress(b"\x00\x5f"))
+        + _png_chunk(b"IEND", b"")
+    )
+    d4 = decode_png(keyed4)
+    assert d4["channels"] == 2
+    assert list(d4["pixels"]) == [5 * 255 // 15, 0, 255, 255]
