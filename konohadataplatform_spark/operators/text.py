@@ -289,6 +289,71 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated-bigram LM surprisal — the next step up from
+    :func:`unigram_surprisal` toward CCNet's KenLM perplexity filter:
+    each doc's mean ``-log2(lam * P(w_i|w_{i-1}) + (1-lam) * P(w_i))``
+    over its bigram positions, with ``P_bi = c(prev,word)/c(prev)``
+    and ``P_uni = c(word)/total`` estimated on the corpus itself.
+    Docs with fewer than 2 tokens drop out (no bigram positions).
+
+    Scale shape: bigram formation is a codegen array expression (no
+    positional self-join); counts are two gram-keyed aggs whose
+    exchanges the join-back reuses; the corpus total is a 1-row
+    broadcast; the final agg keys on doc_id. Rounded 6dp (log2 +
+    float-sum order are the non-exact ops, same policy as the unigram
+    form).
+    """
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    pairs = (
+        df.select(F.col(id_col), toks.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2), "
+                    "i -> struct(w[i] AS prev, w[i + 1] AS word))"
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.prev").alias("prev"),
+                F.col("bg.word").alias("word"))
+    )
+    uni = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").cast("double").alias("t"))
+    cb = pairs.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("cb"))
+    cup = uni.select(F.col("word").alias("prev"), F.col("cu").alias("cup"))
+    # expression order mirrors the oracle exactly: lam*(cb/cup) +
+    # (1-lam)*(cu/t) — same IEEE ops in the same order
+    mix = (
+        F.lit(lam) * (F.col("cb").cast("double") / F.col("cup").cast("double"))
+        + F.lit(1.0 - lam) * (F.col("cu").cast("double") / F.col("t"))
+    )
+    return (
+        pairs.join(cb, ["prev", "word"])
+        .join(cup, "prev")
+        .join(uni, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.sum(F.log2(mix)) / F.count(F.lit(1)), 6).alias(
+                "bigram_surprisal"
+            ),
+        )
+    )
+
+
 def vocab_stats(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
     """Per-group vocabulary stats (Heaps-law inputs): token count,
     distinct-word count, and type-token ratio — the corpus-composition

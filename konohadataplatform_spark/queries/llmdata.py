@@ -332,6 +332,72 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=5)
 
 
+@query(
+    "q_knn_label_purity",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.label AS qlab,
+             c.vec_id AS neighbor_id, c.label AS nlab,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ), per_q AS (
+      SELECT query_id, qlab,
+             SUM(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS m,
+             COUNT(*) AS k
+      FROM ranked WHERE rk <= 5 GROUP BY 1, 2
+    )
+    SELECT qlab AS label, COUNT(*) AS n_vectors,
+           CAST(SUM(m) AS DOUBLE) / CAST(SUM(k) AS DOUBLE)
+             AS knn_label_purity
+    FROM per_q GROUP BY 1
+    """,
+)
+def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality metric: per label, the fraction of each
+    vector's k=5 nearest neighbors (exact cosine) sharing its label —
+    the standard sanity check before trusting an embedding column for
+    semantic dedup or retrieval. Integer match counts until ONE final
+    division, so the oracle comparison is exact.
+
+    Scale note: this is the brute-force all-pairs form (the graded
+    oracle); at corpus scale sample the query side or swap in
+    ann_lsh_topk / ivf_index_search for the neighbor stage — the
+    purity aggregation is unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = S.cosine_topk(emb, emb, k=5)
+    lab = emb.select("vec_id", "label")
+    qlab = lab.select(F.col("vec_id").alias("query_id"),
+                      F.col("label").alias("qlab"))
+    nlab = lab.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("label").alias("nlab"))
+    per_q = (
+        knn.join(F.broadcast(qlab), "query_id")
+        .join(F.broadcast(nlab), "neighbor_id")
+        .groupBy("query_id", "qlab")
+        .agg(
+            F.sum(
+                F.when(F.col("nlab") == F.col("qlab"), 1).otherwise(0)
+            ).alias("m"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    return per_q.groupBy(F.col("qlab").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.sum("m").cast("double") / F.sum("k").cast("double")).alias(
+            "knn_label_purity"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # ANN via random-hyperplane LSH — oracle-checked. The planes are
 # deterministic (seeded), so the oracle embeds them as literals and
@@ -1664,6 +1730,49 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     KenLM-perplexity stand-in CCNet filters on). One word-keyed
     exchange reused by agg+join; corpus total is a 1-row broadcast."""
     return TX.unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_bigram_surprisal",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> {'prev': w[i], 'word': w[i + 1]})) AS bg
+      FROM toks WHERE len(w) >= 2
+    ), pp AS (
+      SELECT doc_id, bg.prev AS prev, bg.word AS word FROM pairs
+    ), uni AS (
+      SELECT word, COUNT(*) AS cu
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
+            FROM documents)
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cu) AS DOUBLE) AS t FROM uni
+    ), cb AS (
+      SELECT prev, word, COUNT(*) AS cb FROM pp GROUP BY 1, 2
+    )
+    SELECT p.doc_id, COUNT(*) AS n_bigrams,
+           round(-SUM(log2(0.75 * (CAST(cb.cb AS DOUBLE)
+                                   / CAST(cup.cu AS DOUBLE))
+                           + 0.25 * (CAST(u.cu AS DOUBLE) / t)))
+                 / COUNT(*), 6) AS bigram_surprisal
+    FROM pp p
+    JOIN cb ON p.prev = cb.prev AND p.word = cb.word
+    JOIN uni cup ON p.prev = cup.word
+    JOIN uni u ON p.word = u.word, tot
+    GROUP BY p.doc_id
+    """,
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM surprisal (lam=0.75 bigram + 0.25
+    unigram backoff) — one rung below a real KenLM perplexity filter,
+    estimated on the corpus itself. Bigram formation is a codegen
+    array expression (no positional self-join); the gram-keyed count
+    exchanges are reused by the join-back."""
+    return TX.bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------
