@@ -956,12 +956,18 @@ def semantic_index_add(
     # the bucket column.
     catalog.upsert_by_keys(idx_table, full, ["vid"])
     # absolute new totals for the touched buckets only — O(|batch|)
-    # rows; untouched buckets' stats rows are left as-is
+    # rows; untouched buckets' stats rows are left as-is. The
+    # threshold-gated maintain bounds the stats table's own MOR fold
+    # depth over many adds (the check is metadata-only when shallow).
     catalog.upsert_by_keys(
         stats_table,
         touched.select("bucket", F.col("_bn").alias("n")),
         ["bucket"],
     )
+    try:
+        catalog.maintain(stats_table)
+    except Exception:
+        pass  # best-effort chore; next add retries
     return full.select(
         F.col("vid").alias(id_col), "bucket", "kept"
     )

@@ -329,8 +329,13 @@ class DocIngestPipeline:
             for r in rejects[1:]:
                 all_rejects = all_rejects.unionByName(r)
             if not all_rejects.isEmpty():
+                # the FULL doc rides along (CDC-DLQ convention: the
+                # quarantine table is self-contained) so replay_rejects
+                # can re-run the gates without the original source
                 self.catalog.upsert_by_keys(
-                    self.rejects_table, all_rejects, ["doc_id"]
+                    self.rejects_table,
+                    all_rejects.join(docs, "doc_id"),
+                    ["doc_id"],
                 )
             if batch_id is not None:
                 _mark_applied_batch(self.catalog, self.name, batch_id)
@@ -356,6 +361,48 @@ class DocIngestPipeline:
                 if frame is not None:
                     frame.unpersist()
             docs.unpersist()
+
+    # -- reject lifecycle ----------------------------------------------------
+    def replay_rejects(self) -> int:
+        """Re-run every quarantined doc through the CURRENT gates and
+        drain the ones that now pass — the dead-letter lifecycle
+        (mirror of ``CdcPipeline.replay_dlq``): loosen ``quality_min``
+        or ``jaccard_threshold``, replay, and only still-rejected docs
+        remain. Returns the number of docs accepted into the corpus.
+
+        Self-contained: the rejects table stores the full doc row, so
+        no original source is needed. Re-rejected docs stay quarantined
+        with their (possibly updated) reason; a doc whose digest was
+        meanwhile accepted from another arrival drains as
+        ``exact_duplicate`` — resolved, not pending. Near-dup-rejected
+        docs already hold index entries; their own ``sid`` is excluded
+        from candidate pairs, so replay re-scores them against the rest
+        of the corpus only.
+        """
+        if not self.catalog.exists(self.rejects_table):
+            return 0
+        quarantined = self.catalog.read(self.rejects_table).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        if quarantined.isEmpty():
+            return 0
+        before = self.catalog.read(self.name).count() if (
+            self.catalog.exists(self.name)
+        ) else 0
+        self.apply_batch(quarantined)  # no batch_id: replays re-gate
+        accepted = (
+            self.catalog.read(self.rejects_table)
+            .select("doc_id")
+            .join(self.catalog.read(self.name).select("doc_id"),
+                  "doc_id", "left_semi")
+        )
+        n = accepted.count()
+        if n:
+            self.catalog.delete_by_keys(
+                self.rejects_table, accepted, ["doc_id"]
+            )
+        after = self.catalog.read(self.name).count()
+        return after - before
 
     # -- streaming entry point ---------------------------------------------
     def start_stream(self, src_dir: str, checkpoint_dir: str):

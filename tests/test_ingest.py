@@ -168,3 +168,39 @@ def test_near_dup_chain_consistent_across_batch_slicing(spark, catalog):
     p2.apply_batch(_df(spark, [doc(3, NEAR2)]))
     two = {r.doc_id for r in catalog.read("two").collect()}
     assert one == two
+
+
+def test_replay_rejects_after_threshold_change(spark, catalog):
+    """The reject DLQ lifecycle (r7): rejects carry the full doc row,
+    so loosening a gate and calling replay_rejects() re-ingests the
+    docs that now pass and drains them from the quarantine — without
+    the original source. Still-failing docs stay, with reasons."""
+    from konohadataplatform_spark.streaming.ingest import DocIngestPipeline
+
+    pipe = DocIngestPipeline(spark, catalog, "corpus", quality_min=0.9)
+    good = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the quiet green field toward the distant "
+            "hills under a clear blue morning sky today")
+    soso = "word another thing item point value detail note case fact"
+    pipe.apply_batch(
+        _df(spark, [doc(1, good), doc(2, soso), doc(3, None)]), batch_id=0
+    )
+    kept = {r.doc_id for r in catalog.read("corpus").collect()}
+    quarantined = {r.doc_id for r in catalog.read("corpus__rejects").collect()}
+    assert 2 in quarantined and 3 in quarantined
+    # rejects are self-contained: the text rides along
+    stored = {r.doc_id: r.text for r in catalog.read("corpus__rejects").collect()}
+    assert stored[2] == soso and stored[3] is None
+
+    # operator loosens the quality gate and replays
+    pipe.quality_min = 0.2
+    n = pipe.replay_rejects()
+    assert n == 1
+    kept2 = {r.doc_id for r in catalog.read("corpus").collect()}
+    assert kept2 == kept | {2}
+    # doc 2 drained; doc 3 (NULL text) still quarantined
+    left = {(r.doc_id, r.reason)
+            for r in catalog.read("corpus__rejects").collect()}
+    assert left == {(3, "low_quality")}
+    # replay with nothing newly passing is a no-op
+    assert pipe.replay_rejects() == 0
