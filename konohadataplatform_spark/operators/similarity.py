@@ -805,6 +805,12 @@ def build_semantic_index(
     )
 
 
+# touched-bucket sets up to this size collect into IN filters (true
+# partition pruning on the bucket-partitioned index); larger batches
+# fall back to broadcast semi-joins
+_BUCKET_COLLECT_CAP = 100_000
+
+
 def semantic_index_add(
     catalog,
     name: str,
@@ -866,25 +872,36 @@ def semantic_index_add(
     # idx upsert below is vid-keyed and idempotent, so the stats must
     # be too). Buckets the batch doesn't touch can't produce pairs
     # (every pairwise join below is bucket-equi with a batch side), so
-    # restricting the gate to touched buckets is exact — and it prunes
-    # the vs-index join to touched buckets even when no cap is set.
-    idx_touched = idx.join(
-        F.broadcast(nf.select("bucket").distinct()), "bucket", "left_semi"
-    )
+    # restricting the gate to touched buckets is exact. The touched
+    # bucket ids are collected (metadata-sized: <= min(|batch|,
+    # 2^bits)) and pushed as IN filters so the vs-index reads are
+    # PARTITION-PRUNED directory scans of the bucket-partitioned
+    # table, not full-index scans filtered by a join; past the cap a
+    # broadcast semi-join keeps the plan shuffle-free on the index
+    # side either way.
+    tb = [r.bucket for r in
+          nf.select("bucket").distinct().limit(_BUCKET_COLLECT_CAP + 1)
+          .collect()]
+    if len(tb) <= _BUCKET_COLLECT_CAP:
+        idx_touched = idx.filter(F.col("bucket").isin(tb))
+        prior_touched = prior.filter(F.col("bucket").isin(tb))
+    else:  # huge backfill batch: fall back to join pruning
+        tset = nf.select("bucket").distinct()
+        idx_touched = idx.join(F.broadcast(tset), "bucket", "left_semi")
+        prior_touched = prior.join(F.broadcast(tset), "bucket", "left_semi")
     batch_counts = (
         nf.join(idx_touched.select("vid"), "vid", "left_anti")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("_bn_new"))
         # a fully-replayed bucket has zero new vids but must still be
-        # gate-visible and join-pruned: outer-join back onto the
-        # batch's bucket list
+        # gate-visible: outer-join back onto the batch's bucket list
         .join(nf.select("bucket").distinct(), "bucket", "right_outer")
         .select(
             "bucket", F.coalesce(F.col("_bn_new"), F.lit(0)).alias("_bn_new")
         )
     )
     touched = (
-        batch_counts.join(prior, "bucket", "left_outer")
+        batch_counts.join(prior_touched, "bucket", "left_outer")
         .select(
             "bucket",
             (F.coalesce(F.col("n"), F.lit(0)) + F.col("_bn_new")).alias("_bn"),
@@ -893,12 +910,12 @@ def semantic_index_add(
     if max_bucket is not None:
         small = touched.filter(F.col("_bn") <= max_bucket).select("bucket")
         pairable = nf.join(F.broadcast(small), "bucket", "left_semi")
-        idx_pairable = idx.join(F.broadcast(small), "bucket", "left_semi")
+        idx_pairable = idx_touched.join(
+            F.broadcast(small), "bucket", "left_semi"
+        )
     else:
         pairable = nf
-        idx_pairable = idx.join(
-            F.broadcast(touched.select("bucket")), "bucket", "left_semi"
-        )
+        idx_pairable = idx_touched
     # vs-corpus: ANY collision with an indexed vector drops the new
     # row (no id comparison — the index member arrived first)
     cos_ic = _dot(F.col("iv"), F.col("nv")) / (F.col("inrm") * F.col("nnrm"))

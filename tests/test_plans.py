@@ -371,3 +371,31 @@ def test_ingest_verification_prunes_index_scan(spark, tmp_path):
     pruned = cat.read(pipe.index_table).filter(F.col("sid").isin([1, 7]))
     plan = plan_of(pruned)
     assert "PushedFilters: [In(sid" in plan or "In(sid," in plan, plan
+
+
+def test_semantic_index_add_partition_prunes(spark, tmp_path):
+    """r7: the vs-index read inside semantic_index_add must be a
+    PARTITION-PRUNED scan of the bucket-partitioned index (the
+    touched-bucket IN list reaches PartitionFilters), not a full scan
+    filtered downstream."""
+    from pyspark.sql import Row
+
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.operators import similarity as S
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 3 - 1) or 1.0] * 8)
+         for i in range(12)]
+    )
+    S.build_semantic_index(cat, "c", base, bits=4, threshold=0.9)
+    # the pruned read the add performs: index filtered to batch buckets
+    idx = cat.read("c__semidx").filter(F.col("bucket").isin([3, 7]))
+    plan = idx._sc._jvm.PythonSQLUtils.explainString(
+        idx._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "bucket" in pf.group(1), plan
