@@ -647,6 +647,7 @@ def prebucketed_candidates(
     new_index: DataFrame,
     bands: int = 16,
     num_perm: int = 64,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Near-dup CANDIDATE pairs for a new batch against a persisted,
     pre-exploded (bkey, sid) bucket store — the incremental-ingest
@@ -662,18 +663,27 @@ def prebucketed_candidates(
     in the store (checkpoint-replay re-appends) are harmless: the
     ``distinct()`` collapses the duplicated pairs.
 
-    The batch side rides a broadcast, so this assumes micro-batches
-    are bounded (a 10k-doc batch × 16 bands is ~2.5 MB broadcast); for
-    unbounded backfills run the one-shot ``minhash_dedup`` instead.
+    With ``broadcast_new=True`` (the streaming default) the batch side
+    rides a broadcast, which assumes micro-batches are bounded (a
+    10k-doc batch × 16 bands is ~2.5 MB broadcast). For a backfill too
+    large to broadcast, pass ``broadcast_new=False``: both joins
+    become shuffle joins keyed on ``bkey`` — the corpus side then
+    exchanges, but only its two long columns (the pre-exploded store
+    still saves the bands× explode), and nothing needs to fit in one
+    executor.
 
     Returns (a_id, b_id) UNVERIFIED pairs (a_id < b_id) covering both
     new-vs-corpus and new-vs-new; feed them to :func:`verify_jaccard`.
     """
     nb = band_bucket_keys(new_index, bands, num_perm)
+
+    def _maybe_bcast(df):
+        return F.broadcast(df) if broadcast_new else df
+
     vs_corpus = (
         corpus_buckets.alias("c")
         .join(
-            F.broadcast(nb.alias("n")),
+            _maybe_bcast(nb.alias("n")),
             (F.col("c.bkey") == F.col("n.bkey"))
             & (F.col("c.sid") != F.col("n.sid")),
         )
@@ -687,7 +697,7 @@ def prebucketed_candidates(
         .join(
             # both sides are the (bounded) batch — broadcasting one
             # keeps the in-batch self-join shuffle-free too
-            F.broadcast(nb.alias("b")),
+            _maybe_bcast(nb.alias("b")),
             (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.sid") < F.col("b.sid")),
         )

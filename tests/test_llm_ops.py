@@ -1301,3 +1301,28 @@ def test_png_trns_color_key():
     d4 = decode_png(keyed4)
     assert d4["channels"] == 2
     assert list(d4["pixels"]) == [5 * 255 // 15, 0, 255, 255]
+
+
+def test_prebucketed_candidates_backfill_mode_same_pairs(spark, tmp_path):
+    """broadcast_new=False (backfill mode) must produce the identical
+    candidate set through shuffle joins — the knob changes the plan,
+    never the answer."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.streaming.ingest import DocIngestPipeline
+
+    docs = load_table(spark, SF_DIR, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    pipe = DocIngestPipeline(spark, cat, "c", quality_min=0.0)
+    pipe.apply_batch(
+        half.select("doc_id", "text", "lang", "source",
+                    F.col("n_chars")),
+        batch_id=0,
+    )
+    corpus_buckets = cat.read(pipe.buckets_table)
+    new_index = D.minhash_index(rest, "text", "doc_id")
+    bc = _pairs(D.prebucketed_candidates(corpus_buckets, new_index))
+    sj = _pairs(D.prebucketed_candidates(corpus_buckets, new_index,
+                                         broadcast_new=False))
+    assert bc == sj and bc  # same pairs, and the fixture collides
