@@ -231,6 +231,51 @@ def main() -> None:
         "ANALYZE TABLE cust10 COMPUTE STATISTICS FOR COLUMNS customer_id"
     ).collect())
 
+    # --- 12. r7: HiveServer2 door, streaming ingest, sketches ---------
+    from konohadataplatform_spark.hs2 import Hs2Client, Hs2Server
+
+    hs2 = Hs2Server(engine).start()  # any Hive JDBC client connects here
+    cli = Hs2Client(hs2.port)
+    cli.open_session()
+    cols, rows = cli.execute(
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY o_orderpriority ORDER BY n DESC LIMIT 1"
+    )
+    print("over hive jdbc protocol:", cols, rows)
+    cli.close()
+    hs2.stop()
+
+    from konohadataplatform_spark.streaming.ingest import DocIngestPipeline
+
+    ing = DocIngestPipeline(spark, catalog, "corpus12", quality_min=0.9)
+    ing.apply_batch(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog and keeps "
+                 "going through the wide green field toward the hills", "en",
+              "web", None),
+             (2, "x x x x x x x x x x x x x x x x", "en", "web", None)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+        batch_id=0,
+    )
+    ing.quality_min = 0.1  # operator loosens the gate...
+    readmitted = ing.replay_rejects()  # ...and replays the reject DLQ
+    print("ingest: corpus", catalog.read("corpus12").count(),
+          "docs after replaying", readmitted, "reject(s)")
+
+    from konohadataplatform_spark.operators.sketches import (
+        approx_distinct,
+        quantile_sketch,
+    )
+
+    orders_df = spark.table("orders")
+    print("HLL++ custkeys/priority:",
+          approx_distinct(orders_df, ["o_orderpriority"], "o_custkey")
+          .orderBy("o_orderpriority").first().approx_n)
+    print("GK p99 totalprice:",
+          quantile_sketch(orders_df, ["o_orderpriority"], "o_totalprice",
+                          probs=[0.99]).first().p99)
+
     spark.stop()
 
 
