@@ -53,6 +53,10 @@ SMOKE_QUERIES = [
     "q10_returned_items",
     "q_token_budget_pack",
     "q_sequence_packing",
+    # r7 additions: the bigram LM joins token streams with two
+    # gram-keyed count tables; the sketch agg must stay one exchange
+    "q_bigram_surprisal",
+    "q_quantile_sketch",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
