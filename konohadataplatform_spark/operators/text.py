@@ -289,6 +289,20 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+# GPT-2-family pre-tokenizer shape, restricted to ASCII classes so the
+# Java (Spark) and RE2 (DuckDB) engines match byte-for-byte:
+# contraction tails, space-prefixed letter runs, digit runs, punctuation
+# runs, whitespace runs. The coarse BPE-proxy token count every data
+# pipeline budgets with before a real tokenizer sees the text.
+BPE_SPLIT_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(text: Column, pattern: str = BPE_SPLIT_PATTERN) -> Column:
+    """Pre-tokenizer token count (BPE-ish regex) — JVM-side
+    regexp_extract_all inside codegen, no Python, no explode."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
 def bigram_surprisal(
     df: DataFrame,
     text_col: str = "text",

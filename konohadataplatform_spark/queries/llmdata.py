@@ -1733,6 +1733,33 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bpe_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+             AS INT) AS bpe_tokens,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting the way a training pipeline does it BEFORE a
+    real tokenizer sees the text: a GPT-2-family pre-tokenizer regex
+    (ASCII classes only, so Java and RE2 agree byte-for-byte) next to
+    the whitespace count and char length. Pure codegen expressions —
+    no explode, no shuffle, no Python."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        TX.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("ws_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
     "q_bigram_surprisal",
     """
     WITH toks AS (
