@@ -20,10 +20,23 @@ Implemented (per the published protocol docs):
   (text-format parameters substituted as SQL literals) / Describe /
   Execute / Close / Sync / Flush, with ParseComplete / BindComplete /
   NoData / PortalSuspended responses and error-until-Sync recovery
+- Transaction-control no-ops (r7): BEGIN / COMMIT / ROLLBACK / END /
+  ABORT / START TRANSACTION / DISCARD answer their CommandComplete
+  tags — the engine is auto-commit, and stock clients (psql -1, JDBC
+  autocommit=false) wrap everything in these
+- pg_catalog emulation (r7): statements touching pg_catalog /
+  pg_class / information_schema route to an in-memory DuckDB that
+  MIRRORS the Spark session catalog (empty, schema-identical tables),
+  so DuckDB's own postgres-compatible catalog answers psql's ``\\dt``
+  ``\\d`` ``\\dn`` and a JDBC driver's DatabaseMetaData queries with
+  the real table list. Verified against the sandbox's actual psql 15.
 - Terminate 'X'
 
 Not implemented: COPY, binary parameter/result formats, cursors
-beyond one unnamed portal row-limit, cancellation keys, TLS.
+beyond one unnamed portal row-limit, cancellation keys, TLS; the
+``\\d <table>`` FULL describe (psql 15 reads pg_class columns DuckDB
+does not model — the table list and column queries work, the
+describe-everything panel partially).
 
 Scale posture: identical to SqlServer — results are capped with a
 limit+1 probe (no second count job, no unbounded driver collect);
@@ -33,12 +46,35 @@ jobs the JVM schedules fairly.
 
 from __future__ import annotations
 
+import re
 import socket
 import socketserver
 import struct
 import threading
 
 DEFAULT_LIMIT = 10_000
+
+# transaction-control statements a stock client sends around its work:
+# first word -> CommandComplete tag (auto-commit engine, so no-ops)
+_TXN_TAGS = {
+    "BEGIN": "BEGIN",
+    "START": "BEGIN",
+    "COMMIT": "COMMIT",
+    "END": "COMMIT",
+    "ROLLBACK": "ROLLBACK",
+    "ABORT": "ROLLBACK",
+    "DISCARD": "DISCARD ALL",
+}
+
+# statements that must route to the DuckDB catalog mirror instead of
+# Spark: psql's backslash commands and JDBC DatabaseMetaData all query
+# these relations/namespaces
+_PGCAT_RE = re.compile(
+    r"\bpg_catalog\b|\bpg_class\b|\bpg_namespace\b|\bpg_attribute\b"
+    r"|\bpg_database\b|\bpg_roles\b|\bpg_settings\b|\bpg_proc\b"
+    r"|\bpg_type\b|\binformation_schema\s*\.",
+    re.IGNORECASE,
+)
 
 # Spark simpleString dtype -> (pg type oid, typlen)
 _PG_TYPES = {
@@ -206,6 +242,113 @@ class _Messages:
         return cls.msg(b"E", body)
 
 
+# Spark dtype -> DuckDB column type for the catalog mirror
+_DUCK_TYPES = {
+    "string": "VARCHAR", "bigint": "BIGINT", "int": "INTEGER",
+    "smallint": "SMALLINT", "tinyint": "TINYINT", "double": "DOUBLE",
+    "float": "FLOAT", "boolean": "BOOLEAN", "date": "DATE",
+    "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+# DuckDB result type name -> Spark-ish dtype (drives the pg type OID
+# on the wire); anything unmapped renders as text
+_DUCK_TO_SPARK = {
+    "VARCHAR": "string", "BIGINT": "bigint", "INTEGER": "int",
+    "SMALLINT": "smallint", "TINYINT": "tinyint", "DOUBLE": "double",
+    "FLOAT": "float", "BOOLEAN": "boolean", "DATE": "date",
+    "TIMESTAMP": "timestamp", "BLOB": "binary", "HUGEINT": "bigint",
+    "UBIGINT": "bigint", "UINTEGER": "bigint",
+}
+
+
+class _PgCatalogMirror:
+    """pg_catalog emulation: an in-memory DuckDB whose catalog mirrors
+    the Spark session catalog (empty, schema-identical tables), so
+    DuckDB's own postgres-compatible ``pg_class``/``pg_namespace``/
+    ``pg_attribute``/``information_schema`` answer client metadata
+    queries with the REAL table list — no hand-rolled pg_class rows.
+
+    The handful of server-side helper functions psql calls that DuckDB
+    lacks are shimmed as macros; operator/collation decorations DuckDB
+    cannot parse (``OPERATOR(pg_catalog.~)``, ``COLLATE pg_catalog.
+    default``) are rewritten off before execution.
+
+    Metadata-sized by construction: the mirror holds zero data rows and
+    re-syncing is a catalog listing, never a Spark job.
+    """
+
+    _MACROS = (
+        "CREATE MACRO pg_get_userbyid(o) AS 'spark'",
+        "CREATE MACRO pg_table_size(o) AS CAST(0 AS BIGINT)",
+        "CREATE MACRO pg_relation_size(o) AS CAST(0 AS BIGINT)",
+        "CREATE MACRO pg_total_relation_size(o) AS CAST(0 AS BIGINT)",
+        "CREATE MACRO pg_size_pretty(n) AS CAST(n AS VARCHAR) || ' bytes'",
+        "CREATE MACRO obj_description(o, c) AS NULL",
+        "CREATE MACRO shobj_description(o, c) AS NULL",
+        "CREATE MACRO pg_get_partkeydef(o) AS NULL",
+    )
+
+    def __init__(self, engine):
+        import duckdb
+
+        self.engine = engine
+        self._con = duckdb.connect()
+        self._lock = threading.Lock()
+        for ddl in self._MACROS:
+            try:
+                self._con.execute(ddl)
+            except Exception:  # a future DuckDB may ship the builtin
+                pass
+
+    def _sync(self) -> None:
+        existing = {
+            r[0] for r in self._con.execute(
+                "SELECT table_name FROM information_schema.tables "
+                "WHERE table_schema = 'main'"
+            ).fetchall()
+        }
+        spark = self.engine.spark
+        current = {}
+        for t in spark.catalog.listTables():
+            try:
+                current[t.name] = spark.table(t.name).dtypes
+            except Exception:  # dropped concurrently / unreadable
+                continue
+        for name in existing - set(current):
+            self._con.execute(f'DROP TABLE IF EXISTS "{name}"')
+        for name, dtypes in current.items():
+            cols = ", ".join(
+                f'"{c}" '
+                + (d.upper() if d.startswith("decimal")
+                   else _DUCK_TYPES.get(d, "VARCHAR"))
+                for c, d in dtypes
+            ) or '"dummy" VARCHAR'
+            self._con.execute(f'CREATE OR REPLACE TABLE "{name}" ({cols})')
+
+    @staticmethod
+    def _rewrite(sql: str) -> str:
+        sql = re.sub(
+            r"OPERATOR\s*\(\s*pg_catalog\.(~\*?|!~\*?|<>|=)\s*\)",
+            r" \1 ", sql,
+        )
+        sql = re.sub(r"COLLATE\s+pg_catalog\.\w+", "", sql)
+        sql = re.sub(r'COLLATE\s+"?default"?', "", sql)
+        return sql.replace("pg_catalog.", "")
+
+    def run(self, sql: str):
+        """-> (dtypes, rows) with Spark-ish dtype names for the wire."""
+        with self._lock:
+            self._sync()
+            cur = self._con.execute(self._rewrite(sql))
+            desc = cur.description or []
+            dtypes = [
+                (d[0], _DUCK_TO_SPARK.get(str(d[1]).upper(), "string"))
+                for d in desc
+            ]
+            return dtypes, cur.fetchall()
+
+
 class PgWireServer:
     """Threaded Postgres-protocol server over an :class:`Engine`.
 
@@ -221,6 +364,19 @@ class PgWireServer:
         self.limit = limit
         self._server: socketserver.ThreadingTCPServer | None = None
         self._thread: threading.Thread | None = None
+        self._pgcat: _PgCatalogMirror | None = None
+        self._pgcat_lock = threading.Lock()
+
+    def _catalog_mirror(self) -> _PgCatalogMirror:
+        with self._pgcat_lock:
+            if self._pgcat is None:
+                self._pgcat = _PgCatalogMirror(self.engine)
+            return self._pgcat
+
+    @staticmethod
+    def _txn_tag(stmt: str) -> str | None:
+        head = stmt.lstrip().split(None, 1)
+        return _TXN_TAGS.get(head[0].upper()) if head else None
 
     # -- query execution ----------------------------------------------------
     def _run_query(self, wfile, sql: str) -> None:
@@ -229,6 +385,17 @@ class PgWireServer:
             wfile.write(_Messages.empty_query())
             return
         for stmt in stmts:
+            tag = self._txn_tag(stmt)
+            if tag is not None:
+                wfile.write(_Messages.command_complete(tag))
+                continue
+            if _PGCAT_RE.search(stmt):
+                dtypes, rows = self._catalog_mirror().run(stmt)
+                wfile.write(_Messages.row_description(dtypes))
+                for r in rows:
+                    wfile.write(_Messages.data_row(list(r)))
+                wfile.write(_Messages.command_complete(f"SELECT {len(rows)}"))
+                continue
             df = self.engine.sql(stmt)
             if df is None or not df.columns:
                 wfile.write(_Messages.command_complete("OK"))
@@ -312,7 +479,12 @@ class PgWireServer:
             has_params = (
                 sql is not None and _sub_placeholders(sql, lambda n: "NULL")[1]
             )
-            if sql is not None and self._returns_rows(sql) and not has_params:
+            if (sql is not None and self._txn_tag(sql) is None
+                    and _PGCAT_RE.search(sql) and not has_params):
+                dtypes, _rows = self._catalog_mirror().run(sql)
+                wfile.write(_Messages.row_description(dtypes))
+            elif (sql is not None and self._returns_rows(sql)
+                    and self._txn_tag(sql) is None and not has_params):
                 df = self.engine.sql(sql)  # lazy: schema only, no action
                 wfile.write(_Messages.row_description(list(df.dtypes)))
             else:
@@ -325,12 +497,23 @@ class PgWireServer:
             (maxrows,) = struct.unpack_from(">I", payload, end + 1)
             entry = state["portals"][portal]
             if entry["rows"] is None:
-                df = self.engine.sql(entry["sql"])
-                if df is None or not df.columns:
+                txn = self._txn_tag(entry["sql"])
+                if txn is not None:
                     entry["rows"] = []
-                    wfile.write(_Messages.command_complete("OK"))
+                    wfile.write(_Messages.command_complete(txn))
                     return
-                entry["rows"] = df.limit(self.limit + 1).collect()[: self.limit]
+                if _PGCAT_RE.search(entry["sql"]):
+                    _dt, rows = self._catalog_mirror().run(entry["sql"])
+                    entry["rows"] = [tuple(r) for r in rows]
+                else:
+                    df = self.engine.sql(entry["sql"])
+                    if df is None or not df.columns:
+                        entry["rows"] = []
+                        wfile.write(_Messages.command_complete("OK"))
+                        return
+                    entry["rows"] = (
+                        df.limit(self.limit + 1).collect()[: self.limit]
+                    )
             rows = entry["rows"]
             take = rows[entry["pos"] : entry["pos"] + maxrows] if maxrows else rows[entry["pos"] :]
             for r in take:

@@ -163,3 +163,84 @@ def test_multi_statement_backslash_escaped_quote(server):
         server.port, r"SELECT 'don\'t; stay' AS s; SELECT 2 AS b"
     )
     assert err is None and cols == ["b"] and rows[-1] == ["2"]
+
+
+# ---------------------------------------------------------------------------
+# r7: real-client interop — the same lesson as HS2/beeline: a
+# self-written client masks protocol traps, so the gate is the
+# sandbox's actual psql 15.
+# ---------------------------------------------------------------------------
+
+PSQL = "/usr/bin/psql"
+
+
+def _psql(server, *cmds, timeout=120):
+    import os
+    import subprocess
+
+    args = [PSQL, f"host=127.0.0.1 port={server.port} dbname=default "
+                  "user=konoha", "--no-psqlrc", "-v", "ON_ERROR_STOP=0"]
+    for c in cmds:
+        args += ["-c", c]
+    return subprocess.run(args, capture_output=True, text=True,
+                          timeout=timeout, env=dict(os.environ))
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(PSQL), reason="no psql here"
+)
+def test_real_psql_select_and_nulls(server):
+    out = _psql(server, "SELECT id, s, d, b, n FROM t ORDER BY id")
+    assert out.returncode == 0, out.stderr
+    assert "1 | a | 1.5 | t" in out.stdout
+    assert "2 | b | 2.5 | f | x" in out.stdout
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(PSQL), reason="no psql here"
+)
+def test_real_psql_metacommands(server):
+    """\\dt and \\dn drive psql's pg_catalog queries against the DuckDB
+    catalog mirror: the REAL Spark table list comes back."""
+    out = _psql(server, r"\dt", r"\dn")
+    assert out.returncode == 0, out.stderr
+    assert "t" in out.stdout and "table" in out.stdout
+    assert "Schema" in out.stdout  # the \dn namespace listing rendered
+    assert "ERROR" not in out.stdout and "ERROR" not in out.stderr
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(PSQL), reason="no psql here"
+)
+def test_real_psql_transaction_noops(server):
+    """psql -1 / scripts wrap work in BEGIN/COMMIT; the auto-commit
+    engine must answer the tags instead of erroring."""
+    out = _psql(
+        server,
+        "BEGIN; SELECT count(*) AS n FROM t; COMMIT",
+        "ROLLBACK",
+    )
+    assert out.returncode == 0, out.stderr
+    assert "BEGIN" in out.stdout and "COMMIT" in out.stdout
+    assert "ROLLBACK" in out.stdout
+    assert "ERROR" not in out.stdout and "ERROR" not in out.stderr
+
+
+def test_catalog_mirror_information_schema(server):
+    """JDBC DatabaseMetaData-style information_schema queries route to
+    the mirror and report the real columns."""
+    cols, rows, err = pg_query(
+        server.port,
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name = 't' ORDER BY ordinal_position",
+    )
+    assert err is None, err
+    assert [r[0] for r in rows] == ["id", "s", "d", "b", "n"]
+
+
+def test_txn_noops_via_extended_protocol(server):
+    """JDBC autocommit=false sends BEGIN through the extended flow."""
+    from konohadataplatform_spark.pgwire import pg_extended_query
+
+    cols, rows, err = pg_extended_query(server.port, "BEGIN")
+    assert err is None and rows == []
