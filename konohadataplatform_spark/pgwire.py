@@ -26,17 +26,17 @@ Implemented (per the published protocol docs):
   autocommit=false) wrap everything in these
 - pg_catalog emulation (r7): statements touching pg_catalog /
   pg_class / information_schema route to an in-memory DuckDB that
-  MIRRORS the Spark session catalog (empty, schema-identical tables),
-  so DuckDB's own postgres-compatible catalog answers psql's ``\\dt``
-  ``\\d`` ``\\dn`` and a JDBC driver's DatabaseMetaData queries with
-  the real table list. Verified against the sandbox's actual psql 15.
+  MIRRORS the Spark session catalog (empty, schema-identical tables —
+  re-created only on schema change, so pg_class oids stay stable
+  across psql's multi-query metacommand flows), so DuckDB's own
+  postgres-compatible catalog answers psql's ``\\dt`` ``\\d``
+  ``\\dn`` ``\\d <table>`` (full describe with real column types) and
+  a JDBC driver's DatabaseMetaData queries with the real table list.
+  Verified against the sandbox's actual psql 15.
 - Terminate 'X'
 
 Not implemented: COPY, binary parameter/result formats, cursors
-beyond one unnamed portal row-limit, cancellation keys, TLS; the
-``\\d <table>`` FULL describe (psql 15 reads pg_class columns DuckDB
-does not model — the table list and column queries work, the
-describe-everything panel partially).
+beyond one unnamed portal row-limit, cancellation keys, TLS.
 
 Scale posture: identical to SqlServer — results are capped with a
 limit+1 probe (no second count job, no unbounded driver collect);
@@ -287,6 +287,69 @@ class _PgCatalogMirror:
         "CREATE MACRO obj_description(o, c) AS NULL",
         "CREATE MACRO shobj_description(o, c) AS NULL",
         "CREATE MACRO pg_get_partkeydef(o) AS NULL",
+        "CREATE MACRO pg_get_statisticsobjdef_columns(o) AS NULL",
+        # (format_type / pg_get_expr are DuckDB builtins — not shimmed;
+        # the 3-arg pg_get_expr pretty flag is dropped in _rewrite)
+        # shadow views: DuckDB's pg_catalog tables miss a handful of
+        # columns modern psql reads; an unqualified reference (after
+        # the pg_catalog. strip) resolves to these main-schema views
+        # first, which pass everything through and default the gaps.
+        # DuckDB-internal compat relations (sqlite_*/duckdb_*/pragma_*)
+        # and the shadows themselves (pg_*) are filtered so \\d lists
+        # only the mirrored Spark tables, once each.
+        "CREATE VIEW pg_class AS SELECT pc.*, false AS "
+        "relforcerowsecurity, CAST(0 AS BIGINT) AS relam "
+        "FROM pg_catalog.pg_class pc "
+        "WHERE pc.relname NOT LIKE 'sqlite!_%' ESCAPE '!' "
+        "AND pc.relname NOT LIKE 'duckdb!_%' ESCAPE '!' "
+        "AND pc.relname NOT LIKE 'pragma!_%' ESCAPE '!' "
+        "AND pc.relname NOT LIKE 'pg!_%' ESCAPE '!'",
+        "CREATE VIEW pg_am AS SELECT CAST(0 AS BIGINT) AS oid, "
+        "'heap' AS amname WHERE 1 = 0",
+        "CREATE VIEW pg_statistic_ext AS SELECT CAST(0 AS BIGINT) AS "
+        "oid, CAST(0 AS BIGINT) AS stxrelid, '' AS stxname, "
+        "CAST(0 AS BIGINT) AS stxnamespace, [] AS stxkind, "
+        "CAST(0 AS BIGINT) AS stxstattarget WHERE 1 = 0",
+        "CREATE VIEW pg_publication_rel AS SELECT CAST(0 AS BIGINT) "
+        "AS prrelid, CAST(0 AS BIGINT) AS prpubid, '' AS prqual, "
+        "CAST(NULL AS SMALLINT[]) AS prattrs WHERE 1 = 0",
+        "CREATE VIEW pg_publication_namespace AS SELECT "
+        "CAST(0 AS BIGINT) AS pnpubid, CAST(0 AS BIGINT) AS pnnspid "
+        "WHERE 1 = 0",
+        "CREATE MACRO pg_relation_is_publishable(o) AS false",
+        "CREATE MACRO array_upper(a, d) AS len(a)",
+        "CREATE VIEW pg_publication AS SELECT CAST(0 AS BIGINT) AS "
+        "oid, '' AS pubname, false AS puballtables WHERE 1 = 0",
+        "CREATE VIEW pg_inherits AS SELECT CAST(0 AS BIGINT) AS "
+        "inhrelid, CAST(0 AS BIGINT) AS inhparent, 0 AS inhseqno, "
+        "false AS inhdetachpending WHERE 1 = 0",
+        "CREATE VIEW pg_rewrite AS SELECT CAST(0 AS BIGINT) AS oid, "
+        "CAST(0 AS BIGINT) AS ev_class, '' AS rulename WHERE 1 = 0",
+        "CREATE VIEW pg_trigger AS SELECT CAST(0 AS BIGINT) AS oid, "
+        "CAST(0 AS BIGINT) AS tgrelid, '' AS tgname, false AS "
+        "tgisinternal WHERE 1 = 0",
+        "CREATE VIEW pg_collation AS SELECT CAST(0 AS BIGINT) AS oid, "
+        "'' AS collname, CAST(0 AS BIGINT) AS collnamespace "
+        "WHERE 1 = 0",
+        "CREATE VIEW pg_attrdef AS SELECT CAST(0 AS BIGINT) AS oid, "
+        "CAST(0 AS BIGINT) AS adrelid, 0 AS adnum, '' AS adbin "
+        "WHERE 1 = 0",
+        "CREATE VIEW pg_index AS SELECT CAST(0 AS BIGINT) AS "
+        "indexrelid, CAST(0 AS BIGINT) AS indrelid, false AS "
+        "indisprimary, false AS indisunique, false AS indisclustered, "
+        "false AS indisvalid, false AS indisreplident, "
+        "false AS indisexclusion, false AS indimmediate, "
+        "'' AS indpred WHERE 1 = 0",
+        "CREATE VIEW pg_policy AS SELECT CAST(0 AS BIGINT) AS oid, "
+        "CAST(0 AS BIGINT) AS polrelid, '' AS polname, "
+        "true AS polpermissive, CAST(NULL AS BIGINT[]) AS polroles, "
+        "'' AS polqual, '' AS polwithcheck, '' AS polcmd WHERE 1 = 0",
+        "CREATE VIEW pg_stat_all_tables AS SELECT CAST(0 AS BIGINT) "
+        "AS relid WHERE 1 = 0",
+        "CREATE VIEW pg_foreign_table AS SELECT CAST(0 AS BIGINT) AS "
+        "ftrelid, CAST(0 AS BIGINT) AS ftserver WHERE 1 = 0",
+        "CREATE VIEW pg_roles AS SELECT CAST(0 AS BIGINT) AS oid, "
+        "'spark' AS rolname WHERE 1 = 0",
     )
 
     def __init__(self, engine):
@@ -295,6 +358,11 @@ class _PgCatalogMirror:
         self.engine = engine
         self._con = duckdb.connect()
         self._lock = threading.Lock()
+        # mirrored {name: dtypes}: a table is only re-created when its
+        # schema actually changed — psql's metacommands read pg_class
+        # oids across SEVERAL queries, so gratuitous re-creates (fresh
+        # oids) would break every multi-query \\d flow mid-way
+        self._mirrored: dict = {}
         for ddl in self._MACROS:
             try:
                 self._con.execute(ddl)
@@ -302,12 +370,6 @@ class _PgCatalogMirror:
                 pass
 
     def _sync(self) -> None:
-        existing = {
-            r[0] for r in self._con.execute(
-                "SELECT table_name FROM information_schema.tables "
-                "WHERE table_schema = 'main'"
-            ).fetchall()
-        }
         spark = self.engine.spark
         current = {}
         for t in spark.catalog.listTables():
@@ -315,9 +377,12 @@ class _PgCatalogMirror:
                 current[t.name] = spark.table(t.name).dtypes
             except Exception:  # dropped concurrently / unreadable
                 continue
-        for name in existing - set(current):
+        for name in set(self._mirrored) - set(current):
             self._con.execute(f'DROP TABLE IF EXISTS "{name}"')
+            del self._mirrored[name]
         for name, dtypes in current.items():
+            if self._mirrored.get(name) == dtypes:
+                continue  # unchanged: keep the existing oid
             cols = ", ".join(
                 f'"{c}" '
                 + (d.upper() if d.startswith("decimal")
@@ -325,6 +390,7 @@ class _PgCatalogMirror:
                 for c, d in dtypes
             ) or '"dummy" VARCHAR'
             self._con.execute(f'CREATE OR REPLACE TABLE "{name}" ({cols})')
+            self._mirrored[name] = dtypes
 
     @staticmethod
     def _rewrite(sql: str) -> str:
@@ -334,10 +400,24 @@ class _PgCatalogMirror:
         )
         sql = re.sub(r"COLLATE\s+pg_catalog\.\w+", "", sql)
         sql = re.sub(r'COLLATE\s+"?default"?', "", sql)
+        # DuckDB has no reg* pseudo-types; the VARCHAR cast keeps the
+        # expression valid (psql renders the raw value)
+        sql = re.sub(r"::\s*(pg_catalog\.)?reg\w+", "::VARCHAR", sql)
+        # DuckDB's pg_get_expr builtin is 2-arg; drop psql's pretty flag
+        sql = re.sub(
+            r"pg_get_expr\s*\(([^()]*?),\s*(?:true|false)\s*\)",
+            r"pg_get_expr(\1)", sql,
+        )
         return sql.replace("pg_catalog.", "")
 
     def run(self, sql: str):
         """-> (dtypes, rows) with Spark-ish dtype names for the wire."""
+        # psql's publication panel query uses a correlated
+        # generate_series DuckDB's binder rejects — and the mirror has
+        # no publications by construction, so the answer is always the
+        # empty set; short-circuit instead of translating it
+        if re.search(r"\bpg_publication\b", sql):
+            return [("pubname", "string")], []
         with self._lock:
             self._sync()
             cur = self._con.execute(self._rewrite(sql))

@@ -200,12 +200,17 @@ def test_real_psql_select_and_nulls(server):
     not __import__("os").path.exists(PSQL), reason="no psql here"
 )
 def test_real_psql_metacommands(server):
-    """\\dt and \\dn drive psql's pg_catalog queries against the DuckDB
-    catalog mirror: the REAL Spark table list comes back."""
-    out = _psql(server, r"\dt", r"\dn")
+    """\\dt, \\dn, and the multi-query \\d <table> full describe drive
+    psql's pg_catalog queries against the DuckDB catalog mirror: the
+    REAL Spark table list and column types come back."""
+    out = _psql(server, r"\dt", r"\dn", r"\d t")
     assert out.returncode == 0, out.stderr
     assert "t" in out.stdout and "table" in out.stdout
     assert "Schema" in out.stdout  # the \dn namespace listing rendered
+    # the full describe resolved the table oid ACROSS two catalog
+    # queries (stable mirror oids) and rendered real column types
+    assert "int8" in out.stdout and "float8" in out.stdout
+    assert "boolean" in out.stdout or "bool" in out.stdout
     assert "ERROR" not in out.stdout and "ERROR" not in out.stderr
 
 
