@@ -900,16 +900,33 @@ def documents_as_tiff(docs: DataFrame, width: int = 8, height: int = 4) -> DataF
     )
 
 
-def documents_as_wav(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
-    """Deterministic REAL audio payloads: 8 signed 16-bit samples from
-    the md5 digest (little-endian pairs), PCM mono WAV."""
+def documents_as_wav(
+    docs: DataFrame, sample_rate: int = 8000, n_samples: int = 8
+) -> DataFrame:
+    """Deterministic REAL audio payloads: ``n_samples`` signed 16-bit
+    samples (little-endian pairs) from an md5 hash chain, PCM mono WAV.
+
+    The byte stream is the digest of ``md5(text)`` extended by
+    re-hashing the previous *hex string* (`md5(md5(text))`, then
+    ``md5(md5(md5(text)))``, ...) — exactly what SQL ``md5()``
+    composition produces, so an engine-independent oracle can rebuild
+    the samples with nothing but nested ``md5`` calls. The default
+    ``n_samples=8`` consumes a single digest and is byte-identical to
+    the original fixed-8 builder."""
+    nbytes = 2 * n_samples
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = []
             for t in pdf["text"]:
-                d = hashlib.md5(t.encode()).digest()
-                samples = list(struct.unpack("<8h", d))
+                hx = hashlib.md5(t.encode()).hexdigest()
+                buf = bytes.fromhex(hx)
+                while len(buf) < nbytes:
+                    hx = hashlib.md5(hx.encode()).hexdigest()
+                    buf += bytes.fromhex(hx)
+                samples = list(
+                    struct.unpack(f"<{n_samples}h", buf[:nbytes])
+                )
                 content.append(encode_wav(samples, sample_rate))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from konohadataplatform_spark.operators import dedup as D
+from konohadataplatform_spark.operators import fingerprint as FP
 from konohadataplatform_spark.operators import multimodal as M
 from konohadataplatform_spark.operators import similarity as S
 from konohadataplatform_spark.operators import text as TX
@@ -1923,6 +1924,146 @@ def q_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes with the same sign convention."""
     docs = _t(spark, sf_dir, "documents")
     out = M.audio_window_stats(M.documents_as_wav(docs), window=4)
+    return out.withColumnRenamed("media_id", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Perceptual media fingerprints (dHash images, windowed-energy audio)
+# --------------------------------------------------------------------------
+# gray[i] (0-based pixel i of the 8x4 RGB fixture) = floor(mean of the
+# 3 channel bytes); pixel bytes are the md5 digest cycled, so channel
+# byte (3i+c) = digest[(3i+c) % 16].
+_DHASH_GRAY = (
+    "[ (bytes[(3*i) % 16 + 1] + bytes[(3*i+1) % 16 + 1]"
+    " + bytes[(3*i+2) % 16 + 1]) // 3 for i in range(0, 32) ]"
+)
+# dHash bit i (i = 7*row + x on an 8-wide grid): right neighbor
+# strictly brighter. 28 bits for the 8x4 fixture.
+_DHASH_BITS = (
+    "CAST(list_sum([ CASE WHEN gray[8*(i//7) + (i%7) + 2]"
+    " > gray[8*(i//7) + (i%7) + 1]"
+    " THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 28) ]) AS BIGINT)"
+)
+_DHASH_CTES = f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         b AS (SELECT doc_id, {_MD5_BYTES} AS bytes FROM d),
+         g AS (SELECT doc_id, {_DHASH_GRAY} AS gray FROM b),
+         f AS (SELECT doc_id, {_DHASH_BITS} AS dhash FROM g)
+"""
+
+
+@query(
+    "q_image_dhash_groups",
+    f"""
+    {_DHASH_CTES}
+    SELECT dhash, MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+    FROM f GROUP BY dhash
+    """,
+)
+def q_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (difference-hash) image dedup groups through the real
+    BMP codec: encode 8x4 RGB BMPs from md5 bytes, decode, gray, dHash
+    on the native grid, then one hash-partitioned aggregate. The oracle
+    replays the exact integer pipeline from md5 hex. Payload bytes
+    never shuffle — only the 28-bit hash does."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = FP.dhash_features(M.documents_as_bmp(docs))
+    return FP.dhash_groups(feats).withColumnRenamed(
+        "kept_media_id", "kept_doc_id"
+    )
+
+
+@query(
+    "q_image_dhash_neardup",
+    f"""
+    {_DHASH_CTES},
+         e AS (SELECT doc_id, dhash, unnest([0, 1, 2, 3]) AS band FROM f),
+         v AS (SELECT doc_id, dhash, band,
+                      (dhash >> (7 * band)) & 127 AS band_val
+               FROM e),
+         c AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                      a.dhash AS ah, b.dhash AS bh
+               FROM v a JOIN v b
+                 ON a.band = b.band AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id)
+    SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS INT) AS hamming
+    FROM c WHERE bit_count(xor(ah, bh)) <= 3
+    """,
+)
+def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate images by banded Hamming LSH over the dHash:
+    4 disjoint 7-bit bands, equi-join per band (pigeonhole: 4 bands >
+    3 max bits differing -> recall exactly 1.0), then exact
+    ``bit_count(a ^ b)`` verification JVM-side. The oracle replays the
+    identical band join in SQL, so the candidate set — not just the
+    final answer — is engine-portable."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = FP.dhash_features(M.documents_as_bmp(docs))
+    return FP.dhash_neardup_pairs(feats, nbits=28, bands=4, max_hamming=3)
+
+
+# audio fingerprint fixture: 16 int16 LE samples from the md5 hash
+# chain md5(text) || md5(md5(text)) (hex-string re-hash == SQL md5
+# composition), windows of 4.
+_FP_BYTES_H2 = (
+    f"[ (strpos({_HEX}, h2[2*i+1]) - 1) * 16"
+    f" + (strpos({_HEX}, h2[2*i+2]) - 1) for i in range(0, 16) ]"
+)
+
+
+@query(
+    "q_audio_fingerprint",
+    f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h, md5(md5(text)) AS h2
+               FROM documents),
+         b AS (SELECT doc_id, {_MD5_BYTES} || {_FP_BYTES_H2} AS bytes
+               FROM d),
+         s AS (SELECT doc_id,
+                      [ CASE WHEN bytes[2*j+1] + 256 * bytes[2*j+2] >= 32768
+                             THEN bytes[2*j+1] + 256 * bytes[2*j+2] - 65536
+                             ELSE bytes[2*j+1] + 256 * bytes[2*j+2] END
+                        for j in range(0, 16) ] AS smp
+               FROM b),
+         w AS (SELECT doc_id,
+                      [ smp[4*k+1]*smp[4*k+1] + smp[4*k+2]*smp[4*k+2]
+                        + smp[4*k+3]*smp[4*k+3] + smp[4*k+4]*smp[4*k+4]
+                        for k in range(0, 4) ] AS e,
+                      [ (CASE WHEN (smp[4*k+1] < 0) <> (smp[4*k+2] < 0)
+                              THEN 1 ELSE 0 END)
+                        + (CASE WHEN (smp[4*k+2] < 0) <> (smp[4*k+3] < 0)
+                                THEN 1 ELSE 0 END)
+                        + (CASE WHEN (smp[4*k+3] < 0) <> (smp[4*k+4] < 0)
+                                THEN 1 ELSE 0 END)
+                        for k in range(0, 4) ] AS zcr,
+                      [ greatest(abs(smp[4*k+1]), abs(smp[4*k+2]),
+                                 abs(smp[4*k+3]), abs(smp[4*k+4]))
+                        for k in range(0, 4) ] AS pk
+               FROM s)
+    SELECT doc_id,
+           CAST(
+             list_sum([ CASE WHEN e[i+2] > e[i+1]
+                        THEN (1::BIGINT << i) ELSE 0 END
+                        for i in range(0, 3) ])
+             + list_sum([ CASE WHEN zcr[i+1] % 2 = 1
+                          THEN (1::BIGINT << (3 + i)) ELSE 0 END
+                          for i in range(0, 4) ])
+             + list_sum([ CASE WHEN pk[i+1] >= 16384
+                          THEN (1::BIGINT << (7 + i)) ELSE 0 END
+                          for i in range(0, 4) ])
+           AS BIGINT) AS fingerprint,
+           4 AS n_windows,
+           CAST(e[1] + e[2] + e[3] + e[4] AS BIGINT) AS total_energy
+    FROM w
+    """,
+)
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-energy audio fingerprint through the real WAV codec:
+    16 hash-chain int16 samples per doc, 4 windows -> 11-bit
+    fingerprint (3 energy-ascent + 4 zcr-parity + 4 peak bits), all
+    exact integer arithmetic the oracle replays from nested md5."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.documents_as_wav(docs, n_samples=16)
+    out = FP.audio_fingerprint_features(media, window=4)
     return out.withColumnRenamed("media_id", "doc_id")
 
 
