@@ -85,15 +85,43 @@ def dhash_bits(gray: list[int], width: int, height: int) -> int:
         for x in range(width - 1):
             if gray[base + x + 1] > gray[base + x]:
                 h |= 1 << (r * (width - 1) + x)
-    return h
+    # two's-complement into signed 64-bit: a full 64-bit hash with bit
+    # 63 set must still fit Spark LongType / DuckDB BIGINT; band
+    # extraction masks after the shift, so signedness never leaks into
+    # bucket values
+    return h - (1 << 64) if h >= 1 << 63 else h
 
 
-def dhash_features(media: DataFrame) -> DataFrame:
+def _resample(
+    gray: list[int], src_w: int, src_h: int, width: int, height: int
+) -> list[int]:
+    """Nearest-neighbor gray resample with ``resize_image``'s index
+    arithmetic (sx = x*src_w//width), applied to the already-decoded
+    luma plane so the resize costs no re-encode round trip."""
+    return [
+        gray[(y * src_h // height) * src_w + (x * src_w // width)]
+        for y in range(height)
+        for x in range(width)
+    ]
+
+
+def dhash_features(
+    media: DataFrame, *, resize_to: tuple[int, int] | None = None
+) -> DataFrame:
     """(media_id, content) -> (media_id, dhash, width, height, nbits).
 
     Decodes with the native codec set (BMP/PNG/JPEG/TIFF — anything
     ``decode_image`` handles) inside Arrow batches; undecodable rows
-    surface as null dhash rather than failing the stage."""
+    surface as null dhash rather than failing the stage.
+
+    ``resize_to=(9, 8)`` is the production geometry: every image is
+    nearest-neighbor-resampled to a fixed 9x8 luma grid before hashing
+    — a full 64-bit dHash independent of source dimensions, which is
+    what makes cross-resolution duplicates collide AND gives the
+    near-dup band join 16-bit bands (65k buckets) at scale. The
+    default (native grid) keeps the hash exactly recomputable by the
+    fixture oracle. Reported width/height stay the SOURCE dims either
+    way (the hash geometry is in ``nbits``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -112,8 +140,13 @@ def dhash_features(media: DataFrame) -> DataFrame:
                     len(img["pixels"]) // (w * hgt) if w * hgt else 1
                 )
                 gray = _gray(bytes(img["pixels"]), ch)
+                if resize_to is not None:
+                    gw, gh = resize_to
+                    gray = _resample(gray, w, hgt, gw, gh)
+                else:
+                    gw, gh = w, hgt
                 rows.append(
-                    (mid, dhash_bits(gray, w, hgt), w, hgt, (w - 1) * hgt)
+                    (mid, dhash_bits(gray, gw, gh), w, hgt, (gw - 1) * gh)
                 )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in DHASH_SCHEMA.fields]
@@ -141,6 +174,7 @@ def dhash_neardup_pairs(
     nbits: int = 28,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs within ``max_hamming`` bits, via
     banded Hamming LSH with exact verification.
@@ -152,7 +186,17 @@ def dhash_neardup_pairs(
     ``ceil(nbits / bands)``; at production geometry (resize to 9x8 ->
     64-bit hash, 8 bands of 8) each band bucket holds ~n/256 rows —
     size buckets by choosing ``bands`` so the per-bucket self-join
-    stays bounded, exactly like ``simhash_candidates``."""
+    stays bounded, exactly like ``simhash_candidates``.
+
+    ``max_bucket`` is the skew guard for the 100 TB path (same
+    contract as ``semantic_dedup``): band buckets holding more rows
+    than the cap — flat-color thumbnails, corrupt-but-decodable
+    frames, any hash hotspot — are dropped from candidate generation
+    before the self-join can go quadratic on them. Capping trades the
+    recall guarantee on exactly those hot hashes (a pair is still
+    found through any of its OTHER uncapped bands), deterministically:
+    bucket sizes are data-determined, so an oracle can replay the
+    cap."""
     if bands <= max_hamming:
         raise ValueError(
             f"bands={bands} must exceed max_hamming={max_hamming} "
@@ -171,6 +215,20 @@ def dhash_neardup_pairs(
         "band_val",
         F.expr(f"shiftright(dhash, band * {width}) & {mask}"),
     )
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "band_val").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        # un-hinted join: the sizes side is one row per distinct
+        # (band, bucket) — usually metadata-sized, but unbounded in
+        # principle, so let AQE pick broadcast vs shuffle (the r6
+        # semantic_dedup lesson: never force-broadcast a data-sized
+        # side)
+        banded = (
+            banded.join(sizes, ["band", "band_val"])
+            .where(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

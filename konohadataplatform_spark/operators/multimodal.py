@@ -1121,6 +1121,46 @@ def gif_frames(media: DataFrame, stride: int = 1) -> DataFrame:
     return media.mapInPandas(run, GIF_FRAME_SCHEMA)
 
 
+SCENE_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("diff_sum", T.LongType(), True),
+        T.StructField("is_cut", T.BooleanType(), True),
+    ]
+)
+
+
+def video_scene_cuts(media: DataFrame, threshold: int = 8160) -> DataFrame:
+    """Scene-change detection over animated payloads (the video-column
+    analog): one row per frame TRANSITION — ``frame_idx`` is the later
+    frame — with the exact integer sum of absolute per-channel pixel
+    differences and an ``is_cut`` flag at ``threshold``. This is the
+    shot-segmentation primitive a video training pipeline runs before
+    sampling representative frames (cut-bounded strides instead of
+    blind ones). Exact integer arithmetic end to end; Arrow batches,
+    payloads never shuffle."""
+    from konohadataplatform_spark.operators.gif_py import decode_gif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                g = decode_gif(bytes(content))
+                frames = [bytes(fr["pixels"]) for fr in g["frames"]]
+                for i in range(1, len(frames)):
+                    a, b = frames[i - 1], frames[i]
+                    d = sum(abs(x - y) for x, y in zip(a, b))
+                    rows.append((mid, i, d, d >= threshold))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCENE_CUT_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, SCENE_CUT_SCHEMA)
+
+
 AUDIO_WINDOW_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

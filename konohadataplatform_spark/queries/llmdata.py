@@ -1889,6 +1889,36 @@ def q_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Video scene-change detection (shot segmentation over the GIF analog)
+# --------------------------------------------------------------------------
+@query(
+    "q_gif_scene_cuts",
+    f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         b AS (SELECT doc_id, {_MD5_BYTES} AS bytes FROM d),
+         k AS (SELECT unnest([1, 2, 3]) AS frame_idx),
+         t AS (SELECT doc_id, frame_idx,
+                      CAST(3 * list_sum(
+                        [ abs(17 * (bytes[(i + 4 * frame_idx - 4) % 16 + 1] % 16)
+                            - 17 * (bytes[(i + 4 * frame_idx) % 16 + 1] % 16))
+                          for i in range(0, 32) ]) AS BIGINT) AS diff_sum
+               FROM b, k)
+    SELECT doc_id, frame_idx, diff_sum, diff_sum >= 8160 AS is_cut
+    FROM t
+    """,
+)
+def q_gif_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene cuts through the real LZW decoder: 4-frame GIFs (frame k
+    reads digest bytes at offset 4k), per-transition absolute pixel
+    diff, cut flag at the default threshold. Gray pixels repeat across
+    channels, so the oracle recomputes diff_sum as 3x the gray diff
+    from md5 arithmetic — bit-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    out = M.video_scene_cuts(M.documents_as_gif(docs, n_frames=4))
+    return out.withColumnRenamed("media_id", "doc_id")
+
+
+# --------------------------------------------------------------------------
 # Windowed audio analysis (silence/clipping/activity curation features)
 # --------------------------------------------------------------------------
 @query(

@@ -138,6 +138,72 @@ def test_documents_as_wav_n_samples_backcompat(spark):
         assert content == expected
 
 
+def test_dhash_resize_production_geometry(spark):
+    """resize_to=(9,8): 64-bit hash recomputed in plain Python with the
+    same nearest-neighbor index arithmetic as resize_image."""
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    feats = FP.dhash_features(
+        M.documents_as_bmp(docs), resize_to=(9, 8)
+    ).collect()
+    for r in feats:
+        assert (r.width, r.height, r.nbits) == (8, 4, 64)
+        npix = 8 * 4 * 3
+        px = (hashlib.md5(texts[r.media_id].encode()).digest() * 7)[:npix]
+        gray = [(px[3 * i] + px[3 * i + 1] + px[3 * i + 2]) // 3
+                for i in range(32)]
+        rg = [gray[(y * 4 // 8) * 8 + (x * 8 // 9)]
+              for y in range(8) for x in range(9)]
+        assert r.dhash == FP.dhash_bits(rg, 9, 8)
+
+
+def test_dhash_neardup_max_bucket_cap(spark):
+    """The skew guard drops only hot buckets: an infinite cap matches
+    the uncapped answer; a cap of 1 over three identical images kills
+    every pair between them (every band bucket holds all three)."""
+    import pandas as pd
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    feats = FP.dhash_features(M.documents_as_bmp(docs))
+    uncapped = {
+        (r.a_id, r.b_id)
+        for r in FP.dhash_neardup_pairs(feats).collect()
+    }
+    big_cap = {
+        (r.a_id, r.b_id)
+        for r in FP.dhash_neardup_pairs(feats, max_bucket=10**6).collect()
+    }
+    assert big_cap == uncapped
+
+    trio = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2, 3], "dhash": [5, 5, 5],
+                      "width": 8, "height": 4, "nbits": 28}),
+    )
+    assert FP.dhash_neardup_pairs(trio, max_bucket=2).count() == 0
+    assert FP.dhash_neardup_pairs(trio, max_bucket=3).count() == 3
+
+
+def test_video_scene_cuts_constructed(spark):
+    """Hand-built 3-frame GIF: flat-0 -> flat-17 -> flat-17. The first
+    transition diffs every channel by 17 (8*4*3*17 = 1632), the second
+    by 0 — threshold between them yields exactly one cut."""
+    from konohadataplatform_spark.operators.gif_py import encode_gif
+
+    palette = bytes(c for i in range(16) for c in (17 * i,) * 3)
+    w, h = 8, 4
+    f0 = bytes(96)
+    f1 = bytes([17] * 96)
+    gif = encode_gif(w, h, [f0, f1, f1], palette=palette, delay_ms=40)
+    media = spark.createDataFrame(
+        [(7, bytearray(gif))], "media_id long, content binary"
+    )
+    rows = {
+        r.frame_idx: (r.diff_sum, r.is_cut)
+        for r in M.video_scene_cuts(media, threshold=1000).collect()
+    }
+    assert rows == {1: (1632, True), 2: (0, False)}
+
+
 def test_dhash_neardup_plan_no_cartesian(spark):
     docs = load_table(spark, SF_DIR, "documents")
     feats = FP.dhash_features(M.documents_as_bmp(docs))
