@@ -33,6 +33,124 @@ from pyspark.sql import functions as F
 DEFAULT_RSD = 0.02
 DEFAULT_ACCURACY = 1_000_000
 
+BLOOM_M = 1 << 16  # bits; power of two so hex slices need no modulo bias
+BLOOM_K = 4
+
+
+def _bloom_positions(col: str, m_bits: int, k: int) -> list:
+    """k deterministic bit positions from disjoint 4-hex-char slices of
+    md5(value) — engine-portable (any SQL dialect can replay hex
+    nibbles), JVM-side (conv + substring, no UDF). m_bits must be a
+    power of two <= 2^16 so a 16-bit slice maps uniformly with a mask;
+    k <= 8 slices fit one digest."""
+    if m_bits & (m_bits - 1) or not 2 <= m_bits <= 1 << 16:
+        raise ValueError("m_bits must be a power of two in [2, 65536]")
+    if not 1 <= k <= 8:
+        raise ValueError("k must be in [1, 8] (one md5 digest)")
+    h = F.md5(F.col(col).cast("string"))
+    return [
+        F.conv(F.substring(h, 4 * j + 1, 4), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(m_bits - 1))
+        for j in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Distributed Bloom filter over ``df[col]``: sparse 32-bit words
+    ``(word_idx, word)``, word = OR of ``1 << (pos & 31)`` for every
+    set bit in that word (32-bit words keep every value positive in
+    signed 64-bit on any engine — no shift-63 overflow).
+
+    One narrow projection + one aggregate on <= m_bits/32 keys; the
+    values themselves never shuffle, only (word_idx, word) pairs.
+    False-positive rate ~ (1 - e^(-k*n/m))^k; NO false negatives (the
+    positions are deterministic md5 slices, exactly replayable)."""
+    pos = _bloom_positions(col, m_bits, k)
+    return (
+        df.select(F.explode(F.array(*pos)).alias("pos"))
+        .select(
+            F.shiftright("pos", 5).alias("word_idx"),
+            F.col("pos").bitwiseAND(F.lit(31)).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(bit as int)))").alias("word")
+        )
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+    flag: str = "maybe_member",
+) -> DataFrame:
+    """Adds ``flag``: true iff all k bits for ``df[col]`` are set in
+    the filter. The bloom collapses to ONE map row broadcast to every
+    task — the probe side is a pure projection: no explode, no join
+    shuffle, no re-aggregation of the (possibly 100 TB) probe side.
+    Broadcast size is bounded by m_bits/32 words (8 KB at the default
+    2^16; a 2^30-bit production filter is ~256 MB — size m_bits to the
+    driver/executor budget, it's the only memory this costs)."""
+    wmap = bloom.groupBy().agg(
+        F.map_from_arrays(
+            F.collect_list("word_idx"), F.collect_list("word")
+        ).alias("_bloom_wmap")
+    )
+    pos = _bloom_positions(col, m_bits, k)
+    out = df.crossJoin(F.broadcast(wmap))
+    names = [f"_bloom_p{j}" for j in range(k)]
+    for n, p in zip(names, pos):
+        out = out.withColumn(n, p)
+    # SQL form: shiftleft takes a column shift amount (the Python
+    # wrapper doesn't); 1L not 1 — an int shift by 31 wraps negative
+    # and would never match the long word built with 1L << 31
+    cond = " AND ".join(
+        f"(coalesce(element_at(_bloom_wmap, shiftright({n}, 5)), 0L)"
+        f" & shiftleft(1L, cast({n} & 31 as int))) != 0"
+        for n in names
+    )
+    return (
+        out.withColumn(flag, F.expr(cond))
+        .drop("_bloom_wmap", *names)
+    )
+
+
+def bloom_prefilter_anti_join(
+    big: DataFrame,
+    col: str,
+    small: DataFrame,
+    small_col: str,
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """EXACT ``big ANTI JOIN small`` with a Bloom prefilter — the
+    100 TB decontamination shape.
+
+    A plain anti-join shuffles all of ``big`` on the join key. Here:
+    no-false-negatives means ``maybe_member = false`` rows are
+    *definitely* not in ``small`` and pass through with ZERO shuffle;
+    only the maybe-members (~n_small * (1 + fp_rate) rows) go through
+    the exact anti-join that removes Bloom false positives. The result
+    is bit-for-bit the plain anti-join, so the oracle is plain SQL —
+    the sketch only reshapes the plan."""
+    probed = bloom_probe(
+        big, col, bloom_build(small, small_col, m_bits, k), m_bits, k
+    )
+    definite = probed.where(~F.col("maybe_member")).drop("maybe_member")
+    suspicious = probed.where(F.col("maybe_member")).drop("maybe_member")
+    verified = suspicious.join(
+        small.select(small_col).distinct(),
+        on=suspicious[col] == F.col(small_col),
+        how="left_anti",
+    )
+    return definite.unionByName(verified)
+
 
 def approx_distinct(
     df: DataFrame,

@@ -1575,6 +1575,64 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter membership sketch (the 100 TB anti-join prefilter)
+# --------------------------------------------------------------------------
+@query(
+    "q_bloom_filter_words",
+    f"""
+    WITH e AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 97 = 0),
+         p AS (SELECT h, unnest([0, 1, 2, 3]) AS j FROM e),
+         q AS (SELECT (strpos({_HEX}, h[4*j+1]) - 1) * 4096
+                    + (strpos({_HEX}, h[4*j+2]) - 1) * 256
+                    + (strpos({_HEX}, h[4*j+3]) - 1) * 16
+                    + (strpos({_HEX}, h[4*j+4]) - 1) AS pos
+               FROM p)
+    SELECT pos // 32 AS word_idx,
+           bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+    FROM q GROUP BY pos // 32
+    """,
+)
+def q_bloom_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom sketch itself, bit-exact: 4 positions per value from
+    disjoint 4-hex-char md5 slices (2^16 bits), OR-folded into 32-bit
+    words. The oracle replays every set bit from hex nibbles — proving
+    the filter contents (not just queries over them) are
+    engine-portable."""
+    from konohadataplatform_spark.operators.sketches import bloom_build
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.where(F.col("doc_id") % 97 == 0)
+    return bloom_build(eval_set, "text")
+
+
+@query(
+    "q_bloom_decontaminate",
+    """
+    SELECT source, COUNT(*) AS n_kept
+    FROM documents
+    WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 97 = 0)
+    GROUP BY source
+    """,
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact anti-join decontamination through the Bloom prefilter:
+    rows whose 4 md5-slice bits are not all set pass with ZERO shuffle
+    (no false negatives); only maybe-members reach the exact
+    anti-join. Result is bit-for-bit the plain anti-join — the sketch
+    reshapes the plan, not the answer — so the oracle is plain SQL."""
+    from konohadataplatform_spark.operators.sketches import (
+        bloom_prefilter_anti_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("text").alias("eval_text")
+    )
+    kept = bloom_prefilter_anti_join(docs, "text", eval_set, "eval_text")
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# --------------------------------------------------------------------------
 # Gopher repetition filters (dup-word fraction, top-2-gram char mass)
 # --------------------------------------------------------------------------
 @query(

@@ -103,3 +103,101 @@ def test_quantile_sketch_rank_error_above_accuracy(spark):
     ).collect()[0].m
     true_rank = vals.index(got)
     assert abs(true_rank - 0.5 * n) <= n / acc + 1, (true_rank, n)
+
+
+# ---- Bloom filter membership sketch ---------------------------------------
+
+def _bloom_python_words(texts, m_bits=1 << 16, k=4):
+    import hashlib
+
+    words = {}
+    for t in texts:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for j in range(k):
+            pos = int(h[4 * j : 4 * j + 4], 16) & (m_bits - 1)
+            words[pos >> 5] = words.get(pos >> 5, 0) | (1 << (pos & 31))
+    return words
+
+
+def test_bloom_build_matches_python_replay(spark):
+    from konohadataplatform_spark.operators.sketches import bloom_build
+
+    docs = load_table(spark, SF_DIR, "documents").limit(80)
+    texts = [r.text for r in docs.select("text").collect()]
+    got = {r.word_idx: r.word for r in bloom_build(docs, "text").collect()}
+    assert got == _bloom_python_words(texts)
+
+
+def test_bloom_probe_no_false_negatives_and_bounded_fp(spark):
+    from konohadataplatform_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    members = docs.where(F.col("doc_id") % 5 == 0)
+    bloom = bloom_build(members, "text")
+    probed = bloom_probe(docs, "text", bloom)
+    member_texts = {r.text for r in members.select("text").collect()}
+    rows = probed.select("text", "maybe_member").collect()
+    fp = 0
+    for r in rows:
+        if r.text in member_texts:
+            assert r.maybe_member, "Bloom false negative — must never happen"
+        elif r.maybe_member:
+            fp += 1
+    non_members = sum(1 for r in rows if r.text not in member_texts)
+    # n ~ docs/5 into 2^16 bits, k=4: theoretical fp << 1%; allow 2%
+    assert fp <= max(2, non_members * 0.02)
+
+
+def test_bloom_prefilter_anti_join_exact(spark):
+    from konohadataplatform_spark.operators.sketches import (
+        bloom_prefilter_anti_join,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    eval_set = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.col("text").alias("eval_text")
+    )
+    got = {
+        r.doc_id
+        for r in bloom_prefilter_anti_join(
+            docs, "text", eval_set, "eval_text"
+        ).collect()
+    }
+    plain = {
+        r.doc_id
+        for r in docs.join(
+            eval_set, docs["text"] == eval_set["eval_text"], "left_anti"
+        ).collect()
+    }
+    assert got == plain and plain  # exact, and non-trivial fixture
+
+
+def test_bloom_param_guards(spark):
+    import pytest
+
+    from konohadataplatform_spark.operators.sketches import bloom_build
+
+    docs = load_table(spark, SF_DIR, "documents").limit(1)
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_build(docs, "text", m_bits=1000)
+    with pytest.raises(ValueError, match="md5"):
+        bloom_build(docs, "text", k=9)
+
+
+def test_bloom_probe_plan_is_broadcast_only(spark):
+    """The probe side must stay a projection: the only join is the
+    single-row broadcast of the word map — no sort-merge join, no
+    shuffle of the probe side's rows."""
+    from konohadataplatform_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bloom = bloom_build(docs.limit(50), "text")
+    plan = _plan(bloom_probe(docs, "text", bloom))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
