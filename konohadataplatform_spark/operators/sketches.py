@@ -138,7 +138,16 @@ def bloom_prefilter_anti_join(
     only the maybe-members (~n_small * (1 + fp_rate) rows) go through
     the exact anti-join that removes Bloom false positives. The result
     is bit-for-bit the plain anti-join, so the oracle is plain SQL —
-    the sketch only reshapes the plan."""
+    the sketch only reshapes the plan.
+
+    Cost model: ``big`` is SCANNED twice (once per branch) but
+    SHUFFLED ~zero times — the definite branch is scan+filter, the
+    suspicious branch filters to ~n_small*(1+fp) rows before its join.
+    That trade (2 columnar scans for 0 full shuffles) is the right
+    one at 100 TB; when ``small`` is broadcastable anyway, skip the
+    bloom and use a plain broadcast anti-join. In a multi-stage
+    pipeline, materialize the probed flag once (checkpoint/table) to
+    get back to one scan."""
     probed = bloom_probe(
         big, col, bloom_build(small, small_col, m_bits, k), m_bits, k
     )
