@@ -727,3 +727,74 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         (F.col("n_transitions").cast("double") / F.col("tot")).alias("prob"),
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative graph algorithm: fixed-point PageRank over the event-type
+# transition graph. Integer fixed-point arithmetic makes an ITERATIVE
+# algorithm exactly SQL-replayable (unrolled-CTE oracle, one CTE per
+# power iteration — the same precedent as the IVF Lloyd replay).
+# --------------------------------------------------------------------------
+def _pagerank_oracle(iterations: int = 3, scale: int = 10**12) -> str:
+    head = f"""
+    WITH e0 AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), edges AS (
+      SELECT DISTINCT prev_type AS src, event_type AS dst
+      FROM e0 WHERE prev_type IS NOT NULL
+    ), nodes AS (
+      SELECT DISTINCT node
+      FROM (SELECT src AS node FROM edges
+            UNION SELECT dst AS node FROM edges)
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes
+    ), tele AS (SELECT (3 * {scale}) // (20 * n) AS t FROM nn
+    ), r0 AS (
+      SELECT node, {scale} // nn.n AS r FROM nodes, nn
+    )"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f""", r{i} AS (
+      SELECT nodes.node,
+             tele.t + (17 * COALESCE(c.s, 0)) // 20 AS r
+      FROM nodes
+      LEFT JOIN (
+        SELECT edges.dst AS node, SUM(p.r // deg.outdeg) AS s
+        FROM edges
+        JOIN r{i - 1} p ON p.node = edges.src
+        JOIN deg ON deg.src = edges.src
+        GROUP BY edges.dst
+      ) c ON c.node = nodes.node, tele
+    )""")
+    tail = f"""
+    SELECT r{iterations}.node,
+           CAST(r{iterations}.r AS BIGINT) AS rank_scaled,
+           CAST(COALESCE(deg.outdeg, 0) AS BIGINT) AS out_degree
+    FROM r{iterations} LEFT JOIN deg ON deg.src = r{iterations}.node
+    """
+    return head + "".join(its) + tail
+
+
+@query("q_event_pagerank", _pagerank_oracle())
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round fixed-point PageRank over the distinct event-type
+    transition graph (edges = consecutive event pairs per user).
+    Exact integer arithmetic — the oracle unrolls one CTE per power
+    iteration and matches bit-for-bit. See operators/graph.py for the
+    per-round shuffle story."""
+    from konohadataplatform_spark.operators.graph import pagerank_fixed_point
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+    return pagerank_fixed_point(edges, iterations=3)
