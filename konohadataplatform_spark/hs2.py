@@ -692,6 +692,34 @@ class Hs2Server:
             return {1: _status_ok(),
                     2: _op_handle(self._new_op(dt, [], sguid), True)}
 
+        if name == "GetFunctions":
+            # DatabaseMetaData.getFunctions — SQL Gateway/BI clients
+            # probe this at connect; an empty set with the standard
+            # JDBC columns keeps them on the happy path (a thrift
+            # exception here aborts some clients' connection setup)
+            dt = [("FUNCTION_CAT", "string"), ("FUNCTION_SCHEM", "string"),
+                  ("FUNCTION_NAME", "string"), ("REMARKS", "string"),
+                  ("FUNCTION_TYPE", "int"), ("SPECIFIC_NAME", "string")]
+            sguid = _guid_of(args[1][1][1])
+            return {1: _status_ok(),
+                    2: _op_handle(self._new_op(dt, [], sguid), True)}
+
+        if name in ("GetPrimaryKeys", "GetCrossReference"):
+            # no declared key constraints in this catalog — empty set
+            # with the java.sql metadata columns, not an error
+            dt = ([("TABLE_CAT", "string"), ("TABLE_SCHEM", "string"),
+                   ("TABLE_NAME", "string"), ("COLUMN_NAME", "string"),
+                   ("KEY_SEQ", "int"), ("PK_NAME", "string")]
+                  if name == "GetPrimaryKeys" else
+                  [("PKTABLE_CAT", "string"), ("PKTABLE_SCHEM", "string"),
+                   ("PKTABLE_NAME", "string"), ("PKCOLUMN_NAME", "string"),
+                   ("FKTABLE_CAT", "string"), ("FKTABLE_SCHEM", "string"),
+                   ("FKTABLE_NAME", "string"), ("FKCOLUMN_NAME", "string"),
+                   ("KEY_SEQ", "int")])
+            sguid = _guid_of(args[1][1][1])
+            return {1: _status_ok(),
+                    2: _op_handle(self._new_op(dt, [], sguid), True)}
+
         if name == "GetColumns":
             # JDBC DatabaseMetaData.getColumns: optional table-name
             # pattern in field 4 ('%' / NULL = all tables)

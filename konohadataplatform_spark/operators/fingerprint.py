@@ -231,7 +231,11 @@ def dhash_neardup_pairs(
         )
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    # verify (cheap codegen bit_count) BEFORE the pair-dedup exchange:
+    # the Hamming filter keeps ~C(nbits, <=max_hamming)/2^nbits of the
+    # candidates, so filtering first shrinks the distinct's shuffle by
+    # orders of magnitude
+    return (
         a.join(
             b,
             on=[
@@ -243,17 +247,12 @@ def dhash_neardup_pairs(
         .select(
             F.col("a.media_id").alias("a_id"),
             F.col("b.media_id").alias("b_id"),
-            F.col("a.dhash").alias("a_hash"),
-            F.col("b.dhash").alias("b_hash"),
-        )
-        .distinct()
-    )
-    return (
-        pairs.withColumn(
-            "hamming", F.expr("cast(bit_count(a_hash ^ b_hash) as int)")
+            F.expr(
+                "cast(bit_count(a.dhash ^ b.dhash) as int)"
+            ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 

@@ -122,6 +122,33 @@ def test_metadata_calls(server):
         c.close()
 
 
+def test_keyless_metadata_calls_return_empty_sets(server):
+    """GetFunctions / GetPrimaryKeys / GetCrossReference: BI clients
+    probe these at connect; they must return empty result sets with
+    the java.sql column layout, not thrift exceptions."""
+    from konohadataplatform_spark.hs2 import T_STRUCT
+
+    c = _connect(server)
+    try:
+        for method, first_col in [
+            ("GetFunctions", "FUNCTION_CAT"),
+            ("GetPrimaryKeys", "TABLE_CAT"),
+            ("GetCrossReference", "PKTABLE_CAT"),
+        ]:
+            resp = c.call(method, {1: (T_STRUCT, {1: c.session})})
+            assert resp[1][1][1][1] == 0, method  # TStatus SUCCESS
+            op = resp[2]
+            meta = c.call("GetResultSetMetadata", {1: (T_STRUCT, {1: op})})
+            names = [x[1][1].decode() for x in meta[2][1][1][1][1]]
+            assert names[0] == first_col, method
+            fetched = c.call("FetchResults", {1: (T_STRUCT, {1: op})})
+            assert fetched[1][1][1][1] == 0, method  # fetch SUCCESS
+            assert fetched[2][1] is False, method  # no more rows
+            assert fetched[3][1][2][1][1] == [], method  # TRowSet.rows empty
+    finally:
+        c.close()
+
+
 def test_concurrent_sessions(server):
     """Two threaded connections execute interleaved statements."""
     import threading
