@@ -57,6 +57,14 @@ SMOKE_QUERIES = [
     # gram-keyed count tables; the sketch agg must stay one exchange
     "q_bigram_surprisal",
     "q_quantile_sketch",
+    # r7b additions: linear media/sketch/graph ops — decode cost must
+    # scale with rows, the bloom anti-join must not shuffle the corpus,
+    # 3-round pagerank's per-iteration joins must stay bounded
+    "q_image_dhash_groups",
+    "q_audio_fingerprint",
+    "q_gif_scene_cuts",
+    "q_bloom_decontaminate",
+    "q_event_pagerank",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
@@ -153,7 +161,38 @@ def main() -> int:
             3,
         )
 
-    out = {"queries": rows, "semantic_dedup_sf1": sem, "copies": COPIES}
+    # dHash near-dup at sf1 REQUIRES the production geometry: the
+    # 28-bit fixture hash (7-bit bands, 128 buckets) is quadratic
+    # death at 600k docs; resize_to=(9,8) gives 64-bit hashes and
+    # 16-bit bands (65k buckets). Measure with and without the
+    # max_bucket skew cap (sf1 texts repeat 10x, so every bucket
+    # carries identical-hash clumps — exactly the hotspot the cap is
+    # for).
+    from konohadataplatform_spark.operators import fingerprint as FP
+    from konohadataplatform_spark.operators import multimodal as M
+
+    def _neardup(cap):
+        docs = load_table(spark, SF1, "documents")
+        feats = FP.dhash_features(
+            M.documents_as_bmp(docs), resize_to=(9, 8)
+        )
+        return FP.dhash_neardup_pairs(
+            feats, nbits=64, bands=4, max_hamming=3, max_bucket=cap
+        ).count()
+
+    dh = {
+        "uncapped": round(_time(lambda: _neardup(None), warmup=False), 3),
+        "max_bucket=200": round(
+            _time(lambda: _neardup(200), warmup=False), 3
+        ),
+    }
+
+    out = {
+        "queries": rows,
+        "semantic_dedup_sf1": sem,
+        "dhash_neardup_sf1_64bit": dh,
+        "copies": COPIES,
+    }
     print(json.dumps(out))
     print("\n| query | sf0.1 s | sf1 s | ratio (10x data) |", file=sys.stderr)
     print("|---|---|---|---|", file=sys.stderr)
@@ -164,6 +203,7 @@ def main() -> int:
             file=sys.stderr,
         )
     print(f"semantic_dedup at sf1: {sem}", file=sys.stderr)
+    print(f"dhash_neardup (64-bit) at sf1: {dh}", file=sys.stderr)
     spark.stop()
     return 0
 
