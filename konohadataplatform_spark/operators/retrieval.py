@@ -1,0 +1,140 @@
+"""Lexical retrieval: inverted index build + integer-exact TF-IDF
+top-k search (beyond-reference surface).
+
+The embedding side of similarity search lives in
+``operators/similarity.py`` (brute-force / LSH / IVF); THIS module is
+the sparse/lexical side a training-data pipeline pairs with it:
+near-duplicate *query* lookup, contamination probes phrased as search,
+"find the corpus docs most similar to this eval prompt".
+
+Engine-portability is engineered the same way as the rest of the repo:
+scores are EXACT INTEGERS — ``idf_scaled = (N * SCALE) // df`` (integer
+division) and ``score = sum(qtf * tf * idf_scaled)`` — so top-k ranking
+with a (score DESC, doc_id ASC) tie-break is bit-for-bit reproducible
+in any engine, with no float summation order to control.
+
+Scale shapes (the 100 TB contract):
+
+- The index build is one (doc, term) partial-agg + one term agg; the
+  posting lists are CAPPED BEFORE collect_list by a per-term
+  row_number window, so a stop-word term can never materialize an
+  unbounded array in one task.
+- Search joins QUERY terms (small side, broadcast) against the corpus
+  postings; hot terms are pruned by ``df_cap_frac`` (stop-word cap,
+  reproduced in the oracle so the result stays bit-exact) so the term
+  join cannot skew. Per-query candidate sets are bounded by the docs
+  sharing a rare term; for adversarial per-query fan-out compose with
+  the salted ranking helpers in ``operators/ranking.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCALE = 1_000_000
+
+
+def ngram_tokens(docs: DataFrame, n: int = 1, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term) rows: whitespace word n-grams of the trimmed
+    text (n=1 -> plain words). JVM-side transform/sequence — no UDF."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    docs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), " ").alias("_w"),
+    ).where(F.size("_w") >= n)
+    parts = ", ' ', ".join(f"_w[i + {j}]" for j in range(n))
+    gram = f"transform(sequence(0, size(_w) - {n}), i -> concat({parts}))"
+    return docs.select(
+        "doc_id", F.explode(F.expr(gram)).alias("term")
+    )
+
+
+def term_frequencies(tokens: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — base relation for index and search; one
+    partial+final agg over (doc, term)."""
+    return tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def inverted_index(tokens: DataFrame, max_postings: int = 8) -> DataFrame:
+    """(term, doc_freq, postings): doc_freq counts ALL docs containing
+    the term; postings = the first ``max_postings`` doc_ids ascending.
+
+    The cap is applied by a per-term row_number BEFORE the array is
+    built, so the collected list is bounded at ``max_postings``
+    elements no matter how hot the term is — a stop word with 10^9
+    docs costs a window pass, never an unbounded collect_list
+    buffer."""
+    per_doc = tokens.select("doc_id", "term").distinct()
+    ranked = per_doc.select(
+        "term", "doc_id",
+        F.row_number().over(
+            Window.partitionBy("term").orderBy("doc_id")
+        ).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("term")).alias("doc_freq"),
+    )
+    return (
+        ranked.where(F.col("_rn") <= max_postings)
+        .groupBy("term", "doc_freq")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+
+
+def lexical_topk(
+    docs: DataFrame,
+    query_pred,
+    k: int = 3,
+    n: int = 3,
+    df_cap_frac: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k corpus docs per query doc by integer-exact TF-IDF over
+    word n-grams: (q_id, hit_id, score, hit_rank).
+
+    ``query_pred`` is a Column predicate selecting the query docs out
+    of the corpus (engine-portable splits like ``doc_id % 101 == 0``).
+    Terms with ``df > N // df_cap_frac`` are pruned — the stop-word
+    cap that bounds the hottest join key at scale; the oracle
+    reproduces the same cap, so the result is still bit-exact.
+
+    score(q, d) = sum over shared terms of qtf * tf * ((N*SCALE)//df),
+    all int64; ties broken by ascending doc_id. The query term side is
+    broadcast (queries are a tiny fraction of the corpus); the corpus
+    side shuffles once on the term key, post-pruning."""
+    tf = term_frequencies(ngram_tokens(docs, n, text_col, id_col))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") <= F.expr(f"div(n, {int(df_cap_frac)})"))
+        .select("term", F.expr(f"div(n * {SCALE}, df)").alias("idf"))
+    )
+    qids = docs.where(query_pred).select(F.col(id_col).alias("q_id"))
+    qterms = (
+        tf.join(F.broadcast(qids), tf["doc_id"] == qids["q_id"])
+        .select("q_id", "term", F.col("tf").alias("qtf"))
+    )
+    scored = (
+        tf.join(idf, "term")
+        .join(F.broadcast(qterms), "term")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("qtf") * F.col("tf") * F.col("idf")).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select(
+            "q_id", F.col("doc_id").alias("hit_id"), "score",
+            F.row_number().over(w).alias("hit_rank"),
+        )
+        .where(F.col("hit_rank") <= k)
+    )

@@ -179,6 +179,244 @@ def approx_distinct(
     )
 
 
+CMS_WIDTH = 4096
+CMS_DEPTH = 4
+
+HLL_B = 12  # 2^12 = 4096 registers; standard error 1.04/sqrt(m) ~ 1.6%
+
+
+def _cms_positions(col: str, width: int, depth: int) -> list:
+    """depth deterministic counter columns from independent md5 hashes
+    ``md5(j || ':' || value)`` — the row index j is baked into the hash
+    input, so the d hash functions are independent and any SQL engine
+    can replay them. width must be a power of two <= 2^16 (a 4-hex-char
+    slice covers it)."""
+    if width & (width - 1) or not 2 <= width <= 1 << 16:
+        raise ValueError("width must be a power of two in [2, 65536]")
+    if not 1 <= depth <= 8:
+        raise ValueError("depth must be in [1, 8]")
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col(col).cast("string"))), 1, 4),
+            16, 10,
+        )
+        .cast("long")
+        .bitwiseAND(F.lit(width - 1))
+        for j in range(depth)
+    ]
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Count-Min sketch over ``df[col]``: sparse counters
+    ``(row_idx, col_idx, cnt)``. Counters are SUMS — commutative and
+    associative — so unlike stream-order-dependent summaries
+    (Misra-Gries / SpaceSaving) the sketch is BIT-EXACT regardless of
+    partitioning: any engine that replays the md5 slices reproduces the
+    identical table, and two sketches merge by adding counters.
+
+    Cost: one narrow projection (depth positions per row, map-side
+    partial agg) + one aggregate on <= depth*width keys. The values
+    themselves never shuffle. Estimates only ever OVER-count
+    (collisions add), never under — the guarantee
+    ``cms_heavy_hitters`` builds on."""
+    pos = _cms_positions(col, width, depth)
+    pairs = [
+        F.struct(F.lit(j).alias("row_idx"), p.alias("col_idx"))
+        for j, p in enumerate(pos)
+    ]
+    return (
+        df.select(F.explode(F.array(*pairs)).alias("rc"))
+        .select("rc.row_idx", "rc.col_idx")
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_probe(
+    df: DataFrame,
+    col: str,
+    cms: DataFrame,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    est: str = "cms_est",
+) -> DataFrame:
+    """Adds ``est`` = min over the depth counters for ``df[col]`` —
+    the classic CM point estimate (>= the true count, always).
+
+    Like ``bloom_probe``: the sketch collapses to ONE map row
+    (key = row_idx*width + col_idx) broadcast to every task, and the
+    probe side is a pure projection — no explode, no join shuffle on
+    the (possibly 100 TB) probe side. Broadcast size is bounded by
+    depth*width counters (~128 KB at the 4x4096 default; a 4x2^16
+    production sketch is ~4 MB)."""
+    wmap = cms.groupBy().agg(
+        F.map_from_arrays(
+            F.collect_list(
+                F.col("row_idx").cast("long") * width + F.col("col_idx")
+            ),
+            F.collect_list("cnt"),
+        ).alias("_cms_map")
+    )
+    pos = _cms_positions(col, width, depth)
+    out = df.crossJoin(F.broadcast(wmap))
+    names = [f"_cms_p{j}" for j in range(depth)]
+    for n, p in zip(names, pos):
+        out = out.withColumn(n, p)
+    lookups = [
+        F.coalesce(
+            F.element_at("_cms_map", F.lit(j * width).cast("long") + F.col(n)),
+            F.lit(0).cast("long"),
+        )
+        for j, n in enumerate(names)
+    ]
+    return out.withColumn(est, F.least(*lookups)).drop("_cms_map", *names)
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold_col,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """EXACT heavy hitters (``value, cnt`` where true count >=
+    threshold) through a CMS prefilter — the 100 TB frequent-items
+    shape.
+
+    A plain ``GROUP BY value HAVING count >= T`` shuffles the ENTIRE
+    vocabulary with counts. Here: the CM estimate only over-counts, so
+    rows whose estimate is below T are *definitely* not heavy and are
+    dropped by a broadcast-probe projection with ZERO shuffle; only
+    occurrences of candidate values (true heavies + collision false
+    positives) reach the exact count, which then removes the false
+    positives. Bit-for-bit the plain GROUP BY/HAVING — the sketch
+    reshapes the plan, not the answer — so the oracle is plain SQL.
+
+    ``threshold_col`` is an int literal, or a ONE-ROW DataFrame with a
+    ``thr`` column (a metadata-sized scalar — e.g. ``total // 800`` —
+    broadcast into the probe projection, so relative thresholds cost
+    no extra shuffle)."""
+    probed = cms_probe(df.select(col), col, cms_build(df, col, width, depth),
+                       width, depth)
+    if isinstance(threshold_col, int):
+        probed = probed.withColumn("thr", F.lit(threshold_col).cast("long"))
+    else:
+        probed = probed.crossJoin(F.broadcast(threshold_col))
+    survivors = probed.where(F.col("cms_est") >= F.col("thr"))
+    return (
+        survivors.groupBy(col, "thr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.col("thr"))
+        .drop("thr")
+    )
+
+
+# ---- engine-portable HyperLogLog (mergeable register sketches) ------------
+
+
+def _hll_register_cols(col: str, b: int) -> tuple:
+    """(register_idx, rho) columns from md5(value): the first b/4 hex
+    chars index one of m = 2^b registers, the next 12 hex chars are a
+    48-bit tail whose leading-zero count gives rho in [1, 49].
+
+    Everything is string arithmetic on the hex digest (conv, substring,
+    regexp leading-zero run, a 4-way CASE on the first non-zero
+    nibble) — JVM-side in Spark, replayable in any SQL dialect, so the
+    sketch STATE (not just the estimate) is engine-portable. That is
+    the capability Spark's own ``approx_count_distinct`` can't offer:
+    its HLL++ bytes are engine-internal."""
+    if b % 4 or not 4 <= b <= 16:
+        raise ValueError("b must be a multiple of 4 in [4, 16]")
+    h = F.md5(F.col(col).cast("string"))
+    idx = F.conv(F.substring(h, 1, b // 4), 16, 10).cast("long")
+    tail = F.substring(h, b // 4 + 1, 12)
+    zeros = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    # Column start position => Column.substr form (the F.substring
+    # wrapper takes int positions only)
+    first = F.conv(tail.substr(zeros + F.lit(1), F.lit(1)), 16, 10).cast("int")
+    lz4 = (
+        F.when(first >= 8, 0)
+        .when(first >= 4, 1)
+        .when(first >= 2, 2)
+        .otherwise(3)
+    )
+    rho = F.when(zeros == 12, 49).otherwise(zeros * 4 + lz4 + 1)
+    return idx.alias("register_idx"), rho.alias("rho")
+
+
+def hll_register_sketch(
+    df: DataFrame, group_cols: list[str], col: str, b: int = HLL_B
+) -> DataFrame:
+    """Per-group HLL register table: (group_cols..., register_idx,
+    rho) with rho = MAX over the group's values — sparse (empty
+    registers are absent; they mean rho 0).
+
+    MAX is commutative/associative/idempotent, so the sketch is exact
+    under any partitioning AND under re-ingestion of the same values —
+    persist per-partition (per day, per source) sketches in the
+    catalog and ``hll_merge`` them for any rollup without rescanning
+    history: the incremental COUNT(DISTINCT) that a 100 TB pipeline
+    actually runs. Size <= 2^b rows per group, constant in n."""
+    ridx, rho = _hll_register_cols(col, b)
+    return (
+        df.select(*group_cols, ridx, rho)
+        .groupBy(*group_cols, "register_idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union/rollup of register sketches: MAX rho per register over
+    whatever grouping remains. hll_merge(union of sketches) ==
+    sketch-of-union, exactly (register-wise max is a semilattice);
+    tested in test_sketches.py."""
+    return (
+        sketch.groupBy(*group_cols, "register_idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, group_cols: list[str], b: int = HLL_B
+) -> DataFrame:
+    """Cardinality estimate per group from a register sketch:
+    (group_cols..., n_registers, est).
+
+    The indicator sum ``sum(2^-rho)`` is computed EXACTLY in scaled
+    integer arithmetic — ``sum(2^(49-rho))`` fits int64 for b <= 14 —
+    so the only floating-point ops are the final alpha*m^2/S division
+    chain and the small-range linear-counting ``m*ln(m/z)``, each a
+    fixed-shape expression both engines evaluate identically (the one
+    transcendental, ln, is rounded at 6dp like every log-based query
+    in this repo). No float SUM ever happens, so partitioning cannot
+    perturb the result."""
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        # SQL form: shiftleft takes a column shift amount (the Python
+        # wrapper doesn't); 1L keeps the counter sum in exact int64
+        F.sum(F.expr("shiftleft(1L, cast(49 - rho as int))"))
+        .alias("_s_present"),
+    )
+    s_scaled = (
+        F.col("_s_present")
+        + (F.lit(m).cast("long") - F.col("n_registers"))
+        * F.lit(1 << 49).cast("long")
+    )
+    z = F.lit(m).cast("long") - F.col("n_registers")  # empty registers
+    raw = F.lit(alpha * m * m * float(1 << 49)) / s_scaled.cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / z.cast("double"))
+    est = F.when((z > 0) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "n_registers",
+        F.round(est, 6).alias("est"),
+    )
+
+
 def quantile_sketch(
     df: DataFrame,
     group_cols: list[str],

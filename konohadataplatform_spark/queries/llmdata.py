@@ -1633,6 +1633,252 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Count-Min sketch (the 100 TB frequent-items prefilter)
+# --------------------------------------------------------------------------
+_CMS_POS = (
+    f"((strpos({_HEX}, h[1]) - 1) * 4096 + (strpos({_HEX}, h[2]) - 1) * 256"
+    f" + (strpos({_HEX}, h[3]) - 1) * 16 + (strpos({_HEX}, h[4]) - 1)) % 4096"
+)
+
+_BIGRAMS = """
+    WITH t AS (SELECT string_split(trim(text), ' ') AS w FROM documents),
+         g AS (SELECT unnest([w[i] || ' ' || w[i+1]
+                              for i in range(1, len(w))]) AS gram
+               FROM t WHERE len(w) >= 2)
+"""
+
+
+@query(
+    "q_cms_sketch_bigrams",
+    f"""{_BIGRAMS},
+         p AS (SELECT gram, unnest([0, 1, 2, 3]) AS j FROM g),
+         hh AS (SELECT j, md5(j::VARCHAR || ':' || gram) AS h FROM p)
+    SELECT j AS row_idx, CAST({_CMS_POS} AS BIGINT) AS col_idx,
+           COUNT(*) AS cnt
+    FROM hh GROUP BY 1, 2
+    """,
+)
+def q_cms_sketch_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch itself, bit-exact: 4 independent counters
+    per value from md5(j || ':' || value) 4-hex-char slices over a
+    4096-wide row. Counters are SUMS — commutative — so unlike
+    stream-order-dependent summaries (Misra-Gries), the sketch state
+    is identical under any partitioning and the oracle replays every
+    counter from hex nibbles."""
+    from konohadataplatform_spark.operators.retrieval import ngram_tokens
+    from konohadataplatform_spark.operators.sketches import cms_build
+
+    grams = ngram_tokens(_t(spark, sf_dir, "documents"), n=2).select(
+        F.col("term").alias("gram")
+    )
+    return cms_build(grams, "gram")
+
+
+@query(
+    "q_cms_heavy_hitters",
+    f"""{_BIGRAMS},
+         th AS (SELECT COUNT(*) // 800 AS thr_v FROM g)
+    SELECT gram, COUNT(*) AS cnt
+    FROM g, th GROUP BY gram, thr_v HAVING COUNT(*) >= thr_v
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (bigrams with count >= total//800) through
+    the CMS prefilter: the estimate only over-counts, so below-threshold
+    rows are dropped by a broadcast-probe projection with ZERO shuffle
+    and only candidate occurrences reach the exact count that removes
+    collision false positives. Bit-for-bit the plain GROUP BY/HAVING —
+    the sketch reshapes the plan, not the answer — so the oracle is
+    plain SQL."""
+    from konohadataplatform_spark.operators.retrieval import ngram_tokens
+    from konohadataplatform_spark.operators.sketches import cms_heavy_hitters
+
+    grams = ngram_tokens(_t(spark, sf_dir, "documents"), n=2).select(
+        F.col("term").alias("gram")
+    )
+    thr = grams.groupBy().agg(F.expr("div(count(1), 800)").alias("thr"))
+    return cms_heavy_hitters(grams, "gram", thr)
+
+
+# --------------------------------------------------------------------------
+# Engine-portable HyperLogLog (mergeable register sketches): the sketch
+# STATE is bit-exact md5 string arithmetic, so persisted per-partition
+# sketches can be merged and re-estimated by ANY engine — the
+# incremental COUNT(DISTINCT) a 100 TB pipeline actually runs. (Spark's
+# own approx_count_distinct HLL++ bytes are engine-internal; this
+# surface is what graduates cardinality sketching to oracle-checked.)
+# --------------------------------------------------------------------------
+_HLL_REGS = f"""
+         v AS (SELECT source, md5(text) AS h FROM documents),
+         reg AS (SELECT source,
+                   CAST((strpos({_HEX}, h[1]) - 1) * 256
+                      + (strpos({_HEX}, h[2]) - 1) * 16
+                      + (strpos({_HEX}, h[3]) - 1) AS BIGINT) AS register_idx,
+                   substr(h, 4, 12) AS tail
+                 FROM v),
+         zz AS (SELECT source, register_idx, tail,
+                   CAST(length(regexp_extract(tail, '^(0*)', 1)) AS INT) AS zeros
+                 FROM reg),
+         rh AS (SELECT source, register_idx,
+                   CASE WHEN zeros = 12 THEN 49
+                        ELSE 4 * zeros
+                           + CASE WHEN strpos({_HEX}, substr(tail, zeros + 1, 1)) - 1 >= 8 THEN 0
+                                  WHEN strpos({_HEX}, substr(tail, zeros + 1, 1)) - 1 >= 4 THEN 1
+                                  WHEN strpos({_HEX}, substr(tail, zeros + 1, 1)) - 1 >= 2 THEN 2
+                                  ELSE 3 END + 1 END AS rho
+                 FROM zz)
+"""
+
+# alpha_m * m^2 * 2^49 for m = 4096, evaluated once in Python and
+# embedded as the SAME double literal in both engines
+_HLL_M = 4096
+_HLL_PROD = repr(
+    (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(1 << 49)
+)
+
+
+@query(
+    "q_hll_register_sketch",
+    f"""
+    WITH {_HLL_REGS}
+    SELECT source, register_idx, CAST(MAX(rho) AS INT) AS rho
+    FROM rh GROUP BY 1, 2
+    """,
+)
+def q_hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HLL register tables (m = 4096, rho from the 48-bit
+    md5 tail's leading zeros): MAX is idempotent/commutative, so the
+    sketch is exact under any partitioning AND re-ingestion — persist
+    per-day/per-source registers and roll them up without rescanning
+    history. The oracle replays index and rho from hex nibbles."""
+    from konohadataplatform_spark.operators.sketches import (
+        hll_register_sketch,
+    )
+
+    return hll_register_sketch(
+        _t(spark, sf_dir, "documents"), ["source"], "text", b=12
+    )
+
+
+@query(
+    "q_hll_cardinality",
+    f"""
+    WITH {_HLL_REGS},
+         s AS (SELECT register_idx, MAX(rho) AS rho FROM rh GROUP BY 1),
+         a AS (SELECT COUNT(*) AS n_registers,
+                      CAST(SUM(1::BIGINT << CAST(49 - rho AS INT)) AS BIGINT)
+                        AS s_present
+               FROM s),
+         b AS (SELECT n_registers,
+                      {_HLL_PROD} / CAST(s_present
+                          + (4096 - n_registers) * (1::BIGINT << 49)
+                          AS DOUBLE) AS raw
+               FROM a)
+    SELECT n_registers,
+           round(CASE WHEN n_registers < 4096 AND raw <= 10240.0
+                      THEN 4096.0 * ln(4096.0 / CAST(4096 - n_registers AS DOUBLE))
+                      ELSE raw END, 6) AS est
+    FROM b
+    """,
+)
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge the per-source sketches to a global one (register-wise
+    MAX — the rollup that makes persisted sketches incremental) and
+    estimate. The indicator sum is EXACT scaled-integer arithmetic
+    (sum(2^(49-rho)) in int64); the only float ops are the fixed-shape
+    alpha*m^2/S division and the small-range linear-counting ln,
+    rounded 6dp like every log-based query here."""
+    from konohadataplatform_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_register_sketch,
+    )
+
+    sk = hll_register_sketch(
+        _t(spark, sf_dir, "documents"), ["source"], "text", b=12
+    )
+    return hll_estimate(hll_merge(sk, []), [], b=12)
+
+
+# --------------------------------------------------------------------------
+# Lexical retrieval: inverted index + integer-exact TF-IDF top-k search
+# --------------------------------------------------------------------------
+_TRIGRAMS = """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+               FROM documents),
+         g AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                      for i in range(1, len(w) - 1)]) AS term
+               FROM t WHERE len(w) >= 3)
+"""
+
+
+@query(
+    "q_inverted_index",
+    f"""{_TRIGRAMS},
+         pd AS (SELECT DISTINCT doc_id, term FROM g),
+         rk AS (SELECT term, doc_id,
+                       row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                         AS rn,
+                       COUNT(*) OVER (PARTITION BY term) AS doc_freq
+                FROM pd)
+    SELECT term, doc_freq, list(doc_id ORDER BY doc_id) AS postings
+    FROM rk WHERE rn <= 8 GROUP BY term, doc_freq
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram inverted index: doc_freq over ALL docs, postings
+    capped at the first 8 doc_ids BEFORE collect_list (per-term
+    row_number), so a stop-word term can never materialize an
+    unbounded array in one task."""
+    from konohadataplatform_spark.operators.retrieval import (
+        inverted_index,
+        ngram_tokens,
+    )
+
+    return inverted_index(
+        ngram_tokens(_t(spark, sf_dir, "documents"), n=3), max_postings=8
+    )
+
+
+@query(
+    "q_lexical_topk",
+    f"""{_TRIGRAMS},
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+         nd AS (SELECT COUNT(*) AS n FROM documents),
+         idf AS (SELECT term, (n * 1000000) // COUNT(*) AS idf
+                 FROM tf, nd GROUP BY term, n HAVING COUNT(*) <= n // 10),
+         q AS (SELECT doc_id AS q_id, term, tf AS qtf
+               FROM tf WHERE doc_id % 101 = 0),
+         sc AS (SELECT q.q_id, t2.doc_id,
+                       CAST(SUM(q.qtf * t2.tf * i.idf) AS BIGINT) AS score
+                FROM q JOIN idf i USING (term) JOIN tf t2 USING (term)
+                WHERE t2.doc_id <> q.q_id GROUP BY 1, 2),
+         rk AS (SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY score DESC, doc_id ASC)
+                  AS hit_rank
+                FROM sc)
+    SELECT q_id, doc_id AS hit_id, score, hit_rank
+    FROM rk WHERE hit_rank <= 3
+    """,
+)
+def q_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most lexically similar corpus docs per query doc
+    (doc_id % 101 split), scored by integer-exact TF-IDF over word
+    trigrams: idf = (N*1e6)//df (integer division), score =
+    sum(qtf*tf*idf) in int64 — no float summation order to control,
+    so top-k with a doc_id tie-break is bit-exact in any engine.
+    Stop-word cap df <= N//10 bounds the hottest join key; query
+    terms broadcast."""
+    from konohadataplatform_spark.operators.retrieval import lexical_topk
+
+    return lexical_topk(
+        _t(spark, sf_dir, "documents"),
+        F.col("doc_id") % 101 == 0,
+        k=3, n=3, df_cap_frac=10,
+    )
+
+
+# --------------------------------------------------------------------------
 # Gopher repetition filters (dup-word fraction, top-2-gram char mass)
 # --------------------------------------------------------------------------
 @query(

@@ -1,0 +1,138 @@
+"""Lexical retrieval: inverted index and integer-exact TF-IDF top-k.
+
+Driver gates: q_inverted_index / q_lexical_topk (bit-exact DuckDB
+oracles). THESE tests pin the operator-level contracts — posting-list
+capping, self-exclusion, integer-exact scoring vs a Python replay,
+and the broadcast/plan shapes the 100 TB story depends on.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from konohadataplatform_spark.operators.retrieval import (
+    SCALE,
+    inverted_index,
+    lexical_topk,
+    ngram_tokens,
+    term_frequencies,
+)
+from konohadataplatform_spark.sources.star_schema import load_table
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def _py_tokens(texts, n):
+    out = []
+    for doc_id, text in texts:
+        w = text.strip().split(" ")
+        out.extend(
+            (doc_id, " ".join(w[i : i + n]))
+            for i in range(len(w) - n + 1)
+        )
+    return out
+
+
+def test_ngram_tokens_match_python_split(spark):
+    docs = _docs(spark).limit(40)
+    texts = [(r.doc_id, r.text) for r in docs.collect()]
+    for n in (1, 2, 3):
+        got = sorted(
+            (r.doc_id, r.term) for r in ngram_tokens(docs, n=n).collect()
+        )
+        assert got == sorted(_py_tokens(texts, n)), f"n={n}"
+
+
+def test_inverted_index_caps_postings_keeps_full_doc_freq(spark):
+    docs = _docs(spark)
+    idx = {
+        r.term: (r.doc_freq, list(r.postings))
+        for r in inverted_index(ngram_tokens(docs, n=1), max_postings=8).collect()
+    }
+    per_doc = Counter()
+    docs_of = {}
+    for r in ngram_tokens(docs, n=1).distinct().collect():
+        docs_of.setdefault(r.term, []).append(r.doc_id)
+        per_doc[r.term] += 1
+    assert idx.keys() == per_doc.keys()
+    for term, (df_got, postings) in idx.items():
+        expect = sorted(docs_of[term])
+        assert df_got == per_doc[term]  # doc_freq over ALL docs
+        assert postings == expect[:8]  # capped, ascending
+        assert len(postings) <= 8
+
+
+def test_lexical_topk_matches_python_replay(spark):
+    docs = _docs(spark)
+    tf = Counter()
+    for r in ngram_tokens(docs, n=3).collect():
+        tf[(r.doc_id, r.term)] += 1
+    n_docs = docs.count()
+    df = Counter(term for (_d, term) in tf)
+    idf = {
+        t: (n_docs * SCALE) // c
+        for t, c in df.items()
+        if c <= n_docs // 10
+    }
+    qids = [r.doc_id for r in docs.where(F.col("doc_id") % 101 == 0).collect()]
+    scores = Counter()
+    for (d, term), c in tf.items():
+        if term not in idf:
+            continue
+        for q in qids:
+            qtf = tf.get((q, term))
+            if qtf and d != q:
+                scores[(q, d)] += qtf * c * idf[term]
+    expect = set()
+    by_q = {}
+    for (q, d), s in scores.items():
+        by_q.setdefault(q, []).append((-s, d))
+    for q, hits in by_q.items():
+        for rank, (neg_s, d) in enumerate(sorted(hits)[:3], start=1):
+            expect.add((q, d, -neg_s, rank))
+    got = {
+        (r.q_id, r.hit_id, r.score, r.hit_rank)
+        for r in lexical_topk(
+            docs, F.col("doc_id") % 101 == 0, k=3, n=3, df_cap_frac=10
+        ).collect()
+    }
+    assert got == expect and expect  # exact, and non-trivial fixture
+
+
+def test_lexical_topk_excludes_self(spark):
+    rows = lexical_topk(
+        _docs(spark), F.col("doc_id") % 101 == 0, k=3, n=3
+    ).collect()
+    assert rows and all(r.q_id != r.hit_id for r in rows)
+
+
+def test_lexical_topk_plan_broadcasts_query_side(spark):
+    """The corpus side must not be re-shuffled for the query join:
+    query ids/terms ride broadcasts, and nothing degenerates to a
+    cartesian product."""
+    plan = _plan(
+        lexical_topk(_docs(spark), F.col("doc_id") % 101 == 0, k=3, n=3)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_term_frequencies_counts(spark):
+    docs = _docs(spark).limit(30)
+    got = {
+        (r.doc_id, r.term): r.tf
+        for r in term_frequencies(ngram_tokens(docs, n=2)).collect()
+    }
+    expect = Counter(_py_tokens([(r.doc_id, r.text) for r in docs.collect()], 2))
+    assert got == dict(expect)

@@ -201,3 +201,206 @@ def test_bloom_probe_plan_is_broadcast_only(spark):
     plan = _plan(bloom_probe(docs, "text", bloom))
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---- Count-Min sketch (frequent-items prefilter) --------------------------
+
+def _bigram_rows(spark):
+    from konohadataplatform_spark.operators.retrieval import ngram_tokens
+
+    docs = load_table(spark, SF_DIR, "documents")
+    return ngram_tokens(docs, n=2).select(F.col("term").alias("gram"))
+
+
+def _cms_python(values, width=4096, depth=4):
+    import hashlib
+    from collections import Counter
+
+    c = Counter()
+    for v in values:
+        for j in range(depth):
+            h = hashlib.md5(f"{j}:{v}".encode()).hexdigest()
+            c[(j, int(h[:4], 16) & (width - 1))] += 1
+    return dict(c)
+
+
+def test_cms_build_matches_python_replay(spark):
+    from konohadataplatform_spark.operators.sketches import cms_build
+
+    grams = _bigram_rows(spark).limit(500)
+    vals = [r.gram for r in grams.collect()]
+    got = {
+        (r.row_idx, r.col_idx): r.cnt
+        for r in cms_build(grams, "gram").collect()
+    }
+    assert got == _cms_python(vals)
+
+
+def test_cms_probe_overestimates_never_under(spark):
+    """The CM guarantee everything else builds on: estimate >= true
+    count for EVERY value (collisions only add)."""
+    from konohadataplatform_spark.operators.sketches import (
+        cms_build,
+        cms_probe,
+    )
+
+    grams = _bigram_rows(spark)
+    sketch = cms_build(grams, "gram")
+    distinct = grams.distinct()
+    est = {
+        r.gram: r.cms_est
+        for r in cms_probe(distinct, "gram", sketch).collect()
+    }
+    true = {
+        r.gram: r.cnt
+        for r in grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert est.keys() == true.keys()
+    assert all(est[g] >= true[g] for g in true)
+
+
+def test_cms_heavy_hitters_exact(spark):
+    """Prefiltered result == plain GROUP BY/HAVING, bit-for-bit."""
+    from konohadataplatform_spark.operators.sketches import cms_heavy_hitters
+
+    grams = _bigram_rows(spark)
+    thr_df = grams.groupBy().agg(F.expr("div(count(1), 800)").alias("thr"))
+    thr = thr_df.collect()[0].thr
+    got = {
+        (r.gram, r.cnt)
+        for r in cms_heavy_hitters(grams, "gram", thr_df).collect()
+    }
+    plain = {
+        (r.gram, r.cnt)
+        for r in grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= thr)
+        .collect()
+    }
+    assert got == plain and plain  # exact, and non-trivial fixture
+
+
+def test_cms_probe_plan_is_broadcast_only(spark):
+    """The probe side must stay a projection — the sketch collapses to
+    one broadcast map row; no shuffle of the probe side's rows."""
+    from konohadataplatform_spark.operators.sketches import (
+        cms_build,
+        cms_probe,
+    )
+
+    grams = _bigram_rows(spark)
+    sketch = cms_build(grams.limit(200), "gram")
+    plan = _plan(cms_probe(grams, "gram", sketch))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cms_param_guards(spark):
+    import pytest
+
+    from konohadataplatform_spark.operators.sketches import cms_build
+
+    grams = _bigram_rows(spark).limit(1)
+    with pytest.raises(ValueError, match="power of two"):
+        cms_build(grams, "gram", width=1000)
+    with pytest.raises(ValueError, match="depth"):
+        cms_build(grams, "gram", depth=9)
+
+
+# ---- engine-portable HLL register sketches --------------------------------
+
+def _hll_python(values, b=12):
+    import hashlib
+
+    regs = {}
+    for v in values:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        idx = int(h[: b // 4], 16)
+        tail = h[b // 4 : b // 4 + 12]
+        stripped = tail.lstrip("0")
+        zeros = len(tail) - len(stripped)
+        if zeros == 12:
+            rho = 49
+        else:
+            first = int(stripped[0], 16)
+            lz4 = 0 if first >= 8 else 1 if first >= 4 else 2 if first >= 2 else 3
+            rho = 4 * zeros + lz4 + 1
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_replay(spark):
+    from konohadataplatform_spark.operators.sketches import (
+        hll_register_sketch,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    texts = [r.text for r in docs.select("text").collect()]
+    got = {
+        r.register_idx: r.rho
+        for r in hll_register_sketch(docs, [], "text").collect()
+    }
+    assert got == _hll_python(texts)
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """Register-wise MAX is a semilattice: merging per-source sketches
+    must equal sketching the union directly — the property that makes
+    persisted per-partition sketches correct to roll up."""
+    from konohadataplatform_spark.operators.sketches import (
+        hll_merge,
+        hll_register_sketch,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    per_source = hll_register_sketch(docs, ["source"], "text")
+    merged = {
+        r.register_idx: r.rho
+        for r in hll_merge(per_source, []).collect()
+    }
+    direct = {
+        r.register_idx: r.rho
+        for r in hll_register_sketch(docs, [], "text").collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_accuracy(spark):
+    """Estimate within 3x the m=4096 standard error (~1.6%) of the
+    exact distinct count (linear-counting regime at this scale)."""
+    from konohadataplatform_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_sketch,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    sk = hll_register_sketch(orders, [], "o_custkey")
+    est = hll_estimate(sk, []).collect()[0].est
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(est - exact) / exact <= 3 * 1.04 / (4096 ** 0.5), (est, exact)
+
+
+def test_hll_sketch_single_exchange_plan(spark):
+    """Sketch build is one partial+final agg pair on the register key."""
+    from konohadataplatform_spark.operators.sketches import (
+        hll_register_sketch,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(hll_register_sketch(docs, ["source"], "text"))
+    tree = plan.split("\n\n(")[0]
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_hll_param_guard(spark):
+    import pytest
+
+    from konohadataplatform_spark.operators.sketches import (
+        hll_register_sketch,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(1)
+    with pytest.raises(ValueError, match="multiple of 4"):
+        hll_register_sketch(docs, [], "text", b=10)
