@@ -106,8 +106,10 @@ def lexical_topk(
     score(q, d) = sum over shared terms of qtf * tf * ((N*SCALE)//df),
     all int64; ties broken by ascending doc_id. The query term side is
     broadcast (queries are a tiny fraction of the corpus); the corpus
-    side shuffles once on the term key, post-pruning."""
-    tf = term_frequencies(ngram_tokens(docs, n, text_col, id_col))
+    side shuffles once on the term key, post-pruning. The tf relation
+    feeds three branches (idf, query terms, scoring) and is cached —
+    at 100 TB it would be a materialized table, not a re-scan."""
+    tf = term_frequencies(ngram_tokens(docs, n, text_col, id_col)).cache()
     n_docs = docs.select(F.count(F.lit(1)).alias("n"))
     idf = (
         tf.groupBy("term")

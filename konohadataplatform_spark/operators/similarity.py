@@ -988,3 +988,278 @@ def semantic_index_add(
     return full.select(
         F.col("vid").alias(id_col), "bucket", "kept"
     )
+
+
+# --------------------------------------------------------------------------
+# Portable product quantization (PQ): exact-integer codebook training +
+# asymmetric-distance (ADC) search. The canonical 100 TB vector layout:
+# a 64-dim float64 vector (512 B) compresses to m subspace codes
+# (m bytes at k_codes <= 256), and search scans CODES with per-query
+# lookup tables instead of vectors. Same exact-int64 Lloyd contract as
+# ann_ivf_topk_portable, so a SQL oracle replays training, assignment,
+# and the full ADC ranking bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+def _pq_grid(vec_col: str, scale: int, offset: float):
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor((x + F.lit(float(offset))) * F.lit(float(scale)))
+        .cast("long"),
+    )
+
+
+def pq_train_portable(
+    corpus: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset: float = 2.0,
+) -> tuple[DataFrame, dict]:
+    """Train per-subspace codebooks with exact-integer Lloyd and return
+    ``(sub_assignments, codebooks)``: sub_assignments is the corpus
+    exploded to (vid, s, qs, code) — one row per (vector, subspace) —
+    and codebooks maps s -> list[(code, int-vector)].
+
+    Determinism contract (the oracle replay): components quantize to
+    floor((v + offset) * scale) int64; seeds are the k_codes lowest-id
+    vectors' subvectors (code = rank by id, per subspace); assignment
+    is exact squared-L2 on the grid with ties to the lowest code;
+    centroid update is per-dimension SUM DIV COUNT. Every step is
+    order-independent int64 math — partitioning cannot perturb it.
+
+    Execution shape: codebooks are driver-side metadata (m * k_codes
+    * dsub ints); assignment is an Arrow argmin kernel over the
+    subvector column — map-only, no shuffle; each Lloyd iteration is
+    ONE Spark job (the (s, code, dim) sum/count agg, m*k_codes*dsub
+    output rows). Train on a sample at 100 TB.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    dim_row = corpus.select(
+        F.size(F.col(vec_col).cast("array<double>")).alias("d")
+    ).first()
+    dim = dim_row["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("q", _pq_grid("v", scale, offset))
+    sub = base.select(
+        "vid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("q", s * dsub + 1, dsub).alias("qs"),
+                )
+                for s in range(m)
+            ])
+        ).alias("sub"),
+    ).select("vid", "sub.s", "sub.qs")
+
+    seed_rows = base.select("vid", "q").orderBy("vid").take(k_codes)
+    codebooks: dict[int, list[tuple[int, list[int]]]] = {
+        s: [
+            (i + 1, list(r["q"])[s * dsub : (s + 1) * dsub])
+            for i, r in enumerate(seed_rows)
+        ]
+        for s in range(m)
+    }
+
+    def assign_udf(cbooks):
+        mats = {
+            s: (
+                np.array([c for c, _ in rows], dtype=np.int64),
+                np.array([v for _, v in rows], dtype=np.int64),
+            )
+            for s, rows in cbooks.items()
+        }
+
+        def _k(ss, qs):
+            s_arr = ss.to_numpy()
+            mat = np.vstack(qs.to_numpy()).astype(np.int64)
+            out = np.empty(len(s_arr), dtype=np.int64)
+            for s in np.unique(s_arr):
+                ids, cmat = mats[int(s)]
+                mask = s_arr == s
+                d = ((mat[mask][:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                # ids ascend, numpy first-min argmin == ties to lowest code
+                out[mask] = ids[np.argmin(d, axis=1)]
+            return pd.Series(out)
+
+        _k.__annotations__ = {"ss": pd.Series, "qs": pd.Series,
+                              "return": pd.Series}
+        return pandas_udf(_k, "long")
+
+    for _ in range(iters):
+        assigned = sub.withColumn(
+            "code", assign_udf(codebooks)(F.col("s"), F.col("qs"))
+        )
+        agg_rows = (
+            assigned.select("s", "code", F.posexplode("qs").alias("pos", "val"))
+            .groupBy("s", "code", "pos")
+            .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, int]] = {}
+        for r in agg_rows:
+            by_key.setdefault((r["s"], r["code"]), {})[r["pos"]] = (
+                r["sm"] // r["n"]
+            )
+        codebooks = {}
+        for (s, code), dims in sorted(by_key.items()):
+            codebooks.setdefault(s, []).append(
+                (code, [dims[p] for p in sorted(dims)])
+            )
+
+    final = sub.withColumn(
+        "code", assign_udf(codebooks)(F.col("s"), F.col("qs"))
+    )
+    return final, codebooks
+
+
+def _sub_l2(a, b) -> Column:
+    """Exact int64 squared L2 between two long-array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codebook_df(spark, codebooks: dict) -> DataFrame:
+    rows = [
+        (s, code, [int(x) for x in vec])
+        for s, entries in codebooks.items()
+        for code, vec in entries
+    ]
+    return spark.createDataFrame(
+        rows, "s int, code long, cvec array<long>"
+    )
+
+
+def pq_quantize_portable(
+    corpus: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset: float = 2.0,
+) -> DataFrame:
+    """PQ-compress the corpus: (vec_id, codes, pq_err) where codes is
+    the m-long code array (subspace order) and pq_err the EXACT int64
+    squared quantization error on the integer grid — the compression-
+    quality metric, order-independent and oracle-replayable.
+
+    At 100 TB the codes table is what persists: 64 float64 dims
+    (512 B) become m int8-range codes; scanning codes instead of
+    vectors is the whole point of PQ."""
+    final, codebooks = pq_train_portable(
+        corpus, m, k_codes, iters, id_col, vec_col, scale, offset
+    )
+    cb = F.broadcast(_codebook_df(corpus.sparkSession, codebooks))
+    with_err = (
+        final.join(cb, ["s", "code"])
+        .withColumn("err", _sub_l2(F.col("qs"), F.col("cvec")))
+    )
+    return (
+        with_err.groupBy("vid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("s", "code"))
+            ).alias("_sc"),
+            F.sum("err").alias("pq_err"),
+        )
+        .select(
+            F.col("vid").alias(id_col),
+            F.transform(F.col("_sc"), lambda p: p.getField("code"))
+            .alias("codes"),
+            "pq_err",
+        )
+    )
+
+
+def ann_pq_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset: float = 2.0,
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance computation (ADC):
+    (query_id, neighbor_id, pq_dist, knn_rank), ranked by ascending
+    EXACT int64 ADC distance with neighbor-id tie-break — fully
+    integer, so the oracle replays the entire ranking bit-for-bit
+    (no cosine floats anywhere).
+
+    ADC: each query computes an m x k_codes lookup table of exact
+    subspace distances to every codeword (metadata-sized, built with a
+    broadcast join against the codebook — JVM fold, no UDF); corpus
+    CODES (not vectors) then join the broadcast LUT on (s, code) and
+    sum m lookups per (query, vector). The scan side never touches a
+    float or a full vector — the memory-bandwidth shape that makes PQ
+    the 100 TB ANN layout. Candidate fan-out is n_queries * m rows
+    per corpus vector pre-aggregation; compose with the IVF cell
+    tables to prune the scan at production query rates."""
+    final, codebooks = pq_train_portable(
+        corpus, m, k_codes, iters, id_col, vec_col, scale, offset
+    )
+    spark = corpus.sparkSession
+    cb = _codebook_df(spark, codebooks)
+
+    dsub_probe = len(next(iter(codebooks.values()))[0][1])
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("q", _pq_grid("v", scale, offset))
+    qsub = qbase.select(
+        "query_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("q", s * dsub_probe + 1, dsub_probe).alias("qs"),
+                )
+                for s in range(m)
+            ])
+        ).alias("sub"),
+    ).select("query_id", "sub.s", "sub.qs")
+    lut = (
+        qsub.join(F.broadcast(cb), "s")
+        .withColumn("d", _sub_l2(F.col("qs"), F.col("cvec")))
+        .select("query_id", "s", "code", "d")
+    )
+
+    scored = (
+        final.select(F.col("vid").alias("neighbor_id"), "s", "code")
+        .join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("pq_dist"))
+        # ADC sums m lookups; a vector matching in fewer than m
+        # subspaces can't happen (every (s, code) has a LUT row), so
+        # the group always has exactly m contributions
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(wk))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "pq_dist", "knn_rank")
+    )

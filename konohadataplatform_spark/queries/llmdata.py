@@ -1636,8 +1636,10 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Count-Min sketch (the 100 TB frequent-items prefilter)
 # --------------------------------------------------------------------------
 _CMS_POS = (
-    f"((strpos({_HEX}, h[1]) - 1) * 4096 + (strpos({_HEX}, h[2]) - 1) * 256"
-    f" + (strpos({_HEX}, h[3]) - 1) * 16 + (strpos({_HEX}, h[4]) - 1)) % 4096"
+    f"((strpos({_HEX}, h[4*j+1]) - 1) * 4096"
+    f" + (strpos({_HEX}, h[4*j+2]) - 1) * 256"
+    f" + (strpos({_HEX}, h[4*j+3]) - 1) * 16"
+    f" + (strpos({_HEX}, h[4*j+4]) - 1)) % 4096"
 )
 
 _BIGRAMS = """
@@ -1651,20 +1653,20 @@ _BIGRAMS = """
 @query(
     "q_cms_sketch_bigrams",
     f"""{_BIGRAMS},
-         p AS (SELECT gram, unnest([0, 1, 2, 3]) AS j FROM g),
-         hh AS (SELECT j, md5(j::VARCHAR || ':' || gram) AS h FROM p)
+         hh AS (SELECT md5(gram) AS h, unnest([0, 1, 2, 3]) AS j FROM g)
     SELECT j AS row_idx, CAST({_CMS_POS} AS BIGINT) AS col_idx,
            COUNT(*) AS cnt
     FROM hh GROUP BY 1, 2
     """,
 )
 def q_cms_sketch_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Count-Min sketch itself, bit-exact: 4 independent counters
-    per value from md5(j || ':' || value) 4-hex-char slices over a
-    4096-wide row. Counters are SUMS — commutative — so unlike
-    stream-order-dependent summaries (Misra-Gries), the sketch state
-    is identical under any partitioning and the oracle replays every
-    counter from hex nibbles."""
+    """The Count-Min sketch itself, bit-exact: 4 counters per value
+    from disjoint 4-hex-char md5 slices (the bloom construction — one
+    hash per row) over a 4096-wide row. Counters are SUMS —
+    commutative — so unlike stream-order-dependent summaries
+    (Misra-Gries), the sketch state is identical under any
+    partitioning and the oracle replays every counter from hex
+    nibbles."""
     from konohadataplatform_spark.operators.retrieval import ngram_tokens
     from konohadataplatform_spark.operators.sketches import cms_build
 

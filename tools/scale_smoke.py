@@ -65,6 +65,12 @@ SMOKE_QUERIES = [
     "q_gif_scene_cuts",
     "q_bloom_decontaminate",
     "q_event_pagerank",
+    # r7c additions: CMS heavy hitters must keep the vocabulary out of
+    # the exchange (broadcast prefilter), the HLL sketch must stay one
+    # exchange constant-size, retrieval's term join must not blow up
+    "q_cms_heavy_hitters",
+    "q_hll_cardinality",
+    "q_lexical_topk",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
