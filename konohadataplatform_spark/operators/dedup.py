@@ -337,17 +337,28 @@ def minhash_dedup(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates -> exact-Jaccard verify. Probabilistic recall
     (P[detect] = 1-(1-t^r)^b), exact precision after verification.
 
     Shingles are 64-bit token-window hashes (hashed_shingle_sets), so
     the permutation hashing inside minhash_signatures runs over longs
-    and the verify intersections never touch n-gram strings."""
+    and the verify intersections never touch n-gram strings.
+
+    ``max_bucket`` is the 100 TB skew guard (same contract as
+    ``dhash_neardup_pairs(max_bucket=)``): a hot LSH band bucket —
+    empty or boilerplate docs whose signatures collide — emits
+    B*(B-1)/2 candidate pairs, so ONE pathological bucket can go
+    quadratic in the self-join. When set, (band, bucket) groups larger
+    than ``max_bucket`` are excluded before pairing; docs in a dropped
+    bucket can still pair through their other ``bands - 1`` buckets,
+    so recall degrades only for docs hot in EVERY band. None (the
+    default) keeps exact parity with the uncapped oracle."""
     sets = hashed_shingle_sets(_spread(df), text_col, id_col, n).cache()
     sets.count()  # materialize before the self-join consumes it twice
     sigs = minhash_signatures(sets, num_perm)
-    cands = minhash_lsh_candidates(sigs, bands, num_perm)
+    cands = minhash_lsh_candidates(sigs, bands, num_perm, max_bucket)
     return verify_jaccard(cands, sets, threshold)
 
 
@@ -648,6 +659,7 @@ def prebucketed_candidates(
     bands: int = 16,
     num_perm: int = 64,
     broadcast_new: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup CANDIDATE pairs for a new batch against a persisted,
     pre-exploded (bkey, sid) bucket store — the incremental-ingest
@@ -672,6 +684,18 @@ def prebucketed_candidates(
     still saves the bands× explode), and nothing needs to fit in one
     executor.
 
+    ``max_bucket`` is the skew guard for HOT CORPUS BUCKETS (same
+    contract as ``minhash_dedup(max_bucket=)`` / ``dhash_neardup_pairs
+    (max_bucket=)``): a boilerplate bucket accreting millions of
+    corpus sids would emit bucket-size pairs for EVERY colliding batch
+    doc, every batch, forever. When set, bkeys whose total membership
+    (batch-matched corpus rows + batch rows) exceeds ``max_bucket``
+    are dropped before pairing. The size count runs on the
+    COLLISION-FILTERED corpus rows (broadcast semi-probe first), so
+    the corpus-side contract — one scan, no explode, no Exchange — is
+    unchanged; docs dropped here can still pair through their other
+    bands.
+
     Returns (a_id, b_id) UNVERIFIED pairs (a_id < b_id) covering both
     new-vs-corpus and new-vs-new; feed them to :func:`verify_jaccard`.
     """
@@ -680,8 +704,24 @@ def prebucketed_candidates(
     def _maybe_bcast(df):
         return F.broadcast(df) if broadcast_new else df
 
+    corpus_side = corpus_buckets
+    if max_bucket is not None:
+        hits = corpus_buckets.join(
+            _maybe_bcast(nb.select("bkey").distinct()), "bkey", "left_semi"
+        )
+        total = (
+            hits.select("bkey")
+            .unionByName(nb.select("bkey"))
+            .groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        ok = total.filter(F.col("_n") <= max_bucket).select("bkey")
+        # hits and ok are collision-sized, not corpus-sized
+        corpus_side = hits.join(F.broadcast(ok), "bkey", "left_semi")
+        nb = nb.join(F.broadcast(ok), "bkey", "left_semi")
+
     vs_corpus = (
-        corpus_buckets.alias("c")
+        corpus_side.alias("c")
         .join(
             _maybe_bcast(nb.alias("n")),
             (F.col("c.bkey") == F.col("n.bkey"))

@@ -9,13 +9,21 @@ with bounded parallelism:
    ordered partitions (Spark samples ranges; skew spreads by added
    tiebreak columns);
 2. per-partition `row_number` over a partition-local window;
-3. per-partition counts (tiny: one row per partition) are collected,
-   prefix-summed on the driver, and added back as offsets via a
-   broadcast map.
+3. per-partition counts (tiny: one row per partition) are prefix-summed
+   by a single-partition window over that METADATA-sized relation and
+   broadcast-joined back as offsets.
 
-Shuffle: one range exchange (same volume as the naive plan's single
-exchange, but spread over N partitions instead of 1). Driver state:
-#partitions integers.
+Everything is ONE lazy plan — no cache() (which leaked a cached
+relation per call in long sessions, r7 VERDICT item 6), no collect(),
+no driver state. The ranged subtree feeds both the ranking branch and
+the counts branch; Spark's ReusedExchange deduplicates the range
+shuffle, and `repartitionByRange`'s sampling is seeded
+deterministically, so both branches see identical `_pid` assignments
+even if the exchange were recomputed.
+
+Shuffle: one range exchange of the data (spread over N partitions
+instead of 1) plus a #partitions-row aggregate shuffle. Driver
+state: none.
 """
 
 from __future__ import annotations
@@ -40,25 +48,20 @@ def scalable_row_number(
         "_pid", F.spark_partition_id()
     )
     local_w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = ranged.withColumn("_local_rn", F.row_number().over(local_w)).cache()
+    local = ranged.withColumn("_local_rn", F.row_number().over(local_w))
 
-    counts = {
-        r._pid: r.c
-        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    offset_col = F.element_at(
-        F.create_map(
-            *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
-        ),
-        F.col("_pid"),
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    # single-partition window is safe here: the relation is one row per
+    # range partition (metadata-sized), not the data
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
     )
     return (
-        local.withColumn(out_col, (F.col("_local_rn") + offset_col).cast("int"))
-        .drop("_pid", "_local_rn")
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_local_rn") + F.col("_off")).cast("int"))
+        .drop("_pid", "_local_rn", "_off")
     )

@@ -15,10 +15,12 @@ in any engine, with no float summation order to control.
 
 Scale shapes (the 100 TB contract):
 
-- The index build is one (doc, term) partial-agg + one term agg; the
-  posting lists are CAPPED BEFORE collect_list by a per-term
-  row_number window, so a stop-word term can never materialize an
-  unbounded array in one task.
+- The index build is one (doc, term) partial-agg + a TWO-PHASE
+  posting cap (local top-k per input partition keyed on
+  spark_partition_id, then a merge of capped lists) — no per-term
+  window anywhere, so a stop-word term never lands in one task,
+  never sorts its full posting list, and never materializes an
+  unbounded array.
 - Search joins QUERY terms (small side, broadcast) against the corpus
   postings; hot terms are pruned by ``df_cap_frac`` (stop-word cap,
   reproduced in the oracle so the result stays bit-exact) so the term
@@ -65,24 +67,43 @@ def inverted_index(tokens: DataFrame, max_postings: int = 8) -> DataFrame:
     """(term, doc_freq, postings): doc_freq counts ALL docs containing
     the term; postings = the first ``max_postings`` doc_ids ascending.
 
-    The cap is applied by a per-term row_number BEFORE the array is
-    built, so the collected list is bounded at ``max_postings``
-    elements no matter how hot the term is — a stop word with 10^9
-    docs costs a window pass, never an unbounded collect_list
-    buffer."""
+    NO per-term window anywhere: a ``Window.partitionBy("term")``
+    would shuffle every occurrence of the hottest term into ONE task
+    (a stop word with 10^9 postings = a straggler sort + spill at
+    100 TB). Instead the cap is two-phase:
+
+    1. local: groupBy (spark_partition_id, term) — keys are uniform
+       by construction, so no task ever sees more than one input
+       partition's share of a hot term — keeping the partition's
+       smallest ``max_postings`` doc_ids and its local count;
+    2. merge: groupBy term over the CAPPED locals — at most
+       ``max_postings`` doc_ids per (partition, term), so the hot
+       term's final group holds <= max_postings * P candidate ids
+       (bounded metadata, not the posting list) — slicing the merged
+       sorted union back to ``max_postings`` and summing the counts.
+
+    Each local top-``max_postings`` contains its partition's smallest
+    ids, so the smallest ``max_postings`` of the union equals the
+    global smallest ``max_postings``: the result is independent of
+    partitioning. doc_freq rides the same aggregation tree as a
+    partial+final count — one skew-free shuffle of raw rows, one
+    shuffle of capped lists, zero windows."""
     per_doc = tokens.select("doc_id", "term").distinct()
-    ranked = per_doc.select(
-        "term", "doc_id",
-        F.row_number().over(
-            Window.partitionBy("term").orderBy("doc_id")
-        ).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("term")).alias("doc_freq"),
+    local = per_doc.groupBy(
+        F.spark_partition_id().alias("_pid"), "term"
+    ).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, max_postings
+        ).alias("_loc"),
     )
-    return (
-        ranked.where(F.col("_rn") <= max_postings)
-        .groupBy("term", "doc_freq")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
-    )
+    return local.groupBy("term").agg(
+        F.sum("_cnt").alias("doc_freq"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("_loc"))),
+            1, max_postings,
+        ).alias("postings"),
+    ).select("term", "doc_freq", "postings")
 
 
 def lexical_topk(
@@ -107,9 +128,13 @@ def lexical_topk(
     all int64; ties broken by ascending doc_id. The query term side is
     broadcast (queries are a tiny fraction of the corpus); the corpus
     side shuffles once on the term key, post-pruning. The tf relation
-    feeds three branches (idf, query terms, scoring) and is cached —
-    at 100 TB it would be a materialized table, not a re-scan."""
-    tf = term_frequencies(ngram_tokens(docs, n, text_col, id_col)).cache()
+    feeds three branches (idf, query terms, scoring) and is NOT
+    cached: each branch prunes different columns so recompute beats
+    materializing the full relation (measured 1.5 s vs 1.8-2.8 s at
+    sf0.1), and a cache() here leaked a cached relation per call (r7
+    ADVICE). At 100 TB tf would be a materialized table, not a
+    re-scan."""
+    tf = term_frequencies(ngram_tokens(docs, n, text_col, id_col))
     n_docs = docs.select(F.count(F.lit(1)).alias("n"))
     idf = (
         tf.groupBy("term")

@@ -1823,22 +1823,29 @@ _TRIGRAMS = """
                          AS rn,
                        COUNT(*) OVER (PARTITION BY term) AS doc_freq
                 FROM pd)
-    SELECT term, doc_freq, list(doc_id ORDER BY doc_id) AS postings
+    SELECT term, doc_freq,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings_csv
     FROM rk WHERE rn <= 8 GROUP BY term, doc_freq
     """,
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram inverted index: doc_freq over ALL docs, postings
-    capped at the first 8 doc_ids BEFORE collect_list (per-term
-    row_number), so a stop-word term can never materialize an
-    unbounded array in one task."""
+    capped at the first 8 doc_ids ascending by a TWO-PHASE local
+    top-8-then-merge (no per-term window — a stop word never sorts
+    its whole posting list in one task). Postings are serialized to
+    CSV per the driver-checked-query convention (nested values
+    surfaced as scalars — see q_nested_types)."""
     from konohadataplatform_spark.operators.retrieval import (
         inverted_index,
         ngram_tokens,
     )
 
-    return inverted_index(
+    idx = inverted_index(
         ngram_tokens(_t(spark, sf_dir, "documents"), n=3), max_postings=8
+    )
+    return idx.select(
+        "term", "doc_freq",
+        F.array_join("postings", ",").alias("postings_csv"),
     )
 
 

@@ -65,6 +65,35 @@ def _jsonable(v):
     return str(v)
 
 
+def execute_sql_json(engine, sql: str, limit: int = DEFAULT_LIMIT) -> dict:
+    """Run one statement and shape the result as the wire-JSON dict
+    shared by the line-JSON TCP server and the REST endpoint
+    (``restserver.py``): columns/types/rows/row_count/truncated or
+    ok=false + error. Result sets are capped at ``limit`` rows with a
+    limit+1 probe (no second count() job)."""
+    t0 = time.perf_counter()
+    try:
+        df = engine.sql(sql)
+        rows = df.limit(limit + 1).collect()
+        truncated = len(rows) > limit
+        rows = rows[:limit]
+        return {
+            "ok": True,
+            "columns": list(df.columns),
+            "types": [t for _n, t in df.dtypes],
+            "rows": [[_jsonable(v) for v in r] for r in rows],
+            "row_count": len(rows),
+            "truncated": truncated,
+            "elapsed_ms": round((time.perf_counter() - t0) * 1000, 1),
+        }
+    except Exception as exc:  # noqa: BLE001 — wire boundary
+        return {
+            "ok": False,
+            "error": str(exc)[:4000],
+            "error_class": type(exc).__name__,
+        }
+
+
 class SqlServer:
     """Threaded line-JSON SQL server over an :class:`Engine`.
 
@@ -81,32 +110,17 @@ class SqlServer:
         self._thread: threading.Thread | None = None
 
     def _handle_line(self, line: str) -> str:
-        t0 = time.perf_counter()
         try:
             req = json.loads(line)
             sql = req["sql"]
             limit = int(req.get("limit", DEFAULT_LIMIT))
-            df = self.engine.sql(sql)
-            # limit+1 detects truncation without a count() second job
-            rows = df.limit(limit + 1).collect()
-            truncated = len(rows) > limit
-            rows = rows[:limit]
-            resp = {
-                "ok": True,
-                "columns": list(df.columns),
-                "types": [t for _n, t in df.dtypes],
-                "rows": [[_jsonable(v) for v in r] for r in rows],
-                "row_count": len(rows),
-                "truncated": truncated,
-                "elapsed_ms": round((time.perf_counter() - t0) * 1000, 1),
-            }
         except Exception as exc:  # noqa: BLE001 — wire boundary
-            resp = {
+            return json.dumps({
                 "ok": False,
                 "error": str(exc)[:4000],
                 "error_class": type(exc).__name__,
-            }
-        return json.dumps(resp)
+            })
+        return json.dumps(execute_sql_json(self.engine, sql, limit))
 
     def start(self) -> "SqlServer":
         outer = self
@@ -195,6 +209,13 @@ def main(argv: list[str] | None = None) -> int:
         help="also serve HiveServer2 Thrift on this port (Hive JDBC: "
         "jdbc:hive2://host:port/default, beeline, dbt-spark thrift)",
     )
+    ap.add_argument(
+        "--rest-port",
+        type=int,
+        default=None,
+        help="also serve HTTP/REST SQL on this port (curl, REST BI "
+        "connectors; the Kyuubi :10099 REST listener analog)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="konoha-sql-server")
@@ -214,6 +235,14 @@ def main(argv: list[str] | None = None) -> int:
 
         hs = Hs2Server(engine, host=args.host, port=args.hs2_port).start()
         print(f"konoha hs2 endpoint listening on {hs.host}:{hs.port}", flush=True)
+    if args.rest_port is not None:
+        from konohadataplatform_spark.restserver import RestSqlServer
+
+        rs = RestSqlServer(engine, host=args.host, port=args.rest_port).start()
+        print(
+            f"konoha REST endpoint listening on {rs.host}:{rs.port}",
+            flush=True,
+        )
     try:
         threading.Event().wait()  # serve until killed
     except KeyboardInterrupt:

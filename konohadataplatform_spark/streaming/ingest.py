@@ -91,6 +91,7 @@ class DocIngestPipeline:
         num_perm: int = 64,
         bands: int = 16,
         maintain_every: int = 32,
+        max_bucket: int | None = 4096,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -100,6 +101,12 @@ class DocIngestPipeline:
         self.ngram = ngram
         self.num_perm = num_perm
         self.bands = bands
+        # skew guard on the persisted bucket store: a boilerplate
+        # bucket accreting corpus sids forever would otherwise emit
+        # bucket-size candidate pairs per colliding batch doc, every
+        # batch. Dropped-bucket docs still pair via their other
+        # bands - 1 buckets; None disables (exact uncapped recall).
+        self.max_bucket = max_bucket
         # every commit is a merge-on-read layer: maintain() bounds the
         # read-side fold depth (threshold-gated — the check itself is
         # metadata-only, compaction only runs when layers/files pile
@@ -236,6 +243,7 @@ class DocIngestPipeline:
                 new_index,
                 bands=self.bands,
                 num_perm=self.num_perm,
+                max_bucket=self.max_bucket,
             ).cache()
             # Exact-Jaccard verification needs shingle sets for exactly
             # the COLLIDING sids. Batch sids come from the in-memory

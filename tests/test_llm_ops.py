@@ -505,6 +505,75 @@ def test_lsh_bucket_cap_skew_guard(spark):
     assert _pairs(D.simhash_candidates(hashes, bands=4, max_bucket=100)) == uncapped
 
 
+def test_minhash_dedup_passes_max_bucket_through(spark):
+    """r7 VERDICT item 4: the flagship minhash_dedup wrapper must
+    forward the skew cap to LSH candidate generation — a hot band
+    bucket (identical boilerplate docs) stops pairing under a tight
+    cap, while a generous cap is a no-op vs uncapped."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i,
+             text="the exact same boilerplate footer text repeated verbatim "
+                  "in every single document of this hot cluster")
+         for i in range(6)]
+        + [Row(doc_id=10, text="entirely different content about spark "
+                               "catalyst optimizer internals and plans"),
+           Row(doc_id=11, text="another unrelated record talking about "
+                               "parquet row groups and column statistics")]
+    )
+
+    def _p(res):
+        return {(r.a_id, r.b_id) for r in res.collect()}
+
+    uncapped = _p(D.minhash_dedup(docs, threshold=0.8))
+    hot = {(a, b) for a, b in uncapped if a < 6 and b < 6}
+    assert hot  # the identical cluster pairs when uncapped
+    # every band bucket of the 6 identical docs has size 6 > 5, and the
+    # docs are identical in EVERY band, so the cap removes exactly the
+    # hot cluster's pairs and nothing else
+    capped = _p(D.minhash_dedup(docs, threshold=0.8, max_bucket=5))
+    assert capped == uncapped - hot
+    assert _p(D.minhash_dedup(docs, threshold=0.8, max_bucket=100)) == uncapped
+
+
+def test_prebucketed_candidates_max_bucket_guard(spark):
+    """The incremental-ingest fast path honors the same cap: a corpus
+    bucket over the cap stops emitting candidates for colliding batch
+    docs; everything else is untouched."""
+    from pyspark.sql import Row
+
+    hot_text = ("the exact same boilerplate footer text repeated verbatim "
+                "in every single document of this hot cluster")
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=hot_text) for i in range(6)]
+        + [Row(doc_id=20, text="a unique corpus document describing spark "
+                               "adaptive query execution and skew joins")]
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=100, text=hot_text),
+         Row(doc_id=101, text="a unique corpus document describing spark "
+                              "adaptive query execution and skew joins")]
+    )
+    cidx = D.minhash_index(corpus)
+    bidx = D.minhash_index(batch)
+    cbuckets = D.band_bucket_keys(cidx)
+
+    def _p(cands):
+        return {(r.a_id, r.b_id) for r in cands.collect()}
+
+    uncapped = _p(D.prebucketed_candidates(cbuckets, bidx))
+    assert (20, 101) in uncapped and any(b == 100 for _a, b in uncapped)
+    capped = _p(D.prebucketed_candidates(cbuckets, bidx, max_bucket=5))
+    # hot-bucket pairs (batch doc 100 vs the 6 identical corpus docs)
+    # are gone; the unique-doc pair survives
+    assert (20, 101) in capped
+    assert not any(b == 100 and a < 6 for a, b in capped)
+    assert _p(
+        D.prebucketed_candidates(cbuckets, bidx, max_bucket=1000)
+    ) == uncapped
+
+
 def test_ngram_decontaminate_planted(spark):
     """A training doc that copies a 5-word span from an eval doc is
     flagged with the exact count of shared distinct 5-grams; clean

@@ -79,6 +79,33 @@ def test_never_and_failed_queries_sort_first():
     assert max(window) <= min(rest)
 
 
+def test_no_nested_output_schema_anywhere(spark):
+    """The driver's canonicalizer pandas-sorts every output column, and
+    pandas cannot sort list/map/struct values (``TypeError: unhashable
+    type: 'list'`` — the exact r7 ``q_inverted_index`` failure). Guard
+    the WHOLE registry: every driver-checked query must surface nested
+    values as scalars (the ``q_nested_types`` convention — serialize
+    with array_join / to_json before returning).
+
+    Schema-only: ``.schema`` triggers analysis, not execution, so this
+    covers all registered queries in seconds."""
+    import os
+
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    offenders = []
+    for name, fn in qreg.all_queries().items():
+        schema = fn(spark, sf).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType}")
+    assert not offenders, (
+        "driver canonicalizer cannot sort nested columns: "
+        + "; ".join(offenders)
+    )
+
+
 def test_oracles_subset_of_queries():
     qs, oracles = qreg.all_queries(), qreg.all_oracles()
     assert set(oracles) <= set(qs)

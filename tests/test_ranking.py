@@ -47,3 +47,20 @@ def test_dense_and_contiguous(spark):
     )
     ranks = sorted(r.rank for r in ranked.select("rank").collect())
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_no_cache_leak_after_materialization(spark):
+    """r7 VERDICT item 6: the old implementation cached its ranged
+    intermediate and never unpersisted it, leaking one cached relation
+    per call in long sessions. The operator is now a single lazy plan —
+    the CacheManager must stay exactly as it was after the result is
+    materialized."""
+    from konohadataplatform_spark.operators.retrieval import lexical_topk
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before = cm.isEmpty()
+    orders = load_table(spark, SF_DIR, "orders")
+    scalable_row_number(orders, [F.col("o_orderkey")], "rank").collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    lexical_topk(docs, F.col("doc_id") % 101 == 0, k=3, n=3).collect()
+    assert cm.isEmpty() == before and before

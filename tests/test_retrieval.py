@@ -73,6 +73,38 @@ def test_inverted_index_caps_postings_keeps_full_doc_freq(spark):
         assert len(postings) <= 8
 
 
+def test_inverted_index_has_no_per_term_window(spark):
+    """The r7 straggler: a Window.partitionBy('term') shuffles every
+    posting of the hottest term into ONE task (a stop word with 10^9
+    postings = one straggler sort at 100 TB). The two-phase local
+    top-k cap must leave NO window in the plan — the only per-term
+    structures allowed are hash aggregates."""
+    idx = inverted_index(ngram_tokens(_docs(spark), n=3), max_postings=8)
+    plan = _plan(idx)
+    assert "Window" not in plan
+    # both phases are real aggregates (partial+final), not sorts
+    assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_invariant_to_input_partitioning(spark):
+    """Each local top-k contains its partition's smallest doc_ids, so
+    the merged global top-k must not depend on how rows are split
+    across partitions."""
+    tokens = ngram_tokens(_docs(spark), n=1)
+    base = {
+        (r.term, r.doc_freq, tuple(r.postings))
+        for r in inverted_index(tokens, max_postings=8).collect()
+    }
+    for parts in (1, 7):
+        got = {
+            (r.term, r.doc_freq, tuple(r.postings))
+            for r in inverted_index(
+                tokens.repartition(parts), max_postings=8
+            ).collect()
+        }
+        assert got == base, f"parts={parts}"
+
+
 def test_lexical_topk_matches_python_replay(spark):
     docs = _docs(spark)
     tf = Counter()
