@@ -399,6 +399,13 @@ def hll_estimate(
     transcendental, ln, is rounded at 6dp like every log-based query
     in this repo). No float SUM ever happens, so partitioning cannot
     perturb the result."""
+    if b > 14:
+        # worst case (m-1)*2^49 + 2^48 = 2^(b+49) - 2^48 fits int64
+        # only for b <= 14; b in 15..16 would WRAP the scaled
+        # indicator sum silently (the shared register-sketch guard
+        # allows b <= 16 because sketch BUILD/MERGE is pure MAX and
+        # safe at any b — only the estimate's exact-int64 sum isn't)
+        raise ValueError("hll_estimate requires b <= 14 (int64-exact sum)")
     m = 1 << b
     alpha = 0.7213 / (1 + 1.079 / m)
     agg = sketch.groupBy(*group_cols).agg(

@@ -762,6 +762,129 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Product quantization (PQ): exact-integer per-subspace Lloyd training
+# (m=4 subspaces x 16 dims, k_codes=8, 2 unrolled iterations in the CTE
+# chain — same portable-Lloyd contract as q_ann_ivf, but trained per
+# subspace slice), PQ compression with exact int64 quantization error,
+# and ADC (asymmetric distance) top-k over CODES instead of vectors.
+# --------------------------------------------------------------------------
+_PQ_TRAIN = """
+    WITH e AS (
+      SELECT vec_id,
+             [ CAST(FLOOR((CAST(embedding AS DOUBLE[])[i] + 2.0) * 1000000.0) AS BIGINT)
+               for i in range(1, 65) ] AS q
+      FROM embeddings
+    ), sub AS (
+      SELECT vec_id, s, q[s*16+1 : s*16+16] AS qs
+      FROM e, range(0, 4) r(s)
+    ), c0 AS (
+      SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) AS code, qs AS c
+      FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)
+    ), a1 AS (
+      SELECT vid, s, qs, code FROM (
+        SELECT sub.vec_id AS vid, sub.s, sub.qs, c0.code,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY CAST(list_sum([ (sub.qs[i]-c0.c[i])*(sub.qs[i]-c0.c[i])
+                                          for i in range(1, 17) ]) AS BIGINT),
+                          c0.code) AS rn
+        FROM sub JOIN c0 ON c0.s = sub.s)
+      WHERE rn = 1
+    ), c1 AS (
+      SELECT s, code, list(cd ORDER BY pos) AS c FROM (
+        SELECT s, code, i AS pos, CAST(SUM(qs[i]) AS BIGINT) // COUNT(*) AS cd
+        FROM a1, range(1, 17) r(i) GROUP BY s, code, i)
+      GROUP BY s, code
+    ), a2 AS (
+      SELECT vid, s, qs, code FROM (
+        SELECT a1.vid, a1.s, a1.qs, c1.code,
+               ROW_NUMBER() OVER (PARTITION BY a1.vid, a1.s
+                 ORDER BY CAST(list_sum([ (a1.qs[i]-c1.c[i])*(a1.qs[i]-c1.c[i])
+                                          for i in range(1, 17) ]) AS BIGINT),
+                          c1.code) AS rn
+        FROM a1 JOIN c1 ON c1.s = a1.s)
+      WHERE rn = 1
+    ), c2 AS (
+      SELECT s, code, list(cd ORDER BY pos) AS c FROM (
+        SELECT s, code, i AS pos, CAST(SUM(qs[i]) AS BIGINT) // COUNT(*) AS cd
+        FROM a2, range(1, 17) r(i) GROUP BY s, code, i)
+      GROUP BY s, code
+    ), fin AS (
+      SELECT vid, s, qs, code FROM (
+        SELECT sub.vec_id AS vid, sub.s, sub.qs, c2.code,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY CAST(list_sum([ (sub.qs[i]-c2.c[i])*(sub.qs[i]-c2.c[i])
+                                          for i in range(1, 17) ]) AS BIGINT),
+                          c2.code) AS rn
+        FROM sub JOIN c2 ON c2.s = sub.s)
+      WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "q_pq_quantize",
+    f"""{_PQ_TRAIN}
+    , err AS (
+      SELECT f.vid, f.s, f.code,
+             CAST(list_sum([ (f.qs[i]-c2.c[i])*(f.qs[i]-c2.c[i])
+                             for i in range(1, 17) ]) AS BIGINT) AS e
+      FROM fin f JOIN c2 ON c2.s = f.s AND c2.code = f.code)
+    SELECT vid AS vec_id,
+           array_to_string(list(code ORDER BY s), ',') AS codes_csv,
+           CAST(SUM(e) AS BIGINT) AS pq_err
+    FROM err GROUP BY vid
+    """,
+)
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compress the embedding corpus: 64 float64 dims -> 4 subspace
+    codes + the EXACT int64 squared quantization error on the integer
+    grid (operators.similarity.pq_quantize_portable). Codes serialize
+    to CSV per the driver-checked nested-output convention."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.pq_quantize_portable(emb, m=4, k_codes=8, iters=2)
+    return out.select(
+        "vec_id",
+        F.array_join("codes", ",").alias("codes_csv"),
+        "pq_err",
+    )
+
+
+@query(
+    "q_ann_pq",
+    f"""{_PQ_TRAIN}
+    , lut AS (
+      SELECT l.vec_id AS query_id, l.s, c2.code,
+             CAST(list_sum([ (l.qs[i]-c2.c[i])*(l.qs[i]-c2.c[i])
+                             for i in range(1, 17) ]) AS BIGINT) AS d
+      FROM sub l JOIN c2 ON c2.s = l.s
+      WHERE l.vec_id < 8
+    ), scored AS (
+      SELECT lut.query_id, fin.vid AS neighbor_id,
+             CAST(SUM(lut.d) AS BIGINT) AS pq_dist
+      FROM fin JOIN lut ON lut.s = fin.s AND lut.code = fin.code
+      WHERE fin.vid <> lut.query_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY pq_dist ASC, neighbor_id ASC) AS knn_rank
+      FROM scored)
+    SELECT query_id, neighbor_id, pq_dist, knn_rank
+    FROM ranked WHERE knn_rank <= 5
+    """,
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors per query via PQ asymmetric distance: per-query
+    m x k_codes lookup tables join corpus CODES (never vectors) — the
+    memory-bandwidth shape that makes PQ the 100 TB ANN layout. Fully
+    int64, oracle replays training + LUT + ranking bit-for-bit
+    (operators.similarity.ann_pq_topk_portable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_pq_topk_portable(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, m=4, k_codes=8, iters=2
+    )
+
+
+# --------------------------------------------------------------------------
 # Composite quality score (length band + lexical diversity + stopword
 # presence) — the text.quality_score operator, oracle-matched
 # --------------------------------------------------------------------------

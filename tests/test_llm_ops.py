@@ -1395,3 +1395,70 @@ def test_prebucketed_candidates_backfill_mode_same_pairs(spark, tmp_path):
     sj = _pairs(D.prebucketed_candidates(corpus_buckets, new_index,
                                          broadcast_new=False))
     assert bc == sj and bc  # same pairs, and the fixture collides
+
+
+def test_pq_adc_recall_and_determinism(spark):
+    """PQ/ADC (the oracle-checked q_ann_pq path): useful recall vs
+    exact L2 brute force on the SAME integer grid, and bit-stable
+    across runs + input repartitionings (every training step is
+    order-independent integer math)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    runs = [
+        {(r.query_id, r.neighbor_id, r.pq_dist, r.knn_rank)
+         for r in S.ann_pq_topk_portable(
+             e, queries, k=5, m=4, k_codes=8, iters=2).collect()}
+        for e in (emb, emb.repartition(3), emb)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    # exact-L2 top-20 on the same grid as the recall reference (ADC is
+    # lossy by design: k_codes=8 keeps only 8 prototypes per subspace)
+    from pyspark.sql.window import Window as W
+
+    grid = F.expr(
+        "transform(cast(embedding as array<double>), "
+        "x -> cast(floor((x + 2.0d) * 1000000.0d) as long))"
+    )
+    g = emb.select("vec_id", grid.alias("q"))
+    qg = g.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    d = F.expr(
+        "aggregate(zip_with(q, qq, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    exact20 = (
+        g.crossJoin(qg)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                d.alias("dist"))
+        .withColumn("rk", F.row_number().over(
+            W.partitionBy("query_id").orderBy("dist", "neighbor_id")))
+        .filter(F.col("rk") <= 20)
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in exact20.collect()}
+    approx = {(q, n) for q, n, _d, _rk in runs[0]}
+    recall = len(exact & approx) / (8 * 5)
+    assert recall >= 0.5, f"PQ/ADC top-5-in-exact-top-20 too low: {recall}"
+
+
+def test_pq_empty_cluster_drop(spark):
+    """A codeword that loses all members after a Lloyd update vanishes
+    from the codebook (SUM//COUNT has no row to emit); remaining codes
+    still cover every vector, and quantize output stays total: every
+    input id appears exactly once with m codes."""
+    from pyspark.sql import Row
+
+    # 8 seed ids but only 2 genuinely distinct clusters -> most seed
+    # codes collapse onto the two centers and lose their members
+    rows = [
+        Row(vec_id=i, embedding=[float(1 if i % 2 else -1)] * 64)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows)
+    out = S.pq_quantize_portable(emb, m=4, k_codes=8, iters=2).collect()
+    assert sorted(r.vec_id for r in out) == list(range(40))
+    assert all(len(r.codes) == 4 and r.pq_err == 0 for r in out)
+    # exactly the two surviving prototypes per subspace
+    distinct_codes = {tuple(r.codes) for r in out}
+    assert len(distinct_codes) == 2

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from konohadataplatform_spark.operators.sketches import (
     approx_distinct,
+    hll_estimate,
+    hll_register_sketch,
     quantile_sketch,
 )
 from konohadataplatform_spark.sources.star_schema import load_table
@@ -406,3 +408,16 @@ def test_hll_param_guard(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(1)
     with pytest.raises(ValueError, match="multiple of 4"):
         hll_register_sketch(docs, [], "text", b=10)
+
+
+def test_hll_estimate_rejects_overflowing_precision(spark):
+    """b=16 would wrap the exact-int64 scaled indicator sum
+    ((m-1)*2^49 ~ 2^65); build/merge stay legal at b=16 (pure MAX),
+    only the estimate refuses."""
+    import pytest as _pytest
+
+    df = spark.range(10).selectExpr("cast(id as string) AS v")
+    sk = hll_register_sketch(df, [], "v", b=16)  # build is fine
+    assert sk.count() > 0
+    with _pytest.raises(ValueError, match="b <= 14"):
+        hll_estimate(sk, [], b=16)
