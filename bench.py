@@ -64,6 +64,11 @@ EXTENDED = [
     # r6: pinned after the two-phase rewrite so future rounds catch
     # regressions in the shard/offset plan
     "q_token_budget_pack",
+    # r8: lexical retrieval (window-free two-phase index) + PQ/ADC
+    "q_inverted_index",
+    "q_lexical_topk",
+    "q_pq_quantize",
+    "q_ann_pq",
 ]
 
 

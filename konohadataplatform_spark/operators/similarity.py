@@ -517,6 +517,100 @@ def cosine_neardup_lsh(
 # Portable IVF: exact-integer-arithmetic Lloyd iterations, reproducible
 # bit-for-bit by any engine with 64-bit integers (the DuckDB oracle).
 # --------------------------------------------------------------------------
+def _grid_base(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    offset: float,
+    id_alias: str = "cid",
+) -> DataFrame:
+    """(id_alias, v: array<double>, q: array<long>) — the non-negative
+    integer grid every portable trainer works on:
+    ``floor((v + offset) * scale)`` per component."""
+    grid = F.transform(
+        F.col("v"),
+        lambda x: F.floor(
+            (x + F.lit(float(offset))) * F.lit(float(scale))
+        ).cast("long"),
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("q", grid)
+
+
+def _cell_assign_udf(cents_rows):
+    """Vectorized argmin over the (metadata-sized) centroid list:
+    exact int64 squared-L2, ties to the lowest cell id."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([cell for cell, _ in cents_rows], dtype=np.int64)
+    cmat = np.array([c for _, c in cents_rows], dtype=np.int64)
+
+    def _k(qs):
+        m = np.vstack(qs.to_numpy()).astype(np.int64)  # (n, dim)
+        d = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        # ids ascend, so numpy first-min argmin == ties to lowest cell
+        return pd.Series(ids[np.argmin(d, axis=1)])
+
+    _k.__annotations__ = {"qs": pd.Series, "return": pd.Series}
+    return pandas_udf(_k, "long")
+
+
+def _cell_probes_udf(cents_rows, n: int):
+    """Per-query top-``n`` nearest cells, same exact distances."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([cell for cell, _ in cents_rows], dtype=np.int64)
+    cmat = np.array([c for _, c in cents_rows], dtype=np.int64)
+
+    def _k(qs):
+        m = np.vstack(qs.to_numpy()).astype(np.int64)
+        d = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        # stable argsort on (d, cell-id order): ids ascend, and
+        # numpy stable sort keeps earlier (lower) cells on ties
+        order = np.argsort(d, axis=1, kind="stable")[:, :n]
+        return pd.Series([list(ids[row]) for row in order])
+
+    _k.__annotations__ = {"qs": pd.Series, "return": pd.Series}
+    return pandas_udf(_k, "array<long>")
+
+
+def _ivf_train_portable(
+    base: DataFrame, n_cells: int, iters: int
+) -> list[tuple[int, list[int]]]:
+    """Exact-integer Lloyd over the grid column of ``_grid_base``:
+    seeds = the n_cells lowest ids (cell = rank by id); assignment by
+    int64 squared-L2 with ties to the lowest cell; update by
+    per-dimension SUM DIV COUNT. Returns the centroid list
+    (driver-side metadata, n_cells x dim ints). One Spark job per
+    iteration (the (cell, dim) sum/count agg)."""
+    seed_rows = base.select("cid", "q").orderBy("cid").take(n_cells)
+    cents: list[tuple[int, list[int]]] = [
+        (i + 1, list(r["q"])) for i, r in enumerate(seed_rows)
+    ]
+    for _ in range(iters):
+        assigned = base.withColumn("cell", _cell_assign_udf(cents)(F.col("q")))
+        agg_rows = (
+            assigned.select("cell", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in agg_rows:
+            # exact floor division on non-negative ints == DIV / //
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"] // r["n"]
+        cents = [
+            (cell, [dims[p] for p in sorted(dims)])
+            for cell, dims in sorted(by_cell.items())
+        ]
+    return cents
+
+
 def ann_ivf_topk_portable(
     corpus: DataFrame,
     queries: DataFrame,
@@ -560,84 +654,19 @@ def ann_ivf_topk_portable(
     prevents float drift between local[32] and 1000 executors. Train
     on a sample at 100 TB exactly like the ML path.
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    base = _grid_base(corpus, id_col, vec_col, scale, offset)
+    cents = _ivf_train_portable(base, n_cells, iters)
 
-    grid = F.transform(
-        F.col("v"),
-        lambda x: F.floor((x + F.lit(float(offset))) * F.lit(float(scale))).cast(
-            "long"
-        ),
-    )
-    base = corpus.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("q", grid)
-
-    # deterministic seeds: the n_cells lowest ids, cell = rank by id.
-    # The seed fetch is a TakeOrdered of n_cells rows — metadata-sized.
-    seed_rows = base.select("cid", "q").orderBy("cid").take(n_cells)
-    cents: list[tuple[int, list[int]]] = [
-        (i + 1, list(r["q"])) for i, r in enumerate(seed_rows)
-    ]
-
-    def cell_of_udf(cents_rows):
-        ids = np.array([cell for cell, _ in cents_rows], dtype=np.int64)
-        cmat = np.array([c for _, c in cents_rows], dtype=np.int64)
-
-        def _k(qs):
-            m = np.vstack(qs.to_numpy()).astype(np.int64)  # (n, dim)
-            d = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
-            # ids ascend, so numpy first-min argmin == ties to lowest cell
-            return pd.Series(ids[np.argmin(d, axis=1)])
-
-        _k.__annotations__ = {"qs": pd.Series, "return": pd.Series}
-        return pandas_udf(_k, "long")
-
-    for _ in range(iters):
-        assigned = base.withColumn("cell", cell_of_udf(cents)(F.col("q")))
-        agg_rows = (
-            assigned.select("cell", F.posexplode("q").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, int]] = {}
-        for r in agg_rows:
-            # exact floor division on non-negative ints == DIV / //
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"] // r["n"]
-        cents = [
-            (cell, [dims[p] for p in sorted(dims)])
-            for cell, dims in sorted(by_cell.items())
-        ]
-
-    cell_of = cell_of_udf(cents)
+    cell_of = _cell_assign_udf(cents)
     final = base.withColumn("cell", cell_of(F.col("q"))).select(
         F.col("cid").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
     )
 
-    qbase = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("q", grid)
-
-    # probe list per query: same exact distances, top-nprobe cells
-    def probes_udf(cents_rows, n):
-        ids = np.array([cell for cell, _ in cents_rows], dtype=np.int64)
-        cmat = np.array([c for _, c in cents_rows], dtype=np.int64)
-
-        def _k(qs):
-            m = np.vstack(qs.to_numpy()).astype(np.int64)
-            d = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
-            # stable argsort on (d, cell-id order): ids ascend, and
-            # numpy stable sort keeps earlier (lower) cells on ties
-            order = np.argsort(d, axis=1, kind="stable")[:, :n]
-            return pd.Series([list(ids[row]) for row in order])
-
-        _k.__annotations__ = {"qs": pd.Series, "return": pd.Series}
-        return pandas_udf(_k, "array<long>")
+    qbase = _grid_base(queries, id_col, vec_col, scale, offset,
+                       id_alias="query_id")
 
     probes = qbase.withColumn(
-        "cell", F.explode(probes_udf(cents, nprobe)(F.col("q")))
+        "cell", F.explode(_cell_probes_udf(cents, nprobe)(F.col("q")))
     ).select("query_id", F.col("v").alias("qv"), "cell")
 
     cand = probes.join(final, "cell").filter(
@@ -1254,6 +1283,106 @@ def ann_pq_topk_portable(
         # ADC sums m lookups; a vector matching in fewer than m
         # subspaces can't happen (every (s, code) has a LUT row), so
         # the group always has exactly m contributions
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(wk))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "pq_dist", "knn_rank")
+    )
+
+
+def ann_ivfpq_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    ivf_iters: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset: float = 2.0,
+) -> DataFrame:
+    """IVF-PQ: coarse cells prune the scan, PQ/ADC ranks inside the
+    probed cells — the composition production vector stores (FAISS
+    IVFPQ, SCaNN-style layouts) run at billion-vector scale, here with
+    the repo's exact-int64 portable-Lloyd contract on BOTH trainers so
+    a SQL oracle replays cells, codebooks, LUTs and the full ranking
+    bit-for-bit.
+
+    Returns (query_id, neighbor_id, pq_dist, knn_rank): top-``k`` by
+    ascending exact-int64 ADC distance among vectors whose IVF cell is
+    one of the query's ``nprobe`` nearest, ties to the lowest
+    neighbor_id.
+
+    The 100 TB execution shape — why this is THE layout at scale:
+
+    - the persisted corpus state is (vid, cell, m codes): a few bytes
+      per vector; full vectors are needed only at train/encode time;
+    - centroids and codebooks are driver/broadcast metadata
+      (n_cells x dim + m x k_codes x dsub ints);
+    - a query broadcasts its probe list (nprobe cells) and its ADC
+      LUT (m x k_codes int64 distances); the scan side reads only
+      code rows in probed cells — partition the code table by cell
+      and the probe is a partition-pruned scan joined entirely via
+      broadcast, zero corpus shuffle, no floats, no full vectors;
+    - every distance is a SUM of m LUT lookups in int64 — ranking is
+      reproducible under any partitioning.
+    """
+    base = _grid_base(corpus, id_col, vec_col, scale, offset)
+    cents = _ivf_train_portable(base, n_cells, ivf_iters)
+    cells = base.withColumn(
+        "cell", _cell_assign_udf(cents)(F.col("q"))
+    ).select(F.col("cid").alias("vid"), "cell")
+
+    pq_final, codebooks = pq_train_portable(
+        corpus, m, k_codes, pq_iters, id_col, vec_col, scale, offset
+    )
+    # (vid, cell, s, code): the persisted IVF-PQ posting layout
+    codes = pq_final.select("vid", "s", "code").join(cells, "vid")
+
+    qbase = _grid_base(queries, id_col, vec_col, scale, offset,
+                       id_alias="query_id")
+    probes = qbase.withColumn(
+        "cell", F.explode(_cell_probes_udf(cents, nprobe)(F.col("q")))
+    ).select("query_id", "cell")
+
+    dsub = len(next(iter(codebooks.values()))[0][1])
+    qsub = qbase.select(
+        "query_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("q", s * dsub + 1, dsub).alias("qs"),
+                )
+                for s in range(m)
+            ])
+        ).alias("sub"),
+    ).select("query_id", "sub.s", "sub.qs")
+    cb = _codebook_df(corpus.sparkSession, codebooks)
+    lut = (
+        qsub.join(F.broadcast(cb), "s")
+        .withColumn("d", _sub_l2(F.col("qs"), F.col("cvec")))
+        .select("query_id", "s", "code", "d")
+    )
+
+    # probe side rides broadcasts end to end: the corpus code table
+    # never shuffles for a query
+    cand = (
+        codes.join(F.broadcast(probes), "cell")
+        .where(F.col("vid") != F.col("query_id"))
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("d").alias("pq_dist"))
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id").asc()

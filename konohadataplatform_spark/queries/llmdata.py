@@ -3085,3 +3085,139 @@ def q_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         dups.cast("bigint").alias("n_exact_dups"),
         (dups.cast("double") / n).alias("dup_rate"),
     )
+
+
+@query(
+    "q_ann_ivfpq",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             [ CAST(FLOOR((CAST(embedding AS DOUBLE[])[i] + 2.0) * 1000000.0) AS BIGINT)
+               for i in range(1, 65) ] AS q
+      FROM embeddings
+    ), ic0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, q AS c
+      FROM e ORDER BY vec_id LIMIT 8
+    ), ia1 AS (
+      SELECT cid, q, cell FROM (
+        SELECT e.vec_id AS cid, e.q, ic0.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY CAST(list_sum([ (e.q[i]-ic0.c[i])*(e.q[i]-ic0.c[i])
+                                          for i in range(1, 65) ]) AS BIGINT),
+                          ic0.cell) AS rn
+        FROM e, ic0)
+      WHERE rn = 1
+    ), ic1 AS (
+      SELECT cell, list(cd ORDER BY pos) AS c FROM (
+        SELECT cell, i AS pos, CAST(SUM(q[i]) AS BIGINT) // COUNT(*) AS cd
+        FROM ia1, range(1, 65) r(i) GROUP BY cell, i)
+      GROUP BY cell
+    ), ia2 AS (
+      SELECT cid, q, cell FROM (
+        SELECT ia1.cid, ia1.q, ic1.cell,
+               ROW_NUMBER() OVER (PARTITION BY ia1.cid
+                 ORDER BY CAST(list_sum([ (ia1.q[i]-ic1.c[i])*(ia1.q[i]-ic1.c[i])
+                                          for i in range(1, 65) ]) AS BIGINT),
+                          ic1.cell) AS rn
+        FROM ia1, ic1)
+      WHERE rn = 1
+    ), ic2 AS (
+      SELECT cell, list(cd ORDER BY pos) AS c FROM (
+        SELECT cell, i AS pos, CAST(SUM(q[i]) AS BIGINT) // COUNT(*) AS cd
+        FROM ia2, range(1, 65) r(i) GROUP BY cell, i)
+      GROUP BY cell
+    ), ifin AS (
+      SELECT cid AS vid, cell FROM (
+        SELECT e.vec_id AS cid, ic2.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY CAST(list_sum([ (e.q[i]-ic2.c[i])*(e.q[i]-ic2.c[i])
+                                          for i in range(1, 65) ]) AS BIGINT),
+                          ic2.cell) AS rn
+        FROM e, ic2)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, ic2.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY CAST(list_sum([ (e.q[i]-ic2.c[i])*(e.q[i]-ic2.c[i])
+                                          for i in range(1, 65) ]) AS BIGINT),
+                          ic2.cell) AS rn
+        FROM e, ic2 WHERE e.vec_id < 8)
+      WHERE rn <= 4
+    ), sub AS (
+      SELECT vec_id, s, q[s*16+1 : s*16+16] AS qs
+      FROM e, range(0, 4) r(s)
+    ), pc0 AS (
+      SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) AS code, qs AS c
+      FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)
+    ), pa1 AS (
+      SELECT vid, s, qs, code FROM (
+        SELECT sub.vec_id AS vid, sub.s, sub.qs, pc0.code,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY CAST(list_sum([ (sub.qs[i]-pc0.c[i])*(sub.qs[i]-pc0.c[i])
+                                          for i in range(1, 17) ]) AS BIGINT),
+                          pc0.code) AS rn
+        FROM sub JOIN pc0 ON pc0.s = sub.s)
+      WHERE rn = 1
+    ), pc1 AS (
+      SELECT s, code, list(cd ORDER BY pos) AS c FROM (
+        SELECT s, code, i AS pos, CAST(SUM(qs[i]) AS BIGINT) // COUNT(*) AS cd
+        FROM pa1, range(1, 17) r(i) GROUP BY s, code, i)
+      GROUP BY s, code
+    ), pa2 AS (
+      SELECT vid, s, qs, code FROM (
+        SELECT pa1.vid, pa1.s, pa1.qs, pc1.code,
+               ROW_NUMBER() OVER (PARTITION BY pa1.vid, pa1.s
+                 ORDER BY CAST(list_sum([ (pa1.qs[i]-pc1.c[i])*(pa1.qs[i]-pc1.c[i])
+                                          for i in range(1, 17) ]) AS BIGINT),
+                          pc1.code) AS rn
+        FROM pa1 JOIN pc1 ON pc1.s = pa1.s)
+      WHERE rn = 1
+    ), pc2 AS (
+      SELECT s, code, list(cd ORDER BY pos) AS c FROM (
+        SELECT s, code, i AS pos, CAST(SUM(qs[i]) AS BIGINT) // COUNT(*) AS cd
+        FROM pa2, range(1, 17) r(i) GROUP BY s, code, i)
+      GROUP BY s, code
+    ), pfin AS (
+      SELECT vid, s, code FROM (
+        SELECT sub.vec_id AS vid, sub.s, pc2.code,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY CAST(list_sum([ (sub.qs[i]-pc2.c[i])*(sub.qs[i]-pc2.c[i])
+                                          for i in range(1, 17) ]) AS BIGINT),
+                          pc2.code) AS rn
+        FROM sub JOIN pc2 ON pc2.s = sub.s)
+      WHERE rn = 1
+    ), lut AS (
+      SELECT l.vec_id AS query_id, l.s, pc2.code,
+             CAST(list_sum([ (l.qs[i]-pc2.c[i])*(l.qs[i]-pc2.c[i])
+                             for i in range(1, 17) ]) AS BIGINT) AS d
+      FROM sub l JOIN pc2 ON pc2.s = l.s
+      WHERE l.vec_id < 8
+    ), scored AS (
+      SELECT pr.query_id, f.vid AS neighbor_id,
+             CAST(SUM(l.d) AS BIGINT) AS pq_dist
+      FROM probes pr
+      JOIN ifin f ON f.cell = pr.cell AND f.vid <> pr.query_id
+      JOIN pfin pc ON pc.vid = f.vid
+      JOIN lut l ON l.query_id = pr.query_id AND l.s = pc.s AND l.code = pc.code
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY pq_dist ASC, neighbor_id ASC) AS knn_rank
+      FROM scored)
+    SELECT query_id, neighbor_id, pq_dist, knn_rank
+    FROM ranked WHERE knn_rank <= 5
+    """,
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (the FAISS-IVFPQ-style 100 TB vector-store
+    layout): coarse exact-integer IVF cells prune the candidate scan,
+    PQ/ADC ranks inside the probed cells over CODES (never vectors).
+    Both trainers follow the portable-Lloyd contract, so the oracle
+    replays cells + codebooks + LUT + ranking bit-for-bit
+    (operators.similarity.ann_ivfpq_topk_portable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_ivfpq_topk_portable(
+        emb, emb.filter(F.col("vec_id") < 8), k=5,
+        n_cells=8, nprobe=4, ivf_iters=2, m=4, k_codes=8, pq_iters=2,
+    )

