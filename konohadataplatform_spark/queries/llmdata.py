@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from konohadataplatform_spark.operators import curation as CU
 from konohadataplatform_spark.operators import dedup as D
 from konohadataplatform_spark.operators import fingerprint as FP
 from konohadataplatform_spark.operators import multimodal as M
@@ -3220,4 +3221,37 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivfpq_topk_portable(
         emb, emb.filter(F.col("vec_id") < 8), k=5,
         n_cells=8, nprobe=4, ivf_iters=2, m=4, k_codes=8, pq_iters=2,
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source document caps (the RefinedWeb/C4 "at most N docs per
+# domain" curation rule) — two-phase skew-proof selection, no window
+# --------------------------------------------------------------------------
+@query(
+    "q_source_caps",
+    """
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(LEAST(COUNT(*), 10) AS BIGINT) AS n_kept,
+           array_to_string(list(doc_id ORDER BY doc_id)[1:10], ',')
+             AS kept_csv
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at its 10 lowest doc_ids. The oracle spells it
+    as a plain per-group sorted slice; the Spark side is the two-phase
+    (partition-local top-cap, then merge of capped lists) plan from
+    operators.curation.per_group_cap — bit-identical output with no
+    per-group window, so a head domain with 10^9 docs never lands in
+    one task at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    capped = CU.per_group_cap(docs, "source", "doc_id", 10)
+    return capped.select(
+        "source",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.size("kept").cast("bigint").alias("n_kept"),
+        F.array_join(F.col("kept"), ",").alias("kept_csv"),
     )
