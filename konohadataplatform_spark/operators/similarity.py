@@ -1392,3 +1392,60 @@ def ann_ivfpq_topk_portable(
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "neighbor_id", "pq_dist", "knn_rank")
     )
+
+
+def centroid_classify_portable(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+    offset: float = 2.0,
+) -> DataFrame:
+    """Nearest-class-centroid (Rocchio) classifier over an embedding
+    column, on the repo's exact-int64 portable grid: train per-label
+    centroids as per-dimension SUM DIV COUNT of the quantized grid,
+    assign every vector to the nearest centroid by exact int64
+    squared-L2 (ties to the lowest label). Returns
+    (vec_id, label, pred_label) — one row per vector.
+
+    The embedding-quality check that pairs with q_knn_label_purity:
+    purity asks "do neighbors share labels", this asks "are classes
+    linearly separated by their centroids" — the two standard
+    label-health probes before training on weak labels.
+
+    100 TB shape: training is ONE partial+final (label, dim) aggregate
+    (centroids are metadata: n_labels x dim ints, collected once);
+    assignment is a stateless vectorized pandas_udf over the scan —
+    no join, no shuffle on the data side, embarrassingly parallel.
+    Integer arithmetic keeps the assignment reproducible bit-for-bit
+    across partitionings and engines (the DuckDB oracle replays it).
+    """
+    grid = F.transform(
+        F.col("v"),
+        lambda x: F.floor(
+            (x + F.lit(float(offset))) * F.lit(float(scale))
+        ).cast("long"),
+    )
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).cast("long").alias("label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("q", grid)
+
+    agg_rows = (
+        base.select("label", F.posexplode("q").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, int]] = {}
+    for r in agg_rows:
+        by_label.setdefault(r["label"], {})[r["pos"]] = r["s"] // r["n"]
+    cents = [
+        (label, [dims[p] for p in sorted(dims)])
+        for label, dims in sorted(by_label.items())
+    ]
+    return base.withColumn(
+        "pred_label", _cell_assign_udf(cents)(F.col("q"))
+    ).select("vec_id", "label", "pred_label")

@@ -3255,3 +3255,48 @@ def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("kept").cast("bigint").alias("n_kept"),
         F.array_join(F.col("kept"), ",").alias("kept_csv"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest-class-centroid (Rocchio) classification — the label-health
+# probe that pairs with q_knn_label_purity
+# --------------------------------------------------------------------------
+@query(
+    "q_centroid_classify",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             [ CAST(FLOOR((CAST(embedding AS DOUBLE[])[i] + 2.0) * 1000000.0) AS BIGINT)
+               for i in range(1, 65) ] AS q
+      FROM embeddings
+    ), c AS (
+      SELECT label, list(cd ORDER BY pos) AS c FROM (
+        SELECT label, i AS pos, CAST(SUM(q[i]) AS BIGINT) // COUNT(*) AS cd
+        FROM e, range(1, 65) r(i) GROUP BY label, i)
+      GROUP BY label
+    ), a AS (
+      SELECT vec_id, label, pred_label FROM (
+        SELECT e.vec_id, e.label, c.label AS pred_label,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY CAST(list_sum([ (e.q[i]-c.c[i])*(e.q[i]-c.c[i])
+                                          for i in range(1, 65) ]) AS BIGINT),
+                          c.label) AS rn
+        FROM e, c)
+      WHERE rn = 1
+    )
+    SELECT label, pred_label, COUNT(*) AS n
+    FROM a GROUP BY label, pred_label
+    """,
+)
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the Rocchio classifier on the embeddings
+    table: per-label exact-integer centroids, nearest-centroid
+    assignment, grouped (label, pred_label) counts. Training is one
+    (label, dim) aggregate; assignment is a stateless vectorized
+    pandas_udf (operators.similarity.centroid_classify_portable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        S.centroid_classify_portable(emb)
+        .groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
