@@ -1,0 +1,187 @@
+"""BPE merge training over a document corpus (beyond-reference
+surface): the byte-pair-encoding trainer every LLM tokenizer pipeline
+runs before anything else (Sennrich et al. 2016; GPT-2/RoBERTa-style
+word-level pre-tokenization).
+
+Algorithm (classic corpus BPE):
+
+1. collapse the corpus to word frequencies — (word, freq) — and seed
+   each word's token list with its characters;
+2. repeat ``n_merges`` times: count adjacent token pairs weighted by
+   word frequency, pick the most frequent pair (ties: lexicographic
+   lowest (left, right) — a deterministic rule both engines replay),
+   then rewrite every word, merging non-overlapping occurrences of the
+   pair GREEDILY LEFT-TO-RIGHT (the HuggingFace/GPT-2 convention:
+   "aaa" under merge (a,a) becomes ["aa", "a"]).
+
+Everything is exact integer counts and deterministic tie-breaks, so a
+SQL oracle reproduces the merge table bit-for-bit.
+
+The 100 TB shape — why this layout IS the scalable BPE trainer:
+
+- the ONLY corpus-scale job is the word-frequency aggregate (one
+  partial+final groupBy of tokens); everything after runs on the
+  VOCAB-sized (word, freq, tokens) relation — millions of rows at web
+  scale, not billions of documents;
+- each merge iteration is one partial+final pair-count aggregate plus
+  a metadata-sized top-1 fetch (``F.min_by`` over a 1-row agg would
+  also work; ``limit(1)`` after a global sort of the pair relation is
+  fine because the pair relation is vocab-bounded);
+- the per-word rewrite is a PURE COLUMN EXPRESSION (higher-order
+  functions: filter / aggregate-fold / transform) — per-row, JVM-side,
+  no shuffle, no UDF, no explode-regroup round trip;
+- the vocab state is RE-MATERIALIZED every ``recache_every`` merges
+  (default 1: each merge caches the rewritten relation and unpersists
+  its parent). This is load-bearing, not a tuning nicety: the rewrite
+  references `toks` many times and the greedy-selection subexpression
+  twice, so Catalyst's project collapsing inlines each layer ~6-9x —
+  chaining k merges as pure expressions grows the generated code
+  exponentially (k=4 already OOMs codegen). One narrow cache job per
+  merge over the vocab-sized relation is exactly what a production
+  trainer does between merge steps.
+
+Greedy left-to-right selection as a fold: scan match positions
+ascending, take a match unless it overlaps the previously taken one
+(i == last_taken + 1). Equivalently: within each maximal run of
+consecutive match positions, keep even offsets — the spelling the
+DuckDB oracle uses (gaps-and-islands), both bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq): whitespace words of the trimmed text, empty
+    strings dropped. The one corpus-scale aggregate of BPE training."""
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(l, r, cnt): adjacent token pairs weighted by word freq."""
+    pairs = words.where(F.size("toks") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS l, toks[i + 1] AS r))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.l", "p.r").agg(F.sum("freq").alias("cnt"))
+
+
+def _sql_str(s: str) -> str:
+    """Escape a token for embedding as a Spark SQL string literal."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _sel_expr(left: str, right: str) -> F.Column:
+    """Greedy left-to-right match positions of the (left, right) pair
+    in `toks`: fold ascending match positions, taking each unless it
+    overlaps the previously taken one."""
+    l, r = _sql_str(left), _sql_str(right)
+    return F.expr(
+        f"""
+        aggregate(
+          filter(if(size(toks) >= 2,
+                    sequence(0, size(toks) - 2),
+                    cast(array() as array<int>)),
+                 i -> toks[i] = '{l}' AND toks[i + 1] = '{r}'),
+          named_struct('s', cast(array() as array<int>), 'last', -2),
+          (acc, i) -> if(i = acc.last + 1,
+                         acc,
+                         named_struct('s', concat(acc.s, array(i)),
+                                      'last', i)),
+          acc -> acc.s)
+        """
+    )
+
+
+def _rewrite_expr() -> F.Column:
+    """New `toks` given greedy match positions in `_sel`: drop the
+    position after each match, merge the pair at each match."""
+    return F.expr(
+        """
+        transform(
+          filter(sequence(0, size(toks) - 1),
+                 j -> NOT array_contains(_sel, j - 1)),
+          j -> if(array_contains(_sel, j),
+                  concat(toks[j], toks[j + 1]),
+                  toks[j]))
+        """
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    recache_every: int = 1,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges on the corpus.
+
+    Returns (merges, words): ``merges`` is the learned merge table
+    [(merge_rank, left, right, pair_count)] — rank 1 first — and
+    ``words`` the final (word, freq, toks) vocabulary state with all
+    merges applied (lazy; reuse it to encode or continue training).
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    words = word_frequencies(docs, text_col).withColumn(
+        "toks", F.split("word", "")
+    )
+    words = words.cache()
+    cached = [words]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .take(1)
+        )
+        if not top:  # vocabulary fully merged — nothing left to count
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((rank, l, r, int(cnt)))
+        words = (
+            words.withColumn("_sel", _sel_expr(l, r))
+            .withColumn("toks", _rewrite_expr())
+            .drop("_sel")
+        )
+        if rank % recache_every == 0:
+            words = words.cache()
+            words.count()  # materialize before dropping the parent
+            cached.append(words)
+            cached.pop(0).unpersist()
+    for df in cached[:-1]:
+        df.unpersist()
+    return merges, words
+
+
+def bpe_encode_stats(words: DataFrame) -> DataFrame:
+    """One-row corpus stats for a trained vocabulary state:
+    (n_words, vocab_size, total_tokens) — total corpus tokens under
+    the current merges (freq-weighted) and the distinct-token count."""
+    toks = words.select(
+        "freq", F.size("toks").alias("n"), F.explode("toks").alias("tok")
+    )
+    return toks.agg(
+        F.countDistinct("tok").alias("vocab_size"),
+    ).crossJoin(
+        words.agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.col("freq") * F.size("toks")).alias("total_tokens"),
+        )
+    ).select("n_words", "vocab_size", "total_tokens")

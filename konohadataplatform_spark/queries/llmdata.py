@@ -3300,3 +3300,112 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (Sennrich 2016; the GPT-2/HF word-level trainer) —
+# exact integer pair counts, lexicographic tie-break, greedy
+# left-to-right merge application: the oracle replays every merge as an
+# unrolled CTE chain (pair-count -> top-1 -> gaps-free list rewrite)
+# --------------------------------------------------------------------------
+_BPE_W0 = """
+WITH w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, string_split(word, '') AS toks
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)"""
+
+# One BPE merge step in DuckDB list algebra, mirroring operators/bpe.py:
+# p{k} = freq-weighted adjacent pair counts over w{k-1};
+# t{k} = the winning pair (cnt DESC, l ASC, r ASC);
+# w{k} = every word rewritten -- match positions m, greedy selection via
+#        a list_reduce fold (take i unless it extends the previous taken
+#        match by 1 == the overlap rule), then merge-at/drop-after.
+_BPE_MERGE_BLOCK = """
+, p{k} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+           unnest([{{'l': toks[i], 'r': toks[i+1]}}
+                   for i in range(1, len(toks))]) AS pr
+    FROM w{prev} WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+), t{k} AS (
+  SELECT {k} AS merge_rank, l, r, cnt FROM p{k}
+  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+), w{k} AS (
+  SELECT word, freq,
+         [ CASE WHEN list_contains(sel, j) THEN toks[j] || toks[j+1]
+                ELSE toks[j] END
+           for j in range(1, len(toks)+1)
+           if NOT list_contains(sel, j-1) ] AS toks
+  FROM (
+    SELECT word, freq, toks,
+           CASE WHEN len(m) = 0 THEN CAST([] AS BIGINT[])
+                ELSE list_reduce(list_transform(m, x -> [x]),
+                       (acc, x) -> CASE WHEN x[1] = acc[-1] + 1 THEN acc
+                                        ELSE list_concat(acc, x) END)
+           END AS sel
+    FROM (
+      SELECT word, freq, toks,
+             [ i for i in range(1, len(toks))
+               if toks[i] = t{k}.l AND toks[i+1] = t{k}.r ] AS m
+      FROM w{prev}, t{k})
+  )
+)"""
+
+
+def _bpe_oracle_chain(n_merges: int) -> str:
+    return _BPE_W0 + "".join(
+        _BPE_MERGE_BLOCK.format(k=k, prev=k - 1)
+        for k in range(1, n_merges + 1)
+    )
+
+
+@query(
+    "q_bpe_train_merges",
+    _bpe_oracle_chain(4)
+    + """
+    SELECT merge_rank, l AS left_tok, r AS right_tok, cnt AS pair_count
+    FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+          UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4)
+    """,
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned 4-merge BPE table over the documents corpus:
+    (merge_rank, left_tok, right_tok, pair_count). Training shape:
+    ONE corpus-scale word-frequency aggregate, then per-merge
+    vocab-sized pair counts + a pure-expression greedy rewrite
+    (operators.bpe.bpe_train)."""
+    from konohadataplatform_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(_t(spark, sf_dir, "documents"), 4)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank: int, left_tok: string, right_tok: string,"
+        " pair_count: bigint",
+    )
+
+
+@query(
+    "q_bpe_encode_stats",
+    _bpe_oracle_chain(3)
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+            FROM (SELECT unnest(toks) AS tok FROM w3)) AS vocab_size,
+           CAST(SUM(freq * len(toks)) AS BIGINT) AS total_tokens
+    FROM w3
+    """,
+)
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization stats after 3 trained BPE merges:
+    (n_words, vocab_size, total_tokens) — the compression-curve point
+    a tokenizer-training pipeline tracks per merge count
+    (operators.bpe.bpe_encode_stats)."""
+    from konohadataplatform_spark.operators.bpe import (
+        bpe_encode_stats,
+        bpe_train,
+    )
+
+    _, words = bpe_train(_t(spark, sf_dir, "documents"), 3)
+    return bpe_encode_stats(words)
