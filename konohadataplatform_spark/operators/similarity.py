@@ -587,7 +587,12 @@ def _ivf_train_portable(
     int64 squared-L2 with ties to the lowest cell; update by
     per-dimension SUM DIV COUNT. Returns the centroid list
     (driver-side metadata, n_cells x dim ints). One Spark job per
-    iteration (the (cell, dim) sum/count agg)."""
+    iteration (the (cell, dim) sum/count agg). The grid relation is
+    cached for the training loop and unpersisted before returning, so
+    the seed fetch + ``iters`` aggregates read the source scan once;
+    callers re-deriving the grid afterwards recompute it from source
+    (one narrow pass) instead of holding a cache they can't release."""
+    base = base.cache()
     seed_rows = base.select("cid", "q").orderBy("cid").take(n_cells)
     cents: list[tuple[int, list[int]]] = [
         (i + 1, list(r["q"])) for i, r in enumerate(seed_rows)
@@ -608,6 +613,7 @@ def _ivf_train_portable(
             (cell, [dims[p] for p in sorted(dims)])
             for cell, dims in sorted(by_cell.items())
         ]
+    base.unpersist()
     return cents
 
 
@@ -1094,6 +1100,13 @@ def pq_train_portable(
         ).alias("sub"),
     ).select("vid", "sub.s", "sub.qs")
 
+    # cache the exploded subvector relation for the training loop
+    # (seed fetch + iters assignment/aggregate passes share one source
+    # scan); unpersisted before returning — the final assignment
+    # recomputes it in one narrow pass rather than pinning a cache the
+    # caller can't release (the lexical_topk/scalable_row_number leak
+    # class from the r7 review).
+    sub = sub.cache()
     seed_rows = base.select("vid", "q").orderBy("vid").take(k_codes)
     codebooks: dict[int, list[tuple[int, list[int]]]] = {
         s: [
@@ -1149,6 +1162,7 @@ def pq_train_portable(
                 (code, [dims[p] for p in sorted(dims)])
             )
 
+    sub.unpersist()
     final = sub.withColumn(
         "code", assign_udf(codebooks)(F.col("s"), F.col("qs"))
     )
