@@ -185,3 +185,43 @@ def bpe_encode_stats(words: DataFrame) -> DataFrame:
             F.sum(F.col("freq") * F.size("toks")).alias("total_tokens"),
         )
     ).select("n_words", "vocab_size", "total_tokens")
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a trained vocabulary state:
+    (doc_id, n_words, n_bpe_tokens) per document.
+
+    This is the production BPE-encode shape: because merge application
+    is a pure function of the word, the trained (word, toks) relation
+    IS the memoization table — encoding a document is a word-level
+    JOIN against it, not a re-run of the merge loop per token. At
+    100 TB the vocab side is millions of rows (broadcast or bucketed
+    on word); the corpus side shuffles once on the word key at most —
+    here Spark picks the join strategy via AQE.
+
+    Words absent from the vocabulary (possible when encoding NEW text
+    with a vocab trained elsewhere) fall back to character count —
+    exactly what a char-seeded BPE does for OOV words.
+    """
+    doc_words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    vocab = words.select("word", F.size("toks").alias("n_toks"))
+    return (
+        doc_words.join(vocab, "word", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_toks"), F.length("word")).alias("n_toks"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+        )
+    )

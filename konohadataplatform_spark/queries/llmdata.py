@@ -3409,3 +3409,34 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, words = bpe_train(_t(spark, sf_dir, "documents"), 3)
     return bpe_encode_stats(words)
+
+
+@query(
+    "q_bpe_encode_docs",
+    _bpe_oracle_chain(3)
+    + """
+    , dw AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(len(w3.toks), length(dw.word))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM dw LEFT JOIN w3 ON w3.word = dw.word
+    WHERE dw.word <> ''
+    GROUP BY dw.doc_id
+    """,
+)
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under a 3-merge trained vocabulary:
+    the memoized word-level encode join (train once, encode the corpus
+    by joining the (word, toks) table — operators.bpe.bpe_encode_docs)."""
+    from konohadataplatform_spark.operators.bpe import (
+        bpe_encode_docs,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    _, words = bpe_train(docs, 3)
+    return bpe_encode_docs(docs, words)

@@ -89,3 +89,18 @@ def test_encode_stats_shape(spark):
     # ab -> [ab] (1 tok, freq 2), cd -> [c, d]
     assert row["total_tokens"] == 2 * 1 + 1 * 2
     assert row["vocab_size"] == 3  # ab, c, d
+
+
+def test_encode_docs_memoized_join_and_oov(spark):
+    from konohadataplatform_spark.operators.bpe import bpe_encode_docs
+
+    train = spark.createDataFrame([(1, "ab ab cd")], ["doc_id", "text"])
+    _, words = bpe_train(train, 1)  # merges (a,b) -> ab
+    new = spark.createDataFrame(
+        [(7, "ab cd"), (8, "zzz ab")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_encode_docs(new, words).collect()}
+    # ab -> 1 token, cd -> 2; OOV "zzz" falls back to char count 3
+    assert rows[7] == (2, 3)
+    assert rows[8] == (2, 4)
