@@ -1463,3 +1463,109 @@ def centroid_classify_portable(
     return base.withColumn(
         "pred_label", _cell_assign_udf(cents)(F.col("q"))
     ).select("vec_id", "label", "pred_label")
+
+
+def mmr_select_portable(
+    candidates: DataFrame,
+    k: int = 3,
+    rel_weight: int = 7,
+    div_weight: int = 3,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) over per-query candidate sets, exact-int64 portable.
+
+    Input: (query_id, cand_id, dq, cq) — per-query candidates with
+    their int64 grid distance to the query (``dq``, lower = more
+    relevant) and their integer grid vector (``cq``). Greedily selects
+    ``k`` candidates per query minimizing
+
+        rel_weight * dq  -  div_weight * min_{s in selected} d(c, s)
+
+    (round 1 has no selected set: pure relevance). Ties break to the
+    lowest cand_id. Returns (query_id, neighbor_id, mmr_rank,
+    mmr_score) — the diversity-aware top-k every RAG retrieval stack
+    runs between ANN recall and context packing.
+
+    100 TB shape: candidate sets are SMALL (an ANN prefilter's top-m
+    per query), so the greedy loop runs inside ONE applyInPandas group
+    per query — vectorized numpy over an m x m int64 distance matrix,
+    parallel across queries, no cross-query shuffle beyond the initial
+    group exchange. All arithmetic is int64 on the quantized grid, so
+    ranking is bit-reproducible under any partitioning (the DuckDB
+    oracle replays every selection round as a CTE).
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a, b = int(rel_weight), int(div_weight)
+    out_schema = (
+        "query_id long, neighbor_id long, mmr_rank int, mmr_score long"
+    )
+
+    def _group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cand_id").reset_index(drop=True)
+        ids = pdf["cand_id"].to_numpy()
+        dq = pdf["dq"].to_numpy().astype(np.int64)
+        v = np.vstack(pdf["cq"].to_numpy()).astype(np.int64)
+        dd = ((v[:, None, :] - v[None, :, :]) ** 2).sum(axis=2)
+        n = len(ids)
+        sel: list[int] = []
+        scores: list[int] = []
+        taken = np.zeros(n, dtype=bool)
+        for _ in range(min(k, n)):
+            score = (
+                a * dq - b * dd[:, sel].min(axis=1) if sel else a * dq
+            )
+            masked = np.where(taken, np.iinfo(np.int64).max, score)
+            # ids ascend after the sort, so numpy first-min argmin
+            # == ties to the lowest cand_id
+            i = int(np.argmin(masked))
+            sel.append(i)
+            taken[i] = True
+            scores.append(int(score[i]))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": ids[sel],
+                "mmr_rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                "mmr_score": np.array(scores, dtype=np.int64),
+            }
+        )
+
+    return candidates.groupBy("query_id").applyInPandas(_group, out_schema)
+
+
+def mmr_candidates_grid(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset: float = 2.0,
+) -> DataFrame:
+    """Per-query top-``m`` exact-grid-L2 candidates with their grid
+    vectors — the brute-force recall stage feeding mmr_select_portable
+    (swap in the ANN index probe at scale; the MMR contract only needs
+    (query_id, cand_id, dq, cq))."""
+    from pyspark.sql.window import Window
+
+    base = _grid_base(corpus, id_col, vec_col, scale, offset)
+    qbase = _grid_base(queries, id_col, vec_col, scale, offset,
+                       id_alias="query_id")
+    scored = (
+        qbase.select("query_id", F.col("q").alias("qq"))
+        .crossJoin(base.select(F.col("cid").alias("cand_id"),
+                               F.col("q").alias("cq")))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("dq", _sub_l2(F.col("qq"), F.col("cq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dq").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= m)
+        .select("query_id", "cand_id", "dq", "cq")
+    )

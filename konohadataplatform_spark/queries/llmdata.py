@@ -3440,3 +3440,81 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     _, words = bpe_train(docs, 3)
     return bpe_encode_docs(docs, words)
+
+
+# --------------------------------------------------------------------------
+# MMR diversity re-ranking (Carbonell & Goldstein 1998) — the
+# recall-then-diversify stage of a RAG retrieval stack, exact int64
+# --------------------------------------------------------------------------
+@query(
+    "q_mmr_rerank",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             [ CAST(FLOOR((CAST(embedding AS DOUBLE[])[i] + 2.0) * 1000000.0) AS BIGINT)
+               for i in range(1, 65) ] AS q
+      FROM embeddings
+    ), d AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CAST(list_sum([ (q.q[i]-c.q[i])*(q.q[i]-c.q[i])
+                             for i in range(1, 65) ]) AS BIGINT) AS dq,
+             c.q AS cq
+      FROM e q, e c
+      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+    ), cand AS (
+      SELECT query_id, cand_id, dq, cq FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dq, cand_id) AS rn FROM d)
+      WHERE rn <= 8
+    ), cc AS (
+      SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
+             CAST(list_sum([ (a.cq[i]-b.cq[i])*(a.cq[i]-b.cq[i])
+                             for i in range(1, 65) ]) AS BIGINT) AS dd
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+    ), s1 AS (
+      SELECT query_id, cand_id, score FROM (
+        SELECT query_id, cand_id, 7*dq AS score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY 7*dq, cand_id) AS rn
+        FROM cand) WHERE rn = 1
+    ), s2 AS (
+      SELECT query_id, cand_id, score FROM (
+        SELECT c.query_id, c.cand_id, 7*c.dq - 3*cc.dd AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                 ORDER BY 7*c.dq - 3*cc.dd, c.cand_id) AS rn
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id AND c.cand_id <> s1.cand_id
+        JOIN cc ON cc.query_id = c.query_id AND cc.cand_id = c.cand_id
+               AND cc.other_id = s1.cand_id
+      ) WHERE rn = 1
+    ), s3 AS (
+      SELECT query_id, cand_id, score FROM (
+        SELECT c.query_id, c.cand_id,
+               7*c.dq - 3*LEAST(c1.dd, c2.dd) AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                 ORDER BY 7*c.dq - 3*LEAST(c1.dd, c2.dd), c.cand_id) AS rn
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id
+        JOIN s2 ON s2.query_id = c.query_id
+        JOIN cc c1 ON c1.query_id = c.query_id AND c1.cand_id = c.cand_id
+                  AND c1.other_id = s1.cand_id
+        JOIN cc c2 ON c2.query_id = c.query_id AND c2.cand_id = c.cand_id
+                  AND c2.other_id = s2.cand_id
+        WHERE c.cand_id <> s1.cand_id AND c.cand_id <> s2.cand_id
+      ) WHERE rn = 1
+    )
+    SELECT query_id, cand_id AS neighbor_id, 1 AS mmr_rank,
+           score AS mmr_score FROM s1
+    UNION ALL SELECT query_id, cand_id, 2, score FROM s2
+    UNION ALL SELECT query_id, cand_id, 3, score FROM s3
+    """,
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-then-diversify: brute-force grid top-8 per query, then
+    3-round greedy MMR (rel_weight 7, div_weight 3) inside one
+    applyInPandas group per query — the oracle replays each selection
+    round as a CTE (operators.similarity.mmr_select_portable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = S.mmr_candidates_grid(emb, emb.filter(F.col("vec_id") < 8), m=8)
+    return S.mmr_select_portable(cands, k=3, rel_weight=7, div_weight=3)

@@ -1462,3 +1462,45 @@ def test_pq_empty_cluster_drop(spark):
     # exactly the two surviving prototypes per subspace
     distinct_codes = {tuple(r.codes) for r in out}
     assert len(distinct_codes) == 2
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark):
+    """A tight cluster near the query + one far-but-distinct point:
+    pure top-3 keeps the cluster; MMR must swap in the distinct one."""
+    import pyspark.sql.functions as F
+
+    from konohadataplatform_spark.operators.similarity import (
+        mmr_candidates_grid,
+        mmr_select_portable,
+    )
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    rows = [
+        (0, vec(0, 0)),      # query
+        (1, vec(0.01, 0)),   # cluster
+        (2, vec(0.011, 0)),
+        (3, vec(0.012, 0)),
+        (4, vec(1.5, 1.5)),  # distinct
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cands = mmr_candidates_grid(emb, emb.filter(F.col("vec_id") == 0), m=4)
+    out = mmr_select_portable(cands, k=3, rel_weight=1, div_weight=5)
+    picked = [r["neighbor_id"] for r in out.orderBy("mmr_rank").collect()]
+    assert picked[0] == 1          # round 1: pure relevance
+    assert 4 in picked             # diversity pulls in the far point
+    assert len(picked) == len(set(picked)) == 3
+
+
+def test_mmr_handles_small_candidate_sets(spark):
+    from konohadataplatform_spark.operators.similarity import (
+        mmr_select_portable,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, 10, 5, [0, 0]), (1, 11, 7, [9, 9])],
+        "query_id: long, cand_id: long, dq: long, cq: array<long>",
+    )
+    out = mmr_select_portable(cands, k=5).collect()
+    assert len(out) == 2  # k > n: selects everything once, no crash
