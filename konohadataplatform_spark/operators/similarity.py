@@ -1569,3 +1569,70 @@ def mmr_candidates_grid(
         .where(F.col("rn") <= m)
         .select("query_id", "cand_id", "dq", "cq")
     )
+
+
+def hard_negatives_grid(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+    offset: float = 2.0,
+) -> DataFrame:
+    """Hard-negative mining for embedding/retriever training: per
+    query, the ``k`` NEAREST corpus vectors with a DIFFERENT label —
+    the "similar but wrong" examples contrastive training needs
+    (DPR/Contriever-style). Exact int64 grid L2, ties to the lowest
+    neighbor id. Returns (query_id, neighbor_id, neg_dist, neg_rank).
+
+    100 TB shape: identical to the brute-force kNN scan (one pass,
+    queries broadcast) — swap the scored relation for an ANN probe
+    (ann_ivf/ann_pq candidates) at scale; the label-mismatch filter is
+    a pushed predicate either way, so the ranking only ever sees
+    cross-label pairs.
+    """
+    from pyspark.sql.window import Window
+
+    base = _grid_base(corpus, id_col, vec_col, scale, offset).join(
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(label_col).cast("long").alias("_clabel"),
+        ),
+        "cid",
+    )
+    qbase = _grid_base(
+        queries, id_col, vec_col, scale, offset, id_alias="query_id"
+    ).join(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).cast("long").alias("_qlabel"),
+        ),
+        "query_id",
+    )
+    scored = (
+        F.broadcast(
+            qbase.select("query_id", F.col("q").alias("qq"), "_qlabel")
+        )
+        .crossJoin(
+            base.select(
+                F.col("cid").alias("neighbor_id"),
+                F.col("q").alias("cq"),
+                "_clabel",
+            )
+        )
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("_clabel") != F.col("_qlabel"))
+        )
+        .withColumn("neg_dist", _sub_l2(F.col("qq"), F.col("cq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("neg_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select("query_id", "neighbor_id", "neg_dist", "neg_rank")
+    )

@@ -3518,3 +3518,32 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cands = S.mmr_candidates_grid(emb, emb.filter(F.col("vec_id") < 8), m=8)
     return S.mmr_select_portable(cands, k=3, rel_weight=7, div_weight=3)
+
+
+@query(
+    "q_hard_negatives",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             [ CAST(FLOOR((CAST(embedding AS DOUBLE[])[i] + 2.0) * 1000000.0) AS BIGINT)
+               for i in range(1, 65) ] AS q
+      FROM embeddings
+    ), d AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum([ (q.q[i]-c.q[i])*(q.q[i]-c.q[i])
+                             for i in range(1, 65) ]) AS BIGINT) AS neg_dist
+      FROM e q, e c
+      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id AND c.label <> q.label
+    )
+    SELECT query_id, neighbor_id, neg_dist, neg_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY neg_dist, neighbor_id) AS neg_rank FROM d)
+    WHERE neg_rank <= 5
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR/Contriever-style hard negatives: per query (vec_id < 8),
+    the 5 nearest cross-label vectors by exact int64 grid L2
+    (operators.similarity.hard_negatives_grid)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.hard_negatives_grid(emb, emb.filter(F.col("vec_id") < 8), k=5)
