@@ -69,6 +69,14 @@ EXTENDED = [
     "q_lexical_topk",
     "q_pq_quantize",
     "q_ann_pq",
+    # r8b: tokenizer training/encode, IVF-PQ, curation, diversity
+    "q_bpe_train_merges",
+    "q_bpe_encode_docs",
+    "q_ann_ivfpq",
+    "q_mmr_rerank",
+    "q_centroid_classify",
+    "q_source_caps",
+    "q_hard_negatives",
 ]
 
 

@@ -165,9 +165,16 @@ def bpe_train(
             words.count()  # materialize before dropping the parent
             cached.append(words)
             cached.pop(0).unpersist()
-    for df in cached[:-1]:
+    # Hand the final state's lifecycle to the GC: localCheckpoint
+    # truncates the k-layer expression lineage (recomputing it would
+    # re-hit the codegen blowup) and its blocks free when the caller
+    # drops the DataFrame — unlike cache entries, which sit in the
+    # CacheManager until an explicit unpersist nobody downstream can
+    # issue (the r7-review leak class). Then drop every cached state.
+    final = words.localCheckpoint(eager=True)
+    for df in cached:
         df.unpersist()
-    return merges, words
+    return merges, final
 
 
 def bpe_encode_stats(words: DataFrame) -> DataFrame:

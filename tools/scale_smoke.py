@@ -71,6 +71,16 @@ SMOKE_QUERIES = [
     "q_cms_heavy_hitters",
     "q_hll_cardinality",
     "q_lexical_topk",
+    # r8 additions: BPE training must stay vocab-bounded after the one
+    # corpus-scale word count (10x docs but ~same vocab => ~flat merge
+    # cost); the encode join and the two-phase source cap must stay
+    # one-exchange; IVF-PQ/MMR are query-side ops over 10x corpus
+    "q_bpe_train_merges",
+    "q_bpe_encode_docs",
+    "q_source_caps",
+    "q_centroid_classify",
+    "q_ann_ivfpq",
+    "q_mmr_rerank",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
