@@ -744,3 +744,92 @@ def prebucketed_candidates(
         .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
     )
     return vs_corpus.unionByName(vs_new).distinct()
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    k: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication profile (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    shape, Spark-first): per document, the maximal character spans whose
+    every ``k``-char window also occurs in ANOTHER document.
+
+    Returns (doc_id, n_dup_spans, dup_chars, longest_span) — 0/0/0 rows
+    are kept for clean documents.
+
+    Method: char ``k``-shingles at every position, md5-hashed; corpus
+    document-frequency (distinct docs per shingle); positions whose
+    shingle has df >= 2 are "duplicated"; consecutive duplicated
+    positions merge into islands (a run p..q covers chars p..q+k-1).
+    This is the declarative equivalent of the suffix-array scan: the
+    suffix array finds the same maximal repeated spans, this finds them
+    with two aggregations and a per-document window.
+
+    100 TB shape: shingle rows carry (16-byte digest, doc_id, pos) — the
+    TEXT never enters an exchange (digests computed scan-side). The df
+    aggregate is partial+final on the digest key; hot boilerplate
+    shingles produce large df counts, not large groups of carried text.
+    The island merge windows per doc_id — bounded by ONE document's
+    positions, never corpus-scale (same bound class as per-doc sort
+    anywhere). For the removal (not just profiling) variant, join spans
+    back and substring-slice the text per doc.
+    """
+    from pyspark.sql.window import Window
+
+    n = F.length(F.col(text_col))
+    shingles = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+            n.alias("_n"),
+        )
+        .where(F.col("_n") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, _n - {int(k)}),"
+                    f" p -> struct(p AS pos, md5(substring(_t, p + 1, {int(k)})) AS h))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.h")
+    )
+    dfreq = shingles.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    dup = (
+        shingles.join(dfreq, "h")
+        .where(F.col("df") >= 2)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup.withColumn(
+        "_isl", F.col("pos") - F.row_number().over(w)
+    )
+    spans = islands.groupBy("doc_id", "_isl").agg(
+        F.min("pos").alias("s_start"),
+        (F.max("pos") + F.lit(int(k) - 1)).alias("s_end"),
+    )
+    profile = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("s_end") - F.col("s_start") + 1)
+        .cast("bigint")
+        .alias("dup_chars"),
+        F.max(F.col("s_end") - F.col("s_start") + 1)
+        .cast("bigint")
+        .alias("longest_span"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(profile, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.coalesce("longest_span", F.lit(0)).alias("longest_span"),
+        )
+    )

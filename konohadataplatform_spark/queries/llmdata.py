@@ -3547,3 +3547,48 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.similarity.hard_negatives_grid)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.hard_negatives_grid(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplication profile (Lee et al. 2022 ExactSubstr) —
+# maximal cross-document repeated character spans, declaratively
+# --------------------------------------------------------------------------
+@query(
+    "q_exact_substring_spans",
+    """
+    WITH sh AS (
+      SELECT doc_id, s.pos AS pos, s.h AS h FROM (
+        SELECT doc_id,
+               unnest([ {'pos': p,
+                         'h': md5(substring(text, CAST(p + 1 AS INT), 30))}
+                        for p in range(0, length(text) - 29) ]) AS s
+        FROM documents WHERE length(text) >= 30)
+    ), dfq AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY h
+    ), dup AS (
+      SELECT doc_id, pos FROM sh JOIN dfq USING (h) WHERE dfq.df >= 2
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM dup
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 29 AS e
+      FROM isl GROUP BY doc_id, g
+    ), prof AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+             CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+             CAST(MAX(e - s + 1) AS BIGINT) AS longest_span
+      FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(dup_chars, 0) AS dup_chars,
+           COALESCE(longest_span, 0) AS longest_span
+    FROM documents d LEFT JOIN prof USING (doc_id)
+    """,
+)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document maximal spans whose every 30-char window repeats in
+    another document — the ExactSubstr dedup profile, as two digest
+    aggregations + a per-doc island merge
+    (operators.dedup.exact_substring_spans)."""
+    return D.exact_substring_spans(_t(spark, sf_dir, "documents"), k=30)

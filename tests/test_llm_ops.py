@@ -1504,3 +1504,42 @@ def test_mmr_handles_small_candidate_sets(spark):
     )
     out = mmr_select_portable(cands, k=5).collect()
     assert len(out) == 2  # k > n: selects everything once, no crash
+
+
+def test_exact_substring_spans_islands(spark):
+    """Two docs share one long phrase: the overlapping duplicated
+    shingles must merge into ONE span covering the phrase, not one
+    span per shingle position."""
+    from konohadataplatform_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    shared = "0123456789" * 4  # 40 chars -> 11 dup positions at k=30
+    docs = spark.createDataFrame(
+        [
+            (1, "xxxxxA" + shared + "Byyyyy"),
+            (2, "zz" + shared + "qqqqqqqqqq"),
+            (3, "totally unrelated text that is long enough ok!"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in
+            exact_substring_spans(docs, k=30).collect()}
+    assert rows[1]["n_dup_spans"] == 1
+    assert rows[1]["dup_chars"] == 40  # the merged island spans the phrase
+    assert rows[1]["longest_span"] == 40
+    assert rows[2]["n_dup_spans"] == 1 and rows[2]["dup_chars"] == 40
+    assert rows[3]["n_dup_spans"] == 0 and rows[3]["dup_chars"] == 0
+
+
+def test_exact_substring_short_docs_clean(spark):
+    from konohadataplatform_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "short")], ["doc_id", "text"]
+    )
+    rows = exact_substring_spans(docs, k=30).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert all(r["n_dup_spans"] == 0 for r in rows)
