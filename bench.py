@@ -77,6 +77,7 @@ EXTENDED = [
     "q_centroid_classify",
     "q_source_caps",
     "q_hard_negatives",
+    "q_exact_substring_spans",
 ]
 
 

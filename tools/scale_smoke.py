@@ -81,6 +81,7 @@ SMOKE_QUERIES = [
     "q_centroid_classify",
     "q_ann_ivfpq",
     "q_mmr_rerank",
+    "q_exact_substring_spans",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
