@@ -288,9 +288,11 @@ def test_apply_cdc_batch_unpersists_cache(spark, catalog):
     changes = spark.createDataFrame(
         [Row(id=1, v="a", op="c", ts_ms=1, lsn=1, _topic="t")]
     )
-    apply_cdc_batch(catalog, "t_leak", changes, ["id"])
     jsc = spark.sparkContext._jsc.sc()
-    assert len(jsc.getRDDStorageInfo()) == 0
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
+    apply_cdc_batch(catalog, "t_leak", changes, ["id"])
+    leaked = [i for i in jsc.getRDDStorageInfo() if i.id() not in before]
+    assert not leaked
 
 
 def test_apply_cdc_batch_merge_on_read(spark, catalog):
