@@ -833,3 +833,82 @@ def exact_substring_spans(
             F.coalesce("longest_span", F.lit(0)).alias("longest_span"),
         )
     )
+
+
+def chunk_dedup_rewrite(
+    docs: DataFrame,
+    chunk_words: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus REWRITE that drops every repeated word-chunk except its
+    first occurrence (the C4 / "one copy survives" transform — the
+    removal step that ``q_chunk_dedup``'s profile only measures).
+
+    Documents are split into fixed ``chunk_words``-word chunks; for each
+    distinct chunk text the globally-first occurrence (lowest
+    ``(doc_id, chunk_index)``) is kept and every other copy is deleted;
+    each document's surviving chunks are re-joined in order. A document
+    whose every chunk appeared earlier elsewhere rewrites to ''.
+
+    Returns (doc_id, n_chunks, n_kept, kept_text) for EVERY input doc.
+
+    100 TB shape — three exchanges, text moves exactly once:
+      1. (digest → min key) partial+final aggregate. The first-occurrence
+         winner per digest is recovered by packing (doc_id, chunk_index)
+         into one int64 (doc_id * 1_000_000 + i) and taking MIN — a
+         combiner-friendly aggregate, so a boilerplate chunk with 10^9
+         copies collapses map-side instead of flooding one reducer, and
+         NO join back to the chunk relation is needed (the winner's
+         coordinates unpack from the min itself).
+      2. Winner markers (doc_id, i) — ints only — shuffle by doc_id.
+      3. The docs relation joins the marker lists on its unique doc_id
+         (unskewed) and re-slices surviving chunks from its own word
+         array; chunk text itself never enters an exchange.
+    Bound: documents must have < 10^6 chunks (32M words at the default
+    width) for the packed key; raise ``chunk_words`` for longer docs.
+    """
+    w = F.split(F.trim(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+    n_chunks = F.expr(f"cast((size(w) + {int(chunk_words)} - 1) / {int(chunk_words)} as int)")
+    chunks = base.select(
+        "doc_id",
+        "w",
+        F.explode(F.expr(
+            f"sequence(0, cast((size(w) + {int(chunk_words)} - 1) / {int(chunk_words)} as int) - 1)"
+        )).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(
+            F.array_join(F.expr(f"slice(w, i * {int(chunk_words)} + 1, {int(chunk_words)})"), " ")
+        ).alias("digest"),
+    )
+    packed = F.col("doc_id") * F.lit(1_000_000) + F.col("i")
+    first = chunks.groupBy("digest").agg(F.min(packed).alias("fk"))
+    winners = first.select(
+        F.expr("fk div 1000000").alias("doc_id"),
+        (F.col("fk") % F.lit(1_000_000)).cast("int").alias("i"),
+    )
+    keep_by_doc = winners.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("i")).alias("keep")
+    )
+    return (
+        base.join(keep_by_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_chunks.cast("bigint").alias("n_chunks"),
+            # size(NULL) is -1, not NULL — branch explicitly for docs
+            # whose every chunk appeared earlier elsewhere
+            F.when(F.col("keep").isNull(), F.lit(0))
+            .otherwise(F.size("keep"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.when(F.col("keep").isNull(), F.lit("")).otherwise(
+                F.expr(
+                    f"array_join(transform(keep, i -> "
+                    f"array_join(slice(w, i * {int(chunk_words)} + 1, {int(chunk_words)}), ' ')), ' ')"
+                )
+            ).alias("kept_text"),
+        )
+    )

@@ -3592,3 +3592,51 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations + a per-doc island merge
     (operators.dedup.exact_substring_spans)."""
     return D.exact_substring_spans(_t(spark, sf_dir, "documents"), k=30)
+
+
+# --------------------------------------------------------------------------
+# C4-style chunk-dedup corpus REWRITE: q_chunk_dedup profiles repeated
+# 32-word chunks; this is the removal step — first occurrence survives,
+# every later copy is deleted, documents are re-joined in order. The
+# winner per chunk digest is a packed-int64 MIN aggregate (combiner
+# handles boilerplate-chunk skew map-side; no join back to the chunk
+# relation), and chunk text re-slices from each doc's own word array so
+# text enters exactly one exchange. Everything is md5/integer-exact.
+# --------------------------------------------------------------------------
+@query(
+    "q_chunk_dedup_rewrite",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             unnest([ i for i in range(0, (len(w) + 31) // 32) ]) AS i
+      FROM t
+    ), h AS (
+      SELECT doc_id, i,
+             md5(array_to_string(list_slice(w, i * 32 + 1, i * 32 + 32), ' '))
+               AS digest
+      FROM c
+    ), f AS (
+      SELECT digest, MIN(doc_id * 1000000 + i) AS fk FROM h GROUP BY digest
+    ), k AS (
+      SELECT fk // 1000000 AS doc_id, fk % 1000000 AS i FROM f
+    ), r AS (
+      SELECT doc_id, list(i ORDER BY i) AS keep FROM k GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST((len(t.w) + 31) // 32 AS BIGINT) AS n_chunks,
+           CAST(COALESCE(len(r.keep), 0) AS BIGINT) AS n_kept,
+           CASE WHEN r.keep IS NULL THEN ''
+                ELSE array_to_string(
+                  [ array_to_string(list_slice(t.w, j * 32 + 1, j * 32 + 32), ' ')
+                    for j in r.keep ], ' ')
+           END AS kept_text
+    FROM t LEFT JOIN r USING (doc_id)
+    """,
+)
+def q_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence-wins chunk dedup with document reassembly
+    (operators.dedup.chunk_dedup_rewrite) — the transform C4 applies
+    after q_chunk_dedup's measurement pass."""
+    return D.chunk_dedup_rewrite(_t(spark, sf_dir, "documents"), chunk_words=32)

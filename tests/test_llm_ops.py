@@ -1543,3 +1543,63 @@ def test_exact_substring_short_docs_clean(spark):
     rows = exact_substring_spans(docs, k=30).collect()
     assert {r["doc_id"] for r in rows} == {1, 2}
     assert all(r["n_dup_spans"] == 0 for r in rows)
+
+
+def test_chunk_dedup_rewrite_fixture(spark):
+    """First-occurrence-wins semantics on a hand-built corpus: a full
+    duplicate doc rewrites to '', a partial overlap loses only the
+    repeated chunk, and surviving chunks keep their original order."""
+    a = " ".join(f"a{i}" for i in range(64))          # chunks A0, A1
+    b_words = [f"b{i}" for i in range(32)]
+    b = " ".join(b_words + [f"a{i}" for i in range(32)])  # B0 + copy of A0
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, b)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in D.chunk_dedup_rewrite(docs, chunk_words=32).collect()
+    }
+    assert out[1].n_chunks == 2 and out[1].n_kept == 2
+    assert out[1].kept_text == a
+    # doc 2 is a byte-identical copy of doc 1 → everything deleted
+    assert out[2].n_chunks == 2 and out[2].n_kept == 0
+    assert out[2].kept_text == ""
+    # doc 3 keeps its unique first chunk, loses the copied A0 chunk
+    assert out[3].n_chunks == 2 and out[3].n_kept == 1
+    assert out[3].kept_text == " ".join(b_words)
+
+
+def test_chunk_dedup_rewrite_order_preserved(spark):
+    """A doc that loses a MIDDLE chunk re-joins its survivors in the
+    original order (winner markers re-sort per doc)."""
+    shared = " ".join(f"s{i}" for i in range(32))
+    head = " ".join(f"h{i}" for i in range(32))
+    tail = " ".join(f"t{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [(1, shared), (2, f"{head} {shared} {tail}")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in D.chunk_dedup_rewrite(docs, chunk_words=32).collect()
+    }
+    assert out[1].kept_text == shared
+    assert out[2].n_kept == 2
+    assert out[2].kept_text == f"{head} {tail}"
+
+
+def test_chunk_dedup_rewrite_total_mass_conserved(spark):
+    """Across the real corpus every distinct chunk digest survives
+    exactly once: sum(n_kept) == corpus distinct-chunk count."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = D.chunk_dedup_rewrite(docs)
+    kept_total = out.agg(F.sum("n_kept")).first()[0]
+    w = F.split(F.trim(F.col("text")), " ")
+    distinct_chunks = (
+        docs.select(F.col("doc_id"), w.alias("w"))
+        .select(F.explode(F.expr(
+            "sequence(0, cast((size(w) + 31) / 32 as int) - 1)")).alias("i"), "w")
+        .select(F.md5(F.array_join(F.expr("slice(w, i * 32 + 1, 32)"), " ")).alias("d"))
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_chunks
