@@ -165,3 +165,89 @@ def lexical_topk(
         )
         .where(F.col("hit_rank") <= k)
     )
+
+
+# BM25 tf-saturation ratio scale: the per-term saturated tf component
+# lies in (0, k1+1]; scaling by 1000 keeps it a small int so the
+# idf * tf_sat product stays far from int64 overflow at corpus scale
+# (idf <= N*SCALE ~ 1e17 at N=1e11 would overflow with a raw TL-sized
+# numerator; with the pre-divided ratio the product is idf * 2200).
+BM25_TF_SCALE = 1_000
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_pred,
+    k: int = 3,
+    n: int = 1,
+    df_cap_frac: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k corpus docs per query doc by integer-exact BM25 over
+    word ``n``-grams: (q_id, hit_id, score, hit_rank). Document
+    length ``dl`` is the doc's n-gram count (== word count at n=1);
+    docs shorter than ``n`` words drop out of both corpus and N.
+
+    Okapi BM25 with the standard k1=1.2, b=0.75, made engine-portable
+    by clearing denominators: with k1 = 6/5 and b = 3/4,
+
+        tf_sat = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+               = 44*tf*TL / (20*tf*TL + 6*TL + 18*dl*N)
+
+    (multiply through by 20*TL, avgdl = TL/N), computed as ONE integer
+    division scaled by ``BM25_TF_SCALE``; idf is the same rational
+    ``(N*SCALE) // df`` used by :func:`lexical_topk` (monotone in the
+    usual log-idf, so rankings agree), with the same ``df_cap_frac``
+    stop-word cap. score(q, d) = sum of qtf * idf * tf_sat — all
+    int64, ties broken by ascending doc_id, bit-reproducible in any
+    engine.
+
+    Scale shape: dl is a partial+final count per doc; (N, TL) is a
+    broadcast scalar; the scoring join broadcasts the query terms and
+    shuffles the corpus tf relation once on the capped term key — same
+    contract as :func:`lexical_topk`. Overflow bound: 20*tf*TL must
+    fit int64 (TL < 4e14 total tokens at tf ~ 1e3) — beyond that,
+    swap the tf_sat expression to decimal(38,0).
+    """
+    tf = term_frequencies(ngram_tokens(docs, n, text_col, id_col))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tl")
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(totals.select("n")))
+        .where(F.col("df") <= F.expr(f"div(n, {int(df_cap_frac)})"))
+        .select("term", F.expr(f"div(n * {SCALE}, df)").alias("idf"))
+    )
+    qids = docs.where(query_pred).select(F.col(id_col).alias("q_id"))
+    qterms = (
+        tf.join(F.broadcast(qids), tf["doc_id"] == qids["q_id"])
+        .select("q_id", "term", F.col("tf").alias("qtf"))
+    )
+    tf_sat = F.expr(
+        f"div(44 * tf * tl * {BM25_TF_SCALE}, "
+        f"20 * tf * tl + 6 * tl + 18 * dl * n)"
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", "term", tf_sat.alias("tf_sat"))
+        .join(idf, "term")
+        .join(F.broadcast(qterms), "term")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("qtf") * F.col("idf") * F.col("tf_sat")).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select(
+            "q_id", F.col("doc_id").alias("hit_id"), "score",
+            F.row_number().over(w).alias("hit_rank"),
+        )
+        .where(F.col("hit_rank") <= k)
+    )

@@ -2011,6 +2011,49 @@ def q_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_bm25_topk",
+    f"""{_TRIGRAMS},
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+         dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n, SUM(dl) AS tl FROM dl),
+         idf AS (SELECT term, (n * 1000000) // COUNT(*) AS idf
+                 FROM tf, tot GROUP BY term, n HAVING COUNT(*) <= n // 10),
+         q AS (SELECT doc_id AS q_id, term, tf AS qtf
+               FROM tf WHERE doc_id % 101 = 0),
+         ts AS (SELECT tf.doc_id, tf.term,
+                       (44 * tf.tf * tl * 1000) //
+                       (20 * tf.tf * tl + 6 * tl + 18 * dl.dl * n) AS tf_sat
+                FROM tf JOIN dl USING (doc_id), tot),
+         sc AS (SELECT q.q_id, ts.doc_id,
+                       CAST(SUM(q.qtf * i.idf * ts.tf_sat) AS BIGINT) AS score
+                FROM q JOIN idf i USING (term) JOIN ts USING (term)
+                WHERE ts.doc_id <> q.q_id GROUP BY 1, 2),
+         rk AS (SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY score DESC, doc_id ASC)
+                  AS hit_rank
+                FROM sc)
+    SELECT q_id, doc_id AS hit_id, score, hit_rank
+    FROM rk WHERE hit_rank <= 3
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 corpus docs per query doc by integer-exact Okapi BM25
+    over word trigrams (k1=1.2, b=0.75 with denominators cleared to
+    one integer division; rational idf (N*1e6)//df as in
+    q_lexical_topk; dl = the doc's trigram count). Length-normalized
+    tf saturation distinguishes it from raw TF-IDF; same stop-word
+    cap and broadcast-query-side join shape
+    (operators.retrieval.bm25_topk)."""
+    from konohadataplatform_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        F.col("doc_id") % 101 == 0,
+        k=3, n=3, df_cap_frac=10,
+    )
+
+
 # --------------------------------------------------------------------------
 # Gopher repetition filters (dup-word fraction, top-2-gram char mass)
 # --------------------------------------------------------------------------

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from konohadataplatform_spark.operators.retrieval import (
     SCALE,
+    bm25_topk,
     inverted_index,
     lexical_topk,
     ngram_tokens,
@@ -168,3 +169,84 @@ def test_term_frequencies_counts(spark):
     }
     expect = Counter(_py_tokens([(r.doc_id, r.text) for r in docs.collect()], 2))
     assert got == dict(expect)
+
+
+def test_bm25_topk_matches_python_replay(spark):
+    """Integer-exact BM25 vs a full Python replay of the cleared-
+    denominator formula (k1=6/5, b=3/4, idf=(N*SCALE)//df, dl =
+    trigram count): every (q, hit, score, rank) must be identical."""
+    docs = _docs(spark)
+    texts = [(r.doc_id, r.text) for r in docs.collect()]
+    tf = Counter(_py_tokens(texts, 3))
+    dl = Counter()
+    for (d, _t), c in tf.items():
+        dl[d] += c
+    n_docs, tl = len(dl), sum(dl.values())
+    df = Counter(t for (_d, t) in tf)
+    idf = {
+        t: (n_docs * SCALE) // c
+        for t, c in df.items()
+        if c <= n_docs // 10
+    }
+    tf_sat = {
+        (d, t): (44 * c * tl * 1000)
+        // (20 * c * tl + 6 * tl + 18 * dl[d] * n_docs)
+        for (d, t), c in tf.items()
+        if t in idf
+    }
+    scores = {}
+    qdocs = [d for d, _t in texts if d % 101 == 0]
+    for q in qdocs:
+        qterms = {t: c for (d, t), c in tf.items() if d == q and t in idf}
+        for (d, t), s in tf_sat.items():
+            if d != q and t in qterms:
+                scores[(q, d)] = scores.get((q, d), 0) + qterms[t] * idf[t] * s
+    expect = set()
+    by_q = {}
+    for (q, d), s in scores.items():
+        by_q.setdefault(q, []).append((-s, d))
+    for q, hits in by_q.items():
+        for rank, (neg_s, d) in enumerate(sorted(hits)[:3], start=1):
+            expect.add((q, d, -neg_s, rank))
+    got = {
+        (r.q_id, r.hit_id, r.score, r.hit_rank)
+        for r in bm25_topk(
+            docs, F.col("doc_id") % 101 == 0, k=3, n=3, df_cap_frac=10
+        ).collect()
+    }
+    assert got == expect and expect  # exact, and non-trivial fixture
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    """With equal tf of the query term, BM25 (b>0) must rank the
+    shorter document above the padded one — the property raw TF-IDF
+    lacks."""
+    rare = "zq zx zr"
+    pad = " ".join(f"p{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (0, rare),                       # the query doc (0 % 101 == 0)
+            (1, f"{rare} a b"),              # short hit
+            (2, f"{rare} {pad}"),            # long hit, same tf=1
+        ]
+        # background docs so df caps don't prune the corpus terms
+        + [(i, f"bg{i} c d e f") for i in range(3, 40)],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.hit_id: r
+        for r in bm25_topk(
+            docs, F.col("doc_id") == 0, k=3, n=3, df_cap_frac=2
+        ).collect()
+    }
+    assert set(rows) >= {1, 2}
+    assert rows[1].score > rows[2].score
+    assert rows[1].hit_rank < rows[2].hit_rank
+
+
+def test_bm25_topk_plan_broadcasts_query_side(spark):
+    plan = _plan(
+        bm25_topk(_docs(spark), F.col("doc_id") % 101 == 0, k=3, n=3)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
