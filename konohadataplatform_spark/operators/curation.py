@@ -78,3 +78,75 @@ def apply_group_cap(
     return df.join(F.broadcast(kept), key_col, "left_semi").select(
         *df.columns
     )
+
+
+IMP_SCALE = 1_000_000
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_pred,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection: score every document by how much its
+    word ``n``-gram mass resembles a TARGET slice of the corpus
+    (``target_pred``, e.g. ``lang == 'en'``), for importance-resampling
+    a raw crawl toward a target domain. Returns
+    (doc_id, imp_score, selected) for EVERY input doc.
+
+    Integer-exact variant: each n-gram's weight is the add-one-smoothed
+    target/corpus occurrence ratio, scaled —
+
+        w(t) = ((c_target(t) + 1) * IMP_SCALE) // (c_corpus(t) + 1)
+
+    and ``imp_score = sum(tf * w)`` over the doc's n-grams. The
+    corpus-prior factor (T_corpus/T_target), constant across terms, is
+    deliberately dropped — it rescales every score identically, and
+    selection compares scores against the corpus mean by integer
+    cross-multiplication (``imp_score * n_docs > total_score``), so the
+    statistic is bit-reproducible in any engine with no float division
+    anywhere. Docs shorter than ``n`` words score 0.
+
+    Scale shape: term weights are one partial+final conditional
+    aggregate over the (doc, term, tf) relation; the weight join keys
+    on ``term`` at tf granularity (one row per doc containing the
+    term); the doc-score aggregate shuffles on unique doc_id; the
+    selection threshold is a broadcast scalar. Overflow bound:
+    (c_target + 1) * IMP_SCALE must fit int64 (target corpus < 9e12
+    occurrences of one n-gram).
+    """
+    from konohadataplatform_spark.operators.retrieval import (
+        ngram_tokens,
+        term_frequencies,
+    )
+
+    ids = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("boolean").alias("_is_t"),
+    )
+    tf = term_frequencies(ngram_tokens(docs, n, text_col, id_col)).join(
+        ids, "doc_id"
+    )
+    wt = tf.groupBy("term").agg(
+        F.expr(
+            f"div((sum(if(_is_t, tf, 0)) + 1) * {IMP_SCALE}, sum(tf) + 1)"
+        ).alias("w")
+    )
+    ds = (
+        tf.join(wt, "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("imp_score"))
+    )
+    sc = ids.select("doc_id").join(ds, "doc_id", "left").select(
+        "doc_id", F.coalesce("imp_score", F.lit(0)).alias("imp_score")
+    )
+    tot = sc.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("imp_score").alias("ts")
+    )
+    return sc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "imp_score",
+        (F.col("imp_score") * F.col("nd") > F.col("ts")).alias("selected"),
+    )

@@ -3683,3 +3683,52 @@ def q_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.dedup.chunk_dedup_rewrite) — the transform C4 applies
     after q_chunk_dedup's measurement pass."""
     return D.chunk_dedup_rewrite(_t(spark, sf_dir, "documents"), chunk_words=32)
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling: score docs by add-one-smoothed
+# target/corpus bigram-mass ratio (integer-scaled, the constant corpus
+# prior cancels in mean-threshold selection) and flag above-mean docs.
+# --------------------------------------------------------------------------
+@query(
+    "q_importance_weights",
+    """
+    WITH t AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             string_split(trim(text), ' ') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, is_t,
+             unnest([ w[i] || ' ' || w[i+1] for i in range(1, len(w)) ])
+               AS term
+      FROM t WHERE len(w) >= 2
+    ), tf AS (
+      SELECT doc_id, is_t, term, COUNT(*) AS tf FROM g GROUP BY 1, 2, 3
+    ), wt AS (
+      SELECT term,
+             ((SUM(CASE WHEN is_t THEN tf ELSE 0 END) + 1) * 1000000)
+               // (SUM(tf) + 1) AS w
+      FROM tf GROUP BY 1
+    ), ds AS (
+      SELECT tf.doc_id, CAST(SUM(tf.tf * wt.w) AS BIGINT) AS imp_score
+      FROM tf JOIN wt USING (term) GROUP BY 1
+    ), sc AS (
+      SELECT d.doc_id, COALESCE(ds.imp_score, 0) AS imp_score
+      FROM documents d LEFT JOIN ds USING (doc_id)
+    ), tot AS (
+      SELECT COUNT(*) AS nd, SUM(imp_score) AS ts FROM sc
+    )
+    SELECT doc_id, imp_score, (imp_score * nd > ts) AS selected
+    FROM sc, tot
+    """,
+)
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style selection toward the lang='en' slice: per-doc sum of
+    add-one-smoothed target/corpus bigram-ratio weights (integer
+    scaled), selected = above the corpus mean by exact integer
+    cross-multiplication (operators.curation.importance_weights)."""
+    from konohadataplatform_spark.operators.curation import importance_weights
+
+    return importance_weights(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en", n=2
+    )

@@ -66,3 +66,79 @@ def test_cap_validation(spark):
 
     with pytest.raises(ValueError):
         per_group_cap(_skewed(spark), "grp", "id", 0)
+
+
+def _imp_docs(spark):
+    # target docs repeat "good data", raw docs repeat "bad noise";
+    # doc 7 is a target-language doc full of the raw phrase, doc 8 a
+    # raw doc full of the target phrase (scores must follow CONTENT,
+    # not the target flag)
+    rows = [
+        (1, "en", "good data good data good data"),
+        (2, "en", "good data is good data"),
+        (3, "de", "bad noise bad noise bad noise"),
+        (4, "de", "bad noise and more bad noise"),
+        (5, "de", "bad noise bad noise"),
+        (7, "en", "bad noise bad noise bad noise"),
+        (8, "de", "good data good data good data"),
+        (9, "de", "x"),  # < n words: must appear with score 0
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, lang: string, text: string")
+
+
+def test_importance_weights_python_replay(spark):
+    """Bit-exact vs a Python replay of the smoothed-ratio formula."""
+    from collections import Counter
+
+    from konohadataplatform_spark.operators.curation import (
+        IMP_SCALE,
+        importance_weights,
+    )
+
+    docs = _imp_docs(spark)
+    rows = [(r.doc_id, r.lang, r.text) for r in docs.collect()]
+    tf = Counter()
+    for d, lang, text in rows:
+        w = text.strip().split(" ")
+        for i in range(len(w) - 1):
+            tf[(d, lang == "en", f"{w[i]} {w[i+1]}")] += 1
+    ct, cr = Counter(), Counter()
+    for (d, is_t, t), c in tf.items():
+        cr[t] += c
+        if is_t:
+            ct[t] += c
+    wt = {t: ((ct[t] + 1) * IMP_SCALE) // (cr[t] + 1) for t in cr}
+    score = Counter()
+    for (d, _is_t, t), c in tf.items():
+        score[d] += c * wt[t]
+    nd = len(rows)
+    ts = sum(score[d] for d, _l, _t in rows)
+    expect = {
+        d: (score[d], score[d] * nd > ts) for d, _l, _t in rows
+    }
+    got = {
+        r.doc_id: (r.imp_score, r.selected)
+        for r in importance_weights(docs, F.col("lang") == "en", n=2).collect()
+    }
+    assert got == expect
+    assert got[9] == (0, False)  # short doc present, zero score
+    # content beats flag: the en-flagged noise doc scores like noise,
+    # the de-flagged "good data" doc scores like the target docs
+    assert got[7][0] < got[1][0]
+    assert got[8][0] > got[3][0]
+
+
+def test_importance_weights_plan_shape(spark):
+    """No cartesian blow-up; the selection threshold rides a
+    broadcast, and no per-term window exists anywhere."""
+    from konohadataplatform_spark.operators.curation import importance_weights
+
+    plan = importance_weights(
+        _imp_docs(spark), F.col("lang") == "en", n=2
+    )._sc._jvm.PythonSQLUtils.explainString(
+        importance_weights(_imp_docs(spark), F.col("lang") == "en", n=2)
+        ._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
