@@ -1,0 +1,154 @@
+"""In-engine quality-classifier training: an integer-exact batch
+perceptron over hashed bag-of-n-gram features (beyond-reference
+surface — the fastText-style "train a quality/domain classifier on the
+corpus, then score every document with it" step of an LLM data
+pipeline, e.g. CCNet/GPT-3-style quality filtering).
+
+Engine-portability contract (same as the rest of the repo): features
+hash through md5 (identical hex in Spark and DuckDB), weights update
+with learning rate 1 in pure int64 arithmetic, and the batch update is
+deterministic — so the trained weights, every margin, and every
+prediction are bit-for-bit reproducible by an unrolled-CTE SQL oracle.
+
+Batch perceptron (lr=1), T iterations from w = 0:
+
+    margin(d) = sum_dim w[dim] * x[d, dim]
+    mis       = { d : y_d * margin(d) <= 0 }
+    w        += sum_{d in mis} y_d * x[d]
+
+The first iteration (w = 0 -> everything misclassified) makes w_1 the
+class-mass difference — a Rocchio-style init — and later iterations
+correct the boundary.
+
+Scale shapes (100 TB contract):
+- The feature relation is one explode + partial+final count per
+  (doc, dim); dims is small (default 64 + bias), so every per-dim
+  aggregate is metadata-sized.
+- The weight vector is collected to the driver each iteration
+  (dims+1 longs — same metadata-size collect contract as the IVF
+  KMeans loop in operators/similarity.py) and rejoined as a broadcast
+  literal, keeping lineage flat across iterations.
+- Margins group by unique doc_id (unskewed); the misclassified-doc
+  filter is a semi-join on doc_id. No windows, no Python UDFs.
+- Overflow bound: |w| grows at most by the corpus token mass per
+  iteration; sum(w * x) must fit int64 (token mass * per-doc tokens
+  < 9e18 — beyond that widen to decimal(38,0)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BIAS_DIM = -1
+
+
+def hashed_features(
+    docs: DataFrame,
+    label_pred,
+    dims: int = 64,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, y, dim, x): hashed bag-of-n-grams plus a constant bias
+    feature (dim = -1, x = 1) for EVERY doc — so zero-token docs still
+    get a margin. dim = int(first 4 hex chars of md5(term)) % dims
+    (portable: DuckDB reassembles the same nibbles); y in {+1, -1}
+    from ``label_pred``."""
+    from konohadataplatform_spark.operators.retrieval import ngram_tokens
+
+    ids = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(label_pred, 1).otherwise(-1).alias("y"),
+    )
+    grams = (
+        ngram_tokens(docs, n, text_col, id_col)
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10)
+                .cast("long") % dims
+            ).alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bias = ids.select("doc_id", F.lit(BIAS_DIM).alias("dim"), F.lit(1).cast("long").alias("x"))
+    return (
+        grams.unionByName(bias.select("doc_id", "dim", "x"))
+        .join(ids, "doc_id")
+        .select("doc_id", "y", "dim", "x")
+    )
+
+
+def train_perceptron(
+    spark: SparkSession, feats: DataFrame, iters: int = 3
+) -> dict[int, int]:
+    """dim -> weight after ``iters`` exact batch-perceptron updates.
+    ``feats`` is re-scanned once per iteration — cache it upstream if
+    it isn't a cheap re-read. The collect is dims+1 longs (metadata)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    w: dict[int, int] = {}
+    for _ in range(iters):
+        if w:
+            wdf = F.broadcast(
+                spark.createDataFrame(list(w.items()), "dim: long, w: long")
+            )
+            margins = (
+                feats.join(wdf, "dim")
+                .groupBy("doc_id", "y")
+                .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+            )
+            mis = margins.where(F.col("y") * F.col("m") <= 0).select("doc_id")
+        else:
+            mis = None  # w = 0: every margin is 0 -> all misclassified
+        src = feats if mis is None else feats.join(mis, "doc_id", "left_semi")
+        delta = src.groupBy("dim").agg(
+            F.sum(F.col("y") * F.col("x")).alias("d")
+        )
+        for r in delta.collect():
+            w[r["dim"]] = w.get(r["dim"], 0) + r["d"]
+    return w
+
+
+def perceptron_scores(
+    docs: DataFrame,
+    label_pred,
+    dims: int = 64,
+    iters: int = 3,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train on the corpus, then score every doc with the final
+    weights: (doc_id, margin, pred_pos, is_target). ``pred_pos`` is
+    margin > 0; training labels come from ``label_pred`` (e.g. a
+    known-good source or language slice), and the margins transfer to
+    unlabeled corpora as a quality score."""
+    spark = docs.sparkSession
+    feats = hashed_features(docs, label_pred, dims, n, text_col, id_col)
+    feats.persist()
+    try:
+        w = train_perceptron(spark, feats, iters)
+        wdf = F.broadcast(
+            spark.createDataFrame(list(w.items()), "dim: long, w: long")
+        )
+        return (
+            feats.join(wdf, "dim")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("margin"))
+            .select(
+                "doc_id",
+                "margin",
+                (F.col("margin") > 0).alias("pred_pos"),
+                (F.col("y") == 1).alias("is_target"),
+            )
+        )
+    finally:
+        # the returned plan re-joins feats once more; materialize the
+        # weights first (train_perceptron already collected), so the
+        # cache has served its purpose for the loop — release it once
+        # the caller's action recomputes the single remaining scan
+        feats.unpersist()

@@ -3732,3 +3732,82 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(
         _t(spark, sf_dir, "documents"), F.col("lang") == "en", n=2
     )
+
+
+# --------------------------------------------------------------------------
+# In-engine quality-classifier training: integer-exact batch perceptron
+# over hashed bag-of-bigram features (md5-nibble dims, lr=1, 3 unrolled
+# iterations), scoring every document with the trained margin.
+# --------------------------------------------------------------------------
+_PCPT_DIM = """
+  ((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5(term), 4, 1)) - 1)) % 64
+"""
+
+
+@query(
+    "q_quality_classifier",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             string_split(trim(text), ' ') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest([ w[i] || ' ' || w[i+1] for i in range(1, len(w)) ])
+               AS term
+      FROM t WHERE len(w) >= 2
+    ), gx AS (
+      SELECT doc_id, {_PCPT_DIM} AS dim, COUNT(*) AS x
+      FROM g GROUP BY 1, 2
+    ), feats AS (
+      SELECT gx.doc_id, CASE WHEN t.is_t THEN 1 ELSE -1 END AS y,
+             gx.dim, gx.x
+      FROM gx JOIN t USING (doc_id)
+      UNION ALL
+      SELECT doc_id, CASE WHEN is_t THEN 1 ELSE -1 END, -1, 1 FROM t
+    ), w1 AS (
+      SELECT dim, SUM(y * x) AS w FROM feats GROUP BY dim
+    ), m1 AS (
+      SELECT f.doc_id, f.y, SUM(f.x * w1.w) AS m
+      FROM feats f JOIN w1 USING (dim) GROUP BY 1, 2
+    ), d1 AS (
+      SELECT f.dim, SUM(f.y * f.x) AS d
+      FROM feats f JOIN m1 ON f.doc_id = m1.doc_id AND m1.y * m1.m <= 0
+      GROUP BY 1
+    ), w2 AS (
+      SELECT w1.dim, w1.w + COALESCE(d1.d, 0) AS w
+      FROM w1 LEFT JOIN d1 USING (dim)
+    ), m2 AS (
+      SELECT f.doc_id, f.y, SUM(f.x * w2.w) AS m
+      FROM feats f JOIN w2 USING (dim) GROUP BY 1, 2
+    ), d2 AS (
+      SELECT f.dim, SUM(f.y * f.x) AS d
+      FROM feats f JOIN m2 ON f.doc_id = m2.doc_id AND m2.y * m2.m <= 0
+      GROUP BY 1
+    ), w3 AS (
+      SELECT w2.dim, w2.w + COALESCE(d2.d, 0) AS w
+      FROM w2 LEFT JOIN d2 USING (dim)
+    ), m3 AS (
+      SELECT f.doc_id, f.y, SUM(f.x * w3.w) AS m
+      FROM feats f JOIN w3 USING (dim) GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(m AS BIGINT) AS margin, m > 0 AS pred_pos,
+           y = 1 AS is_target
+    FROM m3
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality/domain classifier trained IN the engine:
+    integer-exact batch perceptron (lr=1, 3 iterations, w0=0) over
+    64 hashed bag-of-bigram dims + bias, labels from lang='en'; every
+    doc scored with the trained margin
+    (operators.classifier.perceptron_scores)."""
+    from konohadataplatform_spark.operators.classifier import perceptron_scores
+
+    return perceptron_scores(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en",
+        dims=64, iters=3, n=2,
+    )
