@@ -82,6 +82,14 @@ SMOKE_QUERIES = [
     "q_ann_ivfpq",
     "q_mmr_rerank",
     "q_exact_substring_spans",
+    # r8c additions: the rewrite's winner aggregate must collapse
+    # repeated chunks map-side (10x docs = 10x copies of every chunk);
+    # BM25's dl/totals joins must stay broadcast; DSIR weights and the
+    # perceptron loop are vocab/dims-bounded after the token count
+    "q_chunk_dedup_rewrite",
+    "q_bm25_topk",
+    "q_importance_weights",
+    "q_quality_classifier",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
