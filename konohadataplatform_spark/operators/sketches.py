@@ -261,10 +261,25 @@ def cms_probe(
     A single binary Literal is one codegen'd object, referenced not
     copied. Probe construction is eager (the sketch collect runs at
     build time), exactly like IVF's metadata-sized centroid fetch."""
+    rows = cms.collect()  # <= depth*width rows — metadata-sized
+    return _cms_probe_rows(df, col, rows, width, depth, est)
+
+
+def _cms_probe_rows(
+    df: DataFrame,
+    col: str,
+    rows,
+    width: int,
+    depth: int,
+    est: str = "cms_est",
+) -> DataFrame:
+    """cms_probe over PRE-COLLECTED sketch rows — lets callers that
+    also need sketch totals (cms_heavy_hitters' relative threshold)
+    collect the metadata once instead of re-running the build job."""
     import struct as _struct
 
     arr = [0] * (depth * width)
-    for r in cms.collect():  # <= depth*width rows — metadata-sized
+    for r in rows:
         arr[r["row_idx"] * width + r["col_idx"]] = r["cnt"]
     packed = F.lit(_struct.pack(f">{len(arr)}q", *arr))
     pos = _cms_positions(col, width, depth)
@@ -284,9 +299,10 @@ def cms_probe(
 def cms_heavy_hitters(
     df: DataFrame,
     col: str,
-    threshold_col,
+    threshold_col=None,
     width: int = CMS_WIDTH,
     depth: int = CMS_DEPTH,
+    total_div: int | None = None,
 ) -> DataFrame:
     """EXACT heavy hitters (``value, cnt`` where true count >=
     threshold) through a CMS prefilter — the 100 TB frequent-items
@@ -301,13 +317,28 @@ def cms_heavy_hitters(
     positives. Bit-for-bit the plain GROUP BY/HAVING — the sketch
     reshapes the plan, not the answer — so the oracle is plain SQL.
 
-    ``threshold_col`` is an int literal, or a ONE-ROW DataFrame with a
-    ``thr`` column (a metadata-sized scalar — e.g. ``total // 800`` —
-    broadcast into the probe projection, so relative thresholds cost
-    no extra shuffle)."""
-    probed = cms_probe(df.select(col), col, cms_build(df, col, width, depth),
-                       width, depth)
-    if isinstance(threshold_col, int):
+    Threshold — exactly one of:
+    - ``threshold_col``: an int literal, or a ONE-ROW DataFrame with a
+      ``thr`` column (broadcast into the probe projection);
+    - ``total_div``: thr = total_count // total_div, with total read
+      off the sketch's own row-0 counters (every occurrence increments
+      exactly one row-0 counter, so their sum IS the exact corpus
+      count). The sketch rows are already a metadata-sized collect for
+      the probe literal — deriving the relative threshold there makes
+      the whole operator TWO corpus passes (build, probe+count), not
+      three (no separate ``COUNT(*)`` scan of the value relation).
+    """
+    if (threshold_col is None) == (total_div is None):
+        raise ValueError("pass exactly one of threshold_col / total_div")
+    cms = cms_build(df, col, width, depth)
+    rows = cms.collect()  # <= depth*width rows — metadata-sized
+    probed = _cms_probe_rows(df.select(col), col, rows, width, depth)
+    if total_div is not None:
+        total = sum(r["cnt"] for r in rows if r["row_idx"] == 0)
+        probed = probed.withColumn(
+            "thr", F.lit(int(total) // int(total_div)).cast("long")
+        )
+    elif isinstance(threshold_col, int):
         probed = probed.withColumn("thr", F.lit(threshold_col).cast("long"))
     else:
         probed = probed.crossJoin(F.broadcast(threshold_col))

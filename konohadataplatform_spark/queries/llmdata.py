@@ -1822,8 +1822,9 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = ngram_tokens(_t(spark, sf_dir, "documents"), n=2).select(
         F.col("term").alias("gram")
     )
-    thr = grams.groupBy().agg(F.expr("div(count(1), 800)").alias("thr"))
-    return cms_heavy_hitters(grams, "gram", thr)
+    # thr = total//800 read off the sketch's own row-0 counters — the
+    # operator runs TWO corpus passes (build, probe+count), not three
+    return cms_heavy_hitters(grams, "gram", total_div=800)
 
 
 # --------------------------------------------------------------------------

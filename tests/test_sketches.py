@@ -421,3 +421,29 @@ def test_hll_estimate_rejects_overflowing_precision(spark):
     assert sk.count() > 0
     with _pytest.raises(ValueError, match="b <= 14"):
         hll_estimate(sk, [], b=16)
+
+
+def test_cms_heavy_hitters_total_div_matches_explicit_threshold(spark):
+    """thr = total//800 read off the sketch's row-0 counters must give
+    the identical result to the explicit COUNT(*)//800 threshold —
+    every occurrence increments exactly one row-0 counter, so the
+    counter sum IS the exact corpus count (one fewer corpus pass)."""
+    import pytest as _pytest
+
+    from konohadataplatform_spark.operators.sketches import cms_heavy_hitters
+
+    grams = _bigram_rows(spark)
+    thr = grams.count() // 800
+    explicit = {
+        (r.gram, r.cnt)
+        for r in cms_heavy_hitters(grams, "gram", thr).collect()
+    }
+    derived = {
+        (r.gram, r.cnt)
+        for r in cms_heavy_hitters(grams, "gram", total_div=800).collect()
+    }
+    assert derived == explicit and explicit
+    with _pytest.raises(ValueError, match="exactly one"):
+        cms_heavy_hitters(grams, "gram")
+    with _pytest.raises(ValueError, match="exactly one"):
+        cms_heavy_hitters(grams, "gram", thr, total_div=800)
