@@ -3812,3 +3812,93 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), F.col("lang") == "en",
         dims=64, iters=3, n=2,
     )
+
+
+# --------------------------------------------------------------------------
+# RAG passage retrieval: the corpus fans out into fixed 32-word passages
+# (the retrieval granularity RAG stores index), BM25 ranks passages for
+# each query passage drawn from the % 101 doc split. Pure composition:
+# the passage store is one explode + slice (text re-slices from each
+# doc's own word array), then bm25_topk runs unchanged with pid keys.
+# --------------------------------------------------------------------------
+@query(
+    "q_passage_bm25",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+               FROM documents),
+         c AS (SELECT doc_id, w,
+                      unnest([ i for i in range(0, (len(w) + 31) // 32) ])
+                        AS i
+               FROM t),
+         p AS (SELECT doc_id * 1000000 + i AS pid,
+                      list_slice(w, i * 32 + 1, i * 32 + 32) AS pw
+               FROM c),
+         g AS (SELECT pid, unnest([pw[i] || ' ' || pw[i+1] || ' ' || pw[i+2]
+                                   for i in range(1, len(pw) - 1)]) AS term
+               FROM p WHERE len(pw) >= 3),
+         tf AS (SELECT pid, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+         dl AS (SELECT pid, SUM(tf) AS dl FROM tf GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n, SUM(dl) AS tl FROM dl),
+         idf AS (SELECT term, (n * 1000000) // COUNT(*) AS idf
+                 FROM tf, tot GROUP BY term, n HAVING COUNT(*) <= n // 10),
+         q AS (SELECT pid AS q_id, term, tf AS qtf
+               FROM tf WHERE (pid // 1000000) % 101 = 0),
+         ts AS (SELECT tf.pid, tf.term,
+                       (44 * tf.tf * tl * 1000) //
+                       (20 * tf.tf * tl + 6 * tl + 18 * dl.dl * n) AS tf_sat
+                FROM tf JOIN dl USING (pid), tot),
+         sc AS (SELECT q.q_id, ts.pid,
+                       CAST(SUM(q.qtf * i.idf * ts.tf_sat) AS BIGINT) AS score
+                FROM q JOIN idf i USING (term) JOIN ts USING (term)
+                WHERE ts.pid <> q.q_id GROUP BY 1, 2),
+         rk AS (SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY score DESC, pid ASC)
+                  AS hit_rank
+                FROM sc)
+    SELECT CAST(q_id // 1000000 AS BIGINT) AS q_doc,
+           CAST(q_id % 1000000 AS INT) AS q_chunk,
+           CAST(pid // 1000000 AS BIGINT) AS hit_doc,
+           CAST(pid % 1000000 AS INT) AS hit_chunk,
+           score, hit_rank
+    FROM rk WHERE hit_rank <= 3
+    """,
+)
+def q_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-granularity BM25 retrieval (the RAG store shape): docs
+    fan out into fixed 32-word passages keyed by packed
+    doc_id*1e6+chunk ids, then operators.retrieval.bm25_topk ranks the
+    top-3 passages per query passage — same integer-exact scoring,
+    stop-word cap, and broadcast-query join as q_bm25_topk, at a
+    granularity where dl-normalization actually varies per store row."""
+    from konohadataplatform_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    cw = 32
+    passages = (
+        docs.select(F.col("doc_id"), w.alias("w"))
+        .select(
+            "doc_id", "w",
+            F.explode(F.expr(
+                f"sequence(0, cast((size(w) + {cw - 1}) / {cw} as int) - 1)"
+            )).alias("i"),
+        )
+        .select(
+            (F.col("doc_id") * F.lit(1_000_000) + F.col("i")).alias("pid"),
+            F.array_join(
+                F.expr(f"slice(w, i * {cw} + 1, {cw})"), " "
+            ).alias("text"),
+        )
+    )
+    hits = bm25_topk(
+        passages,
+        F.expr("pid div 1000000") % 101 == 0,
+        k=3, n=3, df_cap_frac=10, id_col="pid",
+    )
+    return hits.select(
+        F.expr("q_id div 1000000").alias("q_doc"),
+        (F.col("q_id") % 1_000_000).cast("int").alias("q_chunk"),
+        F.expr("hit_id div 1000000").alias("hit_doc"),
+        (F.col("hit_id") % 1_000_000).cast("int").alias("hit_chunk"),
+        "score", "hit_rank",
+    )

@@ -1603,3 +1603,18 @@ def test_chunk_dedup_rewrite_total_mass_conserved(spark):
         .count()
     )
     assert kept_total == distinct_chunks
+
+
+def test_chunk_dedup_rewrite_plan_no_window_no_cartesian(spark):
+    """The rewrite's 100 TB contract: winner selection is a packed-MIN
+    aggregate (no per-digest window, no join back to the chunk
+    relation), reassembly joins on unique doc_id — so the plan must
+    have zero Windows and zero cartesian products, and the chunk-text
+    relation must never feed a sort."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = D.chunk_dedup_rewrite(docs)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
