@@ -22,6 +22,8 @@ import statistics
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 from konohadataplatform_spark.queries import all_queries
 from konohadataplatform_spark.session import get_spark
 
@@ -109,6 +111,42 @@ def calibrate(spark) -> float:
     return statistics.median(once() for _ in range(CALIBRATION_RUNS))
 
 
+def calibrate_shuffle(spark) -> float:
+    """Second host probe (round 8+): 30M longs through a real
+    repartition Exchange. The frozen CPU probe above is a pure hash
+    loop — in round 8 the headline queries ran ~22% slower on
+    UNCHANGED plans while that probe moved only ~3%, i.e. the host
+    drift was in the shuffle/I-O machinery the CPU probe cannot see.
+    This probe measures that dimension; reported alongside, never a
+    replacement (the CPU probe stays the normalization contract)."""
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 30_000_000, 1, 32).repartition(
+            64, F.col("id")
+        ).count()
+        return time.perf_counter() - t0
+
+    once()
+    return statistics.median(once() for _ in range(CALIBRATION_RUNS))
+
+
+def calibrate_scan(spark, sf_dir: str) -> float:
+    """Third host probe (round 8+): full parquet scan + decode of the
+    SF dir's lineitem with a 2-column aggregate — the scan-path
+    counterpart to calibrate_shuffle, same rationale."""
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+            "sum(l_extendedprice) AS s", "sum(l_quantity) AS q"
+        ).collect()
+        return time.perf_counter() - t0
+
+    once()
+    return statistics.median(once() for _ in range(CALIBRATION_RUNS))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.isdir(sf_dir):
@@ -150,6 +188,8 @@ def main() -> None:
     # `normalized` = seconds per calibration-second, comparable across
     # rounds even when the host is 10-20% slower/faster than last time
     cal = calibrate(spark)
+    cal_shuffle = calibrate_shuffle(spark)
+    cal_scan = calibrate_scan(spark, sf_dir)
     norm = {
         n: round(t / cal, 4)
         for n, t in {**timings, **ext_timings}.items()
@@ -164,6 +204,8 @@ def main() -> None:
         "stddev": stddev,
         "normalized": norm,
         "calibration_job": "median-of-3 sum(xxhash64(range(2B)))/32splits",
+        "calibration_shuffle_sec": round(cal_shuffle, 4),
+        "calibration_scan_sec": round(cal_scan, 4),
         "medians_4dp": {
             n: round(statistics.median(samples[n]), 4)
             for n in names + ext_names
@@ -185,6 +227,8 @@ def main() -> None:
                 "runs": runs,
                 "sf": sf,
                 "calibration_sec": round(cal, 4),
+                "calibration_shuffle_sec": round(cal_shuffle, 4),
+                "calibration_scan_sec": round(cal_scan, 4),
                 "normalized_total": round(total / cal, 2),
             }
         )
