@@ -123,3 +123,72 @@ def test_scoring_plan_shape(spark):
     assert "Window" not in plan
     assert "BroadcastExchange" in plan
     assert after <= before  # feats cache released
+
+
+def test_score_with_weights_matches_trained_margins(spark):
+    """The stateless per-row scorer must reproduce perceptron_scores'
+    margins bit-for-bit from the same weights (no explode/join/agg)."""
+    from konohadataplatform_spark.operators.classifier import (
+        score_with_weights,
+    )
+
+    _rows, docs = _fixture(spark)
+    feats = hashed_features(docs, F.col("is_t"), dims=64, n=2)
+    w = train_perceptron(spark, feats, iters=3)
+    batch = {
+        r.doc_id: (r.margin, r.pred_pos)
+        for r in perceptron_scores(docs, F.col("is_t"), 64, 3, 2).collect()
+    }
+    fast = {
+        r.doc_id: (r.margin, r.pred_pos)
+        for r in score_with_weights(docs, w, dims=64, n=2).collect()
+    }
+    assert fast == batch
+    plan = score_with_weights(docs, w)._sc._jvm.PythonSQLUtils.explainString(
+        score_with_weights(docs, w)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan  # pure projection: zero shuffles
+
+
+def test_score_with_weights_streams(spark, tmp_path):
+    """Train in batch, score a Structured Streaming source with the
+    same weights: the stream's margins must equal the batch margins
+    (the quality-gate-in-front-of-ingest serving path)."""
+    import json as _json
+    import os as _os
+
+    from konohadataplatform_spark.operators.classifier import (
+        score_with_weights,
+    )
+
+    rows, docs = _fixture(spark)
+    w = train_perceptron(
+        spark, hashed_features(docs, F.col("is_t"), dims=64, n=2), iters=3
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _os.makedirs(src)
+    with open(_os.path.join(src, "b0.jsonl"), "w") as fh:
+        for doc_id, _is_t, text in rows:
+            fh.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = (
+        score_with_weights(stream, w, dims=64, n=2)
+        .writeStream.foreachBatch(
+            lambda df, _i: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.doc_id: (r.margin, r.pred_pos)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r.doc_id: (r.margin, r.pred_pos)
+        for r in score_with_weights(docs, w).collect()
+    }
+    assert streamed == batch and len(streamed) == len(rows)
