@@ -80,10 +80,12 @@ EXTENDED = [
     "q_source_caps",
     "q_hard_negatives",
     "q_exact_substring_spans",
-    # r8c: corpus rewrite, BM25 retrieval, DSIR selection
+    # r8c: corpus rewrite, BM25 retrieval, DSIR selection, classifier
     "q_chunk_dedup_rewrite",
     "q_bm25_topk",
     "q_importance_weights",
+    "q_passage_bm25",
+    "q_quality_classifier",
 ]
 
 

@@ -551,3 +551,70 @@ def test_tiff_roundtrip_property(w, h, channels, big_endian, rnd):
     )
     assert (img["width"], img["height"], img["channels"]) == (w, h, channels)
     assert img["pixels"] == px
+
+
+# ---------------------------------------------------------------------------
+# Retrieval scoring: arbitrary small corpora must match a Python replay
+# of the integer BM25 formula exactly (beyond the fixed-fixture test in
+# test_retrieval.py — hypothesis explores adversarial shapes: repeated
+# words, single-word docs, duplicate docs, all-stopword corpora).
+# ---------------------------------------------------------------------------
+_words = st.sampled_from(["a", "b", "c", "dd", "ee", "ff"])
+_doc = st.lists(_words, min_size=0, max_size=8).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=8)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_corpus)
+def test_bm25_matches_python_replay_property(spark, texts):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from konohadataplatform_spark.operators.retrieval import SCALE, bm25_topk
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id: long, text: string"
+    )
+    n = 1
+    tf = Counter()
+    for d, text in enumerate(texts):
+        for w in text.strip().split(" "):
+            tf[(d, w)] += 1
+    dl = Counter()
+    for (d, _t), c in tf.items():
+        dl[d] += c
+    nd, tl = len(dl), sum(dl.values())
+    df_ = Counter(t for (_d, t) in tf)
+    idf = {t: (nd * SCALE) // c for t, c in df_.items() if c <= nd // 2}
+    tf_sat = {
+        (d, t): (44 * c * tl * 1000)
+        // (20 * c * tl + 6 * tl + 18 * dl[d] * nd)
+        for (d, t), c in tf.items()
+        if t in idf
+    }
+    scores = {}
+    qdocs = [d for d in dl if d % 2 == 0]
+    for q in qdocs:
+        qterms = {t: c for (d, t), c in tf.items() if d == q and t in idf}
+        for (d, t), s in tf_sat.items():
+            if d != q and t in qterms:
+                scores[(q, d)] = scores.get((q, d), 0) + qterms[t] * idf[t] * s
+    expect = set()
+    by_q = {}
+    for (q, d), s in scores.items():
+        by_q.setdefault(q, []).append((-s, d))
+    for q, hits in by_q.items():
+        for rank, (neg_s, d) in enumerate(sorted(hits)[:3], start=1):
+            expect.add((q, d, -neg_s, rank))
+    got = {
+        (r.q_id, r.hit_id, r.score, r.hit_rank)
+        for r in bm25_topk(
+            docs, F.col("doc_id") % 2 == 0, k=3, n=n, df_cap_frac=2
+        ).collect()
+    }
+    assert got == expect
