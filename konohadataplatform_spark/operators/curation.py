@@ -150,3 +150,100 @@ def importance_weights(
         "imp_score",
         (F.col("imp_score") * F.col("nd") > F.col("ts")).alias("selected"),
     )
+
+
+def shard_plan(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    prefix_chars: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic token-balanced shard assignment — the layout step
+    before writing training shards (WebDataset/tfrecord-style "~N
+    tokens per output file"). Returns (doc_id, toks, shard): docs are
+    ordered by (md5(text), doc_id) and greedily packed, shard =
+    exclusive-prefix-tokens // tokens_per_shard, so every shard except
+    possibly the last holds >= tokens_per_shard and overflows by at
+    most one document.
+
+    Scale shape (no global window): the md5 priority's first
+    ``prefix_chars`` hex chars split the sort order into 16^p
+    lexicographic ranges that are PREFIX-CONSISTENT with the global
+    order, so per-range local prefix sums + broadcast range offsets
+    (16^p rows — metadata) reproduce the exact global prefix. Pick
+    prefix_chars so one range fits a task (p=4 -> 65536 ranges).
+    Deterministic under any partitioning: priority ties break on the
+    unique doc_id.
+    """
+    if tokens_per_shard < 1:
+        raise ValueError("tokens_per_shard must be >= 1")
+    from pyspark.sql.window import Window
+
+    toks = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), " "))).cast("bigint")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.md5(F.col(text_col)).alias("pri"),
+    ).withColumn(
+        "rng", F.coalesce(F.substring("pri", 1, prefix_chars), F.lit(""))
+    )
+    off_w = (
+        Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("rng")
+        .agg(F.sum("toks").alias("_rng_toks"))
+        .withColumn("offset", F.coalesce(F.sum("_rng_toks").over(off_w), F.lit(0)))
+        .drop("_rng_toks")
+    )
+    local_w = (
+        Window.partitionBy("rng")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(offsets), "rng")
+        .withColumn("_before", F.coalesce(F.sum("toks").over(local_w), F.lit(0)))
+        .select(
+            "doc_id",
+            "toks",
+            F.expr(f"(offset + _before) div {int(tokens_per_shard)}")
+            .cast("int")
+            .alias("shard"),
+        )
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    tokens_per_shard: int,
+    prefix_chars: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the corpus as token-balanced parquet shards
+    (``out_dir/shard=K/``) and return the manifest (shard, n_docs,
+    toks). One shuffle on the shard key co-locates each output file's
+    rows; `partitionBy` makes the shard id part of the layout so a
+    trainer can stream shard directories independently."""
+    plan = shard_plan(
+        docs, tokens_per_shard, prefix_chars, text_col, id_col
+    )
+    tagged = docs.join(
+        plan.select(F.col("doc_id").alias(id_col), "shard"), id_col
+    )
+    (
+        tagged.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return (
+        plan.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("toks"))
+        .orderBy("shard")
+    )

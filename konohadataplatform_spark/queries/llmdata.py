@@ -3902,3 +3902,40 @@ def q_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hit_id") % 1_000_000).cast("int").alias("hit_chunk"),
         "score", "hit_rank",
     )
+
+
+# --------------------------------------------------------------------------
+# Token-balanced shard layout: deterministic (md5, doc_id) order packed
+# greedily at 2000 tokens/shard, shard = exclusive-prefix // budget.
+# The operator computes the global prefix with range-local windows +
+# broadcast range offsets (no global sort task); the oracle is the
+# plain global window it must equal bit-for-bit.
+# --------------------------------------------------------------------------
+@query(
+    "q_shard_plan",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             COALESCE(len(string_split(trim(text), ' ')), 0) AS toks,
+             md5(text) AS pri
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             COALESCE(SUM(toks) OVER (ORDER BY pri, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS bef
+      FROM d
+    )
+    SELECT doc_id, CAST(toks AS BIGINT) AS toks,
+           CAST(bef // 2000 AS INT) AS shard
+    FROM c
+    """,
+)
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard assignment (2000 tokens/shard,
+    WebDataset-style greedy fill): the two-phase range-offset prefix
+    sum must reproduce the global-window spelling exactly
+    (operators.curation.shard_plan)."""
+    from konohadataplatform_spark.operators.curation import shard_plan
+
+    return shard_plan(_t(spark, sf_dir, "documents"), tokens_per_shard=2000)

@@ -142,3 +142,70 @@ def test_importance_weights_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_shard_plan_matches_global_window(spark):
+    """The range-offset prefix sum == a plain global window, and the
+    operator is invariant to input partitioning."""
+    from pyspark.sql.window import Window
+
+    from konohadataplatform_spark.operators.curation import shard_plan
+    from konohadataplatform_spark.sources.star_schema import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w = Window.orderBy("pri", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    expect = {
+        (r.doc_id, r.toks, r.shard)
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("toks"),
+            F.md5("text").alias("pri"),
+        )
+        .withColumn("bef", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+        .selectExpr("doc_id", "toks", "cast(bef div 2000 as int) AS shard")
+        .collect()
+    }
+    for parts in (1, 7):
+        got = {
+            (r.doc_id, r.toks, r.shard)
+            for r in shard_plan(
+                docs.repartition(parts), tokens_per_shard=2000
+            ).collect()
+        }
+        assert got == expect, f"parts={parts}"
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """Real write: every doc lands in exactly one shard directory,
+    non-final shards are budget-balanced within one max-doc overflow,
+    and a rerun reproduces the identical layout."""
+    from konohadataplatform_spark.operators.curation import (
+        write_training_shards,
+    )
+    from konohadataplatform_spark.sources.star_schema import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "shards")
+    budget = 2000
+    manifest = write_training_shards(docs, out, budget).collect()
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert set(r.doc_id for r in back.select("doc_id").collect()) == set(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+    max_doc = docs.select(
+        F.max(F.size(F.split(F.trim("text"), " ")))
+    ).first()[0]
+    shards = sorted(r.shard for r in manifest)
+    assert shards == list(range(len(shards)))  # contiguous ids
+    for r in manifest:
+        if r.shard != shards[-1]:
+            assert abs(r.toks - budget) < max_doc, (r.shard, r.toks)
+    manifest2 = write_training_shards(docs, str(tmp_path / "s2"), budget)
+    assert {(r.shard, r.n_docs, r.toks) for r in manifest2.collect()} == {
+        (r.shard, r.n_docs, r.toks) for r in manifest
+    }
