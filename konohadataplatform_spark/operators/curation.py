@@ -158,6 +158,7 @@ def shard_plan(
     prefix_chars: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Deterministic token-balanced shard assignment — the layout step
     before writing training shards (WebDataset/tfrecord-style "~N
@@ -167,14 +168,20 @@ def shard_plan(
     possibly the last holds >= tokens_per_shard and overflows by at
     most one document.
 
-    Scale shape (no global window): the md5 priority's first
-    ``prefix_chars`` hex chars split the sort order into 16^p
-    lexicographic ranges that are PREFIX-CONSISTENT with the global
-    order, so per-range local prefix sums + broadcast range offsets
-    (16^p rows — metadata) reproduce the exact global prefix. Pick
-    prefix_chars so one range fits a task (p=4 -> 65536 ranges).
-    Deterministic under any partitioning: priority ties break on the
-    unique doc_id.
+    Scale shape (no global window): the priority's first
+    ``prefix_chars`` chars split the sort order into lexicographic
+    ranges that are PREFIX-CONSISTENT with the global order, so
+    per-range local prefix sums + broadcast range offsets (one row per
+    distinct prefix — metadata) reproduce the exact global prefix.
+    Pick prefix_chars so one range fits a task (md5 default: 16^p
+    ranges, p=4 -> 65536). Deterministic under any partitioning:
+    priority ties break on the unique doc_id.
+
+    ``priority_col`` overrides the md5 shuffle order with a custom
+    STRING ordering (curriculum sharding: a zero-padded difficulty
+    score). Correctness never depends on prefix balance — only range
+    sizing does — but a constant prefix degrades to one sort task, so
+    fixed-width keys with a varying head are the contract.
     """
     if tokens_per_shard < 1:
         raise ValueError("tokens_per_shard must be >= 1")
@@ -183,10 +190,14 @@ def shard_plan(
     toks = F.when(
         F.col(text_col).isNull(), F.lit(0)
     ).otherwise(F.size(F.split(F.trim(F.col(text_col)), " "))).cast("bigint")
+    pri = (
+        F.col(priority_col) if priority_col is not None
+        else F.md5(F.col(text_col))
+    )
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("toks"),
-        F.md5(F.col(text_col)).alias("pri"),
+        pri.cast("string").alias("pri"),
     ).withColumn(
         "rng", F.coalesce(F.substring("pri", 1, prefix_chars), F.lit(""))
     )

@@ -209,3 +209,36 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     assert {(r.shard, r.n_docs, r.toks) for r in manifest2.collect()} == {
         (r.shard, r.n_docs, r.toks) for r in manifest
     }
+
+
+def test_shard_plan_custom_priority_orders_curriculum(spark):
+    """A zero-padded custom priority (curriculum difficulty) must fill
+    shard 0 with the lowest-priority docs, and match the global-window
+    spelling on the same key."""
+    from pyspark.sql.window import Window
+
+    from konohadataplatform_spark.operators.curation import shard_plan
+
+    rows = [(i, " ".join(["w"] * 10), f"{(i * 37) % 100:03d}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, pri_key: string")
+    got = {
+        (r.doc_id, r.shard)
+        for r in shard_plan(
+            docs, tokens_per_shard=100, priority_col="pri_key"
+        ).collect()
+    }
+    w = Window.orderBy("pri_key", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    expect = {
+        (r.doc_id, r.shard)
+        for r in docs.select("doc_id", F.lit(10).cast("bigint").alias("toks"), "pri_key")
+        .withColumn("bef", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+        .selectExpr("doc_id", "cast(bef div 100 as int) AS shard")
+        .collect()
+    }
+    assert got == expect
+    # shard 0 holds the 10 lowest-priority docs (10 docs x 10 toks)
+    lowest = {d for d, _s in got if _s == 0}
+    by_pri = sorted(rows, key=lambda r: (r[2], r[0]))[:10]
+    assert lowest == {r[0] for r in by_pri}

@@ -90,6 +90,8 @@ SMOKE_QUERIES = [
     "q_bm25_topk",
     "q_importance_weights",
     "q_quality_classifier",
+    # the shard layout's range-offset prefix must beat a global window
+    "q_shard_plan",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
