@@ -1267,3 +1267,46 @@ def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+def audio_utterances(media: DataFrame, window: int = 4) -> DataFrame:
+    """VAD-style utterance segmentation: windows whose energy exceeds
+    the clip's mean (integer cross-multiplication — ``energy * n_win >
+    total_energy``, no float division) are "speech"; consecutive
+    active windows merge into utterance spans via the island trick
+    (window_idx - per-clip rank is constant within a run). Returns
+    (media_id, utt_idx, start_win, end_win, n_windows, utt_energy) —
+    the segments a speech pipeline would cut and transcribe.
+
+    Scale: decode stays in audio_window_stats' mapInPandas (payloads
+    never shuffle); the mean join keys on media_id (unique per clip);
+    the island windows partition per clip, bounded by clip length —
+    never by corpus size. Same island-merge shape as
+    dedup.exact_substring_spans."""
+    from pyspark.sql.window import Window as _W
+
+    stats = audio_window_stats(media, window)
+    tot = stats.groupBy("media_id").agg(
+        F.sum("energy").alias("_te"), F.count(F.lit(1)).alias("_nw")
+    )
+    active = stats.join(tot, "media_id").where(
+        F.col("energy") * F.col("_nw") > F.col("_te")
+    )
+    rank_w = _W.partitionBy("media_id").orderBy("window_idx")
+    grouped = active.withColumn(
+        "_isl", F.col("window_idx") - F.row_number().over(rank_w)
+    ).groupBy("media_id", "_isl").agg(
+        F.min("window_idx").alias("start_win"),
+        F.max("window_idx").alias("end_win"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("energy").alias("utt_energy"),
+    )
+    utt_w = _W.partitionBy("media_id").orderBy("start_win")
+    return grouped.select(
+        "media_id",
+        (F.row_number().over(utt_w) - 1).alias("utt_idx"),
+        "start_win",
+        "end_win",
+        "n_windows",
+        "utt_energy",
+    )

@@ -3939,3 +3939,60 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from konohadataplatform_spark.operators.curation import shard_plan
 
     return shard_plan(_t(spark, sf_dir, "documents"), tokens_per_shard=2000)
+
+
+# --------------------------------------------------------------------------
+# VAD-style utterance segmentation: above-mean-energy windows (integer
+# cross-multiply threshold) merged into consecutive spans per clip.
+# --------------------------------------------------------------------------
+@query(
+    "q_wav_utterances",
+    f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         b AS (SELECT doc_id, {_MD5_BYTES} AS bytes FROM d),
+         s AS (SELECT doc_id,
+                      [ CASE WHEN bytes[2*j+1] + 256 * bytes[2*j+2] >= 32768
+                             THEN bytes[2*j+1] + 256 * bytes[2*j+2] - 65536
+                             ELSE bytes[2*j+1] + 256 * bytes[2*j+2] END
+                        for j in range(0, 8) ] AS samples
+               FROM b),
+         w AS (SELECT doc_id, samples, unnest([0, 1]) AS window_idx FROM s),
+         x AS (SELECT doc_id, window_idx,
+                      samples[4*window_idx+1 : 4*window_idx+4] AS sub
+               FROM w),
+         e AS (SELECT doc_id, window_idx,
+                      CAST(list_sum([v * v for v in sub]) AS BIGINT) AS energy
+               FROM x),
+         t AS (SELECT doc_id, SUM(energy) AS te, COUNT(*) AS nw
+               FROM e GROUP BY 1),
+         a AS (SELECT e.doc_id, e.window_idx, e.energy
+               FROM e JOIN t USING (doc_id)
+               WHERE e.energy * t.nw > t.te),
+         i AS (SELECT doc_id, window_idx, energy,
+                      window_idx - row_number() OVER (
+                        PARTITION BY doc_id ORDER BY window_idx) AS isl
+               FROM a),
+         g AS (SELECT doc_id, isl,
+                      MIN(window_idx) AS start_win,
+                      MAX(window_idx) AS end_win,
+                      COUNT(*) AS n_windows,
+                      SUM(energy) AS utt_energy
+               FROM i GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_win)
+                - 1 AS INT) AS utt_idx,
+           CAST(start_win AS INT) AS start_win,
+           CAST(end_win AS INT) AS end_win,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(utt_energy AS BIGINT) AS utt_energy
+    FROM g
+    """,
+)
+def q_wav_utterances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speech-activity segmentation through the real WAV decoder:
+    windows above the clip's mean energy merge into utterance spans
+    (operators.multimodal.audio_utterances; island merge, integer
+    threshold)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = M.audio_utterances(M.documents_as_wav(docs), window=4)
+    return out.withColumnRenamed("media_id", "doc_id")

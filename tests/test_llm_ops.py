@@ -1618,3 +1618,32 @@ def test_chunk_dedup_rewrite_plan_no_window_no_cartesian(spark):
     )
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_audio_utterances_islands(spark):
+    """Constructed clip: loud-quiet-loud-loud-quiet windows (window=4)
+    must yield two utterances — a single window and a merged two-window
+    run — with exact integer energies."""
+    loud = [1000, -1000, 1000, -1000]      # energy 4_000_000
+    quiet = [1, -1, 1, -1]                 # energy 4
+    samples = loud + quiet + loud + loud + quiet
+    media = spark.createDataFrame(
+        [(1, M.encode_wav(samples, 8000))], "media_id: long, content: binary"
+    )
+    out = sorted(
+        (r.utt_idx, r.start_win, r.end_win, r.n_windows, r.utt_energy)
+        for r in M.audio_utterances(media, window=4).collect()
+    )
+    assert out == [
+        (0, 0, 0, 1, 4_000_000),
+        (1, 2, 3, 2, 8_000_000),
+    ]
+
+
+def test_audio_utterances_silent_clip_has_none(spark):
+    """A constant-energy clip has no above-mean window: zero rows."""
+    samples = [5, -5, 5, -5] * 4
+    media = spark.createDataFrame(
+        [(1, M.encode_wav(samples, 8000))], "media_id: long, content: binary"
+    )
+    assert M.audio_utterances(media, window=4).count() == 0
