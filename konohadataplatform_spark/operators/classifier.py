@@ -42,6 +42,10 @@ from pyspark.sql import functions as F
 
 BIAS_DIM = -1
 
+# THE feature-hash definition (md5 nibbles -> dim), shared by the
+# exploded training path and the per-row scorer so they cannot drift.
+DIM_SQL = "cast(conv(substring(md5({g}), 1, 4), 16, 10) as bigint) % {dims}"
+
 
 def hashed_features(
     docs: DataFrame,
@@ -66,10 +70,7 @@ def hashed_features(
         ngram_tokens(docs, n, text_col, id_col)
         .select(
             "doc_id",
-            (
-                F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10)
-                .cast("long") % dims
-            ).alias("dim"),
+            F.expr(DIM_SQL.format(g="term", dims=int(dims))).alias("dim"),
         )
         .groupBy("doc_id", "dim")
         .agg(F.count(F.lit(1)).alias("x"))
@@ -174,18 +175,12 @@ def score_with_weights(
     score-in-stream serving path (a quality gate in front of
     streaming ingest). At 100 TB batch scoring it is also the cheaper
     shape: zero exchanges vs perceptron_scores' feature shuffle."""
+    from konohadataplatform_spark.operators.retrieval import gram_array_sql
+
     warr = F.array(*[F.lit(int(weights.get(d, 0))) for d in range(dims)])
     bias = int(weights.get(BIAS_DIM, 0))
-    parts = ", ' ', ".join(f"_w[i + {j}]" for j in range(n))
-    grams = (
-        f"if(size(_w) >= {n}, "
-        f"transform(sequence(0, size(_w) - {n}), i -> concat({parts})), "
-        f"array())"
-    )
-    dim_of = (
-        f"transform({grams}, g -> "
-        f"cast(conv(substring(md5(g), 1, 4), 16, 10) as bigint) % {dims})"
-    )
+    dim_hash = DIM_SQL.format(g="g", dims=int(dims))
+    dim_of = f"transform({gram_array_sql('_w', n)}, g -> {dim_hash})"
     margin = F.expr(
         f"aggregate({dim_of}, cast({bias} as bigint), "
         f"(acc, d) -> acc + element_at(_warr, cast(d + 1 as int)))"

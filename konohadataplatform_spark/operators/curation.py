@@ -197,7 +197,11 @@ def shard_plan(
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("toks"),
-        pri.cast("string").alias("pri"),
+        # NULL priorities (md5 of NULL text) coalesce to '' so the
+        # sort position is explicit — Spark orders NULLs first but
+        # SQL engines differ (DuckDB defaults NULLS LAST), and ''
+        # sorts before every hex char in both
+        F.coalesce(pri.cast("string"), F.lit("")).alias("pri"),
     ).withColumn(
         "rng", F.coalesce(F.substring("pri", 1, prefix_chars), F.lit(""))
     )
@@ -243,18 +247,25 @@ def write_training_shards(
     trainer can stream shard directories independently."""
     plan = shard_plan(
         docs, tokens_per_shard, prefix_chars, text_col, id_col
-    )
-    tagged = docs.join(
-        plan.select(F.col("doc_id").alias(id_col), "shard"), id_col
-    )
-    (
-        tagged.repartition("shard")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(out_dir)
-    )
-    return (
-        plan.groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("toks"))
-        .orderBy("shard")
-    )
+    ).persist()  # two actions below (write + manifest): plan once
+    try:
+        tagged = docs.join(
+            plan.select(F.col("doc_id").alias(id_col), "shard"), id_col
+        )
+        (
+            tagged.repartition("shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(out_dir)
+        )
+        return (
+            plan.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("toks").alias("toks"),
+            )
+            .orderBy("shard")
+            .localCheckpoint()  # materialize off the cache before release
+        )
+    finally:
+        plan.unpersist()

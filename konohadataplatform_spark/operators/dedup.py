@@ -835,6 +835,32 @@ def exact_substring_spans(
     )
 
 
+def word_chunk_index(
+    docs: DataFrame,
+    chunk_words: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, w, i): one row per fixed ``chunk_words``-word chunk of
+    each document, carrying the doc's word array ``w`` so callers
+    slice chunk text with ``slice(w, i*cw + 1, cw)`` — the SHARED
+    chunk geometry for the rewrite and the passage store (one
+    definition, no drift). A NULL text yields NO chunk rows: without
+    the guard, ``size(NULL)`` is -1 and ``sequence(0, -1)`` explodes
+    to [0, -1], whose packed key (doc_id*1e6 - 1) would corrupt the
+    PREVIOUS doc's output downstream."""
+    cw = int(chunk_words)
+    w = F.split(F.trim(F.col(text_col)), " ")
+    return docs.select(F.col(id_col).alias("doc_id"), w.alias("w")).select(
+        "doc_id",
+        "w",
+        F.explode(F.expr(
+            f"if(w is null, array(), "
+            f"sequence(0, cast((size(w) + {cw} - 1) / {cw} as int) - 1))"
+        )).alias("i"),
+    )
+
+
 def chunk_dedup_rewrite(
     docs: DataFrame,
     chunk_words: int = 32,
@@ -867,17 +893,15 @@ def chunk_dedup_rewrite(
          array; chunk text itself never enters an exchange.
     Bound: documents must have < 10^6 chunks (32M words at the default
     width) for the packed key; raise ``chunk_words`` for longer docs.
+    NULL text is a zero-chunk doc: (doc_id, 0, 0, '').
     """
     w = F.split(F.trim(F.col(text_col)), " ")
     base = docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
-    n_chunks = F.expr(f"cast((size(w) + {int(chunk_words)} - 1) / {int(chunk_words)} as int)")
-    chunks = base.select(
-        "doc_id",
-        "w",
-        F.explode(F.expr(
-            f"sequence(0, cast((size(w) + {int(chunk_words)} - 1) / {int(chunk_words)} as int) - 1)"
-        )).alias("i"),
-    ).select(
+    n_chunks = F.expr(
+        f"if(w is null, 0, "
+        f"cast((size(w) + {int(chunk_words)} - 1) / {int(chunk_words)} as int))"
+    )
+    chunks = word_chunk_index(docs, chunk_words, text_col, id_col).select(
         "doc_id",
         "i",
         F.md5(

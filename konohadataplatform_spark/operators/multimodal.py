@@ -1286,10 +1286,14 @@ def audio_utterances(media: DataFrame, window: int = 4) -> DataFrame:
     from pyspark.sql.window import Window as _W
 
     stats = audio_window_stats(media, window)
-    tot = stats.groupBy("media_id").agg(
-        F.sum("energy").alias("_te"), F.count(F.lit(1)).alias("_nw")
-    )
-    active = stats.join(tot, "media_id").where(
+    # per-clip mean via an unordered window over the SAME relation —
+    # one decode pass (an aggregate+join spelling re-runs the
+    # mapInPandas decode for each subplan); partition size is bounded
+    # by clip length, never corpus size
+    clip_w = _W.partitionBy("media_id")
+    active = stats.withColumn(
+        "_te", F.sum("energy").over(clip_w)
+    ).withColumn("_nw", F.count(F.lit(1)).over(clip_w)).where(
         F.col("energy") * F.col("_nw") > F.col("_te")
     )
     rank_w = _W.partitionBy("media_id").orderBy("window_idx")

@@ -38,6 +38,22 @@ from pyspark.sql.window import Window
 SCALE = 1_000_000
 
 
+def gram_array_sql(arr: str, n: int) -> str:
+    """SQL fragment: the array of space-joined word ``n``-grams of the
+    word-array column ``arr`` (empty array for NULL/short inputs).
+    THE single definition of gram construction — ngram_tokens and the
+    classifier's per-row scorer both expand it, so the bit-for-bit
+    margin-parity contract between the exploded and per-row paths
+    can't drift."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    parts = ", ' ', ".join(f"{arr}[i + {j}]" for j in range(n))
+    return (
+        f"if({arr} is null or size({arr}) < {n}, array(), "
+        f"transform(sequence(0, size({arr}) - {n}), i -> concat({parts})))"
+    )
+
+
 def ngram_tokens(docs: DataFrame, n: int = 1, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """(doc_id, term) rows: whitespace word n-grams of the trimmed
@@ -47,11 +63,9 @@ def ngram_tokens(docs: DataFrame, n: int = 1, text_col: str = "text",
     docs = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.trim(F.col(text_col)), " ").alias("_w"),
-    ).where(F.size("_w") >= n)
-    parts = ", ' ', ".join(f"_w[i + {j}]" for j in range(n))
-    gram = f"transform(sequence(0, size(_w) - {n}), i -> concat({parts}))"
+    ).where(F.size("_w") >= n)  # early prune; the expr guards again
     return docs.select(
-        "doc_id", F.explode(F.expr(gram)).alias("term")
+        "doc_id", F.explode(F.expr(gram_array_sql("_w", n))).alias("term")
     )
 
 
@@ -168,10 +182,13 @@ def lexical_topk(
 
 
 # BM25 tf-saturation ratio scale: the per-term saturated tf component
-# lies in (0, k1+1]; scaling by 1000 keeps it a small int so the
-# idf * tf_sat product stays far from int64 overflow at corpus scale
-# (idf <= N*SCALE ~ 1e17 at N=1e11 would overflow with a raw TL-sized
-# numerator; with the pre-divided ratio the product is idf * 2200).
+# lies in (0, k1+1]; pre-dividing it to a small int (<= 2200) keeps
+# the score product qtf * idf * tf_sat bounded by qtf * N * SCALE *
+# 2200 — int64-safe while N * qtf < 4.2e9 (e.g. 4 billion docs at
+# unit query tf). Beyond that, shrink SCALE/BM25_TF_SCALE a decade
+# each (ranking-stable: both rescale every score identically) or
+# widen the sum to decimal(38,0). A raw TL-sized numerator instead of
+# the pre-divided ratio would overflow ~1e6x sooner.
 BM25_TF_SCALE = 1_000
 
 
@@ -206,9 +223,12 @@ def bm25_topk(
     Scale shape: dl is a partial+final count per doc; (N, TL) is a
     broadcast scalar; the scoring join broadcasts the query terms and
     shuffles the corpus tf relation once on the capped term key — same
-    contract as :func:`lexical_topk`. Overflow bound: 20*tf*TL must
-    fit int64 (TL < 4e14 total tokens at tf ~ 1e3) — beyond that,
-    swap the tf_sat expression to decimal(38,0).
+    contract as :func:`lexical_topk`. Overflow bounds (int64): the
+    tf_sat numerator needs 44*tf*TL*1000 to fit (TL < 2e11 total
+    tokens at tf ~ 1e3), and the score term qtf*idf*tf_sat needs
+    N*qtf < 4.2e9 (idf <= N*SCALE, tf_sat <= 2200). Past either,
+    shrink the scales a decade (ranking-stable — they multiply every
+    score identically) or widen to decimal(38,0).
     """
     tf = term_frequencies(ngram_tokens(docs, n, text_col, id_col))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))

@@ -3669,7 +3669,7 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list(i ORDER BY i) AS keep FROM k GROUP BY doc_id
     )
     SELECT t.doc_id,
-           CAST((len(t.w) + 31) // 32 AS BIGINT) AS n_chunks,
+           CAST(COALESCE((len(t.w) + 31) // 32, 0) AS BIGINT) AS n_chunks,
            CAST(COALESCE(len(r.keep), 0) AS BIGINT) AS n_kept,
            CASE WHEN r.keep IS NULL THEN ''
                 ELSE array_to_string(
@@ -3870,25 +3870,16 @@ def q_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 passages per query passage — same integer-exact scoring,
     stop-word cap, and broadcast-query join as q_bm25_topk, at a
     granularity where dl-normalization actually varies per store row."""
+    from konohadataplatform_spark.operators.dedup import word_chunk_index
     from konohadataplatform_spark.operators.retrieval import bm25_topk
 
     docs = _t(spark, sf_dir, "documents")
-    w = F.split(F.trim(F.col("text")), " ")
     cw = 32
-    passages = (
-        docs.select(F.col("doc_id"), w.alias("w"))
-        .select(
-            "doc_id", "w",
-            F.explode(F.expr(
-                f"sequence(0, cast((size(w) + {cw - 1}) / {cw} as int) - 1)"
-            )).alias("i"),
-        )
-        .select(
-            (F.col("doc_id") * F.lit(1_000_000) + F.col("i")).alias("pid"),
-            F.array_join(
-                F.expr(f"slice(w, i * {cw} + 1, {cw})"), " "
-            ).alias("text"),
-        )
+    passages = word_chunk_index(docs, chunk_words=cw).select(
+        (F.col("doc_id") * F.lit(1_000_000) + F.col("i")).alias("pid"),
+        F.array_join(
+            F.expr(f"slice(w, i * {cw} + 1, {cw})"), " "
+        ).alias("text"),
     )
     hits = bm25_topk(
         passages,
@@ -3917,7 +3908,7 @@ def q_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT doc_id,
              COALESCE(len(string_split(trim(text), ' ')), 0) AS toks,
-             md5(text) AS pri
+             COALESCE(md5(text), '') AS pri
       FROM documents
     ), c AS (
       SELECT doc_id, toks,

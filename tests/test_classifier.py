@@ -182,7 +182,7 @@ def test_score_with_weights_streams(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timeout, fail loudly
     streamed = {
         r.doc_id: (r.margin, r.pred_pos)
         for r in spark.read.parquet(out).collect()

@@ -1647,3 +1647,18 @@ def test_audio_utterances_silent_clip_has_none(spark):
         [(1, M.encode_wav(samples, 8000))], "media_id: long, content: binary"
     )
     assert M.audio_utterances(media, window=4).count() == 0
+
+
+def test_chunk_dedup_rewrite_null_text_is_zero_chunk_doc(spark):
+    """Review regression: a NULL-text doc must surface as (0, 0, '')
+    and MUST NOT corrupt its neighbors — the unguarded sequence(0, -1)
+    exploded to [0, -1], whose packed key doc_id*1e6 - 1 unpacked to a
+    phantom winner marker on the PREVIOUS doc at i=999999."""
+    docs = spark.createDataFrame(
+        [(4, "hello world"), (5, None)], "doc_id: long, text: string"
+    )
+    out = {r.doc_id: r for r in D.chunk_dedup_rewrite(docs).collect()}
+    assert (out[4].n_chunks, out[4].n_kept, out[4].kept_text) == (
+        1, 1, "hello world"
+    )
+    assert (out[5].n_chunks, out[5].n_kept, out[5].kept_text) == (0, 0, "")
