@@ -447,3 +447,44 @@ def test_cms_heavy_hitters_total_div_matches_explicit_threshold(spark):
         cms_heavy_hitters(grams, "gram")
     with _pytest.raises(ValueError, match="exactly one"):
         cms_heavy_hitters(grams, "gram", thr, total_div=800)
+
+
+def test_update_hll_state_incremental_matches_one_shot(spark, tmp_path):
+    """Catalog-persisted HLL state over two ingest batches must equal
+    the one-shot sketch of the whole corpus (semilattice merge), and a
+    REPLAYED batch (checkpoint redelivery) must leave the state
+    bit-identical — the idempotence that makes the maintenance op
+    bookkeeping-free."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_sketch,
+        update_hll_state,
+    )
+    from konohadataplatform_spark.sources.star_schema import load_table
+    from tests.conftest import SF_DIR
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    docs = load_table(spark, SF_DIR, "documents")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    update_hll_state(cat, "stats_hll", b1, ["source"], "text")
+    state = update_hll_state(cat, "stats_hll", b2, ["source"], "text")
+    one_shot = hll_register_sketch(docs, ["source"], "text")
+    assert {
+        (r.source, r.register_idx, r.rho) for r in state.collect()
+    } == {(r.source, r.register_idx, r.rho) for r in one_shot.collect()}
+    # replay batch 2: state unchanged (register-wise MAX idempotence)
+    replayed = update_hll_state(cat, "stats_hll", b2, ["source"], "text")
+    assert {
+        (r.source, r.register_idx, r.rho) for r in replayed.collect()
+    } == {(r.source, r.register_idx, r.rho) for r in state.collect()}
+    # and the estimate built from persisted state == one-shot estimate
+    est_state = {
+        (r.source, r.est) for r in hll_estimate(state, ["source"]).collect()
+    }
+    est_once = {
+        (r.source, r.est)
+        for r in hll_estimate(one_shot, ["source"]).collect()
+    }
+    assert est_state == est_once
