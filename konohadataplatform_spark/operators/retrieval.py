@@ -271,3 +271,47 @@ def bm25_topk(
         )
         .where(F.col("hit_rank") <= k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    topk: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal Rank Fusion over N per-query rankings — the standard
+    hybrid-retrieval combiner (lexical BM25 + vector kNN). Each input
+    is (q_id, hit_id, rnk); output (q_id, hit_id, rrf_score,
+    hybrid_rank <= topk).
+
+    rrf(q, d) = sum over rankings of scale // (k_const + rnk) — the
+    classic 1/(k+rank) with the division scaled to EXACT int64, so
+    fusion is bit-reproducible even though the upstream similarity
+    scores may be floats (only their integer RANKS enter). A doc
+    missing from one ranking simply contributes nothing (union, not
+    join — no nulls to special-case).
+
+    Scale: inputs are top-k-per-query relations (bounded, not corpus
+    relations); one groupBy on (q_id, hit_id) and a per-query window
+    over <= N*k rows per query."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    contribs = [
+        r.select(
+            "q_id",
+            "hit_id",
+            F.expr(f"div({int(scale)}, {int(k_const)} + rnk)").alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    scored = u.groupBy("q_id", "hit_id").agg(F.sum("_c").alias("rrf_score"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_score").desc(), F.col("hit_id").asc()
+    )
+    return scored.select(
+        "q_id", "hit_id", "rrf_score",
+        F.row_number().over(w).alias("hybrid_rank"),
+    ).where(F.col("hybrid_rank") <= topk)

@@ -3987,3 +3987,85 @@ def q_wav_utterances(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = M.audio_utterances(M.documents_as_wav(docs), window=4)
     return out.withColumnRenamed("media_id", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion of the lexical (BM25) and
+# vector (brute-force cosine) rankings for the same % 101 query split
+# (doc_id and vec_id are aligned). Only integer RANKS cross into the
+# fusion — contributions are scale // (60 + rank) — so the hybrid
+# result is exact int64 even though cosine similarities are floats.
+# --------------------------------------------------------------------------
+@query(
+    "q_hybrid_rrf",
+    f"""{_TRIGRAMS},
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+         dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n, SUM(dl) AS tl FROM dl),
+         idf AS (SELECT term, (n * 1000000) // COUNT(*) AS idf
+                 FROM tf, tot GROUP BY term, n HAVING COUNT(*) <= n // 10),
+         q AS (SELECT doc_id AS q_id, term, tf AS qtf
+               FROM tf WHERE doc_id % 101 = 0),
+         ts AS (SELECT tf.doc_id, tf.term,
+                       (44 * tf.tf * tl * 1000) //
+                       (20 * tf.tf * tl + 6 * tl + 18 * dl.dl * n) AS tf_sat
+                FROM tf JOIN dl USING (doc_id), tot),
+         sc AS (SELECT q.q_id, ts.doc_id,
+                       CAST(SUM(q.qtf * i.idf * ts.tf_sat) AS BIGINT) AS score
+                FROM q JOIN idf i USING (term) JOIN ts USING (term)
+                WHERE ts.doc_id <> q.q_id GROUP BY 1, 2),
+         lexrk AS (SELECT q_id, doc_id AS hit_id, row_number() OVER (
+                       PARTITION BY q_id ORDER BY score DESC, doc_id ASC)
+                     AS rnk
+                   FROM sc),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         vq AS (SELECT vec_id, v FROM e WHERE vec_id % 101 = 0),
+         vsc AS (SELECT vq.vec_id AS q_id, e.vec_id AS hit_id,
+                        list_dot_product(vq.v, e.v)
+                          / (sqrt(list_dot_product(vq.v, vq.v))
+                             * sqrt(list_dot_product(e.v, e.v))) AS cs
+                 FROM vq, e WHERE e.vec_id <> vq.vec_id),
+         vecrk AS (SELECT q_id, hit_id, row_number() OVER (
+                       PARTITION BY q_id ORDER BY cs DESC, hit_id ASC)
+                     AS rnk
+                   FROM vsc),
+         u AS (SELECT q_id, hit_id, 1000000 // (60 + rnk) AS c
+               FROM lexrk WHERE rnk <= 20
+               UNION ALL
+               SELECT q_id, hit_id, 1000000 // (60 + rnk) AS c
+               FROM vecrk WHERE rnk <= 20),
+         f AS (SELECT q_id, hit_id, CAST(SUM(c) AS BIGINT) AS rrf_score
+               FROM u GROUP BY 1, 2),
+         h AS (SELECT *, row_number() OVER (
+                   PARTITION BY q_id ORDER BY rrf_score DESC, hit_id ASC)
+                 AS hybrid_rank
+               FROM f)
+    SELECT q_id, hit_id, rrf_score, CAST(hybrid_rank AS INT) AS hybrid_rank
+    FROM h WHERE hybrid_rank <= 5
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 top-20 and brute-force-cosine top-20 fused
+    by Reciprocal Rank Fusion (1/(60+rank), scaled to exact int64 —
+    only integer ranks cross the float boundary). The production shape
+    swaps the brute-force branch for an ANN probe unchanged
+    (operators.retrieval.rrf_fuse)."""
+    from konohadataplatform_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, F.col("doc_id") % 101 == 0, k=20, n=3).select(
+        "q_id", "hit_id", F.col("hit_rank").alias("rnk")
+    )
+    vec = S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 101 == 0), k=20
+    ).select(
+        F.col("query_id").alias("q_id"),
+        F.col("neighbor_id").alias("hit_id"),
+        F.col("knn_rank").alias("rnk"),
+    )
+    return rrf_fuse([lex, vec], k_const=60, topk=5)

@@ -250,3 +250,38 @@ def test_bm25_topk_plan_broadcasts_query_side(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Hand-checked fusion: scores are exact scale//(k+rank) sums, a
+    doc present in only one ranking still fuses, and ties break on
+    ascending hit_id."""
+    import pytest as _pytest
+
+    from konohadataplatform_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "q_id: long, hit_id: long, rnk: int"
+    )
+    vec = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "q_id: long, hit_id: long, rnk: int"
+    )
+    got = {
+        r.hit_id: (r.rrf_score, r.hybrid_rank)
+        for r in rrf_fuse([lex, vec], k_const=60, topk=4).collect()
+    }
+    s = 1_000_000
+    expect_scores = {
+        10: s // 61,             # lex rank 1 only
+        11: s // 62 + s // 61,   # both lists
+        12: s // 63,             # lex rank 3 only
+        13: s // 62,             # vec rank 2 only
+    }
+    ranked = sorted(expect_scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = {
+        hid: (sc, i + 1) for i, (hid, sc) in enumerate(ranked)
+    }
+    assert got == expect
+    assert got[11][1] == 1  # the doc both retrievers agree on wins
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
