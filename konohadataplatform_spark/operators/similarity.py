@@ -1636,3 +1636,79 @@ def hard_negatives_grid(
         .where(F.col("neg_rank") <= k)
         .select("query_id", "neighbor_id", "neg_dist", "neg_rank")
     )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    topk: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-quality gate: per label, the ``topk`` vectors
+    FARTHEST from their own class centroid — mislabeled/noisy
+    embedding candidates a curation pipeline quarantines. Returns
+    (label, vec_id, dist2, far_rank).
+
+    Cross-engine determinism without integer squares (n²·x² would
+    overflow int64 at corpus scale): components snap to the 1e-9 grid
+    (floor(v*1e9)/1e9 — IEEE-exact both engines), centroid components
+    are an EXACT integer sum divided once, and the per-vector
+    Σ(x-μ)² accumulates over dimensions in FIXED pos order (a
+    higher-order aggregate, not a shuffle-order float SUM) — so every
+    dist2 is bit-identical in any engine, like the cosine ranks the
+    kNN oracles already hash-match. dist2 is rounded 6dp for output.
+
+    Scale: one (label, pos) partial+final aggregate (n_labels × dim
+    rows — metadata); centroid arrays broadcast back on label; the
+    per-vector distance is a pure projection; the only data-sized
+    exchange is the per-label top-k window over label partitions
+    (labels are few — for a hot label swap in ranking.salted_rank)."""
+    from pyspark.sql.window import Window as _W
+
+    grid = 1_000_000_000
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    ).select(
+        "label", "pos",
+        F.floor(F.col("val") * grid).cast("long").alias("s"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.sum("s").alias("ssum"), F.count(F.lit(1)).alias("n")
+    )
+    cvec = cent.groupBy("label").agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct(pos, "
+            f"(cast(ssum as double) / n) / {grid} AS mu))), x -> x.mu)"
+        ).alias("cvec")
+    )
+    xarr = F.expr(
+        f"transform(cast({vec_col} as array<double>), "
+        f"v -> floor(v * {grid}) / {grid})"
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(_x, cvec, (a, b) -> (a - b) * (a - b)), "
+        "0D, (acc, d) -> acc + d)"
+    )
+    w = _W.partitionBy("label").orderBy(
+        F.col("dist2").desc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.col(id_col).alias("vec_id"),
+            xarr.alias("_x"),
+        )
+        .join(F.broadcast(cvec), "label")
+        .select(
+            "label", "vec_id", F.round(dist2, 6).alias("dist2")
+        )
+        .select(
+            "label", "vec_id", "dist2",
+            F.row_number().over(w).alias("far_rank"),
+        )
+        .where(F.col("far_rank") <= topk)
+    )

@@ -4069,3 +4069,54 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("knn_rank").alias("rnk"),
     )
     return rrf_fuse([lex, vec], k_const=60, topk=5)
+
+
+# --------------------------------------------------------------------------
+# Embedding outlier gate: per label, the vectors farthest from their
+# own class centroid (mislabel/noise quarantine). Components snap to
+# the 1e-9 grid, centroids divide exact integer sums once, and the
+# per-vector distance folds over dimensions in fixed pos order — so
+# dist2 is bit-identical cross-engine (6dp-rounded for output).
+# --------------------------------------------------------------------------
+@query(
+    "q_embedding_outliers",
+    """
+    WITH e AS (
+      SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), ex AS (
+      SELECT label,
+             UNNEST([{'pos': i - 1,
+                      's': CAST(FLOOR(v[i] * 1000000000) AS BIGINT)}
+                     for i in range(1, len(v) + 1)], recursive := true)
+      FROM e
+    ), c AS (
+      SELECT label, pos,
+             (CAST(SUM(s) AS DOUBLE) / COUNT(*)) / 1000000000 AS mu
+      FROM ex GROUP BY 1, 2
+    ), cv AS (
+      SELECT label, list(mu ORDER BY pos) AS cvec FROM c GROUP BY label
+    ), d AS (
+      SELECT e.label, e.vec_id,
+             round(list_reduce(
+               [ (FLOOR(e.v[i] * 1000000000) / 1000000000 - cv.cvec[i])
+                 * (FLOOR(e.v[i] * 1000000000) / 1000000000 - cv.cvec[i])
+                 for i in range(1, len(e.v) + 1) ],
+               (a, b) -> a + b), 6) AS dist2
+      FROM e JOIN cv USING (label)
+    ), r AS (
+      SELECT *, row_number() OVER (
+                  PARTITION BY label ORDER BY dist2 DESC, vec_id ASC)
+                AS far_rank
+      FROM d
+    )
+    SELECT label, vec_id, dist2, CAST(far_rank AS INT) AS far_rank
+    FROM r WHERE far_rank <= 5
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top-5 farthest-from-centroid vectors — the embedding
+    noise/mislabel quarantine gate. Fixed-order dimension fold keeps
+    dist2 bit-identical cross-engine
+    (operators.similarity.centroid_outliers)."""
+    return S.centroid_outliers(_t(spark, sf_dir, "embeddings"), topk=5)

@@ -1662,3 +1662,22 @@ def test_chunk_dedup_rewrite_null_text_is_zero_chunk_doc(spark):
         1, 1, "hello world"
     )
     assert (out[5].n_chunks, out[5].n_kept, out[5].kept_text) == (0, 0, "")
+
+
+def test_centroid_outliers_finds_planted_noise(spark):
+    """A vector far from its tight class cluster must rank far_rank=1
+    for that label, with dist2 >> the cluster members'."""
+    rows = [(i, [1.0, 1.0, 0.0, 0.0], 7) for i in range(10)]
+    rows.append((99, [-5.0, 4.0, 3.0, -2.0], 7))     # planted outlier
+    rows += [(100 + i, [0.0, 0.0, 1.0, 1.0], 8) for i in range(5)]
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    )
+    out = {
+        (r.label, r.far_rank): r
+        for r in S.centroid_outliers(emb, topk=2).collect()
+    }
+    assert out[(7, 1)].vec_id == 99
+    assert out[(7, 1)].dist2 > 10 * out[(7, 2)].dist2
+    # the uniform label-8 cluster: all dist2 identical, ids break ties
+    assert out[(8, 1)].vec_id == 100 and out[(8, 1)].dist2 == 0.0
