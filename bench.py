@@ -86,6 +86,10 @@ EXTENDED = [
     "q_importance_weights",
     "q_passage_bm25",
     "q_quality_classifier",
+    # r8d: hybrid fusion, shard layout, embedding quarantine
+    "q_hybrid_rrf",
+    "q_shard_plan",
+    "q_embedding_outliers",
 ]
 
 
