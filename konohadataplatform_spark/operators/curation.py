@@ -269,3 +269,51 @@ def write_training_shards(
         )
     finally:
         plan.unpersist()
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    train_nibbles: int = 13,
+    val_nibbles: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across
+    folds: documents first cluster by near-duplicate similarity
+    (trigram Jaccard >= ``threshold``, connected components), then the
+    whole cluster inherits one fold from the md5 nibble of its
+    REPRESENTATIVE id — so a test document's paraphrases/copies can
+    never sit in train. A plain per-doc hash split (q_dataset_split)
+    assigns ~
+    P(different folds) ~ 2 * 0.19 per near-dup pair; this is the fix.
+
+    Returns (doc_id, cluster_rep, split). Fold fractions follow the
+    nibble budget (default 13/16 train, 1/16 val, 2/16 test) over
+    CLUSTERS, which converges to the same doc-level fractions when
+    duplicates are a small corpus share. Deterministic and stable
+    under corpus growth ONLY for docs whose cluster membership is
+    unchanged — merging two clusters re-draws the merged cluster's
+    fold (inherent to any leakage-free rule; record splits at release
+    time like any dataset card does).
+
+    Scale: clustering is the banded-minhash + fixed-point component
+    path (operators/dedup.dedup_clusters — no all-pairs work); the
+    fold column is one projection on its output.
+    """
+    from konohadataplatform_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(
+        docs, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    nibble = F.conv(
+        F.substring(F.md5(F.col("cluster_rep").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    return clusters.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(nibble < train_nibbles, "train")
+        .when(nibble < train_nibbles + val_nibbles, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -4120,3 +4120,64 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist2 bit-identical cross-engine
     (operators.similarity.centroid_outliers)."""
     return S.centroid_outliers(_t(spark, sf_dir, "embeddings"), topk=5)
+
+
+# --------------------------------------------------------------------------
+# Leakage-free dataset split: near-duplicate clusters (trigram Jaccard
+# >= 0.8, connected components) inherit ONE fold from the md5 nibble of
+# their representative — a test doc's paraphrases can never sit in
+# train, which the per-doc hash split cannot guarantee.
+# --------------------------------------------------------------------------
+@query(
+    "q_leakage_free_split",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS sh
+      FROM t WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ), reach AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.dst AS node, r.label
+      FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    ), cl AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), h AS (
+      SELECT doc_id, cluster_rep,
+             (strpos({_HEX}, md5(CAST(cluster_rep AS VARCHAR))[1]) - 1) AS b
+      FROM cl
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN b < 13 THEN 'train'
+                WHEN b < 14 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test membership (13/1/2 nibbles over
+    cluster representatives) — the split rule that keeps every
+    near-duplicate family in one fold
+    (operators.curation.leakage_free_split)."""
+    from konohadataplatform_spark.operators.curation import (
+        leakage_free_split,
+    )
+
+    return leakage_free_split(_t(spark, sf_dir, "documents"), threshold=0.8)

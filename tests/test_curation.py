@@ -242,3 +242,38 @@ def test_shard_plan_custom_priority_orders_curriculum(spark):
     lowest = {d for d, _s in got if _s == 0}
     by_pri = sorted(rows, key=lambda r: (r[2], r[0]))[:10]
     assert lowest == {r[0] for r in by_pri}
+
+
+def test_leakage_free_split_never_splits_a_cluster(spark):
+    """The whole point: every near-duplicate cluster lands in exactly
+    one fold, including a planted pair whose PER-DOC hashes would land
+    in different folds under the naive split."""
+    from hashlib import md5 as _md5
+
+    from konohadataplatform_spark.operators.curation import (
+        leakage_free_split,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    # find two ids whose per-doc nibbles fall in different naive folds
+    def nib(i):
+        return int(_md5(str(i).encode()).hexdigest()[0], 16)
+
+    a = next(i for i in range(1000) if nib(i) >= 14)          # naive: test
+    b = next(i for i in range(1000) if i != a and nib(i) < 13)  # naive: train
+    rows = [(a, base + " tail_a"), (b, base + " tail_b")] + [
+        (10_000 + i, f"unique doc {i} " + " ".join(f"u{i}_{j}" for j in range(10)))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = leakage_free_split(docs, threshold=0.8)
+    got = {r.doc_id: (r.cluster_rep, r.split) for r in out.collect()}
+    assert len(got) == len(rows)
+    # the near-dup pair clustered and shares one fold
+    assert got[a][0] == got[b][0] == min(a, b)
+    assert got[a][1] == got[b][1]
+    # per-cluster fold uniqueness corpus-wide
+    folds = {}
+    for _d, (rep, split) in got.items():
+        folds.setdefault(rep, set()).add(split)
+    assert all(len(s) == 1 for s in folds.values())
