@@ -17,6 +17,7 @@ from konohadataplatform_spark.operators.classifier import (
 from konohadataplatform_spark.operators.curation import (
     apply_group_cap,
     importance_weights,
+    leakage_free_split,
     shard_plan,
     write_training_shards,
 )
@@ -42,5 +43,5 @@ __all__ = [
     "scalable_row_number", "as_of_join", "range_join_buckets",
     "bm25_topk", "lexical_topk", "rrf_fuse", "perceptron_scores",
     "score_with_weights", "importance_weights", "apply_group_cap",
-    "shard_plan", "write_training_shards",
+    "shard_plan", "write_training_shards", "leakage_free_split",
 ]

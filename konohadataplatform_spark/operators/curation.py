@@ -225,8 +225,9 @@ def shard_plan(
         .select(
             "doc_id",
             "toks",
+            # bigint: at 100 TB total_tokens/budget can pass 2^31 and a
+            # non-ANSI int cast would wrap to negative shard ids
             F.expr(f"(offset + _before) div {int(tokens_per_shard)}")
-            .cast("int")
             .alias("shard"),
         )
     )
@@ -284,9 +285,9 @@ def leakage_free_split(
     (trigram Jaccard >= ``threshold``, connected components), then the
     whole cluster inherits one fold from the md5 nibble of its
     REPRESENTATIVE id — so a test document's paraphrases/copies can
-    never sit in train. A plain per-doc hash split (q_dataset_split)
-    assigns ~
-    P(different folds) ~ 2 * 0.19 per near-dup pair; this is the fix.
+    never sit in train. Under a plain per-doc hash split
+    (q_dataset_split) a near-dup pair straddles folds with probability
+    ~31% (1 - 13²/16² - 1/16² - 4/16²); this rule makes it 0.
 
     Returns (doc_id, cluster_rep, split). Fold fractions follow the
     nibble budget (default 13/16 train, 1/16 val, 2/16 test) over
@@ -297,9 +298,12 @@ def leakage_free_split(
     fold (inherent to any leakage-free rule; record splits at release
     time like any dataset card does).
 
-    Scale: clustering is the banded-minhash + fixed-point component
-    path (operators/dedup.dedup_clusters — no all-pairs work); the
-    fold column is one projection on its output.
+    Scale: clustering is operators/dedup.dedup_clusters — the exact
+    prefix-filtered Jaccard self-join plus fixed-point min-label
+    components (candidate generation is inverted-index-pruned, not
+    all-pairs; for web-scale corpora swap the pair stage for
+    minhash_lsh_candidates and keep the same component/fold tail).
+    The fold column is one projection on its output.
     """
     from konohadataplatform_spark.operators.dedup import dedup_clusters
 
@@ -310,8 +314,8 @@ def leakage_free_split(
         F.substring(F.md5(F.col("cluster_rep").cast("string")), 1, 1), 16, 10
     ).cast("int")
     return clusters.select(
-        "doc_id",
-        "cluster_rep",
+        F.col(id_col),
+        F.col("cluster_rep"),
         F.when(nibble < train_nibbles, "train")
         .when(nibble < train_nibbles + val_nibbles, "val")
         .otherwise("test")

@@ -507,12 +507,23 @@ def update_hll_state(
     corpus is never rescanned. Register-wise MAX is idempotent, so a
     replayed batch (checkpoint redelivery) leaves the state
     bit-identical — no dedup bookkeeping needed, unlike counters.
-    Estimates at any time via ``hll_estimate(catalog.read(table))``.
+    Estimates at any time via ``hll_estimate(catalog.read(table).
+    drop("b"))``. The register width ``b`` is persisted WITH the state
+    and checked on every merge — two sketches with different b have
+    disjoint register spaces, and MAXing them would silently corrupt
+    every later estimate.
     """
-    new = hll_register_sketch(batch, group_cols, col, b)
+    new = hll_register_sketch(batch, group_cols, col, b).withColumn(
+        "b", F.lit(int(b))
+    )
     if catalog.exists(table):
-        new = hll_merge(
-            catalog.read(table).unionByName(new), group_cols
-        )
+        state = catalog.read(table)
+        stored_b = state.select("b").first()
+        if stored_b is not None and stored_b["b"] != int(b):
+            raise ValueError(
+                f"state table {table!r} was built with b={stored_b['b']}, "
+                f"got b={b}: register spaces are disjoint and must not merge"
+            )
+        new = hll_merge(state.unionByName(new), group_cols + ["b"])
     catalog.write(table, new)
     return catalog.read(table)

@@ -1058,9 +1058,7 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup cluster map: connected components over exact Jaccard pairs;
 # oracle via recursive CTE reachability (min-id per component)
 # --------------------------------------------------------------------------
-@query(
-    "q_dedup_clusters",
-    """
+_CLUSTER_CTES = """
     WITH RECURSIVE t AS (
       SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
     ), s AS (
@@ -1085,10 +1083,18 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM reach r JOIN edges e ON e.src = r.node
     ), comp AS (
       SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    ), cl AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     )
-    SELECT d.doc_id,
-           COALESCE(c.component, d.doc_id) AS cluster_rep
-    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    f"""{_CLUSTER_CTES}
+    SELECT doc_id, cluster_rep FROM cl
     """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2012,9 +2018,7 @@ def q_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_bm25_topk",
-    f"""{_TRIGRAMS},
+_BM25_CORE = """
          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
          dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
          tot AS (SELECT COUNT(*) AS n, SUM(dl) AS tl FROM dl),
@@ -2029,7 +2033,13 @@ def q_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          sc AS (SELECT q.q_id, ts.doc_id,
                        CAST(SUM(q.qtf * i.idf * ts.tf_sat) AS BIGINT) AS score
                 FROM q JOIN idf i USING (term) JOIN ts USING (term)
-                WHERE ts.doc_id <> q.q_id GROUP BY 1, 2),
+                WHERE ts.doc_id <> q.q_id GROUP BY 1, 2)
+"""
+
+
+@query(
+    "q_bm25_topk",
+    f"""{_TRIGRAMS},{_BM25_CORE},
          rk AS (SELECT *, row_number() OVER (
                     PARTITION BY q_id ORDER BY score DESC, doc_id ASC)
                   AS hit_rank
@@ -2402,9 +2412,7 @@ def q_gif_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Windowed audio analysis (silence/clipping/activity curation features)
 # --------------------------------------------------------------------------
-@query(
-    "q_wav_windows",
-    f"""
+_WAV_WINDOW_CTES = f"""
     WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
          b AS (SELECT doc_id, {_MD5_BYTES} AS bytes FROM d),
          s AS (SELECT doc_id,
@@ -2417,6 +2425,12 @@ def q_gif_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
          x AS (SELECT doc_id, window_idx,
                       samples[4*window_idx+1 : 4*window_idx+4] AS sub
                FROM w)
+"""
+
+
+@query(
+    "q_wav_windows",
+    f"""{_WAV_WINDOW_CTES}
     SELECT doc_id, window_idx,
            CAST(list_sum([v * v for v in sub]) AS BIGINT) AS energy,
            CAST(
@@ -3918,7 +3932,7 @@ def q_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT doc_id, CAST(toks AS BIGINT) AS toks,
-           CAST(bef // 2000 AS INT) AS shard
+           CAST(bef // 2000 AS BIGINT) AS shard
     FROM c
     """,
 )
@@ -3938,19 +3952,7 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q_wav_utterances",
-    f"""
-    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
-         b AS (SELECT doc_id, {_MD5_BYTES} AS bytes FROM d),
-         s AS (SELECT doc_id,
-                      [ CASE WHEN bytes[2*j+1] + 256 * bytes[2*j+2] >= 32768
-                             THEN bytes[2*j+1] + 256 * bytes[2*j+2] - 65536
-                             ELSE bytes[2*j+1] + 256 * bytes[2*j+2] END
-                        for j in range(0, 8) ] AS samples
-               FROM b),
-         w AS (SELECT doc_id, samples, unnest([0, 1]) AS window_idx FROM s),
-         x AS (SELECT doc_id, window_idx,
-                      samples[4*window_idx+1 : 4*window_idx+4] AS sub
-               FROM w),
+    f"""{_WAV_WINDOW_CTES},
          e AS (SELECT doc_id, window_idx,
                       CAST(list_sum([v * v for v in sub]) AS BIGINT) AS energy
                FROM x),
@@ -3998,22 +4000,7 @@ def q_wav_utterances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q_hybrid_rrf",
-    f"""{_TRIGRAMS},
-         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
-         dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
-         tot AS (SELECT COUNT(*) AS n, SUM(dl) AS tl FROM dl),
-         idf AS (SELECT term, (n * 1000000) // COUNT(*) AS idf
-                 FROM tf, tot GROUP BY term, n HAVING COUNT(*) <= n // 10),
-         q AS (SELECT doc_id AS q_id, term, tf AS qtf
-               FROM tf WHERE doc_id % 101 = 0),
-         ts AS (SELECT tf.doc_id, tf.term,
-                       (44 * tf.tf * tl * 1000) //
-                       (20 * tf.tf * tl + 6 * tl + 18 * dl.dl * n) AS tf_sat
-                FROM tf JOIN dl USING (doc_id), tot),
-         sc AS (SELECT q.q_id, ts.doc_id,
-                       CAST(SUM(q.qtf * i.idf * ts.tf_sat) AS BIGINT) AS score
-                FROM q JOIN idf i USING (term) JOIN ts USING (term)
-                WHERE ts.doc_id <> q.q_id GROUP BY 1, 2),
+    f"""{_TRIGRAMS},{_BM25_CORE},
          lexrk AS (SELECT q_id, doc_id AS hit_id, row_number() OVER (
                        PARTITION BY q_id ORDER BY score DESC, doc_id ASC)
                      AS rnk
@@ -4130,36 +4117,8 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q_leakage_free_split",
-    f"""
-    WITH RECURSIVE t AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-    ), s AS (
-      SELECT doc_id,
-             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                            for i in range(1, len(w) - 1)]) AS sh
-      FROM t WHERE len(w) >= 3
-    ), pairs AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM s a, s b
-      WHERE a.doc_id < b.doc_id
-        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
-    ), edges AS (
-      SELECT a_id AS src, b_id AS dst FROM pairs
-      UNION ALL
-      SELECT b_id AS src, a_id AS dst FROM pairs
-    ), reach AS (
-      SELECT src AS node, src AS label FROM edges
-      UNION
-      SELECT e.dst AS node, r.label
-      FROM reach r JOIN edges e ON e.src = r.node
-    ), comp AS (
-      SELECT node, MIN(label) AS component FROM reach GROUP BY node
-    ), cl AS (
-      SELECT d.doc_id,
-             COALESCE(c.component, d.doc_id) AS cluster_rep
-      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-    ), h AS (
+    f"""{_CLUSTER_CTES},
+         h AS (
       SELECT doc_id, cluster_rep,
              (strpos({_HEX}, md5(CAST(cluster_rep AS VARCHAR))[1]) - 1) AS b
       FROM cl

@@ -488,3 +488,19 @@ def test_update_hll_state_incremental_matches_one_shot(spark, tmp_path):
         for r in hll_estimate(one_shot, ["source"]).collect()
     }
     assert est_state == est_once
+
+
+def test_update_hll_state_rejects_register_width_mismatch(spark, tmp_path):
+    """Merging sketches of different b would MAX disjoint register
+    spaces and silently corrupt every later estimate — the op persists
+    b with the state and refuses a mismatched batch."""
+    import pytest as _pytest
+
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.operators.sketches import update_hll_state
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(20).selectExpr("cast(id as string) AS v", "'s' AS src")
+    update_hll_state(cat, "hb", df, ["src"], "v", b=12)
+    with _pytest.raises(ValueError, match="b=12"):
+        update_hll_state(cat, "hb", df, ["src"], "v", b=8)
