@@ -4140,3 +4140,53 @@ def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return leakage_free_split(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty: per doc, the share of its DISTINCT trigrams that
+# appear nowhere else in the corpus (df == 1) — high novelty separates
+# original content from template/boilerplate mass; integer-exact pct.
+# --------------------------------------------------------------------------
+@query(
+    "q_ngram_novelty",
+    f"""{_TRIGRAMS},
+         pd AS (SELECT DISTINCT doc_id, term FROM g),
+         df AS (SELECT term, COUNT(*) AS df FROM pd GROUP BY term),
+         agg AS (SELECT pd.doc_id,
+                        COUNT(*) AS n_grams,
+                        SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_novel
+                 FROM pd JOIN df USING (term) GROUP BY 1)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST((n_novel * 100) // n_grams AS BIGINT) AS novelty_pct
+    FROM agg
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: distinct trigrams with corpus df=1 over the
+    doc's distinct trigrams, as an exact integer percent. One
+    (doc, term) distinct + one df aggregate + one term-keyed join —
+    the same partial+final shapes as the retrieval family; docs with
+    < 3 words carry no grams and drop out (as in q_inverted_index)."""
+    from konohadataplatform_spark.operators.retrieval import ngram_tokens
+
+    pd_ = (
+        ngram_tokens(_t(spark, sf_dir, "documents"), n=3)
+        .select("doc_id", "term")
+        .distinct()
+    )
+    df_ = pd_.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        pd_.join(df_, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            F.expr("div(n_novel * 100, n_grams)").alias("novelty_pct"),
+        )
+    )
