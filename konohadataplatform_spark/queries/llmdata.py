@@ -4190,3 +4190,63 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("div(n_novel * 100, n_grams)").alias("novelty_pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Split-leak audit: how many near-duplicate pairs STRADDLE folds under
+# the naive per-doc hash split — the measured number q_leakage_free_split
+# drives to zero. One-row report, exact integers.
+# --------------------------------------------------------------------------
+@query(
+    "q_split_leak_audit",
+    f"""{_CLUSTER_CTES},
+         fold AS (
+      SELECT doc_id,
+             CASE WHEN (strpos({_HEX}, md5(CAST(doc_id AS VARCHAR))[1]) - 1)
+                       < 13 THEN 'train'
+                  WHEN (strpos({_HEX}, md5(CAST(doc_id AS VARCHAR))[1]) - 1)
+                       < 14 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_neardup_pairs,
+           CAST(SUM(CASE WHEN fa.split <> fb.split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_straddling
+    FROM pairs p
+    JOIN fold fa ON fa.doc_id = p.a_id
+    JOIN fold fb ON fb.doc_id = p.b_id
+    """,
+)
+def q_split_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts near-dup pairs (trigram Jaccard >= 0.8) whose members
+    land in DIFFERENT folds under the per-doc hash split — the
+    leakage q_leakage_free_split eliminates by construction
+    (dedup.jaccard_similarity_join + the q_dataset_split fold rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_similarity_join(docs, threshold=0.8)
+    nibble = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    fold = docs.select(
+        "doc_id",
+        F.when(nibble < 13, "train")
+        .when(nibble < 14, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    fa = fold.select(
+        F.col("doc_id").alias("a_id"), F.col("split").alias("sa")
+    )
+    fb = fold.select(
+        F.col("doc_id").alias("b_id"), F.col("split").alias("sb")
+    )
+    return (
+        pairs.join(fa, "a_id")
+        .join(fb, "b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neardup_pairs"),
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_straddling"),
+        )
+    )
