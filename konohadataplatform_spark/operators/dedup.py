@@ -835,6 +835,142 @@ def exact_substring_spans(
     )
 
 
+def exact_substring_rewrite(
+    docs: DataFrame,
+    k: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate REMOVAL (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr *rewrite*, not just the profile): every character
+    covered by a non-first occurrence of a duplicated ``k``-char
+    window is cut out of the text; each document's surviving character
+    ranges are re-joined in order. The globally-first occurrence of
+    every window (lowest ``(doc_id, pos)``) is never a cut trigger —
+    one copy of each duplicated substring remains in the corpus,
+    within-document repeats included.
+
+    Returns (doc_id, n_cut_spans, removed_chars, kept_text) for EVERY
+    input doc; ``length(text) = removed_chars + length(kept_text)``
+    (mass conservation, pytest-guarded). Docs shorter than ``k`` chars
+    (and NULL text) pass through untouched.
+
+    Composition of :func:`exact_substring_spans` (the profile) and
+    :func:`chunk_dedup_rewrite` (the reassembly discipline):
+
+    1. char ``k``-shingles (doc_id, pos, md5-digest) at every position
+       — digests computed scan-side, the TEXT never enters an
+       exchange;
+    2. first-occurrence winner per digest by packing (doc_id, pos)
+       into one int64 (``doc_id * 10^9 + pos``) and taking MIN — a
+       combiner-friendly aggregate, so a boilerplate window with 10^9
+       copies collapses map-side (the same skew posture as
+       ``chunk_dedup_rewrite``'s packed winner);
+    3. a position is CUT iff its packed key is not its digest's
+       minimum (a digest seen once is trivially its own minimum, so
+       unique text is never touched);
+    4. cut positions merge into disjoint spans with a gap-aware
+       two-window pass per doc (lag + running sum): runs closer than
+       ``k`` chars would produce OVERLAPPING [pos, pos+k-1] spans, so
+       a new span only starts when the gap to the previous cut
+       position exceeds ``k - 1`` — guaranteeing disjoint spans with
+       >= 1 surviving char between them, which makes removed_chars
+       exact (the profile's islands may overlap; these cannot);
+    5. each doc joins its sorted span list on unique doc_id (unskewed)
+       and re-slices its own text with one higher-order ``aggregate``
+       — span text itself never shuffles.
+
+    All windows partition by doc_id — bounded by ONE document's cut
+    positions, never corpus-scale. Bounds (runtime-guarded): doc ids
+    must be non-negative ints < ~9.2e9 and documents < 10^9 chars for
+    the packed key.
+    """
+    kk = int(k)
+    pack = 1_000_000_000
+    n = F.length(F.col(text_col))
+    shingles = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+            n.alias("_n"),
+        )
+        .where(F.col("_n") >= kk)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, _n - {kk}),"
+                    f" p -> struct(p AS pos, md5(substring(_t, p + 1, {kk})) AS h))"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "s.pos",
+            "s.h",
+            # packed-key guard: a negative / oversized doc_id would
+            # silently corrupt ANOTHER doc's output downstream, so
+            # fail loudly scan-side (one comparison per row — noise
+            # next to the md5)
+            F.expr(
+                f"if(doc_id >= 0 and doc_id < {(1 << 63) // pack}, "
+                f"doc_id * {pack}L + pos, "
+                f"raise_error(concat('exact_substring_rewrite: doc_id ', "
+                f"cast(doc_id as string), ' outside [0, 9.2e9) packed-key bound')))"
+            ).alias("pk"),
+        )
+    )
+    firsts = shingles.groupBy("h").agg(F.min("pk").alias("fk"))
+    cuts = (
+        shingles.join(firsts, "h")
+        .where(F.col("pk") != F.col("fk"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grouped = cuts.withColumn(
+        "_new",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > kk - 1, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = grouped.groupBy("doc_id", "_isl").agg(
+        F.min("pos").cast("int").alias("s"),
+        (F.max("pos") + F.lit(kk - 1)).cast("int").alias("e"),
+    )
+    span_lists = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cut_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("removed_chars"),
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_spans"),
+    )
+    kept = F.expr(
+        f"""aggregate(
+          _spans,
+          struct(cast(0 as int) as cur, cast('' as string) as acc),
+          (st, sp) -> struct(
+            cast(sp.e + 1 as int) as cur,
+            concat(st.acc, substring({text_col}, st.cur + 1, sp.s - st.cur)) as acc),
+          st -> concat(st.acc,
+                       substring({text_col}, st.cur + 1,
+                                 length({text_col}) - st.cur)))"""
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .join(span_lists, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_cut_spans", F.lit(0)).alias("n_cut_spans"),
+            F.coalesce("removed_chars", F.lit(0)).alias("removed_chars"),
+            F.when(F.col("_spans").isNull(), F.col(text_col))
+            .otherwise(kept)
+            .alias("kept_text"),
+        )
+    )
+
+
 def word_chunk_index(
     docs: DataFrame,
     chunk_words: int = 32,

@@ -3653,6 +3653,83 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ExactSubstr corpus REWRITE (Lee et al. 2022, the removal step):
+# q_exact_substring_spans only profiles the duplicated spans — this cuts
+# them. The first occurrence (lowest packed (doc_id, pos)) of every
+# 30-char window survives; every char covered by a later occurrence is
+# removed and each doc's surviving ranges re-join in order. Cut spans
+# merge gap-aware (runs closer than k would overlap), so removed_chars
+# is exact and length(text) = removed_chars + length(kept_text).
+# --------------------------------------------------------------------------
+@query(
+    "q_exact_substring_rewrite",
+    """
+    WITH sh AS (
+      SELECT doc_id, s.pos AS pos, s.h AS h,
+             doc_id * 1000000000 + s.pos AS pk
+      FROM (
+        SELECT doc_id,
+               unnest([ {'pos': p,
+                         'h': md5(substring(text, CAST(p + 1 AS INT), 30))}
+                        for p in range(0, length(text) - 29) ]) AS s
+        FROM documents WHERE length(text) >= 30)
+    ), f AS (
+      SELECT h, MIN(pk) AS fk FROM sh GROUP BY h
+    ), cut AS (
+      SELECT doc_id, pos FROM sh JOIN f USING (h) WHERE sh.pk <> f.fk
+    ), g AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > 29 THEN 1 ELSE 0 END AS nw
+      FROM cut
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS gid
+      FROM g
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 29 AS e
+      FROM isl GROUP BY doc_id, gid
+    ), prof AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_spans,
+             CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars
+      FROM spans GROUP BY doc_id
+    ), segs AS (
+      SELECT doc_id,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s) + 1, 0)
+               AS st,
+             s AS en
+      FROM spans
+      UNION ALL
+      SELECT doc_id, MAX(e) + 1, NULL FROM spans GROUP BY doc_id
+    ), kept AS (
+      SELECT sg.doc_id,
+             string_agg(
+               substring(d.text, CAST(sg.st + 1 AS INT),
+                         CAST(COALESCE(sg.en, length(d.text)) - sg.st AS INT)),
+               '' ORDER BY sg.st) AS kept_text
+      FROM segs sg JOIN documents d USING (doc_id)
+      GROUP BY sg.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_cut_spans, 0) AS n_cut_spans,
+           COALESCE(p.removed_chars, 0) AS removed_chars,
+           CASE WHEN p.doc_id IS NULL THEN d.text ELSE k.kept_text END
+             AS kept_text
+    FROM documents d
+    LEFT JOIN prof p USING (doc_id)
+    LEFT JOIN kept k ON k.doc_id = d.doc_id
+    """,
+)
+def q_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-span REMOVAL with document reassembly
+    (operators.dedup.exact_substring_rewrite): first occurrence
+    survives, every later copy's characters are cut, mass is conserved
+    (length = removed_chars + length(kept_text))."""
+    return D.exact_substring_rewrite(_t(spark, sf_dir, "documents"), k=30)
+
+
+# --------------------------------------------------------------------------
 # C4-style chunk-dedup corpus REWRITE: q_chunk_dedup profiles repeated
 # 32-word chunks; this is the removal step — first occurrence survives,
 # every later copy is deleted, documents are re-joined in order. The

@@ -1681,3 +1681,101 @@ def test_centroid_outliers_finds_planted_noise(spark):
     assert out[(7, 1)].dist2 > 10 * out[(7, 2)].dist2
     # the uniform label-8 cluster: all dist2 identical, ids break ties
     assert out[(8, 1)].vec_id == 100 and out[(8, 1)].dist2 == 0.0
+
+
+# -- exact-substring span REMOVAL (Lee 2022 rewrite) ------------------------
+
+
+def test_exact_substring_rewrite_fixture(spark):
+    """First-occurrence-wins span removal: the doc that introduced the
+    span keeps it, a later doc embedding the same span loses exactly
+    those characters, unique/short/NULL docs pass through untouched."""
+    span = "the quick brown fox jumps over the lazy dog tonight"  # 51 chars
+    docs = spark.createDataFrame(
+        [
+            (1, span),
+            (2, f"HEAD {span} TAIL"),
+            (3, "totally unique text that shares nothing with anything!!"),
+            (4, None),
+            (5, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in D.exact_substring_rewrite(docs, k=30).collect()
+    }
+    assert (out[1].n_cut_spans, out[1].kept_text) == (0, span)
+    assert out[2].n_cut_spans == 1
+    assert out[2].kept_text == "HEAD  TAIL"
+    assert out[2].removed_chars == len(span)
+    assert (out[3].n_cut_spans, out[3].kept_text.startswith("totally")) == (
+        0, True
+    )
+    assert out[4].kept_text is None and out[4].removed_chars == 0
+    assert (out[5].n_cut_spans, out[5].kept_text) == (0, "short")
+
+
+def test_exact_substring_rewrite_overlapping_runs_merge(spark):
+    """Two duplicated windows 15 chars apart in the same doc produce
+    cut spans that would OVERLAP ([0,29] and [15,44]) — the gap-aware
+    island merge must fuse them into ONE span so removed_chars stays
+    exact and mass is conserved (the naive profile-islands grouping
+    would report 60 removed chars of a 45-char doc)."""
+    a = "0123456789abcdefghijklmnopqrst"            # 30 chars
+    b = a[15:30] + "XYZWVUTSRQPONML"                # 30 chars, B[0:15]=A[15:30]
+    c = a + b[15:30]                                # 45 chars: C[0:30]=A, C[15:45]=B
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r for r in D.exact_substring_rewrite(docs, k=30).collect()
+    }
+    assert (out[1].n_cut_spans, out[1].kept_text) == (0, a)
+    assert (out[2].n_cut_spans, out[2].kept_text) == (0, b)
+    assert out[3].n_cut_spans == 1
+    assert out[3].removed_chars == 45
+    assert out[3].kept_text == ""
+
+
+def test_exact_substring_rewrite_mass_conserved_corpus(spark):
+    """On the real corpus: length(text) = removed_chars +
+    length(kept_text) for every document, and at least one doc is cut
+    (the testdata plants near-duplicates)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = D.exact_substring_rewrite(docs, k=30)
+    bad = out.join(
+        docs.select("doc_id", "text"), "doc_id"
+    ).where(
+        F.col("text").isNotNull()
+        & (
+            F.length("text")
+            != F.col("removed_chars") + F.length("kept_text")
+        )
+    )
+    assert bad.count() == 0
+    assert out.where(F.col("n_cut_spans") > 0).count() > 0
+
+
+def test_exact_substring_rewrite_negative_doc_id_loud(spark):
+    """A negative doc_id would silently corrupt ANOTHER doc's packed
+    winner key — the operator must fail loudly instead."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    docs = spark.createDataFrame(
+        [(-1, "x" * 40), (2, "y" * 40)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="packed-key bound|USER_RAISED"):
+        D.exact_substring_rewrite(docs, k=30).collect()
+
+
+def test_exact_substring_rewrite_plan_no_cartesian(spark):
+    """Scale contract: winner selection is a packed-MIN aggregate and
+    reassembly joins on unique doc_id — no cartesian product anywhere;
+    the only Windows partition by doc_id (bounded by one document)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = D.exact_substring_rewrite(docs, k=30)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
