@@ -1547,17 +1547,82 @@ def mmr_candidates_grid(
 ) -> DataFrame:
     """Per-query top-``m`` exact-grid-L2 candidates with their grid
     vectors — the brute-force recall stage feeding mmr_select_portable
-    (swap in the ANN index probe at scale; the MMR contract only needs
-    (query_id, cand_id, dq, cq))."""
+    (:func:`mmr_candidates_ivf` is the ANN-probed scale path; the MMR
+    contract only needs (query_id, cand_id, dq, cq)).
+
+    The query side rides a BROADCAST (same convention as
+    ``hard_negatives_grid``): without the hint an un-hinted cross join
+    can plan the small query relation as the STREAM side and shuffle
+    the corpus — the corpus must only ever be scanned, never
+    exchanged, in the candidate stage (plan-gated)."""
     from pyspark.sql.window import Window
 
     base = _grid_base(corpus, id_col, vec_col, scale, offset)
     qbase = _grid_base(queries, id_col, vec_col, scale, offset,
                        id_alias="query_id")
     scored = (
-        qbase.select("query_id", F.col("q").alias("qq"))
+        F.broadcast(qbase.select("query_id", F.col("q").alias("qq")))
         .crossJoin(base.select(F.col("cid").alias("cand_id"),
                                F.col("q").alias("cq")))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("dq", _sub_l2(F.col("qq"), F.col("cq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dq").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= m)
+        .select("query_id", "cand_id", "dq", "cq")
+    )
+
+
+def mmr_candidates_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset: float = 2.0,
+) -> DataFrame:
+    """ANN-probed MMR candidate stage: same (query_id, cand_id, dq, cq)
+    contract as :func:`mmr_candidates_grid`, but candidates come from
+    an IVF probe instead of the full cross join — the documented swap
+    that makes MMR re-ranking viable at corpus scale.
+
+    Training and assignment reuse the portable integer-Lloyd machinery
+    of :func:`ann_ivf_topk_portable` (centroids are driver-side
+    metadata, assignment an Arrow argmin projection). Each query scans
+    only its ``nprobe`` nearest cells' vectors; distances stay exact
+    int64 grid squared-L2, so with ``nprobe = n_cells`` the output is
+    BIT-IDENTICAL to the brute-force grid stage (the parity test), and
+    below that it is the standard IVF recall trade.
+
+    Scale shape: the corpus is assigned once (map-only) and joins the
+    exploded (query, cell) probes on ``cell`` — the only corpus-sized
+    exchange is that cell-keyed hash join (vs the window shuffle of
+    ALL n_queries x n_corpus scored pairs in the brute-force stage);
+    the per-query top-m window then runs over probed-cell candidates
+    only."""
+    from pyspark.sql.window import Window
+
+    base = _grid_base(corpus, id_col, vec_col, scale, offset)
+    cents = _ivf_train_portable(base, n_cells, iters)
+    assigned = base.withColumn(
+        "cell", _cell_assign_udf(cents)(F.col("q"))
+    ).select(F.col("cid").alias("cand_id"), F.col("q").alias("cq"), "cell")
+    qbase = _grid_base(queries, id_col, vec_col, scale, offset,
+                       id_alias="query_id")
+    probes = qbase.withColumn(
+        "cell", F.explode(_cell_probes_udf(cents, nprobe)(F.col("q")))
+    ).select("query_id", F.col("q").alias("qq"), "cell")
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
         .where(F.col("cand_id") != F.col("query_id"))
         .withColumn("dq", _sub_l2(F.col("qq"), F.col("cq")))
     )

@@ -3578,6 +3578,26 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_select_portable(cands, k=3, rel_weight=7, div_weight=3)
 
 
+@query("q_mmr_rerank_ann")
+def q_mmr_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-probed MMR path (operators.similarity.mmr_candidates_ivf
+    + mmr_select_portable): integer-Lloyd IVF cells, per-query nprobe
+    cell scan, exact int64 grid distances. Run with nprobe = n_cells
+    (full probe) the candidate stage is BIT-IDENTICAL to the
+    brute-force grid stage — so it shares q_mmr_rerank's oracle while
+    exercising the train/assign/probe machinery the 100 TB deployment
+    uses with nprobe << n_cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = S.mmr_candidates_ivf(
+        emb, emb.filter(F.col("vec_id") < 8), m=8, n_cells=4, nprobe=4,
+        iters=2,
+    )
+    return S.mmr_select_portable(cands, k=3, rel_weight=7, div_weight=3)
+
+
+ORACLE["q_mmr_rerank_ann"] = ORACLE["q_mmr_rerank"]
+
+
 @query(
     "q_hard_negatives",
     """

@@ -1779,3 +1779,71 @@ def test_exact_substring_rewrite_plan_no_cartesian(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "CartesianProduct" not in plan
+
+
+# -- ANN-probed MMR candidate stage ----------------------------------------
+
+
+def test_mmr_candidates_grid_broadcasts_queries(spark):
+    """Candidate-stage scale contract: the query side must ride a
+    broadcast so the corpus is scanned, never exchanged, before the
+    per-query top-m window (an un-hinted cross join can pick the tiny
+    query relation as the stream side and shuffle the corpus)."""
+    from konohadataplatform_spark.operators.similarity import (
+        mmr_candidates_grid,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = mmr_candidates_grid(emb, emb.filter(F.col("vec_id") < 8), m=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_candidates_ivf_full_probe_parity(spark):
+    """nprobe = n_cells probes every cell, so the IVF candidate stage
+    must be BIT-IDENTICAL to the brute-force grid stage — and feeding
+    both into mmr_select_portable must pick the same neighbors."""
+    from konohadataplatform_spark.operators.similarity import (
+        mmr_candidates_grid,
+        mmr_candidates_ivf,
+        mmr_select_portable,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    brute = mmr_candidates_grid(emb, q, m=8)
+    ivf = mmr_candidates_ivf(emb, q, m=8, n_cells=4, nprobe=4, iters=2)
+    key = lambda r: (r.query_id, r.cand_id, r.dq, tuple(r.cq))
+    assert sorted(map(key, brute.collect())) == sorted(map(key, ivf.collect()))
+    sel = lambda df: sorted(
+        (r.query_id, r.mmr_rank, r.neighbor_id, r.mmr_score)
+        for r in mmr_select_portable(df, k=3).collect()
+    )
+    assert sel(brute) == sel(ivf)
+
+
+def test_mmr_candidates_ivf_pruned_recall(spark):
+    """With nprobe < n_cells the probe skips cells, but recall of the
+    brute-force top-m on the fixture must stay high (clustered
+    embeddings: the nearest cells hold the near neighbors)."""
+    from konohadataplatform_spark.operators.similarity import (
+        mmr_candidates_grid,
+        mmr_candidates_ivf,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    brute = {
+        (r.query_id, r.cand_id)
+        for r in mmr_candidates_grid(emb, q, m=8).collect()
+    }
+    ivf = {
+        (r.query_id, r.cand_id)
+        for r in mmr_candidates_ivf(
+            emb, q, m=8, n_cells=8, nprobe=4, iters=2
+        ).collect()
+    }
+    assert len(ivf & brute) / len(brute) >= 0.6
