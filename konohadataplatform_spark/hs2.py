@@ -15,8 +15,12 @@ protocol spec — hand-rolled, no thrift compiler or runtime dep):
 - Thrift **binary protocol** (strict framing), generic struct codec
 - **NOSASL** raw transport (``;auth=noSasl``) and **SASL PLAIN**
   (beeline's default: START/OK negotiation, then 4-byte-framed
-  payloads; credentials accepted, not verified — a dev endpoint like
-  pgwire's trust auth)
+  payloads). With no credentials configured, PLAIN accepts anything —
+  a dev endpoint like pgwire's trust auth; pass ``credentials=`` (or
+  set ``KONOHA_WIRE_CREDENTIALS``) and the PLAIN initial response is
+  verified (bad creds get a SASL BAD frame) while noSasl — which
+  carries nothing to verify — is refused (see ``wireauth.py``; the
+  deployed reference fronts this listener with Keycloak/Vault)
 - OpenSession / CloseSession (negotiates protocol version <= V10;
   the reply carries the ``configuration`` map — optional in the IDL
   but dereferenced unconditionally by the real Hive JDBC driver
@@ -219,23 +223,35 @@ class _SaslTransport:
     status + 4-byte length negotiation frames, then every thrift
     message rides in a 4-byte-length data frame."""
 
-    def __init__(self, rfile, wfile):
+    def __init__(self, rfile, wfile, credentials: dict | None = None):
         self._r, self._w = rfile, wfile
         self._buf = b""
+        self._credentials = credentials
 
     def negotiate(self, start_payload: bytes) -> bool:
         """Finish the PLAIN handshake; the START status byte + payload
         were already consumed by the transport sniffer. Returns False
-        (after a BAD reply) on an unsupported mechanism."""
+        (after a BAD reply) on an unsupported mechanism or, when the
+        server has credentials configured, a failed verification."""
         mech = start_payload.decode("utf-8", "replace")
         if mech != "PLAIN":
             self._write_neg(S_BAD, b"only PLAIN supported")
             return False
         # PLAIN initial response: authzid \0 authcid \0 passwd —
-        # accepted, not verified (dev endpoint, like pgwire trust auth)
-        status, _creds = self._read_neg()
+        # verified against the configured credentials when present,
+        # accepted otherwise (dev endpoint, like pgwire trust auth)
+        status, creds = self._read_neg()
         if status not in (S_OK, S_COMPLETE):
             return False
+        if self._credentials is not None:
+            from konohadataplatform_spark.wireauth import check_plain
+
+            parts = creds.split(b"\x00")
+            user = parts[1].decode("utf-8", "replace") if len(parts) > 1 else ""
+            passwd = parts[2].decode("utf-8", "replace") if len(parts) > 2 else ""
+            if not check_plain(self._credentials, user, passwd):
+                self._write_neg(S_BAD, b"authentication failed")
+                return False
         self._write_neg(S_COMPLETE, b"")
         return True
 
@@ -446,10 +462,16 @@ class Hs2Server:
     PROTOCOL_MAX = 9  # HIVE_CLI_SERVICE_PROTOCOL_V10
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 limit: int = DEFAULT_LIMIT):
+                 limit: int = DEFAULT_LIMIT,
+                 credentials: dict[str, str] | None = None):
+        from konohadataplatform_spark.wireauth import resolve_credentials
+
         self.engine = engine
         self.host, self.port = host, port
         self.limit = limit
+        # None = dev posture (accept any PLAIN, allow noSasl); a dict
+        # (ctor or KONOHA_WIRE_CREDENTIALS env) turns verification on
+        self._credentials = resolve_credentials(credentials)
         self._sessions: dict[bytes, dict] = {}
         self._ops: dict[bytes, dict] = {}
         self._lock = threading.Lock()
@@ -755,11 +777,16 @@ class Hs2Server:
             # thrift strict-binary message begins with 0x80 — the two
             # are unambiguous, so one transport port serves both
             # ;auth=noSasl and beeline's default PLAIN.
-            transport = _SaslTransport(rfile, wfile)
+            transport = _SaslTransport(rfile, wfile, self._credentials)
             n = struct.unpack(">i", _read_exact(rfile, 4))[0]
             if not transport.negotiate(_read_exact(rfile, n)):
                 return
         else:
+            if self._credentials is not None:
+                # ;auth=noSasl carries no credential to verify — with
+                # auth configured the raw transport would be a bypass,
+                # so the connection is refused outright
+                return
             transport = _RawTransport(rfile, wfile, first_byte=first)
         conn_sessions: list[bytes] = []
         try:
@@ -837,7 +864,8 @@ class Hs2Server:
 
 class Hs2Client:
     def __init__(self, port: int, host: str = "127.0.0.1",
-                 use_sasl: bool = True, timeout: float = 60.0):
+                 use_sasl: bool = True, timeout: float = 60.0,
+                 user: str = "anonymous", password: str = "anonymous"):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._r = self._sock.makefile("rb")
         self._w = self._sock.makefile("wb")
@@ -845,10 +873,16 @@ class Hs2Client:
         self._sasl = use_sasl
         if use_sasl:
             self._neg(S_START, b"PLAIN")
-            self._neg(S_OK, b"\x00anonymous\x00anonymous")
+            self._neg(
+                S_OK, b"\x00" + user.encode() + b"\x00" + password.encode()
+            )
             head = _read_exact(self._r, 5)
             if head[0] != S_COMPLETE:
-                raise RuntimeError(f"SASL failed: status {head[0]}")
+                payload = _read_exact(self._r, struct.unpack(">i", head[1:5])[0])
+                raise RuntimeError(
+                    f"SASL failed: status {head[0]} "
+                    f"{payload.decode('utf-8', 'replace')}"
+                )
             _read_exact(self._r, struct.unpack(">i", head[1:5])[0])
         self.session = None
 

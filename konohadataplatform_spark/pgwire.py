@@ -11,8 +11,11 @@ protocol.
 
 Implemented (per the published protocol docs):
 - StartupMessage (196608), SSLRequest answered 'N', GSSENCRequest 'N'
-- AuthenticationOk (trust), ParameterStatus, BackendKeyData,
-  ReadyForQuery
+- AuthenticationOk (trust by default; pass ``credentials=`` or set
+  ``KONOHA_WIRE_CREDENTIALS`` to require an
+  AuthenticationMD5Password / AuthenticationCleartextPassword
+  exchange, 28P01 on bad creds — see ``wireauth.py``),
+  ParameterStatus, BackendKeyData, ReadyForQuery
 - Simple Query 'Q': RowDescription / DataRow (text format) /
   CommandComplete / EmptyQueryResponse / ErrorResponse, multi-statement
   strings split on top-level semicolons
@@ -188,6 +191,14 @@ class _Messages:
     @classmethod
     def auth_ok(cls) -> bytes:
         return cls.msg(b"R", struct.pack(">I", 0))
+
+    @classmethod
+    def auth_cleartext(cls) -> bytes:
+        return cls.msg(b"R", struct.pack(">I", 3))
+
+    @classmethod
+    def auth_md5(cls, salt: bytes) -> bytes:
+        return cls.msg(b"R", struct.pack(">I", 5) + salt)
 
     @classmethod
     def parameter_status(cls, k: str, v: str) -> bytes:
@@ -438,10 +449,22 @@ class PgWireServer:
     """
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 limit: int = DEFAULT_LIMIT):
+                 limit: int = DEFAULT_LIMIT,
+                 credentials: dict[str, str] | None = None,
+                 auth_method: str = "md5"):
+        from konohadataplatform_spark.wireauth import resolve_credentials
+
         self.engine = engine
         self.host, self.port = host, port
         self.limit = limit
+        # None = trust auth (dev posture); a dict (ctor or
+        # KONOHA_WIRE_CREDENTIALS env) requires every connection to
+        # pass a password exchange: "md5" (salted, what stock clients
+        # prefer) or "cleartext"
+        self._credentials = resolve_credentials(credentials)
+        if auth_method not in ("md5", "cleartext"):
+            raise ValueError("auth_method must be 'md5' or 'cleartext'")
+        self._auth_method = auth_method
         self._server: socketserver.ThreadingTCPServer | None = None
         self._thread: threading.Thread | None = None
         self._pgcat: _PgCatalogMirror | None = None
@@ -613,6 +636,44 @@ class PgWireServer:
             wfile.flush()
 
     # -- connection handling ------------------------------------------------
+    def _authenticate(self, rfile, wfile, startup_payload: bytes) -> bool:
+        """Password exchange against the configured credentials: an
+        AuthenticationMD5Password (salted) or
+        AuthenticationCleartextPassword request, one PasswordMessage
+        back, 28P01 on failure — the flow every stock libpq/psql/JDBC
+        client implements."""
+        import os as _os
+
+        from konohadataplatform_spark.wireauth import check_pg_md5, check_plain
+
+        params = startup_payload[4:].split(b"\x00")
+        kv = dict(zip(params[0::2], params[1::2]))
+        user = kv.get(b"user", b"").decode("utf-8", "replace")
+        salt = _os.urandom(4)
+        wfile.write(
+            _Messages.auth_md5(salt)
+            if self._auth_method == "md5"
+            else _Messages.auth_cleartext()
+        )
+        wfile.flush()
+        tag = rfile.read(1)
+        head = rfile.read(4)
+        if tag != b"p" or len(head) < 4:
+            return False
+        (length,) = struct.unpack(">I", head)
+        secret = rfile.read(length - 4).rstrip(b"\x00").decode("utf-8", "replace")
+        ok = (
+            check_pg_md5(self._credentials, user, secret, salt)
+            if self._auth_method == "md5"
+            else check_plain(self._credentials, user, secret)
+        )
+        if not ok:
+            wfile.write(_Messages.error(
+                f'password authentication failed for user "{user}"', "28P01"
+            ))
+            wfile.flush()
+        return ok
+
     def _handle_conn(self, rfile, wfile) -> None:
         # startup phase: length-prefixed, untagged messages
         while True:
@@ -632,6 +693,10 @@ class PgWireServer:
                 break
             wfile.write(_Messages.error(f"unsupported protocol {code:#x}", "0A000"))
             wfile.flush()
+            return
+        if self._credentials is not None and not self._authenticate(
+            rfile, wfile, payload
+        ):
             return
         wfile.write(_Messages.auth_ok())
         for k, v in (

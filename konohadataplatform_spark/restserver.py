@@ -55,6 +55,11 @@ from urllib.parse import parse_qs, urlparse
 
 from konohadataplatform_spark.sqlserver import DEFAULT_LIMIT, execute_sql_json
 
+# Oldest operation docs are evicted past this per-session cap so a
+# client that never DELETEs its session cannot grow driver memory
+# unboundedly (each doc holds up to `limit` rows).
+MAX_OPS_PER_SESSION = 64
+
 
 class RestSqlServer:
     """Threaded HTTP SQL server over an :class:`Engine`.
@@ -128,8 +133,14 @@ class RestSqlServer:
                     _status, doc = self._run(sql, limit)
                     op = str(uuid.uuid4())
                     with self._lock:
-                        self._sessions[sid].append(op)
+                        ops = self._sessions[sid]
+                        ops.append(op)
                         self._operations[op] = doc
+                        # bound driver memory for clients that never
+                        # DELETE their session: keep only the newest
+                        # MAX_OPS_PER_SESSION result docs per session
+                        while len(ops) > MAX_OPS_PER_SESSION:
+                            self._operations.pop(ops.pop(0), None)
                     return 200, {"identifier": op}
         # /api/v1/operations/{op}/...
         if parts[:3] == ["api", "v1", "operations"] and len(parts) == 5:

@@ -505,3 +505,96 @@ def test_multiple_sessions_per_connection(server):
         assert rows == [(2,)]
     finally:
         c.close()
+
+
+# ---------------------------------------------------------------------------
+# r9: optional credential verification on SASL PLAIN (wireauth.py) —
+# the deployed reference fronts this listener with Keycloak; the
+# in-process analog verifies the PLAIN initial response when
+# credentials are configured and refuses the unauthenticatable noSasl
+# transport outright.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def auth_server(spark, tmp_path):
+    eng = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "wh2")))
+    eng.save_table(
+        "t2", spark.createDataFrame([(1, "a")], "id long, s string")
+    )
+    srv = Hs2Server(eng, credentials={"hive": "s3cret"}).start()
+    yield srv
+    srv.stop()
+
+
+def test_auth_good_credentials_connect_and_query(auth_server):
+    c = Hs2Client(auth_server.port, user="hive", password="s3cret")
+    c.open_session()
+    names, rows = c.execute("SELECT id FROM t2")
+    assert names == ["id"] and rows == [(1,)]
+    c.close()
+
+
+def test_auth_bad_password_rejected(auth_server):
+    with pytest.raises(RuntimeError, match="SASL failed"):
+        Hs2Client(auth_server.port, user="hive", password="wrong")
+
+
+def test_auth_unknown_user_rejected(auth_server):
+    with pytest.raises(RuntimeError, match="SASL failed"):
+        Hs2Client(auth_server.port, user="eve", password="s3cret")
+
+
+def test_auth_nosasl_transport_refused(auth_server):
+    """;auth=noSasl carries no credential — with auth configured the
+    raw transport would be a bypass, so the server hangs up."""
+    with pytest.raises((EOFError, ConnectionError, RuntimeError)):
+        c = Hs2Client(auth_server.port, use_sasl=False)
+        c.open_session()
+
+
+def test_auth_env_var_credentials(spark, tmp_path, monkeypatch):
+    from konohadataplatform_spark.wireauth import ENV_VAR
+
+    monkeypatch.setenv(ENV_VAR, "alice:pw1, bob:pw2")
+    eng = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "wh3")))
+    srv = Hs2Server(eng).start()
+    try:
+        c = Hs2Client(srv.port, user="bob", password="pw2")
+        c.open_session()
+        c.close()
+        with pytest.raises(RuntimeError, match="SASL failed"):
+            Hs2Client(srv.port, user="bob", password="pw1")
+    finally:
+        srv.stop()
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(BEELINE),
+    reason="no beeline in this environment",
+)
+def test_real_beeline_auth(auth_server, tmp_path):
+    """The sandbox's actual beeline: good creds connect and query, bad
+    creds are refused at the SASL layer."""
+    import os
+    import subprocess
+
+    script = tmp_path / "authcmds.txt"
+    script.write_text("SELECT id FROM t2;\n!quit\n")
+    env = {**os.environ, "SPARK_LOCAL_IP": "127.0.0.1"}
+    url = f"jdbc:hive2://127.0.0.1:{auth_server.port}/default"
+    good = subprocess.run(
+        [BEELINE, "-u", url, "-n", "hive", "-p", "s3cret",
+         "--silent=true", "--outputformat=csv2", "-f", str(script)],
+        capture_output=True, text=True, timeout=180, env=env,
+    )
+    assert good.returncode == 0, good.stdout + good.stderr
+    assert "Could not open client transport" not in good.stdout
+    bad = subprocess.run(
+        [BEELINE, "-u", url, "-n", "hive", "-p", "nope",
+         "--silent=true", "--outputformat=csv2", "-e", "SELECT 1"],
+        capture_output=True, text=True, timeout=180, env=env,
+    )
+    combined = bad.stdout + bad.stderr
+    assert "Could not open client transport" in combined or \
+        "Error" in combined

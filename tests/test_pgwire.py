@@ -249,3 +249,162 @@ def test_txn_noops_via_extended_protocol(server):
 
     cols, rows, err = pg_extended_query(server.port, "BEGIN")
     assert err is None and rows == []
+
+
+# ---------------------------------------------------------------------------
+# r9: optional password auth (wireauth.py) — md5 (stock-client salted
+# scheme, driven by the sandbox's real psql below) and cleartext, 28P01
+# on bad creds, trust posture unchanged when no credentials configured.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def auth_server(spark, tmp_path):
+    eng = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "whA")))
+    eng.save_table(
+        "ta", spark.createDataFrame([(7, "z")], "id long, s string")
+    )
+    srv = PgWireServer(eng, credentials={"konoha": "s3cret"}).start()
+    yield srv
+    srv.stop()
+
+
+def _pg_query_auth(port, sql, user, password):
+    """pg_query with the password exchange a stock libpq performs
+    (answers whichever of md5/cleartext the server requests)."""
+    import hashlib
+    import socket as _socket
+    import struct as _struct
+
+    with _socket.create_connection(("127.0.0.1", port), timeout=60) as s:
+        f = s.makefile("rwb")
+        params = f"user\x00{user}\x00database\x00spark\x00\x00".encode()
+        body = _struct.pack(">I", 196608) + params
+        f.write(_struct.pack(">I", len(body) + 4) + body)
+        f.flush()
+        tag = f.read(1)
+        assert tag == b"R"
+        (length,) = _struct.unpack(">I", f.read(4))
+        payload = f.read(length - 4)
+        (code,) = _struct.unpack(">I", payload[:4])
+        if code == 5:  # md5: salt in the request
+            inner = hashlib.md5(
+                password.encode() + user.encode()
+            ).hexdigest()
+            secret = "md5" + hashlib.md5(
+                inner.encode() + payload[4:8]
+            ).hexdigest()
+        elif code == 3:  # cleartext
+            secret = password
+        else:
+            raise AssertionError(f"unexpected auth code {code}")
+        pw = secret.encode() + b"\x00"
+        f.write(b"p" + _struct.pack(">I", len(pw) + 4) + pw)
+        f.flush()
+        cols, rows, err = [], [], None
+        sent_query = False
+        while True:
+            tag = f.read(1)
+            if not tag:
+                return cols or None, rows or None, err or "connection closed"
+            (length,) = _struct.unpack(">I", f.read(4))
+            payload = f.read(length - 4)
+            if tag == b"E":
+                fields = payload.split(b"\x00")
+                err = next(
+                    (x[1:].decode() for x in fields if x[:1] == b"M"),
+                    "error",
+                )
+                if not sent_query:  # auth refusal: server hangs up
+                    return None, None, err
+            elif tag == b"T":
+                (n,) = _struct.unpack(">H", payload[:2])
+                pos = 2
+                cols = []
+                for _ in range(n):
+                    end = payload.index(b"\x00", pos)
+                    cols.append(payload[pos:end].decode())
+                    pos = end + 1 + 18
+            elif tag == b"D":
+                (n,) = _struct.unpack(">H", payload[:2])
+                pos = 2
+                row = []
+                for _ in range(n):
+                    (ln,) = _struct.unpack(">i", payload[pos:pos + 4])
+                    pos += 4
+                    if ln == -1:
+                        row.append(None)
+                    else:
+                        row.append(payload[pos:pos + ln].decode())
+                        pos += ln
+                rows.append(row)
+            elif tag == b"Z":
+                if sent_query:
+                    return cols, rows, err
+                sent_query = True
+                q = sql.encode() + b"\x00"
+                f.write(b"Q" + _struct.pack(">I", len(q) + 4) + q)
+                f.flush()
+
+
+def test_auth_md5_good_credentials(auth_server):
+    cols, rows, err = _pg_query_auth(
+        auth_server.port, "SELECT id FROM ta", "konoha", "s3cret"
+    )
+    assert err is None and cols == ["id"] and rows == [["7"]]
+
+
+def test_auth_md5_bad_password_gets_28P01(auth_server):
+    _cols, _rows, err = _pg_query_auth(
+        auth_server.port, "SELECT 1", "konoha", "wrong"
+    )
+    assert err is not None and "authentication failed" in err
+
+
+def test_auth_unknown_user_rejected(auth_server):
+    _cols, _rows, err = _pg_query_auth(
+        auth_server.port, "SELECT 1", "eve", "s3cret"
+    )
+    assert err is not None and "authentication failed" in err
+
+
+def test_auth_cleartext_method(spark, tmp_path):
+    eng = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "whB")))
+    srv = PgWireServer(
+        eng, credentials={"u": "pw"}, auth_method="cleartext"
+    ).start()
+    try:
+        _c, _r, err = _pg_query_auth(srv.port, "SELECT 1 AS x", "u", "pw")
+        assert err is None
+        _c, _r, err = _pg_query_auth(srv.port, "SELECT 1", "u", "no")
+        assert err is not None and "authentication failed" in err
+    finally:
+        srv.stop()
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(PSQL), reason="no psql here"
+)
+def test_real_psql_md5_auth(auth_server):
+    """The sandbox's actual psql negotiates the md5 exchange: good
+    PGPASSWORD queries, bad PGPASSWORD is refused with the stock
+    password-authentication error."""
+    import os
+    import subprocess
+
+    conn = (f"host=127.0.0.1 port={auth_server.port} dbname=default "
+            "user=konoha")
+    good = subprocess.run(
+        [PSQL, conn, "--no-psqlrc", "-c", "SELECT id FROM ta"],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "PGPASSWORD": "s3cret"},
+    )
+    assert good.returncode == 0, good.stderr
+    assert "7" in good.stdout
+    bad = subprocess.run(
+        [PSQL, conn, "--no-psqlrc", "-c", "SELECT 1"],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "PGPASSWORD": "nope"},
+    )
+    assert bad.returncode != 0
+    assert "authentication failed" in (bad.stderr + bad.stdout)
