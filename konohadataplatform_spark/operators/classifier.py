@@ -175,25 +175,40 @@ def score_with_weights(
     score-in-stream serving path (a quality gate in front of
     streaming ingest). At 100 TB batch scoring it is also the cheaper
     shape: zero exchanges vs perceptron_scores' feature shuffle."""
-    from konohadataplatform_spark.operators.retrieval import gram_array_sql
-
-    warr = F.array(*[F.lit(int(weights.get(d, 0))) for d in range(dims)])
-    bias = int(weights.get(BIAS_DIM, 0))
-    dim_hash = DIM_SQL.format(g="g", dims=int(dims))
-    dim_of = f"transform({gram_array_sql('_w', n)}, g -> {dim_hash})"
-    margin = F.expr(
-        f"aggregate({dim_of}, cast({bias} as bigint), "
-        f"(acc, d) -> acc + element_at(_warr, cast(d + 1 as int)))"
-    )
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.split(F.trim(F.col(text_col)), " ").alias("_w"),
         )
-        .withColumn("_warr", warr)
         .select(
             "doc_id",
-            margin.alias("margin"),
+            margin_column(weights, dims, n, words_col="_w").alias("margin"),
         )
         .withColumn("pred_pos", F.col("margin") > 0)
+    )
+
+
+def margin_column(
+    weights: dict[int, int],
+    dims: int = 64,
+    n: int = 2,
+    words_col: str = "_w",
+):
+    """The perceptron margin over a word-array column as ONE
+    codegen'd expression column — the single margin definition
+    :func:`score_with_weights` and the streaming ingest quality gate
+    (``streaming/ingest.py``) both expand, so the batch/stream
+    bit-parity contract can't drift. The weight vector is inlined as
+    a dims-element array literal (one codegen'd object)."""
+    from konohadataplatform_spark.operators.retrieval import gram_array_sql
+
+    bias = int(weights.get(BIAS_DIM, 0))
+    warr_sql = "array(" + ", ".join(
+        f"{int(weights.get(d, 0))}L" for d in range(dims)
+    ) + ")"
+    dim_hash = DIM_SQL.format(g="g", dims=int(dims))
+    dim_of = f"transform({gram_array_sql(words_col, n)}, g -> {dim_hash})"
+    return F.expr(
+        f"aggregate({dim_of}, cast({bias} as bigint), "
+        f"(acc, d) -> acc + element_at({warr_sql}, cast(d + 1 as int)))"
     )

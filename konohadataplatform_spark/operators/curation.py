@@ -107,7 +107,10 @@ def importance_weights(
     selection compares scores against the corpus mean by integer
     cross-multiplication (``imp_score * n_docs > total_score``), so the
     statistic is bit-reproducible in any engine with no float division
-    anywhere. Docs shorter than ``n`` words score 0.
+    anywhere. The cross-multiplication runs in decimal(38,0): imp_score
+    alone can reach ~1e18 and the doc count ~1e12, so the int64 product
+    would overflow at web scale; the widened product is exact below
+    1e38. Docs shorter than ``n`` words score 0.
 
     Scale shape: term weights are one partial+final conditional
     aggregate over the (doc, term, tf) relation; the weight join keys
@@ -145,10 +148,17 @@ def importance_weights(
     tot = sc.agg(
         F.count(F.lit(1)).alias("nd"), F.sum("imp_score").alias("ts")
     )
+    # selection cross-multiplication widened to decimal(38,0): imp_score
+    # can reach ~1e18 (tf * IMP_SCALE summed per doc) and nd ~1e12 docs
+    # at web scale, so the int64 product would overflow; the decimal
+    # product is exact below 1e38 and costs one widened multiply per doc
     return sc.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "imp_score",
-        (F.col("imp_score") * F.col("nd") > F.col("ts")).alias("selected"),
+        (
+            F.col("imp_score").cast("decimal(38,0)") * F.col("nd")
+            > F.col("ts").cast("decimal(38,0)")
+        ).alias("selected"),
     )
 
 

@@ -460,7 +460,11 @@ def hamming_distance(a: Column, b: Column) -> Column:
 # Near-dup clustering: connected components over the pair graph
 # --------------------------------------------------------------------------
 def connected_components(
-    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 25
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
@@ -470,6 +474,19 @@ def connected_components(
     so 2-3). Each round is one join + one groupBy — at 100 TB the
     edge list is pairs-sized (tiny relative to the corpus) and labels
     are (node, long) rows.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds exhaust with labels
+    still changing (a chain-shaped component with diameter > max_iter):
+    unconverged labels would silently split one component into several,
+    so the failure is loud — raise ``max_iter`` for path-like graphs.
+
+    Every ``checkpoint_every`` rounds the label relation is
+    localCheckpointed: each round nests another join under the plan, and
+    past ~10 rounds the accumulated tree is deep enough to overflow the
+    JVM stack just *rendering* it (same contract as
+    :func:`~konohadataplatform_spark.operators.graph.pagerank`'s
+    ``checkpoint_every``, but on by default here because high-diameter
+    inputs are exactly when callers raise ``max_iter``).
     """
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.unionByName(
@@ -482,7 +499,7 @@ def connected_components(
         .cache()
     )
     labels.count()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -508,6 +525,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            chk = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            labels = chk
+    else:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components: {changed} labels still changing after "
+            f"max_iter={max_iter} rounds (component diameter exceeds "
+            f"max_iter); raise max_iter — returning unconverged labels "
+            f"would silently split components"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
@@ -1029,6 +1058,9 @@ def chunk_dedup_rewrite(
          array; chunk text itself never enters an exchange.
     Bound: documents must have < 10^6 chunks (32M words at the default
     width) for the packed key; raise ``chunk_words`` for longer docs.
+    Doc ids must be non-negative ints < ~9.2e12 — runtime-guarded
+    (``raise_error`` scan-side) because a violation would silently
+    attribute chunks to the wrong document.
     NULL text is a zero-chunk doc: (doc_id, 0, 0, '').
     """
     w = F.split(F.trim(F.col(text_col)), " ")
@@ -1044,7 +1076,15 @@ def chunk_dedup_rewrite(
             F.array_join(F.expr(f"slice(w, i * {int(chunk_words)} + 1, {int(chunk_words)})"), " ")
         ).alias("digest"),
     )
-    packed = F.col("doc_id") * F.lit(1_000_000) + F.col("i")
+    # packed-key guard: a negative or oversized doc_id would silently
+    # attribute this doc's chunks to ANOTHER doc after unpacking, so
+    # fail loudly scan-side (same contract as exact_substring_rewrite)
+    packed = F.expr(
+        f"if(doc_id >= 0 and doc_id < {(1 << 63) // 1_000_000}, "
+        f"doc_id * 1000000L + i, "
+        f"raise_error(concat('chunk_dedup_rewrite: doc_id ', "
+        f"cast(doc_id as string), ' outside [0, 9.2e12) packed-key bound')))"
+    )
     first = chunks.groupBy("digest").agg(F.min(packed).alias("fk"))
     winners = first.select(
         F.expr("fk div 1000000").alias("doc_id"),

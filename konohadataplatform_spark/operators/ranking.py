@@ -38,15 +38,26 @@ def scalable_row_number(
     order_cols: list[Column],
     out_col: str = "rank",
     num_partitions: int | None = None,
+    stabilize_source: bool = False,
 ) -> DataFrame:
     """Global row_number over `order_cols` without a single-partition
     sort. `order_cols` must define a total order (add a unique tiebreak
     column) for deterministic output.
+
+    The ranking and counts branches must observe identical `_pid`
+    assignments; ReusedExchange plus repartitionByRange's seeded
+    sampling guarantees that for deterministic inputs. If `df` is
+    non-deterministic (rand(), unordered limits, re-sampled reads),
+    pass ``stabilize_source=True`` to localCheckpoint the ranged
+    relation — both branches then read one materialized copy instead
+    of recomputing the upstream.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    if stabilize_source:
+        ranged = ranged.localCheckpoint(eager=False)
     local_w = Window.partitionBy("_pid").orderBy(*order_cols)
     local = ranged.withColumn("_local_rn", F.row_number().over(local_w))
 

@@ -185,18 +185,22 @@ CMS_DEPTH = 4
 HLL_B = 12  # 2^12 = 4096 registers; standard error 1.04/sqrt(m) ~ 1.6%
 
 
-def _cms_positions(col: str, width: int, depth: int) -> list:
+def _cms_positions(col: str, width: int, depth: int, h=None) -> list:
     """depth deterministic counter columns from DISJOINT 4-hex-char
     slices of one md5(value) — the same construction (and independence
     argument) as ``_bloom_positions``, and one hash per row instead of
     depth (measured 4x cheaper on the probe projection, which at 100 TB
     is the whole cost). width must be a power of two <= 2^16 (a
-    4-hex-char slice covers it); depth <= 8 slices fit one digest."""
+    4-hex-char slice covers it); depth <= 8 slices fit one digest.
+    Pass ``h`` to slice a pre-computed digest column instead (lets
+    callers hoist the md5 into one projection when the positions feed
+    a short-circuiting filter, where codegen CSE may not apply)."""
     if width & (width - 1) or not 2 <= width <= 1 << 16:
         raise ValueError("width must be a power of two in [2, 65536]")
     if not 1 <= depth <= 8:
         raise ValueError("depth must be in [1, 8] (one md5 digest)")
-    h = F.md5(F.col(col).cast("string"))
+    if h is None:
+        h = F.md5(F.col(col).cast("string"))
     return [
         F.conv(F.substring(h, 4 * j + 1, 4), 16, 10)
         .cast("long")
@@ -276,14 +280,28 @@ def _cms_probe_rows(
     """cms_probe over PRE-COLLECTED sketch rows — lets callers that
     also need sketch totals (cms_heavy_hitters' relative threshold)
     collect the metadata once instead of re-running the build job."""
+    return df.withColumn(
+        est, F.least(*_cms_lookup_cols(col, rows, width, depth))
+    )
+
+
+def _cms_packed_literal(rows, width: int, depth: int):
+    """ONE binary literal holding the densified counters (8 bytes
+    big-endian each, index = row_idx*width + col_idx)."""
     import struct as _struct
 
     arr = [0] * (depth * width)
     for r in rows:
         arr[r["row_idx"] * width + r["col_idx"]] = r["cnt"]
-    packed = F.lit(_struct.pack(f">{len(arr)}q", *arr))
-    pos = _cms_positions(col, width, depth)
-    lookups = [
+    return F.lit(_struct.pack(f">{len(arr)}q", *arr))
+
+
+def _cms_lookup_cols(col: str, rows, width: int, depth: int, h=None) -> list:
+    """The depth counter-lookup columns (one per sketch row) for
+    ``df[col]`` against pre-collected sketch rows."""
+    packed = _cms_packed_literal(rows, width, depth)
+    pos = _cms_positions(col, width, depth, h=h)
+    return [
         # slice offset is 1-based: counter i lives at bytes [8i+1, 8i+8];
         # Column.substr form — the F.substring wrapper takes int positions
         F.conv(
@@ -293,7 +311,6 @@ def _cms_probe_rows(
         ).cast("long")
         for j, p in enumerate(pos)
     ]
-    return df.withColumn(est, F.least(*lookups))
 
 
 def cms_heavy_hitters(
@@ -332,7 +349,12 @@ def cms_heavy_hitters(
         raise ValueError("pass exactly one of threshold_col / total_div")
     cms = cms_build(df, col, width, depth)
     rows = cms.collect()  # <= depth*width rows — metadata-sized
-    probed = _cms_probe_rows(df.select(col), col, rows, width, depth)
+    # md5 hoisted into ONE projection so the filter below slices a
+    # computed digest instead of re-hashing per conjunct (filter
+    # codegen doesn't CSE across short-circuited conjuncts)
+    probed = df.select(
+        F.col(col), F.md5(F.col(col).cast("string")).alias("_h")
+    )
     if total_div is not None:
         total = sum(r["cnt"] for r in rows if r["row_idx"] == 0)
         probed = probed.withColumn(
@@ -342,7 +364,15 @@ def cms_heavy_hitters(
         probed = probed.withColumn("thr", F.lit(threshold_col).cast("long"))
     else:
         probed = probed.crossJoin(F.broadcast(threshold_col))
-    survivors = probed.where(F.col("cms_est") >= F.col("thr"))
+    # est >= thr  <=>  EVERY counter >= thr (est is their min), and the
+    # conjunction SHORT-CIRCUITS: the bulk of a heavy-tailed corpus
+    # fails its first counter and skips the other depth-1 decodes
+    # entirely, where least() had to decode all of them for every row
+    lookups = _cms_lookup_cols(col, rows, width, depth, h=F.col("_h"))
+    pred = lookups[0] >= F.col("thr")
+    for lk in lookups[1:]:
+        pred = pred & (lk >= F.col("thr"))
+    survivors = probed.where(pred).drop("_h")
     return (
         survivors.groupBy(col, "thr")
         .agg(F.count(F.lit(1)).alias("cnt"))

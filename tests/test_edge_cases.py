@@ -68,3 +68,32 @@ def test_simhash_empty_text(spark):
     hashes = D.simhash(docs)
     # empty text still yields a row (single empty token)
     assert hashes.count() == 2
+
+
+def test_connected_components_chain_exceeding_max_iter_raises(spark):
+    # a path graph 0-1-2-...-9 has diameter 9: min-label propagation
+    # needs 9 rounds, so max_iter=3 must fail LOUDLY, not return
+    # silently-split components
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        D.connected_components(pairs, max_iter=3)
+    # with enough rounds the same chain converges to one component
+    out = {
+        r.node: r.component
+        for r in D.connected_components(pairs, max_iter=15).collect()
+    }
+    assert set(out.values()) == {0} and len(out) == 10
+
+
+def test_chunk_dedup_rewrite_negative_doc_id_raises(spark):
+    # the packed winner key (doc_id * 1e6 + i) would attribute a
+    # negative id's chunks to another doc — must fail loudly scan-side
+    import pytest
+
+    docs = docs_df(spark, [(-1, "a b c"), (2, "a b c")])
+    with pytest.raises(Exception, match="packed-key bound"):
+        D.chunk_dedup_rewrite(docs).collect()
