@@ -11,7 +11,13 @@ posture as the CDC engine in ``streaming/cdc.py``).
 Per micro-batch, in order:
 
 1. **quality gate** — ``operators.text.quality_score`` threshold
-   (zero-shuffle codegen expressions).
+   (zero-shuffle codegen expressions), optionally followed by a
+   **trained-classifier gate**: pass ``classifier_weights`` (the dict
+   ``operators.classifier.train_perceptron`` returns from a batch
+   training run) and each doc's perceptron margin is computed by the
+   SAME ``margin_column`` expression the batch scorer expands —
+   train-in-batch, score-in-stream, bit-identical margins, still zero
+   exchanges per batch.
 2. **exact dedup** — in-batch keep-lowest-id per md5 digest, then a
    TWO-PHASE BROADCAST probe of the persisted digest table: the
    batch's digests broadcast into an inner join against the corpus
@@ -92,11 +98,26 @@ class DocIngestPipeline:
         bands: int = 16,
         maintain_every: int = 32,
         max_bucket: int | None = 4096,
+        classifier_weights: dict[int, int] | None = None,
+        classifier_dims: int = 64,
+        classifier_ngram: int = 2,
+        margin_min: int = 0,
     ):
         self.spark = spark
         self.catalog = catalog
         self.name = name
         self.quality_min = quality_min
+        # optional trained gate: weights from a batch
+        # train_perceptron run; docs with margin <= margin_min are
+        # quarantined as low_margin. The margin is the one
+        # margin_column expression batch scoring expands
+        # (batch/stream bit-parity), a codegen'd aggregate over the
+        # doc's own tokens — zero exchanges, O(|batch|) like the
+        # heuristic gate. dims/ngram MUST match the training run.
+        self.classifier_weights = classifier_weights
+        self.classifier_dims = classifier_dims
+        self.classifier_ngram = classifier_ngram
+        self.margin_min = margin_min
         self.jaccard_threshold = jaccard_threshold
         self.ngram = ngram
         self.num_perm = num_perm
@@ -174,6 +195,34 @@ class DocIngestPipeline:
             ok = scored.filter(
                 F.col("text").isNotNull() & (F.col("_q") >= self.quality_min)
             ).drop("_q")
+
+            # 1b. trained-classifier gate (optional): the batch-trained
+            # perceptron margin via the shared margin_column expression
+            # — same codegen'd aggregate the batch scorer runs, so a
+            # doc scores identically whether it arrives in batch or
+            # stream. Zero exchanges (per-row expression).
+            if self.classifier_weights is not None:
+                from konohadataplatform_spark.operators.classifier import (
+                    margin_column,
+                )
+
+                margined = ok.withColumn(
+                    "_w", F.split(F.trim(F.col("text")), " ")
+                ).withColumn(
+                    "_m",
+                    margin_column(
+                        self.classifier_weights,
+                        self.classifier_dims,
+                        self.classifier_ngram,
+                    ),
+                )
+                rejects.append(
+                    margined.filter(F.col("_m") <= self.margin_min)
+                    .select("doc_id", F.lit("low_margin").alias("reason"))
+                )
+                ok = margined.filter(
+                    F.col("_m") > self.margin_min
+                ).drop("_w", "_m")
 
             # 2a. in-batch exact dedup: keep-lowest-id per digest
             # (TX.fingerprint is the one canonical digest definition —
@@ -374,8 +423,9 @@ class DocIngestPipeline:
     def replay_rejects(self) -> int:
         """Re-run every quarantined doc through the CURRENT gates and
         drain the ones that now pass — the dead-letter lifecycle
-        (mirror of ``CdcPipeline.replay_dlq``): loosen ``quality_min``
-        or ``jaccard_threshold``, replay, and only still-rejected docs
+        (mirror of ``CdcPipeline.replay_dlq``): loosen ``quality_min``,
+        ``jaccard_threshold``, or ``margin_min`` (or retrain and swap
+        ``classifier_weights``), replay, and only still-rejected docs
         remain. Returns the number of docs accepted into the corpus.
 
         Self-contained: the rejects table stores the full doc row, so

@@ -204,3 +204,101 @@ def test_replay_rejects_after_threshold_change(spark, catalog):
     assert left == {(3, "low_quality")}
     # replay with nothing newly passing is a no-op
     assert pipe.replay_rejects() == 0
+
+
+def _classifier_train_df(spark):
+    """Labeled training corpus for the classifier-gate tests: "good"
+    docs share English filler vocabulary; "bad" docs are
+    keyword-stuffed listicles. doc_id < 100 is the positive slice."""
+    good_texts = [GOOD, GOOD2,
+                  GOOD.replace("fox", "hare"), GOOD2.replace("data", "sql")]
+    bad_texts = [
+        "buy cheap pills now click here buy cheap pills now click here",
+        "win prize free money win prize free money win prize free money",
+        "buy cheap prize click free pills money now win here buy cheap",
+        "click now free win pills buy money prize here now click free",
+    ]
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(good_texts)]
+        + [(100 + i, t) for i, t in enumerate(bad_texts)],
+        "doc_id long, text string",
+    )
+
+
+def test_classifier_gate_train_in_batch_score_in_stream(spark, catalog):
+    """r9: the trained-classifier quality gate — weights from a BATCH
+    train_perceptron run gate the STREAMING ingest, low-margin docs are
+    quarantined as low_margin, and the stream-side margin is
+    bit-identical to the batch scorer's (one shared margin_column
+    expression)."""
+    from konohadataplatform_spark.operators import classifier as C
+
+    train = _classifier_train_df(spark)
+    feats = C.hashed_features(train, F.col("doc_id") < 100)
+    w = C.train_perceptron(spark, feats, iters=3)
+
+    # the trained boundary must separate the training slices
+    scored = {r.doc_id: r.margin
+              for r in C.score_with_weights(train, w).collect()}
+    assert all(scored[i] > 0 for i in range(4))
+    assert all(scored[100 + i] <= 0 for i in range(4))
+
+    pipe = DocIngestPipeline(
+        spark, catalog, "corpus",
+        quality_min=0.0,  # isolate the classifier gate
+        classifier_weights=w,
+    )
+    fresh_bad = "free pills click win money now buy cheap prize here"
+    pipe.apply_batch(_df(spark, [
+        doc(1, GOOD),
+        doc(2, fresh_bad),
+    ]), batch_id=0)
+    assert {r.doc_id for r in catalog.read("corpus").collect()} == {1}
+    reasons = {r.doc_id: r.reason
+               for r in catalog.read("corpus__rejects").collect()}
+    assert reasons == {2: "low_margin"}
+
+    # batch/stream bit-parity on the gated batch: the margin the
+    # stream gate computed equals score_with_weights on the same rows
+    batch_margins = {
+        r.doc_id: r.margin
+        for r in C.score_with_weights(
+            _df(spark, [doc(1, GOOD), doc(2, fresh_bad)]), w
+        ).collect()
+    }
+    assert batch_margins[1] > pipe.margin_min >= batch_margins[2]
+
+    # DLQ lifecycle holds for the new gate: loosen margin_min, replay,
+    # the quarantined doc drains
+    pipe.margin_min = min(batch_margins[2] - 1, -1)
+    assert pipe.replay_rejects() == 1
+    assert {r.doc_id for r in catalog.read("corpus").collect()} == {1, 2}
+
+
+def test_classifier_gate_streaming_end_to_end(spark, catalog, tmp_path):
+    """The gate composes with the real Structured Streaming entry
+    point: low-margin docs quarantined from a file-source stream."""
+    from konohadataplatform_spark.operators import classifier as C
+
+    train = _classifier_train_df(spark)
+    w = C.train_perceptron(
+        spark, C.hashed_features(train, F.col("doc_id") < 100), iters=3
+    )
+    pipe = DocIngestPipeline(
+        spark, catalog, "corpus", quality_min=0.0, classifier_weights=w
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # same spam text the batch-gate test proved scores <= 0 under
+    # these weights
+    rows = [doc(1, GOOD),
+            doc(2, "free pills click win money now buy cheap prize here")]
+    (src / "b0.json").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+    q = pipe.start_stream(str(src), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert {r.doc_id for r in catalog.read("corpus").collect()} == {1}
+    reasons = {r.doc_id: r.reason
+               for r in catalog.read("corpus__rejects").collect()}
+    assert reasons == {2: "low_margin"}
