@@ -153,6 +153,46 @@ def calibrate_scan(spark, sf_dir: str) -> float:
     return statistics.median(once() for _ in range(CALIBRATION_RUNS))
 
 
+def _calibration_drift(
+    cal: float, cal_shuffle: float, cal_scan: float
+) -> dict | None:
+    """Host-drift attribution (round 9+): ratio of this run's three
+    calibration probes to the most recent driver-recorded round's
+    (highest-numbered ``BENCH_r*.json`` beside this file). A dimension
+    whose ratio moved while the others held names WHERE the host
+    drifted (cpu loop vs shuffle machinery vs scan path) — so a
+    round-over-round wall change on unchanged plans can be attributed
+    mechanically instead of by SCALING.md archaeology. None when no
+    prior round file exists or it lacks the triple (pre-r8)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return None
+    prev_n, path = max(rounds)
+    try:
+        with open(path) as fh:
+            parsed = json.load(fh).get("parsed") or {}
+    except (OSError, ValueError):
+        return None
+    out = {"vs_round": prev_n}
+    for key, cur in (
+        ("calibration_sec", cal),
+        ("calibration_shuffle_sec", cal_shuffle),
+        ("calibration_scan_sec", cal_scan),
+    ):
+        prev = parsed.get(key)
+        if prev:
+            out[key.replace("_sec", "_ratio")] = round(cur / prev, 3)
+    return out if len(out) > 1 else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.isdir(sf_dir):
@@ -205,10 +245,12 @@ def main() -> None:
     # stddev + normalized detail pushed it to ~3 KB.  The printed line is
     # now the compact contract (2-decimal medians, totals, calibration);
     # full-precision detail goes to BENCH_DETAIL.json alongside.
+    drift = _calibration_drift(cal, cal_shuffle, cal_scan)
     detail = {
         "extended": ext_timings,
         "stddev": stddev,
         "normalized": norm,
+        "calibration_drift_vs_prev": drift,
         "calibration_job": "median-of-3 sum(xxhash64(range(2B)))/32splits",
         "calibration_shuffle_sec": round(cal_shuffle, 4),
         "calibration_scan_sec": round(cal_scan, 4),
@@ -236,6 +278,9 @@ def main() -> None:
                 "calibration_shuffle_sec": round(cal_shuffle, 4),
                 "calibration_scan_sec": round(cal_scan, 4),
                 "normalized_total": round(total / cal, 2),
+                "normalized_total_shuffle": round(total / cal_shuffle, 2),
+                "normalized_total_scan": round(total / cal_scan, 2),
+                "calibration_drift_vs_prev": drift,
             }
         )
     )

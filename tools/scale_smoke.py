@@ -155,8 +155,15 @@ def main() -> int:
         build_sf1(spark)
 
     qs = all_queries()
+    # --only <substr>: time just the matching queries (skip the
+    # semantic/dHash extras) — for re-measuring one operator after a
+    # targeted change without the ~15 min full rotation
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+    names = [n for n in SMOKE_QUERIES if only is None or only in n]
     rows = []
-    for name in SMOKE_QUERIES:
+    for name in names:
         # identical protocol at BOTH scale factors: one untimed warmup
         # pass (codegen/IO), one timed pass — r6 advice: mixing
         # methodologies (sf1 unwarmed) overstated the sf1 ratios
@@ -175,6 +182,17 @@ def main() -> int:
                 "sublinear": t1 / t01 < COPIES,
             }
         )
+
+    if only is not None:
+        print(json.dumps({"queries": rows, "copies": COPIES}))
+        for r in rows:
+            print(
+                f"| {r['query']} | {r['sf0.1_sec']} | {r['sf1_sec']} |"
+                f" {r['ratio_vs_10x_data']}x |",
+                file=sys.stderr,
+            )
+        spark.stop()
+        return 0
 
     # semantic dedup: the bits knob at sf1 (the shipped sf0.1 config is
     # bits=4; the SCALING.md contract says raise bits with corpus size)
