@@ -90,6 +90,12 @@ EXTENDED = [
     "q_hybrid_rrf",
     "q_shard_plan",
     "q_embedding_outliers",
+    # r9: span removal, ANN-probed MMR, scrub/filter/balance tier
+    "q_exact_substring_rewrite",
+    "q_mmr_rerank_ann",
+    "q_pii_redact",
+    "q_gopher_rules",
+    "q_lang_temperature_quota",
 ]
 
 

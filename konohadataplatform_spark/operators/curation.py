@@ -331,3 +331,178 @@ def leakage_free_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (the C4/CCNet-style scrub pass)
+# --------------------------------------------------------------------------
+# Patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b anchors —
+# no backreferences, no lookaround (RE2 has neither).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, redacted): emails, IPv4
+    addresses, and NNN-NNNN phone fragments replaced with typed
+    sentinel tokens (``<EMAIL>``/``<IP>``/``<PHONE>``), per-doc match
+    counts alongside — the pre-training scrub pass every public
+    pipeline runs (C4 removed pages by blocklist; CCNet/RefinedWeb
+    descendants redact in place to conserve the surrounding text).
+
+    Order matters and is part of the contract: emails first (their
+    domains can contain digit runs an IP pattern would chew), then
+    IPs (dotted digit runs a phone pattern could partially match),
+    then phones. Counts are taken BEFORE any replacement, on the
+    original text, so they are independent of sentinel choice.
+
+    Scale shape: one narrow projection, zero exchanges, zero UDFs —
+    regexp_replace/regexp_count are codegen'd JVM expressions, so the
+    pass runs at scan speed and pipelines into whatever follows.
+    """
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IP_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+                PII_IP_RE,
+                "<IP>",
+            ),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A1.1) — integer-exact
+# --------------------------------------------------------------------------
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-doc Gopher-rule quality flags (the published heuristic
+    filter battery from the Gopher/MassiveText pipeline), each rule an
+    INTEGER comparison so the verdicts are bit-reproducible in any
+    engine:
+
+    - ``ok_word_count``: word count in [min_words, max_words]
+    - ``ok_mean_word_len``: mean word length in [3, 10], tested as
+      ``3 * n_words <= total_chars <= 10 * n_words`` (no division)
+    - ``ok_alpha_ratio``: >= 80% of words contain an alphabetic
+      character, tested as ``5 * n_alpha_words >= 4 * n_words``
+    - ``ok_stopwords``: at least ``min_stopwords`` occurrences from
+      the 8-word Gopher stop list (a proxy for "is running prose")
+    - ``pass_gopher``: all of the above
+
+    NULL/empty text fails every rule (n_words = 0). Tokenization is
+    the repo-wide single-space split — the same definition every other
+    text operator uses, so flags compose with their outputs.
+
+    Scale shape: one projection over the token array (higher-order
+    functions, zero exchanges, zero UDFs); at 100 TB this is a
+    scan-speed filter exactly like the heuristic quality_score gate.
+    """
+    words = F.split(F.trim(F.col(text_col)), " ")
+    n_words = F.when(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), F.lit(0)
+    ).otherwise(F.size(words)).cast("bigint")
+    total_chars = F.coalesce(
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ),
+        F.lit(0),
+    )
+    n_alpha = F.coalesce(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))), F.lit(0)
+    ).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.coalesce(
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))),
+        F.lit(0),
+    ).cast("bigint")
+    ok_wc = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (
+        (F.lit(int(min_mean_word_len)) * n_words <= total_chars)
+        & (total_chars <= F.lit(int(max_mean_word_len)) * n_words)
+        & (n_words > 0)
+    )
+    ok_alpha = (F.lit(5) * n_alpha >= F.lit(4) * n_words) & (n_words > 0)
+    ok_stop = n_stop >= min_stopwords
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        total_chars.alias("total_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("pass_gopher"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-temperature sampling quotas (multilingual corpus balancing)
+# --------------------------------------------------------------------------
+def lang_temperature_quota(
+    docs: DataFrame,
+    budget: int,
+    lang_col: str = "lang",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(lang, n_docs, weight, quota): how many of ``budget`` sampled
+    documents each language gets under temperature sampling with
+    alpha = 0.5 — the standard multilingual-pretraining rebalance
+    (mBERT/XLM-R exponentiate language mass to flatten the head;
+    alpha = 0.5 is the square root).
+
+    weight = floor(sqrt(n_docs * scale)) — an integer, and exact
+    across engines because IEEE-754 sqrt is correctly rounded and
+    n_docs * scale stays below 2^52. quota = budget * weight div
+    sum(weights) (floor division; the <#langs remainder docs are the
+    caller's to assign). Head languages get sub-proportional quotas,
+    tail languages super-proportional — the alpha contract.
+
+    Scale shape: one partial+final count per language (metadata-sized
+    result), a broadcast total, one projection. The corpus is scanned
+    once; nothing language-sized ever shuffles.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    counts = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    weighted = counts.withColumn(
+        "weight",
+        F.floor(F.sqrt(F.col("n_docs") * F.lit(int(scale)))).cast("bigint"),
+    )
+    tot = weighted.agg(F.sum("weight").alias("_tw"))
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "weight",
+        F.expr(f"CAST({int(budget)} * weight DIV _tw AS BIGINT)").alias(
+            "quota"
+        ),
+    )

@@ -4347,3 +4347,167 @@ def q_split_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_straddling"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (r9): the C4/CCNet scrub pass. The synthetic corpus
+# carries no PII, so the query plants a deterministic PII-bearing
+# suffix per doc (email / phone / IPv4 by doc_id mod 3) in BOTH
+# engines, then redacts — fixture-building in the query, same pattern
+# as q_cms_heavy_hitters' duplicated-hot-value fixture.
+# --------------------------------------------------------------------------
+@query(
+    "q_pii_redact",
+    """
+    WITH fx AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com now'
+               WHEN 1 THEN ' call 555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           || ' today'
+               ELSE ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                    || CAST(doc_id % 100 AS VARCHAR) || ' logged'
+             END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{4}\\b')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS redacted
+    FROM fx
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a planted-PII fixture: per-doc email/IP/phone
+    counts (taken pre-replacement) and the redacted text with typed
+    sentinels. operators.curation.pii_redact — one codegen projection,
+    zero exchanges, patterns chosen to agree between Java regex and
+    RE2 (no backrefs/lookaround)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                did % 3 == 1,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                    F.lit(" today"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0."),
+                    (did % 100).cast("string"),
+                    F.lit(" logged"),
+                )
+            ),
+        ).alias("text"),
+    )
+    return CU.pii_redact(fixture)
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (r9): Rae et al. 2021's heuristic battery as
+# integer-exact per-doc flags
+# --------------------------------------------------------------------------
+@query(
+    "q_gopher_rules",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(trim(text), ' ') END AS ws
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(coalesce(
+               list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT)
+               AS total_chars,
+             CAST(len(list_filter(ws,
+               x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+               AS n_alpha_words,
+             CAST(len(list_filter(ws,
+               x -> list_contains(['the','be','to','of','and','that',
+                                   'have','with'], x))) AS BIGINT)
+               AS n_stopwords
+      FROM w
+    )
+    SELECT doc_id, n_words, total_chars, n_alpha_words, n_stopwords,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (3 * n_words <= total_chars AND total_chars <= 10 * n_words
+            AND n_words > 0) AS ok_mean_word_len,
+           (5 * n_alpha_words >= 4 * n_words AND n_words > 0)
+             AS ok_alpha_ratio,
+           (n_stopwords >= 2) AS ok_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (3 * n_words <= total_chars
+                 AND total_chars <= 10 * n_words AND n_words > 0)
+            AND (5 * n_alpha_words >= 4 * n_words AND n_words > 0)
+            AND (n_stopwords >= 2)) AS pass_gopher
+    FROM m
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher-rule flags (word-count bounds, mean word length
+    via cross-multiplication, 80%-alphabetic, stop-word presence) and
+    the combined verdict. operators.curation.gopher_quality_flags —
+    one higher-order-function projection, zero exchanges/UDFs."""
+    return CU.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Language-temperature sampling quotas (r9): alpha = 0.5 multilingual
+# rebalance, integer-exact via correctly-rounded IEEE sqrt
+# --------------------------------------------------------------------------
+@query(
+    "q_lang_temperature_quota",
+    """
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(n_docs * 1000000)) AS BIGINT) AS weight
+      FROM c
+    )
+    SELECT lang, n_docs, weight,
+           CAST(1000 * weight // (SELECT SUM(weight) FROM w) AS BIGINT)
+             AS quota
+    FROM w
+    """,
+)
+def q_lang_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many of 1000 sampled docs each language gets under
+    temperature sampling with alpha = 0.5 (weight = floor(sqrt(n *
+    1e6)), quota by integer division) — the mBERT/XLM-R multilingual
+    rebalance. operators.curation.lang_temperature_quota: one
+    metadata-sized per-language aggregate + a broadcast total."""
+    return CU.lang_temperature_quota(
+        _t(spark, sf_dir, "documents"), budget=1000
+    )

@@ -277,3 +277,134 @@ def test_leakage_free_split_never_splits_a_cluster(spark):
     for _d, (rep, split) in got.items():
         folds.setdefault(rep, set()).add(split)
     assert all(len(s) == 1 for s in folds.values())
+
+
+# ---------------------------------------------------------------------------
+# r9: PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_counts_and_sentinels(spark):
+    from konohadataplatform_spark.operators.curation import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b-c%d@sub.example.org thanks"),
+            (2, "server 192.168.0.1 and backup 10.0.0.255 up"),
+            (3, "call 555-0199 or 555-0200"),
+            (4, "two mails x@y.io and z@w.co plus ip 1.2.3.4"),
+            (5, "clean text with no pii at all"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 0, 0)
+    assert out[1].redacted == "mail me at <EMAIL> thanks"
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 2, 0)
+    assert out[2].redacted == "server <IP> and backup <IP> up"
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 2)
+    assert out[3].redacted == "call <PHONE> or <PHONE>"
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (2, 1, 0)
+    assert out[4].redacted == "two mails <EMAIL> and <EMAIL> plus ip <IP>"
+    assert out[5].redacted == "clean text with no pii at all"
+    assert out[6].redacted is None  # NULL text stays NULL
+
+
+def test_pii_redact_zero_exchange_plan(spark):
+    from konohadataplatform_spark.operators.curation import pii_redact
+
+    docs = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = pii_redact(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r9: Gopher quality rules
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from konohadataplatform_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+
+    prose = "the cat sat with the dog and that was that " * 6  # 60 words
+    short = "the cat sat with a hat"  # < min_words
+    # 60 single-char words: mean word length 1 -> fails mean-word-len
+    tiny_words = "a " * 59 + "a"
+    # 60 numeric tokens: fails alpha ratio AND stopwords
+    numeric = " ".join(str(i) for i in range(60))
+    flags = {
+        r.doc_id: r
+        for r in gopher_quality_flags(
+            spark.createDataFrame(
+                [(1, prose.strip()), (2, short), (3, tiny_words.strip()),
+                 (4, numeric), (5, None), (6, "   ")],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert flags[1].pass_gopher
+    assert not flags[2].ok_word_count and not flags[2].pass_gopher
+    assert flags[3].ok_word_count and not flags[3].ok_mean_word_len
+    assert not flags[4].ok_alpha_ratio and not flags[4].ok_stopwords
+    # NULL and whitespace-only text: zero words, every rule fails
+    for d in (5, 6):
+        assert flags[d].n_words == 0 and not flags[d].pass_gopher
+
+
+def test_gopher_rules_integer_exact_boundaries(spark):
+    from konohadataplatform_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+
+    # exactly 80% alphabetic words must PASS (>= contract):
+    # 50 words, 40 alphabetic, 10 numeric
+    text = " ".join(["word"] * 38 + ["the", "with"] + [str(i) for i in range(10)])
+    r = gopher_quality_flags(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()[0]
+    assert r.n_words == 50 and r.n_alpha_words == 40
+    assert r.ok_alpha_ratio  # 5*40 == 4*50
+
+
+# ---------------------------------------------------------------------------
+# r9: language-temperature sampling quotas
+# ---------------------------------------------------------------------------
+
+
+def test_lang_temperature_quota_flattens_head(spark):
+    import math
+
+    from konohadataplatform_spark.operators.curation import (
+        lang_temperature_quota,
+    )
+
+    rows = [(i, "en") for i in range(900)] + [
+        (1000 + i, "mi") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r.lang: r for r in
+           lang_temperature_quota(docs, budget=1000).collect()}
+    # exact integer replay of the contract
+    for lang, n in (("en", 900), ("mi", 100)):
+        assert out[lang].weight == math.floor(math.sqrt(n * 1_000_000))
+    tw = out["en"].weight + out["mi"].weight
+    assert out["en"].quota == 1000 * out["en"].weight // tw
+    # alpha=0.5 flattens: head gets < its raw 90% share, tail > 10%
+    assert out["en"].quota < 900 and out["mi"].quota > 100
+    # quotas never exceed budget
+    assert out["en"].quota + out["mi"].quota <= 1000
+
+
+def test_lang_temperature_quota_validation(spark):
+    import pytest
+
+    from konohadataplatform_spark.operators.curation import (
+        lang_temperature_quota,
+    )
+
+    docs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        lang_temperature_quota(docs, budget=0)

@@ -47,7 +47,13 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    # --only <substr>: compare just the matching queries (fast
+    # iteration on a new operator without the full-registry pass)
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
@@ -58,7 +64,10 @@ def main() -> int:
     import __spark_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
-    print(f"entry rows: {e.entry(spark).count()}")
+    if only is not None:
+        qs = {n: f for n, f in qs.items() if only in n}
+    else:
+        print(f"entry rows: {e.entry(spark).count()}")
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf, f"{t}.parquet")
