@@ -96,6 +96,8 @@ EXTENDED = [
     "q_pii_redact",
     "q_gopher_rules",
     "q_lang_temperature_quota",
+    "q_fuzzy_decontaminate",
+    "q_cluster_best_quality",
 ]
 
 

@@ -1112,3 +1112,133 @@ def chunk_dedup_rewrite(
             ).alias("kept_text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster representative selection by QUALITY (r9): keep the best doc
+# per near-dup cluster, not the lowest id
+# --------------------------------------------------------------------------
+def cluster_best_representative(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """(cluster_rep, n_members, kept_doc_id, kept_quality): per
+    near-dup cluster, the member that MAXIMIZES ``quality_col`` (ties
+    to the LOWEST doc_id) — the selection production dedup pipelines
+    actually run (keep the longest / highest-scoring copy, drop the
+    truncated mirrors), vs :func:`dedup_clusters`' arrival-order
+    min-id keeper.
+
+    The argmax is a single packed-int64 MAX aggregate —
+    ``quality * 2^32 + (2^32 - 1 - doc_id)`` — so cluster skew
+    collapses map-side exactly like ``chunk_dedup_rewrite``'s winner
+    key: a boilerplate cluster with 10^6 members contributes one
+    partial-aggregate row per input partition, never a window or a
+    per-cluster sort. Bounds (runtime-guarded scan-side, violations
+    would silently crown the wrong winner): 0 <= doc_id < 2^32,
+    0 <= quality < 2^31.
+    """
+    clusters = dedup_clusters(df, text_col, id_col, threshold, n)
+    joined = clusters.join(
+        df.select(
+            F.col(id_col).alias(id_col), F.col(quality_col).alias("_q")
+        ),
+        id_col,
+    )
+    lim_id, lim_q = 1 << 32, 1 << 31
+    packed = F.expr(
+        f"if({id_col} >= 0 and {id_col} < {lim_id} "
+        f"and _q >= 0 and _q < {lim_q}, "
+        f"_q * {lim_id}L + ({lim_id - 1}L - {id_col}), "
+        f"raise_error(concat('cluster_best_representative: (doc_id=', "
+        f"cast({id_col} as string), ', quality=', cast(_q as string), "
+        f"') outside packed-argmax bounds')))"
+    )
+    return joined.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(packed).alias("_p"),
+    ).select(
+        "cluster_rep",
+        "n_members",
+        (F.lit(lim_id - 1) - F.col("_p") % F.lit(lim_id))
+        .cast("bigint")
+        .alias("kept_doc_id"),
+        F.expr(f"_p div {lim_id}").cast("bigint").alias("kept_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy cross-corpus decontamination (r9): MinHash-LSH candidates
+# between the training corpus and an eval benchmark, exact-Jaccard
+# verified — the GPT-3/Llama-style FUZZY eval-set scrub, vs the exact
+# n-gram bloom pass in q_bloom_decontaminate
+# --------------------------------------------------------------------------
+BENCH_SID_OFFSET = 1 << 40
+
+
+def cross_corpus_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bench_id, jaccard): training-corpus documents whose
+    shingle overlap with some benchmark document reaches ``threshold``
+    — flag (or drop) these before training so eval stays honest.
+
+    Scale shape (corpus >> benchmark, the only realistic geometry):
+    the corpus side is ONE minhash projection + a broadcast hash probe
+    of the benchmark's band buckets — the corpus never shuffles for
+    candidate generation, and only bucket-colliding corpus docs reach
+    exact-Jaccard verification (collision-sized joins). The benchmark
+    index (sids offset into a disjoint id space; corpus ids are
+    runtime-guarded < 2^40) rides entirely in broadcasts — a 100k-doc
+    eval suite × 16 bands is ~25 MB.
+
+    Recall follows the LSH banding curve: at threshold 0.8 with
+    64 perms / 16 bands a qualifying pair is missed with probability
+    (1 - 0.8^4)^16 ≈ 2e-4, vanishing as similarity rises — and true
+    contamination is near-verbatim. Lower thresholds need more bands
+    (same knob contract as minhash_dedup).
+    """
+    guarded = corpus.select(
+        F.expr(
+            f"if({id_col} >= 0 and {id_col} < {BENCH_SID_OFFSET}, {id_col}, "
+            f"raise_error(concat('cross_corpus_contamination: corpus "
+            f"{id_col} ', cast({id_col} as string), "
+            f"' collides with the benchmark sid space')))"
+        ).alias(id_col),
+        F.col(text_col).alias(text_col),
+    )
+    ci = minhash_index(guarded, text_col, id_col, n, num_perm)
+    bi = minhash_index(benchmark, text_col, id_col, n, num_perm).select(
+        (F.col("sid") + F.lit(BENCH_SID_OFFSET)).alias("sid"),
+        "shingles",
+        "sig",
+    )
+    cb = band_bucket_keys(ci, bands, num_perm)
+    bb = band_bucket_keys(bi, bands, num_perm)
+    cands = (
+        cb.join(
+            F.broadcast(bb.withColumnRenamed("sid", "_bsid")), "bkey"
+        )
+        .select(F.col("sid").alias("a_id"), F.col("_bsid").alias("b_id"))
+        .distinct()
+    )
+    sets = ci.select("sid", "shingles").unionByName(
+        bi.select("sid", "shingles")
+    )
+    pairs = verify_jaccard(cands, sets, threshold)
+    return pairs.select(
+        F.col("a_id").alias("doc_id"),
+        (F.col("b_id") - F.lit(BENCH_SID_OFFSET)).alias("bench_id"),
+        "jaccard",
+    )

@@ -4511,3 +4511,81 @@ def q_lang_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.lang_temperature_quota(
         _t(spark, sf_dir, "documents"), budget=1000
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy cross-corpus decontamination (r9): MinHash-LSH candidates
+# between the training split and a benchmark split, exact-Jaccard
+# verified — the fuzzy sibling of q_bloom_decontaminate's exact
+# 8-gram pass. Benchmark = every 10th doc; the synthetic corpus'
+# repeated texts make real cross-split contamination to find.
+# --------------------------------------------------------------------------
+@query(
+    "q_fuzzy_decontaminate",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS sh
+      FROM t WHERE len(w) >= 3
+    ), c AS (
+      SELECT * FROM s WHERE doc_id % 10 <> 0
+    ), b AS (
+      SELECT * FROM s WHERE doc_id % 10 = 0
+    )
+    SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+           CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE)
+             / (len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh)))
+             AS jaccard
+    FROM c, b
+    WHERE CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE)
+            / (len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh)))
+          >= 0.8
+    """,
+)
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs (doc_id % 10 != 0) whose shingle Jaccard with
+    some benchmark doc (doc_id % 10 == 0) reaches 0.8.
+    operators.dedup.cross_corpus_contamination: corpus side is one
+    minhash projection + a broadcast probe of the benchmark's band
+    buckets (never shuffles for candidates); the oracle is the exact
+    all-cross-pairs Jaccard — equality IS the recall check at this
+    threshold/band setting."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.cross_corpus_contamination(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.8,
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-based cluster representatives (r9): keep the BEST doc per
+# near-dup cluster (max n_chars, ties to lowest id) via a packed-int64
+# argmax — the production "keep the longest copy" selection
+# --------------------------------------------------------------------------
+@query(
+    "q_cluster_best_quality",
+    f"""{_CLUSTER_CTES}
+    SELECT cluster_rep,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(4294967295 - (p % 4294967296) AS BIGINT) AS kept_doc_id,
+           CAST(p // 4294967296 AS BIGINT) AS kept_quality
+    FROM (
+      SELECT cl.cluster_rep, COUNT(*) AS n_members,
+             MAX(d.n_chars * 4294967296 + (4294967295 - d.doc_id)) AS p
+      FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+      GROUP BY cl.cluster_rep)
+    """,
+)
+def q_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster (exact 0.8-Jaccard components), the member
+    with max n_chars (ties to lowest doc_id) and the member count.
+    operators.dedup.cluster_best_representative: one packed-int64 MAX
+    aggregate — cluster skew collapses map-side, no window, no
+    per-cluster sort."""
+    return D.cluster_best_representative(
+        _t(spark, sf_dir, "documents"), quality_col="n_chars"
+    )

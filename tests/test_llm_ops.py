@@ -1847,3 +1847,102 @@ def test_mmr_candidates_ivf_pruned_recall(spark):
         ).collect()
     }
     assert len(ivf & brute) / len(brute) >= 0.6
+
+
+# ---------------------------------------------------------------------------
+# r9: quality-based cluster representatives
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_best_representative_picks_max_quality(spark):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("kappa", "kappo")  # near-dup of base
+    other = "one two three four five six seven eight nine ten " * 2
+    docs = spark.createDataFrame(
+        [(1, base, 200), (2, near, 500), (3, other.strip(), 90)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = {r.cluster_rep: r for r in
+           D.cluster_best_representative(docs).collect()}
+    # docs 1+2 cluster under rep 1; doc 2 wins on n_chars
+    assert out[1].n_members == 2 and out[1].kept_doc_id == 2
+    assert out[1].kept_quality == 500
+    # singleton keeps itself
+    assert out[3].n_members == 1 and out[3].kept_doc_id == 3
+
+
+def test_cluster_best_representative_tie_breaks_lowest_id(spark):
+    t = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+    docs = spark.createDataFrame(
+        [(7, t, 100), (3, t, 100)], "doc_id long, text string, n_chars long"
+    )
+    r = D.cluster_best_representative(docs).collect()[0]
+    assert r.kept_doc_id == 3 and r.kept_quality == 100
+
+
+def test_cluster_best_representative_bounds_are_loud(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e", -5)], "doc_id long, text string, n_chars long"
+    )
+    with pytest.raises(Exception, match="packed-argmax bounds"):
+        D.cluster_best_representative(docs).collect()
+
+
+# ---------------------------------------------------------------------------
+# r9: fuzzy cross-corpus decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_cross_corpus_contamination_finds_planted_overlap(spark):
+    bench_text = ("the capital of france is paris and the capital of "
+                  "italy is rome and the capital of spain is madrid")
+    contaminated = bench_text.replace("madrid", "sevilla")  # near-verbatim
+    clean = "completely unrelated words about spark shuffles and joins " * 2
+    corpus = spark.createDataFrame(
+        [(10, contaminated), (11, clean.strip()), (12, bench_text)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, bench_text)], "doc_id long, text string"
+    )
+    out = D.cross_corpus_contamination(corpus, bench, threshold=0.8)
+    rows = {(r.doc_id, r.bench_id): r.jaccard for r in out.collect()}
+    assert (12, 1) in rows and rows[(12, 1)] == 1.0  # verbatim copy
+    assert (10, 1) in rows and 0.8 <= rows[(10, 1)] < 1.0
+    assert not any(d == 11 for d, _ in rows)
+
+
+def test_cross_corpus_contamination_matches_exact_cross_join(spark):
+    """LSH recall 1.0 on the sf fixture at 0.8 — the property the
+    q_fuzzy_decontaminate oracle hash-match rests on."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corp = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    got = {(r.doc_id, r.bench_id) for r in
+           D.cross_corpus_contamination(corp, bench, 0.8).collect()}
+    # exact reference: full Jaccard join, restricted to cross pairs
+    allp = D.jaccard_similarity_join(docs, threshold=0.8)
+    exact = set()
+    for r in allp.collect():
+        a_b, b_b = r.a_id % 10 == 0, r.b_id % 10 == 0
+        if a_b and not b_b:
+            exact.add((r.b_id, r.a_id))
+        elif b_b and not a_b:
+            exact.add((r.a_id, r.b_id))
+    assert got == exact and exact, "planted cross-split near-dups expected"
+
+
+def test_cross_corpus_contamination_guards_sid_space(spark):
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(1 << 41, "a b c d e f")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="benchmark sid space"):
+        D.cross_corpus_contamination(corpus, bench).collect()

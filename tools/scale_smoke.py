@@ -92,6 +92,15 @@ SMOKE_QUERIES = [
     "q_quality_classifier",
     # the shard layout's range-offset prefix must beat a global window
     "q_shard_plan",
+    # r9 additions: span removal must stay ~flat like its chunk-level
+    # sibling; pii/gopher are scan-speed projections (linear is the
+    # contract); fuzzy decontamination's corpus side must stay a
+    # broadcast probe (pair count grows with real cross-split dups —
+    # that's result growth, not a plan defect)
+    "q_exact_substring_rewrite",
+    "q_pii_redact",
+    "q_gopher_rules",
+    "q_fuzzy_decontaminate",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
