@@ -102,6 +102,7 @@ class DocIngestPipeline:
         classifier_dims: int = 64,
         classifier_ngram: int = 2,
         margin_min: int = 0,
+        contamination_threshold: float = 0.8,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -118,6 +119,11 @@ class DocIngestPipeline:
         self.classifier_dims = classifier_dims
         self.classifier_ngram = classifier_ngram
         self.margin_min = margin_min
+        # eval-set decontamination at ingest: active once
+        # register_benchmark() has persisted a benchmark index — batch
+        # docs whose exact Jaccard with a benchmark doc reaches this
+        # threshold quarantine as "contaminated"
+        self.contamination_threshold = contamination_threshold
         self.jaccard_threshold = jaccard_threshold
         self.ngram = ngram
         self.num_perm = num_perm
@@ -150,6 +156,40 @@ class DocIngestPipeline:
     @property
     def rejects_table(self) -> str:
         return f"{self.name}__rejects"
+
+    @property
+    def benchidx_table(self) -> str:
+        return f"{self.name}__benchidx"
+
+    @property
+    def benchbuckets_table(self) -> str:
+        return f"{self.name}__benchbuckets"
+
+    # -- eval-set decontamination state -------------------------------------
+    def register_benchmark(self, bench: DataFrame) -> None:
+        """Persist the benchmark's dedup index so every future batch
+        is decontaminated against it: ``{name}__benchidx``
+        (sid, shingles — sids offset into the disjoint 2^40 space) and
+        ``{name}__benchbuckets`` (bkey, sid, pre-exploded). Overwrite
+        semantics — re-register to swap benchmarks. The benchmark is
+        indexed ONCE here; per batch it costs one broadcast of its
+        bucket keys (a 100k-doc eval suite x 16 bands ~ 25 MB) and a
+        collision-sized verify — the same no-corpus-shuffle contract
+        as the near-dup gate."""
+        idx = D.minhash_index(
+            bench, "text", "doc_id", self.ngram, self.num_perm
+        ).select(
+            (F.col("sid") + F.lit(D.BENCH_SID_OFFSET)).alias("sid"),
+            "shingles",
+            "sig",
+        )
+        self.catalog.save_table(
+            self.benchidx_table, idx.select("sid", "shingles")
+        )
+        self.catalog.save_table(
+            self.benchbuckets_table,
+            D.band_bucket_keys(idx, self.bands, self.num_perm),
+        )
 
     # -- the batch curation pass -------------------------------------------
     def apply_batch(self, docs: DataFrame, batch_id: int | None = None) -> None:
