@@ -493,9 +493,23 @@ def lang_temperature_quota(
     counts = docs.groupBy(F.col(lang_col).alias("lang")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    # the cross-engine exactness claim requires n_docs * scale < 2^52
+    # (exact-double range for the sqrt input); past it, floor(sqrt(...))
+    # may legitimately differ between engines — fail loudly instead
     weighted = counts.withColumn(
         "weight",
-        F.floor(F.sqrt(F.col("n_docs") * F.lit(int(scale)))).cast("bigint"),
+        F.floor(
+            F.sqrt(
+                F.expr(
+                    f"if(n_docs * {int(scale)}L < {1 << 52}L, "
+                    f"n_docs * {int(scale)}L, "
+                    "raise_error(concat('lang_temperature_quota: n_docs "
+                    "* scale = ', cast(n_docs as string), ' * "
+                    f"{int(scale)} >= 2^52 — floor(sqrt) is no longer "
+                    "engine-exact; lower scale')))"
+                )
+            )
+        ).cast("bigint"),
     )
     tot = weighted.agg(F.sum("weight").alias("_tw"))
     return weighted.crossJoin(F.broadcast(tot)).select(

@@ -488,6 +488,10 @@ def connected_components(
     ``checkpoint_every``, but on by default here because high-diameter
     inputs are exactly when callers raise ``max_iter``).
     """
+    if max_iter < 1:
+        raise ValueError(
+            f"connected_components: max_iter must be >= 1, got {max_iter}"
+        )
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -797,7 +801,7 @@ def exact_substring_spans(
     suffix array finds the same maximal repeated spans, this finds them
     with two aggregations and a per-document window.
 
-    100 TB shape: shingle rows carry (16-byte digest, doc_id, pos) — the
+    100 TB shape: shingle rows carry (8-byte digest, doc_id, pos) — the
     TEXT never enters an exchange (digests computed scan-side). The df
     aggregate is partial+final on the digest key; hot boilerplate
     shingles produce large df counts, not large groups of carried text.
@@ -820,8 +824,13 @@ def exact_substring_spans(
             "doc_id",
             F.explode(
                 F.expr(
+                    # 60-bit digest (15 hex digits of the md5 as one
+                    # bigint): same narrow-shuffle / collision contract
+                    # as exact_substring_rewrite(narrow_digest=True)
                     f"transform(sequence(0, _n - {int(k)}),"
-                    f" p -> struct(p AS pos, md5(substring(_t, p + 1, {int(k)})) AS h))"
+                    f" p -> struct(p AS pos, "
+                    f"cast(conv(substring(md5(substring(_t, p + 1, "
+                    f"{int(k)})), 1, 15), 16, 10) as bigint) AS h))"
                 )
             ).alias("s"),
         )
@@ -869,6 +878,7 @@ def exact_substring_rewrite(
     k: int = 30,
     text_col: str = "text",
     id_col: str = "doc_id",
+    narrow_digest: bool = True,
 ) -> DataFrame:
     """Exact-substring duplicate REMOVAL (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
@@ -888,9 +898,19 @@ def exact_substring_rewrite(
     Composition of :func:`exact_substring_spans` (the profile) and
     :func:`chunk_dedup_rewrite` (the reassembly discipline):
 
-    1. char ``k``-shingles (doc_id, pos, md5-digest) at every position
-       — digests computed scan-side, the TEXT never enters an
-       exchange;
+    1. char ``k``-shingles (doc_id, pos, digest) at every position —
+       digests computed scan-side, the TEXT never enters an exchange.
+       With ``narrow_digest`` (default) the digest is the first 15 hex
+       digits of the md5 conv'd to one BIGINT — the shuffle row drops
+       from (long, int, 32-char string) to three numerics, cutting the
+       operator's dominant exchange ~5×. The 60-bit space admits
+       false collisions (a false collision cuts one <= k-char span
+       that wasn't a duplicate): expected false-cut spans ~= n^2/2^61
+       for n distinct shingles — at 10^12 shingles (~1 TB of text per
+       digest domain) that is ~5e5 spans, ~0.00005% of characters,
+       noise next to the real duplication rate. Pass
+       ``narrow_digest=False`` for the full 128-bit md5 when even
+       that is unacceptable;
     2. first-occurrence winner per digest by packing (doc_id, pos)
        into one int64 (``doc_id * 10^9 + pos``) and taking MIN — a
        combiner-friendly aggregate, so a boilerplate window with 10^9
@@ -918,6 +938,13 @@ def exact_substring_rewrite(
     kk = int(k)
     pack = 1_000_000_000
     n = F.length(F.col(text_col))
+    if narrow_digest:
+        hexpr = (
+            f"cast(conv(substring(md5(substring(_t, p + 1, {kk})), 1, 15),"
+            f" 16, 10) as bigint)"
+        )
+    else:
+        hexpr = f"md5(substring(_t, p + 1, {kk}))"
     shingles = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -930,7 +957,7 @@ def exact_substring_rewrite(
             F.explode(
                 F.expr(
                     f"transform(sequence(0, _n - {kk}),"
-                    f" p -> struct(p AS pos, md5(substring(_t, p + 1, {kk})) AS h))"
+                    f" p -> struct(p AS pos, {hexpr} AS h))"
                 )
             ).alias("s"),
         )
@@ -1125,6 +1152,7 @@ def cluster_best_representative(
     quality_col: str = "n_chars",
     threshold: float = 0.8,
     n: int = 3,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """(cluster_rep, n_members, kept_doc_id, kept_quality): per
     near-dup cluster, the member that MAXIMIZES ``quality_col`` (ties
@@ -1141,14 +1169,34 @@ def cluster_best_representative(
     per-cluster sort. Bounds (runtime-guarded scan-side, violations
     would silently crown the wrong winner): 0 <= doc_id < 2^32,
     0 <= quality < 2^31.
+
+    ``clusters``: optional PRECOMPUTED ``(id_col, cluster_rep)``
+    relation — the :func:`dedup_clusters` output shape. The normal
+    composition (a pipeline that already ran near-dup clustering)
+    passes it here and skips the prefix-filter Jaccard join and the
+    iterative connected components entirely; the argmax is then the
+    only work. Without it the convenience path clusters internally
+    (one docs-sized left join — the component labels fold straight
+    onto the quality projection, no intermediate keeper relation).
     """
-    clusters = dedup_clusters(df, text_col, id_col, threshold, n)
-    joined = clusters.join(
-        df.select(
-            F.col(id_col).alias(id_col), F.col(quality_col).alias("_q")
-        ),
-        id_col,
-    )
+    quality = df.select(F.col(id_col), F.col(quality_col).alias("_q"))
+    if clusters is None:
+        comp = connected_components(
+            jaccard_similarity_join(df, text_col, id_col, threshold, n)
+        )
+        joined = quality.join(
+            comp.withColumnRenamed("node", id_col), id_col, "left"
+        ).select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias(
+                "cluster_rep"
+            ),
+            "_q",
+        )
+    else:
+        joined = clusters.select(F.col(id_col), "cluster_rep").join(
+            quality, id_col
+        )
     lim_id, lim_q = 1 << 32, 1 << 31
     packed = F.expr(
         f"if({id_col} >= 0 and {id_col} < {lim_id} "
@@ -1218,8 +1266,20 @@ def cross_corpus_contamination(
         ).alias(id_col),
         F.col(text_col).alias(text_col),
     )
+    # the benchmark side gets the same guard: a negative (or >= 2^40)
+    # benchmark id would offset its sid out of the disjoint bench space
+    # and silently misattribute pairs / corrupt bench_id recovery
+    bguarded = benchmark.select(
+        F.expr(
+            f"if({id_col} >= 0 and {id_col} < {BENCH_SID_OFFSET}, {id_col}, "
+            f"raise_error(concat('cross_corpus_contamination: benchmark "
+            f"{id_col} ', cast({id_col} as string), "
+            f"' outside [0, 2^40)')))"
+        ).alias(id_col),
+        F.col(text_col).alias(text_col),
+    )
     ci = minhash_index(guarded, text_col, id_col, n, num_perm)
-    bi = minhash_index(benchmark, text_col, id_col, n, num_perm).select(
+    bi = minhash_index(bguarded, text_col, id_col, n, num_perm).select(
         (F.col("sid") + F.lit(BENCH_SID_OFFSET)).alias("sid"),
         "shingles",
         "sig",

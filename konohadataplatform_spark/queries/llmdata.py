@@ -3638,7 +3638,10 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, s.pos AS pos, s.h AS h FROM (
         SELECT doc_id,
                unnest([ {'pos': p,
-                         'h': md5(substring(text, CAST(p + 1 AS INT), 30))}
+                         'h': CAST(concat('0x',
+                                substring(md5(substring(text,
+                                  CAST(p + 1 AS INT), 30)), 1, 15))
+                              AS BIGINT)}
                         for p in range(0, length(text) - 29) ]) AS s
         FROM documents WHERE length(text) >= 30)
     ), dfq AS (
@@ -3690,7 +3693,10 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT doc_id,
                unnest([ {'pos': p,
-                         'h': md5(substring(text, CAST(p + 1 AS INT), 30))}
+                         'h': CAST(concat('0x',
+                                substring(md5(substring(text,
+                                  CAST(p + 1 AS INT), 30)), 1, 15))
+                              AS BIGINT)}
                         for p in range(0, length(text) - 29) ]) AS s
         FROM documents WHERE length(text) >= 30)
     ), f AS (

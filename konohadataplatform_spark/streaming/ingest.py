@@ -33,6 +33,13 @@ Per micro-batch, in order:
    colliding sids (sid-pruned read of the (sid, shingles) index, not
    a full-index join). The scan is the only corpus-sized term; all
    shuffles are sized by |batch| + collisions.
+3b. **eval-set decontamination** (once ``register_benchmark()`` has
+   persisted a benchmark index) — the near-dup survivors' band bucket
+   keys broadcast-probe ``{name}__benchbuckets``, collisions verify by
+   exact Jaccard against ``{name}__benchidx`` at
+   ``contamination_threshold``, matches quarantine as "contaminated".
+   Per batch the benchmark side is one scan of two long columns — the
+   same no-shuffle contract as the corpus near-dup gate.
 4. **commits** — accepted docs upsert into the corpus (MOR, keyed);
    digests, index entries, and bucket rows are INSERT-ONLY state and
    land via ``catalog.append_rows`` — O(|batch|) writes that keep
@@ -176,6 +183,14 @@ class DocIngestPipeline:
         bucket keys (a 100k-doc eval suite x 16 bands ~ 25 MB) and a
         collision-sized verify — the same no-corpus-shuffle contract
         as the near-dup gate."""
+        bench = bench.select(
+            F.expr(
+                f"if(doc_id >= 0 and doc_id < {D.BENCH_SID_OFFSET}, doc_id, "
+                "raise_error(concat('register_benchmark: doc_id ', "
+                "cast(doc_id as string), ' outside [0, 2^40)')))"
+            ).alias("doc_id"),
+            "text",
+        )
         idx = D.minhash_index(
             bench, "text", "doc_id", self.ngram, self.num_perm
         ).select(
@@ -183,10 +198,10 @@ class DocIngestPipeline:
             "shingles",
             "sig",
         )
-        self.catalog.save_table(
+        self.catalog.write(
             self.benchidx_table, idx.select("sid", "shingles")
         )
-        self.catalog.save_table(
+        self.catalog.write(
             self.benchbuckets_table,
             D.band_bucket_keys(idx, self.bands, self.num_perm),
         )
@@ -213,6 +228,7 @@ class DocIngestPipeline:
             ).alias("n_chars"),
         ).cache()
         firsts = new_index = accepted = drop_ids = cands = None
+        contaminated = None
         try:
             rejects = []
 
@@ -395,7 +411,66 @@ class DocIngestPipeline:
                     "doc_id", F.lit("near_duplicate").alias("reason")
                 )
             )
-            accepted = firsts.join(drop_ids, "doc_id", "left_anti").cache()
+            survivors = firsts.join(drop_ids, "doc_id", "left_anti")
+
+            # 3b. eval-set decontamination (active once
+            # register_benchmark() persisted the benchmark index): the
+            # near-dup SURVIVORS' band bucket keys broadcast-probe the
+            # benchmark bucket store (same no-benchmark-shuffle contract
+            # as the corpus near-dup gate), colliding pairs verify by
+            # exact Jaccard against the benchidx shingle sets at
+            # contamination_threshold, and matches quarantine as
+            # "contaminated". Benchmark sids live in the disjoint
+            # >= 2^40 space, so pairs with b_id below the offset are
+            # in-batch artifacts and are excluded.
+            if self.catalog.exists(self.benchbuckets_table):
+                surv_index = new_index.join(
+                    survivors.select(F.col("doc_id").alias("sid")),
+                    "sid",
+                    "left_semi",
+                ).withColumn(
+                    # the >= 2^40 pair filter below assumes batch sids
+                    # stay in the corpus id space — fail loudly if not
+                    "sid",
+                    F.expr(
+                        f"if(sid >= 0 and sid < {D.BENCH_SID_OFFSET}, sid, "
+                        "raise_error(concat('apply_batch: doc_id ', "
+                        "cast(sid as string), ' collides with the "
+                        "benchmark sid space')))"
+                    ),
+                )
+                bcands = D.prebucketed_candidates(
+                    self.catalog.read(self.benchbuckets_table),
+                    surv_index,
+                    bands=self.bands,
+                    num_perm=self.num_perm,
+                    max_bucket=self.max_bucket,
+                ).filter(F.col("b_id") >= D.BENCH_SID_OFFSET)
+                bench_sids = bcands.select(
+                    F.col("b_id").alias("sid")
+                ).distinct()
+                bsets = surv_index.select("sid", "shingles").unionByName(
+                    self.catalog.read(self.benchidx_table)
+                    .join(F.broadcast(bench_sids), "sid", "left_semi")
+                    .select("sid", "shingles")
+                )
+                contaminated = (
+                    D.verify_jaccard(
+                        bcands, bsets, self.contamination_threshold
+                    )
+                    .select(F.col("a_id").alias("doc_id"))
+                    .distinct()
+                    .cache()
+                )
+                rejects.append(
+                    contaminated.select(
+                        "doc_id", F.lit("contaminated").alias("reason")
+                    )
+                )
+                survivors = survivors.join(
+                    contaminated, "doc_id", "left_anti"
+                )
+            accepted = survivors.cache()
 
             # 4. O(|batch|) commits: corpus, digests, index, rejects
             self.catalog.upsert_by_keys(
@@ -454,7 +529,8 @@ class DocIngestPipeline:
             # release per-batch caches even when a commit fails — a
             # stream retrying failed batches must not accumulate cached
             # frames (same hygiene as apply_cdc_batch)
-            for frame in (firsts, new_index, accepted, drop_ids, cands):
+            for frame in (firsts, new_index, accepted, drop_ids, cands,
+                          contaminated):
                 if frame is not None:
                     frame.unpersist()
             docs.unpersist()

@@ -47,13 +47,19 @@ def resolve_credentials(
 
 
 def check_plain(creds: dict[str, str], user: str, password: str) -> bool:
-    """Constant-time verification of a cleartext credential."""
+    """Constant-time verification of a cleartext credential.
+
+    Compares UTF-8 *bytes*: ``hmac.compare_digest`` raises TypeError on
+    non-ASCII ``str`` inputs, so a legitimate UTF-8 password would crash
+    the connection handler instead of authenticating.
+    """
+    pw = password.encode("utf-8")
     expected = creds.get(user)
     if expected is None:
         # burn a comparison anyway so unknown-user probes cost the same
-        hmac.compare_digest(password, password)
+        hmac.compare_digest(pw, pw)
         return False
-    return hmac.compare_digest(expected, password)
+    return hmac.compare_digest(expected.encode("utf-8"), pw)
 
 
 def pg_md5_digest(user: str, password: str, salt: bytes) -> str:

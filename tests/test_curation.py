@@ -408,3 +408,7 @@ def test_lang_temperature_quota_validation(spark):
     docs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     with pytest.raises(ValueError):
         lang_temperature_quota(docs, budget=0)
+    # n_docs * scale >= 2^52 breaks the engine-exact floor(sqrt) claim
+    # -> loud raise_error instead of a silent cross-engine divergence
+    with pytest.raises(Exception, match="2\\^52"):
+        lang_temperature_quota(docs, budget=10, scale=1 << 52).collect()

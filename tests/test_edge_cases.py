@@ -87,6 +87,10 @@ def test_connected_components_chain_exceeding_max_iter_raises(spark):
         for r in D.connected_components(pairs, max_iter=15).collect()
     }
     assert set(out.values()) == {0} and len(out) == 10
+    # max_iter=0 is a clear ValueError up front, not a NameError from
+    # the for/else raise path referencing a never-assigned loop var
+    with pytest.raises(ValueError, match="max_iter"):
+        D.connected_components(pairs, max_iter=0)
 
 
 def test_chunk_dedup_rewrite_negative_doc_id_raises(spark):

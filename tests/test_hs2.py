@@ -516,6 +516,18 @@ def test_multiple_sessions_per_connection(server):
 # ---------------------------------------------------------------------------
 
 
+def test_check_plain_handles_utf8_passwords():
+    """Non-ASCII credentials must verify, not TypeError inside
+    hmac.compare_digest (which rejects non-ASCII str inputs)."""
+    from konohadataplatform_spark.wireauth import check_plain
+
+    creds = {"hive": "pässwörd€", "ascii": "plain"}
+    assert check_plain(creds, "hive", "pässwörd€")
+    assert not check_plain(creds, "hive", "pässwörd")
+    assert not check_plain(creds, "nobody", "pässwörd€")
+    assert check_plain(creds, "ascii", "plain")
+
+
 @pytest.fixture()
 def auth_server(spark, tmp_path):
     eng = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "wh2")))

@@ -206,6 +206,56 @@ def test_replay_rejects_after_threshold_change(spark, catalog):
     assert pipe.replay_rejects() == 0
 
 
+def test_ingest_decontamination_gate(spark, catalog):
+    """r10: register_benchmark() arms the eval-set gate — batch docs
+    that exactly or nearly duplicate a benchmark doc quarantine as
+    'contaminated'; novel docs land; benchmark docs never enter the
+    corpus themselves."""
+    bench2 = (
+        "counting tokens across shards requires careful planning because "
+        "the partitioner must balance work while the reducers merge all "
+        "partial sums into one final answer for the whole giant corpus"
+    )
+    pipe = DocIngestPipeline(spark, catalog, "corpus")
+    pipe.register_benchmark(
+        spark.createDataFrame([(1, GOOD), (2, bench2)],
+                              "doc_id long, text string")
+    )
+    pipe.apply_batch(_df(spark, [
+        doc(20, GOOD),       # exact copy of the benchmark doc
+        doc(21, NEAR_GOOD),  # near-dup of 20 in-batch (gate order:
+                             # near-dup fires before decontamination)
+        doc(22, GOOD2),      # novel
+    ]))
+    kept = {r.doc_id for r in catalog.read("corpus").collect()}
+    assert kept == {22}
+    reasons = {r.doc_id: r.reason
+               for r in catalog.read("corpus__rejects").collect()}
+    assert reasons == {20: "contaminated", 21: "near_duplicate"}
+    # the gate persists across batches (state, not per-batch config):
+    # doc 30 near-dups benchmark doc 2, which no batch has seen yet
+    pipe.apply_batch(_df(spark, [
+        doc(30, bench2.replace("giant", "large")),
+        doc(31, GOOD2),
+    ]))
+    kept = {r.doc_id for r in catalog.read("corpus").collect()}
+    assert kept == {22}  # 31 is an exact dup of accepted 22
+    reasons = {r.doc_id: r.reason
+               for r in catalog.read("corpus__rejects").collect()}
+    assert reasons[30] == "contaminated"
+    assert reasons[31] == "exact_duplicate"
+
+
+def test_decontamination_gate_inactive_without_benchmark(spark, catalog):
+    """No register_benchmark() -> no contamination rejects, even for
+    text that WOULD collide with some benchmark elsewhere."""
+    pipe = DocIngestPipeline(spark, catalog, "corpus")
+    pipe.apply_batch(_df(spark, [doc(1, GOOD)]))
+    assert {r.doc_id for r in catalog.read("corpus").collect()} == {1}
+    assert not catalog.exists("corpus__rejects") or \
+        catalog.read("corpus__rejects").isEmpty()
+
+
 def _classifier_train_df(spark):
     """Labeled training corpus for the classifier-gate tests: "good"
     docs share English filler vocabulary; "bad" docs are

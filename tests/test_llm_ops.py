@@ -1855,9 +1855,11 @@ def test_mmr_candidates_ivf_pruned_recall(spark):
 
 
 def test_cluster_best_representative_picks_max_quality(spark):
-    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
-            "lam mu nu xi omicron pi rho sigma tau upsilon")
-    near = base.replace("kappa", "kappo")  # near-dup of base
+    # 40-word base: one edited word changes 3 of 38 word-trigrams, so
+    # Jaccard = 35/41 ~= 0.854 >= the 0.8 default threshold (the old
+    # 20-word fixture gave 15/21 ~= 0.714 < 0.8 -- impossible to pass).
+    base = " ".join(f"word{i:02d}" for i in range(40))
+    near = base.replace("word20", "wordXX")  # near-dup of base
     other = "one two three four five six seven eight nine ten " * 2
     docs = spark.createDataFrame(
         [(1, base, 200), (2, near, 500), (3, other.strip(), 90)],
@@ -1870,6 +1872,32 @@ def test_cluster_best_representative_picks_max_quality(spark):
     assert out[1].kept_quality == 500
     # singleton keeps itself
     assert out[3].n_members == 1 and out[3].kept_doc_id == 3
+
+
+def test_cluster_best_representative_accepts_precomputed_clusters(spark):
+    """r10: passing a precomputed (doc_id, cluster_rep) relation skips
+    the internal Jaccard join + connected components and returns the
+    identical result — the compositional fast path."""
+    base = " ".join(f"word{i:02d}" for i in range(40))
+    near = base.replace("word20", "wordXX")
+    docs = spark.createDataFrame(
+        [(1, base, 200), (2, near, 500), (3, "x y z a b c d e f g", 90)],
+        "doc_id long, text string, n_chars long",
+    )
+    pre = D.dedup_clusters(docs)
+    full = sorted(map(tuple, D.cluster_best_representative(docs).collect()))
+    fast = sorted(map(tuple,
+                      D.cluster_best_representative(
+                          docs, clusters=pre).collect()))
+    assert full == fast
+    # and a hand-built clusters relation is honored verbatim (no
+    # re-derivation): force 1+3 together despite zero text overlap
+    forced = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 1)], "doc_id long, cluster_rep long"
+    )
+    out = {r.cluster_rep: r for r in D.cluster_best_representative(
+        docs, clusters=forced).collect()}
+    assert out[1].n_members == 2 and out[1].kept_doc_id == 1
 
 
 def test_cluster_best_representative_tie_breaks_lowest_id(spark):
@@ -1913,6 +1941,19 @@ def test_cross_corpus_contamination_finds_planted_overlap(spark):
     assert (12, 1) in rows and rows[(12, 1)] == 1.0  # verbatim copy
     assert (10, 1) in rows and 0.8 <= rows[(10, 1)] < 1.0
     assert not any(d == 11 for d, _ in rows)
+
+
+def test_cross_corpus_contamination_guards_benchmark_ids(spark):
+    """A negative benchmark doc_id would offset its sid below 2^40
+    into the corpus sid space and silently misattribute pairs — both
+    sides are runtime-guarded, not just the corpus."""
+    import pytest
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    bad_bench = spark.createDataFrame([(-1, t)], "doc_id long, text string")
+    with pytest.raises(Exception, match="benchmark"):
+        D.cross_corpus_contamination(corpus, bad_bench).collect()
 
 
 def test_cross_corpus_contamination_matches_exact_cross_join(spark):
