@@ -384,6 +384,82 @@ def pii_redact(
     )
 
 
+PII_IPV6_RE = r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+PII_CC_RE = r"\b(?:\d[ -]?){15}\d\b"
+
+
+def _luhn_valid(cand):
+    """Boolean Column: does a 16-digit candidate (spaces/dashes
+    allowed) pass the Luhn checksum? Static 16-term integer sum —
+    doubling the odd 1-based positions of the separator-stripped
+    digits is exactly double-every-second-from-the-right for length
+    16. No UDF, no loop at runtime."""
+    d = F.replace(
+        F.replace(cand, F.lit(" "), F.lit("")), F.lit("-"), F.lit("")
+    )
+    total = F.lit(0)
+    for i in range(1, 17):
+        dig = F.substring(d, i, 1).cast("int")
+        if i % 2 == 1:
+            term = F.when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2)
+        else:
+            term = dig
+        total = total + term
+    return total % 10 == 0
+
+
+def pii_redact_v2(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`pii_redact` extended with a CHECKSUMMED class and IPv6:
+    (doc_id, n_emails, n_ip6s, n_ips, n_ccs, n_phones, redacted).
+
+    - credit cards: 16-digit runs (optional single space/dash between
+      digits) that pass the **Luhn checksum** — verified by a static
+      16-term integer expression, so a Luhn-FAILING 16-digit run stays
+      in the text (a regex alone cannot express that); valid matches
+      are replaced literally via one ``aggregate`` higher-order fold
+    - IPv6: full-form addresses (8 colon-separated hex groups;
+      compressed ``::`` forms are out of scope and documented so)
+
+    Replacement order extends the v1 contract (emails first, then
+    IPs, then phones): email -> IPv6 -> IPv4 -> credit card -> phone.
+    IPv6 precedes IPv4 (dotted quads never contain colons, the
+    reverse protects nothing but the order is fixed for
+    reproducibility); cards precede phones (the phone pattern is a
+    sub-shape of dashed card groups). Counts are taken BEFORE any
+    replacement, on the original text.
+
+    Scale shape: still one codegen projection — regexp_count /
+    regexp_extract_all / the Luhn fold are all JVM expressions, zero
+    exchanges, zero UDFs; scan-speed at 100 TB like v1.
+    """
+    t = F.col(text_col)
+    valid_ccs = F.filter(
+        F.regexp_extract_all(t, F.lit(PII_CC_RE), F.lit(0)), _luhn_valid
+    )
+    s1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    s2 = F.regexp_replace(s1, PII_IPV6_RE, "<IP6>")
+    s3 = F.regexp_replace(s2, PII_IP_RE, "<IP>")
+    s4 = F.aggregate(
+        valid_ccs,
+        s3,
+        lambda acc, c: F.replace(acc, c, F.lit("<CC>")),
+    )
+    s5 = F.regexp_replace(s4, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV6_RE)).cast("bigint").alias("n_ip6s"),
+        F.regexp_count(t, F.lit(PII_IP_RE)).cast("bigint").alias("n_ips"),
+        F.size(valid_ccs).cast("bigint").alias("n_ccs"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        s5.alias("redacted"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Gopher quality rules (Rae et al. 2021, Appendix A1.1) — integer-exact
 # --------------------------------------------------------------------------
@@ -459,6 +535,150 @@ def gopher_quality_flags(
         ok_alpha.alias("ok_alpha_ratio"),
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("pass_gopher"),
+    )
+
+
+def gopher_repetition_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_pct: int = 30,
+    max_dup_para_pct: int = 30,
+    max_top2_pct: int = 20,
+    max_top3_pct: int = 18,
+    max_top4_pct: int = 16,
+) -> DataFrame:
+    """The second half of the Gopher filter battery (Rae et al. 2021
+    §A1.1): the REPETITION rules, complementing the word-form rules in
+    :func:`gopher_quality_flags`.
+
+    Per document:
+
+    - ``ok_dup_lines`` — fraction of (trimmed, non-empty) newline-split
+      lines that are duplicates of another line stays <=
+      ``max_dup_line_pct``/100 (Gopher removes above 0.30)
+    - ``ok_dup_paras`` — same over blank-line-separated paragraphs
+    - ``ok_top2/3/4`` — the non-space character mass of the single most
+      frequent word 2-/3-/4-gram, as a fraction of the doc's non-space
+      characters, stays <= 20% / 18% / 16% (ties broken by
+      lexicographically smallest gram, so the winner — and therefore
+      the verdict — is engine-portable)
+    - ``pass_repetition`` — all of the above
+
+    Thresholds are PERCENT integers and every comparison is an integer
+    cross-multiplication (``mass * 100 <= pct * total``) — no division,
+    so verdicts are bit-reproducible in any engine. Docs with zero
+    lines / fewer than n words vacuously pass (the word-form battery
+    already fails empty docs).
+
+    Scale shape: the line/paragraph stats are one zero-exchange
+    projection (higher-order functions over the doc's own splits); the
+    top-gram pass explodes (doc_id, n, gram) rows — text never carried,
+    grams only — into a partial-agg count and a per-(doc, n) window,
+    every stage partitioned by doc_id. Same plan family as
+    ``text.repetition_stats``, one pass for all three gram sizes.
+    """
+    from pyspark.sql.window import Window
+
+    # NULL-safe: NULL text folds to '' here (F.size of a NULL array is
+    # -1, which would poison the dup-fraction comparisons)
+    t = F.coalesce(F.trim(F.col(text_col)), F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("_tt"),
+        F.split(t, " ").alias("_w"),
+    )
+
+    def _units(sep: str):
+        arr = F.filter(
+            F.transform(F.split(F.col("_tt"), sep), lambda x: F.trim(x)),
+            lambda x: x != F.lit(""),
+        )
+        n = F.coalesce(F.size(arr), F.lit(0)).cast("bigint")
+        ndup = (n - F.coalesce(F.size(F.array_distinct(arr)), F.lit(0))
+                ).cast("bigint")
+        return n, ndup
+
+    n_lines, n_dup_lines = _units("\n")
+    n_paras, n_dup_paras = _units("\n\n")
+    nonspace = F.coalesce(
+        F.length(
+            F.replace(F.replace(F.col("_tt"), F.lit(" "), F.lit("")),
+                      F.lit("\n"), F.lit(""))
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    stats = base.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_dup_lines.alias("n_dup_lines"),
+        n_paras.alias("n_paras"),
+        n_dup_paras.alias("n_dup_paras"),
+        nonspace.alias("nonspace_chars"),
+    )
+
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "flatten(transform(filter(array(2, 3, 4), n -> size(_w) >= n), "
+                "n -> transform(sequence(0, size(_w) - n), "
+                "i -> struct(n AS n, concat_ws(' ', slice(_w, i + 1, n)) AS gram))))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.n", "s.gram")
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    win = Window.partitionBy("doc_id", "n").orderBy(
+        F.desc("cnt"), F.asc("gram")
+    )
+    mass = (
+        F.col("cnt")
+        * F.length(F.replace(F.col("gram"), F.lit(" "), F.lit("")))
+    ).cast("bigint")
+    masses = (
+        counts.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("n") == 2, mass)).alias("top2_mass"),
+            F.max(F.when(F.col("n") == 3, mass)).alias("top3_mass"),
+            F.max(F.when(F.col("n") == 4, mass)).alias("top4_mass"),
+        )
+    )
+
+    j = stats.join(masses, "doc_id", "left")
+    top2 = F.coalesce("top2_mass", F.lit(0)).cast("bigint")
+    top3 = F.coalesce("top3_mass", F.lit(0)).cast("bigint")
+    top4 = F.coalesce("top4_mass", F.lit(0)).cast("bigint")
+    ok_lines = (
+        F.col("n_dup_lines") * 100
+        <= F.lit(int(max_dup_line_pct)) * F.col("n_lines")
+    )
+    ok_paras = (
+        F.col("n_dup_paras") * 100
+        <= F.lit(int(max_dup_para_pct)) * F.col("n_paras")
+    )
+    ok2 = top2 * 100 <= F.lit(int(max_top2_pct)) * F.col("nonspace_chars")
+    ok3 = top3 * 100 <= F.lit(int(max_top3_pct)) * F.col("nonspace_chars")
+    ok4 = top4 * 100 <= F.lit(int(max_top4_pct)) * F.col("nonspace_chars")
+    return j.select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        "n_paras",
+        "n_dup_paras",
+        "nonspace_chars",
+        top2.alias("top2_mass"),
+        top3.alias("top3_mass"),
+        top4.alias("top4_mass"),
+        ok_lines.alias("ok_dup_lines"),
+        ok_paras.alias("ok_dup_paras"),
+        ok2.alias("ok_top2"),
+        ok3.alias("ok_top3"),
+        ok4.alias("ok_top4"),
+        (ok_lines & ok_paras & ok2 & ok3 & ok4).alias("pass_repetition"),
     )
 
 

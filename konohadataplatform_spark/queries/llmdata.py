@@ -4438,6 +4438,137 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PII v2 (r10): Luhn-checksummed credit cards + full-form IPv6 on top
+# of the v1 email/IPv4/phone battery. The fixture plants a VALID card
+# and a Luhn-FAILING 16-digit run side by side — the failing run must
+# survive redaction (a regex alone cannot express the checksum).
+# --------------------------------------------------------------------------
+_PII2_LUHN = (
+    "list_sum([ CASE WHEN i % 2 = 1 THEN "
+    "CASE WHEN 2 * CAST(substring(replace(replace(c, ' ', ''), '-', ''), "
+    "i, 1) AS INT) > 9 "
+    "THEN 2 * CAST(substring(replace(replace(c, ' ', ''), '-', ''), "
+    "i, 1) AS INT) - 9 "
+    "ELSE 2 * CAST(substring(replace(replace(c, ' ', ''), '-', ''), "
+    "i, 1) AS INT) END "
+    "ELSE CAST(substring(replace(replace(c, ' ', ''), '-', ''), "
+    "i, 1) AS INT) END for i in range(1, 17) ]) % 10 = 0"
+)
+
+
+@query(
+    "q_pii_redact_v2",
+    f"""
+    WITH fx AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com now'
+               WHEN 1 THEN ' call 555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           || ' today'
+               WHEN 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                           || ' logged'
+               WHEN 3 THEN ' via 2001:0db8:85a3:8a2e:0370:1234:0042:'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           || ' tunneled'
+               ELSE ' pay 4111 1111 1111 1111 not 1234-5678-9012-3456 ok'
+             END AS t
+      FROM documents
+    ), cc AS (
+      SELECT doc_id, t,
+             list_filter(
+               regexp_extract_all(t, '\\b(?:\\d[ -]?){{15}}\\d\\b'),
+               c -> {_PII2_LUHN}) AS valid
+      FROM fx
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\\b(?:[0-9A-Fa-f]{{1,4}}:){{7}}[0-9A-Fa-f]{{1,4}}\\b'))
+             AS BIGINT) AS n_ip6s,
+           CAST(len(regexp_extract_all(t,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+             AS BIGINT) AS n_ips,
+           CAST(len(valid) AS BIGINT) AS n_ccs,
+           CAST(len(regexp_extract_all(t, '\\b\\d{{3}}-\\d{{4}}\\b'))
+             AS BIGINT) AS n_phones,
+           regexp_replace(
+             list_reduce(
+               list_concat(
+                 [regexp_replace(
+                    regexp_replace(
+                      regexp_replace(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                        '<EMAIL>', 'g'),
+                      '\\b(?:[0-9A-Fa-f]{{1,4}}:){{7}}[0-9A-Fa-f]{{1,4}}\\b',
+                      '<IP6>', 'g'),
+                    '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                    '<IP>', 'g')],
+                 valid),
+               (acc, c) -> replace(acc, c, '<CC>')),
+             '\\b\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g') AS redacted
+    FROM cc
+    """,
+)
+def q_pii_redact_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII v2 scrub over a planted fixture covering all five classes:
+    email, phone, IPv4, full-form IPv6, and a Luhn-VALID credit card
+    planted next to a Luhn-failing 16-digit run that must survive.
+    operators.curation.pii_redact_v2 — one codegen projection, the
+    checksum a static 16-term integer fold."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                did % 5 == 1,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                    F.lit(" today"),
+                ),
+            )
+            .when(
+                did % 5 == 2,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0."),
+                    (did % 100).cast("string"),
+                    F.lit(" logged"),
+                ),
+            )
+            .when(
+                did % 5 == 3,
+                F.concat(
+                    F.lit(" via 2001:0db8:85a3:8a2e:0370:1234:0042:"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                    F.lit(" tunneled"),
+                ),
+            )
+            .otherwise(
+                F.lit(" pay 4111 1111 1111 1111 not 1234-5678-9012-3456 ok")
+            ),
+        ).alias("text"),
+    )
+    return CU.pii_redact_v2(fixture)
+
+
+# --------------------------------------------------------------------------
 # Gopher quality rules (r9): Rae et al. 2021's heuristic battery as
 # integer-exact per-doc flags
 # --------------------------------------------------------------------------
@@ -4486,6 +4617,90 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the combined verdict. operators.curation.gopher_quality_flags —
     one higher-order-function projection, zero exchanges/UDFs."""
     return CU.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition rules (r10): the second half of the Rae et al. 2021
+# A1.1 battery — duplicate-line/paragraph fractions and top-2/3/4-gram
+# character-mass bounds, integer-exact percent thresholds
+# --------------------------------------------------------------------------
+@query(
+    "q_gopher_repetition",
+    """
+    WITH t AS (
+      SELECT doc_id, coalesce(trim(text), '') AS tt,
+             string_split(coalesce(trim(text), ''), ' ') AS w
+      FROM documents
+    ), lp AS (
+      SELECT doc_id, tt,
+             list_filter(list_transform(string_split(tt, chr(10)),
+                                        x -> trim(x)), x -> x <> '')
+               AS lines,
+             list_filter(list_transform(
+               string_split(tt, chr(10) || chr(10)), x -> trim(x)),
+               x -> x <> '') AS paras
+      FROM t
+    ), st AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+               AS n_dup_lines,
+             CAST(len(paras) AS BIGINT) AS n_paras,
+             CAST(len(paras) - len(list_distinct(paras)) AS BIGINT)
+               AS n_dup_paras,
+             CAST(length(replace(replace(tt, ' ', ''), chr(10), ''))
+                  AS BIGINT) AS nonspace_chars
+      FROM lp
+    ), g AS (
+      SELECT doc_id, s.n AS n, s.gram AS gram FROM (
+        SELECT doc_id,
+               unnest(flatten([
+                 [ {'n': n, 'gram': array_to_string(w[i+1:i+n], ' ')}
+                   for i in range(0, len(w) - n + 1) ]
+                 for n in [2, 3, 4] if len(w) >= n ])) AS s
+        FROM t)
+    ), c AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY ALL
+    ), top AS (
+      SELECT doc_id, n,
+             CAST(cnt * length(replace(gram, ' ', '')) AS BIGINT) AS mass,
+             row_number() OVER (PARTITION BY doc_id, n
+                                ORDER BY cnt DESC, gram ASC) AS rn
+      FROM c
+    ), mm AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 2 THEN mass END) AS m2,
+             MAX(CASE WHEN n = 3 THEN mass END) AS m3,
+             MAX(CASE WHEN n = 4 THEN mass END) AS m4
+      FROM top WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT st.doc_id, n_lines, n_dup_lines, n_paras, n_dup_paras,
+           nonspace_chars,
+           CAST(coalesce(m2, 0) AS BIGINT) AS top2_mass,
+           CAST(coalesce(m3, 0) AS BIGINT) AS top3_mass,
+           CAST(coalesce(m4, 0) AS BIGINT) AS top4_mass,
+           n_dup_lines * 100 <= 30 * n_lines AS ok_dup_lines,
+           n_dup_paras * 100 <= 30 * n_paras AS ok_dup_paras,
+           coalesce(m2, 0) * 100 <= 20 * nonspace_chars AS ok_top2,
+           coalesce(m3, 0) * 100 <= 18 * nonspace_chars AS ok_top3,
+           coalesce(m4, 0) * 100 <= 16 * nonspace_chars AS ok_top4,
+           (n_dup_lines * 100 <= 30 * n_lines)
+             AND (n_dup_paras * 100 <= 30 * n_paras)
+             AND (coalesce(m2, 0) * 100 <= 20 * nonspace_chars)
+             AND (coalesce(m3, 0) * 100 <= 18 * nonspace_chars)
+             AND (coalesce(m4, 0) * 100 <= 16 * nonspace_chars)
+             AS pass_repetition
+    FROM st LEFT JOIN mm ON st.doc_id = mm.doc_id
+    """,
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition flags (duplicate-line/paragraph fractions,
+    top-2/3/4-gram character-mass bounds) with integer-exact percent
+    thresholds. operators.curation.gopher_repetition_flags: the
+    line/para stats are one zero-exchange projection; the top-gram pass
+    is one (doc_id, n, gram) explode + partial-agg count + per-(doc, n)
+    window — all stages partitioned by doc_id."""
+    return CU.gopher_repetition_flags(_t(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

@@ -319,6 +319,44 @@ def test_pii_redact_zero_exchange_plan(spark):
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
 
 
+def test_pii_redact_v2_luhn_and_ipv6(spark):
+    from konohadataplatform_spark.operators.curation import pii_redact_v2
+
+    docs = spark.createDataFrame(
+        [
+            # Luhn-valid in three separator styles -> all redacted
+            (1, "pay 4111 1111 1111 1111 now"),
+            (2, "pay 4111-1111-1111-1111 now"),
+            (3, "pay 4111111111111111 now"),
+            # Luhn-FAILING 16-digit run -> must SURVIVE redaction
+            (4, "ref 1234-5678-9012-3456 kept"),
+            # full-form IPv6 -> redacted; compressed form out of scope
+            (5, "via 2001:0db8:85a3:0000:0000:8a2e:0370:7334 end"),
+            (6, "via 2001:db8::1 compressed stays"),
+            # v1 classes still work through the v2 path
+            (7, "mail a@b.co ip 1.2.3.4 call 555-0199"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_redact_v2(docs).collect()}
+    for d in (1, 2, 3):
+        assert out[d].n_ccs == 1 and out[d].redacted == "pay <CC> now", d
+    assert out[4].n_ccs == 0
+    assert out[4].redacted == "ref 1234-5678-9012-3456 kept"
+    assert out[5].n_ip6s == 1 and out[5].redacted == "via <IP6> end"
+    assert out[6].n_ip6s == 0 and "2001:db8::1" in out[6].redacted
+    assert (out[7].n_emails, out[7].n_ips, out[7].n_phones) == (1, 1, 1)
+    assert out[7].redacted == "mail <EMAIL> ip <IP> call <PHONE>"
+
+
+def test_pii_redact_v2_zero_exchange_plan(spark):
+    from konohadataplatform_spark.operators.curation import pii_redact_v2
+
+    docs = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = pii_redact_v2(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
 # ---------------------------------------------------------------------------
 # r9: Gopher quality rules
 # ---------------------------------------------------------------------------
@@ -412,3 +450,52 @@ def test_lang_temperature_quota_validation(spark):
     # -> loud raise_error instead of a silent cross-engine divergence
     with pytest.raises(Exception, match="2\\^52"):
         lang_temperature_quota(docs, budget=10, scale=1 << 52).collect()
+
+
+# ---------------------------------------------------------------------------
+# r10: Gopher repetition rules (Rae et al. 2021 A1.1, second half)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_repetition_each_rule_fires(spark):
+    from konohadataplatform_spark.operators.curation import (
+        gopher_repetition_flags,
+    )
+
+    clean = ("alpha beta gamma delta epsilon zeta eta theta iota kappa\n"
+             "one two three four five six seven eight nine ten\n\n"
+             "red orange yellow green blue indigo violet gray pink teal")
+    # 3 of 4 lines identical -> dup-line fraction 0.5 > 0.30
+    dup_lines = "same line here\nsame line here\nsame line here\nunique one"
+    # 2 of 2 paragraphs identical -> dup-para fraction 0.5 > 0.30
+    dup_paras = "para text body\n\npara text body"
+    # one 2-gram dominates the char mass
+    top2 = "spam ham " * 30 + "tail"
+    docs = spark.createDataFrame(
+        [(1, clean), (2, dup_lines), (3, dup_paras), (4, top2.strip()),
+         (5, None), (6, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_repetition_flags(docs).collect()}
+    assert out[1].pass_repetition
+    assert out[1].n_lines == 3 and out[1].n_paras == 2
+    assert not out[2].ok_dup_lines and out[2].n_dup_lines == 2
+    assert not out[3].ok_dup_paras and out[3].n_dup_paras == 1
+    assert not out[4].ok_top2 and not out[4].pass_repetition
+    # NULL/empty text vacuously passes (the word-form battery fails it)
+    assert out[5].pass_repetition and out[5].n_lines == 0
+    assert out[6].pass_repetition and out[6].nonspace_chars == 0
+
+
+def test_gopher_repetition_top_gram_tie_is_deterministic(spark):
+    from konohadataplatform_spark.operators.curation import (
+        gopher_repetition_flags,
+    )
+
+    # "b c" and "a b" both occur once; lexicographically smallest wins,
+    # so the mass is len("ab") * 1 = 2 regardless of engine/partitioning
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    r = gopher_repetition_flags(docs).collect()[0]
+    assert r.top2_mass == 2 and r.top3_mass == 3 and r.top4_mass == 0
