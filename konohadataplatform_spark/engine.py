@@ -56,6 +56,11 @@ class Engine:
         df.createOrReplaceTempView(name)
 
     def register_star_schema(self, sf_dir: str) -> dict[str, DataFrame]:
+        # remember the dir so SessionEngine clones can replay the
+        # registration into their own temp-view catalog (a DataFrame
+        # is bound to the session that built it, so the views cannot
+        # simply be shared)
+        self._star_sf_dirs = getattr(self, "_star_sf_dirs", []) + [sf_dir]
         return register_views(self.spark, sf_dir)
 
     def table(self, name: str) -> DataFrame:
@@ -171,3 +176,55 @@ class Engine:
 
     def set_bloom_filters(self, name: str, cols: dict) -> None:
         self._require_catalog().set_bloom_filters(name, cols)
+
+
+class SessionEngine(Engine):
+    """Per-session engine clone — the Kyuubi session-isolation analog.
+
+    The reference runs one Spark engine per user (USER share level) or
+    a shared engine with per-session overrides (SERVER share,
+    ``infrastructure/apps/kyuubi/base/kyuubi-dbt-defaults-configmap.yaml:14,50-59``);
+    either way two JDBC sessions issuing ``CREATE TEMP VIEW x`` never
+    collide and a ``SET`` in one session never leaks into another. This
+    clone gets both properties natively from ``spark.newSession()``:
+    its own temp-view catalog and its own SQLConf over the SHARED
+    SparkContext (no second JVM, no duplicated cache).
+
+    Catalog tables stay globally visible (the shared-metastore half of
+    the Kyuubi pairing): the session holds its own
+    :class:`SnapshotCatalog` handle over the same warehouse — the
+    catalog is stateless on disk — and before each statement lazily
+    (re-)registers any catalog table whose committed version it has
+    not seen, so a table CREATEd or MERGEd through one session is
+    queryable from every other at its latest committed version. The
+    sync is metadata-only (one pointer-file read per table). Known
+    shadowing caveat: a session temp view named like a catalog table
+    shadows it only until the table commits a new version.
+    """
+
+    def __init__(self, base: Engine):
+        clone = base.spark.newSession()
+        cat = None
+        if base.catalog is not None:
+            cat = type(base.catalog)(clone, base.catalog.warehouse)
+        super().__init__(clone, cat)
+        self._seen_versions: dict[str, int] = {}
+        # replay the base engine's star-schema registrations (parquet
+        # paths, so the clone can rebuild the views itself)
+        for d in getattr(base, "_star_sf_dirs", []):
+            self.register_star_schema(d)
+
+    def _sync_catalog_views(self) -> None:
+        if self.catalog is None:
+            return
+        for t in self.catalog.tables():
+            snap = self.catalog.current_snapshot(t)
+            if snap is None:
+                continue
+            if self._seen_versions.get(t) != snap.version:
+                self.register(t, self.catalog.read(t))
+                self._seen_versions[t] = snap.version
+
+    def sql(self, query: str) -> DataFrame:
+        self._sync_catalog_views()
+        return super().sql(query)

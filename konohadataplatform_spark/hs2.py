@@ -542,8 +542,18 @@ class Hs2Server:
                 ), 2: (T_I32, self.PROTOCOL_MAX)}
             proto = min(client_proto, self.PROTOCOL_MAX)
             guid = uuid.uuid4().bytes
+            # Kyuubi-style session isolation: a catalog-backed engine
+            # gets its own SparkSession clone (temp views + SQL conf
+            # are per-session; catalog tables stay shared). Without a
+            # catalog there is nothing to mirror base temp views
+            # through, so fall back to the shared engine.
+            seng = self.engine
+            if getattr(self.engine, "catalog", None) is not None:
+                from konohadataplatform_spark.engine import SessionEngine
+
+                seng = SessionEngine(self.engine)
             with self._lock:
-                self._sessions[guid] = {"protocol": proto}
+                self._sessions[guid] = {"protocol": proto, "engine": seng}
             if conn_sessions is not None:
                 conn_sessions.append(guid)
             # field 4 (configuration) is optional in the IDL but the
@@ -573,8 +583,9 @@ class Hs2Server:
             # schema is what makes hasResultSet + GetResultSetMetadata
             # truthful in the immediate response — exactly the
             # compile-sync / execute-async split real HS2 performs.
+            eng = self._sessions.get(sguid, {}).get("engine", self.engine)
             try:
-                df = self.engine.sql(sql)
+                df = eng.sql(sql)
             except Exception as exc:  # surface as TStatus, keep serving
                 return {1: _status_error(f"{type(exc).__name__}: {exc}")}
             if df is None or not df.columns:
@@ -685,14 +696,17 @@ class Hs2Server:
                     2: (T_STRUCT, {1: (T_STRING, val)})}
 
         if name == "GetTables":
-            spark = self.engine.spark
+            sguid = _guid_of(args[1][1][1])
+            eng = self._sessions.get(sguid, {}).get("engine", self.engine)
+            if hasattr(eng, "_sync_catalog_views"):
+                eng._sync_catalog_views()  # list shared tables too
+            spark = eng.spark
             rows = [(None, t.database or "default", t.name,
                      "TABLE" if t.tableType != "VIEW" else "VIEW", None)
                     for t in spark.catalog.listTables()]
             dt = [("TABLE_CAT", "string"), ("TABLE_SCHEM", "string"),
                   ("TABLE_NAME", "string"), ("TABLE_TYPE", "string"),
                   ("REMARKS", "string")]
-            sguid = _guid_of(args[1][1][1])
             return {1: _status_ok(),
                     2: _op_handle(self._new_op(dt, rows, sguid), True)}
 
@@ -748,7 +762,10 @@ class Hs2Server:
             req = args[1][1]
             sguid = _guid_of(req[1])
             pat = req.get(4, (T_STRING, b"%"))[1].decode("utf-8")
-            spark = self.engine.spark
+            eng = self._sessions.get(sguid, {}).get("engine", self.engine)
+            if hasattr(eng, "_sync_catalog_views"):
+                eng._sync_catalog_views()
+            spark = eng.spark
             rows = []
             for t in spark.catalog.listTables():
                 if not _like_match(pat, t.name):

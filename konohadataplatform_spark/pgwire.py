@@ -469,6 +469,15 @@ class PgWireServer:
         self._thread: threading.Thread | None = None
         self._pgcat: _PgCatalogMirror | None = None
         self._pgcat_lock = threading.Lock()
+        # per-connection engine (Kyuubi session-isolation analog): each
+        # connection runs in its own handler thread, so a thread-local
+        # carries its SessionEngine — temp views and SET conf are
+        # connection-scoped, catalog tables shared (engine.SessionEngine)
+        self._conn = threading.local()
+
+    @property
+    def _conn_engine(self):
+        return getattr(self._conn, "engine", None) or self.engine
 
     def _catalog_mirror(self) -> _PgCatalogMirror:
         with self._pgcat_lock:
@@ -499,7 +508,7 @@ class PgWireServer:
                     wfile.write(_Messages.data_row(list(r)))
                 wfile.write(_Messages.command_complete(f"SELECT {len(rows)}"))
                 continue
-            df = self.engine.sql(stmt)
+            df = self._conn_engine.sql(stmt)
             if df is None or not df.columns:
                 wfile.write(_Messages.command_complete("OK"))
                 continue
@@ -588,7 +597,7 @@ class PgWireServer:
                 wfile.write(_Messages.row_description(dtypes))
             elif (sql is not None and self._returns_rows(sql)
                     and self._txn_tag(sql) is None and not has_params):
-                df = self.engine.sql(sql)  # lazy: schema only, no action
+                df = self._conn_engine.sql(sql)  # lazy: schema only, no action
                 wfile.write(_Messages.row_description(list(df.dtypes)))
             else:
                 # unbound parameters or no result set: client re-describes
@@ -609,7 +618,7 @@ class PgWireServer:
                     _dt, rows = self._catalog_mirror().run(entry["sql"])
                     entry["rows"] = [tuple(r) for r in rows]
                 else:
-                    df = self.engine.sql(entry["sql"])
+                    df = self._conn_engine.sql(entry["sql"])
                     if df is None or not df.columns:
                         entry["rows"] = []
                         wfile.write(_Messages.command_complete("OK"))
@@ -698,6 +707,15 @@ class PgWireServer:
             rfile, wfile, payload
         ):
             return
+        # session isolation (Kyuubi analog): catalog-backed engines get
+        # a per-connection SparkSession clone — CREATE TEMP VIEW and
+        # SET in this connection never leak into another
+        if getattr(self.engine, "catalog", None) is not None:
+            from konohadataplatform_spark.engine import SessionEngine
+
+            self._conn.engine = SessionEngine(self.engine)
+        else:
+            self._conn.engine = None
         wfile.write(_Messages.auth_ok())
         for k, v in (
             ("server_version", "15.0 (konohadataplatform-spark)"),

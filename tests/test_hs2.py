@@ -507,6 +507,32 @@ def test_multiple_sessions_per_connection(server):
         c.close()
 
 
+def test_session_temp_view_and_conf_isolation(server):
+    """r10: Kyuubi-style session isolation (the reference's per-session
+    engine semantics) — two concurrent sessions CREATE the SAME
+    temp-view name without colliding, SET conf stays session-scoped,
+    and catalog tables written by one session are visible to the
+    other at their latest committed version."""
+    a = _connect(server)
+    b = _connect(server)
+    try:
+        a.execute("CREATE OR REPLACE TEMP VIEW sv AS SELECT 1 AS x")
+        b.execute("CREATE OR REPLACE TEMP VIEW sv AS SELECT 2 AS x")
+        assert a.execute("SELECT x FROM sv")[1] == [(1,)]
+        assert b.execute("SELECT x FROM sv")[1] == [(2,)]
+        # per-session SQL conf (the reference's per-session overrides)
+        a.execute("SET spark.sql.shuffle.partitions=7")
+        assert a.execute("SET spark.sql.shuffle.partitions")[1][0][1] == "7"
+        _c, rows = b.execute("SET spark.sql.shuffle.partitions")
+        assert rows and rows[0][1] != "7"
+        # catalog tables are shared: CTAS in A, queried from B
+        a.execute("CREATE TABLE shared_ct AS SELECT 42 AS v")
+        assert b.execute("SELECT v FROM shared_ct")[1] == [(42,)]
+    finally:
+        a.close()
+        b.close()
+
+
 # ---------------------------------------------------------------------------
 # r9: optional credential verification on SASL PLAIN (wireauth.py) —
 # the deployed reference fronts this listener with Keycloak; the

@@ -51,6 +51,27 @@ def test_multi_statement_and_error(server):
     assert err is None and rows == [["2"]]
 
 
+def test_connection_temp_view_isolation(server):
+    """r10: Kyuubi-style session isolation — each connection gets its
+    own SparkSession clone, so a temp view lives and dies with its
+    connection while catalog tables (CTAS) stay shared."""
+    cols, rows, err = pg_query(
+        server.port,
+        "CREATE TEMP VIEW cw AS SELECT 5 AS x; SELECT x FROM cw",
+    )
+    assert err is None and rows == [["5"]]
+    # a NEW connection must not see the other connection's view...
+    _c, _r, err = pg_query(server.port, "SELECT x FROM cw")
+    assert err is not None and "cw" in err.lower()
+    # ...but a catalog table written through one connection is shared
+    _c, _r, err = pg_query(
+        server.port, "CREATE TABLE pg_shared AS SELECT 7 AS v"
+    )
+    assert err is None
+    cols, rows, err = pg_query(server.port, "SELECT v FROM pg_shared")
+    assert err is None and rows == [["7"]]
+
+
 def test_concurrent_clients(server):
     out = {}
 
