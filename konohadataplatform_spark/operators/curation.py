@@ -682,6 +682,165 @@ def gopher_repetition_flags(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic hash-based corpus mixing: keep each document with
+    its source's sampling rate, decided by a salted md5 of the doc id
+    — the reservoir-free mixture sampling every pretraining data
+    pipeline runs (Pile/ROOTS-style source weighting). Reproducible
+    across reruns and engines (no RNG state; change ``seed`` to
+    redraw), and each doc's verdict is independent of every other
+    row, so the pass is one scan-speed projection — no shuffle, no
+    sample() nondeterminism, trivially resumable at 100 TB.
+
+    The draw: ``hkey`` = first 15 hex digits of
+    ``md5(seed || ':' || doc_id)`` as a bigint (uniform over 2^60);
+    ``selected`` iff ``hkey < floor(rate * 2^60)`` — an integer
+    comparison, no floating point at runtime. Unknown sources use
+    ``default_rate``. Returns every row with (hkey, rate-scaled
+    threshold applied) so callers can audit rates; filter on
+    ``selected`` for the sampled corpus.
+    """
+    lim = 1 << 60
+    if not rates:
+        raise ValueError("rates must name at least one source")
+    for s, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {s!r} outside [0, 1]: {r}")
+    hkey = F.expr(
+        f"cast(conv(substring(md5(concat('{seed}', ':', "
+        f"cast({id_col} as string))), 1, 15), 16, 10) as bigint)"
+    )
+    thr = F.lit(int(default_rate * lim))
+    for s, r in sorted(rates.items()):
+        thr = F.when(F.col(source_col) == s, F.lit(int(r * lim))).otherwise(
+            thr
+        )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        hkey.alias("hkey"),
+        (hkey < thr).alias("selected"),
+    )
+
+
+DUP_NGRAM_PCTS = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def gopher_dup_ngram_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pcts: dict[int, int] | None = None,
+) -> DataFrame:
+    """The final third of the Gopher repetition battery (Rae et al.
+    2021 §A1.1 rows 5-10): for each n in 5..10, the fraction of
+    characters covered by words inside DUPLICATED n-grams (n-grams
+    occurring >= 2 times in the document), counting overlapping
+    occurrences once — Gopher removes when the fraction exceeds
+    0.15/0.14/0.13/0.12/0.11/0.10 for n = 5..10.
+
+    Coverage is an interval union over word positions: every
+    occurrence of a duplicated n-gram covers word indexes
+    [i, i+n-1]; sorted same-length intervals merge exactly like
+    ``exact_substring_rewrite``'s cut spans (a new island starts when
+    the gap to the previous start exceeds n-1), and each island's
+    character mass sums that word-slice's lengths from the doc's own
+    token array. Thresholds are PERCENT integers compared by
+    cross-multiplication — bit-reproducible verdicts, no division.
+
+    Returns (doc_id, nonspace_chars, dup5_mass..dup10_mass,
+    ok_dup5..ok_dup10, pass_dup_ngrams). Docs with < n words have
+    zero mass for that n (vacuous pass).
+
+    Scale shape: one (doc_id, n, gram-position) explode — grams only,
+    never text — into a per-(doc, n, gram) partial-agg count, a
+    per-(doc, n) window over duplicated positions, and one join back
+    to the doc's token array; every stage is partitioned by doc_id.
+    """
+    from pyspark.sql.window import Window
+
+    pcts = dict(DUP_NGRAM_PCTS if pcts is None else pcts)
+    ns = sorted(pcts)
+    t = F.coalesce(F.trim(F.col(text_col)), F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(t, " ").alias("_w"),
+        F.coalesce(
+            F.length(F.replace(t, F.lit(" "), F.lit(""))), F.lit(0)
+        ).cast("bigint").alias("nonspace_chars"),
+    )
+    ns_arr = ", ".join(str(n) for n in ns)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"flatten(transform(filter(array({ns_arr}), n -> size(_w) >= n), "
+                "n -> transform(sequence(0, size(_w) - n), "
+                "i -> struct(n AS n, i AS i, "
+                "concat_ws(' ', slice(_w, i + 1, n)) AS gram))))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.n", "s.i", "s.gram")
+    # positions of DUPLICATED grams only (count >= 2 per (doc, n, gram))
+    dup_pos = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("_c"), F.collect_list("i").alias("_ps"))
+        .filter(F.col("_c") >= 2)
+        .select("doc_id", "n", F.explode("_ps").alias("i"))
+    )
+    w = Window.partitionBy("doc_id", "n").orderBy("i")
+    islands = dup_pos.withColumn(
+        "_new",
+        F.when(F.col("i") - F.lag("i").over(w) > F.col("n") - 1, F.lit(1))
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "n", "_isl").agg(
+        F.min("i").alias("s"),
+        (F.max("i") + F.col("n") - 1).alias("e"),
+    )
+    span_lists = spans.groupBy("doc_id", "n").agg(
+        F.collect_list(F.struct("s", "e")).alias("_spans")
+    )
+    mass_expr = F.expr(
+        "aggregate(_spans, 0L, (acc, sp) -> acc + "
+        "aggregate(slice(_w, cast(sp.s + 1 as int), "
+        "cast(sp.e - sp.s + 1 as int)), 0L, (a, wd) -> a + length(wd)))"
+    )
+    masses = (
+        span_lists.join(base.select("doc_id", "_w"), "doc_id")
+        .select("doc_id", "n", mass_expr.alias("_m"))
+        .groupBy("doc_id")
+        .agg(*[
+            F.max(F.when(F.col("n") == n, F.col("_m"))).alias(f"_m{n}")
+            for n in ns
+        ])
+    )
+    j = base.select("doc_id", "nonspace_chars").join(masses, "doc_id", "left")
+    cols = [F.col("doc_id"), F.col("nonspace_chars")]
+    oks = []
+    for n in ns:
+        m = F.coalesce(F.col(f"_m{n}"), F.lit(0)).cast("bigint")
+        ok = m * 100 <= F.lit(int(pcts[n])) * F.col("nonspace_chars")
+        cols.append(m.alias(f"dup{n}_mass"))
+        oks.append(ok.alias(f"ok_dup{n}"))
+    allok = None
+    for n in ns:
+        m = F.coalesce(F.col(f"_m{n}"), F.lit(0)).cast("bigint")
+        ok = m * 100 <= F.lit(int(pcts[n])) * F.col("nonspace_chars")
+        allok = ok if allok is None else (allok & ok)
+    return j.select(*cols, *oks, allok.alias("pass_dup_ngrams"))
+
+
 # --------------------------------------------------------------------------
 # Language-temperature sampling quotas (multilingual corpus balancing)
 # --------------------------------------------------------------------------

@@ -407,3 +407,162 @@ def canonicalize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.size(cleaned).alias("n_after"),
         F.md5(F.array_join(cleaned, " ").cast("binary")).alias("canonical_md5"),
     )
+
+
+def context_windows(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, win_id, start_tok, n_toks, chunk): overlapping
+    fixed-size token windows — the training-example slicer for
+    next-token pretraining (stride < window gives overlapping
+    contexts, the HF ``return_overflowing_tokens`` shape).
+
+    Contract: window starts at every ``k * stride < n_tokens``;
+    ``n_toks = min(window, n_tokens - start)``, so the final windows
+    are remainders (callers filter ``n_toks`` if they want only full
+    windows). Empty/NULL docs yield no rows. Deterministic — no
+    randomness, no state.
+
+    Scale shape: one explode over per-doc offsets (``n/stride`` rows
+    per doc) with the chunk re-sliced from the doc's OWN token array
+    in the same projection — zero joins, zero shuffles; the output is
+    partitioned exactly like the input scan.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    t = F.coalesce(F.trim(F.col(text_col)), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(t, " ").alias("_w"),
+        # repo-wide single-space tokenization; '' -> zero tokens
+        F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " "))).alias(
+            "_n"
+        ),
+    )
+    return (
+        base.filter(F.col("_n") >= 1)
+        .select(
+            "doc_id",
+            "_w",
+            "_n",
+            F.explode(
+                F.expr(f"sequence(0, ceil(_n / {int(stride)}) - 1)")
+            ).alias("win_id"),
+        )
+        .filter(F.col("win_id") * stride < F.col("_n"))
+        .select(
+            "doc_id",
+            F.col("win_id").cast("bigint").alias("win_id"),
+            (F.col("win_id") * stride).cast("bigint").alias("start_tok"),
+            F.least(
+                F.lit(int(window)), F.col("_n") - F.col("win_id") * stride
+            ).cast("bigint").alias("n_toks"),
+            F.expr(
+                f"concat_ws(' ', slice(_w, win_id * {int(stride)} + 1, "
+                f"least({int(window)}, _n - win_id * {int(stride)})))"
+            ).alias("chunk"),
+        )
+    )
+
+
+def span_corrupt(
+    df: DataFrame,
+    mask_rate: float = 0.15,
+    span: int = 3,
+    seed: str = "t5",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5/UL2-style span-corruption example prep, deterministically:
+    (doc_id, corrupted, targets, n_spans, n_masked_toks).
+
+    Tokens partition into fixed blocks of ``span``; each block masks
+    iff a salted md5 draw over (seed, doc_id, block) lands under
+    ``mask_rate`` (expected coverage = mask_rate exactly, no RNG
+    state — the same rerunnable/engine-portable contract as
+    ``mixture_sample``). Consecutive masked blocks merge into ONE
+    span: ``corrupted`` replaces each span with ``<extra_id_k>``,
+    ``targets`` is the T5 decoder string ``<extra_id_0> span0 tokens
+    <extra_id_1> span1 tokens ...``. A rerun — on any engine — masks
+    the identical spans, which is what makes distributed preprocessing
+    resumable and its train/val splits stable.
+
+    Scale shape: one projection of higher-order expressions over the
+    doc's own token array (the block-mask array is computed once per
+    doc, then indexed) — zero joins, zero shuffles, zero UDFs;
+    scan-speed like the other example-prep passes.
+    """
+    if not (0.0 <= mask_rate <= 1.0):
+        raise ValueError(f"mask_rate outside [0, 1]: {mask_rate}")
+    if span < 1:
+        raise ValueError("span must be >= 1")
+    lim = 1 << 60
+    thr = int(mask_rate * lim)
+    L = int(span)
+    t = F.coalesce(F.trim(F.col(text_col)), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(t, " ").alias("_w"),
+        F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " "))).alias(
+            "_n"
+        ),
+    )
+    # per-block mask verdicts, computed once: mb[b+1] = block b masked
+    mb = (
+        f"transform(sequence(0, cast(ceil(_n / {L}) as int) - 1), "
+        f"b -> cast(conv(substring(md5(concat('{seed}', ':', "
+        f"cast(doc_id as string), ':', cast(b as string))), 1, 15), "
+        f"16, 10) as bigint) < {thr}L)"
+    )
+    # span-start blocks (masked, previous block unmasked), in order
+    starts = (
+        "filter(sequence(0, size(_mb) - 1), "
+        "b -> get(_mb, b) and (b = 0 or not get(_mb, b - 1)))"
+    )
+    sentinel = (
+        "concat('<extra_id_', "
+        "cast(array_position(_st, i div {L}) - 1 as string), '>')"
+    ).format(L=L)
+    corrupted = (
+        f"concat_ws(' ', flatten(transform(sequence(0, _n - 1), i -> "
+        f"if(not get(_mb, i div {L}), array(element_at(_w, i + 1)), "
+        f"if(i % {L} = 0 and array_contains(_st, i div {L}), "
+        f"array({sentinel}), array())))))"
+    )
+    targets = (
+        f"concat_ws(' ', flatten(transform(sequence(0, _n - 1), i -> "
+        f"if(not get(_mb, i div {L}), array(), "
+        f"if(i % {L} = 0 and array_contains(_st, i div {L}), "
+        f"array({sentinel}, element_at(_w, i + 1)), "
+        f"array(element_at(_w, i + 1)))))))"
+    )
+    n_masked = (
+        f"aggregate(sequence(0, _n - 1), 0L, "
+        f"(acc, i) -> acc + if(get(_mb, i div {L}), 1L, 0L))"
+    )
+    return (
+        base.withColumn("_mb", F.expr(mb))
+        .withColumn("_st", F.expr(starts))
+        .select(
+            "doc_id",
+            F.when(F.col("_n") == 0, F.lit(""))
+            .otherwise(F.expr(corrupted))
+            .alias("corrupted"),
+            F.when(F.col("_n") == 0, F.lit(""))
+            .otherwise(F.expr(targets))
+            .alias("targets"),
+            F.coalesce(F.size("_st"), F.lit(0)).cast("bigint").alias(
+                "n_spans"
+            ),
+            F.coalesce(
+                F.when(F.col("_n") == 0, F.lit(0)).otherwise(
+                    F.expr(n_masked)
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("n_masked_toks"),
+        )
+    )

@@ -4569,6 +4569,141 @@ def q_pii_redact_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deterministic mixture sampling (r10): hash-gated per-source rates —
+# the Pile/ROOTS-style source weighting, reservoir-free and rerunnable
+# --------------------------------------------------------------------------
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_LIM = 1 << 60
+
+
+@query(
+    "q_mixture_sample",
+    f"""
+    SELECT doc_id, source,
+           CAST(concat('0x', substring(md5(concat('mix', ':',
+             CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hkey,
+           CAST(concat('0x', substring(md5(concat('mix', ':',
+             CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+             < CASE source
+                 WHEN 'src0' THEN CAST({int(1.0 * _MIX_LIM)} AS BIGINT)
+                 WHEN 'src1' THEN CAST({int(0.5 * _MIX_LIM)} AS BIGINT)
+                 WHEN 'src2' THEN CAST({int(0.25 * _MIX_LIM)} AS BIGINT)
+                 WHEN 'src3' THEN CAST({int(0.1 * _MIX_LIM)} AS BIGINT)
+                 ELSE CAST(0 AS BIGINT)
+               END AS selected
+    FROM documents
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based corpus mixing: per-source sampling
+    rates decided by a salted md5 of the doc id — one scan-speed
+    projection, no RNG state, identical draw on rerun/any engine.
+    operators.curation.mixture_sample (sources outside the rate map
+    fall to default_rate=0)."""
+    return CU.mixture_sample(_t(spark, sf_dir, "documents"), _MIX_RATES)
+
+
+# --------------------------------------------------------------------------
+# Context-window slicing (r10): overlapping fixed-size token windows —
+# the training-example generator for next-token pretraining
+# --------------------------------------------------------------------------
+@query(
+    "q_context_windows",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(coalesce(trim(text), ''), ' ') AS w,
+             CASE WHEN coalesce(trim(text), '') = '' THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS win_id,
+           CAST(k * 32 AS BIGINT) AS start_tok,
+           CAST(least(64, n - k * 32) AS BIGINT) AS n_toks,
+           array_to_string(
+             w[k * 32 + 1 : k * 32 + least(64, n - k * 32)], ' ') AS chunk
+    FROM (SELECT doc_id, w, n, unnest(range(0,
+            CAST(ceil(n / 32.0) AS BIGINT))) AS k
+          FROM t WHERE n >= 1)
+    WHERE k * 32 < n
+    """,
+)
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token windows at stride 32 per document (the HF
+    return_overflowing_tokens shape; trailing remainders kept with
+    their true n_toks). operators.text.context_windows — one explode
+    over per-doc offsets, chunk re-sliced from the doc's own token
+    array, zero joins/shuffles."""
+    return TX.context_windows(
+        _t(spark, sf_dir, "documents"), window=64, stride=32
+    )
+
+
+# --------------------------------------------------------------------------
+# Span corruption (r10): T5/UL2 denoising example prep — deterministic
+# hash-gated block masking, consecutive blocks merge into one sentinel
+# span; corrupted input + decoder-target strings per doc
+# --------------------------------------------------------------------------
+_SC_THR = int(0.3 * (1 << 60))
+
+
+@query(
+    "q_span_corrupt",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(coalesce(trim(text), ''), ' ') AS w,
+             CASE WHEN coalesce(trim(text), '') = '' THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END AS n
+      FROM documents
+    ), m AS (
+      SELECT doc_id, w, n,
+             [ CAST(concat('0x', substring(md5(concat('t5', ':',
+                 CAST(doc_id AS VARCHAR), ':', CAST(b AS VARCHAR))),
+                 1, 15)) AS BIGINT) < {_SC_THR}
+               for b in range(0, CAST(ceil(n / 3.0) AS BIGINT)) ] AS mb
+      FROM t
+    ), s AS (
+      SELECT doc_id, w, n, mb,
+             [ b for b in range(0, len(mb))
+               if mb[b + 1] AND (b = 0 OR NOT mb[b]) ] AS st
+      FROM m
+    )
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN '' ELSE coalesce(array_to_string(flatten(
+             [ CASE WHEN NOT mb[i // 3 + 1] THEN [w[i + 1]]
+                    WHEN i % 3 = 0 AND list_contains(st, i // 3)
+                    THEN ['<extra_id_' ||
+                          CAST(list_position(st, i // 3) - 1 AS VARCHAR)
+                          || '>']
+                    ELSE CAST([] AS VARCHAR[]) END
+               for i in range(0, n) ]), ' '), '') END AS corrupted,
+           CASE WHEN n = 0 THEN '' ELSE coalesce(array_to_string(flatten(
+             [ CASE WHEN NOT mb[i // 3 + 1] THEN CAST([] AS VARCHAR[])
+                    WHEN i % 3 = 0 AND list_contains(st, i // 3)
+                    THEN ['<extra_id_' ||
+                          CAST(list_position(st, i // 3) - 1 AS VARCHAR)
+                          || '>', w[i + 1]]
+                    ELSE [w[i + 1]] END
+               for i in range(0, n) ]), ' '), '') END AS targets,
+           CAST(len(st) AS BIGINT) AS n_spans,
+           CAST(coalesce(list_sum(
+             [ CASE WHEN mb[i // 3 + 1] THEN 1 ELSE 0 END
+               for i in range(0, n) ]), 0) AS BIGINT) AS n_masked_toks
+    FROM s
+    """,
+)
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption at mask_rate 0.3 / block 3 over the
+    documents table: corrupted inputs with <extra_id_k> sentinels and
+    the matching decoder-target strings, deterministically (salted md5
+    block draws — identical spans on rerun/any engine).
+    operators.text.span_corrupt — one zero-shuffle projection."""
+    return TX.span_corrupt(
+        _t(spark, sf_dir, "documents"), mask_rate=0.3, span=3
+    )
+
+
+# --------------------------------------------------------------------------
 # Gopher quality rules (r9): Rae et al. 2021's heuristic battery as
 # integer-exact per-doc flags
 # --------------------------------------------------------------------------
@@ -4701,6 +4836,116 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one (doc_id, n, gram) explode + partial-agg count + per-(doc, n)
     window — all stages partitioned by doc_id."""
     return CU.gopher_repetition_flags(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Gopher duplicate-n-gram coverage (r10): rows 5-10 of the Rae et al.
+# 2021 A1.1 battery — fraction of characters covered by words inside
+# DUPLICATED n-grams (interval union, overlaps counted once), n=5..10
+# at 15/14/13/12/11/10 percent. The fixture plants repeated phrases
+# (x3 and x2) because the synthetic corpus has no natural 5-gram dups.
+# --------------------------------------------------------------------------
+_DUP_NGRAM_SQL_COLS = "\n".join(
+    f"           CAST(coalesce(m{n}, 0) AS BIGINT) AS dup{n}_mass,"
+    for n in (5, 6, 7, 8, 9, 10)
+) + "\n" + "\n".join(
+    f"           coalesce(m{n}, 0) * 100 <= {p} * nonspace_chars"
+    f" AS ok_dup{n},"
+    for n, p in ((5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10))
+)
+_DUP_NGRAM_SQL_PASS = " AND ".join(
+    f"(coalesce(m{n}, 0) * 100 <= {p} * nonspace_chars)"
+    for n, p in ((5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10))
+)
+_DUP_NGRAM_SQL_MM = ",\n".join(
+    f"             MAX(CASE WHEN n = {n} THEN m END) AS m{n}"
+    for n in (5, 6, 7, 8, 9, 10)
+)
+
+
+@query(
+    "q_gopher_dup_ngrams",
+    f"""
+    WITH fx AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN repeat(' lorem ipsum dolor sit amet consectetur', 3)
+               WHEN 1 THEN repeat(' pack my box with five dozen liquor jugs', 2)
+               ELSE ''
+             END AS text
+      FROM documents
+    ), t AS (
+      SELECT doc_id, string_split(coalesce(trim(text), ''), ' ') AS w,
+             CAST(length(replace(coalesce(trim(text), ''), ' ', ''))
+                  AS BIGINT) AS nonspace_chars
+      FROM fx
+    ), g AS (
+      SELECT doc_id, s.n AS n, s.i AS i, s.gram AS gram FROM (
+        SELECT doc_id, unnest(flatten([
+           [ {{'n': n, 'i': i, 'gram': array_to_string(w[i+1:i+n], ' ')}}
+             for i in range(0, len(w) - n + 1) ]
+           for n in [5, 6, 7, 8, 9, 10] if len(w) >= n ])) AS s
+        FROM t)
+    ), dup AS (
+      SELECT doc_id, n, i FROM (
+        SELECT doc_id, n, i,
+               COUNT(*) OVER (PARTITION BY doc_id, n, gram) AS c
+        FROM g) WHERE c >= 2
+    ), lg AS (
+      SELECT doc_id, n, i,
+             CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id, n ORDER BY i)
+                       > n - 1 THEN 1 ELSE 0 END AS nw
+      FROM dup
+    ), isl AS (
+      SELECT doc_id, n, i,
+             SUM(nw) OVER (PARTITION BY doc_id, n ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS gid
+      FROM lg
+    ), spans AS (
+      SELECT doc_id, n, MIN(i) AS s, MAX(i) + n - 1 AS e
+      FROM isl GROUP BY doc_id, n, gid
+    ), mass AS (
+      SELECT sp.doc_id, sp.n,
+             CAST(SUM(list_sum(list_transform(
+               t.w[sp.s + 1 : sp.e + 1], x -> length(x)))) AS BIGINT) AS m
+      FROM spans sp JOIN t ON t.doc_id = sp.doc_id
+      GROUP BY sp.doc_id, sp.n
+    ), mm AS (
+      SELECT doc_id,
+{_DUP_NGRAM_SQL_MM}
+      FROM mass GROUP BY doc_id
+    )
+    SELECT t.doc_id, nonspace_chars,
+{_DUP_NGRAM_SQL_COLS}
+           {_DUP_NGRAM_SQL_PASS} AS pass_dup_ngrams
+    FROM t LEFT JOIN mm USING (doc_id)
+    """,
+)
+def q_gopher_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram character coverage (n = 5..10, interval-union
+    word spans, integer-exact percent thresholds) over a
+    planted-repetition fixture — completes the Gopher A1.1 battery
+    together with q_gopher_rules (word-form) and q_gopher_repetition
+    (lines/paragraphs/top-grams).
+    operators.curation.gopher_dup_ngram_flags."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.lit(" lorem ipsum dolor sit amet consectetur" * 3),
+            )
+            .when(
+                did % 3 == 1,
+                F.lit(" pack my box with five dozen liquor jugs" * 2),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return CU.gopher_dup_ngram_flags(fixture)
 
 
 # --------------------------------------------------------------------------

@@ -499,3 +499,78 @@ def test_gopher_repetition_top_gram_tie_is_deterministic(spark):
     )
     r = gopher_repetition_flags(docs).collect()[0]
     assert r.top2_mass == 2 and r.top3_mass == 3 and r.top4_mass == 0
+
+
+def test_gopher_dup_ngram_coverage_interval_union(spark):
+    """r10: duplicated-5-gram coverage is an interval UNION — the two
+    overlapping runs of 'a b c d e f' cover 12 of 15 words exactly
+    once each (mass 12), not 4 runs x 5 words."""
+    from konohadataplatform_spark.operators.curation import (
+        gopher_dup_ngram_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f a b c d e f x y z"),
+         (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),  # no dups
+         (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_dup_ngram_flags(docs).collect()}
+    # doc 1: dup 5-grams at word positions 0,1,6,7 -> islands
+    # [0,5] and [6,11] -> 12 one-char words covered of 15 nonspace
+    assert out[1].dup5_mass == 12 and out[1].nonspace_chars == 15
+    assert not out[1].ok_dup5 and not out[1].pass_dup_ngrams
+    # dup 6-gram 'a b c d e f' at 0 and 6 -> same 12-word coverage
+    assert out[1].dup6_mass == 12
+    # no 7-gram repeats (phrase only repeats twice)
+    assert out[1].dup7_mass == 0 and out[1].ok_dup7
+    assert out[2].pass_dup_ngrams and out[2].dup5_mass == 0
+    assert out[3].pass_dup_ngrams and out[3].nonspace_chars == 0
+
+
+def test_mixture_sample_deterministic_and_rate_accurate(spark):
+    """r10: hash-gated mixing — rate 1.0 keeps all, 0.0 drops all,
+    0.5 lands near half, and the draw is identical across calls."""
+    from konohadataplatform_spark.operators.curation import mixture_sample
+
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, ["all", "half", "none"][i % 3]) for i in range(600)],
+        "doc_id long, source string",
+    )
+    rates = {"all": 1.0, "half": 0.5, "none": 0.0}
+    out = mixture_sample(docs, rates).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r.source, []).append(r.selected)
+    assert all(kept["all"]) and not any(kept["none"])
+    frac = sum(kept["half"]) / len(kept["half"])
+    assert 0.35 <= frac <= 0.65  # 200 draws at p=0.5
+    # deterministic: identical draw on a second invocation
+    again = {(r.doc_id, r.selected) for r in
+             mixture_sample(docs, rates).collect()}
+    assert again == {(r.doc_id, r.selected) for r in out}
+    # a different seed redraws (some verdicts must change)
+    redraw = {(r.doc_id, r.selected) for r in
+              mixture_sample(docs, rates, seed="other").collect()}
+    assert redraw != again
+    # unknown source -> default_rate
+    extra = spark.createDataFrame([(1, "mystery")],
+                                  "doc_id long, source string")
+    assert not mixture_sample(extra, rates).collect()[0].selected
+    assert mixture_sample(extra, rates,
+                          default_rate=1.0).collect()[0].selected
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {})
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"x": 1.5})
+
+
+def test_mixture_sample_zero_exchange_plan(spark):
+    from konohadataplatform_spark.operators.curation import mixture_sample
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    plan = mixture_sample(docs, {"a": 0.5})._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

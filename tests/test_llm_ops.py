@@ -1987,3 +1987,77 @@ def test_cross_corpus_contamination_guards_sid_space(spark):
     )
     with pytest.raises(Exception, match="benchmark sid space"):
         D.cross_corpus_contamination(corpus, bench).collect()
+
+
+# ---------------------------------------------------------------------------
+# r10: context-window slicing
+# ---------------------------------------------------------------------------
+
+
+def test_context_windows_overlap_and_remainders(spark):
+    from konohadataplatform_spark.operators.text import context_windows
+
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5"), (2, "a"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.win_id, r.start_tok, r.n_toks, r.chunk)
+        for r in context_windows(docs, window=3, stride=2).collect()
+    )
+    assert out == [
+        (1, 0, 0, 3, "t1 t2 t3"),
+        (1, 1, 2, 3, "t3 t4 t5"),
+        (1, 2, 4, 1, "t5"),
+        (2, 0, 0, 1, "a"),
+    ]  # empty/NULL docs yield no rows
+    with pytest.raises(ValueError):
+        context_windows(docs, window=0)
+
+
+def test_span_corrupt_t5_contract(spark):
+    """r10: sentinels are ordered, consecutive masked blocks merge,
+    corrupted+targets reconstruct the doc exactly, and the draw is
+    deterministic across calls."""
+    from konohadataplatform_spark.operators.text import span_corrupt
+
+    import pytest
+
+    text = " ".join(f"t{i}" for i in range(60))
+    docs = spark.createDataFrame([(1, text), (2, None)],
+                                 "doc_id long, text string")
+    r = {x.doc_id: x for x in
+         span_corrupt(docs, mask_rate=0.4, span=3).collect()}[1]
+    toks = text.split(" ")
+    # reconstruct: walk corrupted, splice targets at each sentinel
+    tgt = r.targets.split(" ") if r.targets else []
+    spans = {}
+    cur = None
+    for w in tgt:
+        if w.startswith("<extra_id_"):
+            cur = w
+            spans[cur] = []
+        else:
+            spans[cur].append(w)
+    rebuilt = []
+    for w in (r.corrupted.split(" ") if r.corrupted else []):
+        if w.startswith("<extra_id_"):
+            rebuilt.extend(spans[w])
+        else:
+            rebuilt.append(w)
+    assert rebuilt == toks  # mass conservation, order preserved
+    # sentinels appear in increasing order in BOTH strings
+    ids = [int(w[10:-1]) for w in r.corrupted.split(" ")
+           if w.startswith("<extra_id_")]
+    assert ids == list(range(r.n_spans))
+    assert r.n_masked_toks == sum(len(v) for v in spans.values())
+    # deterministic
+    again = span_corrupt(docs, mask_rate=0.4, span=3).collect()
+    assert {(x.doc_id, x.corrupted) for x in again} >= {(1, r.corrupted)}
+    # NULL doc -> empty strings, zero spans
+    r2 = {x.doc_id: x for x in again}[2]
+    assert (r2.corrupted, r2.targets, r2.n_spans) == ("", "", 0)
+    with pytest.raises(ValueError):
+        span_corrupt(docs, mask_rate=1.5)

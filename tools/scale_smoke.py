@@ -101,6 +101,14 @@ SMOKE_QUERIES = [
     "q_pii_redact",
     "q_gopher_rules",
     "q_fuzzy_decontaminate",
+    # r10 additions: cluster-best-quality runs the exact clustering
+    # (prefix-filter join + CC) — must stay collision-bounded on 10x
+    # duplicated docs; quota is metadata-sized; the PII-v2 / repetition
+    # flag batteries are scan-speed projections like their siblings
+    "q_cluster_best_quality",
+    "q_lang_temperature_quota",
+    "q_pii_redact_v2",
+    "q_gopher_repetition",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
@@ -147,6 +155,16 @@ def build_sf1(spark) -> None:
     _replicate(spark, "embeddings", ["vec_id"], SF1)
 
 
+def _run_full(df) -> None:
+    """Force FULL computation of every output column via the noop
+    sink. ``count()`` (the pre-r10 method) understates rewrite-shaped
+    queries badly: Catalyst prunes unreferenced projections AND
+    eliminates the profile's left outer join entirely when the right
+    side is a unique-keyed aggregate — so a count() of
+    q_exact_substring_rewrite times little more than the base scan."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _time(fn, warmup: bool = True) -> float:
     if warmup:
         fn()
@@ -176,8 +194,8 @@ def main() -> int:
         # identical protocol at BOTH scale factors: one untimed warmup
         # pass (codegen/IO), one timed pass — r6 advice: mixing
         # methodologies (sf1 unwarmed) overstated the sf1 ratios
-        t01 = _time(lambda: qs[name](spark, SF01).count())
-        t1 = _time(lambda: qs[name](spark, SF1).count())
+        t01 = _time(lambda: _run_full(qs[name](spark, SF01)))
+        t1 = _time(lambda: _run_full(qs[name](spark, SF1)))
         plan = spark._jvm.PythonSQLUtils.explainString(
             qs[name](spark, SF1)._jdf.queryExecution(), "formatted"
         )
