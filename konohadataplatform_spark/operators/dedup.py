@@ -49,6 +49,55 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalization-then-exact dedup (the CCNet / RefinedWeb pass
+    that runs BEFORE fuzzy dedup): lowercase, map every digit to
+    ``0``, strip everything outside ``[a-z0-9 ]``, collapse space
+    runs, trim — then hash-groupBy the normalized form. Catches the
+    near-copies exact dedup misses (case flips, punctuation edits,
+    timestamps / view counters in boilerplate) at exact-dedup cost.
+
+    Returns one row per normalized equivalence class:
+    ``(norm_hash, kept_doc_id, n_copies, n_distinct_raw)`` —
+    ``n_distinct_raw`` counts the distinct RAW texts the class
+    collapsed, so ``n_distinct_raw > 1`` rows are exactly the yield
+    normalization added over :func:`exact_dedup`.
+
+    Scale shape: identical to :func:`exact_dedup` — the normalization
+    is one codegen projection (three regexp_replace + lower + trim,
+    zero Python), and only (16-byte digest, raw digest, id) rows reach
+    the exchange; document bodies never shuffle. The regexes use only
+    ASCII character classes so Java (Spark) and RE2 (DuckDB) agree
+    byte-for-byte.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), "[0-9]", "0"),
+                "[^a-z0-9 ]",
+                "",
+            ),
+            " +",
+            " ",
+        )
+    )
+    return (
+        df.select(
+            F.md5(norm.cast("binary")).alias("norm_hash"),
+            F.md5(F.col(text_col).cast("binary")).alias("_raw_hash"),
+            F.col(id_col),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min(id_col).alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("_raw_hash").alias("n_distinct_raw"),
+        )
+    )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure CPU-heavy per-row stages use the full cluster.
 

@@ -181,6 +181,49 @@ def lexical_topk(
     )
 
 
+def doc_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document —
+    ``(doc_id, term, score, keyword_rank)`` — the per-doc topical
+    tags a curation pipeline uses for mixture audits, topic caps, and
+    cheap retrieval filters.
+
+    Integer-exact like :func:`lexical_topk`:
+    ``score = tf * div(N * SCALE, df)`` (all int64, no logs, no
+    floats), ties broken by ascending term — bit-identical in any
+    engine. Stop-words need no cap here: a term in every doc scores
+    ``tf * SCALE`` while a once-only term scores ``N * SCALE``, so
+    rarity dominates exactly as log-idf intends.
+
+    Scale shape: one (doc, term) agg, one term-keyed df agg joined
+    back on the term key, a broadcast 1-row N, and a per-doc window
+    (each partition is one doc's distinct terms — bounded by doc
+    length, never corpus-sized).
+    """
+    tf = term_frequencies(ngram_tokens(docs, 1, text_col, id_col))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", F.expr(f"div(n * {SCALE}, df)").alias("idf"))
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return scored.select(
+        "doc_id", "term", "score",
+        F.row_number().over(w).alias("keyword_rank"),
+    ).where(F.col("keyword_rank") <= k)
+
+
 # BM25 tf-saturation ratio scale: the per-term saturated tf component
 # lies in (0, k1+1]; pre-dividing it to a small int (<= 2200) keeps
 # the score product qtf * idf * tf_sat bounded by qtf * N * SCALE *

@@ -60,6 +60,35 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Normalization-then-exact dedup (CCNet/RefinedWeb pre-pass)
+# --------------------------------------------------------------------------
+@query(
+    "q_normalized_dedup",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             md5(text) AS raw_hash,
+             md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                    lower(text), '[0-9]', '0', 'g'),
+                    '[^a-z0-9 ]', '', 'g'),
+                    ' +', ' ', 'g'))) AS norm_hash
+      FROM documents
+    )
+    SELECT norm_hash,
+           MIN(doc_id) AS kept_doc_id,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT raw_hash) AS n_distinct_raw
+    FROM n GROUP BY 1
+    """,
+)
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalize-then-hash dedup: lowercase / digit-fold /
+    punctuation-strip / space-collapse, then the same digest groupBy as
+    exact dedup — one codegen projection + one 16-byte-key exchange."""
+    return D.normalized_dedup(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup pairs (prefix-filtered similarity join)
 # --------------------------------------------------------------------------
 @query(
@@ -1978,6 +2007,40 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term", "doc_freq",
         F.array_join("postings", ",").alias("postings_csv"),
     )
+
+
+@query(
+    "q_doc_keywords",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2
+    ), nd AS (SELECT COUNT(*) AS n FROM documents),
+    idf AS (
+      SELECT term, (n * 1000000) // COUNT(*) AS idf
+      FROM tf, nd GROUP BY term, n
+    ), sc AS (
+      SELECT tf.doc_id, tf.term, CAST(tf.tf * idf AS BIGINT) AS score
+      FROM tf JOIN idf USING (term)
+    ), rk AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term ASC)
+        AS keyword_rank
+      FROM sc
+    )
+    SELECT doc_id, term, score, keyword_rank
+    FROM rk WHERE keyword_rank <= 3
+    """,
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords, integer-exact (no logs): the
+    topical tags for mixture audits / topic caps. One (doc,term) agg,
+    one term-keyed idf join, a per-doc window."""
+    from konohadataplatform_spark.operators.retrieval import doc_keywords
+
+    return doc_keywords(_t(spark, sf_dir, "documents"), k=3)
 
 
 @query(

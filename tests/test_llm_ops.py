@@ -2061,3 +2061,30 @@ def test_span_corrupt_t5_contract(spark):
     assert (r2.corrupted, r2.targets, r2.n_spans) == ("", "", 0)
     with pytest.raises(ValueError):
         span_corrupt(docs, mask_rate=1.5)
+
+
+def test_normalized_dedup_collapses_case_punct_digits(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World! Seen 1234 times."),
+            (2, "hello world seen 9876 times"),   # same after normalize
+            (3, "Hello, World! Seen 1234 times."),  # raw copy of 1
+            (4, "a completely different document"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.kept_doc_id: r for r in D.normalized_dedup(docs).collect()}
+    assert set(rows) == {1, 4}
+    assert rows[1].n_copies == 3
+    # docs 1+3 share one raw text; doc 2 is a second raw form
+    assert rows[1].n_distinct_raw == 2
+    assert rows[4].n_copies == 1 and rows[4].n_distinct_raw == 1
+
+
+def test_normalized_dedup_space_collapse_and_trim(spark):
+    docs = spark.createDataFrame(
+        [(1, "  foo   bar  "), (2, "foo bar")],
+        "doc_id long, text string",
+    )
+    out = D.normalized_dedup(docs).collect()
+    assert len(out) == 1 and out[0].n_copies == 2

@@ -285,3 +285,39 @@ def test_rrf_fuse_hand_computed(spark):
     assert got[11][1] == 1  # the doc both retrievers agree on wins
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_doc_keywords_ranks_rare_terms_first(spark):
+    from konohadataplatform_spark.operators.retrieval import doc_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common rareword"),
+            (2, "common other"),
+            (3, "common zebra zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.keyword_rank): r for r in doc_keywords(docs, k=2).collect()}
+    # doc 1: 'rareword' df=1 -> idf 3*SCALE; 'common' df=3 -> idf SCALE.
+    # score(rareword)=3M > score(common)=3*1M=3M ... tie! tie-break by
+    # term asc -> 'common' first. Use k=2 and assert both present.
+    assert {out[(1, 1)].term, out[(1, 2)].term} == {"common", "rareword"}
+    assert out[(1, 1)].term == "common"  # tie on 3M, 'c' < 'r'
+    # doc 3: zebra tf=2 df=1 -> 6M beats common 1M
+    assert out[(3, 1)].term == "zebra" and out[(3, 1)].score == 6_000_000
+    # every doc emits at most k rows, ranks are 1..k contiguous
+    ranks = [k_ for (_, k_) in out]
+    assert max(ranks) <= 2
+
+
+def test_doc_keywords_null_text_excluded_but_counted_in_n(spark):
+    from konohadataplatform_spark.operators.retrieval import doc_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, None)], "doc_id long, text string"
+    )
+    rows = doc_keywords(docs, k=3).collect()
+    assert {r.doc_id for r in rows} == {1}
+    # N counts all docs (2), df('a')=1 -> idf=2M
+    assert {r.score for r in rows} == {2_000_000}

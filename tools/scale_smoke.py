@@ -109,6 +109,15 @@ SMOKE_QUERIES = [
     "q_lang_temperature_quota",
     "q_pii_redact_v2",
     "q_gopher_repetition",
+    # r10 additions: dup-ngram coverage explodes per-position shingles
+    # (like exact-substring) but reduces per-doc — must stay linear;
+    # mixture sampling is a hash-gate projection; the window/span
+    # slicers re-slice each doc's own token array (zero joins) so
+    # cost tracks total token mass, not doc count
+    "q_gopher_dup_ngrams",
+    "q_mixture_sample",
+    "q_context_windows",
+    "q_span_corrupt",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
