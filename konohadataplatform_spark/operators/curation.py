@@ -899,3 +899,60 @@ def lang_temperature_quota(
             "quota"
         ),
     )
+
+
+def perplexity_partition(
+    df: DataFrame,
+    train_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 3,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """CCNet's perplexity partitioning: score every non-reference doc
+    with the stupid-backoff trigram LM trained on the ``train_pred``
+    split (:func:`~konohadataplatform_spark.operators.text.
+    trigram_backoff_surprisal`), rank ascending (fluent first), and
+    cut into ``buckets`` equal tiles — head / middle / tail for the
+    default 3 (CCNet keeps head, samples middle, drops tail).
+
+    Returns ``(doc_id, n_trigrams, surprisal, ppl_rank, bucket)``.
+    The tile arithmetic is explicit integer math —
+    ``floor((rank - 1) * buckets / n)`` — NOT a window NTILE, for two
+    reasons: NTILE's remainder placement is engine-specific trivia,
+    and (the scale reason) a global NTILE is a single-task sort. The
+    rank comes from :func:`~konohadataplatform_spark.operators.
+    ranking.scalable_row_number` (range-partitioned local ranks + a
+    metadata offsets table), ordered by the ROUNDED surprisal with
+    doc_id tie-break — a total order both engines reproduce.
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    from konohadataplatform_spark.operators.ranking import (
+        scalable_row_number,
+    )
+    from konohadataplatform_spark.operators.text import (
+        trigram_backoff_surprisal,
+    )
+
+    scored = trigram_backoff_surprisal(
+        df, train_pred, text_col=text_col, id_col=id_col, alpha=alpha
+    )
+    ranked = scalable_row_number(
+        scored,
+        [F.col("surprisal").asc(), F.col(id_col).asc()],
+        out_col="ppl_rank",
+    )
+    n = scored.select(F.count(F.lit(1)).alias("_n"))
+    tile = F.expr(f"CAST((ppl_rank - 1) * {int(buckets)} DIV _n AS INT)")
+    label = (
+        F.when(tile == 0, F.lit("head"))
+        .when(tile == F.lit(buckets - 1), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        if buckets == 3
+        else F.concat(F.lit("tile_"), tile.cast("string"))
+    )
+    return ranked.crossJoin(F.broadcast(n)).select(
+        id_col, "n_trigrams", "surprisal", "ppl_rank",
+        label.alias("bucket"),
+    )

@@ -368,6 +368,137 @@ def bigram_surprisal(
     )
 
 
+def trigram_backoff_surprisal(
+    df: DataFrame,
+    train_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid-backoff trigram-LM surprisal (Brants et al. 2007) — the
+    engine-portable stand-in for CCNet's KenLM perplexity filter:
+    train counts on the ``train_pred`` reference split, score every
+    OTHER doc's trigram positions with
+
+    ``S(w|u,v) = c(uvw)/c(uv)``                    if the trigram was seen,
+    ``        alpha * c(vw)/c(v)``                 else if the bigram was,
+    ``        alpha^2 * (c(w)+1)/(N+V)``           else (add-one unigram floor),
+
+    and return per scored doc ``(doc_id, n_trigrams, surprisal)`` with
+    ``surprisal = -mean log2 S`` rounded 6dp (same float policy as
+    :func:`bigram_surprisal`). Docs with fewer than 3 tokens drop out.
+
+    Unlike :func:`bigram_surprisal` (self-estimated, so every gram is
+    seen and backoff never fires), the held-out split makes the backoff
+    ladder real: fluent text stays on the trigram rung, gibberish falls
+    to the unigram floor — exactly the head/middle/tail signal CCNet
+    buckets on.
+
+    Scale shape: trigram/bigram/unigram formation are codegen array
+    expressions (no positional self-joins); the three count tables are
+    gram-keyed aggs (vocab-sized, far smaller than the corpus); the
+    score side shuffles once per gram key for the five left join-backs;
+    (N, V) is a broadcast 1-row relation. The final agg keys on doc_id.
+    """
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    train = df.filter(train_pred)
+    score = df.filter(~train_pred)
+
+    def _grams(src: DataFrame, n: int, names: list[str]) -> DataFrame:
+        fields = ", ".join(
+            f"w[i + {j}] AS {names[j]}" for j in range(n)
+        )
+        return (
+            src.select(F.col(id_col), toks.alias("w"))
+            .filter(F.size("w") >= n)
+            .select(
+                id_col,
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(w) - {n}), "
+                        f"i -> struct({fields}))"
+                    )
+                ).alias("g"),
+            )
+            .select(id_col, *[F.col(f"g.{c}").alias(c) for c in names])
+        )
+
+    tri = (
+        _grams(train, 3, ["u", "v", "w"])
+        .groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    bi = (
+        _grams(train, 2, ["a", "b"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    uni = (
+        train.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    totals = uni.agg(
+        F.sum("c1").cast("double").alias("n_tok"),
+        F.count(F.lit(1)).cast("double").alias("v_size"),
+    )
+
+    pos = _grams(score, 3, ["u", "v", "w"])
+    joined = (
+        pos.join(tri, ["u", "v", "w"], "left")
+        .join(
+            bi.select(
+                F.col("a").alias("u"), F.col("b").alias("v"),
+                F.col("c2").alias("cuv"),
+            ),
+            ["u", "v"],
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("a").alias("v"), F.col("b").alias("w"),
+                F.col("c2").alias("cvw"),
+            ),
+            ["v", "w"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("word").alias("v"), F.col("c1").alias("cv")),
+            "v",
+            "left",
+        )
+        .join(
+            uni.select(F.col("word").alias("w"), F.col("c1").alias("cw")),
+            "w",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    # expression order mirrors the oracle exactly (same IEEE ops)
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("cuv").cast("double"),
+        )
+        .when(
+            F.col("cvw").isNotNull(),
+            F.lit(alpha)
+            * (F.col("cvw").cast("double") / F.col("cv").cast("double")),
+        )
+        .otherwise(
+            F.lit(alpha * alpha)
+            * (
+                (F.coalesce(F.col("cw"), F.lit(0)).cast("double") + F.lit(1.0))
+                / (F.col("n_tok") + F.col("v_size"))
+            )
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(-F.sum(F.log2(s)) / F.count(F.lit(1)), 6).alias("surprisal"),
+    )
+
+
 def vocab_stats(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
     """Per-group vocabulary stats (Heaps-law inputs): token count,
     distinct-word count, and type-token ratio — the corpus-composition

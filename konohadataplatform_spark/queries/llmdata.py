@@ -2010,6 +2010,85 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_perplexity_partition",
+    """
+    WITH en AS (
+      SELECT doc_id, text FROM documents WHERE lang = 'en'
+    ), trt AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w
+      FROM en WHERE doc_id % 5 = 0
+    ), sct AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w
+      FROM en WHERE doc_id % 5 <> 0
+    ), tri AS (
+      SELECT g.u AS u, g.v AS v, g.w AS w, COUNT(*) AS c3
+      FROM (SELECT unnest(list_transform(range(1, len(w) - 1),
+                   i -> {'u': w[i], 'v': w[i + 1], 'w': w[i + 2]})) AS g
+            FROM trt WHERE len(w) >= 3)
+      GROUP BY 1, 2, 3
+    ), bi AS (
+      SELECT g.a AS a, g.b AS b, COUNT(*) AS c2
+      FROM (SELECT unnest(list_transform(range(1, len(w)),
+                   i -> {'a': w[i], 'b': w[i + 1]})) AS g
+            FROM trt WHERE len(w) >= 2)
+      GROUP BY 1, 2
+    ), uni AS (
+      SELECT word, COUNT(*) AS c1
+      FROM (SELECT unnest(w) AS word FROM trt) GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS DOUBLE) AS n_tok,
+             CAST(COUNT(*) AS DOUBLE) AS v_size FROM uni
+    ), pos AS (
+      SELECT doc_id, g.u AS u, g.v AS v, g.w AS w
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - 1),
+                   i -> {'u': w[i], 'v': w[i + 1], 'w': w[i + 2]})) AS g
+            FROM sct WHERE len(w) >= 3)
+    ), sc AS (
+      SELECT p.doc_id, COUNT(*) AS n_trigrams,
+             round(-SUM(log2(
+               CASE WHEN t.c3 IS NOT NULL
+                    THEN CAST(t.c3 AS DOUBLE) / CAST(buv.c2 AS DOUBLE)
+                    WHEN bvw.c2 IS NOT NULL
+                    THEN CAST(0.5 AS DOUBLE)
+                         * (CAST(bvw.c2 AS DOUBLE) / CAST(uv.c1 AS DOUBLE))
+                    ELSE CAST(0.25 AS DOUBLE)
+                         * ((CAST(COALESCE(uw.c1, 0) AS DOUBLE) + 1.0)
+                            / (n_tok + v_size)) END))
+               / COUNT(*), 6) AS surprisal
+      FROM pos p
+      LEFT JOIN tri t ON p.u = t.u AND p.v = t.v AND p.w = t.w
+      LEFT JOIN bi buv ON buv.a = p.u AND buv.b = p.v
+      LEFT JOIN bi bvw ON bvw.a = p.v AND bvw.b = p.w
+      LEFT JOIN uni uv ON uv.word = p.v
+      LEFT JOIN uni uw ON uw.word = p.w, tot
+      GROUP BY p.doc_id
+    ), rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY surprisal, doc_id)
+                  AS ppl_rank,
+                COUNT(*) OVER () AS n
+      FROM sc
+    )
+    SELECT doc_id, n_trigrams, surprisal, ppl_rank,
+           CASE (ppl_rank - 1) * 3 // n
+             WHEN 0 THEN 'head' WHEN 2 THEN 'tail'
+             ELSE 'middle' END AS bucket
+    FROM rk
+    """,
+)
+def q_perplexity_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity partitioning over English docs: stupid-backoff
+    trigram LM trained on the doc_id%5=0 reference split, every other
+    doc scored and tiled head/middle/tail by rounded surprisal. The
+    rank is the scalable (range-partitioned) row_number, never a
+    single-task global sort."""
+    en = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return CU.perplexity_partition(
+        en, F.col("doc_id") % 5 == 0, alpha=0.5
+    )
+
+
+@query(
     "q_doc_keywords",
     """
     WITH w AS (

@@ -574,3 +574,83 @@ def test_mixture_sample_zero_exchange_plan(spark):
     plan = mixture_sample(docs, {"a": 0.5})._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# Stupid-backoff trigram surprisal + CCNet perplexity partitioning
+# --------------------------------------------------------------------------
+def test_trigram_backoff_ladder_hand_computed(spark):
+    import math
+
+    from konohadataplatform_spark.operators.text import (
+        trigram_backoff_surprisal,
+    )
+
+    # train doc (doc_id 0): counts c3("a b c")=1, c2: ab,bc -> 1 each,
+    # uni: a,b,c -> 1 each, N=3, V=3.
+    # score doc (doc_id 1) "a b c" -> trigram rung: c3/c(ab) = 1/1 = 1
+    # score doc (doc_id 2) "x b c" -> xbc unseen, bc seen:
+    #   0.5 * c(bc)/c(b) = 0.5
+    # score doc (doc_id 3) "c a x" -> cax unseen, ax unseen, x OOV:
+    #   0.25 * (0+1)/(3+3) = 1/24
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "x b c"), (3, "c a x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in trigram_backoff_surprisal(
+            docs, F.col("doc_id") == 0, alpha=0.5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].surprisal == 0.0  # -log2(1)
+    assert out[2].surprisal == 1.0  # -log2(0.5)
+    assert out[3].surprisal == round(-math.log2(0.25 * (1 / 6)), 6)
+    assert all(out[d].n_trigrams == 1 for d in out)
+
+
+def test_trigram_backoff_short_docs_drop(spark):
+    from konohadataplatform_spark.operators.text import (
+        trigram_backoff_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "two words"), (2, None)],
+        "doc_id long, text string",
+    )
+    assert (
+        trigram_backoff_surprisal(docs, F.col("doc_id") == 0).count() == 0
+    )
+
+
+def test_perplexity_partition_tiles_and_labels(spark):
+    import pytest
+
+    from konohadataplatform_spark.operators.curation import (
+        perplexity_partition,
+    )
+
+    # train on doc 0; six scored docs, increasingly OOV -> increasing
+    # surprisal; 6 docs / 3 buckets = 2 per tile
+    rows = [(0, "a b c d e f")]
+    texts = [
+        "a b c d e f",     # all trigram-rung
+        "a b c d e x",     # one backoff position
+        "a b c x e f",
+        "x b c d q f",
+        "x y c d q z",
+        "x y z q r s",     # fully OOV
+    ]
+    rows += [(i + 1, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_partition(docs, F.col("doc_id") == 0).collect()
+    by_rank = sorted(out, key=lambda r: r.ppl_rank)
+    assert [r.bucket for r in by_rank] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+    # ranks ordered by (surprisal, doc_id)
+    surp = [r.surprisal for r in by_rank]
+    assert surp == sorted(surp)
+    with pytest.raises(ValueError):
+        perplexity_partition(docs, F.col("doc_id") == 0, buckets=1)
