@@ -1777,3 +1777,92 @@ def centroid_outliers(
         )
         .where(F.col("far_rank") <= topk)
     )
+
+
+def _ranked_sum(pairs: DataFrame, key: str, k: int) -> DataFrame:
+    """Per ``key``: the sum of the k per-rank ``cos_sim`` values added
+    in FIXED rank order — each ``sum(when(rank=i))`` aggregates exactly
+    one non-null element, so the adds happen in the written order and
+    the result is bit-identical in any engine (a bare SUM over k
+    doubles is not: float addition isn't associative and group
+    aggregation order is undefined)."""
+    terms = [
+        F.coalesce(
+            F.sum(F.when(F.col("knn_rank") == i + 1, F.col("cos_sim"))),
+            F.lit(0.0),
+        )
+        for i in range(k)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return pairs.groupBy(F.col(key)).agg(total.alias("_penalty_sum"))
+
+
+def margin_mining(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): for each
+    ``src`` vector, its best ``tgt`` candidate by the RATIO margin
+
+    ``margin(x, y) = cos(x, y) / ((sum_kNN(x) + sum_kNN(y)) / (2k))``
+
+    where ``sum_kNN(x)`` sums x's k nearest-neighbor cosines into the
+    OTHER set — the hubness correction that raw cosine thresholds miss
+    (a vector near everything mines nothing; a mediocre cosine in a
+    sparse region is a strong pair). Returns
+    ``(src_id, tgt_id, cos_sim, margin)`` — the argmax-margin tgt per
+    src (ties to the lowest tgt_id), filtered to ``margin >=
+    threshold``. The standard parallel-corpus miner for
+    LASER/CCMatrix-style translation pairs.
+
+    Determinism: cosines are sequential double folds (bit-identical to
+    DuckDB ``list_dot_product``); penalty sums add per-rank values in
+    fixed order (:func:`_ranked_sum`); the margin expression order is
+    fixed — so every output double is engine-exact, no rounding needed.
+    Sets smaller than ``k`` contribute their available neighbors (the
+    denominator still divides by 2k, per the paper's fixed-k form).
+
+    Scale shape: candidates are the forward kNN pairs only (k per src
+    row, never |src| x |tgt|); both kNN passes broadcast the query
+    side — at 100 TB swap :func:`cosine_topk` for an ANN probe
+    (:func:`ann_ivf_topk_portable` candidates) exactly like
+    ``mmr_candidates_ivf`` does; the margin/argmax stage is unchanged.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    fwd = cosine_topk(tgt, src, k=k, id_col=id_col, vec_col=vec_col)
+    bwd = cosine_topk(src, tgt, k=k, id_col=id_col, vec_col=vec_col)
+    sx = _ranked_sum(fwd, "query_id", k).select(
+        F.col("query_id").alias("src_id"), F.col("_penalty_sum").alias("_sx")
+    )
+    sy = _ranked_sum(bwd, "query_id", k).select(
+        F.col("query_id").alias("tgt_id"), F.col("_penalty_sum").alias("_sy")
+    )
+    cand = fwd.select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        "cos_sim",
+    )
+    scored = (
+        cand.join(sx, "src_id")
+        .join(sy, "tgt_id")
+        .withColumn(
+            "margin",
+            F.col("cos_sim")
+            / ((F.col("_sx") + F.col("_sy")) / F.lit(2.0 * k)),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where((F.col("_rk") == 1) & (F.col("margin") >= F.lit(threshold)))
+        .select("src_id", "tgt_id", "cos_sim", "margin")
+    )

@@ -334,6 +334,82 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk 2019 ratio margin)
+# --------------------------------------------------------------------------
+@query(
+    "q_margin_mining",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v FROM e WHERE vec_id % 2 = 0
+    ), t AS (
+      SELECT vec_id, v FROM e WHERE vec_id % 2 = 1
+    ), fwd0 AS (
+      SELECT s.vec_id AS qid, t.vec_id AS nid,
+             list_dot_product(s.v, t.v)
+               / (sqrt(list_dot_product(s.v, s.v))
+                  * sqrt(list_dot_product(t.v, t.v))) AS cos_sim
+      FROM s, t
+    ), fk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+        FROM fwd0) WHERE rk <= 4
+    ), bwd0 AS (
+      SELECT t.vec_id AS qid, s.vec_id AS nid,
+             list_dot_product(t.v, s.v)
+               / (sqrt(list_dot_product(t.v, t.v))
+                  * sqrt(list_dot_product(s.v, s.v))) AS cos_sim
+      FROM t, s
+    ), bk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+        FROM bwd0) WHERE rk <= 4
+    ), sx AS (
+      SELECT qid AS src_id,
+             COALESCE(SUM(CASE WHEN rk = 1 THEN cos_sim END), 0)
+             + COALESCE(SUM(CASE WHEN rk = 2 THEN cos_sim END), 0)
+             + COALESCE(SUM(CASE WHEN rk = 3 THEN cos_sim END), 0)
+             + COALESCE(SUM(CASE WHEN rk = 4 THEN cos_sim END), 0) AS psx
+      FROM fk GROUP BY 1
+    ), sy AS (
+      SELECT qid AS tgt_id,
+             COALESCE(SUM(CASE WHEN rk = 1 THEN cos_sim END), 0)
+             + COALESCE(SUM(CASE WHEN rk = 2 THEN cos_sim END), 0)
+             + COALESCE(SUM(CASE WHEN rk = 3 THEN cos_sim END), 0)
+             + COALESCE(SUM(CASE WHEN rk = 4 THEN cos_sim END), 0) AS psy
+      FROM bk GROUP BY 1
+    ), m0 AS (
+      SELECT f.qid AS src_id, f.nid AS tgt_id, f.cos_sim,
+             f.cos_sim / ((sx.psx + sy.psy) / 8.0) AS margin
+      FROM fk f
+      JOIN sx ON sx.src_id = f.qid
+      JOIN sy ON sy.tgt_id = f.nid
+    )
+    SELECT src_id, tgt_id, cos_sim, margin
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS mrk
+          FROM m0)
+    WHERE mrk = 1 AND margin >= 1.0
+    """,
+)
+def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining with the ratio margin: even vec_ids as the source
+    'language', odd as the target; best tgt per src by hubness-
+    corrected cosine, kept at margin >= 1.0. Every output double is
+    engine-exact (sequential folds, fixed-order penalty adds)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.margin_mining(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.0,
+    )
+
+
+# --------------------------------------------------------------------------
 # Brute-force cosine top-k (exact oracle — bit-identical double folds)
 # --------------------------------------------------------------------------
 @query(

@@ -2088,3 +2088,49 @@ def test_normalized_dedup_space_collapse_and_trim(spark):
     )
     out = D.normalized_dedup(docs).collect()
     assert len(out) == 1 and out[0].n_copies == 2
+
+
+def test_margin_mining_hand_computed(spark):
+    import pytest as _pt
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.8, 0.6]), (5, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.src_id: r for r in
+           S.margin_mining(src, tgt, k=2, threshold=1.0).collect()}
+    # fwd sums: sx(0)=1+0.8=1.8, sx(2)=1+0.6=1.6
+    # bwd sums: sy(1)=1.0, sy(3)=1.4, sy(5)=1.0
+    # margin(0,1) = 1/((1.8+1.0)/4) = 1.428571..., best for src 0
+    # margin(2,5) = 1/((1.6+1.0)/4) = 1.538461..., best for src 2
+    assert set(out) == {0, 2}
+    assert out[0].tgt_id == 1
+    assert out[0].margin == _pt.approx(4 / 2.8)
+    assert out[2].tgt_id == 5
+    assert out[2].margin == _pt.approx(4 / 2.6)
+
+
+def test_margin_mining_threshold_filters(spark):
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    tgt = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.9, 0.4358898943540674])],
+        "vec_id long, embedding array<float>",
+    )
+    # best margin for src 0 is finite; a huge threshold empties it
+    assert S.margin_mining(src, tgt, k=2, threshold=99.0).count() == 0
+
+
+def test_margin_mining_k_validation(spark):
+    import pytest as _pt
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with _pt.raises(ValueError):
+        S.margin_mining(emb, emb, k=0)
