@@ -956,3 +956,35 @@ def perplexity_partition(
         id_col, "n_trigrams", "surprisal", "ppl_rank",
         label.alias("bucket"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-count stratified sample: per ``group_col`` value, exactly
+    ``quota`` rows (fewer only if the stratum is smaller), selected by
+    smallest ``md5(id)`` — the deterministic analog of uniform random
+    sampling, identical on every rerun and in every engine. The
+    eval-set/holdout builder: :func:`mixture_sample`'s hash gate gives
+    a random-RATE sample (binomial count per source); this gives the
+    exact per-stratum COUNT an eval suite needs.
+
+    Selection key is ``md5(id) || zero-padded id`` — the digest makes
+    the order pseudo-random and id-uniform (not age-biased), the id
+    suffix makes it total even under digest collisions. Keeps all
+    original columns.
+
+    Scale shape: delegates to :func:`apply_group_cap`'s two-phase
+    local-top-``quota``-then-merge — no per-group window, no hot-group
+    straggler sort; the kept-key relation is at most ``quota`` keys
+    per stratum, broadcast back as a semi-join.
+    """
+    key = F.concat(
+        F.md5(F.col(id_col).cast("string").cast("binary")),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
+    keyed = df.withColumn("_skey", key)
+    return apply_group_cap(keyed, group_col, "_skey", quota).drop("_skey")

@@ -334,6 +334,33 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact-count stratified sample (eval-set builder)
+# --------------------------------------------------------------------------
+@query(
+    "q_stratified_sample",
+    """
+    WITH k AS (
+      SELECT *, md5(CAST(doc_id AS VARCHAR))
+                || lpad(CAST(doc_id AS VARCHAR), 20, '0') AS skey
+      FROM documents
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY skey)
+                  AS rn
+      FROM k
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn <= 20
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language by smallest md5(doc_id) — the
+    deterministic eval-holdout sampler. Two-phase local-top-then-merge
+    (apply_group_cap), no per-stratum window anywhere in the plan."""
+    return CU.stratified_sample(
+        _t(spark, sf_dir, "documents"), "lang", quota=20
+    )
+
+
+# --------------------------------------------------------------------------
 # Margin-based bitext mining (Artetxe & Schwenk 2019 ratio margin)
 # --------------------------------------------------------------------------
 @query(

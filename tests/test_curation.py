@@ -654,3 +654,25 @@ def test_perplexity_partition_tiles_and_labels(spark):
     assert surp == sorted(surp)
     with pytest.raises(ValueError):
         perplexity_partition(docs, F.col("doc_id") == 0, buckets=1)
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    from konohadataplatform_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    rows = [(i, f"text {i}", "en" if i % 3 else "de") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = stratified_sample(docs, "lang", quota=5)
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 5, "de": 5}
+    # all original columns survive, and the pick is deterministic
+    assert out.columns == docs.columns
+    first = sorted(r.doc_id for r in out.collect())
+    again = sorted(r.doc_id for r in
+                   stratified_sample(docs, "lang", quota=5).collect())
+    assert first == again
+    # smaller-than-quota stratum returns whole stratum
+    tiny = stratified_sample(docs.filter(F.col("doc_id") < 3), "lang", 99)
+    assert tiny.count() == 3
