@@ -90,6 +90,11 @@ def _ordered(names: list[str]) -> list[str]:
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (tpch, analytics, events, llmdata):
+        overlap = merged.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(
+                f"query names registered in two modules: {sorted(overlap)}"
+            )
         merged.update(mod.QUERIES)
     names = list(merged)
     return {names[i]: merged[names[i]] for i in _ordered(names)}

@@ -34,6 +34,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query name {name!r}: a second @query would "
+                "silently shadow the first in the driver registry"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
@@ -337,7 +342,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact-count stratified sample (eval-set builder)
 # --------------------------------------------------------------------------
 @query(
-    "q_stratified_sample",
+    "q_stratified_quota_sample",
     """
     WITH k AS (
       SELECT *, md5(CAST(doc_id AS VARCHAR))
@@ -351,7 +356,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn <= 20
     """,
 )
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 20 docs per language by smallest md5(doc_id) — the
     deterministic eval-holdout sampler. Two-phase local-top-then-merge
     (apply_group_cap), no per-stratum window anywhere in the plan."""

@@ -38,6 +38,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query name {name!r}: a second @query would "
+                "silently shadow the first in the driver registry"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
