@@ -98,6 +98,19 @@ EXTENDED = [
     "q_lang_temperature_quota",
     "q_fuzzy_decontaminate",
     "q_cluster_best_quality",
+    # r10: repetition/dup-ngram batteries, PII v2, training-example
+    # slicers, normalize-dedup, LM perplexity partition, bitext mining
+    "q_gopher_repetition",
+    "q_gopher_dup_ngrams",
+    "q_pii_redact_v2",
+    "q_mixture_sample",
+    "q_context_windows",
+    "q_span_corrupt",
+    "q_normalized_dedup",
+    "q_doc_keywords",
+    "q_perplexity_partition",
+    "q_margin_mining",
+    "q_stratified_quota_sample",
 ]
 
 
