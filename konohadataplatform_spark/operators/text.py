@@ -697,3 +697,50 @@ def span_corrupt(
             ).cast("bigint").alias("n_masked_toks"),
         )
     )
+
+
+def data_card(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus "data card" (Gebru et al. datasheet headline
+    numbers): doc/token/char totals, language and source cardinality,
+    exact-duplicate mass, and null-text count — the summary block a
+    dataset release publishes and a pipeline asserts SLAs against.
+
+    All exact integer aggregation in ONE pass over the corpus plus one
+    digest-keyed distinct (the duplicate count); the single division
+    (mean tokens per doc) happens once on the final row. At 100 TB:
+    one scan, two exchanges (global agg + distinct digest), output is
+    one row.
+    """
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    base = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(text_col).alias("n_with_text"),
+        F.sum(
+            F.when(F.col(text_col).isNotNull(), F.size(toks)).otherwise(
+                F.lit(0)
+            )
+        ).alias("total_tokens"),
+        F.sum(
+            F.coalesce(F.length(text_col).cast("long"), F.lit(0))
+        ).alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5(F.col(text_col).cast("binary"))).alias(
+            "n_distinct_texts"
+        ),
+    )
+    return base.select(
+        "n_docs",
+        "n_with_text",
+        "total_tokens",
+        "total_chars",
+        "n_langs",
+        "n_sources",
+        "n_distinct_texts",
+        (F.col("n_with_text") - F.col("n_distinct_texts")).alias(
+            "n_exact_dup_docs"
+        ),
+        (
+            F.col("total_tokens").cast("double") / F.col("n_docs")
+        ).alias("mean_doc_tokens"),
+    )

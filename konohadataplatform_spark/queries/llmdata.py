@@ -339,6 +339,35 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus data card (one-row datasheet headline numbers)
+# --------------------------------------------------------------------------
+@query(
+    "q_data_card",
+    """
+    SELECT COUNT(*) AS n_docs,
+           COUNT(text) AS n_with_text,
+           CAST(SUM(CASE WHEN text IS NOT NULL
+                    THEN len(string_split(trim(text), ' '))
+                    ELSE 0 END) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+           COUNT(text) - COUNT(DISTINCT md5(text)) AS n_exact_dup_docs,
+           CAST(SUM(CASE WHEN text IS NOT NULL
+                    THEN len(string_split(trim(text), ' '))
+                    ELSE 0 END) AS DOUBLE) / COUNT(*) AS mean_doc_tokens
+    FROM documents
+    """,
+)
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet: doc/token/char totals, lang/source
+    cardinality, exact-duplicate mass. One scan, exact integer aggs,
+    one final division."""
+    return TX.data_card(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # Exact-count stratified sample (eval-set builder)
 # --------------------------------------------------------------------------
 @query(

@@ -2134,3 +2134,23 @@ def test_margin_mining_k_validation(spark):
     )
     with _pt.raises(ValueError):
         S.margin_mining(emb, emb, k=0)
+
+
+def test_data_card_counts_and_dup_mass(spark):
+    from konohadataplatform_spark.operators.text import data_card
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "a b c", "en", "s2"),   # exact dup of 1
+            (3, "d e", "fr", "s1"),
+            (4, None, "fr", "s3"),      # null text
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = data_card(docs).collect()[0]
+    assert r.n_docs == 4 and r.n_with_text == 3
+    assert r.total_tokens == 8 and r.total_chars == 13
+    assert r.n_langs == 2 and r.n_sources == 3
+    assert r.n_distinct_texts == 2 and r.n_exact_dup_docs == 1
+    assert r.mean_doc_tokens == 2.0
