@@ -777,6 +777,13 @@ def gopher_dup_ngram_flags(
         ).cast("bigint").alias("nonspace_chars"),
     )
     ns_arr = ", ".join(str(n) for n in ns)
+    # the gram is only ever a GROUP KEY (never output), so carry a
+    # 60-bit md5 digest instead of the joined words: the shuffled row
+    # shrinks from ~(10 words) to 4 ints, which is what kept the sf1
+    # smoke from spilling (11.5x superlinear with string grams, ~linear
+    # with digests). Both engines compute the same digest (oracle
+    # mirrors it), so collisions — ~2^-60 per same-doc gram pair —
+    # affect both sides identically.
     grams = base.select(
         "doc_id",
         F.explode(
@@ -784,7 +791,8 @@ def gopher_dup_ngram_flags(
                 f"flatten(transform(filter(array({ns_arr}), n -> size(_w) >= n), "
                 "n -> transform(sequence(0, size(_w) - n), "
                 "i -> struct(n AS n, i AS i, "
-                "concat_ws(' ', slice(_w, i + 1, n)) AS gram))))"
+                "cast(conv(substring(md5(concat_ws(' ', slice(_w, i + 1, n))),"
+                " 1, 15), 16, 10) as bigint) AS gram))))"
             )
         ).alias("s"),
     ).select("doc_id", "s.n", "s.i", "s.gram")

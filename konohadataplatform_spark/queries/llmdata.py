@@ -5161,7 +5161,9 @@ _DUP_NGRAM_SQL_MM = ",\n".join(
     ), g AS (
       SELECT doc_id, s.n AS n, s.i AS i, s.gram AS gram FROM (
         SELECT doc_id, unnest(flatten([
-           [ {{'n': n, 'i': i, 'gram': array_to_string(w[i+1:i+n], ' ')}}
+           [ {{'n': n, 'i': i,
+               'gram': CAST(concat('0x', substring(md5(
+                 array_to_string(w[i+1:i+n], ' ')), 1, 15)) AS BIGINT)}}
              for i in range(0, len(w) - n + 1) ]
            for n in [5, 6, 7, 8, 9, 10] if len(w) >= n ])) AS s
         FROM t)
