@@ -744,3 +744,61 @@ def data_card(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("total_tokens").cast("double") / F.col("n_docs")
         ).alias("mean_doc_tokens"),
     )
+
+
+def boilerplate_strip_rewrite(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate-line REMOVAL (the transform behind
+    :func:`boilerplate_coverage`'s detection — the CCNet/RefinedWeb
+    nav-bar / cookie-banner strip): a non-empty line appearing in
+    ``min_docs`` or more distinct documents is corpus boilerplate;
+    every occurrence is cut and the remaining lines reassemble in
+    original order. Returns
+    ``(doc_id, n_lines, n_stripped, cleaned_text)`` (empty lines are
+    structure, never stripped, and docs may come back empty).
+
+    Scale shape: the line-frequency relation groups on a 60-bit md5
+    digest (never the line text) and keeps only lines crossing the
+    ``min_docs`` bar — a small broadcast set joined back by digest.
+    The reassembly groupBy carries each doc's kept lines exactly once
+    (a rewrite must move its text once); collect_list entries are
+    (index, line) structs sorted per doc — bounded by doc size, no
+    corpus-wide window anywhere.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("li", "line"),
+    ).withColumn(
+        "_h",
+        F.expr(
+            "cast(conv(substring(md5(trim(line)), 1, 15), 16, 10) "
+            "as bigint)"
+        ),
+    ).withColumn("_empty", F.trim(F.col("line")) == "")
+    freq = (
+        lines.filter(~F.col("_empty"))
+        .groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_h", F.lit(True).alias("_bp"))
+    )
+    tagged = lines.join(F.broadcast(freq), "_h", "left").withColumn(
+        "_keep", F.col("_bp").isNull() | F.col("_empty")
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(~F.col("_keep"), 1)).alias("n_stripped"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(if(_keep, "
+                "struct(li, line), null))), s -> s.line)"
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )

@@ -339,6 +339,77 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Boilerplate-line strip REWRITE (nav-bar removal): the transform
+# behind boilerplate_coverage's detection. The fixture injects line
+# structure (12-word lines + a shared per-source nav header) because
+# the synthetic corpus is single-line.
+# --------------------------------------------------------------------------
+@query(
+    "q_boilerplate_strip",
+    """
+    WITH fx AS (
+      SELECT doc_id,
+             'nav ' || source || ' | home | contact' || chr(10) ||
+             array_to_string(
+               [array_to_string(w[g * 12 + 1 : g * 12 + 12], ' ')
+                for g in range(0, (len(w) + 11) // 12)], chr(10)) AS text
+      FROM (SELECT doc_id, source, string_split(trim(text), ' ') AS w
+            FROM documents)
+    ), l AS (
+      SELECT doc_id, u.li AS li, u.line AS line FROM (
+        SELECT doc_id,
+               unnest([{'li': i, 'line': ls[i + 1]}
+                       for i in range(0, len(ls))]) AS u
+        FROM (SELECT doc_id,
+                     string_split(coalesce(text, ''), chr(10)) AS ls
+              FROM fx))
+    ), freq AS (
+      SELECT CAST(concat('0x', substring(md5(trim(line)), 1, 15))
+                  AS BIGINT) AS h
+      FROM l WHERE trim(line) <> ''
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+    ), tagged AS (
+      SELECT l.doc_id, l.li, l.line,
+             (f.h IS NULL OR trim(l.line) = '') AS keep
+      FROM l LEFT JOIN freq f
+        ON f.h = CAST(concat('0x', substring(md5(trim(l.line)), 1, 15))
+                      AS BIGINT)
+    )
+    SELECT doc_id, COUNT(*) AS n_lines,
+           COUNT(CASE WHEN NOT keep THEN 1 END) AS n_stripped,
+           coalesce(string_agg(CASE WHEN keep THEN line END,
+                               chr(10) ORDER BY li), '') AS cleaned_text
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip corpus-boilerplate lines (any non-empty line shared by
+    >= 3 docs) and reassemble each doc in order.
+    operators.text.boilerplate_strip_rewrite: line frequencies group on
+    a 60-bit digest, the frequent set broadcasts back, the reassembly
+    carries each doc's kept lines exactly once."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    fixture = docs.select(
+        "doc_id", "source", words.alias("_w")
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("nav "), F.col("source"), F.lit(" | home | contact"),
+            F.lit("\n"),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(0, (size(_w) + 11) div 12 - 1), "
+                    "g -> concat_ws(' ', slice(_w, g * 12 + 1, 12)))"
+                ),
+                "\n",
+            ),
+        ).alias("text"),
+    )
+    return TX.boilerplate_strip_rewrite(fixture, min_docs=3)
+
+
+# --------------------------------------------------------------------------
 # Corpus data card (one-row datasheet headline numbers)
 # --------------------------------------------------------------------------
 @query(

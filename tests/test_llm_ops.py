@@ -2154,3 +2154,35 @@ def test_data_card_counts_and_dup_mass(spark):
     assert r.n_langs == 2 and r.n_sources == 3
     assert r.n_distinct_texts == 2 and r.n_exact_dup_docs == 1
     assert r.mean_doc_tokens == 2.0
+
+
+def test_boilerplate_strip_rewrite(spark):
+    from konohadataplatform_spark.operators.text import (
+        boilerplate_strip_rewrite,
+    )
+
+    nav = "home | about | contact"
+    docs = spark.createDataFrame(
+        [
+            (1, nav + "\nunique one\n\nlast line"),
+            (2, nav + "\nunique two"),
+            (3, "prefix\n" + nav),
+            (4, "no boilerplate here\nat all"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           boilerplate_strip_rewrite(docs, min_docs=3).collect()}
+    # nav appears in 3 docs -> stripped everywhere; empty line kept
+    assert out[1].cleaned_text == "unique one\n\nlast line"
+    assert out[1].n_lines == 4 and out[1].n_stripped == 1
+    assert out[2].cleaned_text == "unique two"
+    assert out[3].cleaned_text == "prefix"
+    assert out[4].n_stripped == 0
+    assert out[4].cleaned_text == "no boilerplate here\nat all"
+    # NULL text -> one empty line, kept
+    assert out[5].cleaned_text == "" and out[5].n_stripped == 0
+    # below the bar: nothing stripped
+    none = boilerplate_strip_rewrite(docs, min_docs=4).collect()
+    assert all(r.n_stripped == 0 for r in none)
