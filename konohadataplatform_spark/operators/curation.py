@@ -996,3 +996,64 @@ def stratified_sample(
     )
     keyed = df.withColumn("_skey", key)
     return apply_group_cap(keyed, group_col, "_skey", quota).drop("_skey")
+
+
+def code_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line: int = 1000,
+    avg_line: int = 100,
+) -> DataFrame:
+    """StarCoder/SantaCoder-style code-corpus filters (Li et al. 2023
+    'StarCoder' §3; the code analog of the Gopher prose battery):
+    per doc, line-geometry and character-class screens —
+
+    - ``ok_avg_line_len``: mean line length <= ``avg_line`` chars
+      (minified/embedded-blob files fail), cross-multiplied
+      (``total_chars <= avg_line * n_lines``) — no division;
+    - ``ok_max_line_len``: longest line <= ``max_line`` chars;
+    - ``ok_alnum_frac``: >= 25% alphanumeric characters
+      (``4 * alnum_chars >= total_chars`` — binary-ish blobs fail);
+    - ``ok_not_autogen``: no 'auto-generated' marker (case-folded);
+    - ``pass_code_filters``: all of the above.
+
+    ``total_chars`` sums LINE lengths (newlines excluded) so the avg
+    and alnum screens agree on the denominator. All integer/boolean —
+    bit-reproducible in any engine. One zero-exchange codegen
+    projection: scan-speed at 100 TB, same plan class as
+    :func:`gopher_quality_flags`.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    line_lens = F.expr(
+        f"transform(split(coalesce({text_col}, ''), '\\n'), "
+        "l -> length(l))"
+    )
+    n_lines = F.size(lines).cast("bigint")
+    max_len = F.array_max(line_lens).cast("bigint")
+    total_chars = F.expr(
+        f"aggregate(transform(split(coalesce({text_col}, ''), '\\n'), "
+        "l -> cast(length(l) as bigint)), 0L, (a, x) -> a + x)"
+    )
+    alnum = F.length(
+        F.regexp_replace(t, "[^A-Za-z0-9]", "")
+    ).cast("bigint")
+    ok_avg = total_chars <= F.lit(int(avg_line)) * n_lines
+    ok_max = max_len <= F.lit(int(max_line))
+    ok_alnum = F.lit(4) * alnum >= total_chars
+    ok_auto = ~F.contains(F.lower(t), F.lit("auto-generated"))
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        max_len.alias("max_line_len"),
+        total_chars.alias("total_chars"),
+        alnum.alias("alnum_chars"),
+        ok_avg.alias("ok_avg_line_len"),
+        ok_max.alias("ok_max_line_len"),
+        ok_alnum.alias("ok_alnum_frac"),
+        ok_auto.alias("ok_not_autogen"),
+        (ok_avg & ok_max & ok_alnum & ok_auto).alias(
+            "pass_code_filters"
+        ),
+    )

@@ -339,6 +339,85 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# StarCoder-style code-corpus filters (line geometry + char classes).
+# Fixture: 12-word lines; doc_id%7 gets a 1200-char minified line,
+# doc_id%11 an auto-generated marker — both failure branches fire.
+# --------------------------------------------------------------------------
+@query(
+    "q_code_quality_flags",
+    """
+    WITH fx AS (
+      SELECT doc_id,
+             array_to_string(
+               [array_to_string(w[g * 12 + 1 : g * 12 + 12], ' ')
+                for g in range(0, (len(w) + 11) // 12)], chr(10))
+             || CASE WHEN doc_id % 7 = 0
+                     THEN chr(10) || repeat('x', 1200) ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN chr(10) || 'auto-generated file do not edit'
+                     ELSE '' END AS text
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+            FROM documents)
+    ), m AS (
+      SELECT doc_id,
+             string_split(coalesce(text, ''), chr(10)) AS ls,
+             CAST(length(regexp_replace(coalesce(text, ''),
+                  '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS alnum_chars,
+             contains(lower(coalesce(text, '')), 'auto-generated')
+               AS autogen
+      FROM fx
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(list_max(list_transform(ls, l -> length(l)))
+                  AS BIGINT) AS max_line_len,
+             CAST(list_sum(list_transform(ls, l -> length(l)))
+                  AS BIGINT) AS total_chars,
+             alnum_chars, autogen
+      FROM m
+    )
+    SELECT doc_id, n_lines, max_line_len, total_chars, alnum_chars,
+           total_chars <= 100 * n_lines AS ok_avg_line_len,
+           max_line_len <= 1000 AS ok_max_line_len,
+           4 * alnum_chars >= total_chars AS ok_alnum_frac,
+           NOT autogen AS ok_not_autogen,
+           (total_chars <= 100 * n_lines AND max_line_len <= 1000
+            AND 4 * alnum_chars >= total_chars AND NOT autogen)
+             AS pass_code_filters
+    FROM s
+    """,
+)
+def q_code_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder code-corpus screens (avg/max line length via
+    cross-multiplication, 25% alphanumeric, auto-generated marker)
+    over an injected-line fixture. operators.curation.
+    code_quality_flags: one zero-exchange codegen projection."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    did = F.col("doc_id")
+    fixture = docs.select("doc_id", words.alias("_w")).select(
+        "doc_id",
+        F.concat(
+            F.array_join(
+                F.expr(
+                    "transform(sequence(0, (size(_w) + 11) div 12 - 1), "
+                    "g -> concat_ws(' ', slice(_w, g * 12 + 1, 12)))"
+                ),
+                "\n",
+            ),
+            F.when(did % 7 == 0, F.lit("\n" + "x" * 1200)).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                did % 11 == 0,
+                F.lit("\nauto-generated file do not edit"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return CU.code_quality_flags(fixture)
+
+
+# --------------------------------------------------------------------------
 # Boilerplate-line strip REWRITE (nav-bar removal): the transform
 # behind boilerplate_coverage's detection. The fixture injects line
 # structure (12-word lines + a shared per-source nav header) because

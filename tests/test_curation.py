@@ -676,3 +676,35 @@ def test_stratified_sample_exact_quota_and_determinism(spark):
     # smaller-than-quota stratum returns whole stratum
     tiny = stratified_sample(docs.filter(F.col("doc_id") < 3), "lang", 99)
     assert tiny.count() == 3
+
+
+def test_code_quality_flags_each_rule_fires(spark):
+    from konohadataplatform_spark.operators.curation import (
+        code_quality_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short line\nanother ok line"),          # all pass
+            (2, "x" * 1500),                             # max + avg fail
+            (3, "@@ ## $$ %% ^^ && ** (("),              # alnum fails
+            (4, "auto-generated file\ndo not edit"),     # marker fails
+            (5, None),                                   # empty: one line
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in code_quality_flags(docs).collect()}
+    assert out[1].pass_code_filters
+    assert not out[2].ok_max_line_len and not out[2].ok_avg_line_len
+    assert out[2].max_line_len == 1500
+    assert not out[3].ok_alnum_frac and out[3].ok_max_line_len
+    assert not out[4].ok_not_autogen and out[4].ok_alnum_frac
+    # empty text: one zero-length line; 4*0 >= 0 passes, avg passes
+    assert out[5].n_lines == 1 and out[5].pass_code_filters
+    # exact boundary: 100 chars/line passes, 101 fails
+    b = spark.createDataFrame(
+        [(1, "y" * 100), (2, "y" * 101)],
+        "doc_id long, text string",
+    )
+    bo = {r.doc_id: r for r in code_quality_flags(b).collect()}
+    assert bo[1].ok_avg_line_len and not bo[2].ok_avg_line_len
