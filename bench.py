@@ -111,6 +111,9 @@ EXTENDED = [
     "q_perplexity_partition",
     "q_margin_mining",
     "q_stratified_quota_sample",
+    "q_data_card",
+    "q_boilerplate_strip",
+    "q_code_quality_flags",
 ]
 
 

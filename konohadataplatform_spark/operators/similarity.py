@@ -640,8 +640,19 @@ def ann_ivf_topk_portable(
     vec_col: str = "embedding",
     scale: int = 1_000_000,
     offset: float = 2.0,
+    train_mod: int | None = None,
 ) -> DataFrame:
     """IVF top-k with DETERMINISTIC, engine-portable centroid training.
+
+    ``train_mod``: when set, Lloyd trains on the deterministic
+    ``id % train_mod == 0`` corpus sample instead of every vector —
+    the standard 100 TB practice (training cost drops by the mod;
+    assignment/probing still cover the full corpus). Centroid QUALITY
+    only gates partial-probe recall: at ``nprobe = n_cells`` every
+    cell is scanned, so results are bit-identical to brute force under
+    ANY centroids — sampled training never perturbs a full-probe
+    oracle. Leave ``None`` where an oracle replays the training CTEs
+    verbatim (q_ann_ivf).
 
     Spark ML KMeans centroids depend on float summation order, so no
     SQL oracle can reproduce them. This variant makes every training
@@ -673,11 +684,28 @@ def ann_ivf_topk_portable(
     on a sample at 100 TB exactly like the ML path.
     """
     base = _grid_base(corpus, id_col, vec_col, scale, offset)
-    cents = _ivf_train_portable(base, n_cells, iters)
+    # md5-keyed sample, not `id % mod`: callers routinely split corpora
+    # by id parity (margin mining's even/odd languages), where a plain
+    # modulo could select zero training vectors
+    train_base = (
+        base
+        if train_mod is None
+        else base.filter(
+            F.expr(
+                "pmod(cast(conv(substring(md5(cast(cid as string)), 1, "
+                f"15), 16, 10) as bigint), {int(train_mod)}) = 0"
+            )
+        )
+    )
+    cents = _ivf_train_portable(train_base, n_cells, iters)
 
     cell_of = _cell_assign_udf(cents)
+    # norms precomputed per side (bit-identical hoist, same as
+    # cosine_topk): the probed-candidate scoring folds ONE dot per
+    # pair instead of three
     final = base.withColumn("cell", cell_of(F.col("q"))).select(
-        F.col("cid").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+        F.col("cid").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cn"), "cell",
     )
 
     qbase = _grid_base(queries, id_col, vec_col, scale, offset,
@@ -685,12 +713,21 @@ def ann_ivf_topk_portable(
 
     probes = qbase.withColumn(
         "cell", F.explode(_cell_probes_udf(cents, nprobe)(F.col("q")))
-    ).select("query_id", F.col("v").alias("qv"), "cell")
+    ).select(
+        "query_id", F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn"), "cell",
+    )
 
-    cand = probes.join(final, "cell").filter(
+    # broadcast the probe side (same as mmr_candidates_ivf): "cell" has
+    # only n_cells distinct values, so a shuffled join serializes into
+    # n_cells skewed tasks — broadcasting keeps the corpus side map-only
+    cand = F.broadcast(probes).join(final, "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = cand.withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    scored = cand.withColumn(
+        "cos_sim",
+        _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+    )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -1850,6 +1887,51 @@ def margin_mining(
         raise ValueError(f"k must be >= 1, got {k}")
     fwd = cosine_topk(tgt, src, k=k, id_col=id_col, vec_col=vec_col)
     bwd = cosine_topk(src, tgt, k=k, id_col=id_col, vec_col=vec_col)
+    return _margin_from_topk(fwd, bwd, k, threshold)
+
+
+def margin_mining_ann(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_mod: int | None = None,
+) -> DataFrame:
+    """:func:`margin_mining` with IVF-probed kNN passes — the
+    corpus-scale path. Brute-force mining scores |src| x |tgt| pairs
+    (quadratic by contract — the r10 sf1 smoke measured 30x on 10x
+    data); here each side's kNN comes from
+    :func:`ann_ivf_topk_portable` probes, so the only corpus-sized
+    exchange per direction is the cell-keyed hash join. With
+    ``nprobe = n_cells`` (full probe) the kNN relations — and hence
+    every margin — are BIT-IDENTICAL to brute force (the shared-oracle
+    contract, same as ``mmr_candidates_ivf``); below that it is the
+    standard IVF recall trade applied to mining."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    fwd = ann_ivf_topk_portable(
+        tgt, src, k=k, n_cells=n_cells, nprobe=nprobe, iters=iters,
+        id_col=id_col, vec_col=vec_col, train_mod=train_mod,
+    )
+    bwd = ann_ivf_topk_portable(
+        src, tgt, k=k, n_cells=n_cells, nprobe=nprobe, iters=iters,
+        id_col=id_col, vec_col=vec_col, train_mod=train_mod,
+    )
+    return _margin_from_topk(fwd, bwd, k, threshold)
+
+
+def _margin_from_topk(
+    fwd: DataFrame, bwd: DataFrame, k: int, threshold: float
+) -> DataFrame:
+    """Margin/argmax stage shared by the brute-force and ANN miners:
+    takes the two (query_id, neighbor_id, cos_sim, knn_rank) kNN
+    relations and returns the per-src argmax-margin pair at
+    ``margin >= threshold``."""
     sx = _ranked_sum(fwd, "query_id", k).select(
         F.col("query_id").alias("src_id"), F.col("_penalty_sum").alias("_sx")
     )

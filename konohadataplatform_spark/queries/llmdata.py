@@ -547,9 +547,7 @@ def q_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Margin-based bitext mining (Artetxe & Schwenk 2019 ratio margin)
 # --------------------------------------------------------------------------
-@query(
-    "q_margin_mining",
-    """
+_MARGIN_SQL = """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), s AS (
@@ -604,8 +602,10 @@ def q_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
               PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS mrk
           FROM m0)
     WHERE mrk = 1 AND margin >= 1.0
-    """,
-)
+    """
+
+
+@query("q_margin_mining", _MARGIN_SQL)
 def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitext mining with the ratio margin: even vec_ids as the source
     'language', odd as the target; best tgt per src by hubness-
@@ -617,6 +617,26 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 1),
         k=4,
         threshold=1.0,
+    )
+
+
+@query("q_margin_mining_ann", _MARGIN_SQL)
+def q_margin_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed bitext mining at FULL probe (nprobe = n_cells):
+    bit-identical to the brute-force miner, so it legitimately shares
+    q_margin_mining's oracle — the parity proves the probe machinery,
+    and dialing nprobe down is the documented recall trade that makes
+    mining sub-quadratic at corpus scale (the brute-force sf1 smoke
+    measured 30x on 10x data; the probe path's only corpus-sized
+    exchange is the cell-keyed hash join per direction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.margin_mining_ann(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.0,
+        n_cells=8,
+        nprobe=8,
     )
 
 

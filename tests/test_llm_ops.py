@@ -2186,3 +2186,15 @@ def test_boilerplate_strip_rewrite(spark):
     # below the bar: nothing stripped
     none = boilerplate_strip_rewrite(docs, min_docs=4).collect()
     assert all(r.n_stripped == 0 for r in none)
+
+
+def test_margin_mining_ann_full_probe_matches_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0).limit(40)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1).limit(40)
+    bf = {(r.src_id, r.tgt_id, r.cos_sim, r.margin)
+          for r in S.margin_mining(src, tgt, k=3).collect()}
+    ann = {(r.src_id, r.tgt_id, r.cos_sim, r.margin)
+           for r in S.margin_mining_ann(
+               src, tgt, k=3, n_cells=4, nprobe=4).collect()}
+    assert bf == ann  # full probe: bit-identical, including doubles

@@ -118,6 +118,19 @@ SMOKE_QUERIES = [
     "q_mixture_sample",
     "q_context_windows",
     "q_span_corrupt",
+    # r10 second tier: the perplexity partition joins five gram-keyed
+    # count tables (vocab-sized — must stay ~flat); margin mining is
+    # quadratic-by-contract at bench scale (ANN swap documented);
+    # boilerplate strip is a rewrite (one text-carrying exchange);
+    # the rest are scan-speed or cap-bounded
+    "q_perplexity_partition",
+    "q_margin_mining",
+    "q_normalized_dedup",
+    "q_doc_keywords",
+    "q_stratified_quota_sample",
+    "q_boilerplate_strip",
+    "q_code_quality_flags",
+    "q_data_card",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
