@@ -114,6 +114,7 @@ EXTENDED = [
     "q_data_card",
     "q_boilerplate_strip",
     "q_code_quality_flags",
+    "q_margin_mining_ann",
 ]
 
 
