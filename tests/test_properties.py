@@ -618,3 +618,101 @@ def test_bm25_matches_python_replay_property(spark, texts):
         ).collect()
     }
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# Round-10 operator properties vs in-memory reference models
+# --------------------------------------------------------------------------
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab XY,1.\n"),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts_strategy)
+def test_normalized_dedup_matches_reference_model(spark, texts):
+    import re
+
+    from konohadataplatform_spark.operators.dedup import normalized_dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+    def norm(t):
+        t = re.sub("[0-9]", "0", t.lower())
+        t = re.sub("[^a-z0-9 ]", "", t)
+        return re.sub(" +", " ", t).strip()
+
+    groups = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(norm(t), []).append((i, t))
+    out = {r.kept_doc_id: r for r in normalized_dedup(docs).collect()}
+    assert len(out) == len(groups)
+    for members in groups.values():
+        kept = min(i for i, _ in members)
+        assert out[kept].n_copies == len(members)
+        assert out[kept].n_distinct_raw == len({t for _, t in members})
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts_strategy, min_docs=st.integers(min_value=2, max_value=4))
+def test_boilerplate_strip_matches_reference_model(spark, texts, min_docs):
+    from konohadataplatform_spark.operators.text import (
+        boilerplate_strip_rewrite,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    # reference: line frequency by distinct doc over non-empty trims
+    freq = {}
+    for i, t in enumerate(texts):
+        for ln in {x.strip() for x in (t or "").split("\n") if x.strip()}:
+            freq[ln] = freq.get(ln, 0) + 1
+    bp = {ln for ln, c in freq.items() if c >= min_docs}
+    out = {r.doc_id: r for r in
+           boilerplate_strip_rewrite(docs, min_docs=min_docs).collect()}
+    for i, t in enumerate(texts):
+        lines = (t or "").split("\n")
+        kept = [ln for ln in lines if ln.strip() not in bp or not ln.strip()]
+        assert out[i].cleaned_text == "\n".join(kept)
+        assert out[i].n_lines == len(lines)
+        assert out[i].n_stripped == len(lines) - len(kept)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts_strategy)
+def test_dup_ngram_mass_bounded_by_nonspace_chars(spark, texts):
+    from konohadataplatform_spark.operators.curation import (
+        gopher_dup_ngram_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    for r in gopher_dup_ngram_flags(docs).collect():
+        for n in range(5, 11):
+            m = getattr(r, f"dup{n}_mass")
+            assert 0 <= m <= r.nonspace_chars
