@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
 METRICS_SCHEMA = (
@@ -84,3 +85,39 @@ def save_metrics(spark, catalog, listener: MetricsListener, table: str = "_strea
     """Persist the metrics buffer to a catalog table (append)."""
     df = snapshot_metrics(spark, listener)
     return catalog.write(table, df, mode="append")
+
+
+def streaming_data_card(sdf: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming twin of :func:`~konohadataplatform_spark.operators.
+    text.data_card`: cumulative corpus datasheet numbers over an
+    UNBOUNDED document stream (run with ``outputMode("complete")``) —
+    the live ingest dashboard row a pipeline operator watches while a
+    crawl lands.
+
+    Exact where streaming state allows (doc/token/char totals are
+    plain running sums) and approximate where the batch op used
+    COUNT(DISTINCT): streaming aggregation cannot hold unbounded
+    distinct sets, so lang/source/text cardinalities are
+    ``approx_count_distinct`` (HLL++, bounded state) — the columns are
+    suffixed ``_approx`` so nobody mistakes them for the batch-exact
+    figures. State is ONE row of counters + three HLL sketches,
+    regardless of stream length.
+    """
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    return sdf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(text_col).alias("n_with_text"),
+        F.sum(
+            F.when(F.col(text_col).isNotNull(), F.size(toks)).otherwise(
+                F.lit(0)
+            )
+        ).alias("total_tokens"),
+        F.sum(
+            F.coalesce(F.length(text_col).cast("long"), F.lit(0))
+        ).alias("total_chars"),
+        F.approx_count_distinct("lang").alias("n_langs_approx"),
+        F.approx_count_distinct("source").alias("n_sources_approx"),
+        F.approx_count_distinct(
+            F.md5(F.col(text_col).cast("binary"))
+        ).alias("n_distinct_texts_approx"),
+    )

@@ -352,3 +352,44 @@ def test_classifier_gate_streaming_end_to_end(spark, catalog, tmp_path):
     reasons = {r.doc_id: r.reason
                for r in catalog.read("corpus__rejects").collect()}
     assert reasons == {2: "low_margin"}
+
+
+def test_streaming_data_card_cumulative(spark, tmp_path):
+    import json as _json
+
+    from konohadataplatform_spark.streaming.monitor import (
+        streaming_data_card,
+    )
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(
+        _json.dumps(d) for d in [
+            {"doc_id": 1, "text": "a b c", "lang": "en", "source": "s1"},
+            {"doc_id": 2, "text": "a b c", "lang": "en", "source": "s2"},
+        ]))
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string"
+    ).json(str(src))
+    q = (
+        streaming_data_card(stream)
+        .writeStream.format("memory")
+        .queryName("card")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        r1 = spark.sql("select * from card").collect()[0]
+        assert r1.n_docs == 2 and r1.total_tokens == 6
+        assert r1.n_distinct_texts_approx == 1
+        # second batch arrives: totals are cumulative
+        (src / "b2.json").write_text(_json.dumps(
+            {"doc_id": 3, "text": "d e", "lang": "fr", "source": "s1"}))
+        q.processAllAvailable()
+        r2 = spark.sql("select * from card").collect()[0]
+        assert r2.n_docs == 3 and r2.total_tokens == 8
+        assert r2.total_chars == 13
+        assert r2.n_langs_approx == 2
+    finally:
+        q.stop()
