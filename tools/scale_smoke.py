@@ -131,6 +131,12 @@ SMOKE_QUERIES = [
     "q_boilerplate_strip",
     "q_code_quality_flags",
     "q_data_card",
+    # NOT smoked: q_margin_mining_ann — the registered query is the
+    # FULL-PROBE parity config (scores every pair by construction, so
+    # its sf1 ratio is the same quadratic contract the brute-force row
+    # already records). The partial-probe scale path is measured
+    # directly in SCALING.md (n_cells=256, nprobe=4: 54.9 s vs 76.0 s
+    # brute at sf1).
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
