@@ -115,6 +115,7 @@ EXTENDED = [
     "q_boilerplate_strip",
     "q_code_quality_flags",
     "q_margin_mining_ann",
+    "q_curriculum_shards",
 ]
 
 

@@ -2331,9 +2331,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_perplexity_partition",
-    """
+# WITH-chain shared by the perplexity partition and curriculum shards:
+# ends at `rk` = (doc_id, n_trigrams, surprisal, ppl_rank, n).
+_PPL_CTES = """
     WITH en AS (
       SELECT doc_id, text FROM documents WHERE lang = 'en'
     ), trt AS (
@@ -2390,7 +2390,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS ppl_rank,
                 COUNT(*) OVER () AS n
       FROM sc
-    )
+    )"""
+
+
+@query(
+    "q_perplexity_partition",
+    _PPL_CTES + """
     SELECT doc_id, n_trigrams, surprisal, ppl_rank,
            CASE (ppl_rank - 1) * 3 // n
              WHEN 0 THEN 'head' WHEN 2 THEN 'tail'
@@ -2407,6 +2412,47 @@ def q_perplexity_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     return CU.perplexity_partition(
         en, F.col("doc_id") % 5 == 0, alpha=0.5
+    )
+
+
+@query(
+    "q_curriculum_shards",
+    _PPL_CTES + """
+    , pri AS (
+      SELECT r.doc_id, r.ppl_rank,
+             lpad(CAST(r.ppl_rank AS VARCHAR), 12, '0') AS pri,
+             COALESCE(len(string_split(trim(d.text), ' ')), 0) AS toks
+      FROM rk r JOIN documents d ON d.doc_id = r.doc_id
+    ), c AS (
+      SELECT doc_id, ppl_rank, toks,
+             COALESCE(SUM(toks) OVER (ORDER BY pri, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS bef
+      FROM pri
+    )
+    SELECT doc_id, ppl_rank, CAST(toks AS BIGINT) AS toks,
+           CAST(bef // 2000 AS BIGINT) AS shard
+    FROM c
+    """,
+)
+def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning shard layout: the scored English docs,
+    token-balance-packed in ascending-perplexity order (fluent text in
+    the earliest shards — the 'easy first' schedule), by composing
+    perplexity_partition's scalable rank into shard_plan's
+    priority_col. Both stages avoid global sorts: the rank is the
+    range-partitioned row_number, the prefix sum is range-local with
+    broadcast offsets."""
+    en = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    ppl = CU.perplexity_partition(
+        en, F.col("doc_id") % 5 == 0, alpha=0.5
+    ).select("doc_id", "ppl_rank")
+    docs = en.join(ppl, "doc_id").withColumn(
+        "pri", F.lpad(F.col("ppl_rank").cast("string"), 12, "0")
+    )
+    shards = CU.shard_plan(docs, tokens_per_shard=2000, priority_col="pri")
+    return shards.join(ppl, "doc_id").select(
+        "doc_id", "ppl_rank", "toks", "shard"
     )
 
 

@@ -708,3 +708,32 @@ def test_code_quality_flags_each_rule_fires(spark):
     )
     bo = {r.doc_id: r for r in code_quality_flags(b).collect()}
     assert bo[1].ok_avg_line_len and not bo[2].ok_avg_line_len
+
+
+def test_curriculum_shards_easy_first(spark):
+    """Composition: perplexity rank as shard priority — lower-rank
+    (lower-surprisal) docs land in earlier shards."""
+    from konohadataplatform_spark.operators.curation import (
+        perplexity_partition,
+        shard_plan,
+    )
+
+    rows = [(0, "a b c d e f g h")]
+    rows += [(i, t) for i, t in enumerate(
+        ["a b c d e f", "a b c x e f", "x y z q r s",
+         "a b c d q f", "x y c q r z", "p q r s t u"], start=1)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ppl = perplexity_partition(docs, F.col("doc_id") == 0).select(
+        "doc_id", "ppl_rank"
+    )
+    joined = docs.join(ppl, "doc_id").withColumn(
+        "pri", F.lpad(F.col("ppl_rank").cast("string"), 12, "0")
+    )
+    out = shard_plan(joined, tokens_per_shard=12, priority_col="pri")
+    j = {r.doc_id: r.shard for r in out.collect()}
+    ranks = {r.doc_id: r.ppl_rank for r in ppl.collect()}
+    # shard index is non-decreasing in ppl_rank order
+    by_rank = sorted(ranks, key=lambda d: ranks[d])
+    shards = [j[d] for d in by_rank]
+    assert shards == sorted(shards)
+    assert shards[0] == 0
