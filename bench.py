@@ -116,6 +116,7 @@ EXTENDED = [
     "q_code_quality_flags",
     "q_margin_mining_ann",
     "q_curriculum_shards",
+    "q_contamination_report",
 ]
 
 

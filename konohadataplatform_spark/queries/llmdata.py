@@ -5498,9 +5498,7 @@ def q_lang_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8-gram pass. Benchmark = every 10th doc; the synthetic corpus'
 # repeated texts make real cross-split contamination to find.
 # --------------------------------------------------------------------------
-@query(
-    "q_fuzzy_decontaminate",
-    """
+_CONTAM_PAIRS_SQL = """
     WITH t AS (
       SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
     ), s AS (
@@ -5521,8 +5519,10 @@ def q_lang_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE)
             / (len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh)))
           >= 0.8
-    """,
-)
+    """
+
+
+@query("q_fuzzy_decontaminate", _CONTAM_PAIRS_SQL)
 def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs (doc_id % 10 != 0) whose shingle Jaccard with
     some benchmark doc (doc_id % 10 == 0) reaches 0.8.
@@ -5536,6 +5536,36 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
         threshold=0.8,
+    )
+
+
+@query(
+    "q_contamination_report",
+    f"""
+    WITH pairs AS ({_CONTAM_PAIRS_SQL})
+    SELECT bench_id,
+           COUNT(*) AS n_contaminated,
+           MAX(jaccard) AS max_jaccard,
+           MIN(doc_id) AS first_doc_id
+    FROM pairs GROUP BY 1
+    """,
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark contamination summary — the number the eval owner
+    actually reads (how many training docs leak into each benchmark
+    doc, and how badly): one groupBy over the broadcast-probed
+    contamination pairs. max(jaccard) is order-free (each jaccard is a
+    single exact-integer division, identical in both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.cross_corpus_contamination(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.8,
+    )
+    return pairs.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.min("doc_id").alias("first_doc_id"),
     )
 
 

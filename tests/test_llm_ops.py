@@ -2198,3 +2198,34 @@ def test_margin_mining_ann_full_probe_matches_bruteforce(spark):
            for r in S.margin_mining_ann(
                src, tgt, k=3, n_cells=4, nprobe=4).collect()}
     assert bf == ann  # full probe: bit-identical, including doubles
+
+
+def test_contamination_report_aggregates_pairs(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [
+            (10, base),                 # benchmark (id % 10 == 0)
+            (11, base),                 # contaminated copy
+            (12, base + " extra"),      # near-dup of the benchmark
+            (13, "totally different words here nothing shared at all xx"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = D.cross_corpus_contamination(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.8,
+    )
+    rep = (
+        pairs.groupBy("bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.max("jaccard").alias("max_jaccard"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .collect()
+    )
+    assert len(rep) == 1
+    r = rep[0]
+    assert r.bench_id == 10 and r.n_contaminated == 2
+    assert r.max_jaccard == 1.0 and r.first_doc_id == 11
