@@ -71,13 +71,19 @@ def apply_group_cap(
     broadcast-joined back, so the data side neither shuffles nor
     sorts. At 100 TB with many groups, swap the broadcast for a
     shuffle hash join on ``key_col`` (still no window).
+
+    The semi-join keys on (``group_col``, ``key_col``) — a key value
+    kept in one group never admits a same-keyed row from ANOTHER
+    group past that group's quota (the ADVICE r10 fix). ``key_col``
+    must still be unique per row WITHIN a group for the cap to be
+    exact (:func:`per_group_cap`'s contract).
     """
     kept = per_group_cap(df, group_col, key_col, cap).select(
-        F.explode("kept").alias(key_col)
+        group_col, F.explode("kept").alias(key_col)
     )
-    return df.join(F.broadcast(kept), key_col, "left_semi").select(
-        *df.columns
-    )
+    return df.join(
+        F.broadcast(kept), [group_col, key_col], "left_semi"
+    ).select(*df.columns)
 
 
 IMP_SCALE = 1_000_000
@@ -682,6 +688,108 @@ def gopher_repetition_flags(
     )
 
 
+# substrings whose presence removes a line in the public C4 cleaner
+# (tensorflow_datasets c4_utils.clean_page policy screens)
+C4_POLICY_MARKERS = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+C4_END_MARKS_RE = r'[.!?"”]$'
+
+
+def c4_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_sentences: int = 5,
+    min_words_per_line: int = 3,
+) -> DataFrame:
+    """The C4 prose filter battery (Raffel et al. 2020 §2.2 and the
+    public ``c4_utils.clean_page``), completing the canonical
+    quality-filter set next to the Gopher (:func:`gopher_quality_flags`)
+    and StarCoder (:func:`code_quality_flags`) batteries. Line screens
+    REWRITE the page; page screens FLAG it:
+
+    Line level (a line survives iff ALL hold):
+
+    - ends in a terminal punctuation mark (``. ! ?`` or a closing
+      quote — the paper's end-mark rule);
+    - has at least ``min_words_per_line`` words (single-space split,
+      the repo-wide tokenization);
+    - does not mention ``javascript`` (case-folded — the paper's
+      "enable Javascript" banner screen);
+    - carries none of the :data:`C4_POLICY_MARKERS` substrings
+      (case-folded cookie/policy boilerplate).
+
+    Page level:
+
+    - ``ok_min_sentences``: the KEPT text has at least
+      ``min_sentences`` sentences, where the sentence count is the
+      number of ``. ! ?`` marks in the kept lines (an integer-exact
+      stand-in for the paper's nltk sentence tokenizer — same
+      monotonicity, no Python in the loop);
+    - ``ok_no_lorem``: the RAW page does not contain ``lorem ipsum``
+      (case-folded);
+    - ``ok_no_brace``: the raw page contains no ``{`` (the paper's
+      source-code screen);
+    - ``pass_c4``: all page screens.
+
+    Returns ``(doc_id, n_lines, n_kept_lines, n_sentences,
+    ok_min_sentences, ok_no_lorem, ok_no_brace, pass_c4,
+    cleaned_text)`` — ``cleaned_text`` is the surviving trimmed lines
+    re-joined by newline (empty when nothing survives). NULL text
+    behaves as the empty page.
+
+    Scale shape: the whole battery is ONE codegen projection —
+    higher-order filter/transform over the line array plus substring
+    screens, zero exchanges, zero UDFs; scan-speed at 100 TB, the
+    same plan class as the Gopher and StarCoder batteries. Every
+    verdict is an integer/boolean comparison, bit-reproducible in any
+    engine.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lower = F.lower(raw)
+    lines = F.split(raw, "\n")
+
+    def _line_ok(l):
+        t = F.trim(l)
+        lt = F.lower(t)
+        ok = (
+            t.rlike(C4_END_MARKS_RE)
+            & (F.size(F.split(t, " ")) >= F.lit(int(min_words_per_line)))
+            & ~F.contains(lt, F.lit("javascript"))
+        )
+        for m in C4_POLICY_MARKERS:
+            ok = ok & ~F.contains(lt, F.lit(m))
+        return ok
+
+    kept = F.filter(F.transform(lines, F.trim), _line_ok)
+    cleaned = F.array_join(kept, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_kept = F.size(kept).cast("bigint")
+    n_sent = F.length(
+        F.regexp_replace(cleaned, r"[^.!?]", "")
+    ).cast("bigint")
+    ok_sent = n_sent >= F.lit(int(min_sentences))
+    ok_lorem = ~F.contains(lower, F.lit("lorem ipsum"))
+    ok_brace = ~F.contains(raw, F.lit("{"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        ok_sent.alias("ok_min_sentences"),
+        ok_lorem.alias("ok_no_lorem"),
+        ok_brace.alias("ok_no_brace"),
+        (ok_sent & ok_lorem & ok_brace).alias("pass_c4"),
+        cleaned.alias("cleaned_text"),
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     rates: dict[str, float],
@@ -980,19 +1088,24 @@ def stratified_sample(
     a random-RATE sample (binomial count per source); this gives the
     exact per-stratum COUNT an eval suite needs.
 
-    Selection key is ``md5(id) || zero-padded id`` — the digest makes
-    the order pseudo-random and id-uniform (not age-biased), the id
-    suffix makes it total even under digest collisions. Keeps all
-    original columns.
+    Selection key is ``md5(id) || length-prefixed id`` — the digest
+    makes the order pseudo-random and id-uniform (not age-biased); the
+    suffix (``lpad(length(id), 4) || id``, injective for ids up to
+    9999 chars, never truncated) makes the key total even under
+    digest-prefix collisions. ``id_col`` must be UNIQUE per row — a
+    duplicated id collides to one key and the quota semi-join would
+    admit both rows. Keeps all original columns.
 
     Scale shape: delegates to :func:`apply_group_cap`'s two-phase
     local-top-``quota``-then-merge — no per-group window, no hot-group
     straggler sort; the kept-key relation is at most ``quota`` keys
-    per stratum, broadcast back as a semi-join.
+    per stratum, broadcast back as a (stratum, key) semi-join.
     """
+    idstr = F.col(id_col).cast("string")
     key = F.concat(
-        F.md5(F.col(id_col).cast("string").cast("binary")),
-        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+        F.md5(idstr.cast("binary")),
+        F.lpad(F.length(idstr).cast("string"), 4, "0"),
+        idstr,
     )
     keyed = df.withColumn("_skey", key)
     return apply_group_cap(keyed, group_col, "_skey", quota).drop("_skey")

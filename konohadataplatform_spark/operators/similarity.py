@@ -17,6 +17,8 @@ doubles) and embedded as literals, so results are deterministic.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -52,10 +54,19 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Returns (query_id, neighbor_id, cos_sim, knn_rank), excluding self.
+    Returns (query_id, neighbor_id, cos_sim, knn_rank).
+
+    ``exclude_self`` (default True) drops candidates whose
+    ``neighbor_id`` equals the ``query_id`` — correct when corpus and
+    queries are the SAME relation (self-kNN). Pass False when the two
+    sides are distinct corpora that may reuse id values (e.g. two
+    languages each indexed 1..N in bitext mining): there an id match
+    is a coincidence, not identity, and excluding it silently drops a
+    legitimate — often the aligned — candidate.
     """
     # norms are precomputed per SIDE, not per pair: cosine(a, b) folds
     # three dot products per pair where only dot(a, b) actually varies.
@@ -76,8 +87,13 @@ def cosine_topk(
         cvec.alias("qv"),
         F.sqrt(_dot(cvec, cvec)).alias("qn"),
     )
+    pair_cond = (
+        F.col("neighbor_id") != F.col("query_id")
+        if exclude_self
+        else F.lit(True)
+    )
     scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        c.join(F.broadcast(q), pair_cond)
         .withColumn(
             "cos_sim",
             _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
@@ -606,6 +622,11 @@ def _ivf_train_portable(
     (one narrow pass) instead of holding a cache they can't release."""
     base = base.cache()
     seed_rows = base.select("cid", "q").orderBy("cid").take(n_cells)
+    if not seed_rows:
+        raise ValueError(
+            "_ivf_train_portable: training relation is empty — no "
+            "centroid seeds (check the corpus / train_mod sample)"
+        )
     cents: list[tuple[int, list[int]]] = [
         (i + 1, list(r["q"])) for i, r in enumerate(seed_rows)
     ]
@@ -641,6 +662,10 @@ def ann_ivf_topk_portable(
     scale: int = 1_000_000,
     offset: float = 2.0,
     train_mod: int | None = None,
+    exclude_self: bool = True,
+    probe_broadcast: bool | None = None,
+    probe_broadcast_rows: int = 500_000,
+    salt: int = 8,
 ) -> DataFrame:
     """IVF top-k with DETERMINISTIC, engine-portable centroid training.
 
@@ -682,6 +707,30 @@ def ann_ivf_topk_portable(
     property that enables the SQL oracle replay is the same one that
     prevents float drift between local[32] and 1000 executors. Train
     on a sample at 100 TB exactly like the ML path.
+
+    Join-strategy knobs (the ADVICE r10 fix — the probe side is NOT
+    always small):
+
+    - ``probe_broadcast``: True forces the probe side broadcast, False
+      forces the salted shuffle path, None (default) decides from one
+      cheap count of ``queries`` — broadcast iff
+      ``n_queries * nprobe <= probe_broadcast_rows``. Broadcast is the
+      right call when queries are a small batch (probes stay map-only
+      against the corpus); in the corpus-as-queries direction (margin
+      mining's backward pass over the standing corpus) the probe
+      relation is |corpus| x nprobe rows carrying full vectors —
+      broadcasting that violates executor memory at real scale, so the
+      gate flips to a shuffled join on (cell, salt).
+    - ``salt``: the shuffle path's skew guard. "cell" has only
+      ``n_cells`` distinct values, so a plain shuffled join serializes
+      into n_cells straggler tasks; salting assigns corpus rows
+      ``pmod(xxhash64(cid), salt)`` and replicates each probe row
+      across all ``salt`` values, giving ``n_cells * salt``-way
+      parallelism for a bounded x``salt`` probe-row replication.
+
+    Results are identical under either strategy (the join predicate
+    and the fold math don't change), so oracles never depend on the
+    gate.
     """
     base = _grid_base(corpus, id_col, vec_col, scale, offset)
     # md5-keyed sample, not `id % mod`: callers routinely split corpora
@@ -697,6 +746,20 @@ def ann_ivf_topk_portable(
             )
         )
     )
+    if train_mod is not None and (
+        train_base.limit(n_cells).count() < n_cells
+    ):
+        # empty-/thin-sample guard (ADVICE r10): a large train_mod on
+        # a small corpus can sample fewer rows than n_cells seeds —
+        # fall back to full-corpus training LOUDLY rather than letting
+        # the assign kernel hit an argmin over zero centroids
+        warnings.warn(
+            f"ann_ivf_topk_portable: train_mod={train_mod} sampled "
+            f"fewer than n_cells={n_cells} training vectors; falling "
+            "back to full-corpus centroid training",
+            stacklevel=2,
+        )
+        train_base = base
     cents = _ivf_train_portable(train_base, n_cells, iters)
 
     cell_of = _cell_assign_udf(cents)
@@ -718,12 +781,29 @@ def ann_ivf_topk_portable(
         F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn"), "cell",
     )
 
-    # broadcast the probe side (same as mmr_candidates_ivf): "cell" has
-    # only n_cells distinct values, so a shuffled join serializes into
-    # n_cells skewed tasks — broadcasting keeps the corpus side map-only
-    cand = F.broadcast(probes).join(final, "cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
+    if probe_broadcast is None:
+        probe_broadcast = (
+            queries.count() * max(1, int(nprobe))
+            <= int(probe_broadcast_rows)
+        )
+    if probe_broadcast:
+        # small probe side: broadcasting keeps the corpus side map-only
+        cand = F.broadcast(probes).join(final, "cell")
+    else:
+        s = max(1, int(salt))
+        probes_s = probes.withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(s)])),
+        )
+        final_s = final.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(s)).cast(
+                "int"
+            ),
+        )
+        cand = probes_s.join(final_s, ["cell", "_salt"]).drop("_salt")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.withColumn(
         "cos_sim",
         _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
@@ -1885,8 +1965,19 @@ def margin_mining(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    fwd = cosine_topk(tgt, src, k=k, id_col=id_col, vec_col=vec_col)
-    bwd = cosine_topk(src, tgt, k=k, id_col=id_col, vec_col=vec_col)
+    # exclude_self=False (ADVICE r10): src and tgt are DISTINCT corpora
+    # (two languages) — an id value shared across them is a
+    # coincidence of indexing, not vector identity, and the aligned
+    # translation often carries the same id; the self-kNN filter would
+    # silently drop it from both candidates and penalty sums.
+    fwd = cosine_topk(
+        tgt, src, k=k, id_col=id_col, vec_col=vec_col,
+        exclude_self=False,
+    )
+    bwd = cosine_topk(
+        src, tgt, k=k, id_col=id_col, vec_col=vec_col,
+        exclude_self=False,
+    )
     return _margin_from_topk(fwd, bwd, k, threshold)
 
 
@@ -1914,13 +2005,19 @@ def margin_mining_ann(
     standard IVF recall trade applied to mining."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # exclude_self=False for the same reason as margin_mining: distinct
+    # corpora may reuse id values. probe_broadcast stays on auto — the
+    # backward pass queries the standing corpus, and at real scale the
+    # row-count gate flips that direction to the salted shuffle join.
     fwd = ann_ivf_topk_portable(
         tgt, src, k=k, n_cells=n_cells, nprobe=nprobe, iters=iters,
         id_col=id_col, vec_col=vec_col, train_mod=train_mod,
+        exclude_self=False,
     )
     bwd = ann_ivf_topk_portable(
         src, tgt, k=k, n_cells=n_cells, nprobe=nprobe, iters=iters,
         id_col=id_col, vec_col=vec_col, train_mod=train_mod,
+        exclude_self=False,
     )
     return _margin_from_topk(fwd, bwd, k, threshold)
 

@@ -418,6 +418,120 @@ def q_code_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# C4 prose filter battery (Raffel et al. 2020 §2.2). Fixture: 8-word
+# lines, terminal '.' on 2 of every 3 lines (the end-mark rule),
+# planted javascript / cookie-policy / lorem-ipsum / brace / 2-word
+# lines so every screen fires on some doc_id stratum.
+# --------------------------------------------------------------------------
+@query(
+    "q_c4_filters",
+    """
+    WITH fx AS (
+      SELECT doc_id,
+             array_to_string(
+               [array_to_string(w[g * 8 + 1 : g * 8 + 8], ' ')
+                || CASE WHEN (doc_id + g) % 3 = 0 THEN '' ELSE '.' END
+                for g in range(0, (len(w) + 7) // 8)], chr(10))
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || 'please enable javascript to continue.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                     THEN chr(10) || 'this site uses cookies okay.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN chr(10) || 'var f = function() { return 1; }'
+                     ELSE '' END
+             || chr(10) || 'ok.' AS text
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+            FROM documents)
+    ), m AS (
+      SELECT doc_id,
+             string_split(coalesce(text, ''), chr(10)) AS ls,
+             lower(coalesce(text, '')) AS lt,
+             coalesce(text, '') AS raw
+      FROM fx
+    ), k AS (
+      SELECT doc_id, ls, lt, raw,
+             list_filter(list_transform(ls, x -> trim(x)),
+               t -> regexp_matches(t, '[.!?"”]$')
+                    AND len(string_split(t, ' ')) >= 3
+                    AND NOT contains(lower(t), 'javascript')
+                    AND NOT contains(lower(t), 'terms of use')
+                    AND NOT contains(lower(t), 'privacy policy')
+                    AND NOT contains(lower(t), 'cookie policy')
+                    AND NOT contains(lower(t), 'uses cookies')
+                    AND NOT contains(lower(t), 'use of cookies')
+                    AND NOT contains(lower(t), 'use cookies')) AS kept
+      FROM m
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept_lines,
+             CAST(length(regexp_replace(
+                  coalesce(array_to_string(kept, chr(10)), ''),
+                  '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+             contains(lt, 'lorem ipsum') AS has_lorem,
+             contains(raw, '{') AS has_brace,
+             coalesce(array_to_string(kept, chr(10)), '')
+               AS cleaned_text
+      FROM k
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+           n_sentences >= 3 AS ok_min_sentences,
+           NOT has_lorem AS ok_no_lorem,
+           NOT has_brace AS ok_no_brace,
+           (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace)
+             AS pass_c4,
+           cleaned_text
+    FROM s
+    """,
+)
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 prose battery (end-mark line keep, >=3-words-per-line,
+    javascript/policy line screens, lorem-ipsum + brace page screens,
+    kept-sentence minimum) over an injected-line fixture.
+    operators.curation.c4_quality_flags: one zero-exchange codegen
+    projection, same plan class as the Gopher/StarCoder batteries."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    did = F.col("doc_id")
+    fixture = docs.select("doc_id", words.alias("_w")).select(
+        "doc_id",
+        F.concat(
+            F.array_join(
+                F.expr(
+                    "transform(sequence(0, (size(_w) + 7) div 8 - 1), "
+                    "g -> concat(concat_ws(' ', slice(_w, g * 8 + 1, 8)), "
+                    "if((doc_id + g) % 3 = 0, '', '.')))"
+                ),
+                "\n",
+            ),
+            F.when(
+                did % 5 == 0,
+                F.lit("\nplease enable javascript to continue."),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 6 == 0,
+                F.lit("\nthis site uses cookies okay."),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.lit("\nlorem ipsum dolor sit amet."),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.lit("\nvar f = function() { return 1; }"),
+            ).otherwise(F.lit("")),
+            F.lit("\nok."),
+        ).alias("text"),
+    )
+    return CU.c4_quality_flags(fixture, min_sentences=3)
+
+
+# --------------------------------------------------------------------------
 # Boilerplate-line strip REWRITE (nav-bar removal): the transform
 # behind boilerplate_coverage's detection. The fixture injects line
 # structure (12-word lines + a shared per-source nav header) because
@@ -525,7 +639,9 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH k AS (
       SELECT *, md5(CAST(doc_id AS VARCHAR))
-                || lpad(CAST(doc_id AS VARCHAR), 20, '0') AS skey
+                || lpad(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR),
+                        4, '0')
+                || CAST(doc_id AS VARCHAR) AS skey
       FROM documents
     ), r AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY skey)

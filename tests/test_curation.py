@@ -678,6 +678,40 @@ def test_stratified_sample_exact_quota_and_determinism(spark):
     assert tiny.count() == 3
 
 
+def test_stratified_sample_long_ids_not_truncated(spark):
+    """ADVICE r10: the old lpad(id, 20) suffix TRUNCATED ids longer
+    than 20 chars, so the selection key stopped being total. The
+    length-prefixed suffix never truncates."""
+    from konohadataplatform_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    rows = [(f"document-id-{'x' * 30}-{i:04d}", "en") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = stratified_sample(docs, "lang", quota=7, id_col="doc_id")
+    picked = sorted(r.doc_id for r in out.collect())
+    assert len(picked) == 7 and len(set(picked)) == 7
+    again = sorted(r.doc_id for r in stratified_sample(
+        docs, "lang", quota=7, id_col="doc_id").collect())
+    assert picked == again
+
+
+def test_apply_group_cap_key_shared_across_groups(spark):
+    """ADVICE r10: the semi-join keys on (group, key) — a key value
+    kept in one group must not admit a same-keyed row past ANOTHER
+    group's cap."""
+    from konohadataplatform_spark.operators.curation import (
+        apply_group_cap,
+    )
+
+    rows = [("a", 5), ("b", 1), ("b", 2), ("b", 5)]
+    df = spark.createDataFrame(rows, "grp string, id long")
+    out = {(r.grp, r.id) for r in apply_group_cap(df, "grp", "id", 2).collect()}
+    # group b keeps its 2 smallest ids; b's id=5 is NOT rescued by
+    # a's kept key 5
+    assert out == {("a", 5), ("b", 1), ("b", 2)}
+
+
 def test_code_quality_flags_each_rule_fires(spark):
     from konohadataplatform_spark.operators.curation import (
         code_quality_flags,
@@ -737,3 +771,64 @@ def test_curriculum_shards_easy_first(spark):
     shards = [j[d] for d in by_rank]
     assert shards == sorted(shards)
     assert shards[0] == 0
+
+
+def test_c4_quality_flags_each_rule_fires(spark):
+    from konohadataplatform_spark.operators.curation import (
+        c4_quality_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this is a good sentence.\nhere is another fine one!"
+                "\nand a third one?\nshort no."),
+            (2, "no terminal punctuation here\nstill none"),
+            (3, "please enable javascript to see this page."
+                "\nreal sentence with enough words."),
+            (4, "this site uses cookies to improve service."
+                "\nreal sentence with enough words."),
+            (5, "lorem ipsum dolor sit amet is here."
+                "\nmore words ending properly."),
+            (6, "object is { not prose }.\nclean line with words."),
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           c4_quality_flags(docs, min_sentences=2).collect()}
+    # end-mark + min-words line rules: 2-word "short no." dropped
+    assert out[1].n_lines == 4 and out[1].n_kept_lines == 3
+    assert out[1].n_sentences == 3 and out[1].pass_c4
+    assert out[1].cleaned_text.split("\n") == [
+        "this is a good sentence.",
+        "here is another fine one!",
+        "and a third one?",
+    ]
+    # no terminal punctuation anywhere -> nothing kept, page fails
+    assert out[2].n_kept_lines == 0 and not out[2].ok_min_sentences
+    assert out[2].cleaned_text == ""
+    # javascript / cookie-policy lines stripped
+    assert out[3].n_kept_lines == 1
+    assert "javascript" not in out[3].cleaned_text
+    assert out[4].n_kept_lines == 1
+    assert "cookies" not in out[4].cleaned_text
+    # lorem ipsum / brace are PAGE screens
+    assert not out[5].ok_no_lorem and not out[5].pass_c4
+    assert out[5].ok_no_brace
+    assert not out[6].ok_no_brace and not out[6].pass_c4
+    # NULL text behaves as the empty page
+    assert out[7].n_kept_lines == 0 and out[7].cleaned_text == ""
+
+
+def test_c4_quality_flags_min_words_param(spark):
+    from konohadataplatform_spark.operators.curation import (
+        c4_quality_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "two words.\nthis line has five words.")],
+        "doc_id long, text string",
+    )
+    strict = c4_quality_flags(docs, min_words_per_line=5).collect()[0]
+    lax = c4_quality_flags(docs, min_words_per_line=2).collect()[0]
+    assert strict.n_kept_lines == 1 and lax.n_kept_lines == 2

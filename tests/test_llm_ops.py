@@ -2229,3 +2229,90 @@ def test_contamination_report_aggregates_pairs(spark):
     r = rep[0]
     assert r.bench_id == 10 and r.n_contaminated == 2
     assert r.max_jaccard == 1.0 and r.first_doc_id == 11
+
+
+def test_cosine_topk_exclude_self_param(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with_self = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, emb, k=2, exclude_self=False).collect()
+    }
+    assert (0, 0) in with_self and (1, 1) in with_self
+    default = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, emb, k=2).collect()
+    }
+    assert (0, 0) not in default
+
+
+def test_margin_mining_shared_ids_keeps_aligned_pair(spark):
+    """ADVICE r10: src and tgt are distinct corpora that may reuse id
+    values (each language indexed 1..N). The aligned translation often
+    carries the SAME id — the miner must not drop it."""
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.1, 0.9]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.src_id: r.tgt_id for r in
+           S.margin_mining(src, tgt, k=2, threshold=0.0).collect()}
+    # every src mines its aligned same-id tgt (nearest by cosine)
+    assert out == {1: 1, 2: 2}
+
+
+def test_margin_mining_ann_shared_ids_matches_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # force OVERLAPPING id ranges: both sides keyed 0..n by dense rank
+    from pyspark.sql.window import Window as W
+
+    src = emb.filter(F.col("vec_id") % 2 == 0).limit(30).withColumn(
+        "vec_id", F.row_number().over(W.orderBy("vec_id")).cast("long")
+    )
+    tgt = emb.filter(F.col("vec_id") % 2 == 1).limit(30).withColumn(
+        "vec_id", F.row_number().over(W.orderBy("vec_id")).cast("long")
+    )
+    bf = {(r.src_id, r.tgt_id, r.cos_sim, r.margin)
+          for r in S.margin_mining(src, tgt, k=3).collect()}
+    ann = {(r.src_id, r.tgt_id, r.cos_sim, r.margin)
+           for r in S.margin_mining_ann(
+               src, tgt, k=3, n_cells=4, nprobe=4).collect()}
+    assert bf and bf == ann
+
+
+def test_ann_ivf_salted_shuffle_matches_broadcast(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(60)
+    q = emb.limit(10)
+    bc = {(r.query_id, r.neighbor_id, r.cos_sim, r.knn_rank)
+          for r in S.ann_ivf_topk_portable(
+              emb, q, k=4, n_cells=4, nprobe=4,
+              probe_broadcast=True).collect()}
+    sh = {(r.query_id, r.neighbor_id, r.cos_sim, r.knn_rank)
+          for r in S.ann_ivf_topk_portable(
+              emb, q, k=4, n_cells=4, nprobe=4,
+              probe_broadcast=False, salt=4).collect()}
+    assert bc and bc == sh  # join strategy never changes values
+
+
+def test_ann_ivf_thin_train_sample_falls_back(spark):
+    import warnings as _w
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(20)
+    q = emb.limit(3)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = S.ann_ivf_topk_portable(
+            emb, q, k=2, n_cells=4, nprobe=4,
+            train_mod=10_000_000,  # samples ~0 of 20 rows
+        ).collect()
+    assert any("full-corpus centroid training" in str(c.message)
+               for c in caught)
+    # full probe: falls back and still returns exact results
+    exact = {(r.query_id, r.neighbor_id) for r in
+             S.cosine_topk(emb, q, k=2).collect()}
+    assert {(r.query_id, r.neighbor_id) for r in out} == exact
