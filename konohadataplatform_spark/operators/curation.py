@@ -175,6 +175,7 @@ def shard_plan(
     text_col: str = "text",
     id_col: str = "doc_id",
     priority_col: str | None = None,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Deterministic token-balanced shard assignment — the layout step
     before writing training shards (WebDataset/tfrecord-style "~N
@@ -198,14 +199,30 @@ def shard_plan(
     score). Correctness never depends on prefix balance — only range
     sizing does — but a constant prefix degrades to one sort task, so
     fixed-width keys with a varying head are the contract.
+
+    ``token_count_col`` opts in to TOKENIZER-accurate budgets:
+    training-shard sizes are specified in tokenizer tokens, not
+    whitespace words, so a real pipeline precomputes per-doc counts
+    (e.g. ``bpe_encode_docs``' ``n_bpe_tokens``) and passes that
+    column here; the packer then budgets on it (NULL counts as 0 —
+    docs the tokenizer produced no row for). The whitespace count
+    stays the default for count-free callers.
     """
     if tokens_per_shard < 1:
         raise ValueError("tokens_per_shard must be >= 1")
     from pyspark.sql.window import Window
 
-    toks = F.when(
-        F.col(text_col).isNull(), F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), " "))).cast("bigint")
+    if token_count_col is not None:
+        toks = F.coalesce(
+            F.col(token_count_col).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+    else:
+        toks = F.when(
+            F.col(text_col).isNull(), F.lit(0)
+        ).otherwise(
+            F.size(F.split(F.trim(F.col(text_col)), " "))
+        ).cast("bigint")
     pri = (
         F.col(priority_col) if priority_col is not None
         else F.md5(F.col(text_col))

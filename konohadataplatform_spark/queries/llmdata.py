@@ -4676,6 +4676,67 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Token-ACCURATE shard packing (r11): the same greedy fill budgeted on
+# real BPE token counts instead of whitespace words — training-shard
+# budgets are specified in tokenizer tokens, and the two diverge on
+# every OOV-heavy doc (char fallback), so the shard ids differ from
+# q_shard_plan's on the fixture.
+# --------------------------------------------------------------------------
+@query(
+    "q_token_shards",
+    _bpe_oracle_chain(3)
+    + """
+    , dw AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ), bt AS (
+      SELECT dw.doc_id,
+             CAST(SUM(COALESCE(len(w3.toks), length(dw.word)))
+                  AS BIGINT) AS btoks
+      FROM dw LEFT JOIN w3 ON w3.word = dw.word
+      WHERE dw.word <> ''
+      GROUP BY dw.doc_id
+    ), d AS (
+      SELECT d0.doc_id,
+             COALESCE(bt.btoks, 0) AS toks,
+             COALESCE(md5(d0.text), '') AS pri
+      FROM documents d0 LEFT JOIN bt ON bt.doc_id = d0.doc_id
+    ), c AS (
+      SELECT doc_id, toks,
+             COALESCE(SUM(toks) OVER (ORDER BY pri, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS bef
+      FROM d
+    )
+    SELECT doc_id, CAST(toks AS BIGINT) AS toks,
+           CAST(bef // 2000 AS BIGINT) AS shard
+    FROM c
+    """,
+)
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-accurate shard packing: bpe_encode_docs' memoized
+    word-join counts feed shard_plan's opt-in ``token_count_col`` —
+    same range-offset prefix-sum plan (no global sort), budgets now in
+    BPE tokens. The composition a training-data pipeline actually
+    ships (tokenize once, lay out shards from the counts)."""
+    from konohadataplatform_spark.operators.bpe import (
+        bpe_encode_docs,
+        bpe_train,
+    )
+    from konohadataplatform_spark.operators.curation import shard_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    _, words = bpe_train(docs, 3)
+    counts = bpe_encode_docs(docs, words).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    enriched = docs.join(counts, "doc_id", "left")
+    return shard_plan(
+        enriched, tokens_per_shard=2000, token_count_col="n_bpe_tokens"
+    )
+
+
+# --------------------------------------------------------------------------
 # VAD-style utterance segmentation: above-mean-energy windows (integer
 # cross-multiply threshold) merged into consecutive spans per clip.
 # --------------------------------------------------------------------------
@@ -5707,9 +5768,16 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per near-dup cluster (exact 0.8-Jaccard components), the member
     with max n_chars (ties to lowest doc_id) and the member count.
-    operators.dedup.cluster_best_representative: one packed-int64 MAX
-    aggregate — cluster skew collapses map-side, no window, no
-    per-cluster sort."""
+    operators.dedup.cluster_best_representative in the COMPOSITIONAL
+    form (r10 VERDICT): the cluster relation comes from one shared
+    dedup_clusters pass — the shape a real pipeline runs, where
+    clustering is computed once and every downstream selection reuses
+    it — and the argmax is then a single packed-int64 MAX aggregate
+    (cluster skew collapses map-side, no window, no per-cluster
+    sort)."""
+    docs = _t(spark, sf_dir, "documents")
     return D.cluster_best_representative(
-        _t(spark, sf_dir, "documents"), quality_col="n_chars"
+        docs,
+        quality_col="n_chars",
+        clusters=D.dedup_clusters(docs),
     )

@@ -33,10 +33,14 @@ Two surfaces on one stdlib ``ThreadingHTTPServer``:
        GET    /api/v1/operations/{op}/event         → {state}
        DELETE /api/v1/sessions/{id}
 
-   Statements execute eagerly (the engine is a SERVER-share-level
-   single session, like ``kyuubi-dbt-shared`` — sessions here are
-   bookkeeping, not isolation); the operation store keeps the shaped
-   result until the session is closed.
+   Statements execute eagerly; the operation store keeps the shaped
+   result until the session is closed. Since r11 each REST session
+   carries its own :class:`~konohadataplatform_spark.engine.
+   SessionEngine` (``spark.newSession()`` clone — private temp views
+   and SQL conf, shared catalog tables), the same Kyuubi-style
+   isolation the HS2/pgwire doors ship; the sessionless ``/sql``
+   shortcut stays on the shared engine (it has no session to scope
+   state to).
 
 Result sets are capped like every other wire front-end (fetch-size
 guard, limit+1 truncation probe — a full-table SELECT over 100 TB
@@ -76,12 +80,25 @@ class RestSqlServer:
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self._lock = threading.Lock()
-        self._sessions: dict[str, list[str]] = {}  # sid -> [op ids]
+        # sid -> {"ops": [op ids], "engine": per-session engine}
+        self._sessions: dict[str, dict] = {}
         self._operations: dict[str, dict] = {}  # op id -> result doc
 
     # -- request handling ---------------------------------------------------
-    def _run(self, sql: str, limit: int) -> tuple[int, dict]:
-        doc = execute_sql_json(self.engine, sql, limit)
+    def _session_engine(self):
+        """Kyuubi-style per-session isolation: a SessionEngine clone
+        when the engine is catalog-backed, else the shared engine
+        (nothing to mirror base temp views through)."""
+        if getattr(self.engine, "catalog", None) is not None:
+            from konohadataplatform_spark.engine import SessionEngine
+
+            return SessionEngine(self.engine)
+        return self.engine
+
+    def _run(self, sql: str, limit: int, engine=None) -> tuple[int, dict]:
+        doc = execute_sql_json(
+            self.engine if engine is None else engine, sql, limit
+        )
         return (200 if doc["ok"] else 400), doc
 
     def _dispatch(self, method: str, path: str, query: dict, body: dict
@@ -109,8 +126,9 @@ class RestSqlServer:
         if parts[:3] == ["api", "v1", "sessions"]:
             if method == "POST" and len(parts) == 3:
                 sid = str(uuid.uuid4())
+                seng = self._session_engine()
                 with self._lock:
-                    self._sessions[sid] = []
+                    self._sessions[sid] = {"ops": [], "engine": seng}
                 return 200, {"identifier": sid}
             if len(parts) >= 4:
                 sid = parts[3]
@@ -119,7 +137,7 @@ class RestSqlServer:
                         return 404, {"ok": False, "error": "no such session"}
                 if method == "DELETE" and len(parts) == 4:
                     with self._lock:
-                        for op in self._sessions.pop(sid):
+                        for op in self._sessions.pop(sid)["ops"]:
                             self._operations.pop(op, None)
                     return 200, {"identifier": sid}
                 if (method == "POST" and len(parts) == 6
@@ -130,10 +148,12 @@ class RestSqlServer:
                         return 400, {"ok": False, "error": "missing statement",
                                      "error_class": "KeyError"}
                     limit = int(body.get("limit", DEFAULT_LIMIT))
-                    _status, doc = self._run(sql, limit)
+                    with self._lock:
+                        seng = self._sessions[sid]["engine"]
+                    _status, doc = self._run(sql, limit, engine=seng)
                     op = str(uuid.uuid4())
                     with self._lock:
-                        ops = self._sessions[sid]
+                        ops = self._sessions[sid]["ops"]
                         ops.append(op)
                         self._operations[op] = doc
                         # bound driver memory for clients that never

@@ -19,12 +19,17 @@ Protocol (one JSON object per line, UTF-8):
                "truncated": false, "elapsed_ms": M}
     error:    {"ok": false, "error": "...", "error_class": "ValueError"}
 
-Like HiveServer2/Kyuubi with a SERVER share-level engine, every
-connection shares one SparkSession: temp views registered by one
-client are visible to all (``docs/architecture/compute.md:28-39``).
-Concurrency is the driver's: each connection runs on its own thread
-and Spark schedules the jobs; the GIL only gates the (tiny) JSON
-serialization, not the JVM query execution.
+Session isolation (r11, mirroring the HS2/pgwire doors): each TCP
+CONNECTION gets its own :class:`~konohadataplatform_spark.engine.
+SessionEngine` (a ``spark.newSession()`` clone — private temp views
+and SQL conf over the shared SparkContext) when the engine is
+catalog-backed; catalog tables stay globally visible at their latest
+committed version, exactly the Kyuubi shared-metastore pairing. A
+catalog-less engine falls back to the single shared session (there is
+nothing to mirror base temp views through). Concurrency is the
+driver's: each connection runs on its own thread and Spark schedules
+the jobs; the GIL only gates the (tiny) JSON serialization, not the
+JVM query execution.
 
 Result sets are capped by ``limit`` (default 10_000, like a JDBC
 fetch-size guard): a full-table SELECT over 100 TB returns the first N
@@ -109,7 +114,18 @@ class SqlServer:
         self._server: socketserver.ThreadingTCPServer | None = None
         self._thread: threading.Thread | None = None
 
-    def _handle_line(self, line: str) -> str:
+    def _session_engine(self):
+        """Per-connection engine: a SessionEngine clone when catalog-
+        backed (temp views + SET are connection-scoped, catalog tables
+        shared — the same isolation the HS2/pgwire doors ship), else
+        the shared engine."""
+        if getattr(self.engine, "catalog", None) is not None:
+            from konohadataplatform_spark.engine import SessionEngine
+
+            return SessionEngine(self.engine)
+        return self.engine
+
+    def _handle_line(self, line: str, engine=None) -> str:
         try:
             req = json.loads(line)
             sql = req["sql"]
@@ -120,18 +136,23 @@ class SqlServer:
                 "error": str(exc)[:4000],
                 "error_class": type(exc).__name__,
             })
-        return json.dumps(execute_sql_json(self.engine, sql, limit))
+        return json.dumps(
+            execute_sql_json(
+                self.engine if engine is None else engine, sql, limit
+            )
+        )
 
     def start(self) -> "SqlServer":
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:
+                eng = outer._session_engine()
                 for raw in self.rfile:
                     line = raw.decode("utf-8").strip()
                     if not line:
                         continue
-                    out = outer._handle_line(line)
+                    out = outer._handle_line(line, eng)
                     self.wfile.write(out.encode("utf-8") + b"\n")
                     self.wfile.flush()
 

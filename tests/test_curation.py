@@ -832,3 +832,29 @@ def test_c4_quality_flags_min_words_param(spark):
     strict = c4_quality_flags(docs, min_words_per_line=5).collect()[0]
     lax = c4_quality_flags(docs, min_words_per_line=2).collect()[0]
     assert strict.n_kept_lines == 1 and lax.n_kept_lines == 2
+
+
+def test_shard_plan_token_count_col(spark):
+    """Opt-in tokenizer-accurate budgets: the packer budgets on the
+    provided per-doc counts (NULL -> 0), not the whitespace split."""
+    from konohadataplatform_spark.operators.curation import shard_plan
+
+    rows = [
+        (1, "a b", "0a", 1500),
+        (2, "c d", "0b", 1500),
+        (3, "e f", "0c", 1500),
+        (4, "g h", "0d", None),   # NULL count packs as 0 tokens
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, pri string, btoks long"
+    )
+    out = {r.doc_id: (r.toks, r.shard) for r in shard_plan(
+        docs, tokens_per_shard=2000, priority_col="pri",
+        token_count_col="btoks",
+    ).collect()}
+    # prefix sums: 0, 1500, 3000, 4500 -> shards 0, 0, 1, 2
+    assert out == {1: (1500, 0), 2: (1500, 0), 3: (1500, 1), 4: (0, 2)}
+    # whitespace default would put everything in shard 0 (2 words each)
+    ws = {r.doc_id: r.shard for r in shard_plan(
+        docs, tokens_per_shard=2000, priority_col="pri").collect()}
+    assert set(ws.values()) == {0}

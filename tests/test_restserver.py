@@ -152,3 +152,35 @@ def test_concurrent_clients_share_engine(server):
         results[i]["ok"] and results[i]["rows"] == [[i, 1000]]
         for i in range(6)
     )
+
+
+def test_rest_session_isolation(server):
+    """r11: each Kyuubi-v1 REST session carries a SessionEngine —
+    same-named temp views in two sessions never collide; the
+    sessionless /sql shortcut stays on the shared engine."""
+    srv, _eng = server
+
+    def stmt(sid, sql):
+        _s, doc = _http(
+            srv.port, "POST",
+            f"/api/v1/sessions/{sid}/operations/statement",
+            {"statement": sql},
+        )
+        _s2, rs = _http(
+            srv.port, "GET", f"/api/v1/operations/{doc['identifier']}/rowset"
+        )
+        return rs
+
+    _s, a = _http(srv.port, "POST", "/api/v1/sessions")
+    _s, b = _http(srv.port, "POST", "/api/v1/sessions")
+    sa, sb = a["identifier"], b["identifier"]
+    stmt(sa, "CREATE OR REPLACE TEMP VIEW rv AS SELECT 1 AS x")
+    stmt(sb, "CREATE OR REPLACE TEMP VIEW rv AS SELECT 2 AS x")
+    assert stmt(sa, "SELECT x FROM rv")["rows"] == [[1]]
+    assert stmt(sb, "SELECT x FROM rv")["rows"] == [[2]]
+    # per-session SQL conf
+    stmt(sa, "SET spark.sql.shuffle.partitions=7")
+    assert stmt(sa, "SET spark.sql.shuffle.partitions")["rows"][0][1] == "7"
+    assert stmt(sb, "SET spark.sql.shuffle.partitions")["rows"][0][1] != "7"
+    _http(srv.port, "DELETE", f"/api/v1/sessions/{sa}")
+    _http(srv.port, "DELETE", f"/api/v1/sessions/{sb}")

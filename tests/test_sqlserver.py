@@ -157,3 +157,52 @@ def test_cli_subprocess_end_to_end(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_per_connection_session_isolation(server):
+    """r11: each TCP connection gets a SessionEngine clone — the same
+    temp-view name on two concurrent connections never collides, and
+    catalog tables stay shared (mirror of test_hs2's)."""
+    srv, _eng = server
+
+    def pipelined(sqls):
+        out = []
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=120) as s:
+            f = s.makefile("rwb")
+            for q in sqls:
+                f.write(json.dumps({"sql": q}).encode() + b"\n")
+                f.flush()
+                out.append(json.loads(f.readline().decode()))
+        return out
+
+    import concurrent.futures as cf
+
+    sqls_a = [
+        "CREATE OR REPLACE TEMP VIEW sv AS SELECT 1 AS x",
+        "SELECT x FROM sv",
+        "SET spark.sql.shuffle.partitions=7",
+        "SET spark.sql.shuffle.partitions",
+    ]
+    sqls_b = [
+        "CREATE OR REPLACE TEMP VIEW sv AS SELECT 2 AS x",
+        "SELECT x FROM sv",
+        "SET spark.sql.shuffle.partitions",
+    ]
+    with cf.ThreadPoolExecutor(2) as ex:
+        fa = ex.submit(pipelined, sqls_a)
+        fb = ex.submit(pipelined, sqls_b)
+        a, b = fa.result(120), fb.result(120)
+    assert a[1]["rows"] == [[1]]
+    assert b[1]["rows"] == [[2]]
+    assert a[3]["rows"][0][1] == "7"
+    assert b[2]["rows"][0][1] != "7"
+
+
+def test_session_isolation_catalog_tables_shared(server, spark):
+    srv, eng = server
+    eng.save_table(
+        "shared_t", spark.createDataFrame([(42,)], "v long")
+    )
+    # a fresh connection's SessionEngine sees the committed table
+    out = sql_request(srv.port, "SELECT v FROM shared_t")
+    assert out["ok"] and out["rows"] == [[42]]
