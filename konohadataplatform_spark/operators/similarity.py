@@ -666,6 +666,7 @@ def ann_ivf_topk_portable(
     probe_broadcast: bool | None = None,
     probe_broadcast_rows: int = 500_000,
     salt: int = 8,
+    n_assign: int = 1,
 ) -> DataFrame:
     """IVF top-k with DETERMINISTIC, engine-portable centroid training.
 
@@ -731,6 +732,17 @@ def ann_ivf_topk_portable(
     Results are identical under either strategy (the join predicate
     and the fold math don't change), so oracles never depend on the
     gate.
+
+    ``n_assign`` (default 1) is the corpus-side MULTI-ASSIGNMENT
+    recall knob, complementing the query-side ``nprobe``: each corpus
+    vector is indexed under its ``n_assign`` nearest cells (the
+    spill/multi-assignment IVF variant), so a query probing few cells
+    still finds neighbors that sit just across a Voronoi boundary —
+    the standard fix for partial-probe recall loss. Index size grows
+    x``n_assign`` (pairs seen through two shared cells are deduped
+    before ranking — the duplicate rows are value-identical, so the
+    dedup is deterministic). At ``nprobe = n_cells`` results remain
+    bit-identical to brute force under ANY ``n_assign``.
     """
     base = _grid_base(corpus, id_col, vec_col, scale, offset)
     # md5-keyed sample, not `id % mod`: callers routinely split corpora
@@ -762,11 +774,21 @@ def ann_ivf_topk_portable(
         train_base = base
     cents = _ivf_train_portable(train_base, n_cells, iters)
 
-    cell_of = _cell_assign_udf(cents)
     # norms precomputed per side (bit-identical hoist, same as
     # cosine_topk): the probed-candidate scoring folds ONE dot per
     # pair instead of three
-    final = base.withColumn("cell", cell_of(F.col("q"))).select(
+    if n_assign < 1:
+        raise ValueError(f"n_assign must be >= 1, got {n_assign}")
+    if n_assign == 1:
+        assigned = base.withColumn(
+            "cell", _cell_assign_udf(cents)(F.col("q"))
+        )
+    else:
+        assigned = base.withColumn(
+            "cell",
+            F.explode(_cell_probes_udf(cents, n_assign)(F.col("q"))),
+        )
+    final = assigned.select(
         F.col("cid").alias("neighbor_id"), F.col("v").alias("cv"),
         F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cn"), "cell",
     )
@@ -804,6 +826,11 @@ def ann_ivf_topk_portable(
         cand = probes_s.join(final_s, ["cell", "_salt"]).drop("_salt")
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    if n_assign > 1:
+        # a pair reachable through two shared (assigned, probed) cells
+        # appears once per cell; the duplicates carry identical vector
+        # columns, so keeping any one is deterministic
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.withColumn(
         "cos_sim",
         _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),

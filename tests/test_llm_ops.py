@@ -2316,3 +2316,44 @@ def test_ann_ivf_thin_train_sample_falls_back(spark):
     exact = {(r.query_id, r.neighbor_id) for r in
              S.cosine_topk(emb, q, k=2).collect()}
     assert {(r.query_id, r.neighbor_id) for r in out} == exact
+
+
+def test_ann_ivf_multi_assign_full_probe_bit_identical(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(60)
+    q = emb.limit(8)
+    one = {(r.query_id, r.neighbor_id, r.cos_sim, r.knn_rank)
+           for r in S.ann_ivf_topk_portable(
+               emb, q, k=4, n_cells=4, nprobe=4).collect()}
+    multi = {(r.query_id, r.neighbor_id, r.cos_sim, r.knn_rank)
+             for r in S.ann_ivf_topk_portable(
+                 emb, q, k=4, n_cells=4, nprobe=4, n_assign=2).collect()}
+    assert one and one == multi
+
+
+def test_ann_ivf_multi_assign_lifts_partial_probe_recall(spark):
+    """Clustered fixture: Gaussian blobs around 8 centers. At probe-1,
+    indexing each corpus vector under its 2 nearest cells must recover
+    at least as many true neighbors as single assignment."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((8, 16)) * 3.0
+    rows = []
+    for i in range(240):
+        c = centers[i % 8]
+        rows.append((i, (c + rng.standard_normal(16) * 0.5).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.limit(24)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk(emb, q, k=5).collect()}
+
+    def recall(n_assign):
+        got = {(r.query_id, r.neighbor_id)
+               for r in S.ann_ivf_topk_portable(
+                   emb, q, k=5, n_cells=8, nprobe=1, iters=2,
+                   n_assign=n_assign).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    assert r2 > 0.5  # clustered data: partial probe is usable
