@@ -232,3 +232,71 @@ def bpe_encode_docs(
             F.sum("n_toks").alias("n_bpe_tokens"),
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    words: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer fertility audit per corpus slice (Ács 2019; the
+    standard multilingual-tokenizer health check): BPE tokens per
+    whitespace word and characters per BPE token, aggregated by
+    ``group_col`` (language, source, domain...).
+
+    A tokenizer trained on one distribution "fragments" others —
+    fertility (tokens/word) far above the training slice's means the
+    slice pays more sequence length per content unit, which skews both
+    token-budgeted shard packing and per-language quota math. This
+    surfaces that in one integer-exact relation:
+
+    (group, n_docs, total_words, total_bpe_tokens, total_chars,
+     bpe_per_word_micro, chars_per_token_micro) — ratios are
+    integer-scaled (1e6) single divisions, so SQL-oracle parity is
+    exact.
+
+    Plan shape: reuses :func:`bpe_encode_docs`' memoized word-join
+    counts (the vocab relation IS the memo table), then one groupBy on
+    the slice key — corpus text never shuffles, only (doc_id, counts).
+    """
+    counts = bpe_encode_docs(docs, words, text_col=text_col, id_col=id_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_nchars"),
+    )
+    per_doc = base.join(counts, "doc_id", "left").select(
+        "grp",
+        "_nchars",
+        F.coalesce("n_words", F.lit(0)).alias("_nw"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).alias("_nt"),
+    )
+    agg = per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nw").alias("total_words"),
+        F.sum("_nt").alias("total_bpe_tokens"),
+        F.sum("_nchars").alias("total_chars"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_words").cast("bigint").alias("total_words"),
+        F.col("total_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        F.when(
+            F.col("total_words") > 0,
+            F.expr("total_bpe_tokens * 1000000 DIV total_words"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("bpe_per_word_micro"),
+        F.when(
+            F.col("total_bpe_tokens") > 0,
+            F.expr("total_chars * 1000000 DIV total_bpe_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("chars_per_token_micro"),
+    )

@@ -809,3 +809,87 @@ def boilerplate_strip_rewrite(
             "\n",
         ).alias("cleaned_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode script profiling
+# --------------------------------------------------------------------------
+# Script blocks as (lo, hi) codepoint ranges. Declared order is the
+# dominance tie-break precedence (first listed wins a tie), and the
+# literals are shared with SQL oracles via script_class_{java,re2}().
+SCRIPT_BLOCKS: list[tuple[str, tuple[tuple[int, int], ...]]] = [
+    ("latin", ((0x0041, 0x005A), (0x0061, 0x007A), (0x00C0, 0x024F))),
+    ("cyrillic", ((0x0400, 0x04FF),)),
+    ("greek", ((0x0370, 0x03FF),)),
+    ("arabic", ((0x0600, 0x06FF), (0x0750, 0x077F))),
+    ("hebrew", ((0x0590, 0x05FF),)),
+    ("devanagari", ((0x0900, 0x097F),)),
+    ("cjk", ((0x4E00, 0x9FFF), (0x3400, 0x4DBF))),
+    ("kana", ((0x3040, 0x309F), (0x30A0, 0x30FF))),
+    ("hangul", ((0xAC00, 0xD7AF), (0x1100, 0x11FF))),
+]
+
+
+def script_class_java(ranges: tuple[tuple[int, int], ...]) -> str:
+    """Java-regex character class body for a set of codepoint ranges."""
+    return "".join(f"\\u{lo:04X}-\\u{hi:04X}" for lo, hi in ranges)
+
+
+def script_class_re2(ranges: tuple[tuple[int, int], ...]) -> str:
+    """RE2 (DuckDB) character class body for the same ranges."""
+    return "".join(f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in ranges)
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode script histogram + dominant script.
+
+    The pre-lang-id routing signal real multilingual pipelines compute
+    first (CLD3/fastText both start from script detection): character
+    counts per major script block, plus digit/whitespace/other buckets,
+    and the dominant script (most characters; ties break by the fixed
+    SCRIPT_BLOCKS order, 'none' when no script character appears).
+
+    Counts come from `length(text) - length(regexp_replace(text,
+    '[block]', ''))` — whole-stage-codegen JVM regex per block, one
+    projection, zero shuffles; the plan is a pure map over the corpus
+    scan. All outputs are integers (exact parity with any SQL oracle).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    total = F.length(t)
+
+    def cnt(class_body: str) -> F.Column:
+        return total - F.length(F.regexp_replace(t, f"[{class_body}]", ""))
+
+    script_cols = {
+        name: cnt(script_class_java(ranges))
+        for name, ranges in SCRIPT_BLOCKS
+    }
+    n_digit = cnt("0-9")
+    n_space = cnt(" \\t\\n\\r")
+    covered = n_digit + n_space
+    for c in script_cols.values():
+        covered = covered + c
+
+    mx = F.greatest(*script_cols.values())
+    dominant = F.lit("none")
+    # reversed: build the CASE chain so the FIRST declared block wins
+    for name in [n for n, _ in reversed(SCRIPT_BLOCKS)]:
+        dominant = F.when(
+            (mx > 0) & (script_cols[name] == mx), F.lit(name)
+        ).otherwise(dominant)
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        total.cast("bigint").alias("n_chars_total"),
+        *[
+            c.cast("bigint").alias(f"n_{name}")
+            for name, c in script_cols.items()
+        ],
+        n_digit.cast("bigint").alias("n_digit"),
+        n_space.cast("bigint").alias("n_space"),
+        (total - covered).cast("bigint").alias("n_other"),
+        dominant.alias("dominant_script"),
+    )
+    return out

@@ -5781,3 +5781,242 @@ def q_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_col="n_chars",
         clusters=D.dedup_clusters(docs),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11: ranking-quality evaluation (recall@k / MRR / nDCG).
+# The DCG weights are PRECOMPUTED integers (floor(1e6/log2(r+1)))
+# shared verbatim between the Spark plan and this oracle — the only
+# float op (log2) runs once on the driver, so parity is exact.
+# --------------------------------------------------------------------------
+from konohadataplatform_spark.operators import evaluation as EV  # noqa: E402
+
+_DCG_W = "[" + ", ".join(str(x) for x in EV.dcg_weight_table(10)) + "]"
+_DCG_P = "[" + ", ".join(str(x) for x in EV.idcg_prefix_table(10)) + "]"
+
+
+@query(
+    "q_retrieval_metrics",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id % 23 = 0),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             q.label AS qlab, c.label AS nlab,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cs
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cs DESC, nid) AS rk
+      FROM scored
+    ), top AS (SELECT * FROM ranked WHERE rk <= 10),
+    nrel AS (
+      SELECT q.vec_id AS qid, COUNT(*) AS n_relevant
+      FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id
+      GROUP BY 1
+    ), hits AS (
+      SELECT qid, COUNT(*) AS hits_at_k, MIN(rk) AS best,
+             SUM(list_extract({_DCG_W}, rk)) AS dcg
+      FROM top WHERE nlab = qlab GROUP BY qid
+    )
+    SELECT q.vec_id AS query_id,
+           COALESCE(n.n_relevant, 0) AS n_relevant,
+           COALESCE(h.hits_at_k, 0) AS hits_at_k,
+           CAST(COALESCE(h.best, 0) AS INT) AS first_rel_rank,
+           CASE WHEN COALESCE(n.n_relevant, 0) > 0
+                THEN COALESCE(h.hits_at_k, 0) * 1000000 // n.n_relevant
+                ELSE 0 END AS recall_micro,
+           CASE WHEN h.best IS NULL THEN 0
+                ELSE 1000000 // h.best END AS mrr_micro,
+           CAST(COALESCE(h.dcg, 0) AS BIGINT) AS dcg_micro,
+           CASE WHEN COALESCE(n.n_relevant, 0) > 0
+                THEN list_extract({_DCG_P}, least(n.n_relevant, 10))
+                ELSE 0 END AS idcg_micro,
+           CAST(CASE WHEN h.dcg IS NOT NULL
+                      AND COALESCE(n.n_relevant, 0) > 0
+                THEN h.dcg * 1000000
+                     // list_extract({_DCG_P}, least(n.n_relevant, 10))
+                ELSE 0 END AS BIGINT) AS ndcg_micro
+    FROM q LEFT JOIN nrel n ON n.qid = q.vec_id
+           LEFT JOIN hits h ON h.qid = q.vec_id
+    """,
+)
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-metric scorer over the exact cosine ranker: every ~23rd
+    vector is a query, a corpus vector is relevant iff it shares the
+    query's label (label = topic ground truth), and
+    operators.evaluation.ranking_metrics grades the top-10 — per-query
+    recall@10 / MRR / nDCG@10, all integer-scaled (exact parity). The
+    eval harness a retrieval pipeline runs after ANY ranker swap; the
+    ranked input slots cosine_topk / ann_ivf_topk_portable / bm25_topk
+    interchangeably."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 23 == 0)
+    ranked = S.cosine_topk(emb, qs, k=10)
+    lab_q = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    lab_c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_cl")
+    )
+    relevant = (
+        lab_c.join(F.broadcast(lab_q), F.col("_cl") == F.col("_ql"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return EV.ranking_metrics(ranked, relevant, k=10)
+
+
+# --------------------------------------------------------------------------
+# Round 11: Unicode script profiling (pre-lang-id routing signal).
+# The oracle rebuilds the SAME codepoint ranges as RE2 classes from
+# text.SCRIPT_BLOCKS, so Spark and DuckDB count identical blocks.
+# --------------------------------------------------------------------------
+def _script_profile_oracle() -> str:
+    cols, names = [], []
+    for name, ranges in TX.SCRIPT_BLOCKS:
+        cls = TX.script_class_re2(ranges)
+        cols.append(
+            f"length(text) - length(regexp_replace(text, '[{cls}]', "
+            f"'', 'g')) AS n_{name}"
+        )
+        names.append(f"n_{name}")
+    digit = (
+        "length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))"
+    )
+    space = (
+        "length(text) - length(regexp_replace(text, "
+        "'[ \\t\\n\\r]', '', 'g'))"
+    )
+    mx = "greatest(" + ", ".join(names) + ")"
+    dom = "CASE " + " ".join(
+        f"WHEN {mx} > 0 AND n_{name} = {mx} THEN '{name}'"
+        for name, _ in TX.SCRIPT_BLOCKS
+    ) + " ELSE 'none' END"
+    covered = " + ".join(names)
+    return f"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n_chars_total,
+             {", ".join(cols)},
+             {digit} AS n_digit,
+             {space} AS n_space
+      FROM documents
+    )
+    SELECT doc_id, n_chars_total, {", ".join(names)}, n_digit, n_space,
+           n_chars_total - ({covered} + n_digit + n_space) AS n_other,
+           {dom} AS dominant_script
+    FROM c
+    """
+
+
+@query("q_script_profile", _script_profile_oracle())
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Unicode script histogram + dominant script
+    (operators.text.script_profile): the routing signal multilingual
+    pipelines compute before lang-id — 9 script blocks, digit /
+    whitespace / other buckets, dominance with a fixed declared-order
+    tie-break. One codegen projection over the scan, zero shuffles,
+    all-integer outputs."""
+    return TX.script_profile(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Round 11: tokenizer fertility by language (Ács 2019 health check).
+# Reuses the 3-merge BPE oracle chain (w3 = word -> token list).
+# --------------------------------------------------------------------------
+@query(
+    "q_tokenizer_fertility",
+    _bpe_oracle_chain(3)
+    + """
+    , dw AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ), bt AS (
+      SELECT dw.doc_id, COUNT(*) AS nw,
+             CAST(SUM(COALESCE(len(w3.toks), length(dw.word)))
+                  AS BIGINT) AS btoks
+      FROM dw LEFT JOIN w3 ON w3.word = dw.word
+      WHERE dw.word <> ''
+      GROUP BY dw.doc_id
+    ), d AS (
+      SELECT d0.lang, length(d0.text) AS nchars,
+             COALESCE(bt.nw, 0) AS nw, COALESCE(bt.btoks, 0) AS btoks
+      FROM documents d0 LEFT JOIN bt ON bt.doc_id = d0.doc_id
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS total_words,
+           CAST(SUM(btoks) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(nchars) AS BIGINT) AS total_chars,
+           CAST(CASE WHEN SUM(nw) > 0
+                THEN SUM(btoks) * 1000000 // SUM(nw)
+                ELSE 0 END AS BIGINT) AS bpe_per_word_micro,
+           CAST(CASE WHEN SUM(btoks) > 0
+                THEN SUM(nchars) * 1000000 // SUM(btoks)
+                ELSE 0 END AS BIGINT) AS chars_per_token_micro
+    FROM d GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language
+    (operators.bpe.tokenizer_fertility): BPE tokens per whitespace word
+    and chars per BPE token for a 3-merge vocabulary — the standard
+    check that a tokenizer doesn't fragment some slice of the corpus
+    (fragmented slices overpay sequence length in every token-budgeted
+    stage). Encoding is the memoized word-join; only (doc_id, counts)
+    ever shuffle; ratios are integer-scaled single divisions."""
+    from konohadataplatform_spark.operators.bpe import (
+        bpe_train,
+        tokenizer_fertility,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    _, words = bpe_train(docs, 3)
+    return tokenizer_fertility(docs, words, group_col="lang")
+
+
+# --------------------------------------------------------------------------
+# Round 11: cross-source shingle-overlap matrix (mirror detection).
+# --------------------------------------------------------------------------
+@query(
+    "q_cross_source_overlap",
+    """
+    WITH t AS (
+      SELECT source, string_split(trim(text), ' ') AS w FROM documents
+    ), g0 AS (
+      SELECT source,
+             unnest([array_to_string(w[i:i+2], ' ')
+                     for i in range(1, len(w) - 1)]) AS gram
+      FROM t WHERE len(w) >= 3
+    ), g AS (SELECT DISTINCT source, gram FROM g0),
+    s AS (SELECT source, COUNT(*) AS n_set FROM g GROUP BY 1),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS shared_shingles
+      FROM g a JOIN g b ON b.gram = a.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.shared_shingles,
+           sa.n_set AS n_a, sb.n_set AS n_b,
+           p.shared_shingles * 1000000 // least(sa.n_set, sb.n_set)
+             AS containment_micro,
+           p.shared_shingles * 1000000
+             // (sa.n_set + sb.n_set - p.shared_shingles)
+             AS jaccard_micro
+    FROM p JOIN s sa ON sa.source = p.source_a
+           JOIN s sb ON sb.source = p.source_b
+    """,
+)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources republish which: pairwise 3-gram shingle overlap
+    between source slices (operators.dedup.cross_source_overlap) —
+    shared distinct shingles, containment and Jaccard (integer-scaled)
+    per source pair. The data-card subset-overlap table; per-shingle
+    join fanout is bounded by the number of SOURCES, never documents,
+    so the pair stage grows linearly with the corpus."""
+    return D.cross_source_overlap(
+        _t(spark, sf_dir, "documents"), group_col="source", n=3
+    )

@@ -1,0 +1,245 @@
+"""Round-11 operator tier: ranking metrics, script profile, tokenizer
+fertility, cross-source overlap — hand-computed fixtures so every
+integer the operators emit is checked against arithmetic done in the
+test, not against another engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from konohadataplatform_spark.operators import dedup as D
+from konohadataplatform_spark.operators import evaluation as EV
+from konohadataplatform_spark.operators import text as TX
+from konohadataplatform_spark.operators.bpe import (
+    bpe_encode_docs,
+    bpe_train,
+    tokenizer_fertility,
+)
+
+SCALE = EV.RANK_SCALE
+
+
+# --------------------------------------------------------------------------
+# ranking_metrics
+# --------------------------------------------------------------------------
+def test_dcg_weight_tables():
+    w = EV.dcg_weight_table(10)
+    assert w[0] == SCALE  # rank 1: 1/log2(2) == 1
+    assert w[2] == SCALE // 2  # rank 3: 1/log2(4) == 0.5
+    assert all(a > b for a, b in zip(w, w[1:])), "weights must decrease"
+    p = EV.idcg_prefix_table(10)
+    assert p[0] == w[0]
+    assert all(p[i] == p[i - 1] + w[i] for i in range(1, 10))
+
+
+def test_ranking_metrics_hand_computed(spark):
+    # query 1: relevant {10, 11, 12}; hits at ranks 2 and 5.
+    # query 2: relevant {20} but no hit in the ranked list.
+    # query 3: ranked but has NO relevant set at all.
+    ranked = spark.createDataFrame(
+        [(1, 10, 2), (1, 99, 1), (1, 12, 5), (1, 98, 3), (1, 97, 4),
+         (2, 96, 1), (2, 95, 2),
+         (3, 94, 1)],
+        "query_id long, neighbor_id long, knn_rank int",
+    )
+    relevant = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20)],
+        "query_id long, neighbor_id long",
+    )
+    out = {
+        r["query_id"]: r.asDict()
+        for r in EV.ranking_metrics(ranked, relevant, k=10).collect()
+    }
+    w = EV.dcg_weight_table(10)
+    p = EV.idcg_prefix_table(10)
+
+    q1 = out[1]
+    assert q1["n_relevant"] == 3
+    assert q1["hits_at_k"] == 2
+    assert q1["first_rel_rank"] == 2
+    assert q1["recall_micro"] == 2 * SCALE // 3
+    assert q1["mrr_micro"] == SCALE // 2
+    assert q1["dcg_micro"] == w[1] + w[4]
+    assert q1["idcg_micro"] == p[2]  # min(n_rel=3, k)=3 -> prefix[3]
+    assert q1["ndcg_micro"] == (w[1] + w[4]) * SCALE // p[2]
+
+    q2 = out[2]
+    assert q2["n_relevant"] == 1
+    assert q2["hits_at_k"] == 0
+    assert q2["first_rel_rank"] == 0
+    assert q2["recall_micro"] == 0
+    assert q2["mrr_micro"] == 0
+    assert q2["dcg_micro"] == 0
+    assert q2["idcg_micro"] == p[0]  # IDCG is defined by n_relevant
+    assert q2["ndcg_micro"] == 0
+
+    q3 = out[3]
+    assert q3["n_relevant"] == 0
+    assert q3["idcg_micro"] == 0
+    assert q3["ndcg_micro"] == 0
+
+
+def test_ranking_metrics_k_truncates(spark):
+    # a relevant hit at rank 4 is invisible when k=3
+    ranked = spark.createDataFrame(
+        [(1, 10, 4), (1, 99, 1), (1, 98, 2), (1, 97, 3)],
+        "query_id long, neighbor_id long, knn_rank int",
+    )
+    relevant = spark.createDataFrame(
+        [(1, 10)], "query_id long, neighbor_id long"
+    )
+    row = EV.ranking_metrics(ranked, relevant, k=3).collect()[0]
+    assert row["hits_at_k"] == 0 and row["mrr_micro"] == 0
+    row = EV.ranking_metrics(ranked, relevant, k=10).collect()[0]
+    assert row["hits_at_k"] == 1
+    assert row["mrr_micro"] == SCALE // 4
+
+
+def test_ranking_metrics_duplicate_qrels_collapse(spark):
+    ranked = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, neighbor_id long, knn_rank int"
+    )
+    relevant = spark.createDataFrame(
+        [(1, 10), (1, 10)], "query_id long, neighbor_id long"
+    )
+    row = EV.ranking_metrics(ranked, relevant, k=5).collect()[0]
+    assert row["n_relevant"] == 1 and row["hits_at_k"] == 1
+    assert row["ndcg_micro"] == SCALE  # perfect ranking
+
+
+# --------------------------------------------------------------------------
+# script_profile
+# --------------------------------------------------------------------------
+def test_script_profile_planted_scripts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "привет мир"),  # cyrillic
+            (3, "你好世界"),  # cjk
+            (4, "abc привет"),  # latin 3 vs cyrillic 6 -> cyrillic
+            (5, "ab пр"),  # tie 2 vs 2 -> latin (declared order)
+            (6, "1234 !!"),  # digits only -> none
+            (7, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in TX.script_profile(docs).collect()}
+    assert out[1]["dominant_script"] == "latin"
+    assert out[1]["n_latin"] == 10
+    assert out[1]["n_space"] == 1
+    assert out[1]["n_chars_total"] == 11
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[2]["n_cyrillic"] == 9
+    assert out[3]["dominant_script"] == "cjk"
+    assert out[3]["n_cjk"] == 4
+    assert out[4]["dominant_script"] == "cyrillic"
+    assert out[5]["dominant_script"] == "latin"  # tie-break precedence
+    assert out[6]["dominant_script"] == "none"
+    assert out[6]["n_digit"] == 4
+    assert out[6]["n_other"] == 2  # the two '!'
+    assert out[7]["dominant_script"] == "none"
+    assert out[7]["n_chars_total"] == 0
+
+
+def test_script_profile_counts_are_exhaustive(spark):
+    # every char lands in exactly one bucket: scripts+digit+space+other
+    docs = spark.createDataFrame(
+        [(1, "mix of текст, 漢字 & 123 ア")], "doc_id long, text string"
+    )
+    r = TX.script_profile(docs).collect()[0].asDict()
+    script_sum = sum(
+        r[f"n_{name}"] for name, _ in TX.SCRIPT_BLOCKS
+    )
+    assert (
+        script_sum + r["n_digit"] + r["n_space"] + r["n_other"]
+        == r["n_chars_total"]
+    )
+    assert r["n_kana"] == 1 and r["n_cjk"] == 2 and r["n_cyrillic"] == 5
+
+
+# --------------------------------------------------------------------------
+# tokenizer_fertility
+# --------------------------------------------------------------------------
+def test_tokenizer_fertility_matches_encode_sums(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa", "x"),
+            (2, "aa aa aa aa", "x"),
+            (3, "ccc ddd", "y"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    _, words = bpe_train(docs, 2)
+    out = {
+        r["lang"]: r.asDict()
+        for r in tokenizer_fertility(docs, words, group_col="lang").collect()
+    }
+    # cross-check totals against the encode relation itself
+    enc = {
+        r["doc_id"]: r.asDict()
+        for r in bpe_encode_docs(docs, words).collect()
+    }
+    x_tokens = enc[1]["n_bpe_tokens"] + enc[2]["n_bpe_tokens"]
+    x_words = enc[1]["n_words"] + enc[2]["n_words"]
+    assert out["x"]["n_docs"] == 2
+    assert out["x"]["total_words"] == x_words == 7
+    assert out["x"]["total_bpe_tokens"] == x_tokens
+    assert out["x"]["total_chars"] == len("aa bb aa") + len("aa aa aa aa")
+    assert (
+        out["x"]["bpe_per_word_micro"] == x_tokens * SCALE // x_words
+    )
+    assert (
+        out["x"]["chars_per_token_micro"]
+        == out["x"]["total_chars"] * SCALE // x_tokens
+    )
+    assert out["y"]["n_docs"] == 1
+
+
+def test_tokenizer_fertility_fragmented_slice_scores_higher(spark):
+    # vocab trained ONLY on x-lang text: the y slice must show higher
+    # fertility (more tokens per word) — the signal the audit exists for
+    docs = spark.createDataFrame(
+        [(i, "aa bb aa bb", "x") for i in range(1, 9)]
+        + [(9, "qrstuv wxyzab", "y")],
+        "doc_id long, text string, lang string",
+    )
+    _, words = bpe_train(docs.filter(F.col("lang") == "x"), 3)
+    out = {
+        r["lang"]: r.asDict()
+        for r in tokenizer_fertility(docs, words, group_col="lang").collect()
+    }
+    assert out["y"]["bpe_per_word_micro"] > out["x"]["bpe_per_word_micro"]
+
+
+# --------------------------------------------------------------------------
+# cross_source_overlap
+# --------------------------------------------------------------------------
+def test_cross_source_overlap_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "X"),  # shingles {abc, bcd}
+            (2, "a b c", "Y"),  # {abc}
+            (3, "a b c", "Y"),  # duplicate doc: distinct set unchanged
+            (4, "p q r s", "Z"),  # {pqr, qrs} — disjoint from X and Y
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in D.cross_source_overlap(docs, n=3).collect()
+    }
+    assert set(rows) == {("X", "Y")}  # zero-overlap pairs are absent
+    xy = rows[("X", "Y")]
+    assert xy["shared_shingles"] == 1
+    assert xy["n_a"] == 2 and xy["n_b"] == 1
+    assert xy["containment_micro"] == SCALE  # Y fully contained in X
+    assert xy["jaccard_micro"] == SCALE // 2  # 1 shared of 2 total
+
+
+def test_cross_source_overlap_short_docs_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b", "X"), (2, "a b c", "Y")],
+        "doc_id long, text string, source string",
+    )
+    # X has no 3-gram at all -> no pair rows
+    assert D.cross_source_overlap(docs, n=3).count() == 0
