@@ -117,6 +117,14 @@ EXTENDED = [
     "q_margin_mining_ann",
     "q_curriculum_shards",
     "q_contamination_report",
+    # r11: C4 battery, BPE-budget shards, IR metrics, script profile,
+    # fertility audit, source-overlap matrix
+    "q_c4_filters",
+    "q_token_shards",
+    "q_retrieval_metrics",
+    "q_script_profile",
+    "q_tokenizer_fertility",
+    "q_cross_source_overlap",
 ]
 
 

@@ -127,32 +127,38 @@ def perceptron_scores(
     weights: (doc_id, margin, pred_pos, is_target). ``pred_pos`` is
     margin > 0; training labels come from ``label_pred`` (e.g. a
     known-good source or language slice), and the margins transfer to
-    unlabeled corpora as a quality score."""
+    unlabeled corpora as a quality score.
+
+    Scoring uses :func:`margin_column` — the stateless per-row
+    projection (bit-identical to summing feats * w by construction;
+    guarded by the batch/stream parity test) — so the served stage is
+    a pure map over the corpus scan: zero exchanges, no re-join of the
+    exploded feature relation. Training is the only part that
+    shuffles."""
     spark = docs.sparkSession
     feats = hashed_features(docs, label_pred, dims, n, text_col, id_col)
     feats.persist()
     try:
         w = train_perceptron(spark, feats, iters)
-        wdf = F.broadcast(
-            spark.createDataFrame(list(w.items()), "dim: long, w: long")
-        )
-        return (
-            feats.join(wdf, "dim")
-            .groupBy("doc_id", "y")
-            .agg(F.sum(F.col("x") * F.col("w")).alias("margin"))
-            .select(
-                "doc_id",
-                "margin",
-                (F.col("margin") > 0).alias("pred_pos"),
-                (F.col("y") == 1).alias("is_target"),
-            )
-        )
     finally:
-        # the returned plan re-joins feats once more; materialize the
-        # weights first (train_perceptron already collected), so the
-        # cache has served its purpose for the loop — release it once
-        # the caller's action recomputes the single remaining scan
+        # training collected everything it needs (dims+1 longs); the
+        # scoring plan below never touches feats again
         feats.unpersist()
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), " ").alias("_w"),
+        F.when(label_pred, True).otherwise(False).alias("is_target"),
+    )
+    return base.select(
+        "doc_id",
+        margin_column(w, dims, n, words_col="_w").alias("margin"),
+        "is_target",
+    ).select(
+        "doc_id",
+        "margin",
+        (F.col("margin") > 0).alias("pred_pos"),
+        "is_target",
+    )
 
 
 def score_with_weights(

@@ -105,8 +105,10 @@ def test_train_rejects_bad_iters(spark):
 
 
 def test_scoring_plan_shape(spark):
-    """Weights ride a broadcast literal; no window, no cartesian; and
-    the feature cache is released after scoring (no leak)."""
+    """Scoring is a pure map (margin_column inlines the weights as an
+    array literal): ZERO exchanges of any kind, no window, no
+    cartesian; and the feature cache is released after training (no
+    leak)."""
     _rows, docs = _fixture(spark)
     before = len(
         [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
@@ -121,7 +123,7 @@ def test_scoring_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
-    assert "BroadcastExchange" in plan
+    assert "Exchange" not in plan  # served stage shuffles nothing
     assert after <= before  # feats cache released
 
 
