@@ -125,6 +125,7 @@ EXTENDED = [
     "q_script_profile",
     "q_tokenizer_fertility",
     "q_cross_source_overlap",
+    "q_contrastive_pairs",
 ]
 
 

@@ -893,3 +893,69 @@ def script_profile(
         dominant.alias("dominant_script"),
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# contrastive training-example builder
+# --------------------------------------------------------------------------
+def contrastive_pairs(
+    df: DataFrame,
+    window: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(anchor, positive) example builder for contrastive embedding
+    training — the "independent cropping" recipe (Contriever, Izacard
+    et al. 2022; SimCSE-adjacent): two crops of the SAME document form
+    a positive pair, everything else in the batch is a negative. Here
+    the crops are consecutive non-overlapping ``window``-token chunks,
+    so each document with more than one chunk yields chunk_i /
+    chunk_{i+1} pairs:
+
+    (doc_id, pair_idx, anchor_text, positive_text,
+     n_anchor_tokens, n_positive_tokens)
+
+    Pair hard negatives via operators.similarity.hard_negatives when
+    in-batch negatives aren't enough.
+
+    Plan shape: chunking is one transform+posexplode projection (no
+    shuffle; the slice arithmetic never copies the word array), and
+    the adjacent join is a LEAD window partitioned BY DOCUMENT —
+    bounded by doc size, embarrassingly parallel, no corpus-wide
+    window. Text moves exactly once into the (anchor, positive) rows.
+    """
+    from pyspark.sql.window import Window
+
+    chunks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), " ").alias("w"),
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(w) + {window - 1}) "
+                f"DIV {window} - 1), "
+                f"i -> concat_ws(' ', slice(w, i * {window} + 1, "
+                f"{window})))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    return (
+        chunks.withColumn(
+            "positive_text", F.lead("chunk_text").over(win)
+        )
+        .filter(F.col("positive_text").isNotNull())
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("pair_idx"),
+            F.col("chunk_text").alias("anchor_text"),
+            "positive_text",
+            F.size(F.split(F.col("chunk_text"), " "))
+            .cast("int")
+            .alias("n_anchor_tokens"),
+            F.size(F.split(F.col("positive_text"), " "))
+            .cast("int")
+            .alias("n_positive_tokens"),
+        )
+    )

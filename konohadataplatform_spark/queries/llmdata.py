@@ -6020,3 +6020,46 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cross_source_overlap(
         _t(spark, sf_dir, "documents"), group_col="source", n=3
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11: contrastive (anchor, positive) example builder.
+# --------------------------------------------------------------------------
+@query(
+    "q_contrastive_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), c AS (
+      SELECT doc_id,
+             unnest([{'i': i,
+                      'txt': array_to_string(w[(i*16+1):(i*16+16)], ' ')}
+                     for i in range(0, (len(w) + 15) // 16)]) AS ch
+      FROM t
+    ), s AS (
+      SELECT doc_id, ch.i AS chunk_idx, ch.txt AS chunk_text FROM c
+    ), p AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             lead(chunk_text) OVER (PARTITION BY doc_id
+                                    ORDER BY chunk_idx) AS positive_text
+      FROM s
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS pair_idx,
+           chunk_text AS anchor_text, positive_text,
+           CAST(len(string_split(chunk_text, ' ')) AS INT)
+             AS n_anchor_tokens,
+           CAST(len(string_split(positive_text, ' ')) AS INT)
+             AS n_positive_tokens
+    FROM p WHERE positive_text IS NOT NULL
+    """,
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-embedding training examples
+    (operators.text.contrastive_pairs): consecutive 16-token crops of
+    the same document become (anchor, positive) pairs — the Contriever
+    independent-cropping recipe. Chunking is one posexplode projection;
+    the adjacency join is a per-document LEAD window (bounded by doc
+    size, no corpus-wide window); text moves once."""
+    return TX.contrastive_pairs(
+        _t(spark, sf_dir, "documents"), window=16
+    )

@@ -243,3 +243,44 @@ def test_cross_source_overlap_short_docs_excluded(spark):
     )
     # X has no 3-gram at all -> no pair rows
     assert D.cross_source_overlap(docs, n=3).count() == 0
+
+
+# --------------------------------------------------------------------------
+# contrastive_pairs
+# --------------------------------------------------------------------------
+def test_contrastive_pairs_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),  # 8 words, window=4 -> chunks 2
+            (2, "x y z"),  # single chunk -> no pair
+            (3, "p q r s t"),  # chunks: 4 + tail 1 -> one pair
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["pair_idx"]): r.asDict()
+        for r in TX.contrastive_pairs(docs, window=4).collect()
+    }
+    assert set(rows) == {(1, 0), (3, 0)}
+    p1 = rows[(1, 0)]
+    assert p1["anchor_text"] == "a b c d"
+    assert p1["positive_text"] == "e f g h"
+    assert p1["n_anchor_tokens"] == 4 and p1["n_positive_tokens"] == 4
+    p3 = rows[(3, 0)]
+    assert p3["anchor_text"] == "p q r s"
+    assert p3["positive_text"] == "t"
+    assert p3["n_positive_tokens"] == 1
+
+
+def test_contrastive_pairs_three_chunks_chain(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["pair_idx"], r["anchor_text"], r["positive_text"])
+        for r in TX.contrastive_pairs(docs, window=4).collect()
+    )
+    assert rows == [
+        (0, "a b c d", "e f g h"),
+        (1, "e f g h", "i j k l"),
+    ]
