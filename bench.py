@@ -126,6 +126,7 @@ EXTENDED = [
     "q_tokenizer_fertility",
     "q_cross_source_overlap",
     "q_contrastive_pairs",
+    "q_retrieval_metrics",
 ]
 
 

@@ -5795,9 +5795,7 @@ _DCG_W = "[" + ", ".join(str(x) for x in EV.dcg_weight_table(10)) + "]"
 _DCG_P = "[" + ", ".join(str(x) for x in EV.idcg_prefix_table(10)) + "]"
 
 
-@query(
-    "q_retrieval_metrics",
-    f"""
+_RETRIEVAL_METRICS_SQL = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
       FROM embeddings
@@ -5843,8 +5841,10 @@ _DCG_P = "[" + ", ".join(str(x) for x in EV.idcg_prefix_table(10)) + "]"
                 ELSE 0 END AS BIGINT) AS ndcg_micro
     FROM q LEFT JOIN nrel n ON n.qid = q.vec_id
            LEFT JOIN hits h ON h.qid = q.vec_id
-    """,
-)
+    """
+
+
+@query("q_retrieval_metrics", _RETRIEVAL_METRICS_SQL)
 def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IR-metric scorer over the exact cosine ranker: every ~23rd
     vector is a query, a corpus vector is relevant iff it shares the
@@ -6063,3 +6063,32 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.contrastive_pairs(
         _t(spark, sf_dir, "documents"), window=16
     )
+
+
+@query("q_retrieval_metrics_ann", _RETRIEVAL_METRICS_SQL)
+def q_retrieval_metrics_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same IR scorer grading the IVF-probed ranker at FULL probe
+    (nprobe = n_cells): every pair is reachable, so the ranked list —
+    and therefore every metric — is bit-identical to the brute-force
+    ranker and shares its oracle (the q_margin_mining_ann parity
+    pattern). This is the harness's point: swap the ranker, keep the
+    scorer; dialing nprobe down turns recall_micro/ndcg_micro into the
+    measured cost of the ANN speedup (see the partial-probe test and
+    the SCALING.md recall table)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 23 == 0)
+    ranked = S.ann_ivf_topk_portable(
+        emb, qs, k=10, n_cells=8, nprobe=8
+    )
+    lab_q = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    lab_c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_cl")
+    )
+    relevant = (
+        lab_c.join(F.broadcast(lab_q), F.col("_cl") == F.col("_ql"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return EV.ranking_metrics(ranked, relevant, k=10)

@@ -284,3 +284,71 @@ def test_contrastive_pairs_three_chunks_chain(spark):
         (0, "a b c d", "e f g h"),
         (1, "e f g h", "i j k l"),
     ]
+
+
+# --------------------------------------------------------------------------
+# ANN-graded metrics: partial probe degrades gracefully
+# --------------------------------------------------------------------------
+def test_ann_ranked_metrics_partial_probe_bounded(spark):
+    from konohadataplatform_spark.operators import similarity as S
+    from konohadataplatform_spark.sources.star_schema import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 23 == 0)
+    lab_q = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    lab_c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_cl")
+    )
+    relevant = (
+        lab_c.join(F.broadcast(lab_q), F.col("_cl") == F.col("_ql"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    def total_hits(nprobe):
+        ranked = S.ann_ivf_topk_portable(
+            emb, qs, k=10, n_cells=8, nprobe=nprobe
+        )
+        rows = EV.ranking_metrics(ranked, relevant, k=10).collect()
+        assert all(
+            0 <= r["ndcg_micro"] <= SCALE and 0 <= r["recall_micro"] <= SCALE
+            for r in rows
+        )
+        return sum(r["hits_at_k"] for r in rows)
+
+    # fewer probed cells can only lose candidates, never invent them
+    assert total_hits(1) <= total_hits(8)
+
+
+# --------------------------------------------------------------------------
+# script_profile is stateless -> runs unchanged on a stream
+# --------------------------------------------------------------------------
+def test_script_profile_streaming_parity(spark, tmp_path):
+    batch = spark.createDataFrame(
+        [(1, "hello мир"), (2, "漢字 123"), (3, "")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs_stream"
+    batch.write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = (
+        TX.script_profile(stream)
+        .writeStream.format("memory")
+        .queryName("script_profile_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in spark.sql("select * from script_profile_stream").collect()
+    }
+    want = {
+        r["doc_id"]: r.asDict() for r in TX.script_profile(batch).collect()
+    }
+    assert got == want

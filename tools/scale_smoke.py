@@ -131,6 +131,26 @@ SMOKE_QUERIES = [
     "q_boilerplate_strip",
     "q_code_quality_flags",
     "q_data_card",
+    # r11 additions: C4 battery / script profile are scan-speed
+    # projections (linear is the contract); token shards and fertility
+    # ride the memoized BPE encode join (vocab-bounded after the word
+    # count); cross-source overlap's distinct (source, gram) mass is
+    # UNCHANGED under 10x duplicated docs, so only the explode+distinct
+    # scan should grow; contrastive pairs is one posexplode + a
+    # per-document window
+    "q_c4_filters",
+    "q_token_shards",
+    "q_script_profile",
+    "q_tokenizer_fertility",
+    "q_cross_source_overlap",
+    "q_contrastive_pairs",
+    # NOT smoked: q_retrieval_metrics / q_retrieval_metrics_ann (the
+    # latter is the full-probe parity config) — the ranked input is the
+    # brute-force cosine ranker over a 1/23 query split (pair count
+    # n^2/23, quadratic by the same contract as q_knn_bruteforce's
+    # row); at corpus scale the harness scores a fixed eval SAMPLE and
+    # the ranked input comes from the ANN path (the metrics stage
+    # itself is |queries| x k — metadata-sized).
     # NOT smoked: q_margin_mining_ann — the registered query is the
     # FULL-PROBE parity config (scores every pair by construction, so
     # its sf1 ratio is the same quadratic contract the brute-force row
