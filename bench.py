@@ -127,6 +127,7 @@ EXTENDED = [
     "q_cross_source_overlap",
     "q_contrastive_pairs",
     "q_retrieval_metrics",
+    "q_vocab_divergence",
 ]
 
 

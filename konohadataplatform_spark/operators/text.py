@@ -959,3 +959,88 @@ def contrastive_pairs(
             .alias("n_positive_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# per-slice vocabulary divergence (distribution-shift audit)
+# --------------------------------------------------------------------------
+def vocab_divergence(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Unigram distribution shift per corpus slice: the total-variation
+    distance between each group's word distribution and the REST of the
+    corpus — the mixture-design / dedup-impact audit ("which source
+    speaks a different language than the pool", and "did filtering
+    skew a slice"). TVD is the standard bounded [0, 1] divergence that
+    needs no log (so unlike KL it stays integer-exact):
+
+        TVD(g) = 1/2 * sum_w | c_g(w)/T_g  -  c_r(w)/T_r |
+
+    computed with cleared denominators — every |.| term is
+    ``|c_g*T_r - c_r*T_g|`` and the single division happens once at
+    the end, so any SQL oracle reproduces it bit-for-bit. Words the
+    group never uses are folded in algebraically (their mass is
+    ``T_g * (T_r - sum of c_r over the group's OWN words)``), so the
+    plan never materializes the group x full-vocab cross product.
+
+    Returns (group_col, n_tokens_slice, n_tokens_rest, tvd_micro) —
+    tvd_micro in [0, 1e6], NULL when the rest of the corpus is empty
+    (single-group input).
+
+    Scale shape: one (group, word) count, one word-keyed global count
+    joined back on the word key (vocab-mass shuffle, linear), totals
+    broadcast. Products ride decimal(19,0) -> decimal(38,0), exact to
+    ~1e15 tokens per side; past that the final DIV saturates decimal38
+    before int64 ever wraps.
+    """
+    dec = "decimal(19,0)"
+    w = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    gc = w.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("c"))
+    wc = gc.groupBy("word").agg(F.sum("c").alias("cw"))
+    tot = gc.groupBy("grp").agg(F.sum("c").alias("tg"))
+    tt = tot.agg(F.sum("tg").alias("t"))
+    j = (
+        gc.join(wc, "word")
+        .join(F.broadcast(tot), "grp")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "grp",
+            "tg",
+            (F.col("t") - F.col("tg")).alias("tr"),
+            F.col("c"),
+            (F.col("cw") - F.col("c")).alias("cr"),
+        )
+    )
+    a = j.groupBy("grp", "tg", "tr").agg(
+        F.sum(
+            F.abs(
+                F.col("c").cast(dec) * F.col("tr").cast(dec)
+                - F.col("cr").cast(dec) * F.col("tg").cast(dec)
+            )
+        ).alias("s1"),
+        F.sum("cr").alias("m"),
+    )
+    num = F.col("s1") + F.col("tg").cast(dec) * (
+        F.col("tr").cast(dec) - F.col("m").cast(dec)
+    )
+    return a.select(
+        F.col("grp").alias(group_col),
+        F.col("tg").cast("bigint").alias("n_tokens_slice"),
+        F.col("tr").cast("bigint").alias("n_tokens_rest"),
+        F.when(
+            F.col("tr") > 0,
+            (num * F.lit(1_000_000)).alias("_n"),
+        ).alias("_num"),
+    ).select(
+        group_col,
+        "n_tokens_slice",
+        "n_tokens_rest",
+        F.expr(
+            "CAST(_num DIV (CAST(2 AS decimal(19,0)) "
+            "* CAST(n_tokens_slice AS decimal(19,0)) "
+            "* CAST(n_tokens_rest AS decimal(19,0))) AS BIGINT)"
+        ).alias("tvd_micro"),
+    )

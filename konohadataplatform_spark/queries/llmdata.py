@@ -6092,3 +6092,49 @@ def q_retrieval_metrics_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     return EV.ranking_metrics(ranked, relevant, k=10)
+
+
+# --------------------------------------------------------------------------
+# Round 11: per-source vocabulary divergence (distribution-shift audit)
+# --------------------------------------------------------------------------
+@query(
+    "q_vocab_divergence",
+    """
+    WITH w0 AS (
+      SELECT source AS grp,
+             unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ), w AS (SELECT grp, word FROM w0 WHERE word <> ''),
+    gc AS (SELECT grp, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    wc AS (SELECT word, SUM(c) AS cw FROM gc GROUP BY 1),
+    tot AS (SELECT grp, SUM(c) AS tg FROM gc GROUP BY 1),
+    tt AS (SELECT SUM(tg) AS t FROM tot),
+    j AS (
+      SELECT gc.grp, tot.tg, tt.t - tot.tg AS tr,
+             gc.c, wc.cw - gc.c AS cr
+      FROM gc JOIN wc USING (word) JOIN tot USING (grp) CROSS JOIN tt
+    ), a AS (
+      SELECT grp, tg, tr,
+             SUM(ABS(c * tr - cr * tg)) AS s1, SUM(cr) AS m
+      FROM j GROUP BY 1, 2, 3
+    )
+    SELECT grp AS source,
+           CAST(tg AS BIGINT) AS n_tokens_slice,
+           CAST(tr AS BIGINT) AS n_tokens_rest,
+           CAST(CASE WHEN tr > 0
+                THEN ((s1 + tg * (tr - m)) * 1000000) // (2 * tg * tr)
+                ELSE NULL END AS BIGINT) AS tvd_micro
+    FROM a
+    """,
+)
+def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram distribution shift
+    (operators.text.vocab_divergence): total-variation distance between
+    each source's word distribution and the rest of the corpus, with
+    cleared denominators so the single division happens once — the
+    mixture-design audit ("which slice speaks differently than the
+    pool"). One vocab-mass word-keyed join; absent-word mass folded in
+    algebraically, never a group x vocab cross product."""
+    return TX.vocab_divergence(
+        _t(spark, sf_dir, "documents"), group_col="source"
+    )

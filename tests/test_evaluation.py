@@ -352,3 +352,45 @@ def test_script_profile_streaming_parity(spark, tmp_path):
         r["doc_id"]: r.asDict() for r in TX.script_profile(batch).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# vocab_divergence
+# --------------------------------------------------------------------------
+def test_vocab_divergence_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "x", "A"), (2, "y", "B"), (3, "x", "C"), (4, "x", "C")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r.asDict()
+        for r in TX.vocab_divergence(docs).collect()
+    }
+    # A={x}, rest={x:2,y:1}: TVD = (|1-2/3| + 1/3)/2 = 1/3
+    assert out["A"]["tvd_micro"] == 333333
+    # B={y}, rest={x:3}: disjoint -> TVD = 1
+    assert out["B"]["tvd_micro"] == 1_000_000
+    # C={x}, rest={x:1,y:1}: TVD = 1/2
+    assert out["C"]["tvd_micro"] == 500_000
+    assert out["C"]["n_tokens_slice"] == 2
+    assert out["C"]["n_tokens_rest"] == 2
+
+
+def test_vocab_divergence_identical_slices_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "A"), (2, "a b c", "B")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r["tvd_micro"]
+        for r in TX.vocab_divergence(docs).collect()
+    }
+    assert out == {"A": 0, "B": 0}
+
+
+def test_vocab_divergence_single_group_null(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b", "A")], "doc_id long, text string, source string"
+    )
+    row = TX.vocab_divergence(docs).collect()[0]
+    assert row["tvd_micro"] is None and row["n_tokens_rest"] == 0

@@ -144,6 +144,9 @@ SMOKE_QUERIES = [
     "q_tokenizer_fertility",
     "q_cross_source_overlap",
     "q_contrastive_pairs",
+    # vocab divergence: one vocab-mass word-keyed join — 10x duplicated
+    # docs keep the vocab fixed, so only counts grow (explode-bound)
+    "q_vocab_divergence",
     # NOT smoked: q_retrieval_metrics / q_retrieval_metrics_ann (the
     # latter is the full-probe parity config) — the ranked input is the
     # brute-force cosine ranker over a 1/23 query split (pair count
