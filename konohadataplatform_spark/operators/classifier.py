@@ -218,3 +218,66 @@ def margin_column(
         f"aggregate({dim_of}, cast({bias} as bigint), "
         f"(acc, d) -> acc + element_at({warr_sql}, cast(d + 1 as int)))"
     )
+
+
+def calibration_table(
+    scored: DataFrame,
+    n_buckets: int = 10,
+    score_col: str = "margin",
+    label_col: str = "is_target",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Calibration curve for a trained scorer: rank every row by its
+    score, cut the ranking into ``n_buckets`` equal-count tiles, and
+    report the ACTUAL positive rate per tile —
+
+    (bucket, n_docs, n_target, target_rate_micro, min_margin,
+     max_margin)
+
+    A well-behaved quality classifier shows target_rate_micro rising
+    monotonically with the bucket; a flat curve means the margins
+    carry no signal and any threshold-based corpus filter built on
+    them is noise. All-integer outputs (rate = n_target * 1e6 div n).
+
+    Tiles are EXPLICIT integer arithmetic over a global rank —
+    ``(rank - 1) * n_buckets div N`` — the same remainder-proof cut
+    as perplexity_partition (NTILE's leftover-distribution trivia
+    differs across engines). The rank comes from
+    ``scalable_row_number`` (range-partitioned, per-partition offsets
+    broadcast back): no single-partition global sort at corpus scale;
+    (score, id) must total-order, which ``id_col`` guarantees.
+    """
+    from konohadataplatform_spark.operators.ranking import (
+        scalable_row_number,
+    )
+
+    ranked = scalable_row_number(
+        scored, [F.col(score_col), F.col(id_col)], out_col="_rn"
+    )
+    totals = scored.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "bucket",
+            F.expr(f"CAST((_rn - 1) * {int(n_buckets)} DIV _n AS INT)"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col(label_col), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_target"),
+            F.min(score_col).cast("bigint").alias("min_margin"),
+            F.max(score_col).cast("bigint").alias("max_margin"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_target",
+            F.expr("n_target * 1000000 DIV n_docs")
+            .cast("bigint")
+            .alias("target_rate_micro"),
+            "min_margin",
+            "max_margin",
+        )
+    )

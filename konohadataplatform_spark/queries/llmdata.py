@@ -4491,9 +4491,10 @@ _PCPT_DIM = """
 """
 
 
-@query(
-    "q_quality_classifier",
-    f"""
+# Shared by q_quality_classifier and q_classifier_calibration: the
+# full 3-iteration batch-perceptron replay ending at m3 = (doc_id, y,
+# final margin).
+_PCPT_CTES = f"""
     WITH t AS (
       SELECT doc_id, lang = 'en' AS is_t,
              string_split(trim(text), ' ') AS w
@@ -4538,6 +4539,13 @@ _PCPT_DIM = """
       SELECT f.doc_id, f.y, SUM(f.x * w3.w) AS m
       FROM feats f JOIN w3 USING (dim) GROUP BY 1, 2
     )
+"""
+
+
+@query(
+    "q_quality_classifier",
+    _PCPT_CTES
+    + """
     SELECT doc_id, CAST(m AS BIGINT) AS margin, m > 0 AS pred_pos,
            y = 1 AS is_target
     FROM m3
@@ -6138,3 +6146,48 @@ def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.vocab_divergence(
         _t(spark, sf_dir, "documents"), group_col="source"
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11: classifier calibration curve (margin deciles vs label rate)
+# --------------------------------------------------------------------------
+@query(
+    "q_classifier_calibration",
+    _PCPT_CTES
+    + """
+    , r AS (
+      SELECT doc_id, m, y = 1 AS is_t,
+             row_number() OVER (ORDER BY m, doc_id) AS rn,
+             COUNT(*) OVER () AS cnt
+      FROM m3
+    ), b AS (
+      SELECT *, CAST((rn - 1) * 10 // cnt AS INT) AS bucket FROM r
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_target,
+           CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS target_rate_micro,
+           CAST(MIN(m) AS BIGINT) AS min_margin,
+           CAST(MAX(m) AS BIGINT) AS max_margin
+    FROM b GROUP BY bucket
+    """,
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the in-engine quality classifier's margin actually rank
+    target docs higher? Margin deciles (explicit integer tiles over a
+    scalable_row_number rank — no global sort, no NTILE) against the
+    realized lang='en' rate per tile
+    (operators.classifier.calibration_table). The go/no-go check
+    before using margins as a corpus filter threshold."""
+    from konohadataplatform_spark.operators.classifier import (
+        calibration_table,
+        perceptron_scores,
+    )
+
+    scored = perceptron_scores(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en",
+        dims=64, iters=3, n=2,
+    )
+    return calibration_table(scored, n_buckets=10)

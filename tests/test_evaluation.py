@@ -394,3 +394,47 @@ def test_vocab_divergence_single_group_null(spark):
     )
     row = TX.vocab_divergence(docs).collect()[0]
     assert row["tvd_micro"] is None and row["n_tokens_rest"] == 0
+
+
+# --------------------------------------------------------------------------
+# calibration_table
+# --------------------------------------------------------------------------
+def test_calibration_table_separable_scores(spark):
+    from konohadataplatform_spark.operators.classifier import (
+        calibration_table,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, i, i > 10) for i in range(1, 21)],
+        "doc_id long, margin long, is_target boolean",
+    )
+    rows = {
+        r["bucket"]: r.asDict()
+        for r in calibration_table(scored, n_buckets=10).collect()
+    }
+    assert set(rows) == set(range(10))
+    assert all(r["n_docs"] == 2 for r in rows.values())
+    # margins 1..10 are negatives, 11..20 targets: perfect separation
+    for b in range(5):
+        assert rows[b]["target_rate_micro"] == 0
+    for b in range(5, 10):
+        assert rows[b]["target_rate_micro"] == 1_000_000
+    assert rows[0]["min_margin"] == 1 and rows[9]["max_margin"] == 20
+
+
+def test_calibration_table_remainder_tiles(spark):
+    from konohadataplatform_spark.operators.classifier import (
+        calibration_table,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, i, False) for i in range(7)],
+        "doc_id long, margin long, is_target boolean",
+    )
+    rows = {
+        r["bucket"]: r["n_docs"]
+        for r in calibration_table(scored, n_buckets=3).collect()
+    }
+    # (rank-1)*3 div 7 -> tile sizes 3, 2, 2 (explicit arithmetic,
+    # engine-independent unlike NTILE)
+    assert rows == {0: 3, 1: 2, 2: 2}
