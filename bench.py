@@ -128,6 +128,7 @@ EXTENDED = [
     "q_contrastive_pairs",
     "q_retrieval_metrics",
     "q_vocab_divergence",
+    "q_classifier_calibration",
 ]
 
 

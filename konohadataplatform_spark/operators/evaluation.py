@@ -99,10 +99,14 @@ def ranking_metrics(
         )
     )
 
+    # n_rel and hits are per-QUERY aggregates (<= one row per query —
+    # evaluation-sized by contract), so the final assembly broadcasts
+    # them; `relevant` itself carries no hint (qrels are usually small,
+    # but AQE should decide if a caller feeds a corpus-sized one).
     base = ranked.select(q).distinct()
     out = (
-        base.join(n_rel, "query_id", "left")
-        .join(hits, "query_id", "left")
+        base.join(F.broadcast(n_rel), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .withColumn("n_relevant", F.coalesce("n_relevant", F.lit(0)))
         .withColumn("hits_at_k", F.coalesce("hits_at_k", F.lit(0)))
     )

@@ -115,6 +115,17 @@ HEADLINE = [
     "q_margin_mining",
     "q_stratified_quota_sample",
     "q_data_card",
+    # r11: C4 battery, IR metrics, script profile, fertility, overlap
+    # matrix, contrastive pairs, vocab divergence, calibration
+    "q_c4_filters",
+    "q_token_shards",
+    "q_retrieval_metrics",
+    "q_script_profile",
+    "q_tokenizer_fertility",
+    "q_cross_source_overlap",
+    "q_contrastive_pairs",
+    "q_vocab_divergence",
+    "q_classifier_calibration",
 ]
 
 
