@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -514,6 +515,7 @@ def connected_components(
     b_col: str = "b_id",
     max_iter: int = 25,
     checkpoint_every: int = 8,
+    driver_solve_max_edges: int = 200_000,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
@@ -524,10 +526,16 @@ def connected_components(
     edge list is pairs-sized (tiny relative to the corpus) and labels
     are (node, long) rows.
 
-    Raises ``RuntimeError`` if ``max_iter`` rounds exhaust with labels
-    still changing (a chain-shaped component with diameter > max_iter):
-    unconverged labels would silently split one component into several,
-    so the failure is loud — raise ``max_iter`` for path-like graphs.
+    Edge lists at or below ``driver_solve_max_edges`` (counted against
+    the materialized cache) skip the loop entirely: one bounded collect
+    + driver union-find, identical output. Pass ``0`` to force the
+    distributed path.
+
+    The distributed path raises ``RuntimeError`` if ``max_iter`` rounds
+    exhaust with labels still changing (a chain-shaped component with
+    diameter > max_iter): unconverged labels would silently split one
+    component into several, so the failure is loud — raise ``max_iter``
+    for path-like graphs.
 
     Every ``checkpoint_every`` rounds the label relation is
     localCheckpointed: each round nests another join under the plan, and
@@ -545,6 +553,51 @@ def connected_components(
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
+    # COUNTED gate (the cross_corpus_contamination / IVF-collect
+    # contract): near-dup edge lists are usually minuscule next to the
+    # corpus that produced them, and the iterative loop pays 3-5 whole
+    # Spark jobs of scheduling overhead regardless of data size. At or
+    # below the bound (default 200k edges ~ 3 MB of longs) the
+    # components solve driver-side with union-find in ONE collect of
+    # the already-materialized cache; above it — billions of pairs on
+    # a crawl-scale corpus — the distributed min-label loop below runs
+    # exactly as before. max_iter/convergence semantics only apply to
+    # the distributed path (union-find has no iteration bound).
+    n_edges = edges.count()
+    if n_edges <= driver_solve_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            s, d = row["src"], row["dst"]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rs] = rd
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            if m is None or node < m:
+                comp_min[r] = node
+        out_schema = T.StructType(
+            [
+                T.StructField("node", edges.schema["src"].dataType),
+                T.StructField("component", edges.schema["src"].dataType),
+            ]
+        )
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame(
+            [(n, comp_min[find(n)]) for n in parent], out_schema
+        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -79,14 +79,24 @@ def test_connected_components_chain_exceeding_max_iter_raises(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "a_id long, b_id long"
     )
+    # driver_solve_max_edges=0 pins the DISTRIBUTED path (the default
+    # counted gate would solve a 9-edge graph driver-side)
     with pytest.raises(RuntimeError, match="still changing"):
-        D.connected_components(pairs, max_iter=3)
+        D.connected_components(pairs, max_iter=3, driver_solve_max_edges=0)
     # with enough rounds the same chain converges to one component
     out = {
         r.node: r.component
-        for r in D.connected_components(pairs, max_iter=15).collect()
+        for r in D.connected_components(
+            pairs, max_iter=15, driver_solve_max_edges=0
+        ).collect()
     }
     assert set(out.values()) == {0} and len(out) == 10
+    # the driver union-find path must agree exactly
+    out_drv = {
+        r.node: r.component
+        for r in D.connected_components(pairs).collect()
+    }
+    assert out_drv == out
     # max_iter=0 is a clear ValueError up front, not a NameError from
     # the for/else raise path referencing a never-assigned loop var
     with pytest.raises(ValueError, match="max_iter"):

@@ -438,3 +438,36 @@ def test_calibration_table_remainder_tiles(spark):
     # (rank-1)*3 div 7 -> tile sizes 3, 2, 2 (explicit arithmetic,
     # engine-independent unlike NTILE)
     assert rows == {0: 3, 1: 2, 2: 2}
+
+
+# --------------------------------------------------------------------------
+# connected_components driver gate parity
+# --------------------------------------------------------------------------
+def test_cc_driver_and_distributed_paths_agree(spark):
+    # two triangles + an isolated pair + shared-node star
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (20, 22), (20, 23)],
+        "a_id long, b_id long",
+    )
+    drv = {
+        (r.node, r.component)
+        for r in D.connected_components(pairs).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in D.connected_components(
+            pairs, driver_solve_max_edges=0
+        ).collect()
+    }
+    assert drv == dist
+    comp = dict(drv)
+    assert comp[3] == 1 and comp[11] == 10 and comp[23] == 20
+
+
+def test_cc_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    assert D.connected_components(pairs).count() == 0
+    assert (
+        D.connected_components(pairs, driver_solve_max_edges=0).count()
+        == 0
+    )
