@@ -2084,3 +2084,57 @@ def _margin_from_topk(
         .where((F.col("_rk") == 1) & (F.col("margin") >= F.lit(threshold)))
         .select("src_id", "tgt_id", "cos_sim", "margin")
     )
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    eval_pred,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space eval decontamination (the Phi-family complement
+    to n-gram decontamination): flag every training vector whose
+    nearest EVAL-split vector by exact cosine reaches ``threshold`` —
+    paraphrased benchmark leaks that shared-n-gram screens miss.
+    ``eval_pred`` is a Column predicate selecting the held-out split.
+
+    Returns (vec_id, closest_eval_id, cos_sim) for flagged training
+    vectors only (rank-1 eval match; ties to lowest eval id).
+
+    Scale shape: the EVAL side is benchmark-suite-sized by contract
+    (same contract as dedup.cross_corpus_contamination's bench side)
+    and broadcasts; the training corpus streams through one
+    whole-stage-codegen'd fold per (train, eval) pair, then a
+    per-train-vector window bounded by |eval|. When the eval side is
+    NOT small, swap the neighbor stage for
+    ann_ivf_topk_portable(corpus=eval_split, queries=train, k=1) —
+    the r11 probe-broadcast gate handles the corpus-as-queries
+    direction. Cosine is the same sequential double fold the SQL
+    oracle performs (dot/(n1*n2), norms hoisted per side).
+    """
+    e = emb.select(
+        F.col(id_col),
+        F.col(emb_col).cast("array<double>").alias("v"),
+        eval_pred.alias("_is_eval"),
+    ).withColumn("_nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    ev = e.filter(F.col("_is_eval")).select(
+        F.col(id_col).alias("closest_eval_id"),
+        F.col("v").alias("ev"),
+        F.col("_nrm").alias("en"),
+    )
+    tr = e.filter(~F.col("_is_eval")).select(
+        F.col(id_col).alias("vec_id"), "v", "_nrm"
+    )
+    scored = tr.join(F.broadcast(ev), F.lit(True)).withColumn(
+        "cos_sim",
+        _dot(F.col("v"), F.col("ev")) / (F.col("_nrm") * F.col("en")),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("closest_eval_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") == 1) & (F.col("cos_sim") >= threshold))
+        .select("vec_id", "closest_eval_id", "cos_sim")
+    )

@@ -6191,3 +6191,44 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims=64, iters=3, n=2,
     )
     return calibration_table(scored, n_buckets=10)
+
+
+# --------------------------------------------------------------------------
+# Round 11: embedding-space eval decontamination (paraphrase leaks)
+# --------------------------------------------------------------------------
+@query(
+    "q_semantic_decontaminate",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), ev AS (SELECT * FROM e WHERE vec_id % 17 = 0),
+    tr AS (SELECT * FROM e WHERE vec_id % 17 <> 0),
+    p AS (
+      SELECT tr.vec_id, ev.vec_id AS closest_eval_id,
+             list_dot_product(tr.v, ev.v)
+               / (sqrt(list_dot_product(tr.v, tr.v))
+                  * sqrt(list_dot_product(ev.v, ev.v))) AS cos_sim
+      FROM tr JOIN ev ON true
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos_sim DESC, closest_eval_id) AS rk
+      FROM p
+    )
+    SELECT vec_id, closest_eval_id, cos_sim
+    FROM r WHERE rk = 1 AND cos_sim >= 0.33
+    """,
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination
+    (operators.similarity.semantic_decontaminate): training vectors
+    whose nearest eval-split vector (vec_id % 17 — the q_decontaminate
+    split, exact cosine) reaches the 0.33 threshold, with the culprit
+    eval id — the paraphrase-leak screen n-gram decontamination can't
+    see. Eval side broadcasts (benchmark-suite-sized by contract); the
+    ANN swap for a large eval side is documented on the operator."""
+    return S.semantic_decontaminate(
+        _t(spark, sf_dir, "embeddings"),
+        F.col("vec_id") % 17 == 0,
+        threshold=0.33,
+    )

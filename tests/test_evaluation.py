@@ -471,3 +471,44 @@ def test_cc_empty_pairs(spark):
         D.connected_components(pairs, driver_solve_max_edges=0).count()
         == 0
     )
+
+
+# --------------------------------------------------------------------------
+# semantic_decontaminate
+# --------------------------------------------------------------------------
+def test_semantic_decontaminate_planted_leak(spark):
+    from konohadataplatform_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (17, [1.0, 0.0, 0.0], True),  # eval vector
+            (1, [0.99, 0.1, 0.0], False),  # near-copy -> flagged
+            (2, [0.0, 1.0, 0.0], False),  # orthogonal -> clean
+            (3, [-1.0, 0.0, 0.0], False),  # opposite -> clean
+        ],
+        "vec_id long, embedding array<double>, is_eval boolean",
+    )
+    out = semantic_decontaminate(
+        emb, F.col("is_eval"), threshold=0.9
+    ).collect()
+    assert [(r["vec_id"], r["closest_eval_id"]) for r in out] == [(1, 17)]
+    assert out[0]["cos_sim"] > 0.99
+
+
+def test_semantic_decontaminate_rank1_ties_lowest_eval_id(spark):
+    from konohadataplatform_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (20, [1.0, 0.0], True),
+            (21, [1.0, 0.0], True),  # identical eval twin
+            (1, [1.0, 0.0], False),
+        ],
+        "vec_id long, embedding array<double>, is_eval boolean",
+    )
+    out = semantic_decontaminate(emb, F.col("is_eval"), 0.5).collect()
+    assert len(out) == 1 and out[0]["closest_eval_id"] == 20
