@@ -129,6 +129,7 @@ EXTENDED = [
     "q_retrieval_metrics",
     "q_vocab_divergence",
     "q_classifier_calibration",
+    "q_semantic_decontaminate",
 ]
 
 

@@ -6232,3 +6232,54 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") % 17 == 0,
         threshold=0.33,
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11: near-dup cluster-size histogram (data-card duplication
+# profile: how much of the corpus is 1x/2x/Nx duplicated)
+# --------------------------------------------------------------------------
+@query(
+    "q_dup_cluster_histogram",
+    f"""{_CLUSTER_CTES}
+    , sz AS (
+      SELECT cluster_rep, COUNT(*) AS cluster_size
+      FROM cl GROUP BY cluster_rep
+    ), tot AS (SELECT COUNT(*) AS n_docs FROM cl)
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs_covered,
+           CAST(cluster_size * COUNT(*) * 1000000
+                // ANY_VALUE(tot.n_docs) AS BIGINT) AS corpus_frac_micro
+    FROM sz CROSS JOIN tot
+    GROUP BY cluster_size
+    """,
+)
+def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile for the data card: near-dup cluster sizes
+    (exact 0.8-Jaccard components, singletons included) histogrammed —
+    (cluster_size, n_clusters, n_docs_covered, corpus_frac_micro).
+    Composes one dedup_clusters pass with two metadata-sized
+    aggregates; the corpus fraction is a single integer division
+    against a broadcast one-row total."""
+    clusters = D.dedup_clusters(_t(spark, sf_dir, "documents"))
+    sz = clusters.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    tot = clusters.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sz.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs_covered"),
+            F.expr(
+                "cluster_size * n_clusters * 1000000 DIV n_docs"
+            )
+            .cast("bigint")
+            .alias("corpus_frac_micro"),
+        )
+    )

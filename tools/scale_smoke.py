@@ -147,6 +147,12 @@ SMOKE_QUERIES = [
     # vocab divergence: one vocab-mass word-keyed join — 10x duplicated
     # docs keep the vocab fixed, so only counts grow (explode-bound)
     "q_vocab_divergence",
+    # NOT smoked: q_semantic_decontaminate — exact cosine of every
+    # train vector against a broadcast eval split whose registered
+    # form (vec_id % 17) grows WITH the corpus, so replicated-fixture
+    # ratios measure the quadratic contract, not the plan; real eval
+    # suites are fixed-size (the broadcast side stays constant) and
+    # the documented ANN swap covers a large one.
     # NOT smoked: q_retrieval_metrics / q_retrieval_metrics_ann (the
     # latter is the full-probe parity config) — the ranked input is the
     # brute-force cosine ranker over a 1/23 query split (pair count
