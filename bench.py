@@ -128,7 +128,11 @@ EXTENDED = [
     "q_contrastive_pairs",
     "q_retrieval_metrics",
     "q_vocab_divergence",
-    "q_classifier_calibration",
+    # q_classifier_calibration is NOT pinned: it composes two paths the
+    # list already times (perceptron training via q_quality_classifier,
+    # scalable_row_number via q_curriculum_shards) and re-paying the
+    # 3-pass training per bench run adds ~5 s for no new signal; the
+    # driver's correctness rotation still covers it.
     "q_semantic_decontaminate",
 ]
 
