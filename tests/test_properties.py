@@ -716,3 +716,162 @@ def test_dup_ngram_mass_bounded_by_nonspace_chars(spark, texts):
         for n in range(5, 11):
             m = getattr(r, f"dup{n}_mass")
             assert 0 <= m <= r.nonspace_chars
+
+
+# --------------------------------------------------------------------------
+# r11: ranking_metrics vs a pure-Python reference scorer
+# --------------------------------------------------------------------------
+def _reference_metrics(ranked, relevant, k):
+    """Obviously-correct scorer over (qid -> [(hit, rank)]) and
+    (qid -> set(hits)) with the same integer weight tables."""
+    from konohadataplatform_spark.operators.evaluation import (
+        RANK_SCALE,
+        dcg_weight_table,
+        idcg_prefix_table,
+    )
+
+    w, p = dcg_weight_table(k), idcg_prefix_table(k)
+    out = {}
+    for qid, hits in ranked.items():
+        rel = relevant.get(qid, set())
+        in_k = [(h, r) for h, r in hits if r <= k]
+        rel_hits = sorted(r for h, r in in_k if h in rel)
+        n_rel = len(rel)
+        dcg = sum(w[r - 1] for h, r in in_k if h in rel)
+        idcg = p[min(n_rel, k) - 1] if n_rel > 0 else 0
+        out[qid] = {
+            "n_relevant": n_rel,
+            "hits_at_k": len(rel_hits),
+            "first_rel_rank": rel_hits[0] if rel_hits else 0,
+            "recall_micro": (
+                len(rel_hits) * RANK_SCALE // n_rel if n_rel else 0
+            ),
+            "mrr_micro": (
+                RANK_SCALE // rel_hits[0] if rel_hits else 0
+            ),
+            "dcg_micro": dcg,
+            "idcg_micro": idcg,
+            "ndcg_micro": (
+                dcg * RANK_SCALE // idcg if idcg > 0 and rel_hits else 0
+            ),
+        }
+    return out
+
+
+ranking_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # query id
+        st.integers(min_value=10, max_value=25),  # hit id
+    ),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+relevant_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=10, max_value=25),
+    ),
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=ranking_strategy, rel=relevant_strategy, k=st.sampled_from([3, 5, 10]))
+def test_ranking_metrics_matches_reference_model(spark, pairs, rel, k):
+    from konohadataplatform_spark.operators.evaluation import (
+        ranking_metrics,
+    )
+
+    # assign dense 1-based ranks per query in hit-id order
+    ranked_py: dict = {}
+    rows = []
+    for qid, hit in sorted(pairs):
+        r = len(ranked_py.setdefault(qid, [])) + 1
+        ranked_py[qid].append((hit, r))
+        rows.append((qid, hit, r))
+    ranked = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, knn_rank int"
+    )
+    rel_py: dict = {}
+    for qid, hit in rel:
+        rel_py.setdefault(qid, set()).add(hit)
+    if rel:
+        relevant = spark.createDataFrame(
+            sorted({(q, h) for q, h in rel}),
+            "query_id long, neighbor_id long",
+        )
+    else:
+        relevant = spark.createDataFrame(
+            [], "query_id long, neighbor_id long"
+        )
+    got = {
+        row["query_id"]: row.asDict()
+        for row in ranking_metrics(ranked, relevant, k=k).collect()
+    }
+    expected = _reference_metrics(ranked_py, rel_py, k)
+    assert set(got) == set(expected)
+    for qid, exp in expected.items():
+        g = got[qid]
+        for key, val in exp.items():
+            assert g[key] == val, (qid, key, g[key], val)
+
+
+# --------------------------------------------------------------------------
+# r11: vocab_divergence vs an exact-fractions reference model
+# --------------------------------------------------------------------------
+docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=6
+        ),
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=docs_strategy)
+def test_vocab_divergence_matches_reference_model(spark, docs):
+    from collections import Counter
+
+    from konohadataplatform_spark.operators.text import vocab_divergence
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words), grp) for i, (grp, words) in enumerate(docs)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r.asDict() for r in vocab_divergence(df).collect()
+    }
+    by_grp: dict = {}
+    for grp, words in docs:
+        by_grp.setdefault(grp, Counter()).update(words)
+    total = sum(sum(c.values()) for c in by_grp.values())
+    for grp, cg in by_grp.items():
+        tg = sum(cg.values())
+        tr = total - tg
+        rest = Counter()
+        for g2, c2 in by_grp.items():
+            if g2 != grp:
+                rest.update(c2)
+        if tr == 0:
+            assert got[grp]["tvd_micro"] is None
+            continue
+        num = sum(
+            abs(cg.get(w, 0) * tr - rest.get(w, 0) * tg)
+            for w in set(cg) | set(rest)
+        )
+        expected = num * 1_000_000 // (2 * tg * tr)
+        assert got[grp]["tvd_micro"] == expected, (grp, docs)
+        assert 0 <= expected <= 1_000_000
