@@ -134,6 +134,7 @@ EXTENDED = [
     # 3-pass training per bench run adds ~5 s for no new signal; the
     # driver's correctness rotation still covers it.
     "q_semantic_decontaminate",
+    "q_epoch_schedule",
 ]
 
 

@@ -1187,3 +1187,74 @@ def code_quality_flags(
             "pass_code_filters"
         ),
     )
+
+
+def epoch_schedule(
+    docs: DataFrame,
+    token_budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The pretraining data-mixing table (the "sampling prop. /
+    epochs" table of the Llama-class papers): given a total training
+    ``token_budget``, temperature-weight each slice's token mass
+    (alpha = 0.5, the same floor(sqrt(mass * scale)) integer weight as
+    :func:`lang_temperature_quota`) and report how many tokens the
+    budget allocates to the slice and how many PASSES over the slice
+    that implies —
+
+    (group, n_tokens, weight, target_tokens,
+     epochs_micro = target_tokens * 1e6 div n_tokens)
+
+    epochs_micro > 1e6 means the slice repeats (up-sampled tail);
+    < 1e6 means it is subsampled. All integers; products ride
+    decimal(38,0) so budget x weight cannot wrap int64. Exactness
+    bound: n_tokens * scale must stay below 2^52 (raise_error-guarded,
+    the lang_temperature_quota contract) — at a larger corpus lower
+    ``scale``.
+
+    Scale shape: one partial+final token-count aggregate per slice
+    (metadata-sized), a broadcast weight total, one projection.
+    """
+    from konohadataplatform_spark.operators.text import token_count
+
+    if token_budget < 1:
+        raise ValueError("token_budget must be >= 1")
+    counts = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(token_count(F.col(text_col))).alias("n_tokens")
+    )
+    weighted = counts.withColumn(
+        "weight",
+        F.floor(
+            F.sqrt(
+                F.expr(
+                    f"if(n_tokens * {int(scale)}L < {1 << 52}L, "
+                    f"n_tokens * {int(scale)}L, "
+                    "raise_error('epoch_schedule: n_tokens * scale >= "
+                    "2^52 — floor(sqrt) is no longer engine-exact; "
+                    "lower scale'))"
+                )
+            )
+        ).cast("bigint"),
+    )
+    tot = weighted.agg(F.sum("weight").alias("_tw"))
+    dec = "decimal(38,0)"
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        F.col("grp").alias(group_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "weight",
+        F.expr(
+            f"CAST(CAST({int(token_budget)} AS {dec}) * weight DIV _tw "
+            "AS BIGINT)"
+        ).alias("target_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(
+                f"CAST(CAST(CAST({int(token_budget)} AS {dec}) * weight "
+                f"DIV _tw AS {dec}) * 1000000 DIV n_tokens AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("epochs_micro"),
+    )

@@ -6283,3 +6283,41 @@ def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("corpus_frac_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11: pretraining mixing table (tokens + epochs per source)
+# --------------------------------------------------------------------------
+@query(
+    "q_epoch_schedule",
+    """
+    WITH c AS (
+      SELECT source,
+             SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(trim(text))
+                      - length(replace(trim(text), ' ', '')) + 1 END)
+               AS n_tokens
+      FROM documents GROUP BY 1
+    ), w AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(n_tokens * 1000000)) AS BIGINT) AS weight
+      FROM c
+    ), t AS (SELECT SUM(weight) AS tw FROM w)
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+           CAST(1000000 * weight // tw AS BIGINT) AS target_tokens,
+           CAST(CASE WHEN n_tokens > 0
+                THEN (1000000 * weight // tw) * 1000000 // n_tokens
+                ELSE 0 END AS BIGINT) AS epochs_micro
+    FROM w CROSS JOIN t
+    """,
+)
+def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing table (operators.curation.epoch_schedule):
+    temperature-weighted (alpha=0.5) token allocation of a 1M-token
+    budget across sources, with the implied epochs per slice —
+    epochs_micro > 1e6 marks up-sampled tails that will repeat during
+    training. One metadata-sized aggregate + broadcast total; the
+    sqrt weight is the lang_temperature_quota exactness contract."""
+    return CU.epoch_schedule(
+        _t(spark, sf_dir, "documents"), token_budget=1_000_000
+    )

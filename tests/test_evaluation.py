@@ -512,3 +512,46 @@ def test_semantic_decontaminate_rank1_ties_lowest_eval_id(spark):
     )
     out = semantic_decontaminate(emb, F.col("is_eval"), 0.5).collect()
     assert len(out) == 1 and out[0]["closest_eval_id"] == 20
+
+
+# --------------------------------------------------------------------------
+# epoch_schedule
+# --------------------------------------------------------------------------
+def test_epoch_schedule_hand_computed(spark):
+    import math
+
+    from konohadataplatform_spark.operators.curation import epoch_schedule
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "big")] * 0
+        + [(i, "a b c d", "big") for i in range(16)]  # 64 tokens
+        + [(100, "a b c d", "small")],  # 4 tokens
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r.asDict()
+        for r in epoch_schedule(docs, token_budget=1000).collect()
+    }
+    w_big = math.floor(math.sqrt(64 * 1_000_000))
+    w_small = math.floor(math.sqrt(4 * 1_000_000))
+    tw = w_big + w_small
+    assert out["big"]["n_tokens"] == 64
+    assert out["big"]["weight"] == w_big
+    assert out["big"]["target_tokens"] == 1000 * w_big // tw
+    assert out["small"]["target_tokens"] == 1000 * w_small // tw
+    # temperature flattening: the small slice gets MORE epochs
+    assert out["small"]["epochs_micro"] > out["big"]["epochs_micro"]
+    # and more than its proportional share of tokens
+    assert out["small"]["target_tokens"] * 68 > 1000 * 4
+
+
+def test_epoch_schedule_epochs_identity(spark):
+    from konohadataplatform_spark.operators.curation import epoch_schedule
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "only")], "doc_id long, text string, source string"
+    )
+    row = epoch_schedule(docs, token_budget=10).collect()[0]
+    # single slice takes the whole budget: epochs = budget / n_tokens
+    assert row["target_tokens"] == 10
+    assert row["epochs_micro"] == 10 * 1_000_000 // 2
