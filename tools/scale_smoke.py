@@ -147,6 +147,8 @@ SMOKE_QUERIES = [
     # vocab divergence: one vocab-mass word-keyed join — 10x duplicated
     # docs keep the vocab fixed, so only counts grow (explode-bound)
     "q_vocab_divergence",
+    # mixing table: one metadata-sized aggregate over the token scan
+    "q_epoch_schedule",
     # NOT smoked: q_semantic_decontaminate — exact cosine of every
     # train vector against a broadcast eval split whose registered
     # form (vec_id % 17) grows WITH the corpus, so replicated-fixture
