@@ -149,6 +149,9 @@ SMOKE_QUERIES = [
     "q_vocab_divergence",
     # mixing table: one metadata-sized aggregate over the token scan
     "q_epoch_schedule",
+    # duplication histogram: the smoked dedup_clusters pass + two
+    # metadata-sized aggregates
+    "q_dup_cluster_histogram",
     # NOT smoked: q_semantic_decontaminate — exact cosine of every
     # train vector against a broadcast eval split whose registered
     # form (vec_id % 17) grows WITH the corpus, so replicated-fixture
