@@ -126,7 +126,6 @@ EXTENDED = [
     "q_tokenizer_fertility",
     "q_cross_source_overlap",
     "q_contrastive_pairs",
-    "q_retrieval_metrics",
     "q_vocab_divergence",
     # q_classifier_calibration is NOT pinned: it composes two paths the
     # list already times (perceptron training via q_quality_classifier,
@@ -135,6 +134,7 @@ EXTENDED = [
     # driver's correctness rotation still covers it.
     "q_semantic_decontaminate",
     "q_epoch_schedule",
+    "q_filter_funnel",
 ]
 
 

@@ -6321,3 +6321,182 @@ def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.epoch_schedule(
         _t(spark, sf_dir, "documents"), token_budget=1_000_000
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11: per-source curation funnel (yield through the filter chain)
+# --------------------------------------------------------------------------
+@query(
+    "q_filter_funnel",
+    """
+    WITH gw AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(trim(text), ' ') END AS ws
+      FROM documents
+    ), gm AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(coalesce(
+               list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT)
+               AS total_chars,
+             CAST(len(list_filter(ws,
+               x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+               AS n_alpha_words,
+             CAST(len(list_filter(ws,
+               x -> list_contains(['the','be','to','of','and','that',
+                                   'have','with'], x))) AS BIGINT)
+               AS n_stopwords
+      FROM gw
+    ), gp AS (
+      SELECT doc_id,
+             ((n_words >= 50 AND n_words <= 100000)
+              AND (3 * n_words <= total_chars
+                   AND total_chars <= 10 * n_words AND n_words > 0)
+              AND (5 * n_alpha_words >= 4 * n_words AND n_words > 0)
+              AND (n_stopwords >= 2)) AS pass_gopher
+      FROM gm
+    ), t AS (
+      SELECT doc_id, coalesce(trim(text), '') AS tt,
+             string_split(coalesce(trim(text), ''), ' ') AS w
+      FROM documents
+    ), lp AS (
+      SELECT doc_id, tt,
+             list_filter(list_transform(string_split(tt, chr(10)),
+                                        x -> trim(x)), x -> x <> '')
+               AS lines,
+             list_filter(list_transform(
+               string_split(tt, chr(10) || chr(10)), x -> trim(x)),
+               x -> x <> '') AS paras
+      FROM t
+    ), st AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+               AS n_dup_lines,
+             CAST(len(paras) AS BIGINT) AS n_paras,
+             CAST(len(paras) - len(list_distinct(paras)) AS BIGINT)
+               AS n_dup_paras,
+             CAST(length(replace(replace(tt, ' ', ''), chr(10), ''))
+                  AS BIGINT) AS nonspace_chars
+      FROM lp
+    ), g AS (
+      SELECT doc_id, s.n AS n, s.gram AS gram FROM (
+        SELECT doc_id,
+               unnest(flatten([
+                 [ {'n': n, 'gram': array_to_string(w[i+1:i+n], ' ')}
+                   for i in range(0, len(w) - n + 1) ]
+                 for n in [2, 3, 4] if len(w) >= n ])) AS s
+        FROM t)
+    ), c AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY ALL
+    ), top AS (
+      SELECT doc_id, n,
+             CAST(cnt * length(replace(gram, ' ', '')) AS BIGINT) AS mass,
+             row_number() OVER (PARTITION BY doc_id, n
+                                ORDER BY cnt DESC, gram ASC) AS rn
+      FROM c
+    ), mm AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 2 THEN mass END) AS m2,
+             MAX(CASE WHEN n = 3 THEN mass END) AS m3,
+             MAX(CASE WHEN n = 4 THEN mass END) AS m4
+      FROM top WHERE rn = 1 GROUP BY doc_id
+    ), rp AS (
+      SELECT st.doc_id,
+             ((n_dup_lines * 100 <= 30 * n_lines)
+              AND (n_dup_paras * 100 <= 30 * n_paras)
+              AND (coalesce(m2, 0) * 100 <= 20 * nonspace_chars)
+              AND (coalesce(m3, 0) * 100 <= 18 * nonspace_chars)
+              AND (coalesce(m4, 0) * 100 <= 16 * nonspace_chars))
+               AS pass_repetition
+      FROM st LEFT JOIN mm ON st.doc_id = mm.doc_id
+    ), pi AS (
+      SELECT doc_id,
+             (len(regexp_extract_all(coalesce(text, ''),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(coalesce(text, ''),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+              + len(regexp_extract_all(coalesce(text, ''),
+               '\\b\\d{3}-\\d{4}\\b'))) = 0 AS pii_clean
+      FROM documents
+    ), dd AS (
+      SELECT MIN(doc_id) AS kid FROM documents GROUP BY md5(text)
+    ), j AS (
+      SELECT d.source, (dd.kid IS NOT NULL) AS kept,
+             gp.pass_gopher, rp.pass_repetition, pi.pii_clean
+      FROM documents d
+      LEFT JOIN dd ON dd.kid = d.doc_id
+      JOIN gp ON gp.doc_id = d.doc_id
+      JOIN rp ON rp.doc_id = d.doc_id
+      JOIN pi ON pi.doc_id = d.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_kept,
+           CAST(SUM(CASE WHEN kept AND pass_gopher THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gopher,
+           CAST(SUM(CASE WHEN kept AND pass_gopher AND pass_repetition
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+           CAST(SUM(CASE WHEN kept AND pass_gopher AND pass_repetition
+                         AND pii_clean THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_final,
+           CAST(SUM(CASE WHEN kept AND pass_gopher AND pass_repetition
+                         AND pii_clean THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS yield_micro
+    FROM j GROUP BY source
+    """,
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel report: per source, how many documents
+    survive each successive stage of the standard chain — exact dedup
+    keeper -> Gopher word-form rules -> Gopher repetition rules ->
+    PII-clean — plus the end-to-end yield fraction. The per-stage
+    accounting every corpus paper publishes, and the first thing a
+    pipeline owner asks when a source's volume drops. Composes the
+    shipped flag batteries (each a scan-speed projection /
+    doc-bounded aggregate) joined on the doc key; one per-source
+    aggregate at the end."""
+    docs = _t(spark, sf_dir, "documents")
+    gop = CU.gopher_quality_flags(docs).select("doc_id", "pass_gopher")
+    rep = CU.gopher_repetition_flags(docs).select(
+        "doc_id", "pass_repetition"
+    )
+    pii = CU.pii_redact(docs).select(
+        "doc_id",
+        (
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) == 0
+        ).alias("pii_clean"),
+    )
+    kept_ids = D.exact_dedup(docs).select(
+        F.col("kept_doc_id").alias("doc_id"), F.lit(True).alias("kept")
+    )
+    j = (
+        docs.select("doc_id", "source")
+        .join(kept_ids, "doc_id", "left")
+        .join(gop, "doc_id")
+        .join(rep, "doc_id")
+        .join(pii, "doc_id")
+        .withColumn("kept", F.coalesce("kept", F.lit(False)))
+    )
+    c1 = F.col("kept")
+    c2 = c1 & F.col("pass_gopher")
+    c3 = c2 & F.col("pass_repetition")
+    c4 = c3 & F.col("pii_clean")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            cnt(c1).alias("n_exact_kept"),
+            cnt(c2).alias("n_gopher"),
+            cnt(c3).alias("n_repetition"),
+            cnt(c4).alias("n_final"),
+        )
+        .withColumn(
+            "yield_micro",
+            F.expr("n_final * 1000000 DIV n_total").cast("bigint"),
+        )
+    )
