@@ -152,6 +152,9 @@ SMOKE_QUERIES = [
     # duplication histogram: the smoked dedup_clusters pass + two
     # metadata-sized aggregates
     "q_dup_cluster_histogram",
+    # curation funnel: three scan-speed flag batteries + the digest
+    # groupBy, joined on the doc key; one per-source aggregate
+    "q_filter_funnel",
     # NOT smoked: q_semantic_decontaminate — exact cosine of every
     # train vector against a broadcast eval split whose registered
     # form (vec_id % 17) grows WITH the corpus, so replicated-fixture
