@@ -245,18 +245,22 @@ def calibration_table(
     differs across engines). The rank comes from
     ``scalable_row_number`` (range-partitioned, per-partition offsets
     broadcast back): no single-partition global sort at corpus scale;
-    (score, id) must total-order, which ``id_col`` guarantees.
+    (score, id) must total-order, which ``id_col`` guarantees. N
+    rides along from the SAME per-partition counts relation that
+    produced the ranks (``total_col``, the r11 ADVICE fix) — no
+    second scan of the scored lineage, and the bucket cut can never
+    disagree with the ranking about cardinality.
     """
     from konohadataplatform_spark.operators.ranking import (
         scalable_row_number,
     )
 
     ranked = scalable_row_number(
-        scored, [F.col(score_col), F.col(id_col)], out_col="_rn"
+        scored, [F.col(score_col), F.col(id_col)], out_col="_rn",
+        total_col="_n",
     )
-    totals = scored.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        ranked.crossJoin(F.broadcast(totals))
+        ranked
         .withColumn(
             "bucket",
             F.expr(f"CAST((_rn - 1) * {int(n_buckets)} DIV _n AS INT)"),

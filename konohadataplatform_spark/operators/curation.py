@@ -1224,12 +1224,18 @@ def epoch_schedule(
     counts = docs.groupBy(F.col(group_col).alias("grp")).agg(
         F.sum(token_count(F.col(text_col))).alias("n_tokens")
     )
+    # overflow-proof exactness guard (r11 ADVICE): compare n_tokens
+    # against (2^52 div scale) BEFORE forming the product — the
+    # multiply-then-compare form wraps int64 for n_tokens > ~9.2e12
+    # (plausible at 100 TB), passes the `< 2^52` check negative, and
+    # turns raise_error into a silent NULL weight
+    max_tokens = (1 << 52) // int(scale)
     weighted = counts.withColumn(
         "weight",
         F.floor(
             F.sqrt(
                 F.expr(
-                    f"if(n_tokens * {int(scale)}L < {1 << 52}L, "
+                    f"if(n_tokens < {max_tokens}L, "
                     f"n_tokens * {int(scale)}L, "
                     "raise_error('epoch_schedule: n_tokens * scale >= "
                     "2^52 — floor(sqrt) is no longer engine-exact; "

@@ -99,14 +99,17 @@ def ranking_metrics(
         )
     )
 
-    # n_rel and hits are per-QUERY aggregates (<= one row per query —
-    # evaluation-sized by contract), so the final assembly broadcasts
-    # them; `relevant` itself carries no hint (qrels are usually small,
-    # but AQE should decide if a caller feeds a corpus-sized one).
+    # n_rel and hits are per-QUERY aggregates (<= one row per query),
+    # but the query set itself can be corpus-proportional (the
+    # registered q_retrieval_metrics splits by vec_id % 23), so NO
+    # explicit broadcast hint (r11 ADVICE): a hint bypasses Spark's
+    # size threshold and OOMs on a corpus-scale query set. AQE
+    # measures the aggregate outputs at runtime and broadcasts
+    # exactly when they are actually small.
     base = ranked.select(q).distinct()
     out = (
-        base.join(F.broadcast(n_rel), "query_id", "left")
-        .join(F.broadcast(hits), "query_id", "left")
+        base.join(n_rel, "query_id", "left")
+        .join(hits, "query_id", "left")
         .withColumn("n_relevant", F.coalesce("n_relevant", F.lit(0)))
         .withColumn("hits_at_k", F.coalesce("hits_at_k", F.lit(0)))
     )

@@ -39,10 +39,20 @@ def scalable_row_number(
     out_col: str = "rank",
     num_partitions: int | None = None,
     stabilize_source: bool = False,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Global row_number over `order_cols` without a single-partition
     sort. `order_cols` must define a total order (add a unique tiebreak
     column) for deterministic output.
+
+    ``total_col``: when set, every output row also carries the TOTAL
+    row count under that name, computed from the same per-partition
+    counts relation that produces the offsets — callers needing
+    rank-relative-to-N arithmetic (calibration tiles, percentile
+    cuts) get N without a second scan of the source, and the total is
+    tied by construction to the exact relation that produced the
+    ranks (an independent count() of a non-deterministic source could
+    disagree).
 
     The ranking and counts branches must observe identical `_pid`
     assignments; ReusedExchange plus repartitionByRange's seeded
@@ -67,10 +77,16 @@ def scalable_row_number(
     off_w = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = counts.select(
-        "_pid",
+    off_cols = [
+        F.col("_pid"),
         F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
-    )
+    ]
+    if total_col is not None:
+        tot_w = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("_c").over(tot_w).alias(total_col))
+    offsets = counts.select(*off_cols)
     return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_local_rn") + F.col("_off")).cast("int"))

@@ -2092,6 +2092,11 @@ def semantic_decontaminate(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    eval_broadcast_rows: int = 500_000,
+    ann_n_cells: int = 64,
+    ann_nprobe: int | None = None,
+    ann_iters: int = 2,
+    ann_train_mod: int | None = None,
 ) -> DataFrame:
     """Embedding-space eval decontamination (the Phi-family complement
     to n-gram decontamination): flag every training vector whose
@@ -2102,16 +2107,30 @@ def semantic_decontaminate(
     Returns (vec_id, closest_eval_id, cos_sim) for flagged training
     vectors only (rank-1 eval match; ties to lowest eval id).
 
-    Scale shape: the EVAL side is benchmark-suite-sized by contract
-    (same contract as dedup.cross_corpus_contamination's bench side)
-    and broadcasts; the training corpus streams through one
-    whole-stage-codegen'd fold per (train, eval) pair, then a
-    per-train-vector window bounded by |eval|. When the eval side is
-    NOT small, swap the neighbor stage for
-    ann_ivf_topk_portable(corpus=eval_split, queries=train, k=1) —
-    the r11 probe-broadcast gate handles the corpus-as-queries
-    direction. Cosine is the same sequential double fold the SQL
-    oracle performs (dot/(n1*n2), norms hoisted per side).
+    Scale shape — COUNTED GATE (the r11 verdict weak item, fixed to
+    the connected_components / probe_broadcast_rows contract): the
+    eval side is counted first, and
+
+    - at or below ``eval_broadcast_rows`` it broadcasts (the
+      benchmark-suite-sized contract: the training corpus streams
+      through one whole-stage-codegen'd fold per (train, eval) pair,
+      then a per-train-vector window bounded by |eval|);
+    - ABOVE the bound the neighbor stage auto-swaps to
+      ``ann_ivf_topk_portable(corpus=eval_split, queries=train,
+      k=1)`` — no unbounded broadcast exists on that path (the ANN
+      operator's own probe gate flips the |train| x nprobe probe
+      relation to a salted shuffled join in this corpus-as-queries
+      direction). The default ``ann_nprobe=None`` means FULL probe:
+      results stay bit-identical to the broadcast path under any
+      centroids (both paths fold the same exact double cosine and
+      break ties to the lowest eval id), so the gate changes the
+      execution strategy, never the answer. Pass ``ann_nprobe <
+      ann_n_cells`` (and optionally ``ann_train_mod``) to trade
+      recall for a sub-quadratic pair count when the eval side is
+      genuinely corpus-scale.
+
+    Cosine is the same sequential double fold the SQL oracle performs
+    (dot/(n1*n2), norms hoisted per side).
     """
     e = emb.select(
         F.col(id_col),
@@ -2126,6 +2145,25 @@ def semantic_decontaminate(
     tr = e.filter(~F.col("_is_eval")).select(
         F.col(id_col).alias("vec_id"), "v", "_nrm"
     )
+    if ev.count() > int(eval_broadcast_rows):
+        n_cells = int(ann_n_cells)
+        knn = ann_ivf_topk_portable(
+            corpus=emb.filter(eval_pred),
+            queries=emb.filter(~eval_pred),
+            k=1,
+            n_cells=n_cells,
+            nprobe=n_cells if ann_nprobe is None else int(ann_nprobe),
+            iters=int(ann_iters),
+            id_col=id_col,
+            vec_col=emb_col,
+            train_mod=ann_train_mod,
+            exclude_self=False,
+        )
+        return knn.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("neighbor_id").alias("closest_eval_id"),
+            "cos_sim",
+        ).filter(F.col("cos_sim") >= threshold)
     scored = tr.join(F.broadcast(ev), F.lit(True)).withColumn(
         "cos_sim",
         _dot(F.col("v"), F.col("ev")) / (F.col("_nrm") * F.col("en")),

@@ -5871,8 +5871,11 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab_c = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_cl")
     )
+    # no broadcast hint on the query-label side (r11 ADVICE): the
+    # vec_id % 23 split is corpus-proportional, so a forced hint would
+    # bypass the size threshold at scale — AQE decides
     relevant = (
-        lab_c.join(F.broadcast(lab_q), F.col("_cl") == F.col("_ql"))
+        lab_c.join(lab_q, F.col("_cl") == F.col("_ql"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
@@ -6094,8 +6097,11 @@ def q_retrieval_metrics_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab_c = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_cl")
     )
+    # no broadcast hint on the query-label side (r11 ADVICE): the
+    # vec_id % 23 split is corpus-proportional, so a forced hint would
+    # bypass the size threshold at scale — AQE decides
     relevant = (
-        lab_c.join(F.broadcast(lab_q), F.col("_cl") == F.col("_ql"))
+        lab_c.join(lab_q, F.col("_cl") == F.col("_ql"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )

@@ -555,3 +555,51 @@ def test_epoch_schedule_epochs_identity(spark):
     # single slice takes the whole budget: epochs = budget / n_tokens
     assert row["target_tokens"] == 10
     assert row["epochs_micro"] == 10 * 1_000_000 // 2
+
+
+def test_semantic_decontaminate_over_bound_ann_parity(spark):
+    """The r12 counted gate: above eval_broadcast_rows the operator
+    must route through the IVF machinery at full probe and return
+    bit-identical rows to the broadcast path (strategy changes, the
+    answer never does)."""
+    from konohadataplatform_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7) % 13), float((i * 5) % 11),
+                 float((i * 3) % 7 + 1)])
+            for i in range(1, 61)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pred = F.col("vec_id") % 5 == 0
+    via_broadcast = sorted(
+        (r["vec_id"], r["closest_eval_id"], r["cos_sim"])
+        for r in semantic_decontaminate(emb, pred, 0.5).collect()
+    )
+    via_ann = sorted(
+        (r["vec_id"], r["closest_eval_id"], r["cos_sim"])
+        for r in semantic_decontaminate(
+            emb, pred, 0.5, eval_broadcast_rows=0, ann_n_cells=4
+        ).collect()
+    )
+    assert via_broadcast and via_broadcast == via_ann
+
+
+def test_epoch_schedule_overflow_guard_no_int64_wrap(spark):
+    """The r11 ADVICE fix: with the old multiply-then-compare guard a
+    product that wraps int64 negative silently passed the 2^52 check;
+    the division-form guard must raise loudly instead."""
+    import pytest
+
+    from konohadataplatform_spark.operators.curation import epoch_schedule
+
+    # 20 tokens x 2^59 wraps int64 (1.15e19 > 2^63-1)
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 20), "s")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(Exception, match="epoch_schedule"):
+        epoch_schedule(docs, token_budget=10, scale=1 << 59).collect()

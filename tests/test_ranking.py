@@ -64,3 +64,12 @@ def test_no_cache_leak_after_materialization(spark):
     docs = load_table(spark, SF_DIR, "documents")
     lexical_topk(docs, F.col("doc_id") % 101 == 0, k=3, n=3).collect()
     assert cm.isEmpty()
+
+
+def test_scalable_row_number_total_col(spark):
+    df = spark.range(1, 38).select(F.col("id").alias("k"))
+    out = scalable_row_number(
+        df, [F.col("k")], "rank", total_col="_n"
+    ).collect()
+    assert {r["_n"] for r in out} == {37}
+    assert sorted(r["rank"] for r in out) == list(range(1, 38))
