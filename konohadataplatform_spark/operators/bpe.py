@@ -300,3 +300,199 @@ def tokenizer_fertility(
         .cast("bigint")
         .alias("chars_per_token_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer trainer (round 12 — the SentencePiece/Kudo 2018
+# half of the production tokenizer space, next to BPE above).
+# ---------------------------------------------------------------------------
+
+def _unigram_pos(words: DataFrame) -> DataFrame:
+    """(word, freq, i): one row per 1-based character position."""
+    return words.select(
+        "word",
+        "freq",
+        F.explode(F.expr("sequence(1, length(word))")).alias("i"),
+    )
+
+
+def _unigram_candidates(
+    words: DataFrame, max_piece_len: int
+) -> DataFrame:
+    """(word, freq, i, l, piece): every multi-char substring of every
+    word, lengths 2..max_piece_len — the unigram seed lattice. Sized
+    |vocab| x word_len x max_piece_len (vocab-scale, never
+    corpus-scale: words are already frequency-collapsed)."""
+    L = int(max_piece_len)
+    return (
+        _unigram_pos(words)
+        .select(
+            "word",
+            "freq",
+            "i",
+            F.explode(
+                F.expr(
+                    f"if(length(word) - i + 1 >= 2, "
+                    f"sequence(2, least({L}, length(word) - i + 1)), "
+                    "cast(array() as array<int>))"
+                )
+            ).alias("l"),
+        )
+        .withColumn(
+            "piece", F.expr("substring(word, i, l)")
+        )
+    )
+
+
+# greedy longest-match walk over the per-position best-piece lengths:
+# fold positions ascending, take position x iff it is exactly where
+# the previous taken piece ends. Position 1 is always taken (init).
+# The same fold, spelled in DuckDB list_reduce, drives the oracle —
+# both engines replay identical segmentations.
+_UNIGRAM_WALK = """
+transform(
+  aggregate(
+    sequence(1, size(plens)), array(1),
+    (acc, x) -> if(x = element_at(acc, -1)
+                       + element_at(plens, element_at(acc, -1)),
+                   concat(acc, array(x)), acc)),
+  j -> substring(word, j, element_at(plens, j)))
+"""
+
+
+def _unigram_segment_state(
+    words: DataFrame, cand: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """(word, freq, toks): segment every word with the current piece
+    vocabulary by GREEDY LONGEST MATCH (ties impossible: one best
+    length per position), single characters implicitly in-vocab (the
+    SentencePiece character-coverage rule) — so segmentation is total
+    and deterministic.
+
+    Plan: the candidate lattice semi-joins the vocab on `piece` (AQE
+    broadcasts the vocab side — it is vocab_size rows), a per-(word,
+    pos) max picks the longest match, and one fold per word walks the
+    lattice. Every relation is vocab-scale; corpus text is never
+    touched here.
+    """
+    matched = (
+        cand.join(vocab.select("piece"), "piece", "left_semi")
+        .groupBy("word", "i")
+        .agg(F.max("l").alias("_ml"))
+    )
+    best = _unigram_pos(words).join(matched, ["word", "i"], "left").select(
+        "word",
+        "freq",
+        "i",
+        F.coalesce("_ml", F.lit(1)).alias("plen"),
+    )
+    return (
+        best.groupBy("word", "freq")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "plen"))).alias("_bp")
+        )
+        .withColumn("plens", F.expr("transform(_bp, x -> x.plen)"))
+        .withColumn("toks", F.expr(_UNIGRAM_WALK))
+        .select("word", "freq", "toks")
+    )
+
+
+def unigram_train(
+    docs: DataFrame,
+    vocab_size: int = 50,
+    max_piece_len: int = 3,
+    iters: int = 1,
+    min_usage: int = 2,
+    seed_mult: int = 4,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Train a unigram-LM (SentencePiece-style) piece vocabulary —
+    the deterministic, integer-exact hard-EM variant:
+
+    1. SEED: every multi-char substring (lengths 2..max_piece_len) of
+       the frequency-collapsed word list, freq-weighted; keep the
+       ``seed_mult * vocab_size`` most frequent (ties: lexicographic
+       piece) with at least ``min_usage`` occurrences — the "make a
+       big seed vocab from frequent substrings" step of Kudo 2018 §3.2;
+    2. ``iters`` x (SEGMENT, COUNT, PRUNE): segment every word by
+       greedy longest match against the current vocab (single chars
+       always available — character coverage), count freq-weighted
+       piece usage in the realized segmentation, prune to the
+       ``vocab_size`` highest-usage multi-char pieces (usage >=
+       ``min_usage``; ties lexicographic). Hard (Viterbi-style) counts
+       instead of full forward-backward expectations keep every step
+       exact integer arithmetic — the same determinism contract as
+       :func:`bpe_train`, which is what lets a SQL oracle replay
+       training bit-for-bit;
+    3. final SEGMENT under the surviving vocabulary.
+
+    Returns (vocab, words): ``vocab`` = (piece_rank, piece, usage)
+    ranked by the final pruning round's usage; ``words`` = (word,
+    freq, toks) — the same memoized vocabulary-state shape
+    :func:`bpe_train` returns, so :func:`bpe_encode_docs` /
+    :func:`tokenizer_fertility` consume either tokenizer's output
+    unchanged (the BPE-vs-unigram comparison is one union away).
+
+    The 100 TB shape, exactly like BPE's: the ONLY corpus-scale job is
+    the word-frequency aggregate; the candidate lattice, every
+    segmentation, and every usage count run on vocab-sized relations
+    (millions of distinct words, not billions of documents). Per
+    round: one semi-join + two vocab-sized aggregates. The final top-K
+    prune is a global sort-limit of a vocab-bounded relation.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if max_piece_len < 2:
+        raise ValueError("max_piece_len must be >= 2")
+    words = word_frequencies(docs, text_col).cache()
+    cand = _unigram_candidates(words, max_piece_len).cache()
+    seed_size = int(seed_mult) * int(vocab_size)
+    vocab = (
+        cand.groupBy("piece")
+        .agg(F.sum("freq").alias("usage"))
+        .where(F.col("usage") >= int(min_usage))
+        .orderBy(F.desc("usage"), F.asc("piece"))
+        .limit(seed_size)
+        .select("piece")
+    )
+    prev_cache: DataFrame | None = None
+    vocab_rel: DataFrame | None = None
+    for _ in range(iters):
+        seg = _unigram_segment_state(words, cand, vocab)
+        usage = (
+            seg.select("freq", F.explode("toks").alias("piece"))
+            .where(F.length("piece") >= 2)
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("usage"))
+        )
+        vocab_rel = (
+            usage.where(F.col("usage") >= int(min_usage))
+            .orderBy(F.desc("usage"), F.asc("piece"))
+            .limit(int(vocab_size))
+            .cache()
+        )
+        vocab_rel.count()  # materialize before dropping the parent
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = vocab_rel
+        vocab = vocab_rel.select("piece")
+    from pyspark.sql.window import Window
+
+    # vocab-sized relation: the single-partition rank window is
+    # metadata, not data (the bpe merge-table convention)
+    final_vocab = vocab_rel.withColumn(
+        "piece_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("usage"), F.asc("piece")))
+        .cast("int"),
+    ).select("piece_rank", "piece", F.col("usage").cast("bigint").alias("usage"))
+    words_state = _unigram_segment_state(words, cand, vocab)
+    # bpe_train's lifecycle contract: hand the results to the GC via
+    # localCheckpoint (blocks free when the caller drops the frames),
+    # then release every cache — nothing lingers in the CacheManager
+    final_vocab = final_vocab.localCheckpoint(eager=True)
+    words_state = words_state.localCheckpoint(eager=True)
+    vocab_rel.unpersist()
+    cand.unpersist()
+    words.unpersist()
+    return final_vocab, words_state

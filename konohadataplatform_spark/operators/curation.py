@@ -1264,3 +1264,185 @@ def epoch_schedule(
         .otherwise(F.lit(0))
         .alias("epochs_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain front door (round 12 — RefinedWeb §3.1, C4 §2.2): the
+# screens real crawl pipelines run BEFORE any text-level filter.
+# Everything here is flag/screen logic over a URL string column —
+# the fixture has no URL column, so the registered queries derive a
+# deterministic synthetic URL both engines rebuild from shared
+# literals (queries/llmdata.py _URL_RECIPE).
+# ---------------------------------------------------------------------------
+
+# host = authority of scheme://authority/..., stopping at /, ?, #, or
+# the port colon. Spark regexp_extract and DuckDB regexp_extract both
+# return '' on no match, so the screens degrade identically.
+URL_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#:]+)"
+# registrable domain ~ last two dot-labels (the PSL-free approximation
+# every bulk crawl screen uses first; a true public-suffix join is a
+# broadcast lookup table away and composes on top)
+URL_DOMAIN_RE = "([^.]+\\.[^.]+)$"
+
+URL_BLOCKED_DOMAINS: tuple[str, ...] = (
+    "badsite.example",
+    "adfarm.example",
+    "tracker.example",
+)
+URL_BLOCKED_PATTERNS: tuple[str, ...] = (
+    "/ads/",
+    "sessionid=",
+    "utm_",
+    "/tracker/",
+)
+URL_SOFT_WORDS: tuple[str, ...] = (
+    "casino",
+    "lottery",
+    "warez",
+)
+
+
+def url_host(url: F.Column) -> F.Column:
+    """Lower-cased authority of the URL ('' when unparseable)."""
+    return F.regexp_extract(F.lower(url), URL_HOST_RE, 1)
+
+
+def url_domain(host: F.Column) -> F.Column:
+    """Registrable-domain approximation: the host's last two
+    dot-labels ('' for bare/dotless hosts)."""
+    return F.regexp_extract(host, URL_DOMAIN_RE, 1)
+
+
+def url_filters(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocked_domains: tuple[str, ...] = URL_BLOCKED_DOMAINS,
+    blocked_patterns: tuple[str, ...] = URL_BLOCKED_PATTERNS,
+    soft_words: tuple[str, ...] = URL_SOFT_WORDS,
+    max_url_len: int = 2048,
+) -> DataFrame:
+    """The URL-level filter battery (RefinedWeb §3.1 "URL filtering",
+    C4 §2.2 front door) — the screens that run before a single byte
+    of page text is inspected:
+
+    - ``ok_scheme``: http(s) only (ftp/data/javascript schemes drop);
+    - ``ok_len``: URL length <= ``max_url_len`` (crawler-trap guard);
+    - ``ok_host_shape``: host parsed non-empty, contains a dot, and is
+      not an IPv4 literal (RefinedWeb drops IP-only hosts);
+    - ``ok_domain``: the host is not IN — and not a subdomain of —
+      any blocklisted registrable domain;
+    - ``ok_pattern``: the case-folded URL carries none of the blocked
+      substrings (ad/tracking/session-id path fragments);
+    - ``ok_soft``: none of the soft-word fragments (the RefinedWeb
+      "soft" word list scored over the URL) appear;
+    - ``pass_url_filters``: all of the above.
+
+    Returns (doc_id, url, host, domain, ok_scheme, ok_len,
+    ok_host_shape, ok_domain, ok_pattern, ok_soft, pass_url_filters).
+
+    Scale shape: the entire battery is ONE codegen projection over the
+    scan — two regexp_extracts plus substring screens, zero exchanges,
+    zero UDFs (the c4_quality_flags plan class). The blocklists here
+    are config-sized tuples inlined as literal conjuncts; a
+    production-sized blocklist (millions of domains) becomes a
+    broadcast left-anti join on ``domain`` against a blocklist table —
+    same output columns, one broadcast exchange.
+    """
+    url = F.coalesce(F.col(url_col), F.lit(""))
+    lower = F.lower(url)
+    host = url_host(url)
+    domain = url_domain(host)
+    ok_scheme = lower.rlike("^https?://")
+    ok_len = F.length(url) <= F.lit(int(max_url_len))
+    ok_host_shape = (
+        (host != F.lit(""))
+        & F.contains(host, F.lit("."))
+        & ~host.rlike("^[0-9.]+$")
+    )
+    ok_domain = F.lit(True)
+    for d in blocked_domains:
+        ok_domain = ok_domain & ~(
+            (host == F.lit(d)) | F.endswith(host, F.lit("." + d))
+        )
+    ok_pattern = F.lit(True)
+    for p in blocked_patterns:
+        ok_pattern = ok_pattern & ~F.contains(lower, F.lit(p))
+    ok_soft = F.lit(True)
+    for w in soft_words:
+        ok_soft = ok_soft & ~F.contains(lower, F.lit(w))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        url.alias("url"),
+        host.alias("host"),
+        domain.alias("domain"),
+        ok_scheme.alias("ok_scheme"),
+        ok_len.alias("ok_len"),
+        ok_host_shape.alias("ok_host_shape"),
+        ok_domain.alias("ok_domain"),
+        ok_pattern.alias("ok_pattern"),
+        ok_soft.alias("ok_soft"),
+        (
+            ok_scheme & ok_len & ok_host_shape & ok_domain
+            & ok_pattern & ok_soft
+        ).alias("pass_url_filters"),
+    )
+
+
+def apply_domain_cap(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    cap: int = 1000,
+) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb/C4 "at most N pages per
+    domain" rule), keyed on the registrable domain parsed from
+    ``url_col``: keeps each domain's ``cap`` lowest ``id_col`` rows.
+
+    Composes :func:`apply_group_cap` — the two-phase partition-local
+    cap, so a head domain with 10^9 pages never funnels through one
+    task — over a derived ``_domain`` column; all original columns
+    come back, the derived column does not.
+    """
+    with_dom = docs.withColumn(
+        "_domain", url_domain(url_host(F.col(url_col)))
+    )
+    return apply_group_cap(with_dom, "_domain", id_col, cap).select(
+        *docs.columns
+    )
+
+
+def url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level exact dedup (the crawl-side dedup that runs before
+    any content hash): normalize the URL — strip the query string and
+    fragment, strip one trailing slash — and keep the lowest
+    ``id_col`` per normalized URL.
+
+    Returns (doc_id, url_norm, kept). Case is NOT folded: hosts are
+    already folded by parse convention upstream and paths are
+    case-sensitive by RFC 3986.
+
+    Scale shape: one projection + one partial+final min aggregate on
+    ``url_norm`` + one join back keyed on the same column (AQE picks
+    the strategy; the aggregate side is one row per distinct URL).
+    """
+    norm = F.regexp_replace(
+        F.regexp_replace(F.coalesce(F.col(url_col), F.lit("")),
+                         "[?#].*$", ""),
+        "/$", "",
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), norm.alias("url_norm")
+    )
+    firsts = base.groupBy("url_norm").agg(
+        F.min("doc_id").alias("_first_id")
+    )
+    return base.join(firsts, "url_norm").select(
+        "doc_id",
+        "url_norm",
+        (F.col("doc_id") == F.col("_first_id")).alias("kept"),
+    )

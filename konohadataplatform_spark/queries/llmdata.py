@@ -6429,14 +6429,22 @@ def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), dd AS (
       SELECT MIN(doc_id) AS kid FROM documents GROUP BY md5(text)
+    ), tk AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                  ELSE length(trim(text))
+                       - length(replace(trim(text), ' ', '')) + 1
+             END AS tok
+      FROM documents
     ), j AS (
       SELECT d.source, (dd.kid IS NOT NULL) AS kept,
-             gp.pass_gopher, rp.pass_repetition, pi.pii_clean
+             gp.pass_gopher, rp.pass_repetition, pi.pii_clean, tk.tok
       FROM documents d
       LEFT JOIN dd ON dd.kid = d.doc_id
       JOIN gp ON gp.doc_id = d.doc_id
       JOIN rp ON rp.doc_id = d.doc_id
       JOIN pi ON pi.doc_id = d.doc_id
+      JOIN tk ON tk.doc_id = d.doc_id
     )
     SELECT source,
            COUNT(*) AS n_total,
@@ -6451,7 +6459,22 @@ def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_final,
            CAST(SUM(CASE WHEN kept AND pass_gopher AND pass_repetition
                          AND pii_clean THEN 1 ELSE 0 END) * 1000000
-                // COUNT(*) AS BIGINT) AS yield_micro
+                // COUNT(*) AS BIGINT) AS yield_micro,
+           CAST(SUM(tok) AS BIGINT) AS tok_total,
+           CAST(SUM(CASE WHEN kept THEN tok ELSE 0 END) AS BIGINT)
+             AS tok_exact_kept,
+           CAST(SUM(CASE WHEN kept AND pass_gopher THEN tok ELSE 0 END)
+                AS BIGINT) AS tok_gopher,
+           CAST(SUM(CASE WHEN kept AND pass_gopher AND pass_repetition
+                    THEN tok ELSE 0 END) AS BIGINT) AS tok_repetition,
+           CAST(SUM(CASE WHEN kept AND pass_gopher AND pass_repetition
+                         AND pii_clean THEN tok ELSE 0 END) AS BIGINT)
+             AS tok_final,
+           CAST(CASE WHEN SUM(tok) > 0
+                THEN SUM(CASE WHEN kept AND pass_gopher
+                              AND pass_repetition AND pii_clean
+                         THEN tok ELSE 0 END) * 1000000 // SUM(tok)
+                ELSE 0 END AS BIGINT) AS token_yield_micro
     FROM j GROUP BY source
     """,
 )
@@ -6464,7 +6487,14 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline owner asks when a source's volume drops. Composes the
     shipped flag batteries (each a scan-speed projection /
     doc-bounded aggregate) joined on the doc key; one per-source
-    aggregate at the end."""
+    aggregate at the end.
+
+    r12: every stage is also reported in TOKEN mass (tok_* columns +
+    token_yield_micro) — corpus papers publish token yield, not doc
+    yield, and the two diverge whenever a filter is length-biased
+    (Gopher's word-count floor drops short docs: doc yield falls
+    faster than token yield). Same join shape — the whitespace token
+    count rides the existing doc-key join, no new shuffle."""
     docs = _t(spark, sf_dir, "documents")
     gop = CU.gopher_quality_flags(docs).select("doc_id", "pass_gopher")
     rep = CU.gopher_repetition_flags(docs).select(
@@ -6480,7 +6510,13 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept_doc_id").alias("doc_id"), F.lit(True).alias("kept")
     )
     j = (
-        docs.select("doc_id", "source")
+        docs.select(
+            "doc_id",
+            "source",
+            TX.token_count(
+                F.coalesce(F.col("text"), F.lit(""))
+            ).alias("_tok"),
+        )
         .join(kept_ids, "doc_id", "left")
         .join(gop, "doc_id")
         .join(rep, "doc_id")
@@ -6492,6 +6528,7 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     c3 = c2 & F.col("pass_repetition")
     c4 = c3 & F.col("pii_clean")
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    tok = lambda c: F.sum(F.when(c, F.col("_tok")).otherwise(0)).cast("bigint")  # noqa: E731
     return (
         j.groupBy("source")
         .agg(
@@ -6500,9 +6537,514 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt(c2).alias("n_gopher"),
             cnt(c3).alias("n_repetition"),
             cnt(c4).alias("n_final"),
+            F.sum("_tok").cast("bigint").alias("tok_total"),
+            tok(c1).alias("tok_exact_kept"),
+            tok(c2).alias("tok_gopher"),
+            tok(c3).alias("tok_repetition"),
+            tok(c4).alias("tok_final"),
         )
         .withColumn(
             "yield_micro",
             F.expr("n_final * 1000000 DIV n_total").cast("bigint"),
         )
+        .withColumn(
+            "token_yield_micro",
+            F.expr(
+                "CASE WHEN tok_total > 0 "
+                "THEN tok_final * 1000000 DIV tok_total ELSE 0 END"
+            ).cast("bigint"),
+        )
+        .select(
+            "source", "n_total", "n_exact_kept", "n_gopher",
+            "n_repetition", "n_final", "yield_micro", "tok_total",
+            "tok_exact_kept", "tok_gopher", "tok_repetition",
+            "tok_final", "token_yield_micro",
+        )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 12: URL/domain curation tier (RefinedWeb §3.1 / C4 §2.2 front
+# door). The documents fixture carries no URL column, so each query
+# derives a deterministic synthetic URL from (doc_id, source) — the
+# SAME recipe string renders into Spark (F.expr) and DuckDB (oracle
+# CTE), differing only in the cast keyword, so both engines screen
+# byte-identical URLs with planted pass/fail rows for every rule.
+# --------------------------------------------------------------------------
+_URL_RECIPE = (
+    "CASE WHEN doc_id % 19 = 0 THEN 'ftp://' ELSE 'https://' END || "
+    "CASE WHEN doc_id % 13 = 0 THEN 'ads.badsite.example' "
+    "WHEN doc_id % 13 = 1 THEN '10.0.0.1' "
+    "WHEN doc_id % 13 = 2 THEN 'localhost' "
+    "ELSE source || '.org' END || "
+    "'/doc/' || CAST(doc_id % 41 AS {T}) || "
+    "CASE WHEN doc_id % 11 = 0 THEN '?sessionid=abc' "
+    "WHEN doc_id % 17 = 0 THEN '/ads/banner' "
+    "WHEN doc_id % 23 = 0 THEN '/casino/bonus' ELSE '' END || "
+    "CASE WHEN doc_id % 29 = 0 THEN '/' ELSE '' END"
+)
+
+
+def _with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_RECIPE.format(T="STRING"))
+    )
+
+
+def _url_flag_ctes() -> str:
+    """WITH-chain u -> h -> f replicating operators.curation.url_filters
+    from the shared literals (URL_HOST_RE / URL_DOMAIN_RE / blocklists)."""
+    url = _URL_RECIPE.format(T="VARCHAR")
+    dom = " AND ".join(
+        f"NOT (host = '{d}' OR host LIKE '%.{d}')"
+        for d in CU.URL_BLOCKED_DOMAINS
+    )
+    pat = " AND ".join(
+        f"NOT contains(lower(url), '{p}')"
+        for p in CU.URL_BLOCKED_PATTERNS
+    )
+    soft = " AND ".join(
+        f"NOT contains(lower(url), '{w}')" for w in CU.URL_SOFT_WORDS
+    )
+    return f"""
+    WITH u AS (SELECT doc_id, {url} AS url FROM documents),
+    h AS (
+      SELECT doc_id, url,
+             regexp_extract(lower(url), '{CU.URL_HOST_RE}', 1) AS host
+      FROM u
+    ), f AS (
+      SELECT doc_id, url, host,
+             regexp_extract(host, '{CU.URL_DOMAIN_RE}', 1) AS domain,
+             regexp_matches(lower(url), '^https?://') AS ok_scheme,
+             length(url) <= 2048 AS ok_len,
+             (host <> '' AND contains(host, '.')
+              AND NOT regexp_matches(host, '^[0-9.]+$')) AS ok_host_shape,
+             ({dom}) AS ok_domain,
+             ({pat}) AS ok_pattern,
+             ({soft}) AS ok_soft
+      FROM h
+    )"""
+
+
+@query(
+    "q_url_filters",
+    _url_flag_ctes()
+    + """
+    SELECT doc_id, url, host, domain, ok_scheme, ok_len, ok_host_shape,
+           ok_domain, ok_pattern, ok_soft,
+           (ok_scheme AND ok_len AND ok_host_shape AND ok_domain
+            AND ok_pattern AND ok_soft) AS pass_url_filters
+    FROM f
+    """,
+)
+def q_url_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level filter battery (operators.curation.url_filters) —
+    the RefinedWeb §3.1 / C4 §2.2 front door that runs before any
+    text filter: scheme/length screens, host-shape (IP-literal,
+    dotless) screen, registrable-domain blocklist (equality +
+    subdomain), ad/tracking URL-pattern rules, and the soft-word
+    list. One codegen projection over the scan, zero exchanges
+    (the c4_quality_flags plan class); the synthetic URL plants
+    pass/fail rows for every rule via doc_id residues."""
+    return CU.url_filters(_with_url(spark, sf_dir))
+
+
+@query(
+    "q_domain_cap",
+    _url_flag_ctes()
+    + """
+    , p AS (
+      SELECT doc_id, url, domain FROM f
+      WHERE ok_scheme AND ok_len AND ok_host_shape AND ok_domain
+            AND ok_pattern AND ok_soft
+    )
+    SELECT doc_id, url FROM p
+    QUALIFY row_number() OVER (PARTITION BY domain
+                               ORDER BY doc_id) <= 7
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap over the URL-filtered crawl
+    (operators.curation.apply_domain_cap): at most 7 pages per
+    registrable domain, lowest doc_id first — the RefinedWeb
+    "bounded contribution per domain" rule. Composes the two-phase
+    partition-local cap (no per-domain window/sort anywhere: a head
+    domain with 10^9 pages never funnels through one task; the
+    oracle's QUALIFY window is the semantics, not the plan)."""
+    passed = (
+        CU.url_filters(_with_url(spark, sf_dir))
+        .where(F.col("pass_url_filters"))
+        .select("doc_id", "url")
+    )
+    return CU.apply_domain_cap(passed, cap=7)
+
+
+@query(
+    "q_url_dedup",
+    _url_flag_ctes()
+    + """
+    , n AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                            '/$', '') AS url_norm
+      FROM u
+    )
+    SELECT doc_id, url_norm,
+           doc_id = MIN(doc_id) OVER (PARTITION BY url_norm) AS kept
+    FROM n
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-side URL dedup (operators.curation.url_dedup): normalize
+    (strip query string/fragment, strip one trailing slash), keep the
+    lowest doc_id per normalized URL. The recipe's `doc_id % 41` path
+    plants genuine collisions (same source, same path residue, and
+    ?sessionid/trailing-slash variants normalize together). One
+    projection + one min-aggregate + one key join; AQE picks the join
+    strategy."""
+    return CU.url_dedup(_with_url(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Round 12: unigram-LM (SentencePiece-style) tokenizer trainer —
+# deterministic hard-EM (operators.bpe.unigram_train). The oracle
+# replays training exactly: candidate lattice -> seed vocab ->
+# greedy-longest-match segmentation (per-position best length + a
+# list_reduce walk, the same fold the Spark side runs) -> usage
+# counts -> prune -> final segmentation.
+# --------------------------------------------------------------------------
+_UG_L, _UG_MINU, _UG_VSIZE, _UG_SEED = 3, 2, 50, 200
+
+
+def _ug_seg_block(k: int, vocab_cte: str) -> str:
+    return f"""
+    , ug_m{k} AS (
+      SELECT c.word, c.i, MAX(c.l) AS ml
+      FROM ug_cand c JOIN {vocab_cte} v
+        ON substr(c.word, c.i, c.l) = v.piece
+      GROUP BY 1, 2
+    ), ug_b{k} AS (
+      SELECT p.word, p.freq, p.i, COALESCE(m.ml, 1) AS plen
+      FROM ug_pos p LEFT JOIN ug_m{k} m
+        ON m.word = p.word AND m.i = p.i
+    ), ug_s{k} AS (
+      SELECT word, freq,
+             [substr(word, j, plens[j]) for j in taken] AS toks
+      FROM (
+        SELECT word, freq, plens,
+               list_reduce(
+                 list_transform(range(1, len(plens) + 1), x -> [x]),
+                 (acc, x) -> CASE
+                     WHEN x[1] = acc[-1] + plens[acc[-1]]
+                     THEN list_concat(acc, x) ELSE acc END) AS taken
+        FROM (SELECT word, freq, list(plen ORDER BY i) AS plens
+              FROM ug_b{k} GROUP BY word, freq))
+    )"""
+
+
+def _ug_chain() -> str:
+    """Continuation CTE chain (starts with a comma): word freqs ->
+    candidate lattice -> seed -> segment(1) -> usage -> pruned vocab
+    ug_v1 -> final segmentation ug_s2."""
+    return (
+        f"""
+    , ug_w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(trim(text), ' ')) AS word
+        FROM documents)
+      WHERE word <> '' GROUP BY word
+    ), ug_pos AS (
+      SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+      FROM ug_w
+    ), ug_cand AS (
+      SELECT word, freq, i,
+             unnest(range(2, least({_UG_L}, length(word) - i + 1) + 1))
+               AS l
+      FROM ug_pos
+    ), ug_seed AS (
+      SELECT piece FROM (
+        SELECT substr(word, i, l) AS piece,
+               CAST(SUM(freq) AS BIGINT) AS usg
+        FROM ug_cand GROUP BY 1)
+      WHERE usg >= {_UG_MINU} ORDER BY usg DESC, piece LIMIT {_UG_SEED}
+    )"""
+        + _ug_seg_block(1, "ug_seed")
+        + f"""
+    , ug_u1 AS (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS usg FROM (
+        SELECT freq, unnest(toks) AS piece FROM ug_s1)
+      WHERE length(piece) >= 2 GROUP BY 1
+    ), ug_v1 AS (
+      SELECT piece, usg FROM ug_u1
+      WHERE usg >= {_UG_MINU} ORDER BY usg DESC, piece LIMIT {_UG_VSIZE}
+    )"""
+        + _ug_seg_block(2, "ug_v1")
+    )
+
+
+@query(
+    "q_unigram_tokenizer",
+    "WITH _one AS (SELECT 1 AS x)"
+    + _ug_chain()
+    + """
+    SELECT CAST(row_number() OVER (ORDER BY usg DESC, piece) AS INT)
+             AS piece_rank,
+           piece, usg AS usage
+    FROM ug_v1
+    """,
+)
+def q_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators.bpe.unigram_train —
+    the SentencePiece half of the tokenizer canon next to BPE):
+    substring seed vocab, greedy-longest-match hard-EM round, prune
+    to the 50 highest-usage pieces. Returns the learned vocabulary
+    (piece_rank, piece, usage). Every step is exact integer counts
+    with lexicographic tie-breaks, so the oracle replays training
+    bit-for-bit; the only corpus-scale job is the word-frequency
+    aggregate (the bpe_train contract)."""
+    from konohadataplatform_spark.operators.bpe import unigram_train
+
+    vocab, _ = unigram_train(
+        _t(spark, sf_dir, "documents"),
+        vocab_size=_UG_VSIZE,
+        max_piece_len=_UG_L,
+        iters=1,
+        min_usage=_UG_MINU,
+        seed_mult=_UG_SEED // _UG_VSIZE,
+    )
+    return vocab
+
+
+def _fert_tail(words_cte: str, label: str, sfx: str) -> str:
+    """Per-lang fertility aggregate over a (word, freq, toks) CTE —
+    the q_tokenizer_fertility tail with unique CTE names and a
+    tokenizer label column."""
+    return f"""
+    , dw{sfx} AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ), bt{sfx} AS (
+      SELECT dw{sfx}.doc_id, COUNT(*) AS nw,
+             CAST(SUM(COALESCE(len(w.toks), length(dw{sfx}.word)))
+                  AS BIGINT) AS btoks
+      FROM dw{sfx} LEFT JOIN {words_cte} w ON w.word = dw{sfx}.word
+      WHERE dw{sfx}.word <> ''
+      GROUP BY dw{sfx}.doc_id
+    ), d{sfx} AS (
+      SELECT d0.lang, length(d0.text) AS nchars,
+             COALESCE(bt{sfx}.nw, 0) AS nw,
+             COALESCE(bt{sfx}.btoks, 0) AS btoks
+      FROM documents d0
+      LEFT JOIN bt{sfx} ON bt{sfx}.doc_id = d0.doc_id
+    ), f{sfx} AS (
+      SELECT '{label}' AS tokenizer, lang, COUNT(*) AS n_docs,
+             CAST(SUM(nw) AS BIGINT) AS total_words,
+             CAST(SUM(btoks) AS BIGINT) AS total_tokens,
+             CAST(SUM(nchars) AS BIGINT) AS total_chars,
+             CAST(CASE WHEN SUM(nw) > 0
+                  THEN SUM(btoks) * 1000000 // SUM(nw)
+                  ELSE 0 END AS BIGINT) AS tokens_per_word_micro,
+             CAST(CASE WHEN SUM(btoks) > 0
+                  THEN SUM(nchars) * 1000000 // SUM(btoks)
+                  ELSE 0 END AS BIGINT) AS chars_per_token_micro
+      FROM d{sfx} GROUP BY lang
+    )"""
+
+
+@query(
+    "q_tokenizer_compare",
+    _bpe_oracle_chain(3)
+    + _ug_chain()
+    + _fert_tail("w3", "bpe", "_b")
+    + _fert_tail("ug_s2", "unigram", "_u")
+    + """
+    SELECT * FROM f_b UNION ALL SELECT * FROM f_u
+    """,
+)
+def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vs unigram-LM fertility on the same corpus: train both
+    tokenizers (3-merge BPE; 50-piece unigram), encode through the
+    same memoized word-join, and report per-language fertility side
+    by side — the comparison a tokenizer selection actually runs
+    (Ács 2019). Both vocabulary states share the (word, freq, toks)
+    shape, so tokenizer_fertility consumes either unchanged; the
+    union is two vocab-bounded encode plans, corpus text read twice
+    at scan speed."""
+    from konohadataplatform_spark.operators.bpe import (
+        bpe_train,
+        tokenizer_fertility,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    _, bpe_words = bpe_train(docs, 3)
+    _, ug_words = unigram_train(
+        docs, vocab_size=_UG_VSIZE, max_piece_len=_UG_L, iters=1,
+        min_usage=_UG_MINU, seed_mult=_UG_SEED // _UG_VSIZE,
+    )
+    out = []
+    for label, words in (("bpe", bpe_words), ("unigram", ug_words)):
+        out.append(
+            tokenizer_fertility(docs, words, group_col="lang").select(
+                F.lit(label).alias("tokenizer"),
+                "lang",
+                "n_docs",
+                "total_words",
+                F.col("total_bpe_tokens").alias("total_tokens"),
+                "total_chars",
+                F.col("bpe_per_word_micro").alias(
+                    "tokens_per_word_micro"
+                ),
+                "chars_per_token_micro",
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+# --------------------------------------------------------------------------
+# Round 12: partial-probe ANN quality, driver-checked (r11 verdict ask
+# #5): grade the IVF ranker at nprobe=2 of 8 cells through the IR
+# scorer, so the recall cost of probing 1/4 of the index is an
+# oracle-checked number, not just a tools/recall_probe.py report. The
+# oracle replays the exact-integer Lloyd training (the q_ann_ivf
+# chain), probes 2 cells per query, and feeds the ranked list into
+# the shared metrics tail.
+# --------------------------------------------------------------------------
+_IVF_DIM_FOLD = (
+    "CAST(list_sum([ ({a}.q[i]-{c}.c[i])*({a}.q[i]-{c}.c[i])"
+    " for i in range(1, 65) ]) AS BIGINT)"
+)
+
+
+def _ivf_partial_metrics_oracle() -> str:
+    d0 = _IVF_DIM_FOLD.format(a="e", c="c0")
+    d1 = _IVF_DIM_FOLD.format(a="a1", c="c1")
+    d2 = _IVF_DIM_FOLD.format(a="e", c="c2")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+             [ CAST(FLOOR((CAST(embedding AS DOUBLE[])[i] + 2.0)
+                          * 1000000.0) AS BIGINT)
+               for i in range(1, 65) ] AS q
+      FROM embeddings
+    ), c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, q AS c
+      FROM e ORDER BY vec_id LIMIT 8
+    ), a1 AS (
+      SELECT cid, q, cell FROM (
+        SELECT e.vec_id AS cid, e.q, c0.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {d0}, c0.cell) AS rn
+        FROM e, c0)
+      WHERE rn = 1
+    ), c1 AS (
+      SELECT cell, list(cd ORDER BY pos) AS c FROM (
+        SELECT cell, i AS pos,
+               CAST(SUM(q[i]) AS BIGINT) // COUNT(*) AS cd
+        FROM a1, range(1, 65) r(i) GROUP BY cell, i)
+      GROUP BY cell
+    ), a2 AS (
+      SELECT cid, q, cell FROM (
+        SELECT a1.cid, a1.q, c1.cell,
+               ROW_NUMBER() OVER (PARTITION BY a1.cid
+                 ORDER BY {d1}, c1.cell) AS rn
+        FROM a1, c1)
+      WHERE rn = 1
+    ), c2 AS (
+      SELECT cell, list(cd ORDER BY pos) AS c FROM (
+        SELECT cell, i AS pos,
+               CAST(SUM(q[i]) AS BIGINT) // COUNT(*) AS cd
+        FROM a2, range(1, 65) r(i) GROUP BY cell, i)
+      GROUP BY cell
+    ), fin AS (
+      SELECT cid AS neighbor_id, cell FROM (
+        SELECT e.vec_id AS cid, c2.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {d2}, c2.cell) AS rn
+        FROM e, c2)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, c2.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {d2}, c2.cell) AS rn
+        FROM e, c2 WHERE e.vec_id % 23 = 0)
+      WHERE rn <= 2
+    ), cand AS (
+      SELECT p.query_id, f.neighbor_id,
+             list_dot_product(eq.v, en.v)
+               / (sqrt(list_dot_product(eq.v, eq.v))
+                  * sqrt(list_dot_product(en.v, en.v))) AS cs,
+             eq.label AS qlab, en.label AS nlab
+      FROM probes p
+      JOIN fin f ON f.cell = p.cell AND f.neighbor_id <> p.query_id
+      JOIN e eq ON eq.vec_id = p.query_id
+      JOIN e en ON en.vec_id = f.neighbor_id
+    ), rnk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cs DESC, neighbor_id) AS rk
+      FROM cand
+    ), top AS (SELECT * FROM rnk WHERE rk <= 10),
+    qs AS (SELECT vec_id, label FROM e WHERE vec_id % 23 = 0),
+    nrel AS (
+      SELECT qs.vec_id AS qid, COUNT(*) AS n_relevant
+      FROM qs JOIN e c ON c.label = qs.label AND c.vec_id <> qs.vec_id
+      GROUP BY 1
+    ), hits AS (
+      SELECT query_id AS qid, COUNT(*) AS hits_at_k, MIN(rk) AS best,
+             SUM(list_extract({_DCG_W}, rk)) AS dcg
+      FROM top WHERE nlab = qlab GROUP BY 1
+    )
+    SELECT qs.vec_id AS query_id,
+           COALESCE(n.n_relevant, 0) AS n_relevant,
+           COALESCE(h.hits_at_k, 0) AS hits_at_k,
+           CAST(COALESCE(h.best, 0) AS INT) AS first_rel_rank,
+           CASE WHEN COALESCE(n.n_relevant, 0) > 0
+                THEN COALESCE(h.hits_at_k, 0) * 1000000 // n.n_relevant
+                ELSE 0 END AS recall_micro,
+           CASE WHEN h.best IS NULL THEN 0
+                ELSE 1000000 // h.best END AS mrr_micro,
+           CAST(COALESCE(h.dcg, 0) AS BIGINT) AS dcg_micro,
+           CASE WHEN COALESCE(n.n_relevant, 0) > 0
+                THEN list_extract({_DCG_P}, least(n.n_relevant, 10))
+                ELSE 0 END AS idcg_micro,
+           CAST(CASE WHEN h.dcg IS NOT NULL
+                      AND COALESCE(n.n_relevant, 0) > 0
+                THEN h.dcg * 1000000
+                     // list_extract({_DCG_P}, least(n.n_relevant, 10))
+                ELSE 0 END AS BIGINT) AS ndcg_micro
+    FROM qs LEFT JOIN nrel n ON n.qid = qs.vec_id
+            LEFT JOIN hits h ON h.qid = qs.vec_id
+    """
+
+
+@query("q_retrieval_metrics_partial_probe", _ivf_partial_metrics_oracle())
+def q_retrieval_metrics_partial_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IR scorer grading the IVF ranker at PARTIAL probe
+    (nprobe=2 of 8 cells) — the measured quality cost of scanning a
+    quarter of the index, driver-checked: the oracle replays the
+    exact-integer Lloyd training, probes the same 2 cells per query,
+    and computes the same integer metrics, so any recall the probe
+    loses shows up as a hash-checked recall_micro/ndcg_micro drop
+    against the full-probe q_retrieval_metrics_ann. n_relevant stays
+    ground truth over the FULL corpus (the ranker never defines its
+    own denominator)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 23 == 0)
+    ranked = S.ann_ivf_topk_portable(
+        emb, qs, k=10, n_cells=8, nprobe=2, iters=2
+    )
+    lab_q = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    lab_c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_cl")
+    )
+    relevant = (
+        lab_c.join(lab_q, F.col("_cl") == F.col("_ql"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return EV.ranking_metrics(ranked, relevant, k=10)

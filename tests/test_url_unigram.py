@@ -1,0 +1,127 @@
+"""Round-12 operators: URL/domain curation tier (curation.url_filters /
+apply_domain_cap / url_dedup) and the unigram-LM tokenizer trainer
+(bpe.unigram_train) — planted-row screens and a fully hand-computed
+training run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from konohadataplatform_spark.operators import curation as CU
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_url_filters_planted_rows(spark):
+    flags = {
+        r["doc_id"]: r.asDict()
+        for r in CU.url_filters(
+            _urls(
+                spark,
+                [
+                    (1, "https://ok.example.org/page"),
+                    (2, "ftp://ok.example.org/page"),
+                    (3, "https://ads.badsite.example/page"),
+                    (4, "https://badsite.example/page"),
+                    (5, "https://10.0.0.1/page"),
+                    (6, "https://localhost/page"),
+                    (7, "https://ok.example.org/x?sessionid=1"),
+                    (8, "https://ok.example.org/ads/banner"),
+                    (9, "https://casino.example.org/page"),
+                    (10, "https://ok.example.org/" + "x" * 3000),
+                ],
+            )
+        ).collect()
+    }
+    assert flags[1]["pass_url_filters"]
+    assert flags[1]["host"] == "ok.example.org"
+    assert flags[1]["domain"] == "example.org"
+    assert not flags[2]["ok_scheme"]
+    assert not flags[3]["ok_domain"]  # subdomain of blocklisted
+    assert not flags[4]["ok_domain"]  # exact blocklisted domain
+    assert not flags[5]["ok_host_shape"]  # IPv4 literal
+    assert not flags[6]["ok_host_shape"]  # dotless host
+    assert not flags[7]["ok_pattern"]
+    assert not flags[8]["ok_pattern"]
+    assert not flags[9]["ok_soft"]
+    assert not flags[10]["ok_len"]
+    for i in range(2, 11):
+        assert not flags[i]["pass_url_filters"]
+
+
+def test_apply_domain_cap(spark):
+    rows = [
+        (i, f"https://a.one.org/{i}") for i in range(10)
+    ] + [(100 + i, f"https://b.two.org/{i}") for i in range(3)]
+    out = CU.apply_domain_cap(_urls(spark, rows), cap=2)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [0, 1, 100, 101]
+
+
+def test_url_dedup(spark):
+    out = {
+        r["doc_id"]: (r["url_norm"], r["kept"])
+        for r in CU.url_dedup(
+            _urls(
+                spark,
+                [
+                    (1, "https://a.org/x"),
+                    (2, "https://a.org/x?utm=1"),
+                    (3, "https://a.org/x/"),
+                    (4, "https://a.org/y#frag"),
+                ],
+            )
+        ).collect()
+    }
+    assert out[1] == ("https://a.org/x", True)
+    assert out[2] == ("https://a.org/x", False)
+    assert out[3] == ("https://a.org/x", False)
+    assert out[4] == ("https://a.org/y", True)
+
+
+def test_unigram_train_hand_computed(spark):
+    from konohadataplatform_spark.operators.bpe import unigram_train
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "abab cdcd")], "doc_id long, text string"
+    )
+    # word freqs: abab x3, cdcd x1. Candidate usage: ab=6, aba=3,
+    # ba=3, bab=3, cd=2 (dc/cdc/dcd fall under min_usage). Seed keeps
+    # all five. Segmentation under seed: abab -> [aba, b] (greedy
+    # longest from pos 1), cdcd -> [cd, cd]. Usage: aba=3, cd=2 ->
+    # pruned vocab [aba, cd]; final segmentation unchanged shapes.
+    vocab, words = unigram_train(
+        docs, vocab_size=3, max_piece_len=3, iters=1, min_usage=2
+    )
+    assert [
+        (r["piece_rank"], r["piece"], r["usage"])
+        for r in vocab.orderBy("piece_rank").collect()
+    ] == [(1, "aba", 3), (2, "cd", 2)]
+    segs = {r["word"]: list(r["toks"]) for r in words.collect()}
+    assert segs == {"abab": ["aba", "b"], "cdcd": ["cd", "cd"]}
+
+
+def test_unigram_words_state_feeds_fertility(spark):
+    from konohadataplatform_spark.operators.bpe import (
+        tokenizer_fertility,
+        unigram_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab", "en"), (2, "abab cdcd", "de")],
+        "doc_id long, text string, lang string",
+    )
+    _, words = unigram_train(
+        docs, vocab_size=3, max_piece_len=3, iters=1, min_usage=2
+    )
+    out = {
+        r["lang"]: r.asDict()
+        for r in tokenizer_fertility(docs, words).collect()
+    }
+    # en: 2 words ([aba,b] twice) -> 4 tokens; de: abab(2) + cdcd(2)
+    assert out["en"]["total_words"] == 2
+    assert out["en"]["total_bpe_tokens"] == 4
+    assert out["de"]["total_words"] == 2
+    assert out["de"]["total_bpe_tokens"] == 4
