@@ -154,7 +154,21 @@ SMOKE_QUERIES = [
     "q_dup_cluster_histogram",
     # curation funnel: three scan-speed flag batteries + the digest
     # groupBy, joined on the doc key; one per-source aggregate
+    # (r12: also sums per-stage token mass — same join shape)
     "q_filter_funnel",
+    # r12 additions: the URL battery is a zero-exchange projection
+    # (c4_filters plan class); domain cap is the two-phase cap over
+    # the filtered crawl; URL dedup is one min-agg + key join; the
+    # unigram trainer must stay vocab-bounded after the one
+    # corpus-scale word count (10x duplicated docs keep the word
+    # vocab FIXED, so candidates/segmentation/prune are ~flat and
+    # only the word-frequency scan grows); the compare row runs both
+    # tokenizers' encode joins
+    "q_url_filters",
+    "q_domain_cap",
+    "q_url_dedup",
+    "q_unigram_tokenizer",
+    "q_tokenizer_compare",
     # NOT smoked: q_semantic_decontaminate — exact cosine of every
     # train vector against a broadcast eval split whose registered
     # form (vec_id % 17) grows WITH the corpus, so replicated-fixture
@@ -168,6 +182,12 @@ SMOKE_QUERIES = [
     # row); at corpus scale the harness scores a fixed eval SAMPLE and
     # the ranked input comes from the ANN path (the metrics stage
     # itself is |queries| x k — metadata-sized).
+    # NOT smoked: q_retrieval_metrics_partial_probe — the registered
+    # query split (vec_id % 23) is corpus-proportional, so even at
+    # nprobe=2/8 the probed pair count is O(n^2 * nprobe / (23 *
+    # n_cells)) — the metrics harness contract above applies: at
+    # corpus scale the query side is a fixed eval sample and the
+    # scorer stage itself stays |queries| x k.
     # NOT smoked: q_margin_mining_ann — the registered query is the
     # FULL-PROBE parity config (scores every pair by construction, so
     # its sf1 ratio is the same quadratic contract the brute-force row
