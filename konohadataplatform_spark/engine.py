@@ -29,6 +29,32 @@ class Engine:
     def __init__(self, spark: SparkSession | None = None, catalog=None):
         self.spark = spark or get_spark()
         self.catalog = catalog
+        self._seen_versions: dict[str, int] = {}
+
+    def _sync_catalog_views(self) -> None:
+        """Lazily (re-)register any catalog table whose committed
+        version this engine's session has not seen — so a table
+        CREATEd or MERGEd through ANY session over the same warehouse
+        (a wire-door SessionEngine clone, another Engine) is queryable
+        here at its latest committed version. Metadata-only: one
+        pointer-file read per table per statement. r12: hoisted from
+        SessionEngine so the BASE engine is symmetric with its clones
+        (previously a door CTAS was visible to every NEW door session
+        but not to Engine.sql on the base engine itself)."""
+        if self.catalog is None:
+            return
+        for t in self.catalog.tables():
+            if "@" in t:
+                # branch shadow tables ("{name}@{branch}") are reached
+                # through branch_table()/VERSION AS OF refs, never as
+                # plain views ('@' is not a valid view identifier)
+                continue
+            snap = self.catalog.current_snapshot(t)
+            if snap is None:
+                continue
+            if self._seen_versions.get(t) != snap.version:
+                self.register(t, self.catalog.read(t))
+                self._seen_versions[t] = snap.version
 
     # ---- S8: JDBC/Thrift SQL entry point analog -------------------------
     def sql(self, query: str) -> DataFrame:
@@ -40,6 +66,7 @@ class Engine:
         handed to Spark SQL unchanged."""
         from konohadataplatform_spark import sqldml
 
+        self._sync_catalog_views()
         if self.catalog is not None:
             if sqldml.is_dml(query):
                 return sqldml.dispatch(self, query)
@@ -208,23 +235,7 @@ class SessionEngine(Engine):
         if base.catalog is not None:
             cat = type(base.catalog)(clone, base.catalog.warehouse)
         super().__init__(clone, cat)
-        self._seen_versions: dict[str, int] = {}
         # replay the base engine's star-schema registrations (parquet
         # paths, so the clone can rebuild the views itself)
         for d in getattr(base, "_star_sf_dirs", []):
             self.register_star_schema(d)
-
-    def _sync_catalog_views(self) -> None:
-        if self.catalog is None:
-            return
-        for t in self.catalog.tables():
-            snap = self.catalog.current_snapshot(t)
-            if snap is None:
-                continue
-            if self._seen_versions.get(t) != snap.version:
-                self.register(t, self.catalog.read(t))
-                self._seen_versions[t] = snap.version
-
-    def sql(self, query: str) -> DataFrame:
-        self._sync_catalog_views()
-        return super().sql(query)
