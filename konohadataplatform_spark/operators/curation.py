@@ -1321,6 +1321,7 @@ def url_filters(
     blocked_patterns: tuple[str, ...] = URL_BLOCKED_PATTERNS,
     soft_words: tuple[str, ...] = URL_SOFT_WORDS,
     max_url_len: int = 2048,
+    blocked_domains_df: DataFrame | None = None,
 ) -> DataFrame:
     """The URL-level filter battery (RefinedWeb §3.1 "URL filtering",
     C4 §2.2 front door) — the screens that run before a single byte
@@ -1344,10 +1345,16 @@ def url_filters(
     Scale shape: the entire battery is ONE codegen projection over the
     scan — two regexp_extracts plus substring screens, zero exchanges,
     zero UDFs (the c4_quality_flags plan class). The blocklists here
-    are config-sized tuples inlined as literal conjuncts; a
-    production-sized blocklist (millions of domains) becomes a
-    broadcast left-anti join on ``domain`` against a blocklist table —
-    same output columns, one broadcast exchange.
+    are config-sized tuples inlined as literal conjuncts. For a
+    PRODUCTION-sized blocklist (millions of domains), pass
+    ``blocked_domains_df`` — a one-column ``domain`` relation of
+    registrable domains — instead: ``ok_domain`` then comes from an
+    EQUI left join on the extracted registrable domain (a subdomain of
+    a blocked domain extracts to the same registrable domain, so the
+    equality join covers the suffix rule without a theta join), and
+    AQE broadcasts or shuffles the blocklist by its measured size.
+    Semantics are identical for registrable-domain blocklists (the
+    q_url_filters_table query shares the inline oracle).
     """
     url = F.coalesce(F.col(url_col), F.lit(""))
     lower = F.lower(url)
@@ -1360,17 +1367,27 @@ def url_filters(
         & F.contains(host, F.lit("."))
         & ~host.rlike("^[0-9.]+$")
     )
-    ok_domain = F.lit(True)
-    for d in blocked_domains:
-        ok_domain = ok_domain & ~(
-            (host == F.lit(d)) | F.endswith(host, F.lit("." + d))
-        )
+    if blocked_domains_df is None:
+        ok_domain = F.lit(True)
+        for d in blocked_domains:
+            ok_domain = ok_domain & ~(
+                (host == F.lit(d)) | F.endswith(host, F.lit("." + d))
+            )
+    else:
+        ok_domain = F.col("_blk_domain").isNull()
     ok_pattern = F.lit(True)
     for p in blocked_patterns:
         ok_pattern = ok_pattern & ~F.contains(lower, F.lit(p))
     ok_soft = F.lit(True)
     for w in soft_words:
         ok_soft = ok_soft & ~F.contains(lower, F.lit(w))
+    if blocked_domains_df is not None:
+        blk = blocked_domains_df.select(
+            F.col("domain").alias("_blk_domain")
+        ).dropDuplicates(["_blk_domain"])
+        docs = docs.withColumn("_dom", url_domain(url_host(url))).join(
+            blk, F.col("_dom") == F.col("_blk_domain"), "left"
+        )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         url.alias("url"),
@@ -1445,4 +1462,59 @@ def url_dedup(
         "doc_id",
         "url_norm",
         (F.col("doc_id") == F.col("_first_id")).alias("kept"),
+    )
+
+
+def domain_quality_screen(
+    flagged: DataFrame,
+    url_col: str = "url",
+    pass_col: str = "pass_quality",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    min_pass_micro: int = 500_000,
+) -> DataFrame:
+    """Domain-level quality screen (RefinedWeb §3.1's per-domain
+    statistics; the "drop whole spam domains" rule every crawl
+    pipeline applies after per-doc scoring): aggregate any per-doc
+    boolean quality verdict by registrable domain and flag domains
+    whose pass rate falls below ``min_pass_micro`` (integer-scaled,
+    1e6 = 100%) once they have at least ``min_docs`` documents —
+    below that the rate is noise and the domain passes by default
+    (the low-evidence convention).
+
+    Input: (id_col, url_col, pass_col) — pass_col from any shipped
+    battery (Gopher, C4, StarCoder, the classifier margin gate).
+    Returns one row per domain:
+    (domain, n_docs, n_pass, pass_rate_micro, domain_ok).
+
+    Scale shape: one projection (host/domain extraction) + ONE
+    partial+final conditional aggregate keyed on domain — the output
+    is domain-cardinality (metadata vs the corpus). Filtering a
+    corpus by the verdict is a left-semi join of the doc relation
+    against the ``domain_ok`` rows — domain keys, AQE-sized.
+    """
+    base = flagged.select(
+        url_domain(url_host(F.col(url_col))).alias("domain"),
+        F.col(pass_col).cast("boolean").alias("_p"),
+    )
+    agg = base.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("_p"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+    return agg.select(
+        "domain",
+        "n_docs",
+        "n_pass",
+        F.expr("n_pass * 1000000 DIV n_docs").cast("bigint").alias(
+            "pass_rate_micro"
+        ),
+        (
+            (F.col("n_docs") < F.lit(int(min_docs)))
+            | (
+                F.expr("n_pass * 1000000 DIV n_docs")
+                >= F.lit(int(min_pass_micro))
+            )
+        ).alias("domain_ok"),
     )

@@ -6332,10 +6332,9 @@ def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Round 11: per-source curation funnel (yield through the filter chain)
 # --------------------------------------------------------------------------
-@query(
-    "q_filter_funnel",
-    """
-    WITH gw AS (
+# the Gopher word-form battery as a reusable oracle CTE fragment
+# (shared by q_filter_funnel and q_domain_quality)
+_GOPHER_CTES = '''gw AS (
       SELECT doc_id,
              CASE WHEN text IS NULL OR trim(text) = ''
                   THEN CAST([] AS VARCHAR[])
@@ -6363,7 +6362,12 @@ def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND (5 * n_alpha_words >= 4 * n_words AND n_words > 0)
               AND (n_stopwords >= 2)) AS pass_gopher
       FROM gm
-    ), t AS (
+    )'''
+
+
+@query(
+    "q_filter_funnel",
+    "WITH " + _GOPHER_CTES + """, t AS (
       SELECT doc_id, coalesce(trim(text), '') AS tt,
              string_split(coalesce(trim(text), ''), ' ') AS w
       FROM documents
@@ -7048,3 +7052,125 @@ def q_retrieval_metrics_partial_probe(
         .select("query_id", "neighbor_id")
     )
     return EV.ranking_metrics(ranked, relevant, k=10)
+
+
+# --------------------------------------------------------------------------
+# Round 12 second tier: domain-level quality screen, blocklist-table
+# URL filtering, unigram per-doc encode.
+# --------------------------------------------------------------------------
+@query(
+    "q_domain_quality",
+    _url_flag_ctes()
+    + ", " + _GOPHER_CTES.replace("gw AS", "dq_gw AS", 1)
+      .replace("FROM gw", "FROM dq_gw")
+      .replace("gm AS", "dq_gm AS", 1)
+      .replace("FROM gm", "FROM dq_gm")
+      .replace("gp AS", "dq_gp AS", 1)
+    + """
+    , dd AS (
+      SELECT f.domain, g.pass_gopher
+      FROM f JOIN dq_gp g ON g.doc_id = f.doc_id
+    ), ag AS (
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN pass_gopher THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pass
+      FROM dd GROUP BY domain
+    )
+    SELECT domain, n_docs, n_pass,
+           CAST(n_pass * 1000000 // n_docs AS BIGINT)
+             AS pass_rate_micro,
+           (n_docs < 3 OR n_pass * 1000000 // n_docs >= 500000)
+             AS domain_ok
+    FROM ag
+    """,
+)
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality screen
+    (operators.curation.domain_quality_screen — RefinedWeb §3.1's
+    per-domain statistics): aggregate the Gopher per-doc verdict by
+    registrable domain and flag domains whose pass rate drops below
+    50% once they carry >= 3 documents — the "drop whole spam
+    domains" rule after per-doc scoring. One scan-speed flag battery
+    + one domain-keyed conditional aggregate; output is
+    domain-cardinality."""
+    docs = _with_url(spark, sf_dir)
+    flagged = docs.select("doc_id", "url").join(
+        CU.gopher_quality_flags(docs).select("doc_id", "pass_gopher"),
+        "doc_id",
+    )
+    return CU.domain_quality_screen(
+        flagged, pass_col="pass_gopher", min_docs=3,
+        min_pass_micro=500_000,
+    )
+
+
+@query(
+    "q_url_filters_table",
+    _url_flag_ctes()
+    + """
+    SELECT doc_id, url, host, domain, ok_scheme, ok_len, ok_host_shape,
+           ok_domain, ok_pattern, ok_soft,
+           (ok_scheme AND ok_len AND ok_host_shape AND ok_domain
+            AND ok_pattern AND ok_soft) AS pass_url_filters
+    FROM f
+    """,
+)
+def q_url_filters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL battery with a blocklist TABLE instead of inlined
+    literals — the production path for million-domain blocklists:
+    ok_domain comes from an equi LEFT JOIN on the extracted
+    registrable domain (a subdomain of a blocked domain extracts to
+    the same registrable domain, so equality covers the suffix rule
+    without a theta join) and AQE sizes the blocklist side. Same
+    registrable-domain blocklist contents -> bit-identical flags, so
+    this query legitimately shares q_url_filters' oracle (the
+    q_retrieval_metrics_ann pattern)."""
+    spark_blk = spark.createDataFrame(
+        [(d,) for d in CU.URL_BLOCKED_DOMAINS], "domain string"
+    )
+    return CU.url_filters(
+        _with_url(spark, sf_dir), blocked_domains_df=spark_blk
+    )
+
+
+@query(
+    "q_unigram_encode_docs",
+    "WITH _one AS (SELECT 1 AS x)"
+    + _ug_chain()
+    + """
+    , ue_dw AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    )
+    SELECT ue_dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(len(ug_s2.toks), length(ue_dw.word)))
+                AS BIGINT) AS n_unigram_tokens
+    FROM ue_dw LEFT JOIN ug_s2 ON ug_s2.word = ue_dw.word
+    WHERE ue_dw.word <> ''
+    GROUP BY ue_dw.doc_id
+    """,
+)
+def q_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the trained unigram-LM
+    vocabulary — the memoized word-level encode join
+    (operators.bpe.bpe_encode_docs consumes the unigram (word, freq,
+    toks) state unchanged; OOV words fall back to character count,
+    the char-coverage convention). Same plan class as
+    q_bpe_encode_docs: the vocab side is the memo table, corpus text
+    shuffles only as (doc_id, word)."""
+    from konohadataplatform_spark.operators.bpe import (
+        bpe_encode_docs,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    _, words = unigram_train(
+        docs, vocab_size=_UG_VSIZE, max_piece_len=_UG_L, iters=1,
+        min_usage=_UG_MINU, seed_mult=_UG_SEED // _UG_VSIZE,
+    )
+    return bpe_encode_docs(docs, words).select(
+        "doc_id",
+        "n_words",
+        F.col("n_bpe_tokens").alias("n_unigram_tokens"),
+    )

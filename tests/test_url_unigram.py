@@ -125,3 +125,50 @@ def test_unigram_words_state_feeds_fertility(spark):
     assert out["en"]["total_bpe_tokens"] == 4
     assert out["de"]["total_words"] == 2
     assert out["de"]["total_bpe_tokens"] == 4
+
+
+def test_url_filters_blocklist_table_parity(spark):
+    """The equi-join blocklist-table path must reproduce the inline
+    conjuncts bit-for-bit for registrable-domain blocklists."""
+    rows = [
+        (1, "https://ok.example.org/page"),
+        (2, "https://ads.badsite.example/page"),
+        (3, "https://badsite.example/page"),
+        (4, "https://x.y.tracker.example/deep"),
+        (5, "ftp://adfarm.example/x"),
+    ]
+    inline = sorted(
+        tuple(r) for r in CU.url_filters(_urls(spark, rows)).collect()
+    )
+    blk = spark.createDataFrame(
+        [(d,) for d in CU.URL_BLOCKED_DOMAINS], "domain string"
+    )
+    joined = sorted(
+        tuple(r)
+        for r in CU.url_filters(
+            _urls(spark, rows), blocked_domains_df=blk
+        ).collect()
+    )
+    assert inline == joined
+    flags = {t[0]: t for t in joined}
+    assert not flags[4][7]  # deep subdomain still blocked (ok_domain)
+
+
+def test_domain_quality_screen(spark):
+    flagged = spark.createDataFrame(
+        [(i, "https://good.org/x", i % 4 != 0) for i in range(8)]
+        + [(100 + i, "https://bad.org/x", False) for i in range(4)]
+        + [(200, "https://tiny.org/x", False)],
+        "doc_id long, url string, pass_quality boolean",
+    )
+    out = {
+        r["domain"]: r.asDict()
+        for r in CU.domain_quality_screen(flagged).collect()
+    }
+    assert out["good.org"]["n_docs"] == 8
+    assert out["good.org"]["n_pass"] == 6
+    assert out["good.org"]["domain_ok"]
+    assert out["bad.org"]["pass_rate_micro"] == 0
+    assert not out["bad.org"]["domain_ok"]
+    # low-evidence domains pass by default (n_docs < min_docs)
+    assert out["tiny.org"]["domain_ok"]

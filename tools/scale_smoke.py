@@ -169,6 +169,13 @@ SMOKE_QUERIES = [
     "q_url_dedup",
     "q_unigram_tokenizer",
     "q_tokenizer_compare",
+    # r12 second tier: the blocklist-table variant adds one AQE-sized
+    # equi join to the screen battery; domain quality is one
+    # domain-keyed conditional aggregate over the Gopher battery;
+    # unigram encode rides the memoized word join (vocab-bounded)
+    "q_url_filters_table",
+    "q_domain_quality",
+    "q_unigram_encode_docs",
     # NOT smoked: q_semantic_decontaminate — exact cosine of every
     # train vector against a broadcast eval split whose registered
     # form (vec_id % 17) grows WITH the corpus, so replicated-fixture
