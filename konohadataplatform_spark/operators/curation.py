@@ -1313,6 +1313,66 @@ def url_domain(host: F.Column) -> F.Column:
     return F.regexp_extract(host, URL_DOMAIN_RE, 1)
 
 
+def _url_flag_columns(
+    url: F.Column,
+    blocked_domains: tuple[str, ...],
+    blocked_patterns: tuple[str, ...],
+    soft_words: tuple[str, ...],
+    max_url_len: int,
+) -> dict[str, F.Column]:
+    """The six URL screens as named expression columns — the single
+    definition :func:`url_filters` and :func:`url_pass_column` both
+    expand (so the batch battery and any inline/streaming gate can
+    never drift)."""
+    lower = F.lower(url)
+    host = url_host(url)
+    ok_domain = F.lit(True)
+    for d in blocked_domains:
+        ok_domain = ok_domain & ~(
+            (host == F.lit(d)) | F.endswith(host, F.lit("." + d))
+        )
+    ok_pattern = F.lit(True)
+    for p in blocked_patterns:
+        ok_pattern = ok_pattern & ~F.contains(lower, F.lit(p))
+    ok_soft = F.lit(True)
+    for w in soft_words:
+        ok_soft = ok_soft & ~F.contains(lower, F.lit(w))
+    return {
+        "ok_scheme": lower.rlike("^https?://"),
+        "ok_len": F.length(url) <= F.lit(int(max_url_len)),
+        "ok_host_shape": (
+            (host != F.lit(""))
+            & F.contains(host, F.lit("."))
+            & ~host.rlike("^[0-9.]+$")
+        ),
+        "ok_domain": ok_domain,
+        "ok_pattern": ok_pattern,
+        "ok_soft": ok_soft,
+    }
+
+
+def url_pass_column(
+    url: F.Column,
+    blocked_domains: tuple[str, ...] = URL_BLOCKED_DOMAINS,
+    blocked_patterns: tuple[str, ...] = URL_BLOCKED_PATTERNS,
+    soft_words: tuple[str, ...] = URL_SOFT_WORDS,
+    max_url_len: int = 2048,
+) -> F.Column:
+    """The full pass_url_filters verdict as ONE expression column —
+    for inline screens and the streaming ingest front door
+    (streaming/ingest.py), which must reject on the SAME verdict the
+    batch battery computes (the margin_column bit-parity convention).
+    Inline-blocklist form only; the table-blocklist path needs
+    url_filters' join."""
+    fl = _url_flag_columns(
+        url, blocked_domains, blocked_patterns, soft_words, max_url_len
+    )
+    out = F.lit(True)
+    for c in fl.values():
+        out = out & c
+    return out
+
+
 def url_filters(
     docs: DataFrame,
     url_col: str = "url",
@@ -1357,30 +1417,21 @@ def url_filters(
     q_url_filters_table query shares the inline oracle).
     """
     url = F.coalesce(F.col(url_col), F.lit(""))
-    lower = F.lower(url)
     host = url_host(url)
     domain = url_domain(host)
-    ok_scheme = lower.rlike("^https?://")
-    ok_len = F.length(url) <= F.lit(int(max_url_len))
-    ok_host_shape = (
-        (host != F.lit(""))
-        & F.contains(host, F.lit("."))
-        & ~host.rlike("^[0-9.]+$")
+    fl = _url_flag_columns(
+        url, blocked_domains, blocked_patterns, soft_words, max_url_len
     )
-    if blocked_domains_df is None:
-        ok_domain = F.lit(True)
-        for d in blocked_domains:
-            ok_domain = ok_domain & ~(
-                (host == F.lit(d)) | F.endswith(host, F.lit("." + d))
-            )
-    else:
-        ok_domain = F.col("_blk_domain").isNull()
-    ok_pattern = F.lit(True)
-    for p in blocked_patterns:
-        ok_pattern = ok_pattern & ~F.contains(lower, F.lit(p))
-    ok_soft = F.lit(True)
-    for w in soft_words:
-        ok_soft = ok_soft & ~F.contains(lower, F.lit(w))
+    ok_scheme = fl["ok_scheme"]
+    ok_len = fl["ok_len"]
+    ok_host_shape = fl["ok_host_shape"]
+    ok_domain = (
+        fl["ok_domain"]
+        if blocked_domains_df is None
+        else F.col("_blk_domain").isNull()
+    )
+    ok_pattern = fl["ok_pattern"]
+    ok_soft = fl["ok_soft"]
     if blocked_domains_df is not None:
         blk = blocked_domains_df.select(
             F.col("domain").alias("_blk_domain")

@@ -110,6 +110,7 @@ class DocIngestPipeline:
         classifier_ngram: int = 2,
         margin_min: int = 0,
         contamination_threshold: float = 0.8,
+        url_screen: bool = False,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -123,6 +124,14 @@ class DocIngestPipeline:
         # doc's own tokens — zero exchanges, O(|batch|) like the
         # heuristic gate. dims/ngram MUST match the training run.
         self.classifier_weights = classifier_weights
+        # URL front door (r12): when True, incoming docs MUST carry a
+        # `url` column and each batch is screened by the SAME
+        # pass_url_filters verdict the batch battery computes
+        # (operators.curation.url_pass_column — one codegen
+        # expression, zero exchanges); failures quarantine as
+        # "blocked_url" BEFORE any text is inspected, the RefinedWeb
+        # §3.1 ordering. The URL rides into the accepted corpus.
+        self.url_screen = url_screen
         self.classifier_dims = classifier_dims
         self.classifier_ngram = classifier_ngram
         self.margin_min = margin_min
@@ -221,16 +230,39 @@ class DocIngestPipeline:
             last = last_applied_batch(self.catalog, self.name)
             if last is not None and batch_id <= last:
                 return
-        docs = docs.select(
-            "doc_id", "text", "lang", "source",
+        cols = [
+            F.col("doc_id"), F.col("text"), F.col("lang"),
+            F.col("source"),
             F.coalesce(
                 F.col("n_chars"), F.length("text"), F.lit(0)
             ).alias("n_chars"),
-        ).cache()
+        ]
+        if self.url_screen:
+            cols.append(F.col("url"))
+        docs = cached = docs.select(*cols).cache()
         firsts = new_index = accepted = drop_ids = cands = None
         contaminated = None
         try:
             rejects = []
+
+            # 0. URL front door (optional): the crawl-side screen runs
+            # before any text-level gate — one expression column, the
+            # same verdict as the batch url_filters battery
+            if self.url_screen:
+                from konohadataplatform_spark.operators.curation import (
+                    url_pass_column,
+                )
+
+                gated = docs.withColumn(
+                    "_u_ok",
+                    url_pass_column(F.coalesce(F.col("url"), F.lit(""))),
+                )
+                rejects.append(
+                    gated.filter(~F.col("_u_ok")).select(
+                        "doc_id", F.lit("blocked_url").alias("reason")
+                    )
+                )
+                docs = gated.filter(F.col("_u_ok")).drop("_u_ok")
 
             # 1. quality gate (codegen expressions, zero shuffle).
             # NULL-safe: empty/whitespace text yields a NULL score
@@ -473,9 +505,12 @@ class DocIngestPipeline:
             accepted = survivors.cache()
 
             # 4. O(|batch|) commits: corpus, digests, index, rejects
+            corpus_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+            if self.url_screen:
+                corpus_cols.append("url")
             self.catalog.upsert_by_keys(
                 self.name,
-                accepted.select("doc_id", "text", "lang", "source", "n_chars"),
+                accepted.select(*corpus_cols),
                 ["doc_id"],
             )
             self.catalog.append_rows(
@@ -506,7 +541,10 @@ class DocIngestPipeline:
                 # can re-run the gates without the original source
                 self.catalog.upsert_by_keys(
                     self.rejects_table,
-                    all_rejects.join(docs, "doc_id"),
+                    # join the PRE-screen cache: URL-blocked docs are
+                    # no longer in `docs` but must still quarantine
+                    # with their full row
+                    all_rejects.join(cached, "doc_id"),
                     ["doc_id"],
                 )
             if batch_id is not None:
@@ -533,7 +571,7 @@ class DocIngestPipeline:
                           contaminated):
                 if frame is not None:
                     frame.unpersist()
-            docs.unpersist()
+            cached.unpersist()
 
     # -- reject lifecycle ----------------------------------------------------
     def replay_rejects(self) -> int:

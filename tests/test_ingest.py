@@ -393,3 +393,40 @@ def test_streaming_data_card_cumulative(spark, tmp_path):
         assert r2.n_langs_approx == 2
     finally:
         q.stop()
+
+
+def test_url_front_door_gate(spark, catalog):
+    """r12: url_screen=True screens every batch by the SAME
+    pass_url_filters verdict as the batch battery — blocked URLs
+    quarantine as blocked_url BEFORE any text gate runs (a blocked
+    doc with spam text must report blocked_url, not low_quality),
+    and accepted rows carry their URL into the corpus."""
+    pipe = DocIngestPipeline(spark, catalog, "corpus", url_screen=True)
+    rows = [
+        dict(doc(1, GOOD), url="https://ok.example.org/a"),
+        dict(doc(2, GOOD2), url="https://ads.badsite.example/x"),
+        dict(doc(3, SPAM), url="https://spam.example.org/ads/banner"),
+        dict(doc(4, SPAM), url="https://ok.example.org/b"),
+    ]
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [
+                (r["doc_id"], r["text"], r["lang"], r["source"],
+                 r["n_chars"], r["url"])
+                for r in rows
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long, url string",
+        )
+    )
+    kept = {r.doc_id: r.url for r in catalog.read("corpus").collect()}
+    assert kept == {1: "https://ok.example.org/a"}
+    reasons = {
+        r.doc_id: r.reason
+        for r in catalog.read("corpus__rejects").collect()
+    }
+    assert reasons == {
+        2: "blocked_url",
+        3: "blocked_url",
+        4: "low_quality",
+    }
