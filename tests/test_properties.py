@@ -11,6 +11,7 @@ import json
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from konohadataplatform_spark.catalog import SnapshotCatalog
@@ -875,3 +876,143 @@ def test_vocab_divergence_matches_reference_model(spark, docs):
         expected = num * 1_000_000 // (2 * tg * tr)
         assert got[grp]["tvd_micro"] == expected, (grp, docs)
         assert 0 <= expected <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# r12: unigram-LM trainer vs a pure-Python reference (full training
+# replay: seed -> greedy segment -> usage -> prune -> final segment)
+# ---------------------------------------------------------------------------
+def _py_unigram(texts, vocab_size=5, L=3, min_usage=2, seed_mult=4):
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.strip().split(" "):
+            if w:
+                words[w] += 1
+
+    def topk(counter, k):
+        items = [(p, u) for p, u in counter.items() if u >= min_usage]
+        items.sort(key=lambda x: (-x[1], x[0]))
+        return items[:k]
+
+    cands = Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for l in range(2, min(L, len(w) - i) + 1):
+                cands[w[i:i + l]] += f
+    seed = {p for p, _ in topk(cands, seed_mult * vocab_size)}
+
+    def segment(w, vocab):
+        toks, i = [], 0
+        while i < len(w):
+            for l in range(min(L, len(w) - i), 1, -1):
+                if w[i:i + l] in vocab:
+                    toks.append(w[i:i + l])
+                    i += l
+                    break
+            else:
+                toks.append(w[i])
+                i += 1
+        return toks
+
+    usage = Counter()
+    for w, f in words.items():
+        for p in segment(w, seed):
+            if len(p) >= 2:
+                usage[p] += f
+    vocab_items = topk(usage, vocab_size)
+    vocab = {p for p, _ in vocab_items}
+    return (
+        [(r + 1, p, u) for r, (p, u) in enumerate(vocab_items)],
+        {w: segment(w, vocab) for w in words},
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=7),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_unigram_train_matches_reference_model(spark, texts):
+    from konohadataplatform_spark.operators.bpe import unigram_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab, words = unigram_train(
+        docs, vocab_size=5, max_piece_len=3, iters=1, min_usage=2,
+        seed_mult=4,
+    )
+    ref_vocab, ref_segs = _py_unigram(texts)
+    got_vocab = [
+        (r["piece_rank"], r["piece"], r["usage"])
+        for r in vocab.orderBy("piece_rank").collect()
+    ]
+    assert got_vocab == ref_vocab
+    got_segs = {r["word"]: list(r["toks"]) for r in words.collect()}
+    assert got_segs == ref_segs
+
+
+# ---------------------------------------------------------------------------
+# r12: url_host vs the stdlib parser on well-formed URLs (independent
+# cross-check, not a replay of our own regex)
+# ---------------------------------------------------------------------------
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    urls=st.lists(
+        st.builds(
+            lambda scheme, labels, port, path, query: (
+                scheme
+                + "://"
+                + ".".join(labels)
+                + (f":{port}" if port else "")
+                + path
+                + query
+            ),
+            st.sampled_from(["http", "https", "HTTP"]),
+            st.lists(
+                st.text(alphabet="abz09-", min_size=1, max_size=6).filter(
+                    lambda s: not s.startswith("-") and not s.endswith("-")
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+            st.one_of(st.none(), st.integers(min_value=1, max_value=65535)),
+            st.sampled_from(["", "/", "/a/b", "/x.html"]),
+            st.sampled_from(["", "?q=1", "#frag"]),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_url_host_matches_stdlib_urlsplit(spark, urls):
+    from urllib.parse import urlsplit
+
+    from konohadataplatform_spark.operators.curation import url_host
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", url_host(F.col("url")).alias("h")).collect()
+    }
+    for i, u in enumerate(urls):
+        expect = urlsplit(u).hostname or ""
+        assert got[i] == expect, (u, got[i], expect)
