@@ -123,6 +123,7 @@ def ngram_decontaminate(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eval_broadcast_docs: int = 100_000,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
     n-gram with an eval split (the GPT-3/Llama 13-gram-overlap method,
@@ -132,12 +133,18 @@ def ngram_decontaminate(
     rows. Returns one row per *contaminated* training doc with the
     count of distinct eval n-grams it contains.
 
-    Scale shape: the eval set (benchmarks) is tiny relative to a 100 TB
-    corpus, so its distinct-gram set is collected into a broadcast hash
-    join — the training side streams map-side with NO shuffle of
-    training grams; the only exchange is the per-doc match count keyed
-    by doc_id. Gram formation is a codegen'd array expression
-    (sequence/slice/array_join), exploded only after array_distinct.
+    Scale shape — COUNTED GATE (r12, the semantic_decontaminate /
+    connected_components convention): the eval DOC count is measured
+    first. At or below ``eval_broadcast_docs`` (a benchmark suite by
+    contract — gram count is doc-count x per-doc grams, bounded by
+    doc length) the distinct-gram set broadcasts and the training
+    side streams map-side with NO shuffle of training grams. Above
+    the bound the hint is dropped and the gram join shuffles both
+    sides hash-partitioned (AQE may still broadcast if the measured
+    gram relation is small — e.g. many short eval docs). Results are
+    identical either way; only the exchange strategy changes. Gram
+    formation is a codegen'd array expression (sequence/slice/
+    array_join), exploded only after array_distinct.
     """
     from konohadataplatform_spark.operators.text import word_ngrams
 
@@ -154,8 +161,14 @@ def ngram_decontaminate(
     )
     eval_grams = grams.filter(F.col("_is_eval")).select("gram").distinct()
     train = grams.filter(~F.col("_is_eval"))
+    n_eval_docs = docs.filter(eval_pred).count()
+    ev_side = (
+        F.broadcast(eval_grams)
+        if n_eval_docs <= int(eval_broadcast_docs)
+        else eval_grams
+    )
     return (
-        train.join(F.broadcast(eval_grams), "gram")
+        train.join(ev_side, "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_eval_grams"))
     )
@@ -1339,6 +1352,7 @@ def cross_corpus_contamination(
     bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bench_broadcast_rows: int = 5_000_000,
 ) -> DataFrame:
     """(doc_id, bench_id, jaccard): training-corpus documents whose
     shingle overlap with some benchmark document reaches ``threshold``
@@ -1350,8 +1364,12 @@ def cross_corpus_contamination(
     candidate generation, and only bucket-colliding corpus docs reach
     exact-Jaccard verification (collision-sized joins). The benchmark
     index (sids offset into a disjoint id space; corpus ids are
-    runtime-guarded < 2^40) rides entirely in broadcasts — a 100k-doc
-    eval suite × 16 bands is ~25 MB.
+    runtime-guarded < 2^40) rides in broadcasts — a 100k-doc eval
+    suite × 16 bands is ~25 MB. COUNTED GATE (r12, the
+    probe_broadcast_rows arithmetic): the broadcast only applies while
+    ``|benchmark| * bands <= bench_broadcast_rows``; a larger
+    benchmark side drops the hint and the bucket join shuffles on
+    bkey (identical candidates, different exchange strategy).
 
     Recall follows the LSH banding curve: at threshold 0.8 with
     64 perms / 16 bands a qualifying pair is missed with probability
@@ -1388,10 +1406,11 @@ def cross_corpus_contamination(
     )
     cb = band_bucket_keys(ci, bands, num_perm)
     bb = band_bucket_keys(bi, bands, num_perm)
+    bb_keys = bb.withColumnRenamed("sid", "_bsid")
+    if benchmark.count() * int(bands) <= int(bench_broadcast_rows):
+        bb_keys = F.broadcast(bb_keys)
     cands = (
-        cb.join(
-            F.broadcast(bb.withColumnRenamed("sid", "_bsid")), "bkey"
-        )
+        cb.join(bb_keys, "bkey")
         .select(F.col("sid").alias("a_id"), F.col("_bsid").alias("b_id"))
         .distinct()
     )

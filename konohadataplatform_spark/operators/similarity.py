@@ -48,6 +48,28 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _salted_all_pairs(
+    big: DataFrame, small: DataFrame, big_key: str, salt: int
+) -> DataFrame:
+    """Equi-join spelling of an all-pairs join (r12): the big side is
+    salted by its own id, the small side replicated across all
+    ``salt`` values — the pair set is identical to a cross join, but
+    the execution is a shuffled hash join on ``_salt`` with
+    ``salt``-way parallelism and NO unbounded broadcast. The memory
+    bound per task is |small| (one replica), not |small| x executors
+    pinned in broadcast memory; compute stays all-pairs (the caller's
+    documented brute-force contract)."""
+    s_ = max(1, int(salt))
+    bigs = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(big_key)), F.lit(s_)).cast("int"),
+    )
+    smalls = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(s_)]))
+    )
+    return bigs.join(smalls, "_salt").drop("_salt")
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,10 +77,23 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    query_broadcast_rows: int = 500_000,
+    salt: int = 32,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, cos_sim, knn_rank).
+
+    COUNTED GATE (r12): the query side is counted first. At or below
+    ``query_broadcast_rows`` it broadcasts into the nested-loop pair
+    scan (the small-batch fast path). Above the bound — the
+    corpus-as-queries direction — the same all-pairs set is produced
+    by the salted EQUI spelling (``_salted_all_pairs``): corpus rows
+    keyed by ``pmod(xxhash64(id), salt)``, queries replicated x salt,
+    shuffled hash join — no unbounded broadcast, no CartesianProduct,
+    identical results. Compute stays O(|corpus| x |queries|) — this
+    operator is the documented exactness baseline; the ANN siblings
+    are the scale path.
 
     ``exclude_self`` (default True) drops candidates whose
     ``neighbor_id`` equals the ``query_id`` — correct when corpus and
@@ -92,12 +127,15 @@ def cosine_topk(
         if exclude_self
         else F.lit(True)
     )
-    scored = (
-        c.join(F.broadcast(q), pair_cond)
-        .withColumn(
-            "cos_sim",
-            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+    if queries.count() <= int(query_broadcast_rows):
+        cand = c.join(F.broadcast(q), pair_cond)
+    else:
+        cand = _salted_all_pairs(c, q, "neighbor_id", salt).filter(
+            pair_cond
         )
+    scored = cand.withColumn(
+        "cos_sim",
+        _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -150,6 +188,7 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    query_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH.
 
@@ -177,9 +216,18 @@ def ann_lsh_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("sig", F.explode(sig_udf(F.col("qv"))))
+    # counted gate (r12): the probe relation is |queries| x n_tables
+    # sig rows carrying full vectors — broadcast only while small;
+    # above the bound the sig equality key already supports a plain
+    # shuffled hash join (AQE sizes it)
+    q_side = (
+        F.broadcast(q)
+        if queries.count() * int(n_tables) <= int(query_broadcast_rows)
+        else q
+    )
     cands = (
         c.join(
-            F.broadcast(q),
+            q_side,
             (c.sig == q.sig) & (F.col("neighbor_id") != F.col("query_id")),
         )
         .select("query_id", "qv", "neighbor_id", "cv")
@@ -255,13 +303,18 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    query_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Approximate top-k via IVF: corpus rows live in their nearest
     centroid's cell; each query scores only its `nprobe` nearest cells.
 
     Scale shape: the corpus is scanned once to tag cell ids (narrow),
-    the probe join is an equi-join on cell id (broadcast queries), and
-    scored pairs shrink by ~n_cells/nprobe versus brute force.
+    the probe join is an equi-join on cell id (queries broadcast only
+    while |queries| x nprobe stays at or below
+    ``query_broadcast_rows`` — the r12 counted gate; above it the
+    cell-keyed join shuffles and AQE handles sizing/skew, the
+    ann_ivf_topk_portable convention), and scored pairs shrink by
+    ~n_cells/nprobe versus brute force.
     """
     centroids = ivf_centroids(corpus, n_cells, vec_col, seed)
 
@@ -277,9 +330,14 @@ def ann_ivf_topk(
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe)))
 
+    q_side = (
+        F.broadcast(q)
+        if queries.count() * max(1, int(nprobe)) <= int(query_broadcast_rows)
+        else q
+    )
     scored = (
         c.join(
-            F.broadcast(q),
+            q_side,
             (c.cell == q.cell) & (F.col("neighbor_id") != F.col("query_id")),
         )
         .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
@@ -391,8 +449,16 @@ def ivf_index_search(
         .withColumnRenamed("vid", "neighbor_id")
         .withColumnRenamed("vec", "cv")
     )
+    # query-time probes are a small batch by contract, but the gate
+    # still counts (r12): an accidental corpus-as-queries call must
+    # not pin an unbounded broadcast
+    q_side = (
+        F.broadcast(q)
+        if queries.count() * max(1, int(nprobe)) <= 500_000
+        else q
+    )
     scored = cells.join(
-        F.broadcast(q),
+        q_side,
         (cells.cell == q.cell) & (F.col("neighbor_id") != F.col("query_id")),
     ).withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
@@ -414,6 +480,8 @@ def cosine_pairs_exact(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_rows: int = 500_000,
+    salt: int = 32,
 ) -> DataFrame:
     """All (a_id < b_id) pairs with cosine >= threshold, exact.
 
@@ -421,7 +489,10 @@ def cosine_pairs_exact(
     at corpus scale use cosine_neardup_lsh. Norms are computed once per
     row and reused across all pairs; cosine = dot/(|a||b|) with the
     same sequential fold DuckDB evaluates, so results hash-match an
-    exact SQL oracle."""
+    exact SQL oracle. COUNTED GATE (r12): the b side broadcasts only
+    at or below ``broadcast_rows`` rows; above it the pair scan runs
+    through the salted equi spelling (``_salted_all_pairs``) — same
+    pairs, shuffled hash join, no unbounded broadcast."""
     base = _spread(
         df.select(
             F.col(id_col).alias("vid"),
@@ -434,8 +505,14 @@ def cosine_pairs_exact(
     b = base.select(
         F.col("vid").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
+    if df.count() <= int(broadcast_rows):
+        cand = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    else:
+        cand = _salted_all_pairs(a, b, "a_id", salt).filter(
+            F.col("a_id") < F.col("b_id")
+        )
     return (
-        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        cand
         .withColumn(
             "cos_sim", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )

@@ -603,3 +603,136 @@ def test_epoch_schedule_overflow_guard_no_int64_wrap(spark):
     )
     with pytest.raises(Exception, match="epoch_schedule"):
         epoch_schedule(docs, token_budget=10, scale=1 << 59).collect()
+
+
+def test_ngram_decontaminate_gate_parity(spark):
+    """r12 counted gate: forcing the over-bound (no-hint) path must
+    return identical rows to the broadcast path."""
+    import konohadataplatform_spark.operators.dedup as D2
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 3 + j) % 9}" for j in range(8)))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    pred = F.col("doc_id") % 4 == 0
+    a = sorted(
+        (r["doc_id"], r["n_eval_grams"])
+        for r in D2.ngram_decontaminate(docs, pred, n=3).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_eval_grams"])
+        for r in D2.ngram_decontaminate(
+            docs, pred, n=3, eval_broadcast_docs=0
+        ).collect()
+    )
+    assert a and a == b
+
+
+def test_cross_corpus_contamination_gate_parity(spark):
+    import konohadataplatform_spark.operators.dedup as D2
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"t{(i % 3) * 7 + j}" for j in range(10)))
+            for i in range(15)
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    a = sorted(
+        (r["doc_id"], r["bench_id"], r["jaccard"])
+        for r in D2.cross_corpus_contamination(
+            corpus, bench, threshold=0.8
+        ).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["bench_id"], r["jaccard"])
+        for r in D2.cross_corpus_contamination(
+            corpus, bench, threshold=0.8, bench_broadcast_rows=0
+        ).collect()
+    )
+    assert a and a == b
+
+
+def test_cosine_topk_salted_path_parity(spark):
+    """r12: above query_broadcast_rows cosine_topk must run the salted
+    equi spelling — identical results, no CartesianProduct."""
+    from konohadataplatform_spark.operators import similarity as S2
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7) % 13), float((i * 5) % 11), 1.0 + i % 3])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qs = emb.filter(F.col("vec_id") % 3 == 0)
+    a = sorted(
+        tuple(r) for r in S2.cosine_topk(emb, qs, k=4).collect()
+    )
+    forced = S2.cosine_topk(emb, qs, k=4, query_broadcast_rows=0, salt=4)
+    plan = forced._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    b = sorted(tuple(r) for r in forced.collect())
+    assert a and a == b
+
+
+def test_cosine_pairs_exact_salted_path_parity(spark):
+    from konohadataplatform_spark.operators import similarity as S2
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 3) % 7), float((i * 2) % 5), 1.0])
+            for i in range(20)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(
+        tuple(r) for r in S2.cosine_pairs_exact(emb, 0.5).collect()
+    )
+    forced = S2.cosine_pairs_exact(emb, 0.5, broadcast_rows=0, salt=4)
+    plan = forced._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    b = sorted(tuple(r) for r in forced.collect())
+    assert a and a == b
+
+
+def test_ann_rankers_gate_parity(spark):
+    """Hint-drop paths of the LSH/IVF rankers return identical rows."""
+    from konohadataplatform_spark.operators import similarity as S2
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7) % 13), float((i * 5) % 11),
+                 float(i % 4) + 1.0] + [0.0] * 61)
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qs = emb.filter(F.col("vec_id") % 4 == 0)
+    for fn, kw in (
+        (S2.ann_lsh_topk, {}),
+        (S2.ann_ivf_topk, {"n_cells": 4, "nprobe": 4}),
+    ):
+        a = sorted(
+            tuple(r) for r in fn(emb, qs, k=3, **kw).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in fn(
+                emb, qs, k=3, query_broadcast_rows=0, **kw
+            ).collect()
+        )
+        assert a and a == b

@@ -172,3 +172,17 @@ def test_domain_quality_screen(spark):
     assert not out["bad.org"]["domain_ok"]
     # low-evidence domains pass by default (n_docs < min_docs)
     assert out["tiny.org"]["domain_ok"]
+
+
+def test_url_filters_plan_is_exchange_free(spark):
+    """The inline battery's scale claim, pinned: one codegen
+    projection over the scan — no Exchange anywhere in the plan."""
+    df = CU.url_filters(
+        _urls(spark, [(1, "https://ok.example.org/page")])
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan
