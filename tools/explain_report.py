@@ -126,6 +126,19 @@ HEADLINE = [
     "q_contrastive_pairs",
     "q_vocab_divergence",
     "q_classifier_calibration",
+    # r12: URL/domain front door, unigram tokenizer, token-mass
+    # funnel, partial-probe metrics, domain quality
+    "q_url_filters",
+    "q_url_filters_table",
+    "q_domain_cap",
+    "q_url_dedup",
+    "q_domain_quality",
+    "q_unigram_tokenizer",
+    "q_unigram_encode_docs",
+    "q_tokenizer_compare",
+    "q_filter_funnel",
+    "q_retrieval_metrics_partial_probe",
+    "q_semantic_decontaminate",
 ]
 
 
