@@ -30,6 +30,12 @@ class Engine:
         self.spark = spark or get_spark()
         self.catalog = catalog
         self._seen_versions: dict[str, int] = {}
+        # names explicitly pinned via register(): the catalog-version
+        # sync never clobbers these (r12 review fix — a user who
+        # shadows a catalog table with their own frame keeps their
+        # registration; engine-internal registrations go through
+        # _register_view and stay sync-managed)
+        self._user_views: set[str] = set()
 
     def _sync_catalog_views(self) -> None:
         """Lazily (re-)register any catalog table whose committed
@@ -52,8 +58,10 @@ class Engine:
             snap = self.catalog.current_snapshot(t)
             if snap is None:
                 continue
+            if t in self._user_views:
+                continue
             if self._seen_versions.get(t) != snap.version:
-                self.register(t, self.catalog.read(t))
+                self._register_view(t, self.catalog.read(t))
                 self._seen_versions[t] = snap.version
 
     # ---- S8: JDBC/Thrift SQL entry point analog -------------------------
@@ -80,6 +88,17 @@ class Engine:
 
     # ---- table registry -------------------------------------------------
     def register(self, name: str, df: DataFrame) -> None:
+        """Pin a temp view. A name registered here is USER-owned:
+        the lazy catalog sync will not overwrite it even when a
+        same-named catalog table commits a new version (drop the pin
+        by registering the catalog read again via sql()/save_table
+        flows, which use the internal sync-managed registration)."""
+        df.createOrReplaceTempView(name)
+        self._user_views.add(name)
+
+    def _register_view(self, name: str, df: DataFrame) -> None:
+        """Engine-internal (sync-managed) registration — does NOT
+        pin: the catalog-version sync keeps refreshing the name."""
         df.createOrReplaceTempView(name)
 
     def register_star_schema(self, sf_dir: str) -> dict[str, DataFrame]:
@@ -126,7 +145,7 @@ class Engine:
 
     def save_table(self, name: str, df: DataFrame, **kwargs):
         snap = self._require_catalog().write(name, df, **kwargs)
-        self.register(name, self.catalog.read(name))
+        self._register_view(name, self.catalog.read(name))
         return snap
 
     def table_at(self, name: str, version: int | None = None,
@@ -141,32 +160,32 @@ class Engine:
         """Merge-on-read upsert: O(|source|) commit (see
         catalog.upsert_by_keys); refreshes the SQL view."""
         snap = self._require_catalog().upsert_by_keys(name, source, key_cols)
-        self.register(name, self.catalog.read(name))
+        self._register_view(name, self.catalog.read(name))
         return snap
 
     def delete_keys(self, name: str, keys: DataFrame, key_cols: list[str]):
         """Merge-on-read delete: O(|keys|) commit."""
         snap = self._require_catalog().delete_by_keys(name, keys, key_cols)
-        self.register(name, self.catalog.read(name))
+        self._register_view(name, self.catalog.read(name))
         return snap
 
     def rename_column(self, name: str, old: str, new: str):
         """M5 schema evolution: metadata-only rename (no data rewrite)."""
         snap = self._require_catalog().rename_column(name, old, new)
-        self.register(name, self.catalog.read(name))
+        self._register_view(name, self.catalog.read(name))
         return snap
 
     def drop_column(self, name: str, col: str):
         """M5 schema evolution: metadata-only drop (no data rewrite)."""
         snap = self._require_catalog().drop_column(name, col)
-        self.register(name, self.catalog.read(name))
+        self._register_view(name, self.catalog.read(name))
         return snap
 
     def optimize(self, name: str, **kwargs):
         """Compaction (OPTIMIZE analog): folds pending merge-on-read
         layers/deletes into right-sized base files."""
         snap = self._require_catalog().compact(name, **kwargs)
-        self.register(name, self.catalog.read(name))
+        self._register_view(name, self.catalog.read(name))
         return snap
 
     def stage(self, name: str, df: DataFrame, **kwargs):
@@ -176,12 +195,12 @@ class Engine:
 
     def publish(self, name: str, staged):
         snap = self._require_catalog().publish(name, staged)
-        self.register(name, self.catalog.read(name))
+        self._register_view(name, self.catalog.read(name))
         return snap
 
     def rollback(self, name: str, version: int):
         snap = self._require_catalog().rollback(name, version)
-        self.register(name, self.catalog.read(name))
+        self._register_view(name, self.catalog.read(name))
         return snap
 
     def diff(self, name: str, from_version: int, to_version: int | None = None):

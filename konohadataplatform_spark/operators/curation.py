@@ -1225,17 +1225,20 @@ def epoch_schedule(
         F.sum(token_count(F.col(text_col))).alias("n_tokens")
     )
     # overflow-proof exactness guard (r11 ADVICE): compare n_tokens
-    # against (2^52 div scale) BEFORE forming the product — the
+    # against ((2^52 - 1) div scale) BEFORE forming the product — the
     # multiply-then-compare form wraps int64 for n_tokens > ~9.2e12
     # (plausible at 100 TB), passes the `< 2^52` check negative, and
-    # turns raise_error into a silent NULL weight
-    max_tokens = (1 << 52) // int(scale)
+    # turns raise_error into a silent NULL weight. The (2^52 - 1)
+    # numerator keeps the accepted domain EXACTLY the old product
+    # check's (n_tokens * scale < 2^52): for any scale,
+    # n_tokens <= (2^52 - 1) div scale  <=>  n_tokens * scale < 2^52.
+    max_tokens = ((1 << 52) - 1) // int(scale)
     weighted = counts.withColumn(
         "weight",
         F.floor(
             F.sqrt(
                 F.expr(
-                    f"if(n_tokens < {max_tokens}L, "
+                    f"if(n_tokens <= {max_tokens}L, "
                     f"n_tokens * {int(scale)}L, "
                     "raise_error('epoch_schedule: n_tokens * scale >= "
                     "2^52 — floor(sqrt) is no longer engine-exact; "
@@ -1303,8 +1306,14 @@ URL_SOFT_WORDS: tuple[str, ...] = (
 
 
 def url_host(url: F.Column) -> F.Column:
-    """Lower-cased authority of the URL ('' when unparseable)."""
-    return F.regexp_extract(F.lower(url), URL_HOST_RE, 1)
+    """Lower-cased authority of the URL ('' when unparseable). A
+    trailing dot (RFC-valid FQDN spelling, 'badsite.example.') is
+    stripped — otherwise both the equality/suffix blocklist checks
+    AND the registrable-domain regex miss, turning the dot into a
+    blocklist bypass (r12 review fix)."""
+    return F.regexp_replace(
+        F.regexp_extract(F.lower(url), URL_HOST_RE, 1), "\\.$", ""
+    )
 
 
 def url_domain(host: F.Column) -> F.Column:

@@ -123,6 +123,7 @@ def ngram_decontaminate(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eval_broadcast: bool | None = None,
     eval_broadcast_docs: int = 100_000,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
@@ -161,12 +162,11 @@ def ngram_decontaminate(
     )
     eval_grams = grams.filter(F.col("_is_eval")).select("gram").distinct()
     train = grams.filter(~F.col("_is_eval"))
-    n_eval_docs = docs.filter(eval_pred).count()
-    ev_side = (
-        F.broadcast(eval_grams)
-        if n_eval_docs <= int(eval_broadcast_docs)
-        else eval_grams
-    )
+    if eval_broadcast is None:
+        eval_broadcast = (
+            docs.filter(eval_pred).count() <= int(eval_broadcast_docs)
+        )
+    ev_side = F.broadcast(eval_grams) if eval_broadcast else eval_grams
     return (
         train.join(ev_side, "gram")
         .groupBy(id_col)
@@ -1352,6 +1352,7 @@ def cross_corpus_contamination(
     bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bench_broadcast: bool | None = None,
     bench_broadcast_rows: int = 5_000_000,
 ) -> DataFrame:
     """(doc_id, bench_id, jaccard): training-corpus documents whose
@@ -1407,7 +1408,11 @@ def cross_corpus_contamination(
     cb = band_bucket_keys(ci, bands, num_perm)
     bb = band_bucket_keys(bi, bands, num_perm)
     bb_keys = bb.withColumnRenamed("sid", "_bsid")
-    if benchmark.count() * int(bands) <= int(bench_broadcast_rows):
+    if bench_broadcast is None:
+        bench_broadcast = (
+            benchmark.count() * int(bands) <= int(bench_broadcast_rows)
+        )
+    if bench_broadcast:
         bb_keys = F.broadcast(bb_keys)
     cands = (
         cb.join(bb_keys, "bkey")

@@ -77,6 +77,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    query_broadcast: bool | None = None,
     query_broadcast_rows: int = 500_000,
     salt: int = 32,
 ) -> DataFrame:
@@ -127,7 +128,11 @@ def cosine_topk(
         if exclude_self
         else F.lit(True)
     )
-    if queries.count() <= int(query_broadcast_rows):
+    # query_broadcast: True/False skips the count when the caller
+    # already knows the side's size (the probe_broadcast convention)
+    if query_broadcast is None:
+        query_broadcast = queries.count() <= int(query_broadcast_rows)
+    if query_broadcast:
         cand = c.join(F.broadcast(q), pair_cond)
     else:
         cand = _salted_all_pairs(c, q, "neighbor_id", salt).filter(
@@ -188,6 +193,7 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    query_broadcast: bool | None = None,
     query_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH.
@@ -220,11 +226,11 @@ def ann_lsh_topk(
     # sig rows carrying full vectors — broadcast only while small;
     # above the bound the sig equality key already supports a plain
     # shuffled hash join (AQE sizes it)
-    q_side = (
-        F.broadcast(q)
-        if queries.count() * int(n_tables) <= int(query_broadcast_rows)
-        else q
-    )
+    if query_broadcast is None:
+        query_broadcast = (
+            queries.count() * int(n_tables) <= int(query_broadcast_rows)
+        )
+    q_side = F.broadcast(q) if query_broadcast else q
     cands = (
         c.join(
             q_side,
@@ -303,7 +309,9 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    query_broadcast: bool | None = None,
     query_broadcast_rows: int = 500_000,
+    salt: int = 8,
 ) -> DataFrame:
     """Approximate top-k via IVF: corpus rows live in their nearest
     centroid's cell; each query scores only its `nprobe` nearest cells.
@@ -330,18 +338,35 @@ def ann_ivf_topk(
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe)))
 
-    q_side = (
-        F.broadcast(q)
-        if queries.count() * max(1, int(nprobe)) <= int(query_broadcast_rows)
-        else q
-    )
-    scored = (
-        c.join(
-            q_side,
+    if query_broadcast is None:
+        query_broadcast = (
+            queries.count() * max(1, int(nprobe))
+            <= int(query_broadcast_rows)
+        )
+    if query_broadcast:
+        cand = c.join(
+            F.broadcast(q),
             (c.cell == q.cell) & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
-    )
+    else:
+        # over-bound fallback: "cell" alone has only n_cells distinct
+        # values — a bare shuffled join serializes into n_cells
+        # straggler tasks (the exact failure ann_ivf_topk_portable
+        # salts against), so the shuffle keys on (cell, _salt)
+        s_ = max(1, int(salt))
+        c_s = c.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(s_)).cast("int"),
+        )
+        q_s = q.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(s_)]))
+        )
+        cand = (
+            c_s.join(q_s, ["cell", "_salt"])
+            .drop("_salt")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+        )
+    scored = cand.withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -432,6 +457,9 @@ def ivf_index_search(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_broadcast: bool | None = None,
+    query_broadcast_rows: int = 500_000,
+    salt: int = 8,
 ) -> DataFrame:
     """Probe the persisted index: no training, no corpus re-tagging.
     The probed-cell set (<= nprobe x |queries|, deduped, bounded by
@@ -451,16 +479,35 @@ def ivf_index_search(
     )
     # query-time probes are a small batch by contract, but the gate
     # still counts (r12): an accidental corpus-as-queries call must
-    # not pin an unbounded broadcast
-    q_side = (
-        F.broadcast(q)
-        if queries.count() * max(1, int(nprobe)) <= 500_000
-        else q
-    )
-    scored = cells.join(
-        q_side,
-        (cells.cell == q.cell) & (F.col("neighbor_id") != F.col("query_id")),
-    ).withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    # not pin an unbounded broadcast; the over-bound shuffle keys on
+    # (cell, _salt) — probed cells are few, so a bare cell key would
+    # serialize into straggler tasks
+    if query_broadcast is None:
+        query_broadcast = (
+            queries.count() * max(1, int(nprobe))
+            <= int(query_broadcast_rows)
+        )
+    if query_broadcast:
+        cand = cells.join(
+            F.broadcast(q),
+            (cells.cell == q.cell)
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+    else:
+        s_ = max(1, int(salt))
+        c_s = cells.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(s_)).cast("int"),
+        )
+        q_s = q.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(s_)]))
+        )
+        cand = (
+            c_s.join(q_s, ["cell", "_salt"])
+            .drop("_salt")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+        )
+    scored = cand.withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -480,6 +527,7 @@ def cosine_pairs_exact(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    side_broadcast: bool | None = None,
     broadcast_rows: int = 500_000,
     salt: int = 32,
 ) -> DataFrame:
@@ -505,7 +553,9 @@ def cosine_pairs_exact(
     b = base.select(
         F.col("vid").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    if df.count() <= int(broadcast_rows):
+    if side_broadcast is None:
+        side_broadcast = df.count() <= int(broadcast_rows)
+    if side_broadcast:
         cand = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
     else:
         cand = _salted_all_pairs(a, b, "a_id", salt).filter(
@@ -2169,6 +2219,7 @@ def semantic_decontaminate(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    eval_broadcast: bool | None = None,
     eval_broadcast_rows: int = 500_000,
     ann_n_cells: int = 64,
     ann_nprobe: int | None = None,
@@ -2222,7 +2273,9 @@ def semantic_decontaminate(
     tr = e.filter(~F.col("_is_eval")).select(
         F.col(id_col).alias("vec_id"), "v", "_nrm"
     )
-    if ev.count() > int(eval_broadcast_rows):
+    if eval_broadcast is None:
+        eval_broadcast = ev.count() <= int(eval_broadcast_rows)
+    if not eval_broadcast:
         n_cells = int(ann_n_cells)
         knn = ann_ivf_topk_portable(
             corpus=emb.filter(eval_pred),

@@ -6614,7 +6614,9 @@ def _url_flag_ctes() -> str:
     WITH u AS (SELECT doc_id, {url} AS url FROM documents),
     h AS (
       SELECT doc_id, url,
-             regexp_extract(lower(url), '{CU.URL_HOST_RE}', 1) AS host
+             regexp_replace(
+               regexp_extract(lower(url), '{CU.URL_HOST_RE}', 1),
+               '\\.$', '') AS host
       FROM u
     ), f AS (
       SELECT doc_id, url, host,
@@ -6999,7 +7001,8 @@ def _ivf_partial_metrics_oracle() -> str:
              SUM(list_extract({_DCG_W}, rk)) AS dcg
       FROM top WHERE nlab = qlab GROUP BY 1
     )
-    SELECT qs.vec_id AS query_id,
+    , qr AS (SELECT DISTINCT query_id FROM cand)
+    SELECT qr.query_id,
            COALESCE(n.n_relevant, 0) AS n_relevant,
            COALESCE(h.hits_at_k, 0) AS hits_at_k,
            CAST(COALESCE(h.best, 0) AS INT) AS first_rel_rank,
@@ -7017,8 +7020,8 @@ def _ivf_partial_metrics_oracle() -> str:
                 THEN h.dcg * 1000000
                      // list_extract({_DCG_P}, least(n.n_relevant, 10))
                 ELSE 0 END AS BIGINT) AS ndcg_micro
-    FROM qs LEFT JOIN nrel n ON n.qid = qs.vec_id
-            LEFT JOIN hits h ON h.qid = qs.vec_id
+    FROM qr LEFT JOIN nrel n ON n.qid = qr.query_id
+            LEFT JOIN hits h ON h.qid = qr.query_id
     """
 
 
@@ -7034,7 +7037,13 @@ def q_retrieval_metrics_partial_probe(
     loses shows up as a hash-checked recall_micro/ndcg_micro drop
     against the full-probe q_retrieval_metrics_ann. n_relevant stays
     ground truth over the FULL corpus (the ranker never defines its
-    own denominator)."""
+    own denominator). The row UNIVERSE, matching ranking_metrics'
+    contract, is queries PRESENT IN THE RANKED INPUT — at partial
+    probe a query whose probed cells hold no other vector produces no
+    candidates and no output row on either side (the r12 review fix:
+    the oracle previously kept such queries with zeroed metrics,
+    which would hash-mismatch on any fixture with a self-only probed
+    cell)."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 23 == 0)
     ranked = S.ann_ivf_topk_portable(

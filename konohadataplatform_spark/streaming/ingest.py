@@ -84,6 +84,12 @@ DOC_SCHEMA = T.StructType(
     ]
 )
 
+# the url_screen=True stream contract: DOC_SCHEMA plus the url column
+# the front-door gate screens on
+DOC_SCHEMA_URL = T.StructType(
+    DOC_SCHEMA.fields + [T.StructField("url", T.StringType(), True)]
+)
+
 
 class DocIngestPipeline:
     """Curated streaming ingest into a catalog-backed corpus."""
@@ -593,8 +599,14 @@ class DocIngestPipeline:
         """
         if not self.catalog.exists(self.rejects_table):
             return 0
+        replay_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        if self.url_screen:
+            # url-screened pipelines store the url with every reject
+            # (apply_batch joins the pre-screen cache) — replay must
+            # carry it back through the front door
+            replay_cols.append("url")
         quarantined = self.catalog.read(self.rejects_table).select(
-            "doc_id", "text", "lang", "source", "n_chars"
+            *replay_cols
         )
         if quarantined.isEmpty():
             return 0
@@ -623,7 +635,9 @@ class DocIngestPipeline:
         semantics: drain what exists, then stop — rerun to pick up new
         files (the same harness pattern as CdcPipeline.start_stream)."""
         stream = (
-            self.spark.readStream.schema(DOC_SCHEMA)
+            self.spark.readStream.schema(
+                DOC_SCHEMA_URL if self.url_screen else DOC_SCHEMA
+            )
             .json(src_dir)
         )
         return (

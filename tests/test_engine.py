@@ -537,3 +537,23 @@ def test_read_avro_single_file(spark, tmp_path):
     ][0]
     out = read_avro(spark, f)
     assert {(r.id, r.v) for r in out.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_user_registered_view_not_clobbered_by_catalog_sync(spark, tmp_path):
+    """r12 review fix: a user view pinned via engine.register() keeps
+    shadowing a same-named catalog table across version bumps; tables
+    the user never pinned keep syncing to the latest commit."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.engine import Engine
+
+    eng = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "wh")))
+    eng.save_table("docs", spark.createDataFrame([(1,)], "v long"))
+    eng.register("docs", spark.createDataFrame([(99,)], "v long"))
+    # a second writer bumps the table version behind this engine's back
+    other = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "wh")))
+    other.catalog.write("docs", spark.createDataFrame([(2,)], "v long"))
+    # the pin survives the sync that runs inside sql()
+    assert [r.v for r in eng.sql("SELECT v FROM docs").collect()] == [99]
+    # an unpinned table still syncs to the external commit
+    other.catalog.write("plain", spark.createDataFrame([(7,)], "v long"))
+    assert [r.v for r in eng.sql("SELECT v FROM plain").collect()] == [7]

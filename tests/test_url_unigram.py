@@ -186,3 +186,24 @@ def test_url_filters_plan_is_exchange_free(spark):
         )
     )
     assert "Exchange" not in plan
+
+
+def test_url_filters_trailing_dot_fqdn_blocked(spark):
+    """r12 review fix: 'badsite.example.' (RFC FQDN spelling) must
+    not bypass the blocklist — host normalization strips the dot in
+    both the inline and table paths."""
+    rows = [(1, "https://badsite.example./x"),
+            (2, "https://ads.badsite.example./x")]
+    inline = {r["doc_id"]: r for r in CU.url_filters(_urls(spark, rows)).collect()}
+    assert inline[1]["host"] == "badsite.example"
+    assert not inline[1]["ok_domain"] and not inline[2]["ok_domain"]
+    blk = spark.createDataFrame(
+        [(d,) for d in CU.URL_BLOCKED_DOMAINS], "domain string"
+    )
+    joined = {
+        r["doc_id"]: r
+        for r in CU.url_filters(
+            _urls(spark, rows), blocked_domains_df=blk
+        ).collect()
+    }
+    assert not joined[1]["ok_domain"] and not joined[2]["ok_domain"]
