@@ -7183,3 +7183,101 @@ def q_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         F.col("n_bpe_tokens").alias("n_unigram_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 12 third tier: tokenizer compression-curve comparison and the
+# URL TLD data-card profile.
+# --------------------------------------------------------------------------
+@query(
+    "q_tokenizer_compression",
+    _bpe_oracle_chain(3)
+    + _ug_chain()
+    + """
+    SELECT 'bpe' AS tokenizer,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+            FROM (SELECT unnest(toks) AS tok FROM w3)) AS vocab_size,
+           CAST(SUM(freq * len(toks)) AS BIGINT) AS total_tokens
+    FROM w3
+    UNION ALL
+    SELECT 'unigram' AS tokenizer,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+            FROM (SELECT unnest(toks) AS tok FROM ug_s2)) AS vocab_size,
+           CAST(SUM(freq * len(toks)) AS BIGINT) AS total_tokens
+    FROM ug_s2
+    """,
+)
+def q_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compression-curve point for BOTH trained tokenizers on the
+    same corpus — (tokenizer, n_words, vocab_size, total_tokens): the
+    realized-vocab-size-vs-corpus-tokens tradeoff a tokenizer
+    selection plots (3-merge BPE vs 50-piece unigram). Both
+    vocabulary states share the (word, freq, toks) shape, so
+    bpe_encode_stats consumes either; each side is a vocab-bounded
+    aggregate after its one corpus-scale word count."""
+    from konohadataplatform_spark.operators.bpe import (
+        bpe_encode_stats,
+        bpe_train,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    _, bw = bpe_train(docs, 3)
+    _, uw = unigram_train(
+        docs, vocab_size=_UG_VSIZE, max_piece_len=_UG_L, iters=1,
+        min_usage=_UG_MINU, seed_mult=_UG_SEED // _UG_VSIZE,
+    )
+    out = []
+    for label, words in (("bpe", bw), ("unigram", uw)):
+        out.append(
+            bpe_encode_stats(words).select(
+                F.lit(label).alias("tokenizer"),
+                "n_words",
+                "vocab_size",
+                "total_tokens",
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+@query(
+    "q_url_tld_profile",
+    _url_flag_ctes()
+    + """
+    SELECT regexp_extract(host, '([^.]+)$', 1) AS tld,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(CASE WHEN ok_scheme AND ok_len AND ok_host_shape
+                          AND ok_domain AND ok_pattern AND ok_soft
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN ok_scheme AND ok_len AND ok_host_shape
+                          AND ok_domain AND ok_pattern AND ok_soft
+                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS pass_rate_micro
+    FROM f GROUP BY 1
+    """,
+)
+def q_url_tld_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl data-card TLD profile: per top-level domain label, URL
+    volume and the front-door pass rate — the per-TLD screen-yield
+    table crawl reports publish (which TLDs the blocklists and
+    pattern rules actually bite). One codegen projection (the
+    url_filters battery) + one TLD-keyed conditional aggregate;
+    output is TLD-cardinality."""
+    flags = CU.url_filters(_with_url(spark, sf_dir))
+    return (
+        flags.groupBy(
+            F.regexp_extract(F.col("host"), "([^.]+)$", 1).alias("tld")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.sum(F.when(F.col("pass_url_filters"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+        )
+        .withColumn(
+            "pass_rate_micro",
+            F.expr("n_pass * 1000000 DIV n_urls").cast("bigint"),
+        )
+    )

@@ -176,6 +176,10 @@ SMOKE_QUERIES = [
     "q_url_filters_table",
     "q_domain_quality",
     "q_unigram_encode_docs",
+    # r12 third tier: compression compare = both vocab-bounded encode
+    # stats; TLD profile = the screen projection + one tiny aggregate
+    "q_tokenizer_compression",
+    "q_url_tld_profile",
     # NOT smoked: q_semantic_decontaminate — exact cosine of every
     # train vector against a broadcast eval split whose registered
     # form (vec_id % 17) grows WITH the corpus, so replicated-fixture
