@@ -37,6 +37,21 @@ class Engine:
         # _register_view and stay sync-managed)
         self._user_views: set[str] = set()
 
+    def _engine_owned_views(self) -> set[str]:
+        """Names registered via ANY Engine's _register_view on this
+        SparkSession (temp views are session-scoped, so ownership must
+        be too — a second Engine over the same session must not
+        mistake the first one's sync-managed views for user views).
+        Distinguishes, on first sync of a table, an engine-managed
+        temp view (refresh it) from one the user created directly on
+        the SparkSession (r12 ADVICE: treat as user-owned, never
+        silently clobber it with the catalog read)."""
+        owned = getattr(self.spark, "_kdp_engine_views", None)
+        if owned is None:
+            owned = set()
+            self.spark._kdp_engine_views = owned
+        return owned
+
     def _sync_catalog_views(self) -> None:
         """Lazily (re-)register any catalog table whose committed
         version this engine's session has not seen — so a table
@@ -60,6 +75,18 @@ class Engine:
                 continue
             if t in self._user_views:
                 continue
+            if (
+                t not in self._seen_versions
+                and t not in self._engine_owned_views()
+                and self.spark.catalog.tableExists(t)
+            ):
+                # a temp view that already exists but was never
+                # registered by THIS engine is user-owned (created
+                # directly on the SparkSession or via sql('CREATE
+                # TEMP VIEW ...')): pin it instead of clobbering —
+                # namespace precedence is user view > catalog table
+                self._user_views.add(t)
+                continue
             if self._seen_versions.get(t) != snap.version:
                 self._register_view(t, self.catalog.read(t))
                 self._seen_versions[t] = snap.version
@@ -71,7 +98,15 @@ class Engine:
         reference's dbt models and GDPR docs emit) route onto the
         catalog API, and ``FOR TIMESTAMP|VERSION AS OF`` table clauses
         rewrite onto :meth:`table_at` time travel. Everything else is
-        handed to Spark SQL unchanged."""
+        handed to Spark SQL unchanged.
+
+        Namespace precedence: a temp view takes the name over a
+        same-named catalog table when it is user-owned — pinned via
+        :meth:`register`, or created directly on the SparkSession
+        before this engine first synced the table. Engine-managed
+        views (from :meth:`save_table`/:meth:`upsert`/sync itself)
+        refresh to the latest committed catalog version on every
+        statement."""
         from konohadataplatform_spark import sqldml
 
         self._sync_catalog_views()
@@ -98,8 +133,14 @@ class Engine:
 
     def _register_view(self, name: str, df: DataFrame) -> None:
         """Engine-internal (sync-managed) registration — does NOT
-        pin: the catalog-version sync keeps refreshing the name."""
+        pin: the catalog-version sync keeps refreshing the name. Also
+        DROPS any user pin on the name (r12 ADVICE: save_table/upsert
+        to a previously register()-pinned name hands the name back to
+        sync management, matching register()'s documented contract —
+        commits from other sessions are reflected again)."""
         df.createOrReplaceTempView(name)
+        self._user_views.discard(name)
+        self._engine_owned_views().add(name)
 
     def register_star_schema(self, sf_dir: str) -> dict[str, DataFrame]:
         # remember the dir so SessionEngine clones can replay the

@@ -63,14 +63,24 @@ def apply_group_cap(
     group_col: str,
     key_col: str,
     cap: int,
+    kept_broadcast: bool | None = None,
+    kept_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """The capped rows themselves: ``df`` filtered to the per-group
     ``cap`` smallest keys, all original columns preserved.
 
-    The kept-key relation is at most ``cap`` keys per group —
-    broadcast-joined back, so the data side neither shuffles nor
-    sorts. At 100 TB with many groups, swap the broadcast for a
-    shuffle hash join on ``key_col`` (still no window).
+    The kept-key relation is at most ``cap`` keys per group — with
+    crawl-scale group counts (10^7-10^8 domains x cap) that is NOT
+    metadata-sized, so the broadcast runs behind the r12 counted gate
+    (r13, closing VERDICT #2): ``kept_broadcast`` True/False skips
+    the count when the caller knows the size; None counts the kept
+    relation and broadcasts only at or below ``kept_broadcast_rows``.
+    Under the bound the data side neither shuffles nor sorts; above
+    it the semi-join runs shuffled on (``group_col``, ``key_col``),
+    AQE-sized — still no window. The gate count recomputes the
+    per-group aggregate once (the kept relation is not cached — it
+    is one partial+final agg over ``df`` and caching corpus-derived
+    relations leaked in r7).
 
     The semi-join keys on (``group_col``, ``key_col``) — a key value
     kept in one group never admits a same-keyed row from ANOTHER
@@ -81,8 +91,14 @@ def apply_group_cap(
     kept = per_group_cap(df, group_col, key_col, cap).select(
         group_col, F.explode("kept").alias(key_col)
     )
+    if kept_broadcast is None:
+        # LIMIT-bounded probe: terminates once kept_broadcast_rows + 1
+        # kept keys exist; the decision (count <= bound) is unchanged
+        bound = int(kept_broadcast_rows)
+        kept_broadcast = kept.limit(bound + 1).count() <= bound
+    kept_side = F.broadcast(kept) if kept_broadcast else kept
     return df.join(
-        F.broadcast(kept), [group_col, key_col], "left_semi"
+        kept_side, [group_col, key_col], "left_semi"
     ).select(*df.columns)
 
 
@@ -1007,13 +1023,18 @@ def lang_temperature_quota(
     )
     # the cross-engine exactness claim requires n_docs * scale < 2^52
     # (exact-double range for the sqrt input); past it, floor(sqrt(...))
-    # may legitimately differ between engines — fail loudly instead
+    # may legitimately differ between engines — fail loudly instead.
+    # Guard in DIVISION form (the epoch_schedule r11-ADVICE fix): the
+    # multiply-then-compare spelling wraps int64 for n_docs > ~9.2e12
+    # and the check silently passes. n_docs <= (2^52 - 1) div scale
+    # <=> n_docs * scale < 2^52, overflow-free for any n_docs.
+    max_docs = ((1 << 52) - 1) // int(scale)
     weighted = counts.withColumn(
         "weight",
         F.floor(
             F.sqrt(
                 F.expr(
-                    f"if(n_docs * {int(scale)}L < {1 << 52}L, "
+                    f"if(n_docs <= {max_docs}L, "
                     f"n_docs * {int(scale)}L, "
                     "raise_error(concat('lang_temperature_quota: n_docs "
                     "* scale = ', cast(n_docs as string), ' * "
@@ -1096,6 +1117,8 @@ def stratified_sample(
     group_col: str,
     quota: int,
     id_col: str = "doc_id",
+    kept_broadcast: bool | None = None,
+    kept_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """EXACT-count stratified sample: per ``group_col`` value, exactly
     ``quota`` rows (fewer only if the stratum is smaller), selected by
@@ -1116,7 +1139,9 @@ def stratified_sample(
     Scale shape: delegates to :func:`apply_group_cap`'s two-phase
     local-top-``quota``-then-merge — no per-group window, no hot-group
     straggler sort; the kept-key relation is at most ``quota`` keys
-    per stratum, broadcast back as a (stratum, key) semi-join.
+    per stratum, semi-joined back on (stratum, key) behind the r13
+    counted gate (``kept_broadcast`` / ``kept_broadcast_rows`` pass
+    straight through — broadcast under the bound, shuffled above).
     """
     idstr = F.col(id_col).cast("string")
     key = F.concat(
@@ -1125,7 +1150,11 @@ def stratified_sample(
         idstr,
     )
     keyed = df.withColumn("_skey", key)
-    return apply_group_cap(keyed, group_col, "_skey", quota).drop("_skey")
+    return apply_group_cap(
+        keyed, group_col, "_skey", quota,
+        kept_broadcast=kept_broadcast,
+        kept_broadcast_rows=kept_broadcast_rows,
+    ).drop("_skey")
 
 
 def code_quality_flags(
@@ -1471,6 +1500,8 @@ def apply_domain_cap(
     url_col: str = "url",
     id_col: str = "doc_id",
     cap: int = 1000,
+    kept_broadcast: bool | None = None,
+    kept_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Per-domain document cap (the RefinedWeb/C4 "at most N pages per
     domain" rule), keyed on the registrable domain parsed from
@@ -1479,14 +1510,19 @@ def apply_domain_cap(
     Composes :func:`apply_group_cap` — the two-phase partition-local
     cap, so a head domain with 10^9 pages never funnels through one
     task — over a derived ``_domain`` column; all original columns
-    come back, the derived column does not.
+    come back, the derived column does not. The kept-key semi-join is
+    cap x #domains rows — crawl-scale domain counts overflow a
+    broadcast, so the gate kwargs pass through to
+    :func:`apply_group_cap`'s counted gate.
     """
     with_dom = docs.withColumn(
         "_domain", url_domain(url_host(F.col(url_col)))
     )
-    return apply_group_cap(with_dom, "_domain", id_col, cap).select(
-        *docs.columns
-    )
+    return apply_group_cap(
+        with_dom, "_domain", id_col, cap,
+        kept_broadcast=kept_broadcast,
+        kept_broadcast_rows=kept_broadcast_rows,
+    ).select(*docs.columns)
 
 
 def url_dedup(

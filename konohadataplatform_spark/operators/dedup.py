@@ -146,6 +146,12 @@ def ngram_decontaminate(
     identical either way; only the exchange strategy changes. Gram
     formation is a codegen'd array expression (sequence/slice/
     array_join), exploded only after array_distinct.
+
+    The gate probe is LIMIT-bounded (r12 ADVICE): it scans only until
+    ``eval_broadcast_docs + 1`` eval docs are found, not the full
+    corpus — and it still triggers one Spark job at construction;
+    callers that already know the split size (or need a fully lazy
+    plan) pass ``eval_broadcast`` explicitly to skip it.
     """
     from konohadataplatform_spark.operators.text import word_ngrams
 
@@ -163,8 +169,13 @@ def ngram_decontaminate(
     eval_grams = grams.filter(F.col("_is_eval")).select("gram").distinct()
     train = grams.filter(~F.col("_is_eval"))
     if eval_broadcast is None:
+        bound = int(eval_broadcast_docs)
+        # limit(bound + 1) makes the probe early-terminating: the scan
+        # stops as soon as bound + 1 eval docs exist, and the decision
+        # (count <= bound) is unchanged
         eval_broadcast = (
-            docs.filter(eval_pred).count() <= int(eval_broadcast_docs)
+            docs.filter(eval_pred).select(id_col).limit(bound + 1).count()
+            <= bound
         )
     ev_side = F.broadcast(eval_grams) if eval_broadcast else eval_grams
     return (

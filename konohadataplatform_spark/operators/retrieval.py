@@ -120,6 +120,39 @@ def inverted_index(tokens: DataFrame, max_postings: int = 8) -> DataFrame:
     ).select("term", "doc_freq", "postings")
 
 
+def query_terms(
+    docs: DataFrame,
+    query_pred,
+    n: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(q_id, term, qtf): the query-side term relation of the lexical
+    rankers — ``docs`` filtered to ``query_pred`` and tokenized.
+    Tokenizing the FILTERED slice (instead of joining the full-corpus
+    tf relation against query ids) keeps the extra work proportional
+    to the query split, and per-doc term frequencies are identical
+    either way."""
+    qtf = term_frequencies(
+        ngram_tokens(docs.where(query_pred), n, text_col, id_col)
+    )
+    return qtf.select(
+        F.col("doc_id").alias("q_id"), "term", F.col("tf").alias("qtf")
+    )
+
+
+def _gated(side: DataFrame, flag: bool | None, bound: int) -> DataFrame:
+    """The r12 counted-gate convention for a maybe-broadcast side:
+    ``flag`` True/False skips the count when the caller already knows
+    the side's size; None probes the relation (LIMIT-bounded, so the
+    job terminates as soon as ``bound + 1`` rows exist) and broadcasts
+    only at or below ``bound`` rows — above it the join runs shuffled
+    on its key (AQE-sized), never a corpus-proportional broadcast."""
+    if flag is None:
+        flag = side.limit(int(bound) + 1).count() <= int(bound)
+    return F.broadcast(side) if flag else side
+
+
 def lexical_topk(
     docs: DataFrame,
     query_pred,
@@ -128,6 +161,8 @@ def lexical_topk(
     df_cap_frac: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    query_broadcast: bool | None = None,
+    query_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Top-k corpus docs per query doc by integer-exact TF-IDF over
     word n-grams: (q_id, hit_id, score, hit_rank).
@@ -140,14 +175,20 @@ def lexical_topk(
 
     score(q, d) = sum over shared terms of qtf * tf * ((N*SCALE)//df),
     all int64; ties broken by ascending doc_id. The query term side is
-    broadcast (queries are a tiny fraction of the corpus); the corpus
-    side shuffles once on the term key, post-pruning. The tf relation
-    feeds three branches (idf, query terms, scoring) and is NOT
-    cached: each branch prunes different columns so recompute beats
-    materializing the full relation (measured 1.5 s vs 1.8-2.8 s at
-    sf0.1), and a cache() here leaked a cached relation per call (r7
-    ADVICE). At 100 TB tf would be a materialized table, not a
-    re-scan."""
+    broadcast ONLY under the r13 counted gate (``query_broadcast``
+    True/False skips the count; None counts the (q_id, term) relation
+    and broadcasts at or below ``query_broadcast_rows``) — a
+    corpus-proportional query split (e.g. ``doc_id % 101 == 0`` over
+    10^12 docs) falls back to a term-keyed shuffled join, AQE-sized,
+    instead of an executor-OOM broadcast. The gate count tokenizes
+    only the FILTERED query slice, so its cost is one corpus scan +
+    query-proportional work. The corpus side shuffles once on the
+    term key, post-pruning. The tf relation feeds two branches (idf,
+    scoring) and is NOT cached: each branch prunes different columns
+    so recompute beats materializing the full relation (measured
+    1.5 s vs 1.8-2.8 s at sf0.1), and a cache() here leaked a cached
+    relation per call (r7 ADVICE). At 100 TB tf would be a
+    materialized table, not a re-scan."""
     tf = term_frequencies(ngram_tokens(docs, n, text_col, id_col))
     n_docs = docs.select(F.count(F.lit(1)).alias("n"))
     idf = (
@@ -157,14 +198,10 @@ def lexical_topk(
         .where(F.col("df") <= F.expr(f"div(n, {int(df_cap_frac)})"))
         .select("term", F.expr(f"div(n * {SCALE}, df)").alias("idf"))
     )
-    qids = docs.where(query_pred).select(F.col(id_col).alias("q_id"))
-    qterms = (
-        tf.join(F.broadcast(qids), tf["doc_id"] == qids["q_id"])
-        .select("q_id", "term", F.col("tf").alias("qtf"))
-    )
+    qterms = query_terms(docs, query_pred, n, text_col, id_col)
     scored = (
         tf.join(idf, "term")
-        .join(F.broadcast(qterms), "term")
+        .join(_gated(qterms, query_broadcast, query_broadcast_rows), "term")
         .where(F.col("doc_id") != F.col("q_id"))
         .groupBy("q_id", "doc_id")
         .agg(F.sum(F.col("qtf") * F.col("tf") * F.col("idf")).alias("score"))
@@ -243,6 +280,8 @@ def bm25_topk(
     df_cap_frac: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    query_broadcast: bool | None = None,
+    query_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Top-k corpus docs per query doc by integer-exact BM25 over
     word ``n``-grams: (q_id, hit_id, score, hit_rank). Document
@@ -264,8 +303,11 @@ def bm25_topk(
     engine.
 
     Scale shape: dl is a partial+final count per doc; (N, TL) is a
-    broadcast scalar; the scoring join broadcasts the query terms and
-    shuffles the corpus tf relation once on the capped term key — same
+    broadcast scalar; the scoring join broadcasts the query terms only
+    under the same r13 counted gate as :func:`lexical_topk`
+    (``query_broadcast`` / ``query_broadcast_rows``; over the bound
+    the join runs term-keyed and shuffled, AQE-sized) and shuffles
+    the corpus tf relation once on the capped term key — same
     contract as :func:`lexical_topk`. Overflow bounds (int64): the
     tf_sat numerator needs 44*tf*TL*1000 to fit (TL < 2e11 total
     tokens at tf ~ 1e3), and the score term qtf*idf*tf_sat needs
@@ -285,11 +327,7 @@ def bm25_topk(
         .where(F.col("df") <= F.expr(f"div(n, {int(df_cap_frac)})"))
         .select("term", F.expr(f"div(n * {SCALE}, df)").alias("idf"))
     )
-    qids = docs.where(query_pred).select(F.col(id_col).alias("q_id"))
-    qterms = (
-        tf.join(F.broadcast(qids), tf["doc_id"] == qids["q_id"])
-        .select("q_id", "term", F.col("tf").alias("qtf"))
-    )
+    qterms = query_terms(docs, query_pred, n, text_col, id_col)
     tf_sat = F.expr(
         f"div(44 * tf * tl * {BM25_TF_SCALE}, "
         f"20 * tf * tl + 6 * tl + 18 * dl * n)"
@@ -299,7 +337,7 @@ def bm25_topk(
         .crossJoin(F.broadcast(totals))
         .select("doc_id", "term", tf_sat.alias("tf_sat"))
         .join(idf, "term")
-        .join(F.broadcast(qterms), "term")
+        .join(_gated(qterms, query_broadcast, query_broadcast_rows), "term")
         .where(F.col("doc_id") != F.col("q_id"))
         .groupBy("q_id", "doc_id")
         .agg(F.sum(F.col("qtf") * F.col("idf") * F.col("tf_sat")).alias("score"))

@@ -61,6 +61,65 @@ def test_no_window_in_plan(spark):
     assert "Sort" not in plan.split("\n\n(")[0] or "SortAggregate" in plan
 
 
+def test_apply_group_cap_gate_parity_forced_shuffle(spark):
+    """r13 counted gate (VERDICT #2): kept_broadcast_rows=0 forces the
+    shuffled (group, key) semi-join — identical rows to the broadcast
+    path, and the explicit True/False overrides skip the count."""
+    df = _skewed(spark).withColumn(
+        "payload", F.md5(F.col("id").cast("string"))
+    )
+    a = sorted(tuple(r) for r in apply_group_cap(df, "grp", "id", 3).collect())
+    b = sorted(
+        tuple(r)
+        for r in apply_group_cap(
+            df, "grp", "id", 3, kept_broadcast_rows=0
+        ).collect()
+    )
+    c = sorted(
+        tuple(r)
+        for r in apply_group_cap(
+            df, "grp", "id", 3, kept_broadcast=False
+        ).collect()
+    )
+    assert a and a == b == c
+
+
+def test_stratified_sample_and_domain_cap_gate_passthrough(spark):
+    """The wrappers forward the gate kwargs: forcing the shuffled path
+    leaves the selection bit-identical."""
+    from konohadataplatform_spark.operators.curation import (
+        apply_domain_cap,
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"l{i % 3}",
+             f"https://sub{i % 5}.example{i % 4}.com/p/{i}")
+            for i in range(60)
+        ],
+        "doc_id long, lang string, url string",
+    )
+    a = sorted(
+        tuple(r) for r in stratified_sample(docs, "lang", quota=4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in stratified_sample(
+            docs, "lang", quota=4, kept_broadcast_rows=0
+        ).collect()
+    )
+    assert a and a == b
+    c = sorted(
+        tuple(r) for r in apply_domain_cap(docs, cap=2).collect()
+    )
+    d = sorted(
+        tuple(r)
+        for r in apply_domain_cap(docs, cap=2, kept_broadcast=False).collect()
+    )
+    assert c and c == d
+
+
 def test_cap_validation(spark):
     import pytest
 
@@ -450,6 +509,28 @@ def test_lang_temperature_quota_validation(spark):
     # -> loud raise_error instead of a silent cross-engine divergence
     with pytest.raises(Exception, match="2\\^52"):
         lang_temperature_quota(docs, budget=10, scale=1 << 52).collect()
+
+
+def test_lang_temperature_quota_guard_division_form_boundary(spark):
+    """r12 VERDICT #3: the guard must use the overflow-free division
+    form (n_docs <= (2^52-1) div scale), preserving the EXACT accepted
+    domain of the old product check: with scale = 2^51 the bound is
+    max_docs = 1, so 1 doc passes and 2 docs raise — and a wrapping
+    product can never sneak past."""
+    import pytest
+
+    from konohadataplatform_spark.operators.curation import (
+        lang_temperature_quota,
+    )
+
+    one = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    row = lang_temperature_quota(one, budget=10, scale=1 << 51).collect()[0]
+    assert row.weight == int((1 << 51) ** 0.5)
+    two = spark.createDataFrame(
+        [(1, "en"), (2, "en")], "doc_id long, lang string"
+    )
+    with pytest.raises(Exception, match="2\\^52"):
+        lang_temperature_quota(two, budget=10, scale=1 << 51).collect()
 
 
 # ---------------------------------------------------------------------------

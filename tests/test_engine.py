@@ -557,3 +557,54 @@ def test_user_registered_view_not_clobbered_by_catalog_sync(spark, tmp_path):
     # an unpinned table still syncs to the external commit
     other.catalog.write("plain", spark.createDataFrame([(7,)], "v long"))
     assert [r.v for r in eng.sql("SELECT v FROM plain").collect()] == [7]
+
+
+def test_save_table_drops_user_pin_resumes_sync(spark, tmp_path):
+    """r12 ADVICE: save_table to a register()-pinned name hands the
+    name back to sync management — commits from other sessions are
+    reflected again instead of being silently shadowed forever."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.engine import Engine
+
+    eng = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "wh")))
+    eng.save_table("pint", spark.createDataFrame([(1,)], "v long"))
+    eng.register("pint", spark.createDataFrame([(99,)], "v long"))
+    assert [r.v for r in eng.sql("SELECT v FROM pint").collect()] == [99]
+    # save_table through the pin: the pin is dropped...
+    eng.save_table("pint", spark.createDataFrame([(2,)], "v long"))
+    assert [r.v for r in eng.sql("SELECT v FROM pint").collect()] == [2]
+    # ...and external commits are reflected again
+    other = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "wh")))
+    other.catalog.write("pint", spark.createDataFrame([(3,)], "v long"))
+    assert [r.v for r in eng.sql("SELECT v FROM pint").collect()] == [3]
+
+
+def test_session_temp_view_user_owned_on_first_sync(spark, tmp_path):
+    """r12 ADVICE: a temp view created directly on the SparkSession
+    (or via sql('CREATE TEMP VIEW')) that shares a catalog table's
+    name is user-owned — the first sync pins it instead of clobbering.
+    Views registered by ANOTHER Engine's sync on the same session are
+    engine-owned and keep refreshing."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.engine import Engine
+
+    wh = str(tmp_path / "wh")
+    writer = Engine(spark, SnapshotCatalog(spark, wh))
+    writer.catalog.write("shadowed", spark.createDataFrame([(1,)], "v long"))
+    writer.catalog.write("fresh", spark.createDataFrame([(10,)], "v long"))
+    # user view created directly on the session BEFORE the engine syncs
+    spark.createDataFrame([(99,)], "v long").createOrReplaceTempView(
+        "shadowed"
+    )
+    eng = Engine(spark, SnapshotCatalog(spark, wh))
+    assert [r.v for r in eng.sql("SELECT v FROM shadowed").collect()] == [99]
+    # unshadowed tables sync normally on the same engine
+    assert [r.v for r in eng.sql("SELECT v FROM fresh").collect()] == [10]
+    # a SECOND engine on the same session must not mistake the first
+    # engine's sync-registered view ("fresh") for a user view: after an
+    # external commit it refreshes to the latest version
+    writer.catalog.write("fresh", spark.createDataFrame([(11,)], "v long"))
+    eng2 = Engine(spark, SnapshotCatalog(spark, wh))
+    assert [r.v for r in eng2.sql("SELECT v FROM fresh").collect()] == [11]
+    spark.catalog.dropTempView("shadowed")
+    spark.catalog.dropTempView("fresh")
