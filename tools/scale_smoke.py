@@ -193,12 +193,13 @@ SMOKE_QUERIES = [
     # row); at corpus scale the harness scores a fixed eval SAMPLE and
     # the ranked input comes from the ANN path (the metrics stage
     # itself is |queries| x k — metadata-sized).
-    # NOT smoked: q_retrieval_metrics_partial_probe — the registered
-    # query split (vec_id % 23) is corpus-proportional, so even at
-    # nprobe=2/8 the probed pair count is O(n^2 * nprobe / (23 *
-    # n_cells)) — the metrics harness contract above applies: at
-    # corpus scale the query side is a fixed eval sample and the
-    # scorer stage itself stays |queries| x k.
+    # q_retrieval_metrics_partial_probe: the registered query split
+    # (vec_id % 23) is corpus-proportional, so its raw sf1 ratio would
+    # measure the split contract, not the plan — the smoked form is
+    # q_partial_probe_fixed_queries below (EXTRA_SMOKES), which holds
+    # the query side at the FIXED eval sample the metrics harness
+    # contract prescribes and smokes the actual scale path (IVF probe
+    # + scorer at constant |queries|).
     # NOT smoked: q_margin_mining_ann — the registered query is the
     # FULL-PROBE parity config (scores every pair by construction, so
     # its sf1 ratio is the same quadratic contract the brute-force row
@@ -208,6 +209,70 @@ SMOKE_QUERIES = [
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
+
+
+# --------------------------------------------------------------------------
+# Smoke-only variants (r13): shapes the registered queries don't pin —
+# the gated retrieval family's SHUFFLED fallback (the 100 TB path, where
+# the query-term relation exceeds the broadcast bound), and the
+# partial-probe metrics run at a FIXED query sample (the harness
+# contract at corpus scale). Same callable signature as registry
+# queries: (spark, sf_dir) -> DataFrame.
+# --------------------------------------------------------------------------
+def _smoke_lexical_topk_shuffled(spark, sf_dir):
+    from konohadataplatform_spark.operators.retrieval import lexical_topk
+
+    return lexical_topk(
+        load_table(spark, sf_dir, "documents"),
+        F.col("doc_id") % 101 == 0,
+        k=3, n=3, df_cap_frac=10, query_broadcast=False,
+    )
+
+
+def _smoke_bm25_topk_shuffled(spark, sf_dir):
+    from konohadataplatform_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        F.col("doc_id") % 101 == 0,
+        k=3, n=3, df_cap_frac=10, query_broadcast=False,
+    )
+
+
+def _smoke_partial_probe_fixed_queries(spark, sf_dir):
+    """q_retrieval_metrics_partial_probe with the query side held at a
+    FIXED sample (vec_id % 23 == 0 AND vec_id < 1150 — constant ~50
+    queries at every scale factor, since sf1 replicas offset ids
+    upward): the probed pair count is |queries| x (corpus/n_cells) x
+    nprobe, linear in the corpus, and the scorer stays |queries| x k."""
+    from konohadataplatform_spark.operators import evaluation as EV
+    from konohadataplatform_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter((F.col("vec_id") % 23 == 0) & (F.col("vec_id") < 1150))
+    ranked = S.ann_ivf_topk_portable(
+        emb, qs, k=10, n_cells=8, nprobe=2, iters=2
+    )
+    lab_q = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    lab_c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_cl")
+    )
+    relevant = (
+        lab_c.join(lab_q, F.col("_cl") == F.col("_ql"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return EV.ranking_metrics(ranked, relevant, k=10)
+
+
+EXTRA_SMOKES = {
+    "q_lexical_topk_shuffled": _smoke_lexical_topk_shuffled,
+    "q_bm25_topk_shuffled": _smoke_bm25_topk_shuffled,
+    "q_partial_probe_fixed_queries": _smoke_partial_probe_fixed_queries,
+}
+SMOKE_QUERIES += list(EXTRA_SMOKES)
 
 
 def _replicate(
@@ -277,7 +342,7 @@ def main() -> int:
         print("building sf1 dataset at", SF1, file=sys.stderr)
         build_sf1(spark)
 
-    qs = all_queries()
+    qs = {**all_queries(), **EXTRA_SMOKES}
     # --only <substr>: time just the matching queries (skip the
     # semantic/dHash extras) — for re-measuring one operator after a
     # targeted change without the ~15 min full rotation
