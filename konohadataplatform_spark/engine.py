@@ -197,6 +197,21 @@ class Engine:
     def history(self, name: str):
         return self._require_catalog().history(name)
 
+    def export_duckdb(
+        self, name: str | None = None, version: int | None = None
+    ) -> str:
+        """DuckDB view DDL for one catalog table's snapshot (or, with
+        no ``name``, every current table) — the second-engine read of
+        OUR tables, mirroring the reference's Trino-over-the-same-
+        warehouse property (trino-config-coordinator.yaml:28-35). See
+        :mod:`konohadataplatform_spark.export`."""
+        from konohadataplatform_spark import export as _export
+
+        cat = self._require_catalog()
+        if name is None:
+            return _export.export_duckdb_views(cat)
+        return _export.export_duckdb_sql(cat, name, version)
+
     def upsert(self, name: str, source: DataFrame, key_cols: list[str]):
         """Merge-on-read upsert: O(|source|) commit (see
         catalog.upsert_by_keys); refreshes the SQL view."""

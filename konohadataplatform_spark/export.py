@@ -1,0 +1,241 @@
+"""External-engine snapshot export: let a SECOND engine read OUR
+catalog tables (r13, closing VERDICT r12 "What's missing" #2).
+
+The reference's lakehouse property is that Trino reads the same
+Iceberg tables Spark writes (``infrastructure/apps/trino/base/
+trino-config-coordinator.yaml:28-35`` — the Trino coordinator points
+at the shared Hive Metastore + MinIO warehouse). ``SnapshotCatalog``'s
+manifest format is private, so an external engine cannot discover the
+current snapshot's file list by itself; this module closes the loop
+the same way Iceberg's metadata does — by EXPORTING the snapshot as
+engine-portable artifacts:
+
+- :func:`snapshot_manifest` — the snapshot's resolved metadata (base
+  file list, upsert layers, delete files, rename/drop projection,
+  partition layout) as one JSON-able dict: the engine-neutral
+  contract any reader can consume.
+- :func:`export_duckdb_sql` — a ``CREATE OR REPLACE VIEW`` statement
+  over ``read_parquet([...])`` that reproduces the snapshot's READ
+  SEMANTICS in DuckDB: hive-partition recovery, metadata rename/drop,
+  merge-on-read upsert-layer folding (newest-last, anti-join on the
+  layer keys), and equality-delete suppression.
+
+Both are metadata-only (parquet FOOTERS are read for column presence;
+no data scan, no Spark job) and version-pinned: the emitted view
+names immutable snapshot files, so it keeps reading the exported
+version even while writers commit newer ones — re-export to advance,
+exactly like re-resolving an Iceberg table's metadata pointer.
+
+Scale: the export cost is O(#files) footer stats — the same class as
+the catalog's own manifest statistics; the emitted SQL contains the
+file list inline (an Iceberg manifest is the same thing in Avro).
+MOR folding in the view mirrors the Spark read plan: anti-join +
+union-by-name per layer, one anti-join for the delete file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from konohadataplatform_spark.catalog import Snapshot, SnapshotCatalog
+
+
+def _dir_parquet_files(path: str) -> list[str]:
+    """All *.parquet files under ``path`` (no metadata-dir skipping —
+    used for layer/delete dirs, which are flat file sets)."""
+    out = []
+    for root, _dirs, fs in os.walk(path):
+        out += [os.path.join(root, f) for f in fs if f.endswith(".parquet")]
+    return sorted(out)
+
+
+def _present_columns(files: list[str]) -> set[str]:
+    """Union of column names across the files' parquet footers
+    (metadata-only; mirrors Spark's mergeSchema name resolution)."""
+    import pyarrow.parquet as pq
+
+    cols: set[str] = set()
+    for f in files:
+        cols.update(pq.read_schema(f).names)
+    return cols
+
+
+def _q(ident: str) -> str:
+    """DuckDB identifier quoting."""
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def _lit(path: str) -> str:
+    return "'" + path.replace("'", "''") + "'"
+
+
+def _read_parquet(files: list[str], hive: bool, union_by_name: bool) -> str:
+    opts = []
+    if hive:
+        opts.append("hive_partitioning=true")
+    if union_by_name:
+        opts.append("union_by_name=true")
+    opt_sql = (", " + ", ".join(opts)) if opts else ""
+    return (
+        "read_parquet([" + ", ".join(_lit(f) for f in files) + "]"
+        + opt_sql + ")"
+    )
+
+
+def _star_projection(
+    snap: Snapshot, files: list[str], partition_cols: list[str]
+) -> str:
+    """The ``* EXCLUDE (...) RENAME (...)`` star expression mirroring
+    ``SnapshotCatalog._apply_schema_meta``: metadata renames apply
+    only where the physical name is present (Spark's
+    withColumnRenamed no-ops otherwise), drops only where the dropped
+    name is present."""
+    present = _present_columns(files) | set(partition_cols)
+    renames = [
+        (phys, cur)
+        for phys, cur in (snap.renames or {}).items()
+        if phys in present
+    ]
+    dropped = [c for c in (snap.dropped or []) if c in present]
+    # star RENAME needs DuckDB > 1.0 — spell renames as EXCLUDE the
+    # physical name + an explicit alias column (appended last; column
+    # ORDER is immaterial to the view semantics, and the MOR folds
+    # union BY NAME)
+    excl = dropped + [p for p, _ in renames]
+    star = "*"
+    if excl:
+        star += " EXCLUDE (" + ", ".join(_q(c) for c in excl) + ")"
+    for phys, cur in renames:
+        star += f", {_q(phys)} AS {_q(cur)}"
+    return star
+
+
+def snapshot_manifest(
+    catalog: SnapshotCatalog, name: str, version: int | None = None
+) -> dict:
+    """The snapshot's engine-neutral manifest: everything an external
+    reader needs to reproduce the read, as one JSON-able dict."""
+    snap = catalog._resolve(name, version, None)
+    layers = [
+        {
+            "dir": layer_rel,
+            "files": _dir_parquet_files(os.path.join(snap.path, layer_rel)),
+            "key_cols": list(snap.upsert_key_cols or []),
+        }
+        for layer_rel in (snap.upsert_layers or [])
+    ]
+    delete_files = (
+        _dir_parquet_files(snap.delete_path)
+        if snap.delete_path and os.path.isdir(snap.delete_path)
+        else []
+    )
+    return {
+        "table": name,
+        "version": snap.version,
+        "operation": snap.operation,
+        "timestamp_ms": snap.timestamp_ms,
+        "base_files": catalog._base_data_files(snap),
+        "partition_by": list(snap.partition_by or []),
+        "mixed_schema": bool(snap.mixed_schema),
+        "renames": dict(snap.renames or {}),
+        "dropped": list(snap.dropped or []),
+        "upsert_layers": layers,
+        "delete": {
+            "files": delete_files,
+            "key_cols": list(snap.delete_key_cols or []),
+        },
+    }
+
+
+def export_duckdb_sql(
+    catalog: SnapshotCatalog,
+    name: str,
+    version: int | None = None,
+    view_name: str | None = None,
+) -> str:
+    """DuckDB DDL for one snapshot: ``CREATE OR REPLACE VIEW`` whose
+    body reproduces the catalog read —
+
+    1. base files via ``read_parquet`` (hive partition recovery when
+       the snapshot is partitioned; union-by-name when it carries two
+       schema generations), through the rename/drop star projection;
+    2. each merge-on-read upsert layer folded oldest-first: rows of
+       the running relation whose key appears in the layer are
+       shadowed (``NOT EXISTS``, null keys never match — Spark
+       left_anti equality), then the layer unions in with
+       ``UNION ALL BY NAME`` (missing columns null-filled, Spark's
+       allowMissingColumns);
+    3. equality-delete keys suppressed with one final ``NOT EXISTS``.
+
+    The view is PINNED to the exported snapshot's immutable files:
+    later commits do not change what it reads until re-exported.
+    """
+    m = snapshot_manifest(catalog, name, version)
+    snap = catalog._resolve(name, version, None)
+    view = view_name or name
+    hive = bool(m["partition_by"])
+
+    ctes: list[str] = []
+    base_star = _star_projection(snap, m["base_files"], m["partition_by"])
+    ctes.append(
+        "base AS (SELECT "
+        + base_star
+        + " FROM "
+        + _read_parquet(m["base_files"], hive, m["mixed_schema"])
+        + ")"
+    )
+    cur = "base"
+    for i, layer in enumerate(m["upsert_layers"]):
+        lname, fname = f"lyr{i}", f"fold{i}"
+        lstar = _star_projection(snap, layer["files"], [])
+        ctes.append(
+            f"{lname} AS (SELECT {lstar} FROM "
+            + _read_parquet(layer["files"], False, False)
+            + ")"
+        )
+        keys = " AND ".join(
+            f"{lname}.{_q(k)} = {cur}.{_q(k)}" for k in layer["key_cols"]
+        )
+        ctes.append(
+            f"{fname} AS (SELECT * FROM {cur} WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {lname} WHERE {keys}) "
+            f"UNION ALL BY NAME SELECT * FROM {lname})"
+        )
+        cur = fname
+    if m["delete"]["files"]:
+        dstar = _star_projection(snap, m["delete"]["files"], [])
+        ctes.append(
+            "dels AS (SELECT " + dstar + " FROM "
+            + _read_parquet(m["delete"]["files"], False, False)
+            + ")"
+        )
+        keys = " AND ".join(
+            f"dels.{_q(k)} = {cur}.{_q(k)}"
+            for k in m["delete"]["key_cols"]
+        )
+        ctes.append(
+            f"undeleted AS (SELECT * FROM {cur} WHERE NOT EXISTS "
+            f"(SELECT 1 FROM dels WHERE {keys}))"
+        )
+        cur = "undeleted"
+    return (
+        f"CREATE OR REPLACE VIEW {_q(view)} AS WITH "
+        + ", ".join(ctes)
+        + f" SELECT * FROM {cur}"
+    )
+
+
+def export_duckdb_views(
+    catalog: SnapshotCatalog,
+    names: list[str] | None = None,
+) -> str:
+    """One DDL script exporting every (or the given) catalog table at
+    its CURRENT version — the "point the second engine at the
+    warehouse" operation. Branch shadow tables (``name@branch``) are
+    skipped like the engine's own view sync."""
+    if names is None:
+        names = [
+            t for t in catalog.tables()
+            if "@" not in t and catalog.current_snapshot(t) is not None
+        ]
+    return ";\n".join(export_duckdb_sql(catalog, n) for n in names) + ";"
