@@ -496,3 +496,193 @@ def unigram_train(
     cand.unpersist()
     words.unpersist()
     return final_vocab, words_state
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM EM expectation pass (round 13 — one rung up from the
+# hard-EM greedy-longest trainer above, per the r12 verdict).
+# ---------------------------------------------------------------------------
+
+def _em_alpha_terms(L: int) -> str:
+    """Forward-DP fold body: at step x (computing A[x], the count of
+    segmentations of the prefix of length x-1), sum the paths arriving
+    via a piece of each length l."""
+    return " + ".join(
+        f"if(x - 1 >= {ln} and array_contains("
+        f"element_at(lens, x - {ln}), {ln}), "
+        f"element_at(acc, x - {ln}), 0L)"
+        for ln in range(1, L + 1)
+    )
+
+
+def _em_beta_terms(L: int) -> str:
+    """Backward-DP fold body (reversed storage: acc[m] = B[n+2-m])."""
+    return " + ".join(
+        f"if({ln} < m and array_contains("
+        f"element_at(lens, size(lens) + 2 - m), {ln}), "
+        f"element_at(acc, m - {ln}), 0L)"
+        for ln in range(1, L + 1)
+    )
+
+
+def unigram_em_usage(
+    words: DataFrame,
+    cand: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 3,
+    scale: int = 1_000_000,
+    max_word_len: int = 48,
+) -> DataFrame:
+    """(piece, usage_em): EXPECTED piece usage under the uniform-path
+    segmentation model — the integer-exact EM expectation step the r12
+    hard-EM trainer lacked (Kudo 2018 §3.2 runs EM with forward-
+    backward expectations; the full algorithm weights paths by piece
+    probabilities, which needs float log-space — this variant weights
+    all segmentations EQUALLY, keeping every quantity an exact int64
+    a SQL oracle replays bit-for-bit).
+
+    Forward-backward by path COUNTING: per word, ``A[i]`` = number of
+    segmentations of the prefix ending before position ``i`` and
+    ``B[j]`` = number of segmentations of the suffix from ``j``
+    (single characters always available — coverage — plus the vocab's
+    multi-char pieces); the expected count of an occurrence of piece
+    (i, l) is ``A[i] * B[i+l] / A[n+1]``, emitted scaled:
+
+        usage_em(piece) = sum over words, occurrences of
+            freq * ((A[i] * B[i+l] * scale) div A[n+1])
+
+    Both DP folds are pure column expressions (aggregate over the
+    position sequence, the piece-length sum unrolled at plan time),
+    so the whole pass runs on the VOCAB-sized lattice — the bpe_train
+    contract: no corpus-scale job anywhere here.
+
+    Exactness bound: ``A[n+1] * scale`` must fit int64. Path counts
+    grow ~1.84^n (the L=3 tribonacci rate), so words longer than
+    ``max_word_len`` = 48 would overflow (1.84^48 * 1e6 ~ 5e18) —
+    guarded with a loud raise_error (the lang_temperature_quota
+    convention); web-scale callers pre-split absurd tokens or lower
+    ``scale``.
+    """
+    L = int(max_piece_len)
+    matched = cand.join(vocab.select("piece"), "piece", "left_semi")
+    per_start = matched.groupBy("word", "i").agg(
+        F.sort_array(F.collect_list("l")).alias("_ls")
+    )
+    pos = _unigram_pos(words)
+    lens_rows = pos.join(per_start, ["word", "i"], "left").select(
+        "word",
+        "freq",
+        "i",
+        F.concat(
+            F.array(F.lit(1)),
+            F.coalesce("_ls", F.expr("cast(array() as array<int>)")),
+        ).alias("ls"),
+    )
+    lattice = (
+        lens_rows.groupBy("word", "freq")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "ls"))).alias("_p"))
+        .withColumn("lens", F.expr("transform(_p, x -> x.ls)"))
+        .drop("_p")
+        .withColumn(
+            "lens",
+            F.expr(
+                f"if(size(lens) <= {int(max_word_len)}, lens, "
+                "raise_error(concat('unigram_em_usage: word longer than "
+                f"{int(max_word_len)} chars — path count * scale would "
+                "overflow int64; pre-split the token or lower scale: ', "
+                "word)))"
+            ),
+        )
+        .withColumn(
+            "alpha",
+            F.expr(
+                "aggregate(sequence(2, size(lens) + 1), array(1L), "
+                f"(acc, x) -> concat(acc, array({_em_alpha_terms(L)})))"
+            ),
+        )
+        .withColumn(
+            "beta",
+            F.expr(
+                "aggregate(sequence(2, size(lens) + 1), array(1L), "
+                f"(acc, m) -> concat(acc, array({_em_beta_terms(L)})))"
+            ),
+        )
+    )
+    exp_expr = F.expr(
+        "freq * ((element_at(alpha, i) * "
+        "element_at(beta, size(lens) + 2 - (i + l)) * "
+        f"{int(scale)}L) div element_at(alpha, size(lens) + 1))"
+    )
+    return (
+        matched.join(lattice.select("word", "lens", "alpha", "beta"), "word")
+        .select("piece", exp_expr.alias("_e"))
+        .groupBy("piece")
+        .agg(F.sum("_e").alias("usage_em"))
+    )
+
+
+def unigram_train_em(
+    docs: DataFrame,
+    vocab_size: int = 50,
+    max_piece_len: int = 3,
+    min_usage: int = 2,
+    seed_mult: int = 4,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Unigram-LM training with the EM expectation prune: seed exactly
+    like :func:`unigram_train`, rank the seed pieces by
+    :func:`unigram_em_usage` (expected usage over ALL segmentations,
+    not the single greedy path), keep the ``vocab_size`` best with
+    expected usage >= ``min_usage * scale`` (the hard trainer's
+    min_usage in scaled units), then decode with the deterministic
+    greedy-longest segmentation — EM for estimation, Viterbi-style
+    decode, the SentencePiece split.
+
+    Returns (vocab, words) in the same shapes as :func:`unigram_train`
+    (vocab usage = scaled expected usage). Same 100 TB contract: the
+    word-frequency aggregate is the only corpus-scale job.
+    """
+    if max_piece_len < 2:
+        raise ValueError("max_piece_len must be >= 2")
+    words = word_frequencies(docs, text_col).cache()
+    cand = _unigram_candidates(words, max_piece_len).cache()
+    seed_size = int(seed_mult) * int(vocab_size)
+    seed = (
+        cand.groupBy("piece")
+        .agg(F.sum("freq").alias("usage"))
+        .where(F.col("usage") >= int(min_usage))
+        .orderBy(F.desc("usage"), F.asc("piece"))
+        .limit(seed_size)
+        .select("piece")
+    )
+    em = unigram_em_usage(
+        words, cand, seed, max_piece_len=max_piece_len, scale=scale
+    )
+    vocab_rel = (
+        em.where(F.col("usage_em") >= int(min_usage) * int(scale))
+        .orderBy(F.desc("usage_em"), F.asc("piece"))
+        .limit(int(vocab_size))
+        .cache()
+    )
+    vocab_rel.count()
+    from pyspark.sql.window import Window
+
+    final_vocab = vocab_rel.withColumn(
+        "piece_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("usage_em"), F.asc("piece")))
+        .cast("int"),
+    ).select(
+        "piece_rank", "piece",
+        F.col("usage_em").cast("bigint").alias("usage"),
+    )
+    words_state = _unigram_segment_state(
+        words, cand, vocab_rel.select("piece")
+    )
+    final_vocab = final_vocab.localCheckpoint(eager=True)
+    words_state = words_state.localCheckpoint(eager=True)
+    vocab_rel.unpersist()
+    cand.unpersist()
+    words.unpersist()
+    return final_vocab, words_state

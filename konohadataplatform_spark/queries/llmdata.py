@@ -4026,7 +4026,8 @@ _BPE_MERGE_BLOCK = """
     SELECT word, freq, toks,
            CASE WHEN len(m) = 0 THEN CAST([] AS BIGINT[])
                 ELSE list_reduce(list_transform(m, x -> [x]),
-                       (acc, x) -> CASE WHEN x[1] = acc[-1] + 1 THEN acc
+                       (acc, x) -> CASE WHEN x[1] = acc[-1] + 1
+                                        THEN list_concat(acc, [])
                                         ELSE list_concat(acc, x) END)
            END AS sel
     FROM (
@@ -6723,6 +6724,12 @@ _UG_L, _UG_MINU, _UG_VSIZE, _UG_SEED = 3, 2, 50, 200
 
 
 def _ug_seg_block(k: int, vocab_cte: str) -> str:
+    # NB (r13): every list-accumulator fold must COPY the accumulator
+    # on its keep-branch (list_concat(acc, []) — never bare `acc`):
+    # DuckDB 1.0's list_reduce corrupts the accumulated prefix when a
+    # list_concat step follows a pass-through step (reproduced:
+    # plens [2,1,1,2,2,1] walked to [6] instead of [1,3,4,6]). The
+    # Spark aggregate() fold has no such hazard.
     return f"""
     , ug_m{k} AS (
       SELECT c.word, c.i, MAX(c.l) AS ml
@@ -6742,7 +6749,8 @@ def _ug_seg_block(k: int, vocab_cte: str) -> str:
                  list_transform(range(1, len(plens) + 1), x -> [x]),
                  (acc, x) -> CASE
                      WHEN x[1] = acc[-1] + plens[acc[-1]]
-                     THEN list_concat(acc, x) ELSE acc END) AS taken
+                     THEN list_concat(acc, x)
+                     ELSE list_concat(acc, []) END) AS taken
         FROM (SELECT word, freq, list(plen ORDER BY i) AS plens
               FROM ug_b{k} GROUP BY word, freq))
     )"""
@@ -6821,6 +6829,102 @@ def q_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab
 
 
+def _ug_em_chain() -> str:
+    """EM expectation continuation (r13): uniform-path forward-
+    backward over the seed-vocab segmentation lattice — the DuckDB
+    replay of operators.bpe.unigram_em_usage. Path counts fold with
+    list_reduce over [[1],[2],...] (init = the first element [1] =
+    A[1], matching Spark's aggregate(sequence(2, n+1), array(1L), ...)
+    which folds the same steps); expectations are exact int64:
+    freq * ((A[i] * B[i+l] * 1e6) // A[n+1])."""
+    alpha_terms = " + ".join(
+        f"(CASE WHEN x[1] - 1 >= {ln} AND "
+        f"list_contains(lens[x[1] - {ln}], {ln}) "
+        f"THEN acc[x[1] - {ln}] ELSE 0 END)"
+        for ln in range(1, _UG_L + 1)
+    )
+    beta_terms = " + ".join(
+        f"(CASE WHEN {ln} < m[1] AND "
+        f"list_contains(lens[len(lens) + 2 - m[1]], {ln}) "
+        f"THEN acc[m[1] - {ln}] ELSE 0 END)"
+        for ln in range(1, _UG_L + 1)
+    )
+    return f"""
+    , em_m AS (
+      SELECT c.word, c.i, c.l, substr(c.word, c.i, c.l) AS piece
+      FROM ug_cand c JOIN ug_seed v ON substr(c.word, c.i, c.l) = v.piece
+    ), em_sl AS (
+      SELECT word, i, list(l ORDER BY l) AS mls FROM em_m GROUP BY 1, 2
+    ), em_ls AS (
+      SELECT p.word, p.freq, p.i,
+             list_prepend(1, COALESCE(s.mls, [])) AS ls
+      FROM ug_pos p LEFT JOIN em_sl s ON s.word = p.word AND s.i = p.i
+    ), em_lat AS (
+      SELECT word, freq, list(ls ORDER BY i) AS lens
+      FROM em_ls GROUP BY 1, 2
+    ), em_ab AS (
+      SELECT word, freq, lens,
+        list_reduce(list_transform(range(1, len(lens) + 2),
+                                   y -> [CAST(y AS BIGINT)]),
+          (acc, x) -> list_concat(acc, [{alpha_terms}])) AS alpha,
+        list_reduce(list_transform(range(1, len(lens) + 2),
+                                   y -> [CAST(y AS BIGINT)]),
+          (acc, m) -> list_concat(acc, [{beta_terms}])) AS beta
+      FROM em_lat
+    ), em_e AS (
+      SELECT m.piece,
+             ab.freq * ((ab.alpha[m.i] *
+                         ab.beta[len(ab.lens) + 2 - (m.i + m.l)] *
+                         1000000) // ab.alpha[len(ab.lens) + 1]) AS e
+      FROM em_m m JOIN em_ab ab ON ab.word = m.word
+    ), em_u AS (
+      SELECT piece, CAST(SUM(e) AS BIGINT) AS usage_em
+      FROM em_e GROUP BY 1
+    ), em_v AS (
+      SELECT piece, usage_em FROM em_u
+      WHERE usage_em >= {_UG_MINU} * 1000000
+      ORDER BY usage_em DESC, piece LIMIT {_UG_VSIZE}
+    )"""
+
+
+@query(
+    "q_unigram_em_usage",
+    "WITH _one AS (SELECT 1 AS x)"
+    + _ug_chain()
+    + _ug_em_chain()
+    + """
+    SELECT CAST(row_number() OVER (ORDER BY usage_em DESC, piece)
+                AS INT) AS em_rank,
+           piece, usage_em
+    FROM em_v
+    """,
+)
+def q_unigram_em_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM training with the EM expectation prune (r13, one
+    rung up from q_unigram_tokenizer's hard-EM: Kudo 2018's E-step,
+    integer-exact under the uniform-path model): seed pieces are
+    ranked by their EXPECTED usage over ALL segmentations — a
+    forward-backward path-counting DP per word, scaled expectations
+    freq * ((A[i]*B[i+l]*1e6) div A[n+1]) — instead of counts on the
+    single greedy path. The oracle replays the DP fold-for-fold. Only
+    corpus-scale job: the word-frequency aggregate
+    (operators.bpe.unigram_train_em / unigram_em_usage)."""
+    from konohadataplatform_spark.operators.bpe import unigram_train_em
+
+    vocab, _ = unigram_train_em(
+        _t(spark, sf_dir, "documents"),
+        vocab_size=_UG_VSIZE,
+        max_piece_len=_UG_L,
+        min_usage=_UG_MINU,
+        seed_mult=_UG_SEED // _UG_VSIZE,
+    )
+    return vocab.select(
+        F.col("piece_rank").alias("em_rank"),
+        "piece",
+        F.col("usage").alias("usage_em"),
+    )
+
+
 def _fert_tail(words_cte: str, label: str, sfx: str) -> str:
     """Per-lang fertility aggregate over a (word, freq, toks) CTE —
     the q_tokenizer_fertility tail with unique CTE names and a
@@ -6861,25 +6965,31 @@ def _fert_tail(words_cte: str, label: str, sfx: str) -> str:
     "q_tokenizer_compare",
     _bpe_oracle_chain(3)
     + _ug_chain()
+    + _ug_em_chain()
+    + _ug_seg_block(9, "em_v")
     + _fert_tail("w3", "bpe", "_b")
     + _fert_tail("ug_s2", "unigram", "_u")
+    + _fert_tail("ug_s9", "unigram_em", "_e")
     + """
     SELECT * FROM f_b UNION ALL SELECT * FROM f_u
+    UNION ALL SELECT * FROM f_e
     """,
 )
 def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE vs unigram-LM fertility on the same corpus: train both
-    tokenizers (3-merge BPE; 50-piece unigram), encode through the
-    same memoized word-join, and report per-language fertility side
-    by side — the comparison a tokenizer selection actually runs
-    (Ács 2019). Both vocabulary states share the (word, freq, toks)
-    shape, so tokenizer_fertility consumes either unchanged; the
-    union is two vocab-bounded encode plans, corpus text read twice
-    at scan speed."""
+    """BPE vs unigram-LM fertility on the same corpus — BOTH unigram
+    estimators (r13): the hard-EM greedy trainer and the EM-
+    expectation-pruned variant (q_unigram_em_usage's vocabulary,
+    greedy-longest decode), next to 3-merge BPE. All three vocabulary
+    states share the (word, freq, toks) shape, so tokenizer_fertility
+    consumes each unchanged — the comparison a tokenizer selection
+    actually runs (Ács 2019), now reporting how the E-step changes
+    fertility. Three vocab-bounded encode plans; corpus text read at
+    scan speed per branch."""
     from konohadataplatform_spark.operators.bpe import (
         bpe_train,
         tokenizer_fertility,
         unigram_train,
+        unigram_train_em,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -6888,8 +6998,16 @@ def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, vocab_size=_UG_VSIZE, max_piece_len=_UG_L, iters=1,
         min_usage=_UG_MINU, seed_mult=_UG_SEED // _UG_VSIZE,
     )
+    _, em_words = unigram_train_em(
+        docs, vocab_size=_UG_VSIZE, max_piece_len=_UG_L,
+        min_usage=_UG_MINU, seed_mult=_UG_SEED // _UG_VSIZE,
+    )
     out = []
-    for label, words in (("bpe", bpe_words), ("unigram", ug_words)):
+    for label, words in (
+        ("bpe", bpe_words),
+        ("unigram", ug_words),
+        ("unigram_em", em_words),
+    ):
         out.append(
             tokenizer_fertility(docs, words, group_col="lang").select(
                 F.lit(label).alias("tokenizer"),
@@ -6904,7 +7022,7 @@ def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "chars_per_token_micro",
             )
         )
-    return out[0].unionByName(out[1])
+    return out[0].unionByName(out[1]).unionByName(out[2])
 
 
 # --------------------------------------------------------------------------

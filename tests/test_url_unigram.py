@@ -207,3 +207,99 @@ def test_url_filters_trailing_dot_fqdn_blocked(spark):
         ).collect()
     }
     assert not joined[1]["ok_domain"] and not joined[2]["ok_domain"]
+
+
+def test_unigram_em_usage_matches_bruteforce(spark):
+    """r13 EM expectation pass: per-occurrence scaled expectations
+    freq * ((A[i]*B[i+l]*1e6) div T) must equal a pure-Python
+    enumeration of ALL segmentations (uniform-path forward-backward
+    path counting)."""
+    from collections import Counter
+
+    from konohadataplatform_spark.operators.bpe import (
+        _unigram_candidates,
+        unigram_em_usage,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana"), (2, "banana banal"), (3, "nabla ban")],
+        "doc_id long, text string",
+    )
+    words = word_frequencies(docs)
+    cand = _unigram_candidates(words, 3)
+    vset = {"an", "ban", "na", "ana"}
+    vocab = spark.createDataFrame([(p,) for p in vset], "piece string")
+    got = {
+        r.piece: r.usage_em
+        for r in unigram_em_usage(words, cand, vocab).collect()
+    }
+
+    def segs(w):
+        if not w:
+            return [[]]
+        out = []
+        for ln in (1, 2, 3):
+            if ln <= len(w) and (ln == 1 or w[:ln] in vset):
+                out += [[w[:ln]] + rest for rest in segs(w[ln:])]
+        return out
+
+    exp: Counter = Counter()
+    for r in words.collect():
+        ss = segs(r.word)
+        occ: Counter = Counter()
+        for s in ss:
+            pos = 1
+            for p in s:
+                if len(p) >= 2:
+                    occ[(pos, p)] += 1
+                pos += len(p)
+        for (_, p), through in occ.items():
+            exp[p] += r.freq * (through * 1_000_000 // len(ss))
+    assert got == dict(exp) and got  # every piece expected, all exact
+
+
+def test_unigram_em_word_len_guard_raises(spark):
+    """Words past max_word_len overflow the path-count scale — loud
+    raise_error, never a silent wrap (the quota-guard convention)."""
+    import pytest
+
+    from konohadataplatform_spark.operators.bpe import (
+        _unigram_candidates,
+        unigram_em_usage,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 20 + " ab")], "doc_id long, text string"
+    )
+    words = word_frequencies(docs)
+    cand = _unigram_candidates(words, 3)
+    vocab = spark.createDataFrame([("aa",)], "piece string")
+    with pytest.raises(Exception, match="longer than"):
+        unigram_em_usage(
+            words, cand, vocab, max_word_len=10
+        ).collect()
+    # at/below the bound the same corpus passes
+    assert unigram_em_usage(
+        words, cand, vocab, max_word_len=20
+    ).count() > 0
+
+
+def test_unigram_train_em_shapes_and_decode(spark):
+    """unigram_train_em returns the unigram_train shapes (vocab has
+    piece_rank/piece/usage; words has word/freq/toks) and the decode
+    is a total segmentation (tokens rejoin to the word)."""
+    from konohadataplatform_spark.operators.bpe import unigram_train_em
+
+    docs = spark.createDataFrame(
+        [(i, "banana bandana banal nabla") for i in range(4)],
+        "doc_id long, text string",
+    )
+    vocab, words = unigram_train_em(docs, vocab_size=5, min_usage=2)
+    assert vocab.columns == ["piece_rank", "piece", "usage"]
+    assert words.columns == ["word", "freq", "toks"]
+    rows = words.collect()
+    assert rows and all("".join(r.toks) == r.word for r in rows)
+    ranks = [r.piece_rank for r in vocab.collect()]
+    assert ranks == list(range(1, len(ranks) + 1))
