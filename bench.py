@@ -135,6 +135,12 @@ EXTENDED = [
     "q_semantic_decontaminate",
     "q_epoch_schedule",
     "q_filter_funnel",
+    # r13: the EM expectation prune (path-counting DP over the
+    # vocab-sized lattice — the forward/backward folds are the new
+    # cost; q_tokenizer_compare is NOT pinned for the same reason as
+    # q_classifier_calibration: it re-times three trainers the list
+    # already covers)
+    "q_unigram_em_usage",
 ]
 
 

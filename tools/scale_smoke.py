@@ -180,6 +180,10 @@ SMOKE_QUERIES = [
     # stats; TLD profile = the screen projection + one tiny aggregate
     "q_tokenizer_compression",
     "q_url_tld_profile",
+    # r13: EM expectation prune — the DP folds run on the vocab-sized
+    # lattice (10x duplicated docs keep the word vocab FIXED), so only
+    # the word-frequency scan should grow
+    "q_unigram_em_usage",
     # NOT smoked: q_semantic_decontaminate — exact cosine of every
     # train vector against a broadcast eval split whose registered
     # form (vec_id % 17) grows WITH the corpus, so replicated-fixture
