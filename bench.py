@@ -141,6 +141,11 @@ EXTENDED = [
     # q_classifier_calibration: it re-times three trainers the list
     # already covers)
     "q_unigram_em_usage",
+    # r13: dimensionality-reduction tier — the JL projection map, the
+    # reduced-space candidate scan, and the one-scan covariance
+    "q_jl_project",
+    "q_jl_neighbors",
+    "q_embedding_covariance",
 ]
 
 

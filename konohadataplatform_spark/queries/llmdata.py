@@ -7399,3 +7399,171 @@ def q_url_tld_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_pass * 1000000 DIV n_urls").cast("bigint"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 13: dimensionality reduction tier (operators/projection.py) —
+# hash-sign JL projection (Achlioptas 2001: +-1 entries satisfy the JL
+# lemma), exact int64 end-to-end because the matrix is a plan-time
+# literal derived from md5(seed:j:i) parity, identical in both
+# engines; and the exact integer covariance that feeds whitening/PCA.
+# --------------------------------------------------------------------------
+_JL_OUT, _JL_IN, _JL_GRID = 16, 64, 1_000_000
+
+
+def _jl_sql_parts() -> tuple[str, str]:
+    """(s_expr, proj_list_expr) for the DuckDB oracle — the SAME sign
+    literals the Spark operator inlines (shared generator:
+    operators.projection.jl_sign_matrix)."""
+    from konohadataplatform_spark.operators.projection import (
+        jl_sign_matrix,
+    )
+
+    m = jl_sign_matrix(_JL_OUT, _JL_IN)
+    s = (
+        f"[CAST(FLOOR(v[i] * {_JL_GRID}) AS BIGINT) "
+        f"for i in range(1, len(v) + 1)]"
+    )
+    rows = ", ".join(
+        "CAST(list_sum(list_transform(range(1, "
+        f"{_JL_IN} + 1), i -> ([{', '.join(str(x) for x in row)}])[i] "
+        "* s[i])) AS BIGINT)"
+        for row in m
+    )
+    return s, f"[{rows}]"
+
+
+def _jl_proj_cte() -> str:
+    s_expr, proj_expr = _jl_sql_parts()
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sn AS (
+      SELECT vec_id, {s_expr} AS s FROM e
+    ), pj AS (
+      SELECT vec_id, {proj_expr} AS proj FROM sn
+    )"""
+
+
+@query(
+    "q_jl_project",
+    _jl_proj_cte()
+    + """
+    SELECT vec_id, proj FROM pj
+    """,
+)
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sign Johnson-Lindenstrauss projection 64-d -> 16-d
+    (operators.projection.jl_project): proj[j] = sum_i signs[j][i] *
+    floor(v[i] * 1e6), exact int64, the +-1 matrix a plan-time
+    literal from md5(seed:j:i) parity — zero per-row hash calls, zero
+    model state, bit-identical in any engine. The shrink-the-vectors
+    stage before ANN/dedup at 100 TB: one narrow projection, no
+    exchange, output 1/4 the width."""
+    from konohadataplatform_spark.operators.projection import jl_project
+
+    return jl_project(
+        _t(spark, sf_dir, "embeddings"),
+        out_dim=_JL_OUT, in_dim=_JL_IN, grid=_JL_GRID,
+    )
+
+
+@query(
+    "q_jl_neighbors",
+    _jl_proj_cte()
+    + """
+    , q AS (SELECT vec_id AS query_id, proj AS qp FROM pj
+            WHERE vec_id % 29 = 0),
+    c AS (SELECT vec_id AS neighbor_id, proj AS cp FROM pj),
+    d AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(qp) + 1),
+                  i -> (qp[i] - cp[i]) * (qp[i] - cp[i])))
+               AS BIGINT) AS jl_dist2
+      FROM q, c WHERE q.query_id <> c.neighbor_id
+    ), r AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY jl_dist2 ASC, neighbor_id ASC)
+        AS jl_rank
+      FROM d
+    )
+    SELECT query_id, neighbor_id, jl_dist2, CAST(jl_rank AS INT) AS jl_rank
+    FROM r WHERE jl_rank <= 5
+    """,
+)
+def q_jl_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nearest neighbors per query in JL space (squared L2 over
+    the 16-d int projections, ties ascending id) — the candidate
+    generator of a project-then-rerank ANN pipeline: distances survive
+    within (1 +- eps), so the fine rerank touches only the projected
+    top-k' full vectors per query. Counted-gate query side with the
+    salted-equi fallback (operators.projection.jl_neighbors)."""
+    from konohadataplatform_spark.operators.projection import (
+        jl_neighbors,
+    )
+
+    return jl_neighbors(
+        _t(spark, sf_dir, "embeddings"),
+        F.col("vec_id") % 29 == 0,
+        k=5, out_dim=_JL_OUT, in_dim=_JL_IN, grid=_JL_GRID,
+    )
+
+
+@query(
+    "q_embedding_covariance",
+    f"""
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sn AS (
+      SELECT [CAST(FLOOR(v[i] * {_JL_GRID}) AS BIGINT)
+              for i in range(1, len(v) + 1)] AS s
+      FROM e
+    ), pairs AS (
+      SELECT UNNEST(flatten(list_transform(range(1, {_JL_IN} + 1),
+               a -> list_transform(range(a, {_JL_IN} + 1),
+                 b -> {{'a': a, 'b': b, 'p': s[a] * s[b]}}))),
+             recursive := true)
+      FROM sn
+    ), sab AS (
+      SELECT a, b, CAST(SUM(p) AS BIGINT) AS sab
+      FROM pairs GROUP BY 1, 2
+    ), pos AS (
+      SELECT UNNEST([{{'a': i, 'sa': s[i]}}
+                     for i in range(1, {_JL_IN} + 1)],
+             recursive := true)
+      FROM sn
+    ), sa AS (
+      SELECT a, CAST(SUM(sa) AS BIGINT) AS suma,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pos GROUP BY 1
+    )
+    SELECT CAST(sab.a AS BIGINT) AS a, CAST(sab.b AS BIGINT) AS b,
+           x.n,
+           CAST((CAST(x.n AS HUGEINT) * sab.sab
+                 - CAST(x.suma AS HUGEINT) * y.suma) * 1000000
+                // (CAST(x.n AS HUGEINT) * x.n
+                    * {_JL_GRID} * {_JL_GRID}) AS BIGINT) AS cov_micro
+    FROM sab
+    JOIN sa x ON x.a = sab.a
+    JOIN sa y ON y.a = sab.b
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer covariance of every dimension pair a <= b over
+    the grid-snapped embeddings — the division-free statistic
+    (N*S_ab - S_a*S_b, cross-multiplied in decimal(38,0), scaled to
+    cov_micro) that feeds whitening/PCA without a single float sum.
+    One corpus scan producing dim + dim^2 metadata-sized sums
+    (operators.projection.embedding_covariance)."""
+    from konohadataplatform_spark.operators.projection import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(
+        _t(spark, sf_dir, "embeddings"), in_dim=_JL_IN, grid=_JL_GRID
+    ).select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        "n",
+        "cov_micro",
+    )

@@ -55,6 +55,8 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/dedup.py", "cross_source_overlap"): (2, "metadata"),
     # ranking: one offset row per range partition
     ("operators/ranking.py", "scalable_row_number"): (1, "metadata"),
+    # projection (r13): JL query side behind the counted gate
+    ("operators/projection.py", "jl_neighbors"): (1, "gated"),
     # retrieval (r13): the shared counted gate + 1-row totals
     ("operators/retrieval.py", "_gated"): (1, "gated"),
     ("operators/retrieval.py", "lexical_topk"): (1, "scalar"),

@@ -184,6 +184,13 @@ SMOKE_QUERIES = [
     # lattice (10x duplicated docs keep the word vocab FIXED), so only
     # the word-frequency scan should grow
     "q_unigram_em_usage",
+    # r13: JL projection is a narrow map (linear is the contract);
+    # jl_neighbors' registered % 29 query split is corpus-proportional
+    # so pair count is quadratic-by-contract like q_knn_bruteforce
+    # (the reduced width is the win, not the asymptotics); covariance
+    # is one scan + metadata aggregates
+    "q_jl_project",
+    "q_embedding_covariance",
     # NOT smoked: q_semantic_decontaminate — exact cosine of every
     # train vector against a broadcast eval split whose registered
     # form (vec_id % 17) grows WITH the corpus, so replicated-fixture
