@@ -146,6 +146,7 @@ EXTENDED = [
     "q_jl_project",
     "q_jl_neighbors",
     "q_embedding_covariance",
+    "q_jl_rerank",
 ]
 
 

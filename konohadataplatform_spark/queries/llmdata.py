@@ -7567,3 +7567,90 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "cov_micro",
     )
+
+
+def _jl_unit_proj_ctes() -> str:
+    """Continuation CTEs: the NORMALIZED projection (upj) — unit
+    vectors first (x / sqrt(list_dot_product(v, v)), the exact IEEE
+    op order of the Spark transform), then the same snap + sign-sum
+    as pj. jl_rerank's candidate stage runs on these: on the unit
+    sphere projected-L2 order IS cosine order up to JL distortion."""
+    s_expr, proj_expr = _jl_sql_parts()
+    return f"""
+    , un AS (
+      SELECT vec_id,
+             [v[i] / sqrt(list_dot_product(v, v))
+              for i in range(1, len(v) + 1)] AS v
+      FROM e
+    ), usn AS (
+      SELECT vec_id, {s_expr} AS s FROM un
+    ), upj AS (
+      SELECT vec_id, {proj_expr} AS proj FROM usn
+    )"""
+
+
+@query(
+    "q_jl_rerank",
+    _jl_proj_cte()
+    + _jl_unit_proj_ctes()
+    + """
+    , q AS (SELECT vec_id AS query_id, proj AS qp FROM upj
+            WHERE vec_id % 29 = 0),
+    c AS (SELECT vec_id AS neighbor_id, proj AS cp FROM upj),
+    d AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(qp) + 1),
+                  i -> (qp[i] - cp[i]) * (qp[i] - cp[i])))
+               AS BIGINT) AS jl_dist2
+      FROM q, c WHERE q.query_id <> c.neighbor_id
+    ), cr AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY jl_dist2 ASC, neighbor_id ASC)
+        AS jl_rank
+      FROM d
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM cr WHERE jl_rank <= 20
+    ), ev AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sc AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+      FROM cand
+      JOIN ev qe ON qe.vec_id = cand.query_id
+      JOIN ev ce ON ce.vec_id = cand.neighbor_id
+    ), rr AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC)
+        AS rerank_rank
+      FROM sc
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(rerank_rank AS INT) AS rerank_rank
+    FROM rr WHERE rerank_rank <= 5
+    """,
+)
+def q_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project-then-rerank ANN (operators.projection.jl_rerank_topk):
+    JL top-20 candidates by exact projected L2 over NORMALIZED
+    vectors (unit-sphere L2 order == cosine order up to JL
+    distortion), reranked by exact cosine over the full 64-d vectors,
+    top-5 out. The expensive cosine touches |queries| x 20 pairs
+    regardless of corpus size; the candidate stage carries the r13
+    counted gate / salted fallback through. Cosine mirrors
+    cosine_topk op-for-op so the oracle replays the floats
+    bit-for-bit. Honest quality note (operator docstring): on this
+    fixture's near-tie neighbors candidate recall is low by the JL
+    eps bound — the operator's production role is threshold tasks
+    (near-dup prefilters) and generous-k_cand candidate cuts; the
+    IVF/PQ tier is the fine-ranking path."""
+    from konohadataplatform_spark.operators.projection import (
+        jl_rerank_topk,
+    )
+
+    return jl_rerank_topk(
+        _t(spark, sf_dir, "embeddings"),
+        F.col("vec_id") % 29 == 0,
+        k=5, k_cand=20, out_dim=_JL_OUT, in_dim=_JL_IN, grid=_JL_GRID,
+    )

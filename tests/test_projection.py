@@ -155,3 +155,76 @@ def test_pca_components_and_projection(spark):
     # the top axis explains at least as much as any raw dimension
     raw = np.array([r.embedding for r in emb.collect()])
     assert variances[0] >= raw.var(axis=0).max() - 1e-6
+
+
+def test_jl_rerank_exactness_and_measured_recall(spark):
+    """The honest jl_rerank contract (see the operator docstring):
+    the RERANK is exact — every returned cos_sim is the true cosine
+    and the order within the candidate set is the true cosine order —
+    while candidate recall on this fixture's NEAR-TIE neighbors is
+    measured, not promised (JL eps ~ sqrt(ln n / 16) exceeds the
+    5th-vs-20th cosine gap here; the IVF tier is the fine-ranking
+    path). The floor pins the measured 0.20 so a silent projection
+    regression (e.g. losing the normalization, which halves it) still
+    fails."""
+    from konohadataplatform_spark.operators.projection import (
+        jl_rerank_topk,
+    )
+    from konohadataplatform_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark)
+    pred = F.col("vec_id") % 29 == 0
+    exact = {}
+    for r in cosine_topk(emb, emb.filter(pred), k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in jl_rerank_topk(emb, pred, k=5, k_cand=20).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) == set(exact)
+    hits = sum(len(got[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.15, f"recall {hits}/{total}"
+    # the exactness half: every returned cos_sim is a true cosine
+    one = next(iter(got))
+    full = {
+        r.neighbor_id: r.cos_sim
+        for r in cosine_topk(
+            emb, emb.filter(F.col("vec_id") == one), k=500
+        ).collect()
+    }
+    for r in jl_rerank_topk(
+        emb, F.col("vec_id") == one, k=5, k_cand=20
+    ).collect():
+        assert abs(r.cos_sim - full[r.neighbor_id]) < 1e-12
+
+
+def test_jl_projection_separates_near_duplicates(spark):
+    """The task JL IS for: threshold separation. Planted near-
+    duplicates (tiny deterministic perturbation) vs unrelated vectors
+    differ by orders of magnitude in FULL-space distance, and the JL
+    eps (~0.5 at 16 d) cannot close that margin — projected distance
+    classifies every pair correctly, at 1/4 the width."""
+    emb = _emb(spark).limit(20)
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    dups = [
+        (vid + 1_000_000, [x + 0.001 * ((i % 3) - 1) for i, x in
+                           enumerate(v)])
+        for vid, v in rows
+    ]
+    both = spark.createDataFrame(
+        rows + dups, "vec_id long, embedding array<double>"
+    )
+    proj = {
+        r.vec_id: np.array(r.proj) for r in jl_project(both).collect()
+    }
+    dup_d, rand_d = [], []
+    ids = sorted(vid for vid, _ in rows)
+    for vid in ids:
+        dup_d.append(float(np.sum(
+            (proj[vid] - proj[vid + 1_000_000]) ** 2)))
+        for other in ids:
+            if other > vid:
+                rand_d.append(float(np.sum(
+                    (proj[vid] - proj[other]) ** 2)))
+    # every planted pair is closer than every unrelated pair
+    assert max(dup_d) < min(rand_d), (max(dup_d), min(rand_d))
