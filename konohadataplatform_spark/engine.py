@@ -209,6 +209,11 @@ class Engine:
 
         cat = self._require_catalog()
         if name is None:
+            if version is not None:
+                raise ValueError(
+                    "export_duckdb: version requires a table name — "
+                    "an all-tables export is always current-version"
+                )
             return _export.export_duckdb_views(cat)
         return _export.export_duckdb_sql(cat, name, version)
 

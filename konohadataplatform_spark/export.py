@@ -90,6 +90,10 @@ def _star_projection(
     only where the physical name is present (Spark's
     withColumnRenamed no-ops otherwise), drops only where the dropped
     name is present."""
+    if not snap.renames and not snap.dropped:
+        # common case: no metadata projection — skip the footer reads
+        # entirely so the export is genuinely metadata-free
+        return "*"
     present = _present_columns(files) | set(partition_cols)
     renames = [
         (phys, cur)

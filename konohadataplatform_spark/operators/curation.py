@@ -88,17 +88,17 @@ def apply_group_cap(
     must still be unique per row WITHIN a group for the cap to be
     exact (:func:`per_group_cap`'s contract).
     """
+    from konohadataplatform_spark.operators.gating import (
+        gated_broadcast,
+    )
+
     kept = per_group_cap(df, group_col, key_col, cap).select(
         group_col, F.explode("kept").alias(key_col)
     )
-    if kept_broadcast is None:
-        # LIMIT-bounded probe: terminates once kept_broadcast_rows + 1
-        # kept keys exist; the decision (count <= bound) is unchanged
-        bound = int(kept_broadcast_rows)
-        kept_broadcast = kept.limit(bound + 1).count() <= bound
-    kept_side = F.broadcast(kept) if kept_broadcast else kept
     return df.join(
-        kept_side, [group_col, key_col], "left_semi"
+        gated_broadcast(kept, kept_broadcast, kept_broadcast_rows),
+        [group_col, key_col],
+        "left_semi",
     ).select(*df.columns)
 
 

@@ -169,13 +169,13 @@ def ngram_decontaminate(
     eval_grams = grams.filter(F.col("_is_eval")).select("gram").distinct()
     train = grams.filter(~F.col("_is_eval"))
     if eval_broadcast is None:
-        bound = int(eval_broadcast_docs)
-        # limit(bound + 1) makes the probe early-terminating: the scan
-        # stops as soon as bound + 1 eval docs exist, and the decision
-        # (count <= bound) is unchanged
-        eval_broadcast = (
-            docs.filter(eval_pred).select(id_col).limit(bound + 1).count()
-            <= bound
+        from konohadataplatform_spark.operators.gating import (
+            probe_within,
+        )
+
+        eval_broadcast = probe_within(
+            docs.filter(eval_pred).select(id_col),
+            eval_broadcast_docs,
         )
     ev_side = F.broadcast(eval_grams) if eval_broadcast else eval_grams
     return (
@@ -1420,8 +1420,13 @@ def cross_corpus_contamination(
     bb = band_bucket_keys(bi, bands, num_perm)
     bb_keys = bb.withColumnRenamed("sid", "_bsid")
     if bench_broadcast is None:
-        bench_broadcast = (
-            benchmark.count() * int(bands) <= int(bench_broadcast_rows)
+        from konohadataplatform_spark.operators.gating import (
+            probe_within,
+        )
+
+        # rows * bands <= bound  <=>  rows <= bound div bands
+        bench_broadcast = probe_within(
+            benchmark, int(bench_broadcast_rows) // max(1, int(bands))
         )
     if bench_broadcast:
         bb_keys = F.broadcast(bb_keys)

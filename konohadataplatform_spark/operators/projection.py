@@ -20,11 +20,14 @@ point of the operator: brute-force or LSH candidate generation in
 4x longer. ``jl_neighbors`` reuses the r12/r13 gate conventions
 (counted query side, salted-equi fallback — never CartesianProduct).
 
-Exactness bounds (int64): |proj[j]| <= in_dim * grid * vmax and
-dist2 sums out_dim squared diffs — with the defaults (64-d in, 16-d
-out, grid 1e6, |v| <= ~32) the worst case stays under 2^63; the
-docstrings carry the formula, and component snapping floors on the
-1e-6 grid (floor(v * 1e6) — IEEE-exact in every engine).
+Exactness bounds (int64): |proj[j]| <= in_dim * grid * vmax, and
+jl_neighbors' dist2 needs out_dim * (2 * in_dim * grid * vmax)^2
+< 2^63 — with the defaults (64-d in, 16-d out, grid 1e6) that is
+|v| <= ~5.9 (unit-normalized embeddings sit far inside it; for
+unnormalized feature vectors shrink ``grid`` a decade per 10x
+magnitude). The docstrings carry the formula; component snapping
+floors on the 1e-6 grid (floor(v * 1e6) — IEEE-exact in every
+engine).
 """
 
 from __future__ import annotations
@@ -89,9 +92,11 @@ def jl_project(
 
     ``in_dim`` is part of the matrix definition, so a vector of any
     other length is a contract violation — loud raise_error, never a
-    silent truncation. Overflow bound: in_dim * grid * max|v| must
-    stay under 2^63 / 1 (per component; the defaults allow |v| up to
-    ~1.4e5). One narrow projection, no exchange.
+    silent truncation. Overflow bound: |proj[j]| <= in_dim * grid *
+    max|v| must stay under 2^63 (defaults allow |v| up to ~1.4e11 for
+    the projection ALONE — downstream squared distances bind far
+    tighter, see :func:`jl_neighbors`). One narrow projection, no
+    exchange.
     """
     m = jl_sign_matrix(out_dim, in_dim, seed)
     s = (
@@ -136,9 +141,12 @@ def jl_neighbors(
     (LIMIT-probed); at or below ``query_broadcast_rows`` it broadcasts
     into the pair scan, above it the salted-equi spelling keys the
     corpus by pmod(xxhash64(id), salt) — shuffled hash join, no
-    CartesianProduct, identical rows. Overflow: dist2 sums out_dim
-    squared component diffs, each |diff| <= 2 * in_dim * grid * vmax —
-    defaults hold under 2^63 for |v| <= ~32.
+    CartesianProduct, identical rows. Overflow: dist2 needs
+    out_dim * (2 * in_dim * grid * vmax)^2 < 2^63 — the defaults hold
+    for |v| <= ~5.9 (a single squared diff wraps silently in non-ANSI
+    Spark past that while an oracle errors; unit-normalized
+    embeddings sit far inside the bound — shrink ``grid`` for
+    unnormalized magnitudes).
     """
     from konohadataplatform_spark.operators.similarity import (
         _salted_all_pairs,
@@ -156,8 +164,11 @@ def jl_neighbors(
         F.col("vec_id").alias("query_id"), F.col("proj").alias("qp")
     )
     if query_broadcast is None:
-        bound = int(query_broadcast_rows)
-        query_broadcast = q.limit(bound + 1).count() <= bound
+        from konohadataplatform_spark.operators.gating import (
+            probe_within,
+        )
+
+        query_broadcast = probe_within(q, query_broadcast_rows)
     pair_cond = F.col("neighbor_id") != F.col("query_id")
     if query_broadcast:
         cand = c.join(F.broadcast(q), pair_cond)
@@ -204,7 +215,8 @@ def embedding_covariance(
     unit vectors; shrink ``grid`` a decade per 100x corpus growth),
     and the final cross-multiplication rides decimal(38,0) — the
     importance_weights convention — so nothing wraps. cov_micro is
-    the population covariance scaled by 1e6, floored — identical in
+    the population covariance scaled by 1e6, TRUNCATED TOWARD ZERO
+    (Spark div == DuckDB // on negatives, verified) — identical in
     any engine.
 
     Scale shape: ONE partial+final aggregate producing in_dim +
@@ -222,25 +234,30 @@ def embedding_covariance(
         f"cast(size({vec_col}) as string))))"
     )
     base = emb.select(F.expr(guarded).alias("_s"))
-    # per-dimension sums via explode + partial+final agg (a
-    # collect_list spelling would hold every vector on one node)
-    pos = base.select(
-        F.posexplode("_s").alias("a0", "sa")
-    ).select((F.col("a0") + 1).alias("a"), "sa")
-    # pairwise products per row: (a, b, sa*sb) for a <= b
-    pairs = base.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(1, {int(in_dim)}), a -> "
-                f"transform(sequence(a, {int(in_dim)}), b -> "
-                "struct(a as a, b as b, "
-                "element_at(_s, a) * element_at(_s, b) as p))))"
-            )
-        ).alias("e")
-    ).select("e.a", "e.b", "e.p")
-    s_ab = pairs.groupBy("a", "b").agg(F.sum("p").alias("sab"))
-    s_a = pos.groupBy("a").agg(
-        F.sum("sa").alias("suma"), F.count(F.lit(1)).alias("n")
+    # ONE explode per row carrying both statistic families (r13
+    # review fix: two separate branches re-scanned the corpus twice):
+    # b = 0 rows are the linear sums S_a, b >= a rows the pairwise
+    # products S_ab — one scan, one partial+final aggregate
+    entries = (
+        f"concat("
+        f"transform(sequence(1, {int(in_dim)}), a -> "
+        "struct(a as a, 0 as b, element_at(_s, a) as p)), "
+        f"flatten(transform(sequence(1, {int(in_dim)}), a -> "
+        f"transform(sequence(a, {int(in_dim)}), b -> "
+        "struct(a as a, b as b, "
+        "element_at(_s, a) * element_at(_s, b) as p)))))"
+    )
+    agg = (
+        base.select(F.explode(F.expr(entries)).alias("e"))
+        .select("e.a", "e.b", "e.p")
+        .groupBy("a", "b")
+        .agg(F.sum("p").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    s_ab = agg.where(F.col("b") > 0).select(
+        "a", "b", F.col("s").alias("sab")
+    )
+    s_a = agg.where(F.col("b") == 0).select(
+        "a", F.col("s").alias("suma"), F.col("cnt").alias("n")
     )
     dec = "decimal(38,0)"
     denom = f"cast(n as {dec}) * n * {int(grid)} * {int(grid)}"
@@ -307,7 +324,10 @@ def pca_project(
     grid: int = JL_GRID,
 ) -> DataFrame:
     """(vec_id, pcs): project each embedding onto the given principal
-    axes — pcs[k] = sum_i comp[k][i] * (floor(v[i]*grid)/grid), the
+    axes — pcs[k] = sum_i comp[k][i] * (floor(v[i]*grid)/grid), with
+    the same loud dimension guard as its siblings (a wrong-length
+    vector would otherwise silently truncate the fold or
+    null-poison pcs), and the
     snapped-component dot product in a FIXED fold order, so the float
     result is reproducible run-to-run (float exactness across engines
     is not claimed here; the integer tiers above are the oracle-exact
@@ -318,12 +338,18 @@ def pca_project(
     )
     comps = f"array({rows})"
     k = len(components)
+    in_dim = len(components[0])
     s = (
         f"transform(cast({vec_col} as array<double>), "
         f"x -> floor(x * {int(grid)}) / {int(grid)})"
     )
+    guarded = (
+        f"if(size({vec_col}) = {int(in_dim)}, {s}, "
+        f"raise_error(concat('pca_project: expected {int(in_dim)}-d "
+        f"embedding, got ', cast(size({vec_col}) as string))))"
+    )
     return emb.select(
-        F.col(id_col).alias("vec_id"), F.expr(s).alias("_s")
+        F.col(id_col).alias("vec_id"), F.expr(guarded).alias("_s")
     ).select(
         "vec_id",
         F.expr(
@@ -386,14 +412,26 @@ def jl_rerank_topk(
     cosine, and the top-k WITHIN the candidate set is exact."""
     from konohadataplatform_spark.operators.similarity import _dot
 
-    unit = emb.select(
-        F.col(id_col).alias(id_col),
+    # withColumn (not select): query_pred may reference any other
+    # emb column (label, source, ...) — dropping them would narrow
+    # the predicate contract vs jl_neighbors (r13 review fix). The
+    # zero-norm guard is LOUD: x / 0 would project NaN -> snap to 0
+    # silently in Spark (ANSI off) while an oracle errors on the
+    # NaN cast — the raise_error convention instead.
+    dot_sql = (
+        f"aggregate(zip_with(cast({vec_col} as array<double>), "
+        f"cast({vec_col} as array<double>), (a, b) -> a * b), "
+        "cast(0.0 as double), (acc, x2) -> acc + x2)"
+    )
+    unit = emb.withColumn(
+        vec_col,
         F.expr(
-            f"transform(cast({vec_col} as array<double>), x -> x / "
-            f"sqrt(aggregate(zip_with(cast({vec_col} as array<double>), "
-            f"cast({vec_col} as array<double>), (a, b) -> a * b), "
-            "cast(0.0 as double), (acc, x2) -> acc + x2)))"
-        ).alias(vec_col),
+            f"if({dot_sql} > 0, "
+            f"transform(cast({vec_col} as array<double>), "
+            f"x -> x / sqrt({dot_sql})), "
+            "raise_error('jl_rerank_topk: zero-norm vector — cosine "
+            "is undefined; filter zero vectors upstream'))"
+        ),
     )
     cands = jl_neighbors(
         unit, query_pred, k_cand, out_dim, in_dim, id_col, vec_col,

@@ -141,16 +141,11 @@ def query_terms(
     )
 
 
-def _gated(side: DataFrame, flag: bool | None, bound: int) -> DataFrame:
-    """The r12 counted-gate convention for a maybe-broadcast side:
-    ``flag`` True/False skips the count when the caller already knows
-    the side's size; None probes the relation (LIMIT-bounded, so the
-    job terminates as soon as ``bound + 1`` rows exist) and broadcasts
-    only at or below ``bound`` rows — above it the join runs shuffled
-    on its key (AQE-sized), never a corpus-proportional broadcast."""
-    if flag is None:
-        flag = side.limit(int(bound) + 1).count() <= int(bound)
-    return F.broadcast(side) if flag else side
+# the counted gate lives in operators.gating (r13: one shared
+# implementation — the r12 sweep's five hand-rolled copies drifted)
+from konohadataplatform_spark.operators.gating import (  # noqa: E402
+    gated_broadcast as _gated,
+)
 
 
 def lexical_topk(

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from konohadataplatform_spark.operators.gating import probe_within
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition before interpreted higher-order-function compute so a
@@ -131,7 +133,7 @@ def cosine_topk(
     # query_broadcast: True/False skips the count when the caller
     # already knows the side's size (the probe_broadcast convention)
     if query_broadcast is None:
-        query_broadcast = queries.count() <= int(query_broadcast_rows)
+        query_broadcast = probe_within(queries, query_broadcast_rows)
     if query_broadcast:
         cand = c.join(F.broadcast(q), pair_cond)
     else:
@@ -227,8 +229,9 @@ def ann_lsh_topk(
     # above the bound the sig equality key already supports a plain
     # shuffled hash join (AQE sizes it)
     if query_broadcast is None:
-        query_broadcast = (
-            queries.count() * int(n_tables) <= int(query_broadcast_rows)
+        # rows * m <= bound  <=>  rows <= bound div m (gating.py)
+        query_broadcast = probe_within(
+            queries, int(query_broadcast_rows) // max(1, int(n_tables))
         )
     q_side = F.broadcast(q) if query_broadcast else q
     cands = (
@@ -339,9 +342,8 @@ def ann_ivf_topk(
     ).withColumn("cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe)))
 
     if query_broadcast is None:
-        query_broadcast = (
-            queries.count() * max(1, int(nprobe))
-            <= int(query_broadcast_rows)
+        query_broadcast = probe_within(
+            queries, int(query_broadcast_rows) // max(1, int(nprobe))
         )
     if query_broadcast:
         cand = c.join(
@@ -483,9 +485,8 @@ def ivf_index_search(
     # (cell, _salt) — probed cells are few, so a bare cell key would
     # serialize into straggler tasks
     if query_broadcast is None:
-        query_broadcast = (
-            queries.count() * max(1, int(nprobe))
-            <= int(query_broadcast_rows)
+        query_broadcast = probe_within(
+            queries, int(query_broadcast_rows) // max(1, int(nprobe))
         )
     if query_broadcast:
         cand = cells.join(
@@ -554,7 +555,7 @@ def cosine_pairs_exact(
         F.col("vid").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     if side_broadcast is None:
-        side_broadcast = df.count() <= int(broadcast_rows)
+        side_broadcast = probe_within(df, broadcast_rows)
     if side_broadcast:
         cand = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
     else:
@@ -931,9 +932,8 @@ def ann_ivf_topk_portable(
     )
 
     if probe_broadcast is None:
-        probe_broadcast = (
-            queries.count() * max(1, int(nprobe))
-            <= int(probe_broadcast_rows)
+        probe_broadcast = probe_within(
+            queries, int(probe_broadcast_rows) // max(1, int(nprobe))
         )
     if probe_broadcast:
         # small probe side: broadcasting keeps the corpus side map-only
@@ -2274,7 +2274,7 @@ def semantic_decontaminate(
         F.col(id_col).alias("vec_id"), "v", "_nrm"
     )
     if eval_broadcast is None:
-        eval_broadcast = ev.count() <= int(eval_broadcast_rows)
+        eval_broadcast = probe_within(ev, eval_broadcast_rows)
     if not eval_broadcast:
         n_cells = int(ann_n_cells)
         knn = ann_ivf_topk_portable(

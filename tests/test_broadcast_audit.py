@@ -37,8 +37,7 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "konohadataplatform_spark"
 WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     # classifier: trained weight vector (hashed dims, fixed width)
     ("operators/classifier.py", "train_perceptron"): (1, "metadata"),
-    # curation
-    ("operators/curation.py", "apply_group_cap"): (1, "gated"),
+    # curation (apply_group_cap routes through gating.gated_broadcast)
     ("operators/curation.py", "importance_weights"): (1, "scalar"),
     ("operators/curation.py", "shard_plan"): (1, "metadata"),
     ("operators/curation.py", "lang_temperature_quota"): (1, "scalar"),
@@ -57,8 +56,10 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/ranking.py", "scalable_row_number"): (1, "metadata"),
     # projection (r13): JL query side behind the counted gate
     ("operators/projection.py", "jl_neighbors"): (1, "gated"),
-    # retrieval (r13): the shared counted gate + 1-row totals
-    ("operators/retrieval.py", "_gated"): (1, "gated"),
+    # gating (r13): THE shared counted-gate helper — the one
+    # broadcast site every equi-join gate routes through
+    ("operators/gating.py", "gated_broadcast"): (1, "gated"),
+    # retrieval: 1-row totals (gates route through gating.py)
     ("operators/retrieval.py", "lexical_topk"): (1, "scalar"),
     ("operators/retrieval.py", "doc_keywords"): (1, "scalar"),
     ("operators/retrieval.py", "bm25_topk"): (2, "scalar"),
