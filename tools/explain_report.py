@@ -139,6 +139,12 @@ HEADLINE = [
     "q_filter_funnel",
     "q_retrieval_metrics_partial_probe",
     "q_semantic_decontaminate",
+    # r13: EM expectation prune, dimensionality-reduction tier
+    "q_unigram_em_usage",
+    "q_jl_project",
+    "q_jl_neighbors",
+    "q_jl_rerank",
+    "q_embedding_covariance",
 ]
 
 
