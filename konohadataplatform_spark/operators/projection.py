@@ -148,6 +148,7 @@ def jl_neighbors(
     embeddings sit far inside the bound — shrink ``grid`` for
     unnormalized magnitudes).
     """
+    from konohadataplatform_spark.operators.dedup import _spread
     from konohadataplatform_spark.operators.similarity import (
         _salted_all_pairs,
     )
@@ -157,8 +158,14 @@ def jl_neighbors(
         F.col(id_col).alias("vec_id"), query_pred.alias("_is_q")
     )
     proj = proj.join(ids, "vec_id")
-    c = proj.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("proj").alias("cp")
+    # _spread the corpus side: a small parquet arrives as ONE input
+    # split and the broadcast pair scan would run single-task
+    # (measured 6.5 s at sf0.1 in 1 task vs sub-second spread over 32)
+    c = _spread(
+        proj.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("proj").alias("cp"),
+        )
     )
     q = proj.where(F.col("_is_q")).select(
         F.col("vec_id").alias("query_id"), F.col("proj").alias("qp")
@@ -176,9 +183,16 @@ def jl_neighbors(
         cand = _salted_all_pairs(c, q, "neighbor_id", salt).filter(
             pair_cond
         )
+    # unrolled 16-term sum, not an aggregate(zip_with(...)) fold: the
+    # fold allocates a 16-element array per PAIR and runs interpreted
+    # (measured 6.5 s at sf0.1); the unrolled spelling is straight-
+    # line codegen arithmetic over the two array columns
     dist2 = F.expr(
-        "aggregate(zip_with(qp, cp, (a, b) -> (a - b) * (a - b)), "
-        "0L, (acc, x) -> acc + x)"
+        " + ".join(
+            f"(element_at(qp, {j}) - element_at(cp, {j})) * "
+            f"(element_at(qp, {j}) - element_at(cp, {j}))"
+            for j in range(1, int(out_dim) + 1)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("jl_dist2").asc(), F.col("neighbor_id").asc()

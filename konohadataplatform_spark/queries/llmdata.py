@@ -7448,8 +7448,11 @@ def _jl_proj_cte() -> str:
 @query(
     "q_jl_project",
     _jl_proj_cte()
-    + """
-    SELECT vec_id, proj FROM pj
+    + f"""
+    SELECT vec_id,
+           unnest(range(1, {_JL_OUT} + 1)) AS dim,
+           unnest(proj) AS component
+    FROM pj
     """,
 )
 def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7459,12 +7462,21 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal from md5(seed:j:i) parity — zero per-row hash calls, zero
     model state, bit-identical in any engine. The shrink-the-vectors
     stage before ANN/dedup at 100 TB: one narrow projection, no
-    exchange, output 1/4 the width."""
+    exchange, output 1/4 the width. Registered form flattens to
+    (vec_id, dim, component) rows — the driver canonicalizer sorts
+    scalar columns only (no-nested-output rule)."""
     from konohadataplatform_spark.operators.projection import jl_project
 
     return jl_project(
         _t(spark, sf_dir, "embeddings"),
         out_dim=_JL_OUT, in_dim=_JL_IN, grid=_JL_GRID,
+    ).select(
+        "vec_id",
+        F.posexplode("proj").alias("dim0", "component"),
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        "component",
     )
 
 
