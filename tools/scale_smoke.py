@@ -278,10 +278,55 @@ def _smoke_partial_probe_fixed_queries(spark, sf_dir):
     return EV.ranking_metrics(ranked, relevant, k=10)
 
 
+def _smoke_domain_cap_shuffled(spark, sf_dir):
+    """q_domain_cap's over-bound path: the kept-keys semi-join forced
+    SHUFFLED (crawl-scale domain counts exceed broadcast budgets)."""
+    from konohadataplatform_spark.operators import curation as CU
+    from konohadataplatform_spark.queries.llmdata import _with_url
+
+    passed = (
+        CU.url_filters(_with_url(spark, sf_dir))
+        .where(F.col("pass_url_filters"))
+        .select("doc_id", "url")
+    )
+    return CU.apply_domain_cap(passed, cap=7, kept_broadcast=False)
+
+
+def _smoke_stratified_quota_shuffled(spark, sf_dir):
+    from konohadataplatform_spark.operators import curation as CU
+
+    return CU.stratified_sample(
+        load_table(spark, sf_dir, "documents"), "lang", quota=20,
+        kept_broadcast=False,
+    )
+
+
+def _smoke_jl_rerank_fixed_queries(spark, sf_dir):
+    """jl_rerank at a FIXED query sample (vec_id < 58 — constant ~2
+    queries at every sf, since sf1 replicas offset ids upward): the
+    candidate scan is |queries| x corpus (linear in the corpus at
+    fixed queries) and the cosine rerank stays |queries| x k_cand."""
+    from konohadataplatform_spark.operators.projection import (
+        jl_rerank_topk,
+    )
+
+    return jl_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 58,
+        k=5, k_cand=20,
+    )
+
+
 EXTRA_SMOKES = {
     "q_lexical_topk_shuffled": _smoke_lexical_topk_shuffled,
     "q_bm25_topk_shuffled": _smoke_bm25_topk_shuffled,
     "q_partial_probe_fixed_queries": _smoke_partial_probe_fixed_queries,
+    # r13 second wave: the group-cap shuffled fallbacks + the JL
+    # pipeline at fixed queries (the registered % 29 split is
+    # quadratic-by-contract like q_knn_bruteforce)
+    "q_domain_cap_shuffled": _smoke_domain_cap_shuffled,
+    "q_stratified_quota_shuffled": _smoke_stratified_quota_shuffled,
+    "q_jl_rerank_fixed_queries": _smoke_jl_rerank_fixed_queries,
 }
 SMOKE_QUERIES += list(EXTRA_SMOKES)
 
