@@ -147,6 +147,9 @@ EXTENDED = [
     "q_jl_neighbors",
     "q_embedding_covariance",
     "q_jl_rerank",
+    # q_dimension_correlation rides q_embedding_covariance's scan —
+    # pinned for the metadata-join tail it adds
+    "q_dimension_correlation",
 ]
 
 

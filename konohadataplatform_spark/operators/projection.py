@@ -488,3 +488,68 @@ def jl_rerank_topk(
         "query_id", "neighbor_id", "cos_sim",
         F.row_number().over(w).alias("rerank_rank"),
     ).where(F.col("rerank_rank") <= int(k))
+
+
+def dimension_correlation(
+    emb: DataFrame,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    grid: int = JL_GRID,
+    scale: int = 1_000_000,
+    top: int = 20,
+) -> DataFrame:
+    """(a, b, corr_sign, corr2_micro, corr_rank): the ``top`` most
+    correlated dimension pairs a < b, by exact integer SQUARED
+    Pearson correlation over the covariance relation —
+
+        corr2_micro = (cov_ab^2 * scale) div (cov_aa * cov_bb)
+
+    with the sign reported separately (sign(cov_ab) — the square
+    keeps the statistic division-free and engine-exact; sqrt would
+    not be). The feature-redundancy audit a pipeline runs before
+    paying for all 64 embedding dimensions downstream: a pair at
+    corr2 ~ scale is carrying one dimension twice.
+
+    Zero-variance dimensions (cov_aa = 0, a constant column) are
+    excluded — correlation is undefined there, and both engines
+    apply the same filter rather than dividing by zero. Products
+    ride decimal(38,0) (cov_micro can reach var * scale for
+    unnormalized data). Ties break on (a, b) ascending.
+
+    Scale shape: rides :func:`embedding_covariance`'s one corpus
+    scan; everything after is the metadata-sized dim^2 relation —
+    two self-joins and a top-k over <= in_dim*(in_dim-1)/2 rows.
+    """
+    cov = embedding_covariance(emb, in_dim, vec_col, grid, scale)
+    off = cov.where(F.col("a") < F.col("b")).select(
+        "a", "b", F.col("cov_micro").alias("cab")
+    )
+    diag = cov.where(F.col("a") == F.col("b")).select(
+        F.col("a").alias("d"), F.col("cov_micro").alias("cdd")
+    )
+    dec = "decimal(38,0)"
+    scored = (
+        off.join(diag.select(F.col("d").alias("a"),
+                             F.col("cdd").alias("caa")), "a")
+        .join(diag.select(F.col("d").alias("b"),
+                          F.col("cdd").alias("cbb")), "b")
+        .where((F.col("caa") > 0) & (F.col("cbb") > 0))
+        .select(
+            "a",
+            "b",
+            F.signum("cab").cast("int").alias("corr_sign"),
+            F.expr(
+                f"cast(cast(cab as {dec}) * cab * {int(scale)} "
+                f"div (cast(caa as {dec}) * cbb) as bigint)"
+            ).alias("corr2_micro"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("corr2_micro").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    # metadata-sized relation: the single-partition rank window is
+    # over <= dim^2/2 rows, never corpus data
+    return scored.select(
+        "a", "b", "corr_sign", "corr2_micro",
+        F.row_number().over(w).cast("int").alias("corr_rank"),
+    ).where(F.col("corr_rank") <= int(top))

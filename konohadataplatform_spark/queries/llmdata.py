@@ -7666,3 +7666,84 @@ def q_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") % 29 == 0,
         k=5, k_cand=20, out_dim=_JL_OUT, in_dim=_JL_IN, grid=_JL_GRID,
     )
+
+
+@query(
+    "q_dimension_correlation",
+    f"""
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sn AS (
+      SELECT [CAST(FLOOR(v[i] * {_JL_GRID}) AS BIGINT)
+              for i in range(1, len(v) + 1)] AS s
+      FROM e
+    ), pairs AS (
+      SELECT UNNEST(flatten(list_transform(range(1, {_JL_IN} + 1),
+               a -> list_transform(range(a, {_JL_IN} + 1),
+                 b -> {{'a': a, 'b': b, 'p': s[a] * s[b]}}))),
+             recursive := true)
+      FROM sn
+    ), sab AS (
+      SELECT a, b, CAST(SUM(p) AS BIGINT) AS sab
+      FROM pairs GROUP BY 1, 2
+    ), pos AS (
+      SELECT UNNEST([{{'a': i, 'sa': s[i]}}
+                     for i in range(1, {_JL_IN} + 1)],
+             recursive := true)
+      FROM sn
+    ), sa AS (
+      SELECT a, CAST(SUM(sa) AS BIGINT) AS suma,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pos GROUP BY 1
+    ), cov AS (
+      SELECT sab.a, sab.b,
+             CAST((CAST(x.n AS HUGEINT) * sab.sab
+                   - CAST(x.suma AS HUGEINT) * y.suma) * 1000000
+                  // (CAST(x.n AS HUGEINT) * x.n
+                      * {_JL_GRID} * {_JL_GRID}) AS BIGINT) AS cm
+      FROM sab
+      JOIN sa x ON x.a = sab.a
+      JOIN sa y ON y.a = sab.b
+    ), sc AS (
+      SELECT o.a, o.b,
+             CAST(CASE WHEN o.cm > 0 THEN 1
+                       WHEN o.cm < 0 THEN -1 ELSE 0 END AS INT)
+               AS corr_sign,
+             CAST(CAST(o.cm AS HUGEINT) * o.cm * 1000000
+                  // (CAST(da.cm AS HUGEINT) * db.cm) AS BIGINT)
+               AS corr2_micro
+      FROM cov o
+      JOIN cov da ON da.a = o.a AND da.b = o.a
+      JOIN cov db ON db.a = o.b AND db.b = o.b
+      WHERE o.a < o.b AND da.cm > 0 AND db.cm > 0
+    ), rk AS (
+      SELECT *, row_number() OVER (
+          ORDER BY corr2_micro DESC, a ASC, b ASC) AS corr_rank
+      FROM sc
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           corr_sign, corr2_micro, CAST(corr_rank AS INT) AS corr_rank
+    FROM rk WHERE corr_rank <= 20
+    """,
+)
+def q_dimension_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most correlated embedding-dimension pairs by exact
+    integer SQUARED Pearson correlation — corr2_micro = (cov_ab^2 *
+    1e6) div (cov_aa * cov_bb), sign reported separately (the square
+    keeps the statistic division-free; sqrt would not be engine-
+    exact). The feature-redundancy audit before paying for all 64
+    dimensions downstream. Rides embedding_covariance's one corpus
+    scan; everything after is the metadata-sized dim^2 relation
+    (operators.projection.dimension_correlation)."""
+    from konohadataplatform_spark.operators.projection import (
+        dimension_correlation,
+    )
+
+    return dimension_correlation(
+        _t(spark, sf_dir, "embeddings"),
+        in_dim=_JL_IN, grid=_JL_GRID, top=20,
+    ).select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        "corr_sign", "corr2_micro", "corr_rank",
+    )

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 _DML_RE = re.compile(
     r"^\s*(MERGE|DELETE|UPDATE|ALTER|INSERT|TRUNCATE|DROP|CREATE|CALL|OPTIMIZE)\b"
     r"|^\s*DESCRIBE\s+HISTORY\b|^\s*SHOW\s+TBLPROPERTIES\b"
-    r"|^\s*ANALYZE\s+TABLE\b",
+    r"|^\s*ANALYZE\s+TABLE\b|^\s*EXPORT\s+TABLE\b",
     re.IGNORECASE,
 )
 
@@ -766,6 +766,26 @@ def dispatch(engine, query: str) -> DataFrame:
     head = (m.group(1) or q.split(None, 1)[0]).upper()
     if engine.catalog is None:
         raise ValueError(f"{head} requires a catalog attached to the Engine")
+    if head == "EXPORT":
+        em = re.match(
+            r"EXPORT\s+TABLE\s+([\w.`]+)"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+            r"(?:\s+TO\s+DUCKDB)?\s*$",
+            q,
+            re.IGNORECASE,
+        )
+        if not em:
+            raise ValueError(f"unsupported EXPORT TABLE syntax: {q!r}")
+        name = em.group(1).strip("`")
+        version = int(em.group(2)) if em.group(2) else None
+        ddl = engine.export_duckdb(name, version)
+        snap = (
+            engine.catalog._resolve(name, version, None)
+        )
+        return engine.spark.createDataFrame(
+            [(name, snap.version, ddl)],
+            "table string, version int, duckdb_ddl string",
+        )
     if head == "SHOW":
         sm = re.match(
             r"SHOW\s+TBLPROPERTIES\s+([\w.`]+)"

@@ -228,3 +228,45 @@ def test_jl_projection_separates_near_duplicates(spark):
                     (proj[vid] - proj[other]) ** 2)))
     # every planted pair is closer than every unrelated pair
     assert max(dup_d) < min(rand_d), (max(dup_d), min(rand_d))
+
+
+def test_dimension_correlation_matches_numpy(spark):
+    """corr2_micro equals the numpy replay of the exact integer
+    pipeline (snapped covariance integers -> squared-ratio division
+    truncated toward zero), and corr_sign matches the covariance
+    sign."""
+    from konohadataplatform_spark.operators.projection import (
+        dimension_correlation,
+    )
+
+    emb = _emb(spark).limit(60)
+    rows = dimension_correlation(emb, top=2016).collect()
+    S = [
+        [int(x) for x in np.floor(np.array(r.embedding) * JL_GRID)]
+        for r in emb.collect()
+    ]
+    n = len(S)
+    import itertools
+
+    def cov_micro(a, b):
+        sab = sum(r[a - 1] * r[b - 1] for r in S)
+        sa = sum(r[a - 1] for r in S)
+        sb = sum(r[b - 1] for r in S)
+        num = (n * sab - sa * sb) * 1_000_000
+        den = n * n * JL_GRID * JL_GRID
+        return abs(num) // den * (1 if num >= 0 else -1)
+
+    got = {(r.a, r.b): (r.corr_sign, r.corr2_micro) for r in rows}
+    for a, b in itertools.combinations(range(1, 65), 2):
+        cab, caa, cbb = cov_micro(a, b), cov_micro(a, a), cov_micro(b, b)
+        if caa <= 0 or cbb <= 0:
+            assert (a, b) not in got
+            continue
+        expect = (cab * cab * 1_000_000) // (caa * cbb)
+        sign = 1 if cab > 0 else (-1 if cab < 0 else 0)
+        assert got[(a, b)] == (sign, expect), (a, b)
+    # ranks are 1..N contiguous by (corr2 desc, a, b)
+    ranked = sorted(rows, key=lambda r: r.corr_rank)
+    assert [r.corr_rank for r in ranked] == list(range(1, len(rows) + 1))
+    vals = [(-r.corr2_micro, r.a, r.b) for r in ranked]
+    assert vals == sorted(vals)

@@ -581,3 +581,37 @@ def test_analyze_table_sql(engine):
     assert engine.catalog.stats("metrics")["columns"]["id"]["max"] == "3"
     with pytest.raises(ValueError, match="ANALYZE"):
         engine.sql("ANALYZE TABLE metrics")
+
+
+def test_export_table_sql_surface(engine, spark):
+    """r13: EXPORT TABLE name [VERSION AS OF n] [TO DUCKDB] on the S8
+    surface returns (table, version, duckdb_ddl); the DDL replays in
+    an out-of-process DuckDB at the pinned version."""
+    import json
+    import subprocess
+    import sys
+
+    engine.save_table("exp_t", spark.createDataFrame([(1,), (2,)], "v long"))
+    engine.save_table("exp_t", spark.createDataFrame([(3,)], "v long"))
+    cur = engine.sql("EXPORT TABLE exp_t").collect()[0]
+    assert (cur.table, cur.version) == ("exp_t", 2)
+    pinned = engine.sql(
+        "EXPORT TABLE exp_t VERSION AS OF 1 TO DUCKDB"
+    ).collect()[0]
+    assert pinned.version == 1
+    script = (
+        "import duckdb, json, sys\n"
+        "con = duckdb.connect()\n"
+        "con.execute(sys.argv[1])\n"
+        "print(json.dumps(con.execute("
+        "'SELECT v FROM exp_t ORDER BY v').fetchall()))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script, pinned.duckdb_ddl],
+        capture_output=True, text=True, check=True,
+    )
+    assert json.loads(out.stdout) == [[1], [2]]
+    import pytest
+
+    with pytest.raises(ValueError, match="EXPORT TABLE"):
+        engine.sql("EXPORT TABLE exp_t INTO SOMEWHERE")
