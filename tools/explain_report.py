@@ -145,6 +145,7 @@ HEADLINE = [
     "q_jl_neighbors",
     "q_jl_rerank",
     "q_embedding_covariance",
+    "q_dimension_correlation",
 ]
 
 
