@@ -1,17 +1,19 @@
 """Scalable global ranking — the two-phase pattern for fact-scale ranks.
 
 A plain `ROW_NUMBER() OVER (ORDER BY ...)` (W1/W3 in the reference's
-marts) forces every row through ONE partition — fine at mart size,
-fatal at fact scale. `scalable_row_number` produces identical output
-with bounded parallelism:
+marts, e.g. user_order_summary.sql:40-46) forces every row through ONE
+partition — fine at mart size, fatal at fact scale.
+`scalable_rank_stats` produces identical output with bounded
+parallelism:
 
 1. `repartitionByRange` on the order key — rows land in globally
    ordered partitions (Spark samples ranges; skew spreads by added
    tiebreak columns);
-2. per-partition `row_number` over a partition-local window;
-3. per-partition counts (tiny: one row per partition) are prefix-summed
-   by a single-partition window over that METADATA-sized relation and
-   broadcast-joined back as offsets.
+2. per-partition `row_number` (and running sums) over a
+   partition-local window;
+3. per-partition counts/sums (tiny: one row per partition) are
+   prefix-summed by a single-partition window over that
+   METADATA-sized relation and broadcast-joined back as offsets.
 
 Everything is ONE lazy plan — no cache() (which leaked a cached
 relation per call in long sessions, r7 VERDICT item 6), no collect(),
@@ -24,6 +26,11 @@ even if the exchange were recomputed.
 Shuffle: one range exchange of the data (spread over N partitions
 instead of 1) plus a #partitions-row aggregate shuffle. Driver
 state: none.
+
+The same counts relation also yields grand totals (COUNT(*) OVER (),
+SUM(x) OVER ()) and — via `ntile_from_rank` — global NTILE, so a
+query needing rank + running share + totals pays ONE range exchange
+instead of several single-partition WindowExecs.
 """
 
 from __future__ import annotations
@@ -31,6 +38,114 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def scalable_rank_stats(
+    df: DataFrame,
+    order_cols: list[Column],
+    rn_col: str = "rank",
+    rn_type: str = "int",
+    prefix_sum_cols: dict[str, Column] | None = None,
+    total_cols: dict[str, Column] | None = None,
+    total_count_col: str | None = None,
+    num_partitions: int | None = None,
+    stabilize_source: bool = False,
+) -> DataFrame:
+    """Global row_number (plus optional global running sums and grand
+    totals) over `order_cols` without a single-partition sort.
+    `order_cols` must define a total order (add a unique tiebreak
+    column) for deterministic output.
+
+    ``prefix_sum_cols``: {out_name: measure} — each output column is
+    the INCLUSIVE running sum of the measure in global order
+    (``SUM(m) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``),
+    assembled as partition-local running sum + the prefix sum of the
+    per-partition totals.
+
+    ``total_cols``: {out_name: measure} — grand total of the measure
+    (``SUM(m) OVER ()``) stamped on every row, computed from the same
+    per-partition counts relation (no second scan).
+
+    ``total_count_col``: when set, every output row also carries the
+    TOTAL row count under that name — callers needing
+    rank-relative-to-N arithmetic (percentile cuts, NTILE) get N tied
+    by construction to the exact relation that produced the ranks (an
+    independent count() of a non-deterministic source could disagree).
+
+    The ranking and counts branches must observe identical `_pid`
+    assignments; ReusedExchange plus repartitionByRange's seeded
+    sampling guarantees that for deterministic inputs. If `df` is
+    non-deterministic (rand(), unordered limits, re-sampled reads),
+    pass ``stabilize_source=True`` to localCheckpoint the ranged
+    relation — both branches then read one materialized copy instead
+    of recomputing the upstream.
+    """
+    psums = dict(prefix_sum_cols or {})
+    tots = dict(total_cols or {})
+    # Materialize measure expressions BEFORE the range exchange so the
+    # ranking branch and the counts branch read byte-identical values.
+    pre = df
+    ps_tmp: dict[str, str] = {}
+    for i, (name, col) in enumerate(psums.items()):
+        ps_tmp[name] = f"_ps{i}"
+        pre = pre.withColumn(f"_ps{i}", col)
+    tot_tmp: dict[str, str] = {}
+    for i, (name, col) in enumerate(tots.items()):
+        tot_tmp[name] = f"_tt{i}"
+        pre = pre.withColumn(f"_tt{i}", col)
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = pre.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    if stabilize_source:
+        ranged = ranged.localCheckpoint(eager=False)
+
+    local_w = Window.partitionBy("_pid").orderBy(*order_cols)
+    run_w = local_w.rowsBetween(Window.unboundedPreceding, 0)
+    local = ranged.withColumn("_local_rn", F.row_number().over(local_w))
+    for name, tmp in ps_tmp.items():
+        local = local.withColumn(f"_run{tmp}", F.sum(tmp).over(run_w))
+
+    aggs = [F.count(F.lit(1)).alias("_c")]
+    for tmp in ps_tmp.values():
+        aggs.append(F.sum(tmp).alias(f"_pc{tmp}"))
+    for tmp in tot_tmp.values():
+        aggs.append(F.sum(tmp).alias(f"_pc{tmp}"))
+    counts = ranged.groupBy("_pid").agg(*aggs)
+
+    # single-partition windows are safe here: the relation is one row
+    # per range partition (metadata-sized), not the data
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    tot_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [
+        F.col("_pid"),
+        F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
+    ]
+    for name, tmp in ps_tmp.items():
+        off_cols.append(
+            F.coalesce(F.sum(f"_pc{tmp}").over(off_w), F.lit(0)).alias(
+                f"_off{tmp}"
+            )
+        )
+    for name, tmp in tot_tmp.items():
+        off_cols.append(F.sum(f"_pc{tmp}").over(tot_w).alias(name))
+    if total_count_col is not None:
+        off_cols.append(F.sum("_c").over(tot_w).alias(total_count_col))
+    offsets = counts.select(*off_cols)
+
+    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+        rn_col, (F.col("_local_rn") + F.col("_off")).cast(rn_type)
+    )
+    drop = ["_pid", "_local_rn", "_off"]
+    for name, tmp in ps_tmp.items():
+        out = out.withColumn(name, F.col(f"_run{tmp}") + F.col(f"_off{tmp}"))
+        drop += [tmp, f"_run{tmp}", f"_off{tmp}"]
+    for tmp in tot_tmp.values():
+        drop.append(tmp)
+    return out.drop(*drop)
 
 
 def scalable_row_number(
@@ -42,53 +157,43 @@ def scalable_row_number(
     total_col: str | None = None,
 ) -> DataFrame:
     """Global row_number over `order_cols` without a single-partition
-    sort. `order_cols` must define a total order (add a unique tiebreak
-    column) for deterministic output.
+    sort — the original narrow surface, now a thin wrapper over
+    `scalable_rank_stats` (see its docstring for the contract)."""
+    return scalable_rank_stats(
+        df,
+        order_cols,
+        rn_col=out_col,
+        total_count_col=total_col,
+        num_partitions=num_partitions,
+        stabilize_source=stabilize_source,
+    )
 
-    ``total_col``: when set, every output row also carries the TOTAL
-    row count under that name, computed from the same per-partition
-    counts relation that produces the offsets — callers needing
-    rank-relative-to-N arithmetic (calibration tiles, percentile
-    cuts) get N without a second scan of the source, and the total is
-    tied by construction to the exact relation that produced the
-    ranks (an independent count() of a non-deterministic source could
-    disagree).
 
-    The ranking and counts branches must observe identical `_pid`
-    assignments; ReusedExchange plus repartitionByRange's seeded
-    sampling guarantees that for deterministic inputs. If `df` is
-    non-deterministic (rand(), unordered limits, re-sampled reads),
-    pass ``stabilize_source=True`` to localCheckpoint the ranged
-    relation — both branches then read one materialized copy instead
-    of recomputing the upstream.
+def ntile_from_rank(rn: Column, total: Column, buckets: int) -> Column:
+    """Global ``NTILE(buckets)`` computed arithmetically from a global
+    row_number (1-based) and the total row count — the scalable
+    replacement for ``NTILE(n) OVER (ORDER BY ...)``, whose
+    single-partition sort `scalable_rank_stats` already eliminated.
+
+    SQL NTILE semantics: with N rows and n buckets, the first
+    ``N % n`` buckets hold ``N div n + 1`` rows, the rest ``N div n``.
+    Integer arithmetic only — no floats, exact at any N.
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    if stabilize_source:
-        ranged = ranged.localCheckpoint(eager=False)
-    local_w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = ranged.withColumn("_local_rn", F.row_number().over(local_w))
-
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
-    # single-partition window is safe here: the relation is one row per
-    # range partition (metadata-sized), not the data
-    off_w = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    off_cols = [
-        F.col("_pid"),
-        F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
-    ]
-    if total_col is not None:
-        tot_w = Window.orderBy("_pid").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        off_cols.append(F.sum("_c").over(tot_w).alias(total_col))
-    offsets = counts.select(*off_cols)
+    nb = F.lit(int(buckets)).cast("bigint")
+    rn64 = rn.cast("bigint")
+    tot = total.cast("bigint")
+    rem = (tot % nb).cast("bigint")  # N % n, exact bigint
+    # (tot - rem) is exactly divisible by nb, so the double division is
+    # exact for any N <= 2^53
+    base = ((tot - rem) / nb).cast("bigint")  # N div n
+    big_rows = rem * (base + F.lit(1))  # rows covered by the big buckets
     return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_local_rn") + F.col("_off")).cast("int"))
-        .drop("_pid", "_local_rn", "_off")
+        F.when(
+            rn64 <= big_rows,
+            F.floor((rn64 - F.lit(1)) / (base + F.lit(1))) + F.lit(1),
+        )
+        .otherwise(
+            rem + F.floor((rn64 - big_rows - F.lit(1)) / base) + F.lit(1)
+        )
+        .cast("int")
     )

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from konohadataplatform_spark.functions import dec
 from konohadataplatform_spark.plans.pipeline import ModelSpec, Pipeline
@@ -67,8 +66,15 @@ def mart_customer_summary_star(spark: SparkSession, ctx) -> DataFrame:
             .alias("completed_value"),
         )
     )
-    w = Window.orderBy(F.col("completed_value").desc(), F.col("c_custkey"))
-    return base.withColumn("revenue_rank", F.row_number().over(w))
+    # customer-grain mart: the global W1 rank goes through the
+    # range-partitioned two-phase pattern, not a single-task WindowExec
+    from konohadataplatform_spark.operators.ranking import scalable_row_number
+
+    return scalable_row_number(
+        base,
+        [F.col("completed_value").desc(), F.col("c_custkey").asc()],
+        out_col="revenue_rank",
+    )
 
 
 def build_star_pipeline(spark: SparkSession, catalog, sf_dir: str) -> Pipeline:

@@ -135,15 +135,43 @@ def q_customer_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("total_spent") > 0, "BRONZE")
         .otherwise("PROSPECT"),
     )
-    w_global = Window.orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+    # W1 (global ROW_NUMBER) + W3 (global PERCENT_RANK) via ONE range
+    # exchange instead of two single-partition WindowExecs
+    # (operators/ranking.py): rank ascending with the tiebreak
+    # REVERSED, then revenue_rank = N - rn + 1 reproduces
+    # ROW_NUMBER() OVER (ORDER BY total_spent DESC, c_custkey ASC),
+    # and PERCENT_RANK's tie-aware rank is min(rn) within each
+    # total_spent group (a key-partitioned window, spread over the
+    # cluster) -> (rank-1)/(N-1).
+    from konohadataplatform_spark.operators.ranking import (
+        scalable_rank_stats,
+    )
+
+    ranked = scalable_rank_stats(
+        tiered,
+        [F.col("total_spent").asc(), F.col("c_custkey").desc()],
+        rn_col="_rn",
+        rn_type="bigint",
+        total_count_col="_n",
+    )
     w_segment = Window.partitionBy("c_mktsegment").orderBy(
         F.col("total_spent").desc(), F.col("c_custkey")
     )
-    w_pct = Window.orderBy(F.col("total_spent"))
+    w_ties = Window.partitionBy("total_spent")
     return (
-        tiered.withColumn("revenue_rank", F.row_number().over(w_global))
+        ranked.withColumn(
+            "revenue_rank",
+            (F.col("_n") - F.col("_rn") + F.lit(1)).cast("int"),
+        )
         .withColumn("segment_rank", F.row_number().over(w_segment))
-        .withColumn("spending_percentile", F.percent_rank().over(w_pct))
+        .withColumn(
+            "spending_percentile",
+            F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+                (F.min("_rn").over(w_ties) - F.lit(1)).cast("double")
+                / (F.col("_n") - F.lit(1)).cast("double")
+            ),
+        )
+        .drop("_rn", "_n")
     )
 
 
@@ -559,18 +587,22 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from konohadataplatform_spark.operators.ranking import (
+        scalable_rank_stats,
+    )
+
     orders = _t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("r"))
-    w = Window.orderBy(F.col("r").desc(), F.col("o_custkey"))
-    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "o_custkey",
-        "r",
-        F.row_number().over(w).alias("rk"),
-        F.sum("r").over(wrun).alias("run_r"),
-        F.sum("r").over(wall).alias("tot_r"),
-        F.count(F.lit(1)).over(wall).alias("n_cust"),
+    # rank + global running revenue + grand totals in ONE range
+    # exchange (operators/ranking.py) instead of a single-partition
+    # WindowExec over every customer
+    ranked = scalable_rank_stats(
+        rev,
+        [F.col("r").desc(), F.col("o_custkey").asc()],
+        rn_col="rk",
+        prefix_sum_cols={"run_r": F.col("r")},
+        total_cols={"tot_r": F.col("r")},
+        total_count_col="n_cust",
     )
     return ranked.filter(F.col("rk") <= 100).select(
         "rk",
@@ -899,16 +931,26 @@ def q_string_agg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE bucketing into deciles + per-decile stats. The global
-    NTILE needs a total order (single-partition window) — acceptable
-    because the windowed payload is just (custkey, bal); at 100 TB
-    use ranking.global_row_numbers' two-phase pattern instead."""
+    NTILE is computed arithmetically from a scalable global
+    row_number + total count (operators/ranking.py ntile_from_rank) —
+    one range exchange, no single-partition WindowExec."""
+    from konohadataplatform_spark.operators.ranking import (
+        ntile_from_rank,
+        scalable_rank_stats,
+    )
+
     cust = _t(spark, sf_dir, "customer")
-    ranked = cust.select(
+    rn = scalable_rank_stats(
+        cust.select("c_custkey", "c_acctbal", dec("c_acctbal").alias("bal")),
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        rn_col="_rn",
+        rn_type="bigint",
+        total_count_col="_n",
+    )
+    ranked = rn.select(
         "c_custkey",
-        dec("c_acctbal").alias("bal"),
-        F.ntile(10)
-        .over(Window.orderBy(F.col("c_acctbal"), F.col("c_custkey")))
-        .alias("decile"),
+        "bal",
+        ntile_from_rank(F.col("_rn"), F.col("_n"), 10).alias("decile"),
     )
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),

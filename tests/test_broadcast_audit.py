@@ -53,7 +53,7 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     # cross_source_overlap: per-source set sizes (bounded by #sources)
     ("operators/dedup.py", "cross_source_overlap"): (2, "metadata"),
     # ranking: one offset row per range partition
-    ("operators/ranking.py", "scalable_row_number"): (1, "metadata"),
+    ("operators/ranking.py", "scalable_rank_stats"): (1, "metadata"),
     # projection (r13): JL query side behind the counted gate
     ("operators/projection.py", "jl_neighbors"): (1, "gated"),
     # gating (r13): THE shared counted-gate helper — the one

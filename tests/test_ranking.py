@@ -73,3 +73,88 @@ def test_scalable_row_number_total_col(spark):
     ).collect()
     assert {r["_n"] for r in out} == {37}
     assert sorted(r["rank"] for r in out) == list(range(1, 38))
+
+
+def test_rank_stats_matches_global_windows(spark):
+    """r14 parity: rn + running sum + grand totals from ONE range
+    exchange must equal the single-partition window spellings on a
+    multi-partition fixture with duplicate order keys."""
+    from konohadataplatform_spark.operators.ranking import (
+        scalable_rank_stats,
+    )
+
+    df = (
+        spark.range(0, 997)
+        .select(
+            (F.col("id") % 131).alias("v"),  # duplicate keys
+            F.col("id").alias("k"),
+            ((F.col("id") * 7) % 1000).cast("long").alias("m"),
+        )
+        .repartition(16)
+    )
+    order_cols = [F.col("v").desc(), F.col("k").asc()]
+    fast = {
+        r.k: (r.rn, r.run_m, r.tot_m, r.n)
+        for r in scalable_rank_stats(
+            df,
+            order_cols,
+            rn_col="rn",
+            rn_type="bigint",
+            prefix_sum_cols={"run_m": F.col("m")},
+            total_cols={"tot_m": F.col("m")},
+            total_count_col="n",
+            num_partitions=8,
+        ).collect()
+    }
+    w = Window.orderBy(*order_cols)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    slow = {
+        r.k: (r.rn, r.run_m, r.tot_m, r.n)
+        for r in df.select(
+            "k",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.sum("m").over(wrun).alias("run_m"),
+            F.sum("m").over(wall).alias("tot_m"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        ).collect()
+    }
+    assert fast == slow
+
+
+def test_ntile_from_rank_matches_ntile(spark):
+    """Arithmetic NTILE must match Spark's NTILE for bucket counts
+    that divide evenly, unevenly, and exceed the row count."""
+    from konohadataplatform_spark.operators.ranking import (
+        ntile_from_rank,
+        scalable_rank_stats,
+    )
+
+    for n_rows, buckets in [(100, 10), (103, 10), (7, 10), (1, 3), (97, 8)]:
+        df = spark.range(0, n_rows).select(
+            ((F.col("id") * 37) % 1009).alias("v"), F.col("id").alias("k")
+        )
+        order_cols = [F.col("v").asc(), F.col("k").asc()]
+        got = {
+            r.k: r.b
+            for r in scalable_rank_stats(
+                df,
+                order_cols,
+                rn_col="_rn",
+                rn_type="bigint",
+                total_count_col="_n",
+                num_partitions=5,
+            )
+            .select(
+                "k",
+                ntile_from_rank(F.col("_rn"), F.col("_n"), buckets).alias("b"),
+            )
+            .collect()
+        }
+        want = {
+            r.k: r.b
+            for r in df.select(
+                "k", F.ntile(buckets).over(Window.orderBy(*order_cols)).alias("b")
+            ).collect()
+        }
+        assert got == want, (n_rows, buckets)
