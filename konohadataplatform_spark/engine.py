@@ -37,20 +37,38 @@ class Engine:
         # _register_view and stay sync-managed)
         self._user_views: set[str] = set()
 
-    def _engine_owned_views(self) -> set[str]:
+    def _engine_owned_views(self) -> dict[str, int | None]:
         """Names registered via ANY Engine's _register_view on this
         SparkSession (temp views are session-scoped, so ownership must
         be too — a second Engine over the same session must not
-        mistake the first one's sync-managed views for user views).
+        mistake the first one's sync-managed views for user views),
+        mapped to the semanticHash of the plan the engine registered.
         Distinguishes, on first sync of a table, an engine-managed
         temp view (refresh it) from one the user created directly on
         the SparkSession (r12 ADVICE: treat as user-owned, never
-        silently clobber it with the catalog read)."""
+        silently clobber it with the catalog read). The hash detects a
+        user REPLACING an engine-synced name (r13 ADVICE: drop +
+        recreate between syncs must hand ownership to the user)."""
         owned = getattr(self.spark, "_kdp_engine_views", None)
-        if owned is None:
-            owned = set()
+        if owned is None or not isinstance(owned, dict):
+            owned = {}
             self.spark._kdp_engine_views = owned
         return owned
+
+    def _view_hash(self, name: str) -> int | None:
+        """semanticHash of the analyzed plan currently registered
+        under ``name`` — metadata-only (no job). None when the view is
+        missing or analysis fails (treated as 'cannot verify', which
+        keeps the pre-hash behavior)."""
+        try:
+            return (
+                self.spark.table(name)
+                ._jdf.queryExecution()
+                .analyzed()
+                .semanticHash()
+            )
+        except Exception:
+            return None
 
     def _sync_catalog_views(self) -> None:
         """Lazily (re-)register any catalog table whose committed
@@ -64,6 +82,21 @@ class Engine:
         but not to Engine.sql on the base engine itself)."""
         if self.catalog is None:
             return
+        # LOCAL temp views only: catalog.tableExists also matches
+        # global-temp and metastore tables, which must not shadow a
+        # catalog table (r13 ADVICE). namespace==[] excludes both.
+        local_temps = {
+            v.name
+            for v in self.spark.catalog.listTables()
+            if v.isTemporary and not v.namespace
+        }
+        owned = self._engine_owned_views()
+        # prune ownership of views that no longer exist: a user who
+        # DROPs an engine-synced view and later recreates the name
+        # owns the new view — without the prune the stale ownership
+        # record would clobber it on the next sync (r13 ADVICE)
+        for stale in [n for n in owned if n not in local_temps]:
+            del owned[stale]
         for t in self.catalog.tables():
             if "@" in t:
                 # branch shadow tables ("{name}@{branch}") are reached
@@ -75,10 +108,20 @@ class Engine:
                 continue
             if t in self._user_views:
                 continue
+            if t in owned and owned[t] is not None:
+                cur = self._view_hash(t)
+                if cur is not None and cur != owned[t]:
+                    # the view under an engine-owned name is no longer
+                    # the plan the engine registered: the user replaced
+                    # it (drop + recreate between syncs) — ownership
+                    # passes to the user (r13 ADVICE)
+                    self._user_views.add(t)
+                    del owned[t]
+                    continue
             if (
                 t not in self._seen_versions
-                and t not in self._engine_owned_views()
-                and self.spark.catalog.tableExists(t)
+                and t not in owned
+                and t in local_temps
             ):
                 # a temp view that already exists but was never
                 # registered by THIS engine is user-owned (created
@@ -140,7 +183,7 @@ class Engine:
         commits from other sessions are reflected again)."""
         df.createOrReplaceTempView(name)
         self._user_views.discard(name)
-        self._engine_owned_views().add(name)
+        self._engine_owned_views()[name] = self._view_hash(name)
 
     def register_star_schema(self, sf_dir: str) -> dict[str, DataFrame]:
         # remember the dir so SessionEngine clones can replay the

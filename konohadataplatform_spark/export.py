@@ -49,14 +49,19 @@ def _dir_parquet_files(path: str) -> list[str]:
     return sorted(out)
 
 
-def _present_columns(files: list[str]) -> set[str]:
-    """Union of column names across the files' parquet footers
-    (metadata-only; mirrors Spark's mergeSchema name resolution)."""
+def _present_columns(files: list[str]) -> list[str]:
+    """Column names across the files' parquet footers in FIRST-SEEN
+    order (metadata-only; mirrors Spark's mergeSchema name resolution:
+    first file's order, later files' new columns appended)."""
     import pyarrow.parquet as pq
 
-    cols: set[str] = set()
+    cols: list[str] = []
+    seen: set[str] = set()
     for f in files:
-        cols.update(pq.read_schema(f).names)
+        for c in pq.read_schema(f).names:
+            if c not in seen:
+                seen.add(c)
+                cols.append(c)
     return cols
 
 
@@ -94,24 +99,24 @@ def _star_projection(
         # common case: no metadata projection — skip the footer reads
         # entirely so the export is genuinely metadata-free
         return "*"
-    present = _present_columns(files) | set(partition_cols)
-    renames = [
-        (phys, cur)
-        for phys, cur in (snap.renames or {}).items()
-        if phys in present
-    ]
-    dropped = [c for c in (snap.dropped or []) if c in present]
-    # star RENAME needs DuckDB > 1.0 — spell renames as EXCLUDE the
-    # physical name + an explicit alias column (appended last; column
-    # ORDER is immaterial to the view semantics, and the MOR folds
-    # union BY NAME)
-    excl = dropped + [p for p, _ in renames]
-    star = "*"
-    if excl:
-        star += " EXCLUDE (" + ", ".join(_q(c) for c in excl) + ")"
-    for phys, cur in renames:
-        star += f", {_q(phys)} AS {_q(cur)}"
-    return star
+    present = _present_columns(files)
+    ordered = present + [p for p in partition_cols if p not in set(present)]
+    renames = dict(snap.renames or {})
+    dropped = set(snap.dropped or [])
+    # explicit column list in the snapshot's LOGICAL order (physical
+    # order with renames in place, drops removed, hive partition cols
+    # appended — exactly Spark's withColumnRenamed/drop read order),
+    # so an external SELECT * sees the same column order as
+    # catalog.read (r13 ADVICE: star-plus-appended-aliases diverged)
+    items = []
+    for c in ordered:
+        if c in dropped:
+            continue
+        if c in renames:
+            items.append(f"{_q(c)} AS {_q(renames[c])}")
+        else:
+            items.append(_q(c))
+    return ", ".join(items) if items else "*"
 
 
 def snapshot_manifest(

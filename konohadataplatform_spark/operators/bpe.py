@@ -613,11 +613,26 @@ def unigram_em_usage(
         "element_at(beta, size(lens) + 2 - (i + l)) * "
         f"{int(scale)}L) div element_at(alpha, size(lens) + 1))"
     )
+    # per-occurrence terms are bounded by the max_word_len guard at
+    # ~5e18 — already most of int64 — so the SUM accumulates in
+    # decimal(38,0) (the importance_weights convention) and converts
+    # back to int64 LOUDLY: a non-ANSI bigint sum would wrap silently,
+    # while the DuckDB oracle's CAST(SUM(e) AS BIGINT) (HUGEINT sum)
+    # raises — this keeps both engines loud on the same inputs.
     return (
         matched.join(lattice.select("word", "lens", "alpha", "beta"), "word")
         .select("piece", exp_expr.alias("_e"))
         .groupBy("piece")
-        .agg(F.sum("_e").alias("usage_em"))
+        .agg(F.sum(F.col("_e").cast("decimal(38,0)")).alias("_ue"))
+        .select(
+            "piece",
+            F.expr(
+                "if(_ue between -9223372036854775808 and "
+                "9223372036854775807, cast(_ue as bigint), "
+                "raise_error(concat('unigram_em_usage: expected usage "
+                "overflows int64 for piece ', piece)))"
+            ).alias("usage_em"),
+        )
     )
 
 

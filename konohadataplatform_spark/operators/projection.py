@@ -346,12 +346,6 @@ def pca_project(
     result is reproducible run-to-run (float exactness across engines
     is not claimed here; the integer tiers above are the oracle-exact
     path). One narrow projection, no exchange."""
-    rows = ", ".join(
-        "array(" + ", ".join(repr(float(x)) for x in row) + ")"
-        for row in components
-    )
-    comps = f"array({rows})"
-    k = len(components)
     in_dim = len(components[0])
     s = (
         f"transform(cast({vec_col} as array<double>), "
@@ -362,16 +356,25 @@ def pca_project(
         f"raise_error(concat('pca_project: expected {int(in_dim)}-d "
         f"embedding, got ', cast(size({vec_col}) as string))))"
     )
+    # each component dot is UNROLLED into straight-line left-assoc
+    # column arithmetic (like _signed_sum): indexing an inlined
+    # k x in_dim literal inside an aggregate lambda would re-build the
+    # literal per element evaluation (~10x interpreted-HOF overhead).
+    # The op sequence (0.0 + c1*s1) + c2*s2 + ... is identical to the
+    # old sequential fold, so floats are reproducible run-to-run.
+    dots = ", ".join(
+        "cast(0.0 as double) + "
+        + " + ".join(
+            f"{float(x)!r} * element_at(_s, {i + 1})"
+            for i, x in enumerate(row)
+        )
+        for row in components
+    )
     return emb.select(
         F.col(id_col).alias("vec_id"), F.expr(guarded).alias("_s")
     ).select(
         "vec_id",
-        F.expr(
-            f"transform(sequence(1, {k}), j -> "
-            f"aggregate(sequence(1, size(_s)), cast(0.0 as double), "
-            f"(acc, i) -> acc + element_at(element_at({comps}, j), i) "
-            "* element_at(_s, i)))"
-        ).alias("pcs"),
+        F.expr(f"array({dots})").alias("pcs"),
     )
 
 
@@ -437,15 +440,25 @@ def jl_rerank_topk(
         f"cast({vec_col} as array<double>), (a, b) -> a * b), "
         "cast(0.0 as double), (acc, x2) -> acc + x2)"
     )
-    unit = emb.withColumn(
-        vec_col,
-        F.expr(
-            f"if({dot_sql} > 0, "
-            f"transform(cast({vec_col} as array<double>), "
-            f"x -> x / sqrt({dot_sql})), "
-            "raise_error('jl_rerank_topk: zero-norm vector — cosine "
-            "is undefined; filter zero vectors upstream'))"
-        ),
+    # the norm is computed ONCE per row in a preceding projection —
+    # referencing the aggregate inside the transform lambda would
+    # re-evaluate the full in_dim-term fold per ELEMENT (O(d^2)
+    # interpreted work per row, the exact hazard _signed_sum's notes
+    # document). x / sqrt(nrm2) is the same IEEE op sequence either
+    # way, so oracle floats are unchanged.
+    unit = (
+        emb.withColumn("_nrm2", F.expr(dot_sql))
+        .withColumn(
+            vec_col,
+            F.expr(
+                f"if(_nrm2 > 0, "
+                f"transform(cast({vec_col} as array<double>), "
+                f"x -> x / sqrt(_nrm2)), "
+                "raise_error('jl_rerank_topk: zero-norm vector — cosine "
+                "is undefined; filter zero vectors upstream'))"
+            ),
+        )
+        .drop("_nrm2")
     )
     cands = jl_neighbors(
         unit, query_pred, k_cand, out_dim, in_dim, id_col, vec_col,

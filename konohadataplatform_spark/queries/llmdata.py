@@ -6859,9 +6859,18 @@ def _ug_em_chain() -> str:
       SELECT p.word, p.freq, p.i,
              list_prepend(1, COALESCE(s.mls, [])) AS ls
       FROM ug_pos p LEFT JOIN em_sl s ON s.word = p.word AND s.i = p.i
-    ), em_lat AS (
+    ), em_lat0 AS (
       SELECT word, freq, list(ls ORDER BY i) AS lens
       FROM em_ls GROUP BY 1, 2
+    ), em_lat AS (
+      -- mirrors operators.bpe.unigram_em_usage's max_word_len=48
+      -- guard: path counts grow ~1.84^n, so a longer word must raise
+      -- in BOTH engines, not raise in Spark and overflow here
+      SELECT word, freq,
+             CASE WHEN len(lens) <= 48 THEN lens
+                  ELSE error('unigram_em_usage: word longer than 48 chars')
+             END AS lens
+      FROM em_lat0
     ), em_ab AS (
       SELECT word, freq, lens,
         list_reduce(list_transform(range(1, len(lens) + 2),

@@ -608,3 +608,41 @@ def test_session_temp_view_user_owned_on_first_sync(spark, tmp_path):
     assert [r.v for r in eng2.sql("SELECT v FROM fresh").collect()] == [11]
     spark.catalog.dropTempView("shadowed")
     spark.catalog.dropTempView("fresh")
+
+
+def test_recreated_user_view_after_drop_is_not_clobbered(spark, tmp_path):
+    """r13 ADVICE: the session-wide engine-ownership set is pruned at
+    sync time — a user who DROPs an engine-synced view and recreates
+    the name owns the new view; a later sync (even one triggered by a
+    new catalog commit) must not clobber it. Also: a GLOBAL temp view
+    sharing a catalog table's name must not be mistaken for a local
+    user view (tableExists would match it; the local-temp probe
+    must not)."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.engine import Engine
+
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, SnapshotCatalog(spark, wh))
+    eng.catalog.write("reused", spark.createDataFrame([(1,)], "v long"))
+    assert [r.v for r in eng.sql("SELECT v FROM reused").collect()] == [1]
+    # user drops the engine-synced view and recreates the name
+    spark.catalog.dropTempView("reused")
+    spark.createDataFrame([(99,)], "v long").createOrReplaceTempView("reused")
+    # an external commit bumps the catalog version; a fresh engine's
+    # sync sees an unseen version but must pin the user's view
+    other = Engine(spark, SnapshotCatalog(spark, wh))
+    other.catalog.write("reused", spark.createDataFrame([(2,)], "v long"))
+    eng2 = Engine(spark, SnapshotCatalog(spark, wh))
+    assert [r.v for r in eng2.sql("SELECT v FROM reused").collect()] == [99]
+    spark.catalog.dropTempView("reused")
+
+    # global temp view does NOT shadow a catalog table
+    eng3 = Engine(spark, SnapshotCatalog(spark, wh))
+    eng3.catalog.write("gshadow", spark.createDataFrame([(5,)], "v long"))
+    spark.createDataFrame([(77,)], "v long").createOrReplaceGlobalTempView(
+        "gshadow"
+    )
+    eng4 = Engine(spark, SnapshotCatalog(spark, wh))
+    assert [r.v for r in eng4.sql("SELECT v FROM gshadow").collect()] == [5]
+    spark.catalog.dropTempView("gshadow")
+    spark.catalog.dropGlobalTempView("gshadow")

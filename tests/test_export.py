@@ -128,6 +128,17 @@ def test_export_applies_metadata_rename_and_drop(spark, catalog):
         "WHERE table_name = 'e' ORDER BY column_name",
     )
     assert cols == _s([("id",), ("label",)])
+    # r13 ADVICE: the view's column ORDER matches catalog.read's
+    # logical order (rename in place, not appended after the star) —
+    # an external SELECT * consumer sees Spark's order
+    ordinal = _duckdb_rows(
+        ddl,
+        "SELECT ordinal_position, column_name "
+        "FROM information_schema.columns WHERE table_name = 'e'",
+    )
+    assert ordinal == _s(
+        (i, c) for i, c in enumerate(catalog.read("e").columns, 1)
+    )
 
 
 def test_export_mor_equality_deletes_suppressed(spark, catalog):
