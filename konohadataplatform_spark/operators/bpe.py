@@ -636,6 +636,229 @@ def unigram_em_usage(
     )
 
 
+def _emp_alpha_terms(L: int) -> str:
+    """Probability-weighted forward-DP fold body: like
+    :func:`_em_alpha_terms` but each arriving path is multiplied by the
+    piece's probability (``wts[j][l]``; 0.0 encodes unavailability, so
+    no array_contains test is needed). All ops are IEEE
+    exactly-rounded (+, *), so a SQL oracle replays the floats
+    bit-for-bit."""
+    return " + ".join(
+        f"if(x - 1 >= {ln}, element_at(acc, x - {ln}) * "
+        f"element_at(element_at(wts, x - {ln}), {ln}), "
+        "cast(0.0 as double))"
+        for ln in range(1, L + 1)
+    )
+
+
+def _emp_beta_terms(L: int) -> str:
+    """Probability-weighted backward-DP fold body (reversed storage:
+    acc[m] = B[n+2-m], each term weighted by wts[j][l])."""
+    return " + ".join(
+        f"if({ln} < m, "
+        f"element_at(element_at(wts, size(wts) + 2 - m), {ln}) * "
+        f"element_at(acc, m - {ln}), cast(0.0 as double))"
+        for ln in range(1, L + 1)
+    )
+
+
+def unigram_em_prob_usage(
+    words: DataFrame,
+    cand: DataFrame,
+    vocab_probs: DataFrame,
+    max_piece_len: int = 3,
+    scale: int = 1_000_000,
+    max_word_len: int = 48,
+    char_floor: float = 1e-6,
+) -> DataFrame:
+    """(piece, usage_emp): expected piece usage under the
+    PROBABILITY-WEIGHTED segmentation model — the full Kudo 2018 §3.2
+    E-step the uniform-path pass (:func:`unigram_em_usage`)
+    approximates. ``vocab_probs`` is (piece, p double); paths are
+    weighted by the product of their pieces' probabilities:
+
+        A[1] = 1;  A[i] = sum_l A[i-l] * p(piece at i-l, len l)
+        B[n+1] = 1; B[j] = sum_l p(piece at j, len l) * B[j+l]
+        E[occurrence (i, l)] = A[i] * p * B[i+l] / A[n+1]
+
+    Single characters are always available (coverage) at the
+    ``char_floor`` backoff probability — the candidate lattice only
+    holds multi-char pieces, so an unmatched character never zeroes a
+    word's likelihood (SentencePiece's unseen-character penalty plays
+    the same role).
+
+    ENGINE-PORTABILITY CONTRACT (why no log-space): the DP uses only
+    +, *, / — IEEE exactly-rounded ops every engine computes
+    bit-identically in a pinned evaluation order — where log/exp
+    (java.lang.Math vs C libm) differ in final ulps across engines.
+    Underflow is bounded: A[n+1] >= char_floor^n >= 1e-288 at the
+    ``max_word_len`` = 48 guard, inside double range. Each
+    per-occurrence expectation (<= 1) is snapped to ``scale`` micro
+    units BEFORE the cross-row sum, so the aggregation is integer —
+    exact and order-independent under Spark's nondeterministic
+    reduction order (a raw float SUM would not be reproducible).
+    The sum accumulates in decimal(38,0) with a loud int64 conversion,
+    the :func:`unigram_em_usage` convention.
+    """
+    L = int(max_piece_len)
+    matched = cand.join(vocab_probs, "piece")
+    per_start = matched.groupBy("word", "i").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("l"), F.col("p")))
+        ).alias("_pm")
+    )
+    pos = _unigram_pos(words)
+    floor_sql = repr(float(char_floor))
+    wts_rows = pos.join(per_start, ["word", "i"], "left").select(
+        "word",
+        "freq",
+        "i",
+        F.expr(
+            f"transform(sequence(1, {L}), m -> "
+            f"coalesce(element_at(_pm, m), "
+            f"if(m = 1, cast({floor_sql} as double), "
+            "cast(0.0 as double))))"
+        ).alias("ws"),
+    )
+    lattice = (
+        wts_rows.groupBy("word", "freq")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "ws"))).alias("_p"))
+        .withColumn("wts", F.expr("transform(_p, x -> x.ws)"))
+        .drop("_p")
+        .withColumn(
+            "wts",
+            F.expr(
+                f"if(size(wts) <= {int(max_word_len)}, wts, "
+                "raise_error(concat('unigram_em_prob_usage: word longer "
+                f"than {int(max_word_len)} chars — the forward mass "
+                "would leave double range; pre-split the token: ', "
+                "word)))"
+            ),
+        )
+        .withColumn(
+            "alpha",
+            F.expr(
+                "aggregate(sequence(2, size(wts) + 1), "
+                "array(cast(1.0 as double)), "
+                f"(acc, x) -> concat(acc, array({_emp_alpha_terms(L)})))"
+            ),
+        )
+        .withColumn(
+            "beta",
+            F.expr(
+                "aggregate(sequence(2, size(wts) + 1), "
+                "array(cast(1.0 as double)), "
+                f"(acc, m) -> concat(acc, array({_emp_beta_terms(L)})))"
+            ),
+        )
+    )
+    exp_expr = F.expr(
+        "freq * cast(floor((((element_at(alpha, i) * "
+        "element_at(element_at(wts, i), l)) * "
+        "element_at(beta, size(wts) + 2 - (i + l))) / "
+        f"element_at(alpha, size(wts) + 1)) * {int(scale)}.0) as bigint)"
+    )
+    return (
+        matched.join(lattice.select("word", "wts", "alpha", "beta"), "word")
+        .select("piece", exp_expr.alias("_e"))
+        .groupBy("piece")
+        .agg(F.sum(F.col("_e").cast("decimal(38,0)")).alias("_ue"))
+        .select(
+            "piece",
+            F.expr(
+                "if(_ue between -9223372036854775808 and "
+                "9223372036854775807, cast(_ue as bigint), "
+                "raise_error(concat('unigram_em_prob_usage: expected "
+                "usage overflows int64 for piece ', piece)))"
+            ).alias("usage_emp"),
+        )
+    )
+
+
+def unigram_train_em_prob(
+    docs: DataFrame,
+    vocab_size: int = 50,
+    max_piece_len: int = 3,
+    min_usage: int = 2,
+    seed_mult: int = 4,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    char_floor: float = 1e-6,
+) -> tuple[DataFrame, DataFrame]:
+    """Unigram-LM training with ONE probability-weighted EM iteration
+    (the :func:`unigram_train_em` ladder's last rung): seed as usual,
+    estimate initial piece probabilities from the uniform-path
+    expected usages (p0 = usage_em / sum(usage_em) — exact-int inputs,
+    one exactly-rounded division), run the weighted E-step
+    (:func:`unigram_em_prob_usage`), keep the ``vocab_size`` best by
+    expected usage, decode greedy-longest. Further EM iterations are
+    the same operator re-applied to the re-normalized usages; one
+    iteration is the registered, oracle-checked contract.
+
+    Returns (vocab, words) in the :func:`unigram_train` shapes
+    (vocab usage = scaled weighted expected usage)."""
+    if max_piece_len < 2:
+        raise ValueError("max_piece_len must be >= 2")
+    words = word_frequencies(docs, text_col).cache()
+    cand = _unigram_candidates(words, max_piece_len).cache()
+    seed_size = int(seed_mult) * int(vocab_size)
+    seed = (
+        cand.groupBy("piece")
+        .agg(F.sum("freq").alias("usage"))
+        .where(F.col("usage") >= int(min_usage))
+        .orderBy(F.desc("usage"), F.asc("piece"))
+        .limit(seed_size)
+        .select("piece")
+    )
+    em0 = unigram_em_usage(
+        words, cand, seed, max_piece_len=max_piece_len, scale=scale
+    )
+    # 1-row total: the scalar-broadcast convention (see
+    # tests/test_broadcast_audit.py)
+    tot = em0.agg(F.sum("usage_em").cast("bigint").alias("_tot"))
+    probs = em0.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        (
+            F.col("usage_em").cast("double") / F.col("_tot").cast("double")
+        ).alias("p"),
+    )
+    emp = unigram_em_prob_usage(
+        words,
+        cand,
+        probs,
+        max_piece_len=max_piece_len,
+        scale=scale,
+        char_floor=char_floor,
+    )
+    vocab_rel = (
+        emp.where(F.col("usage_emp") >= int(min_usage) * int(scale))
+        .orderBy(F.desc("usage_emp"), F.asc("piece"))
+        .limit(int(vocab_size))
+        .cache()
+    )
+    vocab_rel.count()
+    from pyspark.sql.window import Window
+
+    final_vocab = vocab_rel.withColumn(
+        "piece_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("usage_emp"), F.asc("piece")))
+        .cast("int"),
+    ).select(
+        "piece_rank", "piece",
+        F.col("usage_emp").cast("bigint").alias("usage"),
+    )
+    words_state = _unigram_segment_state(
+        words, cand, vocab_rel.select("piece")
+    )
+    final_vocab = final_vocab.localCheckpoint(eager=True)
+    words_state = words_state.localCheckpoint(eager=True)
+    vocab_rel.unpersist()
+    cand.unpersist()
+    words.unpersist()
+    return final_vocab, words_state
+
+
 def unigram_train_em(
     docs: DataFrame,
     vocab_size: int = 50,

@@ -6934,6 +6934,130 @@ def q_unigram_em_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ug_emp_chain() -> str:
+    """Probability-weighted EM continuation (r14): the full Kudo
+    E-step — piece probabilities p0 = usage_em / sum(usage_em) from
+    the uniform-path pass, then a weighted forward-backward whose DP
+    uses only IEEE exactly-rounded ops (+, *, /) in the SAME
+    evaluation order as operators.bpe.unigram_em_prob_usage, so the
+    doubles replay bit-for-bit (no log/exp: java vs C libm differ in
+    final ulps). Per-occurrence expectations snap to int64 micro
+    units BEFORE the cross-row SUM (float sum order would not be
+    reproducible). Position fold vars ride the [CAST(y AS DOUBLE)]
+    list trick (init [1.0] = A[1]); weight 0.0 encodes
+    unavailability, so no list_contains test."""
+    alpha_terms = " + ".join(
+        f"(CASE WHEN CAST(x[1] AS BIGINT) - 1 >= {ln} THEN "
+        f"acc[CAST(x[1] AS BIGINT) - {ln}] * "
+        f"wts[CAST(x[1] AS BIGINT) - {ln}][{ln}] "
+        f"ELSE CAST(0.0 AS DOUBLE) END)"
+        for ln in range(1, _UG_L + 1)
+    )
+    beta_terms = " + ".join(
+        f"(CASE WHEN {ln} < CAST(m[1] AS BIGINT) THEN "
+        f"wts[len(wts) + 2 - CAST(m[1] AS BIGINT)][{ln}] * "
+        f"acc[CAST(m[1] AS BIGINT) - {ln}] "
+        f"ELSE CAST(0.0 AS DOUBLE) END)"
+        for ln in range(1, _UG_L + 1)
+    )
+    return f"""
+    , emp_tot AS (
+      SELECT CAST(SUM(usage_em) AS BIGINT) AS tot FROM em_u
+    ), emp_p AS (
+      SELECT piece,
+             CAST(usage_em AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+      FROM em_u, emp_tot
+    ), emp_m AS (
+      SELECT c.word, c.freq, c.i, c.l,
+             substr(c.word, c.i, c.l) AS piece, v.p
+      FROM ug_cand c JOIN emp_p v ON substr(c.word, c.i, c.l) = v.piece
+    ), emp_pm AS (
+      SELECT word, i,
+             map(list(l ORDER BY l), list(p ORDER BY l)) AS pm
+      FROM emp_m GROUP BY 1, 2
+    ), emp_ws AS (
+      SELECT p.word, p.freq, p.i,
+             list_transform(range(1, {_UG_L} + 1), m ->
+               coalesce(map_extract(s.pm, m)[1],
+                 CASE WHEN m = 1 THEN CAST(1e-06 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END)) AS ws
+      FROM ug_pos p LEFT JOIN emp_pm s ON s.word = p.word AND s.i = p.i
+    ), emp_lat0 AS (
+      SELECT word, freq, list(ws ORDER BY i) AS wts
+      FROM emp_ws GROUP BY 1, 2
+    ), emp_lat AS (
+      -- mirrors unigram_em_prob_usage's max_word_len=48 guard
+      SELECT word, freq,
+             CASE WHEN len(wts) <= 48 THEN wts
+                  ELSE error('unigram_em_prob_usage: word too long')
+             END AS wts
+      FROM emp_lat0
+    ), emp_ab AS (
+      SELECT word, freq, wts,
+        list_reduce(list_transform(range(1, len(wts) + 2),
+                                   y -> [CAST(y AS DOUBLE)]),
+          (acc, x) -> list_concat(acc, [{alpha_terms}])) AS alpha,
+        list_reduce(list_transform(range(1, len(wts) + 2),
+                                   y -> [CAST(y AS DOUBLE)]),
+          (acc, m) -> list_concat(acc, [{beta_terms}])) AS beta
+      FROM emp_lat
+    ), emp_e AS (
+      SELECT m.piece,
+             m.freq * CAST(floor((((ab.alpha[m.i] * ab.wts[m.i][m.l]) *
+               ab.beta[len(ab.wts) + 2 - (m.i + m.l)]) /
+               ab.alpha[len(ab.wts) + 1]) * 1000000.0) AS BIGINT) AS e
+      FROM emp_m m JOIN emp_ab ab ON ab.word = m.word
+    ), emp_u AS (
+      SELECT piece, CAST(SUM(e) AS BIGINT) AS usage_emp
+      FROM emp_e GROUP BY 1
+    ), emp_v AS (
+      SELECT piece, usage_emp FROM emp_u
+      WHERE usage_emp >= {_UG_MINU} * 1000000
+      ORDER BY usage_emp DESC, piece LIMIT {_UG_VSIZE}
+    )"""
+
+
+@query(
+    "q_unigram_em_prob",
+    "WITH _one AS (SELECT 1 AS x)"
+    + _ug_chain()
+    + _ug_em_chain()
+    + _ug_emp_chain()
+    + """
+    SELECT CAST(row_number() OVER (ORDER BY usage_emp DESC, piece)
+                AS INT) AS emp_rank,
+           piece, usage_emp
+    FROM emp_v
+    """,
+)
+def q_unigram_em_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM training with a PROBABILITY-WEIGHTED EM iteration
+    (r14 — the full Kudo 2018 §3.2 E-step the r13 uniform-path pass
+    approximated): initial piece probabilities from the uniform-path
+    expected usages, then a weighted forward-backward where each
+    segmentation contributes its product of piece probabilities
+    (single chars at the 1e-6 backoff floor). The DP stays in plain
+    double space with only exactly-rounded IEEE ops in a pinned order,
+    and per-occurrence expectations snap to int64 micro units before
+    the cross-row sum — so the oracle replays training bit-for-bit
+    with NO tolerance. Only corpus-scale job: the word-frequency
+    aggregate (operators.bpe.unigram_train_em_prob)."""
+    from konohadataplatform_spark.operators.bpe import unigram_train_em_prob
+
+    vocab, _ = unigram_train_em_prob(
+        _t(spark, sf_dir, "documents"),
+        vocab_size=_UG_VSIZE,
+        max_piece_len=_UG_L,
+        min_usage=_UG_MINU,
+        seed_mult=_UG_SEED // _UG_VSIZE,
+    )
+    return vocab.select(
+        F.col("piece_rank").alias("emp_rank"),
+        "piece",
+        F.col("usage").alias("usage_emp"),
+    )
+
+
 def _fert_tail(words_cte: str, label: str, sfx: str) -> str:
     """Per-lang fertility aggregate over a (word, freq, toks) CTE —
     the q_tokenizer_fertility tail with unique CTE names and a

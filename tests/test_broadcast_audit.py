@@ -36,6 +36,7 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "konohadataplatform_spark"
 # (module, enclosing-function) -> (expected site count, category)
 WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     # classifier: trained weight vector (hashed dims, fixed width)
+    ("operators/bpe.py", "unigram_train_em_prob"): (1, "scalar"),
     ("operators/classifier.py", "train_perceptron"): (1, "metadata"),
     # curation (apply_group_cap routes through gating.gated_broadcast)
     ("operators/curation.py", "importance_weights"): (1, "scalar"),

@@ -303,3 +303,136 @@ def test_unigram_train_em_shapes_and_decode(spark):
     assert rows and all("".join(r.toks) == r.word for r in rows)
     ranks = [r.piece_rank for r in vocab.collect()]
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_unigram_em_prob_usage_matches_python_replay(spark):
+    """r14 weighted E-step: the probability-weighted forward-backward
+    must equal a pure-Python replay of the SAME IEEE op sequence
+    bit-for-bit (the engine-portability contract: only exactly-rounded
+    +,*,/ in a pinned order), and stay within 2 micro-units of a
+    brute-force enumeration of all weighted segmentations (the
+    algorithmic contract — enumeration sums floats in a different
+    order, so exact equality is not promised there)."""
+    from collections import Counter
+    from math import floor
+
+    from konohadataplatform_spark.operators.bpe import (
+        _unigram_candidates,
+        unigram_em_prob_usage,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana"), (2, "banana banal"), (3, "nabla ban")],
+        "doc_id long, text string",
+    )
+    words = word_frequencies(docs)
+    cand = _unigram_candidates(words, 3)
+    probs = {"an": 0.375, "ban": 0.25, "na": 0.25, "ana": 0.125}
+    vocab = spark.createDataFrame(
+        list(probs.items()), "piece string, p double"
+    )
+    got = {
+        r.piece: r.usage_emp
+        for r in unigram_em_prob_usage(words, cand, vocab).collect()
+    }
+
+    FLOOR, L, SCALE = 1e-6, 3, 1_000_000
+
+    def replay(word, freq, out):
+        n = len(word)
+
+        def w(i, m):  # 1-based position, piece length
+            if m == 1:
+                return FLOOR
+            if i + m - 1 <= n and word[i - 1 : i - 1 + m] in probs:
+                return probs[word[i - 1 : i - 1 + m]]
+            return 0.0
+
+        alpha = [1.0]
+        for x in range(2, n + 2):
+            t = None
+            for ln in range(1, L + 1):
+                term = (
+                    alpha[x - ln - 1] * w(x - ln, ln)
+                    if x - 1 >= ln
+                    else 0.0
+                )
+                t = term if t is None else t + term
+            alpha.append(t)
+        beta = [1.0]
+        for m in range(2, n + 2):
+            t = None
+            for ln in range(1, L + 1):
+                term = (
+                    w(n + 2 - m, ln) * beta[m - ln - 1]
+                    if ln < m
+                    else 0.0
+                )
+                t = term if t is None else t + term
+            beta.append(t)
+        z = alpha[n]
+        for i in range(1, n + 1):
+            for ln in range(2, L + 1):
+                piece = word[i - 1 : i - 1 + ln]
+                if i + ln - 1 <= n and piece in probs:
+                    e = (
+                        ((alpha[i - 1] * w(i, ln)) * beta[n + 2 - (i + ln) - 1])
+                        / z
+                    ) * float(SCALE)
+                    out[piece] += freq * int(floor(e))
+
+    exp: Counter = Counter()
+    for r in words.collect():
+        replay(r.word, r.freq, exp)
+    assert got == dict(exp) and got
+
+    # brute-force enumeration sanity (tolerance: float order differs)
+    def segs(word):
+        if not word:
+            return [([], 1.0)]
+        out = []
+        for ln in (1, 2, 3):
+            if ln <= len(word):
+                piece = word[:ln]
+                wgt = FLOOR if ln == 1 else probs.get(piece, 0.0)
+                if wgt > 0:
+                    for rest, rw in segs(word[ln:]):
+                        out.append(([piece] + rest, wgt * rw))
+        return out
+
+    brute: Counter = Counter()
+    for r in words.collect():
+        ss = segs(r.word)
+        z = sum(p for _, p in ss)
+        occ: Counter = Counter()
+        for s, p in ss:
+            pos = 1
+            for piece in s:
+                if len(piece) >= 2:
+                    occ[(pos, piece)] += p
+                pos += len(piece)
+        for (_, piece), mass in occ.items():
+            brute[piece] += r.freq * int(floor(mass / z * SCALE))
+    for piece, v in exp.items():
+        assert abs(v - brute[piece]) <= 2 * max(
+            1, exp and max(r.freq for r in words.collect())
+        ), (piece, v, brute[piece])
+
+
+def test_unigram_train_em_prob_shapes_and_decode(spark):
+    """unigram_train_em_prob returns the unigram_train shapes and a
+    total greedy decode; ranks are contiguous."""
+    from konohadataplatform_spark.operators.bpe import unigram_train_em_prob
+
+    docs = spark.createDataFrame(
+        [(i, "banana bandana banal nabla") for i in range(4)],
+        "doc_id long, text string",
+    )
+    vocab, words = unigram_train_em_prob(docs, vocab_size=5, min_usage=2)
+    assert vocab.columns == ["piece_rank", "piece", "usage"]
+    assert words.columns == ["word", "freq", "toks"]
+    rows = words.collect()
+    assert rows and all("".join(r.toks) == r.word for r in rows)
+    ranks = [r.piece_rank for r in vocab.collect()]
+    assert ranks == list(range(1, len(ranks) + 1))

@@ -40,6 +40,7 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     # vocab-sized: the rank window runs over <= vocab_cap pieces
     ("operators/bpe.py", "unigram_train"): (1, "metadata"),
     ("operators/bpe.py", "unigram_train_em"): (1, "metadata"),
+    ("operators/bpe.py", "unigram_train_em_prob"): (1, "metadata"),
     # 16^prefix_chars rng buckets — one row per bucket key
     ("operators/curation.py", "shard_plan"): (1, "metadata"),
     # dim^2/2 covariance cells — never corpus rows
