@@ -260,6 +260,20 @@ class Engine:
             return _export.export_duckdb_views(cat)
         return _export.export_duckdb_sql(cat, name, version)
 
+    def export_iceberg(
+        self, name: str, out_dir: str, version: int | None = None
+    ) -> str:
+        """Iceberg v2 metadata layout (metadata.json + Avro manifest
+        list + manifests) for one catalog table's snapshot, written
+        under ``out_dir``; returns the metadata.json path. Any
+        Iceberg-capable engine plans the read from the metadata alone.
+        See :mod:`konohadataplatform_spark.export_iceberg`."""
+        from konohadataplatform_spark import export_iceberg as _exp
+
+        return _exp.export_iceberg_metadata(
+            self._require_catalog(), name, out_dir, version
+        )
+
     def upsert(self, name: str, source: DataFrame, key_cols: list[str]):
         """Merge-on-read upsert: O(|source|) commit (see
         catalog.upsert_by_keys); refreshes the SQL view."""

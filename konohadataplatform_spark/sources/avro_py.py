@@ -91,6 +91,16 @@ def _write_value(buf: io.BytesIO, avro_type, v) -> None:
         for f in avro_type["fields"]:
             _write_value(buf, f["type"], d.get(f["name"]))
         return
+    if isinstance(avro_type, dict) and avro_type.get("type") == "array":
+        # single-block array encoding (count, items..., 0 terminator) —
+        # needed by the Iceberg manifest schemas (equality_ids etc.)
+        items = list(v or [])
+        if items:
+            _write_long(buf, len(items))
+            for item in items:
+                _write_value(buf, avro_type["items"], item)
+        _write_long(buf, 0)
+        return
     if avro_type in ("long", "int"):
         _write_long(buf, int(v))
     elif avro_type == "double":
@@ -120,6 +130,17 @@ def _read_value(buf: io.BytesIO, avro_type):
         return {
             f["name"]: _read_value(buf, f["type"]) for f in avro_type["fields"]
         }
+    if isinstance(avro_type, dict) and avro_type.get("type") == "array":
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:  # spec: negative count is followed by a byte size
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                out.append(_read_value(buf, avro_type["items"]))
     if avro_type in ("long", "int"):
         return _read_long(buf)
     if avro_type == "double":
@@ -143,10 +164,14 @@ def write_ocf(
     rows,
     sync: bytes | None = None,
     codec: str = "null",
+    extra_meta: dict | None = None,
 ) -> int:
     """Write one OCF file (single block); returns row count. ``rows``
     is an iterable of dicts (or Row-likes with asDict). ``codec`` is
-    "null" or "deflate" (spec: raw RFC-1951 deflate, no zlib header)."""
+    "null" or "deflate" (spec: raw RFC-1951 deflate, no zlib header).
+    ``extra_meta``: additional OCF metadata entries (str -> str) —
+    Iceberg manifests carry their table schema / partition spec
+    there."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
     sync = sync or os.urandom(16)
@@ -164,6 +189,8 @@ def write_ocf(
         "avro.schema": json.dumps(avro_schema).encode(),
         "avro.codec": codec.encode(),
     }
+    for k, v in (extra_meta or {}).items():
+        meta[k] = v.encode() if isinstance(v, str) else bytes(v)
     _write_long(header, len(meta))
     for k, v in meta.items():
         _write_value(header, "string", k)
