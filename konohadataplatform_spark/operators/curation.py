@@ -387,6 +387,7 @@ def pii_redact(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """(doc_id, n_emails, n_ips, n_phones, redacted): emails, IPv4
     addresses, and NNN-NNNN phone fragments replaced with typed
@@ -420,6 +421,7 @@ def pii_redact(
             PII_PHONE_RE,
             "<PHONE>",
         ).alias("redacted"),
+        *[F.col(c) for c in (passthrough or [])],
     )
 
 
@@ -514,6 +516,7 @@ def gopher_quality_flags(
     min_mean_word_len: int = 3,
     max_mean_word_len: int = 10,
     min_stopwords: int = 2,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Per-doc Gopher-rule quality flags (the published heuristic
     filter battery from the Gopher/MassiveText pipeline), each rule an
@@ -574,6 +577,10 @@ def gopher_quality_flags(
         ok_alpha.alias("ok_alpha_ratio"),
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("pass_gopher"),
+        # passthrough: carry caller columns through the projection so a
+        # battery of per-row filters composes on ONE scan instead of
+        # re-scanning and joining per flag set (the r14 funnel fix)
+        *[F.col(c) for c in (passthrough or [])],
     )
 
 
@@ -586,6 +593,7 @@ def gopher_repetition_flags(
     max_top2_pct: int = 20,
     max_top3_pct: int = 18,
     max_top4_pct: int = 16,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """The second half of the Gopher filter battery (Rae et al. 2021
     §A1.1): the REPETITION rules, complementing the word-form rules in
@@ -626,6 +634,7 @@ def gopher_repetition_flags(
         F.col(id_col).alias("doc_id"),
         t.alias("_tt"),
         F.split(t, " ").alias("_w"),
+        *[F.col(c) for c in (passthrough or [])],
     )
 
     def _units(sep: str):
@@ -647,47 +656,81 @@ def gopher_repetition_flags(
         ),
         F.lit(0),
     ).cast("bigint")
-    stats = base.select(
+    # top-n-gram mass is PER-DOCUMENT data: sort the row's own gram
+    # array and take the longest equal-run — the most-frequent gram
+    # with lexicographic tie-break, exactly the old explode ->
+    # groupBy -> window pick, but as a ZERO-EXCHANGE projection. The
+    # r13 version shuffled (doc_id, gram) pairs — nearly the corpus
+    # token mass — through a hash aggregate just to count WITHIN
+    # single rows; that shuffle was the filter funnel's dominant sf1
+    # cost. Run detection is spelled as boundary positions + run
+    # lengths (cheap integer/string compares per element) instead of
+    # a struct-accumulator fold, and every intermediate is bound as
+    # its OWN column so the interpreted HOFs evaluate once (Spark's
+    # CollapseProject keeps multi-referenced non-cheap aliases in
+    # their own projection).
+    pass_cols = [F.col(c) for c in (passthrough or [])]
+    step = base.select(
         "doc_id",
         n_lines.alias("n_lines"),
         n_dup_lines.alias("n_dup_lines"),
         n_paras.alias("n_paras"),
         n_dup_paras.alias("n_dup_paras"),
         nonspace.alias("nonspace_chars"),
-    )
-
-    grams = base.select(
-        "doc_id",
-        F.explode(
+        *[
             F.expr(
-                "flatten(transform(filter(array(2, 3, 4), n -> size(_w) >= n), "
-                "n -> transform(sequence(0, size(_w) - n), "
-                "i -> struct(n AS n, concat_ws(' ', slice(_w, i + 1, n)) AS gram))))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.n", "s.gram")
-    counts = grams.groupBy("doc_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
+                f"if(size(_w) >= {n}, "
+                f"array_sort(transform(sequence(0, size(_w) - {n}), "
+                f"i -> concat_ws(' ', slice(_w, i + 1, {n})))), "
+                "cast(array() as array<string>))"
+            ).alias(f"_s{n}")
+            for n in (2, 3, 4)
+        ],
+        *pass_cols,
     )
-    win = Window.partitionBy("doc_id", "n").orderBy(
-        F.desc("cnt"), F.asc("gram")
-    )
-    mass = (
-        F.col("cnt")
-        * F.length(F.replace(F.col("gram"), F.lit(" "), F.lit("")))
-    ).cast("bigint")
-    masses = (
-        counts.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .groupBy("doc_id")
-        .agg(
-            F.max(F.when(F.col("n") == 2, mass)).alias("top2_mass"),
-            F.max(F.when(F.col("n") == 3, mass)).alias("top3_mass"),
-            F.max(F.when(F.col("n") == 4, mass)).alias("top4_mass"),
+    for n in (2, 3, 4):
+        # run-start positions in the sorted gram array
+        step = step.withColumn(
+            f"_b{n}",
+            F.expr(
+                f"if(size(_s{n}) = 0, cast(array() as array<int>), "
+                f"filter(sequence(1, size(_s{n})), i -> i = 1 or "
+                f"element_at(_s{n}, i) != element_at(_s{n}, i - 1)))"
+            ),
         )
-    )
+        # run lengths: next boundary (or end+1) minus this boundary
+        step = step.withColumn(
+            f"_l{n}",
+            F.expr(
+                f"if(size(_b{n}) = 0, cast(array() as array<bigint>), "
+                f"zip_with(_b{n}, concat(slice(_b{n}, 2, "
+                f"size(_b{n}) - 1), array(size(_s{n}) + 1)), "
+                "(s, e) -> cast(e - s as bigint)))"
+            ),
+        )
+    def _top_mass(n: int):
+        # max run = top count; first max position = lexicographically
+        # smallest gram among ties (the array is sorted ascending) —
+        # the (cnt DESC, gram ASC) window pick
+        return F.expr(
+            f"if(size(_l{n}) = 0, 0L, "
+            f"array_max(_l{n}) * length(replace(element_at(_s{n}, "
+            f"element_at(_b{n}, cast(array_position(_l{n}, "
+            f"array_max(_l{n})) as int))), ' ', '')))"
+        ).cast("bigint")
 
-    j = stats.join(masses, "doc_id", "left")
+    j = step.select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        "n_paras",
+        "n_dup_paras",
+        "nonspace_chars",
+        _top_mass(2).alias("top2_mass"),
+        _top_mass(3).alias("top3_mass"),
+        _top_mass(4).alias("top4_mass"),
+        *pass_cols,
+    )
     top2 = F.coalesce("top2_mass", F.lit(0)).cast("bigint")
     top3 = F.coalesce("top3_mass", F.lit(0)).cast("bigint")
     top4 = F.coalesce("top4_mass", F.lit(0)).cast("bigint")
@@ -718,6 +761,7 @@ def gopher_repetition_flags(
         ok3.alias("ok_top3"),
         ok4.alias("ok_top4"),
         (ok_lines & ok_paras & ok2 & ok3 & ok4).alias("pass_repetition"),
+        *[F.col(c) for c in (passthrough or [])],
     )
 
 

@@ -6501,32 +6501,37 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     faster than token yield). Same join shape — the whitespace token
     count rides the existing doc-key join, no new shuffle."""
     docs = _t(spark, sf_dir, "documents")
-    gop = CU.gopher_quality_flags(docs).select("doc_id", "pass_gopher")
-    rep = CU.gopher_repetition_flags(docs).select(
-        "doc_id", "pass_repetition"
-    )
-    pii = CU.pii_redact(docs).select(
+    # r14: the three flag batteries are pure projections — COMPOSE
+    # them on ONE scan (passthrough carries text/source through each
+    # stage) instead of four doc-key joins of four re-scans. The only
+    # remaining exchanges are exact_dedup's narrow (digest, id)
+    # shuffle + the doc-key join of the flag relation, then the
+    # per-source partial aggregate.
+    flags = CU.pii_redact(
+        CU.gopher_repetition_flags(
+            CU.gopher_quality_flags(
+                docs, passthrough=["text", "source"]
+            ).select("doc_id", "pass_gopher", "text", "source"),
+            passthrough=["pass_gopher", "text", "source"],
+        ).select(
+            "doc_id", "pass_gopher", "pass_repetition", "text", "source"
+        ),
+        passthrough=["pass_gopher", "pass_repetition", "text", "source"],
+    ).select(
         "doc_id",
+        "source",
+        "pass_gopher",
+        "pass_repetition",
         (
             (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) == 0
         ).alias("pii_clean"),
+        TX.token_count(F.coalesce(F.col("text"), F.lit(""))).alias("_tok"),
     )
     kept_ids = D.exact_dedup(docs).select(
         F.col("kept_doc_id").alias("doc_id"), F.lit(True).alias("kept")
     )
-    j = (
-        docs.select(
-            "doc_id",
-            "source",
-            TX.token_count(
-                F.coalesce(F.col("text"), F.lit(""))
-            ).alias("_tok"),
-        )
-        .join(kept_ids, "doc_id", "left")
-        .join(gop, "doc_id")
-        .join(rep, "doc_id")
-        .join(pii, "doc_id")
-        .withColumn("kept", F.coalesce("kept", F.lit(False)))
+    j = flags.join(kept_ids, "doc_id", "left").withColumn(
+        "kept", F.coalesce("kept", F.lit(False))
     )
     c1 = F.col("kept")
     c2 = c1 & F.col("pass_gopher")
