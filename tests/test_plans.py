@@ -399,3 +399,56 @@ def test_semantic_index_add_partition_prunes(spark, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "bucket" in pf.group(1), plan
+
+
+def test_jl_project_zero_exchange(spark):
+    """r13 tier regression gate: jl_project is one straight-line
+    codegen projection — any exchange appearing in its plan is a
+    scale regression (the ±1 dot products must stay unrolled)."""
+    import re
+
+    tree = tree_of(QUERIES["q_jl_project"](spark, SF_DIR))
+    assert not re.search(r"\bExchange\b", tree), tree
+
+
+def test_jl_neighbors_spread_and_group_limit(spark):
+    """r13 bench fixes pinned: the corpus side of the JL pair scan is
+    _spread across partitions (a small parquet is ONE input split —
+    without the repartition the whole scan runs single-task), and the
+    per-query top-k goes through WindowGroupLimit (rank pushdown), not
+    a full sort of every candidate pair."""
+    df = QUERIES["q_jl_neighbors"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan, "rank-limit pushdown lost"
+    assert "Exchange" in tree_of(df)  # the deliberate spread exchange
+
+
+def test_filter_funnel_three_exchanges_no_gram_shuffle(spark):
+    """r14 funnel restructure pinned: one documents scan feeding the
+    composed flag projections + exact_dedup's narrow digest shuffle +
+    the per-source agg — at most 3 distinct exchanges, and NO exchange
+    keyed on a gram/text column (the r13 shape shuffled (doc_id, gram)
+    pairs at corpus token mass)."""
+    import re
+
+    plan = plan_of(QUERIES["q_filter_funnel"](spark, SF_DIR))
+    tree = plan.split("\n\n(")[0]
+    n_ex = len(re.findall(r"\b(?:Broadcast)?Exchange\b", tree))
+    assert n_ex <= 3, tree
+    assert "gram" not in plan.lower().replace("program", "")
+
+
+def test_customer_order_summary_range_partitioned_rank(spark):
+    """r14: the W1/W3 global rank runs through the two-phase pattern —
+    a range exchange must appear, and the only unpartitioned window
+    may be over the metadata-sized offsets relation (guarded
+    structurally by tests/test_window_audit.py; here we pin the range
+    partitioning into the plan)."""
+    plan = plan_of(QUERIES["q_customer_order_summary"](spark, SF_DIR))
+    assert "rangepartitioning" in plan.lower(), "two-phase rank lost"
+
+
+def test_balance_deciles_and_pareto_range_partitioned(spark):
+    for q in ("q_balance_deciles", "q_customer_pareto"):
+        plan = plan_of(QUERIES[q](spark, SF_DIR))
+        assert "rangepartitioning" in plan.lower(), q
