@@ -767,6 +767,25 @@ def dispatch(engine, query: str) -> DataFrame:
     if engine.catalog is None:
         raise ValueError(f"{head} requires a catalog attached to the Engine")
     if head == "EXPORT":
+        # EXPORT TABLE t [VERSION AS OF n] TO ICEBERG 'dir' — emit the
+        # Iceberg v2 metadata layout (r14); returns the metadata.json
+        # path. The DuckDB form stays the DDL-returning default.
+        im = re.match(
+            r"EXPORT\s+TABLE\s+([\w.`]+)"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+            r"\s+TO\s+ICEBERG\s+'([^']+)'\s*$",
+            q,
+            re.IGNORECASE,
+        )
+        if im:
+            name = im.group(1).strip("`")
+            version = int(im.group(2)) if im.group(2) else None
+            md_path = engine.export_iceberg(name, im.group(3), version)
+            snap = engine.catalog._resolve(name, version, None)
+            return engine.spark.createDataFrame(
+                [(name, snap.version, md_path)],
+                "table string, version int, metadata_json string",
+            )
         em = re.match(
             r"EXPORT\s+TABLE\s+([\w.`]+)"
             r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"

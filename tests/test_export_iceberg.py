@@ -252,3 +252,27 @@ def test_engine_facade(spark, tmp_path):
         for f in md["schemas"][md["current-schema-id"]]["fields"]
     }
     assert types == {"id": "long", "x": "double"}
+
+
+def test_export_table_to_iceberg_sql_statement(spark, tmp_path):
+    """S8 surface: EXPORT TABLE t [VERSION AS OF n] TO ICEBERG 'dir'
+    dispatches onto export_iceberg_metadata and returns the
+    metadata.json path; the DuckDB form is untouched."""
+    from konohadataplatform_spark.engine import Engine
+
+    eng = Engine(spark, SnapshotCatalog(spark, str(tmp_path / "wh")))
+    eng.save_table("s", spark.createDataFrame([(1,)], "id long"))
+    eng.save_table("s", spark.createDataFrame([(2,)], "id long"))
+    out = str(tmp_path / "ice")
+    rows = eng.sql(f"EXPORT TABLE s TO ICEBERG '{out}'").collect()
+    assert rows[0].table == "s" and rows[0].version == 2
+    assert _replay_content(rows[0].metadata_json) == {(2,)}
+    # version-pinned form
+    rows1 = eng.sql(
+        f"EXPORT TABLE s VERSION AS OF 1 TO ICEBERG '{out}'"
+    ).collect()
+    assert rows1[0].version == 1
+    assert _replay_content(rows1[0].metadata_json) == {(1,)}
+    # DuckDB form still returns DDL
+    ddl = eng.sql("EXPORT TABLE s TO DUCKDB").collect()[0].duckdb_ddl
+    assert "CREATE OR REPLACE VIEW" in ddl
