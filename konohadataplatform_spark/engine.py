@@ -85,8 +85,11 @@ class Engine:
         # LOCAL temp views only: catalog.tableExists also matches
         # global-temp and metastore tables, which must not shadow a
         # catalog table (r13 ADVICE). namespace==[] excludes both.
+        # Spark stores temp view names LOWERCASED — membership tests
+        # must casefold or a catalog table named 'Events' would skip
+        # the user-claim branch for the user's 'events' view
         local_temps = {
-            v.name
+            v.name.lower()
             for v in self.spark.catalog.listTables()
             if v.isTemporary and not v.namespace
         }
@@ -95,7 +98,7 @@ class Engine:
         # DROPs an engine-synced view and later recreates the name
         # owns the new view — without the prune the stale ownership
         # record would clobber it on the next sync (r13 ADVICE)
-        for stale in [n for n in owned if n not in local_temps]:
+        for stale in [n for n in owned if n.lower() not in local_temps]:
             del owned[stale]
         for t in self.catalog.tables():
             if "@" in t:
@@ -107,6 +110,12 @@ class Engine:
             if snap is None:
                 continue
             if t in self._user_views:
+                continue
+            if self._seen_versions.get(t) == snap.version:
+                # up to date — no re-registration can happen, so skip
+                # the ownership probes entirely (the hash check costs a
+                # plan analysis; paying it per statement per table
+                # would be pure overhead)
                 continue
             if t in owned and owned[t] is not None:
                 cur = self._view_hash(t)
@@ -121,7 +130,7 @@ class Engine:
             if (
                 t not in self._seen_versions
                 and t not in owned
-                and t in local_temps
+                and t.lower() in local_temps
             ):
                 # a temp view that already exists but was never
                 # registered by THIS engine is user-owned (created
@@ -130,9 +139,8 @@ class Engine:
                 # namespace precedence is user view > catalog table
                 self._user_views.add(t)
                 continue
-            if self._seen_versions.get(t) != snap.version:
-                self._register_view(t, self.catalog.read(t))
-                self._seen_versions[t] = snap.version
+            self._register_view(t, self.catalog.read(t))
+            self._seen_versions[t] = snap.version
 
     # ---- S8: JDBC/Thrift SQL entry point analog -------------------------
     def sql(self, query: str) -> DataFrame:

@@ -152,14 +152,21 @@ _AVRO_PART_TYPES = {
 
 
 def _partition_fields(
-    partition_by: list[str], schema_json: dict, top_ids: dict[str, int]
+    partition_by: list[str],
+    schema_json: dict,
+    top_ids: dict[str, int],
+    renames: dict | None,
 ) -> list[dict]:
     """Identity partition-spec fields (the catalog's Hive layout) with
-    Iceberg's reserved 1000+ partition field ids."""
+    Iceberg's reserved 1000+ partition field ids. ``partition_by``
+    carries the PHYSICAL column names (the Hive dir names); metadata
+    renames map them to the current logical names the schema is keyed
+    by (``_dir`` keeps the physical name for dir-value parsing)."""
     by_id = {f["id"]: f for f in schema_json["fields"]}
     out = []
     for i, col in enumerate(partition_by):
-        src = top_ids.get(col)
+        cur = (renames or {}).get(col, col)
+        src = top_ids.get(cur)
         if src is None:
             raise ValueError(f"partition column {col!r} not in schema")
         ice_t = by_id[src]["type"]
@@ -168,12 +175,13 @@ def _partition_fields(
         )
         out.append(
             {
-                "name": col,
+                "name": cur,
                 "transform": "identity",
                 "source-id": src,
                 "field-id": 1000 + i,
                 "_avro_type": avro_t,
                 "_ice_type": ice_t if isinstance(ice_t, str) else "string",
+                "_dir": col,
             }
         )
     return out
@@ -280,9 +288,20 @@ def _file_stats(path: str) -> tuple[int, int]:
     return pq.read_metadata(path).num_rows, os.path.getsize(path)
 
 
-def _partition_value(raw: str | None, avro_type: str):
+def _partition_value(raw: str | None, avro_type: str, ice_type: str):
     if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
         return None
+    from urllib.parse import unquote
+
+    # Spark hive-escapes special chars in dir values ('=' -> %3D);
+    # the manifest must carry the actual column value, like the
+    # catalog's own partition-dir reader
+    raw = unquote(raw)
+    if ice_type == "date":
+        # Iceberg represents date partition values as days since epoch
+        from datetime import date
+
+        return (date.fromisoformat(raw) - date(1970, 1, 1)).days
     if avro_type in ("long", "int"):
         return int(raw)
     if avro_type == "boolean":
@@ -298,7 +317,9 @@ def _partition_record(
     rel = os.path.relpath(file_path, base_dir)
     vals = hive_partition_values(rel) if "=" in rel else {}
     return {
-        pf["name"]: _partition_value(vals.get(pf["name"]), pf["_avro_type"])
+        pf["name"]: _partition_value(
+            vals.get(pf["_dir"]), pf["_avro_type"], pf["_ice_type"]
+        )
         for pf in pfields
     }
 
@@ -319,22 +340,31 @@ def export_iceberg_metadata(
     df = catalog.read(name, version=snap.version)
     schema_json, last_col_id, top_ids = _iceberg_schema(df.schema)
     pfields = _partition_fields(
-        list(snap.partition_by or []), schema_json, top_ids
+        list(snap.partition_by or []), schema_json, top_ids, snap.renames
     )
     os.makedirs(out_dir, exist_ok=True)
     snapshot_id = int(snap.version)
 
-    # ---- group files into (content, sequence, files, equality_ids) ----
-    groups: list[tuple[str, int, list[str], list[int] | None]] = []
+    # MOR upsert-layer and delete files are written UNPARTITIONED
+    # (flat dirs under _upserts/ and _deletes/) even when the base is
+    # hive-partitioned. They must therefore carry the unpartitioned
+    # spec: a compliant reader scopes an identity-partitioned equality
+    # delete to its own partition tuple, so registering them under the
+    # base spec with NULL partition values would stop the deletes from
+    # applying (and let partition-filtered scans prune layer data).
+    unpart_spec_id = 1 if pfields else 0
+
+    # ---- group files: (content, sequence, files, equality_ids, spec) ----
+    groups: list[tuple[str, int, list[str], list[int] | None, int]] = []
     base_files = catalog._base_data_files(snap)
     seq = 1
-    groups.append(("data", 1, base_files, None))
+    groups.append(("data", 1, base_files, None, 0))
     key_ids = [top_ids[c] for c in (snap.upsert_key_cols or []) if c in top_ids]
     for k, layer_rel in enumerate(snap.upsert_layers or []):
         layer_files = _dir_parquet_files(os.path.join(snap.path, layer_rel))
         seq = k + 2
-        groups.append(("data", seq, layer_files, None))
-        groups.append(("deletes", seq, layer_files, key_ids))
+        groups.append(("data", seq, layer_files, None, unpart_spec_id))
+        groups.append(("deletes", seq, layer_files, key_ids, unpart_spec_id))
     if snap.delete_path and os.path.isdir(snap.delete_path):
         del_files = _dir_parquet_files(snap.delete_path)
         if del_files:
@@ -344,27 +374,36 @@ def export_iceberg_metadata(
                 for c in (snap.delete_key_cols or [])
                 if c in top_ids
             ]
-            groups.append(("deletes", seq, del_files, del_ids))
+            groups.append(("deletes", seq, del_files, del_ids, unpart_spec_id))
     last_sequence = seq
 
     # ---- manifest files ----
-    entry_schema = _manifest_entry_schema(pfields)
     spec_fields = [
         {k: v for k, v in pf.items() if not k.startswith("_")}
         for pf in pfields
     ]
-    manifest_meta_extra = {
-        "schema": json.dumps(schema_json),
-        "partition-spec": json.dumps(spec_fields),
-        "partition-spec-id": "0",
-        "format-version": str(_FORMAT_VERSION),
+    spec_defs: dict[int, list[dict]] = {0: pfields}
+    if any(g[4] == 1 for g in groups):
+        spec_defs[1] = []
+    entry_schemas = {
+        sid: _manifest_entry_schema(pf) for sid, pf in spec_defs.items()
+    }
+    spec_json = {
+        sid: json.dumps(
+            [
+                {k: v for k, v in pf.items() if not k.startswith("_")}
+                for pf in pfs
+            ]
+        )
+        for sid, pfs in spec_defs.items()
     }
     list_rows = []
-    for gi, (content, g_seq, files, eq_ids) in enumerate(groups):
+    for gi, (content, g_seq, files, eq_ids, spec_id) in enumerate(groups):
         if not files:
             continue
         m_name = f"manifest-{gi:05d}-{content}.avro"
         m_path = os.path.join(out_dir, m_name)
+        g_pfields = spec_defs[spec_id]
         rows = []
         total_rows = 0
         for f in files:
@@ -380,7 +419,9 @@ def export_iceberg_metadata(
                         "content": 0 if content == "data" else 2,
                         "file_path": os.path.abspath(f),
                         "file_format": "PARQUET",
-                        "partition": _partition_record(f, snap.path, pfields),
+                        "partition": _partition_record(
+                            f, snap.path, g_pfields
+                        ),
                         "record_count": nrec,
                         "file_size_in_bytes": fsize,
                         "equality_ids": eq_ids if content == "deletes" else None,
@@ -389,10 +430,13 @@ def export_iceberg_metadata(
             )
         write_ocf(
             m_path,
-            entry_schema,
+            entry_schemas[spec_id],
             rows,
             extra_meta={
-                **manifest_meta_extra,
+                "schema": json.dumps(schema_json),
+                "partition-spec": spec_json[spec_id],
+                "partition-spec-id": str(spec_id),
+                "format-version": str(_FORMAT_VERSION),
                 "content": "data" if content == "data" else "deletes",
             },
         )
@@ -400,7 +444,7 @@ def export_iceberg_metadata(
             {
                 "manifest_path": os.path.abspath(m_path),
                 "manifest_length": os.path.getsize(m_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "content": 0 if content == "data" else 1,
                 "sequence_number": g_seq,
                 "min_sequence_number": g_seq,
@@ -436,7 +480,10 @@ def export_iceberg_metadata(
         "current-schema-id": 0,
         "schemas": [schema_json],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}]
+        + (
+            [{"spec-id": 1, "fields": []}] if 1 in spec_defs else []
+        ),
         "last-partition-id": 1000 + len(pfields) - 1 if pfields else 999,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],

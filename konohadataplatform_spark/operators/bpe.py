@@ -814,8 +814,20 @@ def unigram_train_em_prob(
         words, cand, seed, max_piece_len=max_piece_len, scale=scale
     )
     # 1-row total: the scalar-broadcast convention (see
-    # tests/test_broadcast_audit.py)
-    tot = em0.agg(F.sum("usage_em").cast("bigint").alias("_tot"))
+    # tests/test_broadcast_audit.py). Accumulate in decimal(38,0) and
+    # convert loudly — a non-ANSI bigint SUM would wrap silently while
+    # the DuckDB oracle's CAST(SUM AS BIGINT) raises (the same
+    # loud/loud symmetry unigram_em_usage keeps).
+    tot = em0.agg(
+        F.sum(F.col("usage_em").cast("decimal(38,0)")).alias("_td")
+    ).select(
+        F.expr(
+            "if(_td between -9223372036854775808 and "
+            "9223372036854775807, cast(_td as bigint), "
+            "raise_error('unigram_train_em_prob: total expected usage "
+            "overflows int64'))"
+        ).alias("_tot")
+    )
     probs = em0.crossJoin(F.broadcast(tot)).select(
         "piece",
         (

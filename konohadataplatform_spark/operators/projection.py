@@ -445,20 +445,24 @@ def jl_rerank_topk(
     # re-evaluate the full in_dim-term fold per ELEMENT (O(d^2)
     # interpreted work per row, the exact hazard _signed_sum's notes
     # document). x / sqrt(nrm2) is the same IEEE op sequence either
-    # way, so oracle floats are unchanged.
+    # way, so oracle floats are unchanged. The temp name is uniquified
+    # so a caller column is never silently clobbered + dropped.
+    nrm2 = "_nrm2"
+    while nrm2 in emb.columns:
+        nrm2 += "_"
     unit = (
-        emb.withColumn("_nrm2", F.expr(dot_sql))
+        emb.withColumn(nrm2, F.expr(dot_sql))
         .withColumn(
             vec_col,
             F.expr(
-                f"if(_nrm2 > 0, "
+                f"if(`{nrm2}` > 0, "
                 f"transform(cast({vec_col} as array<double>), "
-                f"x -> x / sqrt(_nrm2)), "
+                f"x -> x / sqrt(`{nrm2}`)), "
                 "raise_error('jl_rerank_topk: zero-norm vector — cosine "
                 "is undefined; filter zero vectors upstream'))"
             ),
         )
-        .drop("_nrm2")
+        .drop(nrm2)
     )
     cands = jl_neighbors(
         unit, query_pred, k_cand, out_dim, in_dim, id_col, vec_col,

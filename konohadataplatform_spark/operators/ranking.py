@@ -82,28 +82,40 @@ def scalable_rank_stats(
     """
     psums = dict(prefix_sum_cols or {})
     tots = dict(total_cols or {})
+
+    def _fresh(base: str) -> str:
+        # avoid silently clobbering caller columns that happen to share
+        # a temp name (r14 review)
+        name = base
+        while name in df.columns:
+            name += "_"
+        return name
+
     # Materialize measure expressions BEFORE the range exchange so the
     # ranking branch and the counts branch read byte-identical values.
     pre = df
     ps_tmp: dict[str, str] = {}
     for i, (name, col) in enumerate(psums.items()):
-        ps_tmp[name] = f"_ps{i}"
-        pre = pre.withColumn(f"_ps{i}", col)
+        ps_tmp[name] = _fresh(f"_ps{i}")
+        pre = pre.withColumn(ps_tmp[name], col)
     tot_tmp: dict[str, str] = {}
     for i, (name, col) in enumerate(tots.items()):
-        tot_tmp[name] = f"_tt{i}"
-        pre = pre.withColumn(f"_tt{i}", col)
+        tot_tmp[name] = _fresh(f"_tt{i}")
+        pre = pre.withColumn(tot_tmp[name], col)
 
+    pid = _fresh("_pid")
+    lrn = _fresh("_local_rn")
+    off0 = _fresh("_off")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = pre.repartitionByRange(n, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+        pid, F.spark_partition_id()
     )
     if stabilize_source:
         ranged = ranged.localCheckpoint(eager=False)
 
-    local_w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local_w = Window.partitionBy(pid).orderBy(*order_cols)
     run_w = local_w.rowsBetween(Window.unboundedPreceding, 0)
-    local = ranged.withColumn("_local_rn", F.row_number().over(local_w))
+    local = ranged.withColumn(lrn, F.row_number().over(local_w))
     for name, tmp in ps_tmp.items():
         local = local.withColumn(f"_run{tmp}", F.sum(tmp).over(run_w))
 
@@ -112,36 +124,43 @@ def scalable_rank_stats(
         aggs.append(F.sum(tmp).alias(f"_pc{tmp}"))
     for tmp in tot_tmp.values():
         aggs.append(F.sum(tmp).alias(f"_pc{tmp}"))
-    counts = ranged.groupBy("_pid").agg(*aggs)
+    counts = ranged.groupBy(pid).agg(*aggs)
 
     # single-partition windows are safe here: the relation is one row
     # per range partition (metadata-sized), not the data
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    tot_w = Window.orderBy("_pid").rowsBetween(
+    off_w = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    tot_w = Window.orderBy(pid).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     off_cols = [
-        F.col("_pid"),
-        F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
+        F.col(pid),
+        F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias(off0),
     ]
     for name, tmp in ps_tmp.items():
-        off_cols.append(
-            F.coalesce(F.sum(f"_pc{tmp}").over(off_w), F.lit(0)).alias(
-                f"_off{tmp}"
-            )
-        )
+        # offsets stay NULLABLE (no coalesce): SUM OVER returns NULL
+        # for a row whose entire global prefix is NULL, and the output
+        # must reproduce that — coalescing here would turn it into 0
+        off_cols.append(F.sum(f"_pc{tmp}").over(off_w).alias(f"_off{tmp}"))
     for name, tmp in tot_tmp.items():
         off_cols.append(F.sum(f"_pc{tmp}").over(tot_w).alias(name))
     if total_count_col is not None:
         off_cols.append(F.sum("_c").over(tot_w).alias(total_count_col))
     offsets = counts.select(*off_cols)
 
-    out = local.join(F.broadcast(offsets), "_pid").withColumn(
-        rn_col, (F.col("_local_rn") + F.col("_off")).cast(rn_type)
+    out = local.join(F.broadcast(offsets), pid).withColumn(
+        rn_col, (F.col(lrn) + F.col(off0)).cast(rn_type)
     )
-    drop = ["_pid", "_local_rn", "_off"]
+    drop = [pid, lrn, off0]
     for name, tmp in ps_tmp.items():
-        out = out.withColumn(name, F.col(f"_run{tmp}") + F.col(f"_off{tmp}"))
+        run, off = F.col(f"_run{tmp}"), F.col(f"_off{tmp}")
+        # SUM(m) OVER (ROWS UNBOUNDED PRECEDING) semantics: NULL only
+        # when every value in the global prefix is NULL
+        out = out.withColumn(
+            name,
+            F.when(run.isNull() & off.isNull(), F.lit(None)).otherwise(
+                F.coalesce(run, F.lit(0)) + F.coalesce(off, F.lit(0))
+            ),
+        )
         drop += [tmp, f"_run{tmp}", f"_off{tmp}"]
     for tmp in tot_tmp.values():
         drop.append(tmp)

@@ -646,3 +646,21 @@ def test_recreated_user_view_after_drop_is_not_clobbered(spark, tmp_path):
     assert [r.v for r in eng4.sql("SELECT v FROM gshadow").collect()] == [5]
     spark.catalog.dropTempView("gshadow")
     spark.catalog.dropGlobalTempView("gshadow")
+
+
+def test_case_insensitive_user_view_shadowing(spark, tmp_path):
+    """r14 review: Spark stores temp view names lowercased — a catalog
+    table 'Events' must treat the user's 'events' view as the same
+    name (pin it), not clobber it via an exact-case miss."""
+    from konohadataplatform_spark.catalog import SnapshotCatalog
+    from konohadataplatform_spark.engine import Engine
+
+    wh = str(tmp_path / "wh")
+    writer = Engine(spark, SnapshotCatalog(spark, wh))
+    writer.catalog.write("Shadowed", spark.createDataFrame([(1,)], "v long"))
+    spark.createDataFrame([(99,)], "v long").createOrReplaceTempView(
+        "shadowed"
+    )
+    eng = Engine(spark, SnapshotCatalog(spark, wh))
+    assert [r.v for r in eng.sql("SELECT v FROM shadowed").collect()] == [99]
+    spark.catalog.dropTempView("shadowed")

@@ -276,3 +276,96 @@ def test_export_table_to_iceberg_sql_statement(spark, tmp_path):
     # DuckDB form still returns DDL
     ddl = eng.sql("EXPORT TABLE s TO DUCKDB").collect()[0].duckdb_ddl
     assert "CREATE OR REPLACE VIEW" in ddl
+
+
+def test_partitioned_mor_files_use_unpartitioned_spec(spark, catalog, tmp_path):
+    """r14 review: upsert-layer and delete files are written FLAT, so
+    under a partitioned table they must carry the unpartitioned spec —
+    a compliant reader scopes an identity-partitioned equality delete
+    to its own partition tuple, and a null-partition delete under the
+    base spec would never apply (resurrecting deleted rows)."""
+    catalog.write(
+        "pm",
+        spark.createDataFrame(
+            [(1, "a", "red"), (2, "b", "blue")],
+            "id long, v string, color string",
+        ),
+        partition_by=["color"],
+    )
+    catalog.upsert_by_keys(
+        "pm",
+        spark.createDataFrame([(2, "B2", "blue")],
+                              "id long, v string, color string"),
+        ["id"],
+    )
+    catalog.delete_by_keys(
+        "pm", spark.createDataFrame([(1,)], "id long"), ["id"]
+    )
+    md_path = export_iceberg_metadata(catalog, "pm", str(tmp_path / "ice"))
+    md = json.load(open(md_path))
+    specs = {s["spec-id"]: s["fields"] for s in md["partition-specs"]}
+    assert [f["name"] for f in specs[0]] == ["color"] and specs[1] == []
+    _, manifests = read_ocf(md["snapshots"][0]["manifest-list"])
+    for m in manifests:
+        _, entries = read_ocf(m["manifest_path"])
+        for e in entries:
+            in_base = "/_upserts/" not in e["data_file"]["file_path"] and (
+                "/_deletes/" not in e["data_file"]["file_path"]
+            )
+            if in_base:
+                assert m["partition_spec_id"] == 0
+                assert e["data_file"]["partition"]["color"] is not None
+            else:
+                assert m["partition_spec_id"] == 1
+                assert e["data_file"]["partition"] == {}
+    # replay still reproduces the MOR read
+    got = _replay_content(md_path)
+    want = {tuple(r) for r in catalog.read("pm").collect()}
+    assert got == want == {(2, "B2", "blue")}
+
+
+def test_date_partition_values_days_since_epoch(spark, catalog, tmp_path):
+    import datetime
+
+    catalog.write(
+        "dp",
+        spark.createDataFrame(
+            [(1, datetime.date(2024, 1, 2)), (2, datetime.date(1969, 12, 31))],
+            "id long, d date",
+        ),
+        partition_by=["d"],
+    )
+    md_path = export_iceberg_metadata(catalog, "dp", str(tmp_path / "ice"))
+    md = json.load(open(md_path))
+    _, manifests = read_ocf(md["snapshots"][0]["manifest-list"])
+    vals = set()
+    for m in manifests:
+        _, entries = read_ocf(m["manifest_path"])
+        vals |= {e["data_file"]["partition"]["d"] for e in entries}
+    # Iceberg date partition values are days since epoch (1969-12-31 = -1)
+    assert vals == {19724, -1}
+
+
+def test_renamed_partition_column_spec(spark, catalog, tmp_path):
+    """The snapshot keeps the PHYSICAL partition dir name after a
+    metadata rename; the spec must use the current logical name and
+    still parse values from the physical dirs."""
+    catalog.write(
+        "rp",
+        spark.createDataFrame([(1, "red"), (2, "blue")],
+                              "id long, color string"),
+        partition_by=["color"],
+    )
+    catalog.rename_column("rp", "color", "hue")
+    md_path = export_iceberg_metadata(catalog, "rp", str(tmp_path / "ice"))
+    md = json.load(open(md_path))
+    spec = md["partition-specs"][0]["fields"][0]
+    schema = md["schemas"][0]
+    hue_id = next(f["id"] for f in schema["fields"] if f["name"] == "hue")
+    assert spec["name"] == "hue" and spec["source-id"] == hue_id
+    _, manifests = read_ocf(md["snapshots"][0]["manifest-list"])
+    vals = set()
+    for m in manifests:
+        _, entries = read_ocf(m["manifest_path"])
+        vals |= {e["data_file"]["partition"]["hue"] for e in entries}
+    assert vals == {"red", "blue"}

@@ -158,3 +158,36 @@ def test_ntile_from_rank_matches_ntile(spark):
             ).collect()
         }
         assert got == want, (n_rows, buckets)
+
+
+def test_rank_stats_null_measure_prefix_semantics(spark):
+    """r14 review: SUM(m) OVER (ROWS UNBOUNDED PRECEDING) is NULL only
+    while the entire global prefix is NULL — the two-phase prefix sum
+    must reproduce that, including across range-partition boundaries."""
+    from konohadataplatform_spark.operators.ranking import (
+        scalable_rank_stats,
+    )
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        # NULL for the first 120 keys in order, values after
+        F.when(F.col("id") >= 120, F.col("id")).alias("m"),
+    )
+    order_cols = [F.col("k").asc()]
+    fast = {
+        r.k: r.run
+        for r in scalable_rank_stats(
+            df,
+            order_cols,
+            rn_col="_rn",
+            prefix_sum_cols={"run": F.col("m")},
+            num_partitions=7,
+        ).collect()
+    }
+    w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    slow = {
+        r.k: r.run
+        for r in df.select("k", F.sum("m").over(w).alias("run")).collect()
+    }
+    assert fast == slow
+    assert slow[0] is None and slow[119] is None and slow[120] == 120
