@@ -282,6 +282,15 @@ class Engine:
             self._require_catalog(), name, out_dir, version
         )
 
+    def read_iceberg(self, metadata_json_path: str) -> DataFrame:
+        """Read an Iceberg v2 table from its metadata.json — parquet
+        data files, identity partition specs, equality deletes, name
+        mapping — without the Iceberg runtime jar. The inbound half of
+        the S9 federation door (export_iceberg is the outbound)."""
+        from konohadataplatform_spark.export_iceberg import read_iceberg
+
+        return read_iceberg(self.spark, metadata_json_path)
+
     def upsert(self, name: str, source: DataFrame, key_cols: list[str]):
         """Merge-on-read upsert: O(|source|) commit (see
         catalog.upsert_by_keys); refreshes the SQL view."""

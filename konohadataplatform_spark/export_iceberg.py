@@ -549,23 +549,146 @@ def read_iceberg_file_plan(metadata_json_path: str) -> dict:
     cur = md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == cur)
     _, manifests = read_ocf(snap["manifest-list"])
-    plan: dict = {"data": [], "deletes": []}
+    plan: dict = {"data": [], "deletes": [], "data_entries": [],
+                  "delete_entries": []}
     for m in manifests:
         _, entries = read_ocf(m["manifest_path"])
         for e in entries:
             if e["status"] == 2:  # DELETED entries drop out of the scan
                 continue
             dfile = e["data_file"]
+            entry = {
+                "path": dfile["file_path"],
+                "seq": e["sequence_number"],
+                "spec_id": m["partition_spec_id"],
+                "partition": dict(dfile["partition"] or {}),
+            }
             if m["content"] == 0:
                 plan["data"].append(
                     (dfile["file_path"], e["sequence_number"])
                 )
+                plan["data_entries"].append(entry)
             else:
+                entry["equality_ids"] = list(dfile["equality_ids"] or [])
                 plan["deletes"].append(
                     (
                         dfile["file_path"],
                         e["sequence_number"],
-                        list(dfile["equality_ids"] or []),
+                        entry["equality_ids"],
                     )
                 )
+                plan["delete_entries"].append(entry)
     return plan
+
+
+def read_iceberg(spark, metadata_json_path: str):
+    """Read an Iceberg v2 table INTO SPARK from its metadata alone —
+    no Iceberg runtime jar. Supports the layout this module writes and
+    the common external case: parquet data files, identity partition
+    specs (partition values come from the manifests, not dir
+    inference), equality-delete files applied by the sequence rule
+    (a delete at sequence s suppresses matching keys at sequences
+    strictly below s), and ``schema.name-mapping.default`` for files
+    whose physical column names predate a rename.
+
+    The other direction of the S9 federation door: DuckDB already
+    reads OUR tables (export.py); this lets our engine read ANY
+    Iceberg-capable writer's tables at a pinned snapshot.
+
+    Scale shape: one parquet scan per (sequence, partition-tuple)
+    group unioned lazily; each equality-delete group is one LEFT ANTI
+    join keyed on its equality columns, applied only to lower
+    sequences (the higher-sequence branch passes through untouched).
+    Delete files are typically tiny next to data; Spark/AQE picks the
+    join strategy.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    with open(metadata_json_path) as fh:
+        md = _json.load(fh)
+    schema = next(
+        s for s in md["schemas"]
+        if s.get("schema-id", 0) == md.get("current-schema-id", 0)
+    )
+    name_by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    col_order = [f["name"] for f in schema["fields"]]
+    ice_types = {f["name"]: f["type"] for f in schema["fields"]}
+    # physical alias -> current name, from the spec's name mapping
+    alias_to_cur: dict[str, str] = {}
+    try:
+        mapping = _json.loads(
+            md.get("properties", {}).get("schema.name-mapping.default", "[]")
+        )
+        for m in mapping:
+            cur = name_by_id.get(m.get("field-id"))
+            if cur:
+                for alias in m.get("names", []):
+                    alias_to_cur[alias] = cur
+    except Exception:
+        pass
+
+    def _part_lit(name: str, value):
+        t = ice_types.get(name, "string")
+        if value is None:
+            return F.lit(None)
+        if t == "date":
+            return F.date_add(F.lit("1970-01-01").cast("date"), int(value))
+        spark_t = {
+            "long": "bigint", "int": "int", "string": "string",
+            "double": "double", "float": "float", "boolean": "boolean",
+        }.get(t if isinstance(t, str) else "", "string")
+        return F.lit(value).cast(spark_t)
+
+    plan = read_iceberg_file_plan(metadata_json_path)
+
+    def _read_group(files: list[str], partition: dict):
+        d = spark.read.parquet(*files)
+        for phys, cur in alias_to_cur.items():
+            if phys != cur and phys in d.columns and cur not in d.columns:
+                d = d.withColumnRenamed(phys, cur)
+        for pname, pval in partition.items():
+            if pname not in d.columns:
+                d = d.withColumn(pname, _part_lit(pname, pval))
+        return d
+
+    # group data files by (sequence, partition tuple) — one scan each
+    groups: dict[tuple, list[str]] = {}
+    for e in plan["data_entries"]:
+        key = (e["seq"], tuple(sorted(e["partition"].items())))
+        groups.setdefault(key, []).append(e["path"])
+    if not groups:
+        raise ValueError("read_iceberg: snapshot has no data files")
+    data = None
+    for (seq, part), files in sorted(groups.items()):
+        d = _read_group(files, dict(part)).withColumn(
+            "_ice_seq", F.lit(int(seq))
+        )
+        data = d if data is None else data.unionByName(
+            d, allowMissingColumns=True
+        )
+
+    # equality deletes, grouped by (sequence, equality id tuple)
+    del_groups: dict[tuple, list[str]] = {}
+    for e in plan["delete_entries"]:
+        key = (e["seq"], tuple(e["equality_ids"]))
+        del_groups.setdefault(key, []).append(e["path"])
+    for (seq, eq_ids), files in sorted(del_groups.items()):
+        keys = [name_by_id[i] for i in eq_ids]
+        dels = _read_group(files, {}).select(*keys).distinct()
+        below = data.where(F.col("_ice_seq") < int(seq)).join(
+            dels, keys, "left_anti"
+        )
+        data = below.unionByName(
+            data.where(F.col("_ice_seq") >= int(seq))
+        )
+
+    return data.select(
+        *[
+            (
+                F.col(c) if c in data.columns else F.lit(None)
+            ).alias(c)
+            for c in col_order
+        ]
+    )

@@ -369,3 +369,61 @@ def test_renamed_partition_column_spec(spark, catalog, tmp_path):
         _, entries = read_ocf(m["manifest_path"])
         vals |= {e["data_file"]["partition"]["hue"] for e in entries}
     assert vals == {"red", "blue"}
+
+
+def test_read_iceberg_spark_roundtrip(spark, catalog, tmp_path):
+    """The other federation direction: Spark reads the exported
+    Iceberg metadata (no Iceberg jar) and reproduces catalog.read —
+    MOR layers + standalone deletes via the sequence rules."""
+    from konohadataplatform_spark.export_iceberg import read_iceberg
+
+    _mor_table(spark, catalog)
+    md_path = export_iceberg_metadata(catalog, "t", str(tmp_path / "ice"))
+    got = {tuple(r) for r in read_iceberg(spark, md_path).collect()}
+    want = {tuple(r) for r in catalog.read("t").collect()}
+    assert got == want == {(2, "B2"), (3, "c")}
+
+
+def test_read_iceberg_partitioned_mor_and_rename(spark, catalog, tmp_path):
+    """Partition values come from the MANIFESTS (flat MOR files under
+    spec 1 still read correctly), and name mapping resolves physical
+    pre-rename parquet columns to the logical schema."""
+    import datetime
+
+    from konohadataplatform_spark.export_iceberg import read_iceberg
+
+    catalog.write(
+        "pm2",
+        spark.createDataFrame(
+            [(1, "a", "red"), (2, "b", "blue"), (3, "c", "red")],
+            "id long, v string, color string",
+        ),
+        partition_by=["color"],
+    )
+    catalog.upsert_by_keys(
+        "pm2",
+        spark.createDataFrame(
+            [(2, "B2", "blue")], "id long, v string, color string"
+        ),
+        ["id"],
+    )
+    catalog.delete_by_keys(
+        "pm2", spark.createDataFrame([(3,)], "id long"), ["id"]
+    )
+    catalog.rename_column("pm2", "v", "val")
+    md_path = export_iceberg_metadata(catalog, "pm2", str(tmp_path / "i2"))
+    got = {tuple(r) for r in read_iceberg(spark, md_path).collect()}
+    want = {tuple(r) for r in catalog.read("pm2").collect()}
+    assert got == want == {(1, "a", "red"), (2, "B2", "blue")}
+
+    # date partitions read back as real dates
+    catalog.write(
+        "dp2",
+        spark.createDataFrame(
+            [(1, datetime.date(2024, 1, 2))], "id long, d date"
+        ),
+        partition_by=["d"],
+    )
+    md2 = export_iceberg_metadata(catalog, "dp2", str(tmp_path / "i3"))
+    rows = read_iceberg(spark, md2).collect()
+    assert rows[0].d == datetime.date(2024, 1, 2)
