@@ -317,6 +317,15 @@ def _smoke_jl_rerank_fixed_queries(spark, sf_dir):
     )
 
 
+SMOKE_QUERIES += [
+    # r14: scalable two-phase global ranks (range exchange + offsets)
+    # and the probability-weighted EM (vocab-bounded after word freqs)
+    "q_customer_order_summary",
+    "q_customer_pareto",
+    "q_balance_deciles",
+    "q_unigram_em_prob",
+]
+
 EXTRA_SMOKES = {
     "q_lexical_topk_shuffled": _smoke_lexical_topk_shuffled,
     "q_bm25_topk_shuffled": _smoke_bm25_topk_shuffled,
