@@ -107,11 +107,25 @@ def scalable_rank_stats(
     lrn = _fresh("_local_rn")
     off0 = _fresh("_off")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = pre.repartitionByRange(n, *order_cols).withColumn(
-        pid, F.spark_partition_id()
+    # The ranged relation is ALWAYS lazily checkpointed (r14 sf0.1
+    # certification finding): repartitionByRange samples its boundaries
+    # with a seed derived from the exchange INSTANCE, so when the
+    # planner does not dedupe the two consumers into one ReusedExchange
+    # (observed under AQE at sf0.1), the ranking branch and the counts
+    # branch see DIFFERENT _pid assignments and the offsets corrupt the
+    # global ranks — nondeterministically. The checkpoint pins one
+    # materialization both branches read; rank correctness needs only
+    # internal consistency (any boundary set yields ordered
+    # partitions). Cost: one materialization of the ranked relation —
+    # which at every call site is a grain-reduced aggregate, not the
+    # raw fact table. (`stabilize_source` is retained for API
+    # compatibility; the checkpoint it used to opt into is now
+    # unconditional.)
+    ranged = (
+        pre.repartitionByRange(n, *order_cols)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    if stabilize_source:
-        ranged = ranged.localCheckpoint(eager=False)
 
     local_w = Window.partitionBy(pid).orderBy(*order_cols)
     run_w = local_w.rowsBetween(Window.unboundedPreceding, 0)

@@ -440,15 +440,17 @@ def test_filter_funnel_three_exchanges_no_gram_shuffle(spark):
 
 def test_customer_order_summary_range_partitioned_rank(spark):
     """r14: the W1/W3 global rank runs through the two-phase pattern —
-    a range exchange must appear, and the only unpartitioned window
-    may be over the metadata-sized offsets relation (guarded
-    structurally by tests/test_window_audit.py; here we pin the range
-    partitioning into the plan)."""
+    the checkpointed ranged relation (one boundary sampling for both
+    branches) with a partition-local rank window; the only
+    unpartitioned window may be over the metadata-sized offsets
+    relation (guarded structurally by tests/test_window_audit.py)."""
     plan = plan_of(QUERIES["q_customer_order_summary"](spark, SF_DIR))
-    assert "rangepartitioning" in plan.lower(), "two-phase rank lost"
+    assert "localcheckpoint" in plan.lower(), "two-phase rank lost"
+    assert "windowspecdefinition(_pid" in plan
 
 
 def test_balance_deciles_and_pareto_range_partitioned(spark):
     for q in ("q_balance_deciles", "q_customer_pareto"):
         plan = plan_of(QUERIES[q](spark, SF_DIR))
-        assert "rangepartitioning" in plan.lower(), q
+        assert "localcheckpoint" in plan.lower(), q
+        assert "windowspecdefinition(_pid" in plan, q

@@ -35,9 +35,11 @@ def test_no_single_partition_window(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    # the sort must be range-partitioned, not a global single-partition
-    # window (which Spark logs as an empty/absent partition spec)
-    assert "rangepartitioning" in plan.lower()
+    # the ranged relation is checkpointed (r14: pins ONE boundary
+    # sampling for both branches) and the data-side window is
+    # partition-local (_pid), never a global single-partition sort
+    assert "localcheckpoint" in plan.lower()
+    assert "windowspecdefinition(_pid" in plan
 
 
 def test_dense_and_contiguous(spark):
