@@ -255,9 +255,14 @@ def calibration_table(
         scalable_row_number,
     )
 
+    # counted gate (ranking.py): `scored` is a pure per-row projection
+    # over the corpus scan, so probing it is a short-circuiting LIMIT
+    # count — under the bound the rank is one lazy window instead of
+    # the two-phase job chain, bit-identical either way
     ranked = scalable_row_number(
         scored, [F.col(score_col), F.col(id_col)], out_col="_rn",
         total_col="_n",
+        probe_side=scored,
     )
     return (
         ranked

@@ -1136,12 +1136,20 @@ def perplexity_partition(
     scored = trigram_backoff_surprisal(
         df, train_pred, text_col=text_col, id_col=id_col, alpha=alpha
     )
+    # N rides along from the same per-partition counts relation that
+    # produced the ranks (total_col) — the old separate
+    # `scored.select(count(*))` + crossJoin re-executed the whole LM
+    # scoring lineage a second time for one number (r14 optimization
+    # round; same fix margin_tiles got in r11).
     ranked = scalable_row_number(
         scored,
         [F.col("surprisal").asc(), F.col(id_col).asc()],
         out_col="ppl_rank",
+        total_col="_n",
+        # counted gate: one scored row per input doc, so the raw input
+        # bounds the ranked relation without executing the LM scoring
+        probe_side=df,
     )
-    n = scored.select(F.count(F.lit(1)).alias("_n"))
     tile = F.expr(f"CAST((ppl_rank - 1) * {int(buckets)} DIV _n AS INT)")
     label = (
         F.when(tile == 0, F.lit("head"))
@@ -1150,7 +1158,7 @@ def perplexity_partition(
         if buckets == 3
         else F.concat(F.lit("tile_"), tile.cast("string"))
     )
-    return ranked.crossJoin(F.broadcast(n)).select(
+    return ranked.select(
         id_col, "n_trigrams", "surprisal", "ppl_rank",
         label.alias("bucket"),
     )

@@ -37,6 +37,36 @@ def probe_within(side: DataFrame, bound: int) -> bool:
     return side.limit(bound + 1).count() <= bound
 
 
+def estimated_bytes(side: DataFrame) -> int:
+    """The optimizer's size estimate for ``side`` — the same statistic
+    Spark's own autoBroadcastJoinThreshold consults. Pure driver-side
+    plan metadata (file sizes x column-pruning factor for scans,
+    propagated through projections/filters): NO job runs. Returns a
+    huge number when the plan cannot be estimated (RDD scans,
+    post-shuffle subtrees), so callers treating "small" as the cheap
+    path fail safe to the measured probe."""
+    return int(
+        side._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def probe_small(
+    side: DataFrame, row_bound: int, bytes_bound: int
+) -> bool:
+    """Two-tier counted gate (r14 optimization round): first consult
+    the optimizer's size estimate — an estimate at or under
+    ``bytes_bound`` proves "small" with ZERO jobs (the common case for
+    dimension/mart-grain probe sides, whose scans are metadata-priced).
+    Only when the estimate is over the bound (or unavailable) does the
+    LIMIT-bounded row probe run — one bounded job, noise at the scale
+    where it fires. A wrong estimate can only cost performance, never
+    correctness: every caller's two paths are parity-tested
+    bit-identical."""
+    if estimated_bytes(side) <= int(bytes_bound):
+        return True
+    return probe_within(side, row_bound)
+
+
 def gated_broadcast(
     side: DataFrame, flag: bool | None, bound: int
 ) -> DataFrame:

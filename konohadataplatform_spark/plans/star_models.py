@@ -74,6 +74,9 @@ def mart_customer_summary_star(spark: SparkSession, ctx) -> DataFrame:
         base,
         [F.col("completed_value").desc(), F.col("c_custkey").asc()],
         out_col="revenue_rank",
+        # counted gate: customer-grain mart — the raw customer source
+        # bounds the ranked relation
+        probe_side=cust,
     )
 
 

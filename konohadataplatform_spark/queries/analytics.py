@@ -147,12 +147,17 @@ def q_customer_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         scalable_rank_stats,
     )
 
+    # counted gate: the mart has exactly one row per customer, so the
+    # customer SCAN is a cheap upper-bound probe — under the bound the
+    # single-window spelling runs (mart scale), above it the two-phase
+    # range plan (fact scale); bit-identical either way
     ranked = scalable_rank_stats(
         tiered,
         [F.col("total_spent").asc(), F.col("c_custkey").desc()],
         rn_col="_rn",
         rn_type="bigint",
         total_count_col="_n",
+        probe_side=cust,
     )
     w_segment = Window.partitionBy("c_mktsegment").orderBy(
         F.col("total_spent").desc(), F.col("c_custkey")
@@ -596,6 +601,9 @@ def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank + global running revenue + grand totals in ONE range
     # exchange (operators/ranking.py) instead of a single-partition
     # WindowExec over every customer
+    # counted gate: one row per customer key — probe the customer dim
+    # (o_custkey is a FK into it), not the per-customer aggregate
+    cust_dim = _t(spark, sf_dir, "customer").select("c_custkey")
     ranked = scalable_rank_stats(
         rev,
         [F.col("r").desc(), F.col("o_custkey").asc()],
@@ -603,6 +611,7 @@ def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_sum_cols={"run_r": F.col("r")},
         total_cols={"tot_r": F.col("r")},
         total_count_col="n_cust",
+        probe_side=cust_dim,
     )
     return ranked.filter(F.col("rk") <= 100).select(
         "rk",
@@ -946,6 +955,9 @@ def q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn_col="_rn",
         rn_type="bigint",
         total_count_col="_n",
+        # the ranked relation IS the customer scan — probing it is a
+        # short-circuiting LIMIT count on the parquet scan
+        probe_side=cust,
     )
     ranked = rn.select(
         "c_custkey",

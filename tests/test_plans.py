@@ -438,19 +438,48 @@ def test_filter_funnel_three_exchanges_no_gram_shuffle(spark):
     assert "gram" not in plan.lower().replace("program", "")
 
 
-def test_customer_order_summary_range_partitioned_rank(spark):
-    """r14: the W1/W3 global rank runs through the two-phase pattern —
-    the checkpointed ranged relation (one boundary sampling for both
-    branches) with a partition-local rank window; the only
-    unpartitioned window may be over the metadata-sized offsets
-    relation (guarded structurally by tests/test_window_audit.py)."""
+def test_customer_order_summary_gated_two_phase_rank(spark):
+    """r14 optimization round: the W1/W3 global rank is COUNTED-GATED
+    (operators/ranking.py) — at the test SF the customer probe is
+    under the bound, so the plan is the lazy single-window spelling
+    (no checkpoint job chain); forcing ``small=False`` must produce
+    the two-phase range plan with the mid-arithmetic rank and NO
+    data-side rank WindowExec. Parity across the flip is pinned by
+    tests/test_ranking.py::test_gate_flip_parity."""
+    import re
+
+    from konohadataplatform_spark.operators.ranking import (
+        scalable_rank_stats,
+    )
+
+    # gated small path at test scale: fully lazy, no checkpoint scan
     plan = plan_of(QUERIES["q_customer_order_summary"](spark, SF_DIR))
-    assert "localcheckpoint" in plan.lower(), "two-phase rank lost"
-    assert "windowspecdefinition(_pid" in plan
+    assert "localcheckpoint" not in plan.lower(), (
+        "small-relation rank should stay one lazy window under the gate"
+    )
+    # forced two-phase path: checkpointed _mid arithmetic, and no
+    # window PARTITIONED by _pid (the offsets window merely ORDERS by
+    # _pid over the one-row-per-partition counts relation)
+    cust = load_table(spark, SF_DIR, "customer")
+    forced = scalable_rank_stats(
+        cust,
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        rn_col="_rn",
+        small=False,
+    )
+    fplan = plan_of(forced)
+    assert "localcheckpoint" in fplan.lower(), "two-phase rank lost"
+    assert "_mid" in fplan and "_m0" in fplan, "mid-arithmetic rank lost"
+    assert not re.search(r"windowspecdefinition\(_pid#\d+,", fplan), (
+        "data-side rank window reappeared"
+    )
 
 
-def test_balance_deciles_and_pareto_range_partitioned(spark):
+def test_balance_deciles_and_pareto_gated(spark):
+    """Under the counted gate the mart-scale plans are lazy single
+    windows; the two-phase fallback is exercised by the forced-path
+    plan test above and the parity test in test_ranking.py."""
     for q in ("q_balance_deciles", "q_customer_pareto"):
         plan = plan_of(QUERIES[q](spark, SF_DIR))
-        assert "localcheckpoint" in plan.lower(), q
-        assert "windowspecdefinition(_pid" in plan, q
+        assert "localcheckpoint" not in plan.lower(), q
+        assert "row_number()" in plan, q

@@ -36,10 +36,18 @@ def test_no_single_partition_window(spark):
         df._jdf.queryExecution(), "formatted"
     )
     # the ranged relation is checkpointed (r14: pins ONE boundary
-    # sampling for both branches) and the data-side window is
-    # partition-local (_pid), never a global single-partition sort
+    # sampling for both branches). Since the r14 optimization round the
+    # data side carries NO WindowExec at all (rank = pinned
+    # monotonically_increasing_id arithmetic + broadcast offsets); the
+    # only windows left run over the one-row-per-partition counts
+    # relation, so the data is never funneled through a global sort.
     assert "localcheckpoint" in plan.lower()
-    assert "windowspecdefinition(_pid" in plan
+    assert "row_number()" not in plan
+    # exactly one join (the broadcast offsets attach) and no exchange
+    # on the data side after the checkpoint: the counts side's
+    # aggregate exchange + the offsets' single-partition window are the
+    # only ones, and both move one row per range partition
+    assert "BroadcastHashJoin" in plan
 
 
 def test_dense_and_contiguous(spark):
@@ -160,6 +168,49 @@ def test_ntile_from_rank_matches_ntile(spark):
             ).collect()
         }
         assert got == want, (n_rows, buckets)
+
+
+def test_gate_flip_parity(spark):
+    """r14 optimization round: the counted gate changes EXECUTION only —
+    the single-window small path and the two-phase range path must
+    return bit-identical (rank, running sum, totals, N) on a
+    multi-partition fixture with duplicate keys and NULL measures."""
+    from konohadataplatform_spark.operators.ranking import (
+        scalable_rank_stats,
+    )
+
+    df = (
+        spark.range(0, 731)
+        .select(
+            (F.col("id") % 97).alias("v"),
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 5 != 0, (F.col("id") * 3) % 100).alias("m"),
+        )
+        .repartition(11)
+    )
+    order_cols = [F.col("v").asc(), F.col("k").desc()]
+    kw = dict(
+        rn_col="rn",
+        rn_type="bigint",
+        prefix_sum_cols={"run_m": F.col("m")},
+        total_cols={"tot_m": F.col("m")},
+        total_count_col="n",
+        num_partitions=6,
+    )
+    small = {
+        r.k: (r.rn, r.run_m, r.tot_m, r.n)
+        for r in scalable_rank_stats(df, order_cols, small=True, **kw).collect()
+    }
+    big = {
+        r.k: (r.rn, r.run_m, r.tot_m, r.n)
+        for r in scalable_rank_stats(df, order_cols, small=False, **kw).collect()
+    }
+    assert small == big
+    # probe path resolves the gate from the side's measured size
+    probed = scalable_rank_stats(
+        df, order_cols, probe_side=df, gate_bound=10, **kw
+    )  # 731 rows > 10 -> two-phase (the checkpointed _mid scan)
+    assert "_mid" in probed._jdf.queryExecution().toString()
 
 
 def test_rank_stats_null_measure_prefix_semantics(spark):

@@ -22,6 +22,12 @@ Categories:
 - ``fixture``  — the reference's inline 5-user/8-order fixture model
   port (plans/models.py) — the fixtures ARE the spec and are
   constant-sized by construction.
+- ``gated``    — the single-window spelling behind
+  ``scalable_rank_stats``'s counted gate (operators/gating.py
+  convention): it can only execute when a LIMIT-bounded probe proved
+  the relation is under $SPARK_GRAFT_RANK_SMALL rows; above the bound
+  the two-phase range-partitioned plan runs instead, and both sides
+  of the flip are parity-tested bit-identical.
 
 Anything corpus-proportional must instead go through
 ``scalable_rank_stats`` / ``scalable_row_number`` /
@@ -46,8 +52,9 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     # dim^2/2 covariance cells — never corpus rows
     ("operators/projection.py", "dimension_correlation"): (1, "metadata"),
     # THE two-phase helper itself: offsets/totals windows run over one
-    # row per range partition (the whole point of the pattern)
-    ("operators/ranking.py", "scalable_rank_stats"): (2, "metadata"),
+    # row per range partition (2 sites), plus the counted-gated
+    # small-relation spelling (1 orderBy + 1 empty partitionBy)
+    ("operators/ranking.py", "scalable_rank_stats"): (4, "gated"),
     # reference's inline fixture model port (5 users / 8 orders)
     ("plans/models.py", "user_order_summary"): (2, "fixture"),
     ("plans/models.py", "simple_pipeline"): (2, "fixture"),
@@ -55,7 +62,7 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("queries/tpch.py", "q_monthly_growth"): (1, "metadata"),
 }
 
-_CATEGORIES = {"metadata", "fixture"}
+_CATEGORIES = {"metadata", "fixture", "gated"}
 
 
 def _census() -> dict[tuple[str, str], int]:
