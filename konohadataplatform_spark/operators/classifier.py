@@ -88,7 +88,12 @@ def train_perceptron(
 ) -> dict[int, int]:
     """dim -> weight after ``iters`` exact batch-perceptron updates.
     ``feats`` is re-scanned once per iteration — cache it upstream if
-    it isn't a cheap re-read. The collect is dims+1 longs (metadata)."""
+    it isn't a cheap re-read. The collect is dims+1 longs (metadata).
+
+    This is the exploded-feature-relation spelling (kept for callers
+    that already hold a feats relation); :func:`train_perceptron_docs`
+    trains bit-identical weights straight from the doc relation with
+    zero corpus-scale shuffles — prefer it when you have the docs."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     w: dict[int, int] = {}
@@ -114,6 +119,81 @@ def train_perceptron(
     return w
 
 
+def train_perceptron_docs(
+    docs: DataFrame,
+    label_pred,
+    dims: int = 64,
+    iters: int = 3,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[int, int]:
+    """Bit-identical weights to :func:`train_perceptron` over
+    ``hashed_features(docs, ...)``, computed WITHOUT the exploded
+    (doc, dim, x) relation — the r14 optimization-round spelling.
+
+    Per iteration (guide §2.3/§2.4 — aggregate before you shuffle,
+    remove shuffles outright):
+
+    - the per-doc margin is the stateless :func:`margin_column`
+      projection (the batch/stream parity contract already proves it
+      equals ``sum(x * w) + bias`` bit-for-bit in int64), so the
+      misclassified filter is a pure map over the corpus scan — no
+      feats join, no (doc, y) aggregation, no semi-join;
+    - the weight delta ``sum_{mis} y * x[d, dim]`` telescopes to a sum
+      of ``y`` over every gram INSTANCE of the misclassified docs
+      (x is the per-(doc, dim) gram count, so grouping instances by
+      dim is the same sum), plus ``y`` once per misclassified doc for
+      the bias dim — one explode feeding a partial+final aggregate
+      whose key space is dims+1, i.e. the shuffle carries at most
+      (dims+1) x n_partitions rows regardless of corpus size.
+
+    The old path materialized (and persisted) the corpus-scale feats
+    relation and re-shuffled it 2-3x per iteration; this one re-scans
+    the source per iteration with map-only compute — the right trade
+    at any scale where the scan is cheaper than a corpus-wide shuffle
+    (and it holds no cache). The collect stays dims+1 longs.
+    """
+    from konohadataplatform_spark.operators.retrieval import gram_array_sql
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    dim_hash = DIM_SQL.format(g="g", dims=int(dims))
+    dims_of = (
+        f"transform({gram_array_sql('_w', int(n))}, g -> {dim_hash})"
+    )
+    base = docs.select(
+        F.when(label_pred, F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+        F.split(F.trim(F.col(text_col)), " ").alias("_w"),
+    )
+    w: dict[int, int] = {}
+    for _ in range(iters):
+        mis = (
+            base
+            if not w
+            else base.where(
+                F.col("y") * margin_column(w, dims, n, words_col="_w")
+                <= 0
+            )
+        )
+        delta = (
+            mis.select(
+                "y",
+                F.explode(
+                    F.expr(
+                        f"concat(array(cast({BIAS_DIM} as bigint)), "
+                        f"{dims_of})"
+                    )
+                ).alias("dim"),
+            )
+            .groupBy("dim")
+            .agg(F.sum("y").alias("d"))
+        )
+        for r in delta.collect():
+            w[r["dim"]] = w.get(r["dim"], 0) + r["d"]
+    return w
+
+
 def perceptron_scores(
     docs: DataFrame,
     label_pred,
@@ -133,17 +213,12 @@ def perceptron_scores(
     projection (bit-identical to summing feats * w by construction;
     guarded by the batch/stream parity test) — so the served stage is
     a pure map over the corpus scan: zero exchanges, no re-join of the
-    exploded feature relation. Training is the only part that
-    shuffles."""
-    spark = docs.sparkSession
-    feats = hashed_features(docs, label_pred, dims, n, text_col, id_col)
-    feats.persist()
-    try:
-        w = train_perceptron(spark, feats, iters)
-    finally:
-        # training collected everything it needs (dims+1 longs); the
-        # scoring plan below never touches feats again
-        feats.unpersist()
+    exploded feature relation. Training (``train_perceptron_docs``)
+    shuffles only dims+1 partial sums per partition per iteration —
+    map-only over the corpus otherwise."""
+    w = train_perceptron_docs(
+        docs, label_pred, dims, iters, n, text_col, id_col
+    )
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.trim(F.col(text_col)), " ").alias("_w"),

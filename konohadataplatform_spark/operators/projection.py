@@ -233,39 +233,76 @@ def embedding_covariance(
     (Spark div == DuckDB // on negatives, verified) — identical in
     any engine.
 
-    Scale shape: ONE partial+final aggregate producing in_dim +
-    in_dim^2 sums (metadata-sized — 64-d is 4160 numbers), then a
-    metadata-only pair expansion. The corpus is scanned once.
+    Scale shape: ONE corpus scan through a per-task Arrow Gram-matrix
+    kernel (guide §4.2 — batch the heavy per-row arithmetic into
+    native code): each task folds its rows into a d x d int64 Gram
+    matrix ``S^T S`` plus the d linear sums with numpy (exact int64,
+    identical to the per-row products), then emits in_dim +
+    in_dim*(in_dim+1)/2 PARTIAL rows — so the aggregate shuffles
+    ~2k rows per task instead of ~2k rows per CORPUS row (the r13
+    struct-explode spelling paid the O(d^2) expansion per row in
+    interpreted expression work: measured 2.7 s at sf0.1 vs ~0.4 s
+    for this kernel). b = 0 rows carry the linear sums S_a, b >= a
+    rows the pairwise sums S_ab; ``c`` is the task's row count so
+    N rides the same relation.
     """
-    s = (
-        f"transform(cast({vec_col} as array<double>), "
-        f"x -> cast(floor(x * {int(grid)}) as bigint))"
-    )
-    guarded = (
-        f"if(size({vec_col}) = {int(in_dim)}, {s}, "
-        f"raise_error(concat('embedding_covariance: expected "
-        f"{int(in_dim)}-d embedding, got ', "
-        f"cast(size({vec_col}) as string))))"
-    )
-    base = emb.select(F.expr(guarded).alias("_s"))
-    # ONE explode per row carrying both statistic families (r13
-    # review fix: two separate branches re-scanned the corpus twice):
-    # b = 0 rows are the linear sums S_a, b >= a rows the pairwise
-    # products S_ab — one scan, one partial+final aggregate
-    entries = (
-        f"concat("
-        f"transform(sequence(1, {int(in_dim)}), a -> "
-        "struct(a as a, 0 as b, element_at(_s, a) as p)), "
-        f"flatten(transform(sequence(1, {int(in_dim)}), a -> "
-        f"transform(sequence(a, {int(in_dim)}), b -> "
-        "struct(a as a, b as b, "
-        "element_at(_s, a) * element_at(_s, b) as p)))))"
-    )
-    agg = (
-        base.select(F.explode(F.expr(entries)).alias("e"))
-        .select("e.a", "e.b", "e.p")
-        .groupBy("a", "b")
-        .agg(F.sum("p").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    d, g = int(in_dim), int(grid)
+
+    def _gram_kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        gram = np.zeros((d, d), dtype=np.int64)
+        lin = np.zeros(d, dtype=np.int64)
+        n = 0
+        for batch in batches:
+            col = batch.column(0)
+            if len(col) == 0:
+                continue
+            ln = col.value_lengths().to_numpy(zero_copy_only=False)
+            if col.null_count or not np.all(ln == d):
+                bad = (
+                    "NULL"
+                    if col.null_count
+                    else str(int(ln[ln != d][0]))
+                )
+                raise ValueError(
+                    f"embedding_covariance: expected {d}-d embedding, "
+                    f"got {bad}"
+                )
+            m = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+            # same IEEE op order as the SQL spelling: x * grid in
+            # double, floor, then int64 — exact parity per component
+            s = np.floor(m * g).astype(np.int64)
+            gram += s.T @ s
+            lin += s.sum(axis=0)
+            n += s.shape[0]
+        if n == 0:
+            return
+        iu = np.triu_indices(d)
+        a_arr = np.concatenate(
+            [np.arange(1, d + 1), iu[0] + 1]
+        ).astype(np.int32)
+        b_arr = np.concatenate(
+            [np.zeros(d, dtype=np.int64), iu[1] + 1]
+        ).astype(np.int32)
+        p_arr = np.concatenate([lin, gram[iu]])
+        c_arr = np.full(a_arr.shape[0], n, dtype=np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(a_arr, type=pa.int32()),
+                pa.array(b_arr, type=pa.int32()),
+                pa.array(p_arr, type=pa.int64()),
+                pa.array(c_arr, type=pa.int64()),
+            ],
+            ["a", "b", "p", "c"],
+        )
+
+    part = emb.select(
+        F.col(vec_col).cast("array<double>").alias("_v")
+    ).mapInArrow(_gram_kernel, "a int, b int, p long, c long")
+    agg = part.groupBy("a", "b").agg(
+        F.sum("p").alias("s"), F.sum("c").alias("cnt")
     )
     s_ab = agg.where(F.col("b") > 0).select(
         "a", "b", F.col("s").alias("sab")

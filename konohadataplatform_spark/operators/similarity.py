@@ -872,50 +872,74 @@ def ann_ivf_topk_portable(
     dedup is deterministic). At ``nprobe = n_cells`` results remain
     bit-identical to brute force under ANY ``n_assign``.
     """
+    if n_assign < 1:
+        raise ValueError(f"n_assign must be >= 1, got {n_assign}")
     base = _grid_base(corpus, id_col, vec_col, scale, offset)
-    # md5-keyed sample, not `id % mod`: callers routinely split corpora
-    # by id parity (margin mining's even/odd languages), where a plain
-    # modulo could select zero training vectors
-    train_base = (
-        base
-        if train_mod is None
-        else base.filter(
-            F.expr(
-                "pmod(cast(conv(substring(md5(cast(cid as string)), 1, "
-                f"15), 16, 10) as bigint), {int(train_mod)}) = 0"
+    full_probe = int(nprobe) >= int(n_cells)
+    if full_probe:
+        # FULL PROBE fast path (r14 optimization round): every query
+        # scans every cell, so the result is bit-identical under ANY
+        # centroids (the docstring contract) — Lloyd training is dead
+        # work. Assign corpus rows to cells by a deterministic hash
+        # spread (keeps the cell-keyed join as parallel as trained
+        # cells would) and probe the full cell list; zero driver-side
+        # training jobs, no cache, no Arrow assign/probe kernels.
+        # Multi-assignment (n_assign) can't change a full-probe result
+        # either, so the single-assignment path (and no dedup) is used.
+        cents = None
+        assigned = base.withColumn(
+            "cell",
+            (F.pmod(F.xxhash64(F.col("cid")), F.lit(int(n_cells))) + 1)
+            .cast("long"),
+        )
+        probe_cells = F.explode(
+            F.array(*[F.lit(i + 1).cast("long") for i in range(int(n_cells))])
+        )
+    else:
+        # md5-keyed sample, not `id % mod`: callers routinely split
+        # corpora by id parity (margin mining's even/odd languages),
+        # where a plain modulo could select zero training vectors
+        train_base = (
+            base
+            if train_mod is None
+            else base.filter(
+                F.expr(
+                    "pmod(cast(conv(substring(md5(cast(cid as string)), 1, "
+                    f"15), 16, 10) as bigint), {int(train_mod)}) = 0"
+                )
             )
         )
-    )
-    if train_mod is not None and (
-        train_base.limit(n_cells).count() < n_cells
-    ):
-        # empty-/thin-sample guard (ADVICE r10): a large train_mod on
-        # a small corpus can sample fewer rows than n_cells seeds —
-        # fall back to full-corpus training LOUDLY rather than letting
-        # the assign kernel hit an argmin over zero centroids
-        warnings.warn(
-            f"ann_ivf_topk_portable: train_mod={train_mod} sampled "
-            f"fewer than n_cells={n_cells} training vectors; falling "
-            "back to full-corpus centroid training",
-            stacklevel=2,
-        )
-        train_base = base
-    cents = _ivf_train_portable(train_base, n_cells, iters)
+        if train_mod is not None and (
+            train_base.limit(n_cells).count() < n_cells
+        ):
+            # empty-/thin-sample guard (ADVICE r10): a large train_mod
+            # on a small corpus can sample fewer rows than n_cells
+            # seeds — fall back to full-corpus training LOUDLY rather
+            # than letting the assign kernel hit an argmin over zero
+            # centroids
+            warnings.warn(
+                f"ann_ivf_topk_portable: train_mod={train_mod} sampled "
+                f"fewer than n_cells={n_cells} training vectors; falling "
+                "back to full-corpus centroid training",
+                stacklevel=2,
+            )
+            train_base = base
+        cents = _ivf_train_portable(train_base, n_cells, iters)
+
+        if n_assign == 1:
+            assigned = base.withColumn(
+                "cell", _cell_assign_udf(cents)(F.col("q"))
+            )
+        else:
+            assigned = base.withColumn(
+                "cell",
+                F.explode(_cell_probes_udf(cents, n_assign)(F.col("q"))),
+            )
+        probe_cells = F.explode(_cell_probes_udf(cents, nprobe)(F.col("q")))
 
     # norms precomputed per side (bit-identical hoist, same as
     # cosine_topk): the probed-candidate scoring folds ONE dot per
     # pair instead of three
-    if n_assign < 1:
-        raise ValueError(f"n_assign must be >= 1, got {n_assign}")
-    if n_assign == 1:
-        assigned = base.withColumn(
-            "cell", _cell_assign_udf(cents)(F.col("q"))
-        )
-    else:
-        assigned = base.withColumn(
-            "cell",
-            F.explode(_cell_probes_udf(cents, n_assign)(F.col("q"))),
-        )
     final = assigned.select(
         F.col("cid").alias("neighbor_id"), F.col("v").alias("cv"),
         F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cn"), "cell",
@@ -924,9 +948,7 @@ def ann_ivf_topk_portable(
     qbase = _grid_base(queries, id_col, vec_col, scale, offset,
                        id_alias="query_id")
 
-    probes = qbase.withColumn(
-        "cell", F.explode(_cell_probes_udf(cents, nprobe)(F.col("q")))
-    ).select(
+    probes = qbase.withColumn("cell", probe_cells).select(
         "query_id", F.col("v").alias("qv"),
         F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn"), "cell",
     )
@@ -953,10 +975,12 @@ def ann_ivf_topk_portable(
         cand = probes_s.join(final_s, ["cell", "_salt"]).drop("_salt")
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
-    if n_assign > 1:
+    if n_assign > 1 and not full_probe:
         # a pair reachable through two shared (assigned, probed) cells
         # appears once per cell; the duplicates carry identical vector
-        # columns, so keeping any one is deterministic
+        # columns, so keeping any one is deterministic (the full-probe
+        # fast path assigns each corpus row exactly once, so no
+        # duplicates can exist there)
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.withColumn(
         "cos_sim",
@@ -1894,15 +1918,34 @@ def mmr_candidates_ivf(
     from pyspark.sql.window import Window
 
     base = _grid_base(corpus, id_col, vec_col, scale, offset)
-    cents = _ivf_train_portable(base, n_cells, iters)
-    assigned = base.withColumn(
-        "cell", _cell_assign_udf(cents)(F.col("q"))
-    ).select(F.col("cid").alias("cand_id"), F.col("q").alias("cq"), "cell")
+    if int(nprobe) >= int(n_cells):
+        # FULL PROBE fast path (r14 optimization round), same contract
+        # as ann_ivf_topk_portable: every query scans every cell, so
+        # the candidate set — and the exact grid distances ranked on
+        # it — is bit-identical under ANY centroids. Hash-spread cell
+        # assignment keeps the join parallel; Lloyd training (and its
+        # cache + per-iteration collect) is skipped outright.
+        cell_col = (
+            F.pmod(F.xxhash64(F.col("cid")), F.lit(int(n_cells))) + 1
+        ).cast("long")
+        assigned = base.withColumn("cell", cell_col).select(
+            F.col("cid").alias("cand_id"), F.col("q").alias("cq"), "cell"
+        )
+        probe_cells = F.explode(
+            F.array(*[F.lit(i + 1).cast("long") for i in range(int(n_cells))])
+        )
+    else:
+        cents = _ivf_train_portable(base, n_cells, iters)
+        assigned = base.withColumn(
+            "cell", _cell_assign_udf(cents)(F.col("q"))
+        ).select(
+            F.col("cid").alias("cand_id"), F.col("q").alias("cq"), "cell"
+        )
+        probe_cells = F.explode(_cell_probes_udf(cents, nprobe)(F.col("q")))
     qbase = _grid_base(queries, id_col, vec_col, scale, offset,
                        id_alias="query_id")
-    probes = qbase.withColumn(
-        "cell", F.explode(_cell_probes_udf(cents, nprobe)(F.col("q")))
-    ).select("query_id", F.col("q").alias("qq"), "cell")
+    probes = qbase.withColumn("cell", probe_cells).select(
+        "query_id", F.col("q").alias("qq"), "cell")
     scored = (
         F.broadcast(probes)
         .join(assigned, "cell")

@@ -42,7 +42,6 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/curation.py", "importance_weights"): (1, "scalar"),
     ("operators/curation.py", "shard_plan"): (1, "metadata"),
     ("operators/curation.py", "lang_temperature_quota"): (1, "scalar"),
-    ("operators/curation.py", "perplexity_partition"): (1, "scalar"),
     ("operators/curation.py", "epoch_schedule"): (1, "scalar"),
     # dedup
     ("operators/dedup.py", "ngram_decontaminate"): (1, "gated"),

@@ -2300,22 +2300,33 @@ def test_ann_ivf_salted_shuffle_matches_broadcast(spark):
 
 
 def test_ann_ivf_thin_train_sample_falls_back(spark):
+    # PARTIAL probe (the r14 full-probe fast path skips training
+    # entirely, so the thin-sample guard only exists — and only
+    # matters — when nprobe < n_cells and centroids are trained)
     import warnings as _w
 
     emb = load_table(spark, SF_DIR, "embeddings").limit(20)
     q = emb.limit(3)
     with _w.catch_warnings(record=True) as caught:
         _w.simplefilter("always")
-        out = S.ann_ivf_topk_portable(
-            emb, q, k=2, n_cells=4, nprobe=4,
-            train_mod=10_000_000,  # samples ~0 of 20 rows
-        ).collect()
+        out = {
+            (r.query_id, r.neighbor_id, r.cos_sim, r.knn_rank)
+            for r in S.ann_ivf_topk_portable(
+                emb, q, k=2, n_cells=4, nprobe=2,
+                train_mod=10_000_000,  # samples ~0 of 20 rows
+            ).collect()
+        }
     assert any("full-corpus centroid training" in str(c.message)
                for c in caught)
-    # full probe: falls back and still returns exact results
-    exact = {(r.query_id, r.neighbor_id) for r in
-             S.cosine_topk(emb, q, k=2).collect()}
-    assert {(r.query_id, r.neighbor_id) for r in out} == exact
+    # the fallback trains on the FULL corpus, so the result must be
+    # bit-identical to an explicit train_mod=None run
+    full = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.knn_rank)
+        for r in S.ann_ivf_topk_portable(
+            emb, q, k=2, n_cells=4, nprobe=2, train_mod=None
+        ).collect()
+    }
+    assert out and out == full
 
 
 def test_ann_ivf_multi_assign_full_probe_bit_identical(spark):
