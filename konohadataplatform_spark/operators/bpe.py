@@ -151,6 +151,17 @@ def bpe_train(
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .take(1)
         )
+        # that take() scanned every partition of `words` (the pair
+        # aggregate is a full scan), so the freshest cache is now
+        # materialized and its parent can be released — the r14
+        # optimization-round spelling of "materialize before dropping
+        # the parent": one job per merge (the pair-count action doubles
+        # as the cache fill) instead of a separate count() job. The
+        # parent stays cached until here, so the child always
+        # materializes from the cached state (one merge layer of
+        # codegen), never by replaying the whole merge chain.
+        while len(cached) > 1:
+            cached.pop(0).unpersist()
         if not top:  # vocabulary fully merged — nothing left to count
             break
         l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
@@ -161,10 +172,8 @@ def bpe_train(
             .drop("_sel")
         )
         if rank % recache_every == 0:
-            words = words.cache()
-            words.count()  # materialize before dropping the parent
+            words = words.cache()  # lazy: next loop's take() fills it
             cached.append(words)
-            cached.pop(0).unpersist()
     # Hand the final state's lifecycle to the GC: localCheckpoint
     # truncates the k-layer expression lineage (recomputing it would
     # re-hit the codegen blowup) and its blocks free when the caller

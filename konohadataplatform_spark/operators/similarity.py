@@ -735,6 +735,78 @@ def _cell_probes_udf(cents_rows, n: int):
     return pandas_udf(_k, "array<long>")
 
 
+def _lloyd_partial_rows(df, q_col: str, cents_rows) -> list:
+    """ONE map-only pass for a Lloyd iteration (guide §4.2): an Arrow
+    kernel assigns each row of the int64 grid column ``q_col`` to its
+    nearest centroid — the exact argmin `_cell_assign_udf` computes
+    (int64 squared-L2, ids ascend so numpy first-min == ties to the
+    lowest cell) — and folds the per-cell row count + per-dimension
+    sums task-side, emitting at most ``n_cells`` partial rows per
+    Arrow batch. The collected result is metadata-sized
+    (n_cells x n_batches), replacing the r13 spelling's per-iteration
+    posexplode + |corpus| x dim shuffle with zero exchanges."""
+    import pyarrow as pa
+
+    ids = np.array([cell for cell, _ in cents_rows], dtype=np.int64)
+    cmat = np.array([c for _, c in cents_rows], dtype=np.int64)
+    d = cmat.shape[1]
+
+    def _kernel(batches):
+        for batch in batches:
+            col = batch.column(0)
+            if len(col) == 0:
+                continue
+            m = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(-1, d)
+                .astype(np.int64)
+            )
+            dist = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(dist, axis=1)
+            cells, inv = np.unique(a, return_inverse=True)
+            sums = np.zeros((len(cells), d), dtype=np.int64)
+            np.add.at(sums, inv, m)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[cells], type=pa.int64()),
+                    pa.array(
+                        np.bincount(inv).astype(np.int64), type=pa.int64()
+                    ),
+                    pa.array(sums.tolist(), type=pa.list_(pa.int64())),
+                ],
+                ["cell", "n", "sums"],
+            )
+
+    return (
+        df.select(F.col(q_col).alias("q"))
+        .mapInArrow(_kernel, "cell long, n long, sums array<long>")
+        .collect()
+    )
+
+
+def _reduce_lloyd_partials(part_rows) -> list[tuple[int, list[int]]]:
+    """Driver-side reduce of `_lloyd_partial_rows` output: per-cell
+    exact integer sums (Python ints — no wrap) then per-dimension
+    SUM DIV COUNT, cells ascending. Cells that attracted no rows drop
+    out, exactly as the r13 agg-spelling dropped them."""
+    acc: dict[int, tuple[int, list[int]]] = {}
+    for r in part_rows:
+        got = acc.get(r["cell"])
+        if got is None:
+            acc[r["cell"]] = (r["n"], list(r["sums"]))
+        else:
+            n0, s0 = got
+            acc[r["cell"]] = (
+                n0 + r["n"],
+                [x + y for x, y in zip(s0, r["sums"])],
+            )
+    return [
+        (cell, [s // n for s in sums])
+        for cell, (n, sums) in sorted(acc.items())
+    ]
+
+
 def _ivf_train_portable(
     base: DataFrame, n_cells: int, iters: int
 ) -> list[tuple[int, list[int]]]:
@@ -742,10 +814,14 @@ def _ivf_train_portable(
     seeds = the n_cells lowest ids (cell = rank by id); assignment by
     int64 squared-L2 with ties to the lowest cell; update by
     per-dimension SUM DIV COUNT. Returns the centroid list
-    (driver-side metadata, n_cells x dim ints). One Spark job per
-    iteration (the (cell, dim) sum/count agg). The grid relation is
-    cached for the training loop and unpersisted before returning, so
-    the seed fetch + ``iters`` aggregates read the source scan once;
+    (driver-side metadata, n_cells x dim ints). One MAP-ONLY Spark job
+    per iteration: the Arrow kernel of `_lloyd_partial_rows` folds
+    assignment + per-cell sums task-side and the driver reduces the
+    metadata-sized partials — no posexplode, no |corpus| x dim
+    shuffle (r14 optimization round; the math is op-identical to the
+    r13 agg spelling, so centroids are bit-equal). The grid relation
+    is cached for the training loop and unpersisted before returning,
+    so the seed fetch + ``iters`` passes read the source scan once;
     callers re-deriving the grid afterwards recompute it from source
     (one narrow pass) instead of holding a cache they can't release."""
     base = base.cache()
@@ -759,21 +835,9 @@ def _ivf_train_portable(
         (i + 1, list(r["q"])) for i, r in enumerate(seed_rows)
     ]
     for _ in range(iters):
-        assigned = base.withColumn("cell", _cell_assign_udf(cents)(F.col("q")))
-        agg_rows = (
-            assigned.select("cell", F.posexplode("q").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
+        cents = _reduce_lloyd_partials(
+            _lloyd_partial_rows(base, "q", cents)
         )
-        by_cell: dict[int, dict[int, int]] = {}
-        for r in agg_rows:
-            # exact floor division on non-negative ints == DIV / //
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"] // r["n"]
-        cents = [
-            (cell, [dims[p] for p in sorted(dims)])
-            for cell, dims in sorted(by_cell.items())
-        ]
     base.unpersist()
     return cents
 
@@ -1448,25 +1512,89 @@ def pq_train_portable(
                               "return": pd.Series}
         return pandas_udf(_k, "long")
 
-    for _ in range(iters):
-        assigned = sub.withColumn(
-            "code", assign_udf(codebooks)(F.col("s"), F.col("qs"))
-        )
-        agg_rows = (
-            assigned.select("s", "code", F.posexplode("qs").alias("pos", "val"))
-            .groupBy("s", "code", "pos")
-            .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("n"))
+    def _pq_partial_rows(cbooks) -> list:
+        """ONE map-only pass for a PQ Lloyd iteration (guide §4.2):
+        the Arrow kernel runs `assign_udf`'s exact argmin per subspace
+        and folds per-(s, code) counts + per-dimension sums task-side,
+        emitting at most m * k_codes partial rows per batch — no
+        posexplode, no |corpus| x dim shuffle, one driver collect of
+        metadata-sized partials (r14 optimization round; op-identical
+        int64 math, so codebooks are bit-equal to the agg spelling)."""
+        import pyarrow as pa
+
+        mats = {
+            s: (
+                np.array([c for c, _ in rows], dtype=np.int64),
+                np.array([v for _, v in rows], dtype=np.int64),
+            )
+            for s, rows in cbooks.items()
+        }
+
+        def _kernel(batches):
+            for batch in batches:
+                s_col = batch.column(0).to_numpy(zero_copy_only=False)
+                if len(s_col) == 0:
+                    continue
+                mat = (
+                    batch.column(1)
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(len(s_col), -1)
+                    .astype(np.int64)
+                )
+                out_s, out_code, out_n, out_sums = [], [], [], []
+                for s in np.unique(s_col):
+                    ids, cmat = mats[int(s)]
+                    rows = mat[s_col == s]
+                    dist = (
+                        (rows[:, None, :] - cmat[None, :, :]) ** 2
+                    ).sum(axis=2)
+                    # ids ascend: first-min argmin == ties to lowest code
+                    a = np.argmin(dist, axis=1)
+                    codes, inv = np.unique(a, return_inverse=True)
+                    sums = np.zeros(
+                        (len(codes), rows.shape[1]), dtype=np.int64
+                    )
+                    np.add.at(sums, inv, rows)
+                    out_s.extend([int(s)] * len(codes))
+                    out_code.extend(ids[codes].tolist())
+                    out_n.extend(np.bincount(inv).tolist())
+                    out_sums.extend(sums.tolist())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_s, type=pa.int32()),
+                        pa.array(out_code, type=pa.int64()),
+                        pa.array(out_n, type=pa.int64()),
+                        pa.array(out_sums, type=pa.list_(pa.int64())),
+                    ],
+                    ["s", "code", "n", "sums"],
+                )
+
+        return (
+            sub.select("s", "qs")
+            .mapInArrow(
+                _kernel, "s int, code long, n long, sums array<long>"
+            )
             .collect()
         )
-        by_key: dict[tuple[int, int], dict[int, int]] = {}
-        for r in agg_rows:
-            by_key.setdefault((r["s"], r["code"]), {})[r["pos"]] = (
-                r["sm"] // r["n"]
-            )
+
+    for _ in range(iters):
+        acc: dict[tuple[int, int], tuple[int, list[int]]] = {}
+        for r in _pq_partial_rows(codebooks):
+            key = (r["s"], r["code"])
+            got = acc.get(key)
+            if got is None:
+                acc[key] = (r["n"], list(r["sums"]))
+            else:
+                n0, s0 = got
+                acc[key] = (
+                    n0 + r["n"],
+                    [x + y for x, y in zip(s0, r["sums"])],
+                )
         codebooks = {}
-        for (s, code), dims in sorted(by_key.items()):
+        for (s, code), (n, sums) in sorted(acc.items()):
             codebooks.setdefault(s, []).append(
-                (code, [dims[p] for p in sorted(dims)])
+                (code, [sm // n for sm in sums])
             )
 
     sub.unpersist()

@@ -295,6 +295,60 @@ def test_ivf_deterministic(spark):
     assert c1 == c2
 
 
+def _py_lloyd(rows, n_seeds, iters):
+    """Pure-Python replay of the portable Lloyd contract: seeds = the
+    n lowest-id vectors (cell = rank by id), assignment by exact
+    integer squared-L2 with ties to the lowest cell, update by
+    per-dimension SUM // COUNT, empty cells dropped, cells ascending."""
+    rows = sorted(rows)
+    cents = [(i + 1, list(q)) for i, (_cid, q) in enumerate(rows[:n_seeds])]
+    for _ in range(iters):
+        acc: dict = {}
+        for _cid, q in rows:
+            best = min(
+                cents,
+                key=lambda c: (sum((a - b) ** 2 for a, b in zip(q, c[1])), c[0]),
+            )[0]
+            n, s = acc.get(best, (0, [0] * len(q)))
+            acc[best] = (n + 1, [a + b for a, b in zip(s, q)])
+        cents = [
+            (cell, [x // n for x in s])
+            for cell, (n, s) in sorted(acc.items())
+        ]
+    return cents
+
+
+def test_ivf_trainer_matches_python_lloyd_replay(spark):
+    """The r14 Arrow partial-sum kernel in _ivf_train_portable must
+    reproduce the documented Lloyd contract bit-for-bit: centroids
+    equal a pure-Python replay over the same grid rows."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = S._grid_base(emb, "vec_id", "embedding", 1_000_000, 2.0)
+    rows = [(r["cid"], list(r["q"])) for r in base.select("cid", "q").collect()]
+    got = S._ivf_train_portable(base, n_cells=8, iters=2)
+    want = _py_lloyd(rows, n_seeds=8, iters=2)
+    assert got == want
+
+
+def test_pq_trainer_matches_python_lloyd_replay(spark):
+    """Same contract per subspace for pq_train_portable's r14 kernel:
+    every subspace codebook equals the pure-Python Lloyd replay over
+    that subspace's grid slices."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    m, k_codes, iters = 4, 8, 2
+    _final, codebooks = S.pq_train_portable(
+        emb, m=m, k_codes=k_codes, iters=iters
+    )
+    base = S._grid_base(emb, "vec_id", "embedding", 1_000_000, 2.0)
+    rows = [(r["cid"], list(r["q"])) for r in base.select("cid", "q").collect()]
+    dim = len(rows[0][1])
+    dsub = dim // m
+    for s in range(m):
+        srows = [(cid, q[s * dsub : (s + 1) * dsub]) for cid, q in rows]
+        want = _py_lloyd(srows, n_seeds=k_codes, iters=iters)
+        assert codebooks[s] == want, f"subspace {s} codebook diverged"
+
+
 def test_frame_sampling(spark):
     docs = load_table(spark, SF_DIR, "documents")
     media = M.documents_as_media(docs.limit(20))
