@@ -97,12 +97,37 @@ class JpegError(ValueError):
     """Malformed or corrupt JPEG stream."""
 
 
+# ZIGZAG as an ndarray: numpy fancy indexing with a list re-converts it
+# on EVERY call (once per block); the array form indexes directly.
+_ZIGZAG_ARR = np.array(ZIGZAG)
+
+# shared identity quant table (the encoder default) — read-only so the
+# per-image np.ones allocation disappears without aliasing hazards
+_Q_IDENTITY = np.ones((8, 8))
+_Q_IDENTITY.setflags(write=False)
+
+
 # ---------------------------------------------------------------------------
 # Huffman
 # ---------------------------------------------------------------------------
 
+# Tables repeat across images (every encoder emits Annex K; a corpus
+# of same-writer files shares DHT bytes), so construction is memoized
+# on the table CONTENT — a media kernel decoding N images per task
+# builds each distinct table once per process instead of once per
+# image. Pure metadata memoization: no pixel or stream data is cached.
+_CODES_CACHE: dict[tuple[bytes, bytes], dict[int, tuple[int, int]]] = {}
+_DECODE_CACHE: dict[tuple[bytes, bytes], "_HuffLUT"] = {}
+
+
 def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
     """value -> (code, length) from the DHT bits/values lists (F.2.2.3)."""
+    key = (bytes(bits), bytes(values))
+    hit = _CODES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if len(_CODES_CACHE) >= 256:
+        _CODES_CACHE.pop(next(iter(_CODES_CACHE)))
     out: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -112,14 +137,45 @@ def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int,
             code += 1
             k += 1
         code <<= 1
+    _CODES_CACHE[key] = out
     return out
 
 
-def _decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> value lookup for the bit-at-a-time decoder."""
-    return {
-        (length, code): v for v, (code, length) in _canonical_codes(bits, values).items()
-    }
+class _HuffLUT:
+    """Flat 16-bit-peek Huffman decode table: entry = (length<<8)|value,
+    0 = invalid. One lookup decodes any code (max length 16 per T.81)
+    instead of the bit-at-a-time tree walk — identical decoded symbols
+    by construction (canonical codes are left-aligned prefixes)."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, bits: list[int], values: list[int]):
+        lut = [0] * (1 << 16)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                entry = (length << 8) | values[k]
+                base = code << (16 - length)
+                span = 1 << (16 - length)
+                lut[base : base + span] = [entry] * span
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut = lut
+
+
+def _decode_table(bits: list[int], values: list[int]) -> "_HuffLUT":
+    """Memoized LUT decoder table (same (bits, values) -> same object).
+    FIFO-capped: a pathological corpus with per-file custom tables must
+    not grow an unbounded cache of 512 KB LUTs."""
+    key = (bytes(bits), bytes(values))
+    hit = _DECODE_CACHE.get(key)
+    if hit is None:
+        if len(_DECODE_CACHE) >= 64:
+            _DECODE_CACHE.pop(next(iter(_DECODE_CACHE)))
+        _DECODE_CACHE[key] = hit = _HuffLUT(bits, values)
+    return hit
 
 
 class _BitReader:
@@ -134,9 +190,12 @@ class _BitReader:
         self.marker: int | None = None  # marker encountered (e.g. 0xD0-0xD7)
 
     def _fill(self) -> None:
+        # trim consumed high bits so acc stays machine-word-sized over
+        # arbitrarily long scans (only the low nbits bits are live)
+        acc = self.acc & ((1 << self.nbits) - 1)
         if self.marker is not None:
             # past a marker: spec F.2.2.5 pads with 1-bits
-            self.acc = (self.acc << 8) | 0xFF
+            self.acc = (acc << 8) | 0xFF
             self.nbits += 8
             return
         if self.pos >= len(self.data):
@@ -149,10 +208,10 @@ class _BitReader:
                 self.pos += 1
             else:
                 self.marker = nxt
-                self.acc = (self.acc << 8) | 0xFF
+                self.acc = (acc << 8) | 0xFF
                 self.nbits += 8
                 return
-        self.acc = (self.acc << 8) | b
+        self.acc = (acc << 8) | b
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -162,18 +221,25 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
-    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            if (length, code) in table:
-                return table[(length, code)]
-        raise JpegError("invalid Huffman code")
+    def decode_huff(self, table: "_HuffLUT") -> int:
+        # one 16-bit peek + LUT hit replaces the per-bit tree walk;
+        # prefilling past the code boundary is safe (fill state is
+        # position-consistent, and marker fills pad with 1-bits exactly
+        # as the per-bit reader would on demand)
+        while self.nbits < 16:
+            self._fill()
+        entry = table.lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if entry == 0:
+            raise JpegError("invalid Huffman code")
+        self.nbits -= entry >> 8
+        return entry & 0xFF
 
     def sync_to_marker(self) -> int:
         """Byte-align, confirm a marker was reached, return it."""
@@ -248,11 +314,10 @@ def decode_jpeg(content: bytes) -> dict:
                     vals = struct.unpack_from(f">{64}H", seg, p)
                     p += 128
                 else:
-                    vals = seg[p : p + 64]
+                    vals = np.frombuffer(seg, np.uint8, 64, p)
                     p += 64
                 table = np.zeros(64)
-                for i, z in enumerate(ZIGZAG):
-                    table[z] = vals[i]
+                table[_ZIGZAG_ARR] = vals
                 qt[tq] = table.reshape(8, 8)
         elif marker == 0xC4:  # DHT
             p = 0
@@ -364,7 +429,7 @@ def _decode_block(reader, dc_table, ac_table, pred, cid) -> np.ndarray:
         zz[k] = _extend(reader.read_bits(s), s)
         k += 1
     out = np.zeros(64)
-    out[ZIGZAG] = zz
+    out[_ZIGZAG_ARR] = zz
     return out.reshape(8, 8)
 
 
@@ -599,7 +664,7 @@ def _reconstruct_progressive(frame, coeffs, qt):
         for by in range(bh):
             for bx in range(bw_):
                 nat = np.zeros(64)
-                nat[ZIGZAG] = cz[by, bx]
+                nat[_ZIGZAG_ARR] = cz[by, bx]
                 block = nat.reshape(8, 8)
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     _A.T @ (block * q) @ _A + 128.0
@@ -637,15 +702,19 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.nbits = 0
+        # whole-code shift instead of a per-bit loop; byte emission and
+        # 0xFF stuffing order are identical to the bit-at-a-time form
+        acc = (self.acc << length) | (code & ((1 << length) - 1))
+        nbits = self.nbits + length
+        out = self.out
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
 
     def flush(self) -> None:
         while self.nbits:
@@ -657,7 +726,10 @@ def _category(v: int) -> int:
 
 
 def _encode_block(bw, coeffs, pred, cid, dc_codes, ac_codes) -> None:
-    zz = coeffs.reshape(64)[ZIGZAG]
+    # one tolist() then pure-Python scalars: numpy scalar indexing in
+    # the trailing-zero scan costs ~10x a list access (values are exact
+    # small integers out of rint, so the conversion is lossless)
+    zz = coeffs.reshape(64)[_ZIGZAG_ARR].tolist()
     dc = int(zz[0])
     diff = dc - pred[cid]
     pred[cid] = dc
@@ -695,10 +767,21 @@ def _dht_segment(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
+_DQT_CACHE: dict[tuple[int, bytes], bytes] = {}
+
+
 def _dqt_segment(tq: int, q: np.ndarray) -> bytes:
-    zz = q.reshape(64)[ZIGZAG]
+    key = (tq, q.tobytes())
+    hit = _DQT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if len(_DQT_CACHE) >= 256:
+        _DQT_CACHE.pop(next(iter(_DQT_CACHE)))
+    zz = q.reshape(64)[_ZIGZAG_ARR]
     body = bytes([tq]) + bytes(int(v) for v in zz)
-    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    out = b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    _DQT_CACHE[key] = out
+    return out
 
 
 def _ycc_planes(width, height, rgb, subsampling):
@@ -716,6 +799,8 @@ def _ycc_planes(width, height, rgb, subsampling):
     def pad(plane, mh, mv):
         ph = -(-plane.shape[0] // mv) * mv
         pw = -(-plane.shape[1] // mh) * mh
+        if ph == plane.shape[0] and pw == plane.shape[1]:
+            return plane  # already aligned: skip the np.pad copy
         return np.pad(
             plane,
             ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
@@ -749,8 +834,8 @@ def encode_jpeg(
     tables by default (round-trip error is then only DCT rounding)."""
     if subsampling not in ("444", "420", "422"):
         raise ValueError(f"unsupported subsampling {subsampling}")
-    ql = np.ones((8, 8)) if quant_luma is None else np.asarray(quant_luma, float)
-    qc = np.ones((8, 8)) if quant_chroma is None else np.asarray(quant_chroma, float)
+    ql = _Q_IDENTITY if quant_luma is None else np.asarray(quant_luma, float)
+    qc = _Q_IDENTITY if quant_chroma is None else np.asarray(quant_chroma, float)
     y, cbs, crs, sh, sv = _ycc_planes(width, height, rgb, subsampling)
     hmax, vmax = sh, sv
 
@@ -814,10 +899,11 @@ def encode_jpeg_gray(
 ) -> bytes:
     """Single-component (grayscale) baseline JFIF — exercises the
     decoder's 1-channel path."""
-    q = np.ones((8, 8)) if quant is None else np.asarray(quant, float)
+    q = _Q_IDENTITY if quant is None else np.asarray(quant, float)
     y = np.frombuffer(gray, np.uint8).reshape(height, width).astype(np.float64)
     ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-    y = np.pad(y, ((0, ph - height), (0, pw - width)), mode="edge")
+    if (ph, pw) != (height, width):
+        y = np.pad(y, ((0, ph - height), (0, pw - width)), mode="edge")
     dc_l = _canonical_codes(*DC_LUM)
     ac_l = _canonical_codes(*AC_LUM)
     bw = _BitWriter()
@@ -875,7 +961,7 @@ def _quantized_coeff_blocks(width, height, rgb, subsampling):
             for bx in range(bw_):
                 block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
                 coeffs = np.rint(_A @ block @ _A.T)
-                grid[by, bx] = coeffs.reshape(64)[ZIGZAG]
+                grid[by, bx] = coeffs.reshape(64)[_ZIGZAG_ARR]
         grids[cid] = grid
     return comps, grids
 
@@ -1060,7 +1146,7 @@ def encode_jpeg_progressive(
     out = bytearray(b"\xff\xd8")
     jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
-    out += _dqt_segment(0, np.ones((8, 8)))
+    out += _dqt_segment(0, _Q_IDENTITY)
     sof = struct.pack(">BHHB", 8, height, width, 3)
     for c in comps:
         sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])

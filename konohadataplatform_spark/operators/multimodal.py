@@ -1017,8 +1017,11 @@ def documents_as_jpeg(docs: DataFrame) -> DataFrame:
 
     def one(text: str) -> bytes:
         d = hashlib.md5(text.encode()).digest()[:4]
-        px = bytes(d[(y // 8) * 2 + (x // 8)] for y in range(16) for x in range(16))
-        return encode_jpeg_gray(16, 16, px)
+        # four constant 8x8 quadrants, assembled row-wise (identical
+        # bytes to the per-pixel indexing, ~10x fewer Python ops)
+        top = (bytes([d[0]]) * 8 + bytes([d[1]]) * 8) * 8
+        bot = (bytes([d[2]]) * 8 + bytes([d[3]]) * 8) * 8
+        return encode_jpeg_gray(16, 16, top + bot)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1231,8 +1234,9 @@ def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
         if kind == 1:
             return encode_png(8, 4, (d * 7)[: 8 * 4 * 3])
         if kind == 2:
-            px = bytes(d[(y // 8) * 2 + (x // 8)] for y in range(16) for x in range(16))
-            return encode_jpeg_gray(16, 16, px)
+            top = (bytes([d[0]]) * 8 + bytes([d[1]]) * 8) * 8
+            bot = (bytes([d[2]]) * 8 + bytes([d[3]]) * 8) * 8
+            return encode_jpeg_gray(16, 16, top + bot)
         if kind == 3:
             frames = []
             for k in range(2):

@@ -65,6 +65,52 @@ def test_simhash_detects_neardups(spark):
         assert recall >= 0.5, f"simhash recall unexpectedly low: {recall}"
 
 
+def test_simhash_matches_casewhen_reference(spark):
+    """r14 optimization guard: the ones-count + expr-string simhash
+    spelling must be bit-identical to the original +-1 CaseWhen-sum
+    fingerprint (inlined here as the reference), for BOTH token
+    hashes — including xxhash64, whose bit 63 exercises the signed
+    shiftleft wrap the md5 variant never reaches."""
+    docs = load_table(spark, SF_DIR, "documents")
+    for token_hash in ("md5", "xxhash64"):
+        if token_hash == "md5":
+            h = F.conv(
+                F.substring(F.md5(F.col("t")), 1, 15), 16, 10
+            ).cast("long")
+        else:
+            h = F.xxhash64("t")
+        tok = docs.select(
+            F.col("doc_id").alias("sid"),
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("t"),
+        ).withColumn("h", h)
+        bit_sums = [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+        agg = tok.groupBy("sid").agg(*bit_sums)
+        fp = F.lit(0).cast("long")
+        for i in range(64):
+            fp = fp.bitwiseOR(
+                F.when(
+                    F.col(f"b{i}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        ref = {
+            r.sid: r.simhash
+            for r in agg.select("sid", fp.alias("simhash")).collect()
+        }
+        got = {
+            r.sid: r.simhash
+            for r in D.simhash(docs, token_hash=token_hash).collect()
+        }
+        assert got == ref, f"simhash diverged for token_hash={token_hash}"
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)

@@ -419,6 +419,49 @@ def test_jpeg_blockwise_constant_gray_is_exact(bw, bh, rnd):
     assert dec["pixels"] == px
 
 
+@given(st.randoms(use_true_random=False))
+@settings(max_examples=20, deadline=None)
+def test_jpeg_lut_huffman_matches_bit_at_a_time(rnd):
+    """r14 optimization guard: the 16-bit-peek LUT decoder and batched
+    read_bits must decode random marker-free streams exactly like a
+    per-bit canonical tree walk over the same table (the pre-r14
+    spelling, inlined here as the reference)."""
+    bits, values = jpeg_py.AC_LUM
+    lut = jpeg_py._decode_table(bits, values)
+    # reference: (length, code) -> value dict walked bit by bit
+    ref = {
+        (length, code): v
+        for v, (code, length) in jpeg_py._canonical_codes(bits, values).items()
+    }
+    payload = bytes(
+        b if b != 0xFF else 0xFE for b in (rnd.randrange(256) for _ in range(400))
+    )
+    fast = jpeg_py._BitReader(payload)
+    slow_bits = []  # reference bit stream (no stuffing/markers present)
+    for b in payload:
+        slow_bits.extend((b >> i) & 1 for i in range(7, -1, -1))
+    sp = 0
+    for _ in range(80):
+        if sp + 32 > len(slow_bits):
+            break  # stop before either reader can exhaust the stream
+        got = fast.decode_huff(lut)
+        code, length = 0, 0
+        while True:
+            code = (code << 1) | slow_bits[sp]
+            sp += 1
+            length += 1
+            assert length <= 16, "reference walked past max code length"
+            if (length, code) in ref:
+                assert ref[(length, code)] == got
+                break
+        n = rnd.randrange(0, 11)
+        want = 0
+        for _ in range(n):
+            want = (want << 1) | slow_bits[sp]
+            sp += 1
+        assert fast.read_bits(n) == want
+
+
 @given(
     st.integers(min_value=1, max_value=20),
     st.integers(min_value=1, max_value=20),
