@@ -178,13 +178,24 @@ def lexical_topk(
     instead of an executor-OOM broadcast. The gate count tokenizes
     only the FILTERED query slice, so its cost is one corpus scan +
     query-proportional work. The corpus side shuffles once on the
-    term key, post-pruning. The tf relation feeds two branches (idf,
-    scoring) and is NOT cached: each branch prunes different columns
-    so recompute beats materializing the full relation (measured
-    1.5 s vs 1.8-2.8 s at sf0.1), and a cache() here leaked a cached
-    relation per call (r7 ADVICE). At 100 TB tf would be a
-    materialized table, not a re-scan."""
-    tf = term_frequencies(ngram_tokens(docs, n, text_col, id_col))
+    term key, post-pruning.
+
+    The tf relation feeds two branches (idf, scoring), and is
+    materialized ONCE via a lazy ``localCheckpoint`` (r15, the rank
+    family's own pattern — guide §2.4/§5): without it the physical
+    plan tokenized the corpus once per consumer (the r15 before-plan
+    shows 8 parquet scans / 20 Exchanges for this query; after, each
+    branch reads the one checkpointed RDD). The r14-documented
+    recompute-vs-cache trade was measured against ``cache()`` —
+    which adds a separate fill job and leaked the cached relation
+    per call (r7 ADVICE); the lazy checkpoint materializes inside
+    the first consuming job and hands its blocks to the GC with the
+    DataFrame, so neither cost applies. At 100 TB the checkpoint IS
+    the "tf as a materialized table" the contract promised, scoped
+    to the query."""
+    tf = term_frequencies(
+        ngram_tokens(docs, n, text_col, id_col)
+    ).localCheckpoint(eager=False)
     n_docs = docs.select(F.count(F.lit(1)).alias("n"))
     idf = (
         tf.groupBy("term")
@@ -236,6 +247,11 @@ def doc_keywords(
     (each partition is one doc's distinct terms — bounded by doc
     length, never corpus-sized).
     """
+    # same two-consumer shape as lexical_topk (idf + scoring) but NOT
+    # checkpointed: n=1 tokenization is cheap enough that the r15
+    # interleaved A/B measured the materialization ~0.1 s SLOWER than
+    # the recompute at sf0.1 (0.93 old vs 0.99/1.04 checkpointed) —
+    # the trigram rankers' win does not transfer to unigrams
     tf = term_frequencies(ngram_tokens(docs, 1, text_col, id_col))
     n_docs = docs.select(F.count(F.lit(1)).alias("n"))
     idf = (
@@ -303,15 +319,24 @@ def bm25_topk(
     (``query_broadcast`` / ``query_broadcast_rows``; over the bound
     the join runs term-keyed and shuffled, AQE-sized) and shuffles
     the corpus tf relation once on the capped term key — same
-    contract as :func:`lexical_topk`. Overflow bounds (int64): the
+    contract as :func:`lexical_topk`, including the r15 lazy
+    localCheckpoint of tf (here THREE consumers — dl, idf, scoring —
+    re-tokenized the corpus: 12 parquet scans / 36 Exchanges in the
+    r15 before-plan; dl is checkpointed too, feeding totals and the
+    tf_sat join from one doc-grain materialization). Overflow bounds
+    (int64): the
     tf_sat numerator needs 44*tf*TL*1000 to fit (TL < 2e11 total
     tokens at tf ~ 1e3), and the score term qtf*idf*tf_sat needs
     N*qtf < 4.2e9 (idf <= N*SCALE, tf_sat <= 2200). Past either,
     shrink the scales a decade (ranking-stable — they multiply every
     score identically) or widen to decimal(38,0).
     """
-    tf = term_frequencies(ngram_tokens(docs, n, text_col, id_col))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tf = term_frequencies(
+        ngram_tokens(docs, n, text_col, id_col)
+    ).localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).localCheckpoint(
+        eager=False
+    )
     totals = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tl")
     )
