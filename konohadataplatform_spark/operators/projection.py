@@ -70,7 +70,10 @@ def _signed_sum(row: list[int], arr: str = "_s") -> str:
     compiles to straight-line adds. (The first spelling — a 2-d
     literal array indexed inside an aggregate lambda — re-built the
     1024-literal array per element evaluation: 10.2x sf1 smoke vs
-    this one's ~linear compute.)"""
+    this one's ~linear compute.) r15: no longer on jl_project's hot
+    path (the projection is an Arrow kernel now — the out_dim x
+    in_dim unrolled tree cost 2+ s/pass of driver/codegen overhead);
+    kept as the reference spelling for the kernel's equivalence test."""
     parts = []
     for i, v in enumerate(row, start=1):
         op = "+" if v == 1 else "-"
@@ -91,27 +94,71 @@ def jl_project(
     proj[j] = sum_i signs[j][i] * floor(v[i] * grid), exact int64.
 
     ``in_dim`` is part of the matrix definition, so a vector of any
-    other length is a contract violation — loud raise_error, never a
-    silent truncation. Overflow bound: |proj[j]| <= in_dim * grid *
-    max|v| must stay under 2^63 (defaults allow |v| up to ~1.4e11 for
-    the projection ALONE — downstream squared distances bind far
-    tighter, see :func:`jl_neighbors`). One narrow projection, no
-    exchange.
-    """
-    m = jl_sign_matrix(out_dim, in_dim, seed)
-    s = (
-        f"transform(cast({vec_col} as array<double>), "
-        f"x -> cast(floor(x * {int(grid)}) as bigint))"
-    )
-    proj = "array(" + ", ".join(_signed_sum(row) for row in m) + ")"
+    other length is a contract violation — loud error, never a silent
+    truncation. Overflow bound: |proj[j]| <= in_dim * grid * max|v|
+    must stay under 2^63 (defaults allow |v| up to ~1.4e11 for the
+    projection ALONE — downstream squared distances bind far tighter,
+    see :func:`jl_neighbors`). One narrow projection, no exchange.
+
+    r15: the projection runs as a per-task Arrow kernel (numpy int64
+    matmul against the sign matrix — the embedding_covariance Gram
+    pattern, guide §4.2) instead of a plan-time expression of
+    out_dim x in_dim unrolled ``element_at`` terms. The unrolled
+    spelling made every consumer carry a ~1000-node Catalyst tree:
+    each jl_neighbors/jl_rerank pass re-analyzed, re-optimized and
+    re-codegen'd it 3-4x (candidate side, query side, gate probe,
+    broadcast build) — measured 2.3-2.4 s/pass at sf0.1 of pure
+    driver/codegen overhead on a 2000-row input. Bit-exactness is
+    free here: floor(x * grid) is the same IEEE double op, and the
+    signed SUM is int64 — order-independent, so the numpy matmul
+    equals the left-assoc column fold exactly (pca_project, whose
+    fold is FLOAT, keeps its pinned-order unrolled spelling)."""
+    d_in, d_out, g = int(in_dim), int(out_dim), int(grid)
+    m = jl_sign_matrix(d_out, d_in, seed)
+
+    def _kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        sm = np.array(m, dtype=np.int64).T  # (in_dim, out_dim)
+        for batch in batches:
+            ids = batch.column(0)
+            col = batch.column(1)
+            if len(col) == 0:
+                continue
+            ln = col.value_lengths().to_numpy(zero_copy_only=False)
+            if col.null_count or not np.all(ln == d_in):
+                bad = (
+                    "NULL"
+                    if col.null_count
+                    else str(int(ln[ln != d_in][0]))
+                )
+                raise ValueError(
+                    f"jl_project: expected {d_in}-d embedding, got {bad}"
+                )
+            v = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                -1, d_in
+            )
+            # same IEEE op order as the SQL spelling: x * grid in
+            # double, floor, then int64 — exact parity per component
+            s = np.floor(v * g).astype(np.int64)
+            proj = s @ sm  # exact int64, order-independent sum
+            flat = pa.array(proj.reshape(-1), type=pa.int64())
+            offsets = pa.array(
+                np.arange(0, (proj.shape[0] + 1) * d_out, d_out),
+                type=pa.int32(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.ListArray.from_arrays(offsets, flat)],
+                ["vec_id", "proj"],
+            )
+
     return emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.expr(
-            f"if(size({vec_col}) = {int(in_dim)}, {s}, "
-            f"raise_error(concat('jl_project: expected {int(in_dim)}-d "
-            f"embedding, got ', cast(size({vec_col}) as string))))"
-        ).alias("_s"),
-    ).select("vec_id", F.expr(proj).alias("proj"))
+        # pinned to bigint so the Arrow batch always matches the
+        # declared schema (ids are bigint at every call site)
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInArrow(_kernel, "vec_id long, proj array<bigint>")
 
 
 def jl_neighbors(

@@ -43,6 +43,31 @@ def test_jl_project_matches_numpy_replay(spark):
         assert got[vid] == expect, vid
 
 
+def test_jl_project_kernel_matches_unrolled_expr(spark):
+    """The r15 Arrow kernel must be bit-identical to the original
+    plan-time unrolled ``element_at`` spelling (the pre-r15 physical
+    form, rebuilt here from ``_signed_sum``) — int64 sums are
+    order-independent, so the numpy matmul and the left-assoc column
+    fold must agree exactly on real fixture vectors."""
+    from konohadataplatform_spark.operators.projection import _signed_sum
+
+    emb = _emb(spark).limit(50)
+    m = jl_sign_matrix(16, 64)
+    snapped = (
+        f"transform(cast(embedding as array<double>), "
+        f"x -> cast(floor(x * {JL_GRID}) as bigint))"
+    )
+    proj = "array(" + ", ".join(_signed_sum(row) for row in m) + ")"
+    ref = {
+        r.vec_id: list(r.proj)
+        for r in emb.select(
+            F.col("vec_id"), F.expr(snapped).alias("_s")
+        ).select("vec_id", F.expr(proj).alias("proj")).collect()
+    }
+    got = {r.vec_id: list(r.proj) for r in jl_project(emb).collect()}
+    assert got == ref and got
+
+
 def test_jl_sign_matrix_deterministic_and_balanced():
     m = jl_sign_matrix(16, 64)
     assert m == jl_sign_matrix(16, 64)
