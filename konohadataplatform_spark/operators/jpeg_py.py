@@ -155,6 +155,14 @@ class _HuffLUT:
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
+                # overfull-DHT guard (r14 ADVICE): past 2^length codes
+                # the slice below would silently APPEND entries beyond
+                # index 65535 and bloat the cached LUT; decode behavior
+                # was safe either way (the 16-bit peek can't reach
+                # appended entries), but a corrupt table should fail
+                # loudly, not waste cache memory
+                if code >= 1 << length:
+                    raise JpegError("overfull Huffman table")
                 entry = (length << 8) | values[k]
                 base = code << (16 - length)
                 span = 1 << (16 - length)
@@ -232,7 +240,13 @@ class _BitReader:
         # one 16-bit peek + LUT hit replaces the per-bit tree walk;
         # prefilling past the code boundary is safe (fill state is
         # position-consistent, and marker fills pad with 1-bits exactly
-        # as the per-bit reader would on demand)
+        # as the per-bit reader would on demand). Known divergence on
+        # already-malformed input only (r14 ADVICE): a stream truncated
+        # mid-scan with no terminating marker raises "unexpected end of
+        # entropy-coded data" up to 15 bits earlier than the per-bit
+        # walk would (which could still finish a short final code);
+        # valid JPEGs always terminate with a marker, and both paths
+        # raise JpegError.
         while self.nbits < 16:
             self._fill()
         entry = table.lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
@@ -286,8 +300,8 @@ def decode_jpeg(content: bytes) -> dict:
     if content[:2] != b"\xff\xd8":
         raise DecodeNotAvailable("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, dict] = {}
-    huff_ac: dict[int, dict] = {}
+    huff_dc: dict[int, _HuffLUT] = {}
+    huff_ac: dict[int, _HuffLUT] = {}
     frame = None
     coeff_store = None
     restart_interval = 0

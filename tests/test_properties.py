@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
@@ -460,6 +461,16 @@ def test_jpeg_lut_huffman_matches_bit_at_a_time(rnd):
             want = (want << 1) | slow_bits[sp]
             sp += 1
         assert fast.read_bits(n) == want
+
+
+def test_jpeg_overfull_huffman_table_raises():
+    """r15 (r14 ADVICE): a DHT whose code count exceeds 2^length
+    capacity must raise instead of silently growing the cached LUT
+    past its nominal 64K entries."""
+    with pytest.raises(jpeg_py.JpegError, match="overfull"):
+        jpeg_py._HuffLUT([4] + [0] * 15, [1, 2, 3, 4])
+    # a legitimately FULL length-2 table still builds
+    assert len(jpeg_py._HuffLUT([0, 4] + [0] * 14, [1, 2, 3, 4]).lut) == 1 << 16
 
 
 @given(
