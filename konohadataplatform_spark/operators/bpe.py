@@ -793,7 +793,8 @@ def unigram_train_em_prob(
     scale: int = 1_000_000,
     text_col: str = "text",
     char_floor: float = 1e-6,
-) -> tuple[DataFrame, DataFrame]:
+    want_words: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """Unigram-LM training with ONE probability-weighted EM iteration
     (the :func:`unigram_train_em` ladder's last rung): seed as usual,
     estimate initial piece probabilities from the uniform-path
@@ -869,11 +870,16 @@ def unigram_train_em_prob(
         "piece_rank", "piece",
         F.col("usage_emp").cast("bigint").alias("usage"),
     )
-    words_state = _unigram_segment_state(
-        words, cand, vocab_rel.select("piece")
+    # want_words=False skips the final segmentation + its eager
+    # checkpoint (see unigram_train_em — same dead-work contract)
+    words_state = (
+        _unigram_segment_state(words, cand, vocab_rel.select("piece"))
+        if want_words
+        else None
     )
     final_vocab = final_vocab.localCheckpoint(eager=True)
-    words_state = words_state.localCheckpoint(eager=True)
+    if words_state is not None:
+        words_state = words_state.localCheckpoint(eager=True)
     vocab_rel.unpersist()
     cand.unpersist()
     words.unpersist()
@@ -888,7 +894,8 @@ def unigram_train_em(
     seed_mult: int = 4,
     scale: int = 1_000_000,
     text_col: str = "text",
-) -> tuple[DataFrame, DataFrame]:
+    want_words: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """Unigram-LM training with the EM expectation prune: seed exactly
     like :func:`unigram_train`, rank the seed pieces by
     :func:`unigram_em_usage` (expected usage over ALL segmentations,
@@ -901,6 +908,14 @@ def unigram_train_em(
     Returns (vocab, words) in the same shapes as :func:`unigram_train`
     (vocab usage = scaled expected usage). Same 100 TB contract: the
     word-frequency aggregate is the only corpus-scale job.
+
+    ``want_words=False`` (r15): callers that only need the vocabulary
+    skip the final greedy segmentation + its eager checkpoint job
+    entirely (the words slot returns None). The lifecycle contract
+    forces words_state to materialize BEFORE the caches release, so a
+    discarded second return value still cost a full segmentation pass
+    — dead work the flag removes. Vocab bytes are identical either
+    way.
     """
     if max_piece_len < 2:
         raise ValueError("max_piece_len must be >= 2")
@@ -936,11 +951,14 @@ def unigram_train_em(
         "piece_rank", "piece",
         F.col("usage_em").cast("bigint").alias("usage"),
     )
-    words_state = _unigram_segment_state(
-        words, cand, vocab_rel.select("piece")
+    words_state = (
+        _unigram_segment_state(words, cand, vocab_rel.select("piece"))
+        if want_words
+        else None
     )
     final_vocab = final_vocab.localCheckpoint(eager=True)
-    words_state = words_state.localCheckpoint(eager=True)
+    if words_state is not None:
+        words_state = words_state.localCheckpoint(eager=True)
     vocab_rel.unpersist()
     cand.unpersist()
     words.unpersist()

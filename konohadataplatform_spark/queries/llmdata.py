@@ -6931,6 +6931,9 @@ def q_unigram_em_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece_len=_UG_L,
         min_usage=_UG_MINU,
         seed_mult=_UG_SEED // _UG_VSIZE,
+        # r15: this query only serves the vocabulary — skip the final
+        # greedy segmentation job the discarded words slot would cost
+        want_words=False,
     )
     return vocab.select(
         F.col("piece_rank").alias("em_rank"),
@@ -7055,6 +7058,8 @@ def q_unigram_em_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece_len=_UG_L,
         min_usage=_UG_MINU,
         seed_mult=_UG_SEED // _UG_VSIZE,
+        # r15: vocabulary-only query — skip the discarded words slot
+        want_words=False,
     )
     return vocab.select(
         F.col("piece_rank").alias("emp_rank"),

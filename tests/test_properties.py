@@ -534,6 +534,27 @@ def test_gif_roundtrip_property(w, h, n_frames, n_colors, rnd):
         assert fr["pixels"] == frames[k]
 
 
+def test_gif_realistic_frame_roundtrip():
+    """r15 (r14 VERDICT item 10): a representative-size frame in the
+    harness — the r14 LZW-loop rewrite decision was made on 8x4 bench
+    fixtures, where per-frame setup dominates and the rewrite measured
+    slower; any future LZW optimization must also hold on frames where
+    the symbol loop is the cost. 160x120, 64 colors, 2 frames with
+    structured content (gradient + tiling) so LZW code-width growth and
+    dictionary resets are actually exercised."""
+    w, h, n_colors = 160, 120, 64
+    pal = bytes(v for i in range(n_colors) for v in (4 * i % 256, 255 - 3 * i % 256, i))
+    frames = []
+    for k in range(2):
+        idx = [((x // 3 + y // 2 + 7 * k) ^ (x * y % 13)) % n_colors
+               for y in range(h) for x in range(w)]
+        frames.append(bytes(c for i in idx for c in pal[3 * i: 3 * i + 3]))
+    dec = gif_py.decode_gif(gif_py.encode_gif(w, h, frames, palette=pal))
+    assert dec["n_frames"] == 2
+    for k, fr in enumerate(dec["frames"]):
+        assert fr["pixels"] == frames[k]
+
+
 # ---------------------------------------------------------------------------
 # Manifest pruning property: scan(t, F) must equal read(t).filter(F)
 # for arbitrary predicates over a range-clustered AND a partitioned
