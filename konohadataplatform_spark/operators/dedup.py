@@ -1486,12 +1486,16 @@ def cross_source_overlap(
         f"array_distinct(transform(sequence(0, size(w) - {n}), i -> "
         f"concat_ws(' ', {', '.join(f'w[i + {j}]' for j in range(n))})))"
     )
+    # r15: the explode+distinct subtree feeds THREE consumers (sizes,
+    # both self-join sides) — one lazy-checkpointed materialization
+    # instead of three tokenizations of the corpus (the bm25/lexical
+    # tf-reuse pattern, guide §2.4/§5; before-plan: 3 parquet scans)
     grams = (
         df.select(F.col(group_col).alias("grp"), toks.alias("w"))
         .filter(F.size("w") >= n)
         .select("grp", F.explode(sh).alias("gram"))
         .distinct()
-    )
+    ).localCheckpoint(eager=False)
     sizes = grams.groupBy("grp").agg(F.count(F.lit(1)).alias("n_set"))
     a = grams.select(F.col("grp").alias("source_a"), "gram")
     b = grams.select(F.col("grp").alias("source_b"), "gram")
