@@ -169,17 +169,36 @@ def train_perceptron_docs(
     # gram mass, measured r14), while the same fold is a numpy
     # segment-sum per batch (guide §4.2). No cache: each iteration
     # re-scans the source exactly as before.
+    # r15: the (y, gram-dims) projection is persisted across the
+    # ``iters`` epochs — the gram hashing (md5 + conv per gram) was
+    # re-executed per epoch before, tripling the dominant map-side CPU
+    # for a 3-epoch train. Epoch 1's pass fills the cache (no extra
+    # job); the finally releases it deterministically, so nothing
+    # lingers in the CacheManager after return (the r7 leak class —
+    # and unlike lexical_topk's tf, THIS relation never outlives the
+    # function, so an owned persist/unpersist is the right tool).
+    # Values are deterministic, so weights stay bit-identical
+    # (test_perceptron_matches_python_replay pins them); at 100 TB
+    # the cache stores the narrow (y, int-array) relation — the
+    # smaller of (re-hash the text) vs (store the dims) for every
+    # epoch after the first — and spills to disk if needed.
     dims_rel = docs.select(
         F.when(label_pred, F.lit(1)).otherwise(F.lit(-1)).alias("y"),
         F.split(F.trim(F.col(text_col)), " ").alias("_w"),
     ).select("y", F.expr(dims_of).alias("dims"))
+    if iters > 1:
+        dims_rel = dims_rel.persist()
     w: dict[int, int] = {}
-    for _ in range(iters):
-        acc: dict[int, int] = {}
-        for r in _perceptron_delta_partials(dims_rel, w, int(dims)):
-            acc[r["dim"]] = acc.get(r["dim"], 0) + r["d"]
-        for dim, d in acc.items():
-            w[dim] = w.get(dim, 0) + d
+    try:
+        for _ in range(iters):
+            acc: dict[int, int] = {}
+            for r in _perceptron_delta_partials(dims_rel, w, int(dims)):
+                acc[r["dim"]] = acc.get(r["dim"], 0) + r["d"]
+            for dim, d in acc.items():
+                w[dim] = w.get(dim, 0) + d
+    finally:
+        if iters > 1:
+            dims_rel.unpersist()
     return w
 
 
