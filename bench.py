@@ -167,10 +167,15 @@ EXTENDED = [
 # stay comparable. They are timed once as part of EXTENDED exactly
 # as before; this block only copies their medians into the printed
 # dict.
+# Idle-host 8-vs-32-core probe (r15, quick_bench median of 3):
+# q_bpe_train_merges 1.81x, q_semantic_decontaminate 1.71x,
+# q_quality_classifier 1.67x, q_margin_mining 1.57x, q_ann_ivfpq
+# 1.46x — every headline query measures ~1.0x on the same protocol.
 SCALING_EXTRA = [
     "q_ann_ivfpq",
     "q_bpe_train_merges",
     "q_margin_mining",
+    "q_semantic_decontaminate",
 ]
 
 
